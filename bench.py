@@ -1,0 +1,84 @@
+"""Benchmark driver: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line with per-query wall seconds.
+
+Each query is fully materialized through the noop sink (evaluates every row
+and column, no driver collect, no disk write) — the honest way to time a
+Spark plan end-to-end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dend_spark_data_lake_spark.session import get_spark  # noqa: E402
+from dend_spark_data_lake_spark import queries as Q  # noqa: E402
+
+HEADLINE = [
+    "ref_pricing_summary",
+    "ref_star_join",
+    "ref_dedup_keep_latest",
+    "ref_dedup_keep_first",
+    "agg_region_revenue",
+    "agg_rollup",
+    "topk_per_group",
+    "window_running_sum",
+    "json_extract",
+    "window_tumbling",
+    "session_window_batch",
+    "join_asof",
+    "join_range",
+    "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "sim_cosine_topk",
+    "text_quality",
+    "text_token_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus) if cpus.isdigit() else 32,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen paths outside the measured window.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = Q.REGISTRY[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,276 @@
+"""Similarity search and near-duplicate detection (SURVEY.md §2.5).
+
+Scale posture per operator:
+
+- ``cosine_topk`` — brute-force exact baseline: broadcast the (small) query
+  set against the full corpus; dot products run JVM-side via
+  ``zip_with``/``aggregate`` (no Python). Exact answer, one pass over the
+  corpus, no shuffle of the corpus itself. The scale path for huge query
+  sets is LSH/IVF bucketing (``minhash_lsh_pairs`` shows the LSH pattern;
+  an IVF variant would k-means the corpus and prune by centroid).
+- ``ngram_jaccard_pairs`` — exact n-gram-Jaccard near-dup: explode shingles,
+  self-join on shingle. The shingle join is an equi-join (hash shuffle on
+  the shingle), with a frequency cap to stop hot shingles exploding —
+  the standard inverted-index trick.
+- ``minhash_lsh_pairs`` — MinHash+LSH banding via ``spark.ml``'s
+  ``MinHashLSH``: candidate pairs only collide within a band bucket, so the
+  cross product never materializes.
+- ``simhash64`` — 64-bit SimHash from token hashes with pure Spark
+  expressions (xxhash64 + bit votes); near-pairs by banded equality on
+  16-bit chunks then exact Hamming filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector over the corpus.
+
+    Returns (query_id, neighbor_id, cosine, rank). Cosine is computed in
+    double precision and rounded; ranking orders by (rounded cosine desc,
+    neighbor id) so results are fully deterministic across engines.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__cv"),
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = _dot(F.col("__qv"), F.col("__cv")) / (
+        F.sqrt(_dot(F.col("__qv"), F.col("__qv"))) * F.sqrt(_dot(F.col("__cv"), F.col("__cv")))
+    )
+    scored = pairs.select(
+        "query_id", "neighbor_id", F.round(cos, round_digits).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def word_ngrams(col, n: int = 3):
+    """Distinct word n-gram shingles of lowercased text, as an array column.
+
+    The token array is bound to a lambda variable (``transform`` over a
+    singleton array) so the ``split`` runs ONCE per row — naively inlining
+    it into each ``element_at`` re-splits the text O(n * shingles) times
+    per row (measured ~25x slowdown), because Catalyst's projection
+    collapsing re-inlines deterministic expressions.
+    """
+    toks = F.split(F.lower(F.trim(col if not isinstance(col, str) else F.col(col))), r"\s+")
+
+    def grams(t):
+        idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(-1)))
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]),
+        )
+
+    return F.array_distinct(F.flatten(F.transform(F.array(toks), grams)))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact near-duplicate pairs by Jaccard similarity of word n-grams,
+    via prefix filtering (PPJoin-style).
+
+    A naive inverted-index self-join is quadratic in the bucket size of hot
+    shingles (a 5k-doc corpus over a small vocabulary already costs ~30s;
+    100 TB would never finish). Prefix filtering keeps the result *exact*
+    while joining only rare shingles:
+
+    1. order all shingles globally by (corpus frequency, shingle);
+    2. per doc of size m, index only its first ``floor((1-t)*m)+1`` shingles
+       in that order — if J(A,B) >= t the two prefixes must share a shingle;
+    3. candidate pairs come from an equi-join of the small prefix relation
+       with itself (plus a size-ratio bound: J >= t implies m_a >= t*m_b);
+    4. verify candidates exactly with ``array_intersect`` on the full
+       shingle sets.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, J rounded.
+    """
+    sets = docs.select(
+        F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    sh = sets.select("id", F.explode("shingles").alias("sh")).filter(F.col("sh") != "")
+    freq = sh.groupBy("sh").agg(F.count("*").alias("f"))
+    ranked = (
+        sh.join(freq, "sh")
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.col("f").asc(), F.col("sh").asc())
+            ),
+        )
+        .withColumn("m", F.count("*").over(Window.partitionBy("id")))
+    )
+    prefix = ranked.filter(
+        F.col("r") <= F.floor((1 - F.lit(threshold)) * F.col("m")) + 1
+    ).select("id", "sh", "m")
+    a = prefix.select(F.col("id").alias("doc_a"), "sh", F.col("m").alias("m_a"))
+    b = prefix.select(F.col("id").alias("doc_b"), "sh", F.col("m").alias("m_b"))
+    cand = (
+        a.join(b, "sh")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("m_a") >= F.lit(threshold) * F.col("m_b"))
+            & (F.col("m_b") >= F.lit(threshold) * F.col("m_a"))
+        )
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+    sa = sets.select(F.col("id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col("id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
+                round_digits,
+            ),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hash_tables: int = 8,
+    max_jaccard_distance: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate near-dup pairs via MinHash + LSH banding (spark.ml).
+
+    Shingles -> sparse term vector (HashingTF) -> MinHashLSH
+    ``approxSimilarityJoin``. Candidates collide only within band buckets,
+    so complexity is ~linear in corpus size for bounded bucket sizes.
+    Returns (doc_a, doc_b, jaccard_distance) with doc_a < doc_b.
+    Deterministic for a fixed seed.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    shingled = docs.select(
+        F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(shingled)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed)
+    model = mh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, max_jaccard_distance, distCol="jaccard_distance")
+    return (
+        joined.filter(F.col("datasetA.id") < F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("doc_a"),
+            F.col("datasetB.id").alias("doc_b"),
+            F.round("jaccard_distance", 6).alias("jaccard_distance"),
+        )
+    )
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document, entirely with JVM-side expressions.
+
+    Each whitespace token is hashed with xxhash64; for every bit position the
+    tokens vote +1/-1; the sign of each vote becomes the fingerprint bit.
+    Implemented as explode -> 64 conditional sums -> bit assembly. No Python
+    UDF: stays inside whole-stage codegen, aggregates map-side first.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("t"),
+    ).filter(F.col("t") != "")
+    h = tok.withColumn("h", F.xxhash64("t"))
+    votes = h.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return votes.select(F.col("id").alias(id_col), sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance <= max_hamming.
+
+    Banding: split the 64-bit fingerprint into 4 x 16-bit bands; by
+    pigeonhole, any pair within Hamming distance 3 shares at least one exact
+    band (larger distances are found when any band happens to match).
+    Candidate generation is 4 equi-joins on (band_idx, band_value) — no cross
+    product — followed by an exact popcount filter.
+    """
+    sims = simhash64(docs, id_col, text_col)
+    bands = sims.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bv"),
+    ).select(id_col, "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a = bands.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "val")
+    b = bands.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "val")
+    cand = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,86 @@
+"""Text-analysis functions for LLM-data pipelines.
+
+All hot-path functions are pure Column expressions (JVM-side, codegen'd,
+Arrow-free) — no Python UDFs — so they run at scan speed over 100 TB of
+``documents``-shaped data. SURVEY.md §2.5 "Text analysis".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A tiny English stopword set used by the heuristic scorers. Deliberately
+# small and fixed so oracle SQL can replicate it verbatim.
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+WS = r"\s+"
+# "BPE-ish" token pattern: runs of letters, runs of digits, or single
+# non-alphanumeric marks — approximates subword pre-tokenization.
+BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokens of trimmed, lowercased text."""
+    return F.split(F.lower(F.trim(col if isinstance(col, Column) else F.col(col))), WS)
+
+
+def token_count_ws(col: str | Column) -> Column:
+    """Whitespace token count (0 for empty/blank text)."""
+    t = F.trim(col if isinstance(col, Column) else F.col(col))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, WS)))
+
+
+def token_count_bpe_ish(col: str | Column) -> Column:
+    """Count of BPE-ish pre-tokens (letters runs / digit runs / marks)."""
+    return F.regexp_count(col if isinstance(col, Column) else F.col(col), F.lit(BPE_ISH))
+
+
+def stopword_hits(col: str | Column, stopwords=EN_STOPWORDS) -> Column:
+    """Number of whitespace tokens that are stopwords."""
+    arr = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(arr, t)))
+
+
+def quality_columns(col: str | Column) -> dict[str, Column]:
+    """Quality-scoring signals: char/token counts, avg token length,
+    punctuation count, stopword hits. Combine/threshold downstream; kept as
+    separate integer-exact columns so results are engine-reproducible.
+    """
+    c = col if isinstance(col, Column) else F.col(col)
+    n_chars = F.length(c)
+    n_tok = token_count_ws(c)
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[.!?,;:]", ""))
+    n_stop = stopword_hits(c)
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "n_punct": n_punct,
+        "n_stopwords": n_stop,
+    }
+
+
+def normalized_fingerprint(col: str | Column) -> Column:
+    """Deterministic document fingerprint: md5 of casefolded text with
+    non-alphanumerics stripped and whitespace collapsed — catches
+    formatting-only duplicates that exact-text dedup misses.
+    """
+    c = col if isinstance(col, Column) else F.col(col)
+    norm = F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", "")
+    norm = F.trim(F.regexp_replace(norm, WS, " "))
+    return F.md5(norm)
+
+
+def langid_heuristic(col: str | Column, min_hit_rate_pct: int = 5) -> Column:
+    """Heuristic language ID: 'en' when >= min_hit_rate_pct% of tokens are
+    English stopwords, else 'unk'. The comparison is done in integer
+    arithmetic (hits*100 >= ntok*pct) so the decision boundary is exact and
+    engine-independent.
+    """
+    hits = stopword_hits(col)
+    ntok = token_count_ws(col)
+    return (
+        F.when(ntok == 0, F.lit("unk"))
+        .when(hits * 100 >= ntok * F.lit(min_hit_rate_pct), F.lit("en"))
+        .otherwise(F.lit("unk"))
+    )

@@ -1,0 +1,1051 @@
+"""Driver-facing query registry: named queries + DuckDB oracle SQL.
+
+Every operator the engine claims (SURVEY.md §2) is exposed here as a
+``(spark, sf_dir) -> DataFrame`` callable, paired where possible with an
+ANSI-SQL oracle that DuckDB runs over the same parquet tables. Column names
+and value rounding are aligned on both sides because the driver's comparison
+hashes values after sorting columns by name.
+
+Determinism rules used throughout (so cross-engine hashes match):
+- every floating aggregate is ``round()``-ed (sum-order differences are
+  ~1e-15 relative; rounding makes them invisible) — BUT never at a digit
+  where the exact value can sit on the rounding half-boundary: prices and
+  discounts are 2-decimal-exact, so their products are 4-decimal-exact and
+  must round at >= 4 digits (a x.xx50 product rounds differently per engine
+  depending on FP noise); plain 2-decimal sums may round at 2 (grid points
+  are never half-boundaries). Averages of decimal-exact data are rational
+  and can land on any boundary — exposed as exact sum+count instead;
+- every ranking orders by a rounded/exact key plus a unique id tie-break;
+- integer sums in DuckDB are CAST to BIGINT (DuckDB widens to HUGEINT);
+- calendar parts are CAST to INT in DuckDB (DuckDB returns BIGINT);
+- ISO weekday = Spark ``weekday()+1`` = DuckDB ``isodow``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .sources.io import read_table, register_views
+from .operators.cleaning import drop_empty_string_rows, drop_null_rows, sentinel_to_null
+from .operators.dedup import dedup_keep_first, dedup_keep_latest
+from .operators.joins import asof_join, bucketed_range_join, broadcast_dim_join
+from .operators.windows import per_group_top_k
+from .operators.datetime_ops import iso_weekday
+from .functions import text as TX
+from .functions import similarity as SIM
+from .functions import multimodal as MM
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => rows-only check (non-SQL-expressible)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def _q(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn, oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark, sf_dir, name):
+    return read_table(spark, sf_dir, name)
+
+
+def _rev(round_to=None):
+    e = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return F.round(e, round_to) if round_to is not None else e
+
+
+# ---------------------------------------------------------------------------
+# Reference-core operators (SURVEY.md §2.1/§2.2) over the driver star schema
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "ref_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                          AS sum_qty,
+           round(sum(l_extendedprice), 2)                     AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)  AS sum_disc_price,
+           round(sum(l_discount), 2)                          AS sum_disc,
+           count(*)                                           AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def ref_pricing_summary(spark, sf_dir):
+    """TPC-H-Q1-shaped scan→filter→groupBy→agg (grouped aggregation family).
+
+    Scale: partial (map-side) aggregation then a 6-group shuffle — the
+    canonical minimal-shuffle aggregate; filter pushes to parquet row groups.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(_rev()), 4).alias("sum_disc_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@_q(
+    "ref_dedup_keep_latest",
+    """
+    SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY o_custkey
+              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM orders)
+    WHERE rn = 1
+    """,
+)
+def ref_dedup_keep_latest(spark, sf_dir):
+    """Keep-latest-per-key dedup — the reference users-table semantics
+    (latest record per user wins; /root/reference/etl_pipeline.py:143-154)
+    over orders by customer."""
+    o = _t(spark, sf_dir, "orders")
+    return dedup_keep_latest(o, ["o_custkey"], "o_orderdate", tie_break=["o_orderkey"]).select(
+        "o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+
+
+@_q(
+    "ref_dedup_keep_first",
+    """
+    SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY l_orderkey
+              ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity) AS rn
+          FROM lineitem)
+    WHERE rn = 1
+    """,
+)
+def ref_dedup_keep_first(spark, sf_dir):
+    """Keep-first-per-key dedup — the reference songs/artists-table idiom
+    (etl_pipeline.py:55-63) over lineitem by order. The testdata plants
+    duplicate (orderkey, linenumber) rows, so the sort covers every
+    projected column — any remaining ties are full duplicates whose
+    survivor is value-identical."""
+    li = _t(spark, sf_dir, "lineitem")
+    return dedup_keep_first(
+        li, ["l_orderkey"], ["l_linenumber", "l_partkey", "l_suppkey", "l_quantity"]
+    ).select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity")
+
+
+@_q(
+    "ref_sentinel_null",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount = 0.0 THEN NULL ELSE l_discount END AS disc_clean
+    FROM lineitem
+    """,
+)
+def ref_sentinel_null(spark, sf_dir):
+    """Sentinel→NULL normalization (reference P4: year==0 → NULL,
+    etl_pipeline.py:50-52)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return sentinel_to_null(li, "l_discount", 0.0).select(
+        "l_orderkey", "l_linenumber", F.col("l_discount").alias("disc_clean")
+    )
+
+
+@_q(
+    "ref_clean_cast_filter",
+    """
+    SELECT event_id, user_id, CAST(floor(value * 100) AS BIGINT) AS value_cents
+    FROM events
+    WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND props IS NOT NULL
+      AND event_type <> '' AND props <> ''
+      AND event_type = 'purchase'
+    """,
+)
+def ref_clean_cast_filter(spark, sf_dir):
+    """The reference clean_log_data pipeline shape (etl_pipeline.py:192-229):
+    dropna subset → AND-of-non-empty (defect-D2 corrected) → predicate
+    filter → numeric cast."""
+    ev = _t(spark, sf_dir, "events")
+    ev = drop_null_rows(ev, ["user_id", "event_type", "props"])
+    ev = drop_empty_string_rows(ev, ["event_type", "props"])
+    ev = ev.filter(F.col("event_type") == "purchase")
+    return ev.select(
+        "event_id", "user_id", F.floor(F.col("value") * 100).cast("long").alias("value_cents")
+    )
+
+
+@_q(
+    "ref_time_table",
+    """
+    SELECT DISTINCT o_orderdate AS start_time,
+           CAST(hour(o_orderdate) AS INT)       AS hour,
+           CAST(day(o_orderdate) AS INT)        AS day,
+           CAST(weekofyear(o_orderdate) AS INT) AS week,
+           CAST(month(o_orderdate) AS INT)      AS month,
+           CAST(year(o_orderdate) AS INT)       AS year,
+           CAST(isodow(o_orderdate) AS INT)     AS weekday
+    FROM orders
+    """,
+)
+def ref_time_table(spark, sf_dir):
+    """The reference time-table derivation (etl_pipeline.py:156-190):
+    calendar parts + distinct; weekday in ISO convention (SURVEY.md T3)."""
+    o = _t(spark, sf_dir, "orders")
+    c = F.col("o_orderdate")
+    return o.select(
+        c.alias("start_time"),
+        F.hour(c).alias("hour"),
+        F.dayofmonth(c).alias("day"),
+        F.weekofyear(c).alias("week"),
+        F.month(c).alias("month"),
+        F.year(c).alias("year"),
+        iso_weekday(c).alias("weekday"),
+    ).distinct()
+
+
+@_q(
+    "ref_star_join",
+    """
+    SELECT l.l_orderkey, l.l_linenumber,
+           c.c_name, n.n_name,
+           CAST(year(o.o_orderdate) AS INT)  AS order_year,
+           CAST(month(o.o_orderdate) AS INT) AS order_month,
+           round(l.l_extendedprice * (1 - l.l_discount), 4) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def ref_star_join(spark, sf_dir):
+    """The songplays-analog star join (etl_pipeline.py:249-289): fact ⋈ fact
+    on the key, then broadcast dimension joins, then projection with
+    year/month derivation. Dimensions are explicitly broadcast — at 100 TB
+    the lineitem side must never shuffle for a small dim."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return j.select(
+        "l_orderkey",
+        "l_linenumber",
+        "c_name",
+        "n_name",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        _rev(4).alias("revenue"),
+    )
+
+
+@_q(
+    "ref_float_eq_join",
+    """
+    SELECT a.l_orderkey, a.l_linenumber AS ln1, b.l_linenumber AS ln2,
+           a.l_quantity AS qty
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_quantity = b.l_quantity
+         AND a.l_linenumber < b.l_linenumber
+    """,
+)
+def ref_float_eq_join(spark, sf_dir):
+    """Multi-key equi-join including a double-equality key — the reference
+    songplays join matches log.length = songs.duration with float equality
+    (etl_pipeline.py:270-274). Self-join lineitem on (orderkey, quantity)."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", F.col("l_linenumber").alias("ln1"), F.col("l_quantity").alias("qty"))
+    b = li.select("l_orderkey", F.col("l_linenumber").alias("ln2"), F.col("l_quantity").alias("qty"))
+    return a.join(b, ["l_orderkey", "qty"]).filter(F.col("ln1") < F.col("ln2")).select(
+        "l_orderkey", "ln1", "ln2", "qty"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytics completion (SURVEY.md §2.5: aggregation / joins / window / sets)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_region_revenue",
+    """
+    SELECT n.n_name AS nation, round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def agg_region_revenue(spark, sf_dir):
+    """TPC-H-Q5-shaped multi-join aggregate: local-supplier revenue by
+    nation within one region. All dimension joins broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return j.groupBy(F.col("n_name").alias("nation")).agg(
+        F.round(F.sum(_rev()), 4).alias("revenue"), F.count("*").alias("n_items")
+    )
+
+
+@_q(
+    "agg_rollup",
+    """
+    SELECT r_name, n_name, round(sum(c_acctbal), 2) AS total_bal, count(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    """Hierarchical ROLLUP aggregation (region → nation → grand total)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"), F.count("*").alias("n_customers")
+    )
+
+
+@_q(
+    "agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    """CUBE aggregation over two low-cardinality dimensions."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n_items")
+    )
+
+
+@_q(
+    "agg_grouping_sets",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           round(sum(o_totalprice), 2) AS total, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """GROUPING SETS via the engine's SQL surface (registered views) —
+    demonstrates that the SQL API is first-class (reference README.md:37
+    treats DataFrame vs SQL as equivalent Catalyst frontends)."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               round(sum(o_totalprice), 2) AS total, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@_q(
+    "agg_count_distinct",
+    """
+    SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
+           count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_count_distinct(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@_q("agg_approx_distinct", None)  # approx algorithms differ per engine → rows-only
+def agg_approx_distinct(spark, sf_dir):
+    """HyperLogLog++ approximate distinct — sketch-based, engine-specific,
+    so checked rows-only (row count = group count is still exact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+@_q(
+    "join_semi_anti",
+    """
+    SELECT c_custkey, c_name, 'has_orders' AS tag FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT c_custkey, c_name, 'no_orders' AS tag FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_semi_anti(spark, sf_dir):
+    """Left-semi (EXISTS) and left-anti (NOT EXISTS) joins, tagged+unioned."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", F.lit("has_orders").alias("tag")
+    )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", F.lit("no_orders").alias("tag")
+    )
+    return semi.unionByName(anti)
+
+
+@_q(
+    "join_outer",
+    """
+    SELECT n.n_name, count(c.c_custkey) AS n_customers,
+           round(coalesce(sum(c.c_acctbal), 0.0), 2) AS total_bal
+    FROM nation n
+    LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_outer(spark, sf_dir):
+    """Left outer join with null-aware aggregation."""
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        n.join(c, c.c_nationkey == n.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.round(F.coalesce(F.sum("c_acctbal"), F.lit(0.0)), 2).alias("total_bal"),
+        )
+    )
+
+
+@_q(
+    "window_running_sum",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+           round(l_extendedprice * (1 - l_discount), 4) AS rev,
+           round(sum(l_extendedprice * (1 - l_discount))
+                 OVER (PARTITION BY l_suppkey ORDER BY l_shipdate), 4) AS running_rev
+    FROM lineitem
+    """,
+)
+def window_running_sum(spark, sf_dir):
+    """Aggregate-over-window with the default RANGE frame (peers share the
+    running value, so ties are deterministic across engines)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate")
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        _rev(4).alias("rev"),
+        F.round(F.sum(_rev()).over(w), 4).alias("running_rev"),
+    )
+
+
+@_q(
+    "window_lag_lead",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+           lag(o_totalprice)  OVER w AS prev_total,
+           lead(o_totalprice) OVER w AS next_total,
+           CAST(row_number() OVER w AS BIGINT) AS order_seq
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lag_lead(spark, sf_dir):
+    """Analytic lag/lead/row_number over a fully tie-broken order."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_total"),
+        F.lead("o_totalprice").over(w).alias("next_total"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
+    )
+
+
+@_q(
+    "topk_per_group",
+    """
+    SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+    FROM (SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+                 row_number() OVER (PARTITION BY c.c_mktsegment
+                                    ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+    WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark, sf_dir):
+    """Per-group top-k (reference W1+F4 idiom generalized): top-3 orders by
+    value per market segment."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = broadcast_dim_join(o, c, o.o_custkey == c.c_custkey)
+    top = per_group_top_k(
+        j, ["c_mktsegment"], [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 3
+    )
+    return top.select(
+        "c_mktsegment", "o_orderkey", "o_totalprice", F.col("rn").cast("long").alias("rn")
+    )
+
+
+@_q(
+    "set_ops",
+    """
+    SELECT nationkey, 'both' AS tag FROM
+      (SELECT c_nationkey AS nationkey FROM customer
+       INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT nationkey, 'cust_only' AS tag FROM
+      (SELECT c_nationkey AS nationkey FROM customer
+       EXCEPT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT nationkey, 'supp_only' AS tag FROM
+      (SELECT s_nationkey AS nationkey FROM supplier
+       EXCEPT SELECT c_nationkey FROM customer)
+    """,
+)
+def set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT / UNION ALL over customer vs supplier nations."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = c.intersect(s).withColumn("tag", F.lit("both"))
+    c_only = c.distinct().subtract(s.distinct()).withColumn("tag", F.lit("cust_only"))
+    s_only = s.distinct().subtract(c.distinct()).withColumn("tag", F.lit("supp_only"))
+    return both.unionByName(c_only).unionByName(s_only)
+
+
+@_q(
+    "string_funcs",
+    """
+    SELECT p_partkey,
+           lower(p_name)                          AS name_lower,
+           upper(p_brand)                         AS brand_upper,
+           CAST(length(p_name) AS INT)            AS name_len,
+           regexp_extract(p_name, '^(\\w+)', 1)   AS first_word,
+           substring(p_type, 1, 4)                AS type_prefix,
+           concat_ws('|', p_brand, p_type)        AS brand_type,
+           replace(p_name, ' ', '_')              AS name_snake
+    FROM part
+    """,
+)
+def string_funcs(spark, sf_dir):
+    """Scalar string-function family (lower/upper/length/regexp/substring/
+    concat/replace) — all JVM-side builtins."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.substring("p_type", 1, 4).alias("type_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+    )
+
+
+@_q(
+    "json_extract",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)    AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)    AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_extract(spark, sf_dir):
+    """JSON property extraction from the events.props string column
+    (SURVEY.md §2.5 scalar-fns: from_json/get_json_object)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time windows over events (batch twins of the streaming operators)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "window_tumbling",
+    """
+    SELECT date_trunc('hour', ts) AS w_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def window_tumbling(spark, sf_dir):
+    """Tumbling 1-hour window aggregate via F.window — identical semantics
+    to the Structured Streaming twin in streaming/windows.py."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(F.col("w.start").alias("w_start"), "n_events", "total_value", "n_users")
+    )
+
+
+@_q(
+    "window_sliding",
+    """
+    WITH assigned AS (
+      SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000) AS w_start, value
+      FROM events
+      UNION ALL
+      SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000)
+               - INTERVAL 30 MINUTE AS w_start, value
+      FROM events)
+    SELECT w_start, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM assigned GROUP BY 1
+    """,
+)
+def window_sliding(spark, sf_dir):
+    """Sliding window (1 hour, 30-minute slide): every event lands in two
+    overlapping windows."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("w_start"), "n_events", "total_value")
+    )
+
+
+@_q(
+    "session_window_batch",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), tagged AS (
+      SELECT user_id, ts,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS BIGINT) AS sess_id
+      FROM seq)
+    SELECT user_id, sess_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM tagged GROUP BY user_id, sess_id
+    """,
+)
+def session_window_batch(spark, sf_dir):
+    """Sessionization with a 30-minute inactivity gap, expressed with
+    lag + cumulative-sum windows (batch twin of F.session_window; this form
+    is ANSI-SQL-expressible so it is oracle-checkable)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    new_sess = F.when(us - F.lag(us).over(w) > 1_800_000_000, 1).otherwise(0)
+    tagged = ev.withColumn("sess_id", F.sum(new_sess).over(w).cast("long"))
+    return tagged.groupBy("user_id", "sess_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@_q(
+    "join_asof",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id,
+           CASE WHEN v.event_id IS NULL THEN NULL
+                ELSE epoch_us(p.ts) - epoch_us(v.ts) END AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+)
+def join_asof(spark, sf_dir):
+    """As-of join: each purchase matched to the user's most recent view at
+    or before it. Union+window implementation (operators/joins.py) — one
+    shuffle, no inequality cross product."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    j = asof_join(
+        purchases, views, on=["user_id"], left_ts="ts", right_ts="ts", right_cols=["event_id"]
+    )
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_right"))
+    return j.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("event_id_right").alias("view_id"),
+        F.when(F.col("event_id_right").isNull(), F.lit(None).cast("long")).otherwise(gap).alias(
+            "gap_us"
+        ),
+    )
+
+
+@_q(
+    "join_range",
+    """
+    SELECT e.event_id AS error_id, p.event_id AS purchase_id, e.user_id
+    FROM events e JOIN events p
+      ON e.user_id = p.user_id
+     AND e.event_type = 'error' AND p.event_type = 'purchase'
+     AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 60 SECOND
+    """,
+)
+def join_range(spark, sf_dir):
+    """Interval/range join — purchases within 60s after an error by the same
+    user — executed as a bucketed equi-join (operators/joins.py), not a
+    nested-loop cross product."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), F.col("ts").alias("ets")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    j = bucketed_range_join(
+        errors,
+        purchases,
+        left_ts="ets",
+        right_ts="pts",
+        lower_expr="ets",
+        upper_expr="ets + INTERVAL 60 SECONDS",
+        bucket_seconds=60,
+        extra_on=["user_id"],
+    )
+    return j.select("error_id", "purchase_id", "user_id")
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (SURVEY.md §2.5)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "dedup_exact_docs",
+    """
+    SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_docs(spark, sf_dir):
+    """Exact text dedup by content hash: one row per distinct text, keeping
+    the lowest doc_id. Hash-groupBy: one shuffle on the digest."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_md5")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 0) + 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(ni * 1.0 / (x.n + y.n - ni), 6) AS jaccard
+    FROM inter JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+    WHERE ni * 1.0 / (x.n + y.n - ni) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact near-duplicate pairs: word-3-gram Jaccard >= 0.5 via an
+    inverted-index shingle self-join (functions/similarity.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return SIM.ngram_jaccard_pairs(d, n=3, threshold=0.5)
+
+
+@_q("dedup_minhash", None)  # LSH banding is engine-specific → rows-only
+def dedup_minhash(spark, sf_dir):
+    """MinHash+LSH approximate near-dup candidates (spark.ml, fixed seed)."""
+    d = _t(spark, sf_dir, "documents")
+    return SIM.minhash_lsh_pairs(d, num_hash_tables=8, max_jaccard_distance=0.5)
+
+
+@_q("dedup_simhash", None)  # xxhash64 is Spark-specific → rows-only
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming <= 8) with banded candidate
+    generation — pure JVM expressions, no UDF."""
+    d = _t(spark, sf_dir, "documents")
+    return SIM.simhash_near_pairs(d, max_hamming=8)
+
+
+@_q(
+    "sim_cosine_topk",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             round(
+               list_sum(list_transform(range(1, len(qv)+1),
+                        i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, len(qv)+1),
+                        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, len(cv)+1),
+                        i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))),
+             6) AS cosine
+      FROM c CROSS JOIN q WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def sim_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-5 neighbors for query vectors
+    (vec_id < 10): broadcast queries x corpus scan, JVM-side zip_with dot
+    products, deterministic rounded ranking."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@_q("sim_ann_lsh", None)  # random-hyperplane LSH is engine-specific → rows-only
+def sim_ann_lsh(spark, sf_dir):
+    """Approximate NN via BucketedRandomProjectionLSH (spark.ml, fixed seed)
+    — the scale path when the query set is no longer broadcastable."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.linalg import Vectors, VectorUDT
+
+    emb = _t(spark, sf_dir, "embeddings")
+    to_vec = F.udf(lambda a: Vectors.dense(a), VectorUDT())
+    feats = emb.select("vec_id", to_vec("embedding").alias("features"))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
+    )
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 4.0, distCol="dist")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+            F.round("dist", 4).alias("dist"),
+        )
+    )
+
+
+@_q(
+    "embed_norm_stats",
+    """
+    SELECT label, count(*) AS n_vectors,
+           round(avg(sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+                     i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))), 4)
+             AS avg_norm,
+           round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS avg_dim0
+    FROM embeddings GROUP BY label
+    """,
+)
+def embed_norm_stats(spark, sf_dir):
+    """Per-label embedding statistics (L2 norm, first component) via
+    JVM-side array aggregation."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(dv, F.lit(0.0), lambda a, x: a + x * x))
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.avg(norm), 4).alias("avg_norm"),
+        F.round(F.avg(F.element_at(dv, 1)), 6).alias("avg_dim0"),
+    )
+
+
+@_q(
+    "text_quality",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS INT) AS n_tokens,
+           CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS INT)
+             AS n_punct,
+           CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS INT)
+             AS n_stopwords,
+           (CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END) >= 10
+             AS quality_ok
+    FROM documents
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Document quality signals (char/token/punct/stopword counts) — pure
+    integer-exact Column expressions, no UDF."""
+    d = _t(spark, sf_dir, "documents")
+    q = TX.quality_columns(F.col("text"))
+    return d.select(
+        "doc_id",
+        q["n_chars"].alias("n_chars"),
+        q["n_tokens"].alias("n_tokens"),
+        q["n_punct"].alias("n_punct"),
+        q["n_stopwords"].alias("n_stopwords"),
+        (q["n_tokens"] >= 10).alias("quality_ok"),
+    )
+
+
+@_q(
+    "text_token_counts",
+    """
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END) AS BIGINT)
+             AS total_ws_tokens,
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))
+                AS BIGINT) AS total_bpe_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def text_token_counts(spark, sf_dir):
+    """Token counting per language: whitespace tokens and BPE-ish pre-tokens
+    (letter runs / digit runs / marks)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(TX.token_count_ws(F.col("text"))).alias("total_ws_tokens"),
+        F.sum(TX.token_count_bpe_ish(F.col("text"))).alias("total_bpe_tokens"),
+    )
+
+
+@_q(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                   '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Normalized-content fingerprint (casefold, strip non-alnum, collapse
+    whitespace, md5) — formatting-insensitive dedup key."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.normalized_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@_q(
+    "text_langid",
+    """
+    SELECT doc_id, lang AS lang_label,
+           CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END) = 0
+                THEN 'unk'
+                WHEN len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> list_contains(['the','a','of','and','to','in','is','it'], t))) * 100
+                     >= (CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END) * 5
+                THEN 'en' ELSE 'unk' END AS lang_pred
+    FROM documents
+    """,
+)
+def text_langid(spark, sf_dir):
+    """Heuristic language ID by stopword hit rate, with an integer-exact
+    decision boundary so both engines agree bit-for-bit."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        TX.langid_heuristic(F.col("text")).alias("lang_pred"),
+    )
+
+
+@_q(
+    "multimodal_bytes",
+    """
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+    FROM documents GROUP BY source
+    """,
+)
+def multimodal_bytes(spark, sf_dir):
+    """Binary-column plumbing: pack text into a binary payload + metadata
+    struct and aggregate payload sizes (functions/multimodal.py)."""
+    d = _t(spark, sf_dir, "documents")
+    media = MM.to_media_table(d)
+    return (
+        media.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum(F.col("meta.n_bytes")).alias("total_bytes"))
+    )
+
+
+@_q("multimodal_features", None)  # mapInPandas fake-decode → rows-only
+def multimodal_features(spark, sf_dir):
+    """Arrow-batched feature extraction over binary payloads via
+    mapInPandas (deterministic fake decoder; see functions/multimodal.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return MM.extract_features(MM.to_media_table(d))
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}

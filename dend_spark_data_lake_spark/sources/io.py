@@ -1,0 +1,97 @@
+"""Sources and sinks.
+
+Generalizes the reference's I/O surface (SURVEY.md §2.1 S1-S4):
+
+- S1 JSON-lines scan with glob — but with *explicit* schemas at scale
+  (the reference infers at ``etl_pipeline.py:110,238``; inference is a
+  full-data pass, unacceptable at 100 TB).
+- S2 Parquet scan.
+- S3/S4 Parquet sinks, unpartitioned and Hive-partitioned, with explicit
+  write mode (reference defect D4: default ``errorifexists`` crashes reruns).
+
+Plus the driver-testdata loader, including the ``events`` table whose parquet
+files carry TIMESTAMP(NANOS) — unreadable by vanilla Spark 4; we read nanos
+as long (``spark.sql.legacy.parquet.nanosAsLong``) and convert with *integer*
+division (``DIV 1000``) so no precision is lost (a double-precision division
+of epoch-nanos loses ~hundreds of ns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-testdata table as a DataFrame with clean types."""
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    if name == "events":
+        # TIMESTAMP(NANOS) workaround; truncation to micros matches DuckDB,
+        # whose TIMESTAMP is microsecond-precision.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TESTDATA_TABLES) -> dict[str, DataFrame]:
+    return {n: read_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TESTDATA_TABLES) -> None:
+    """Register each table as a temp view for the SQL surface."""
+    for n in names:
+        read_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def read_json_lines(spark: SparkSession, path: str, schema=None, multiline: bool = False) -> DataFrame:
+    """JSON-lines scan (reference S1, ``etl_pipeline.py:110,238``).
+
+    ``schema`` should be a StructType (or DDL string) in production; pass
+    None only in exploration — inference scans the whole input once.
+    PERMISSIVE mode keeps malformed rows in ``_corrupt_record`` instead of
+    failing the 100-TB job on one bad line.
+    """
+    reader = spark.read.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    )
+    if multiline:
+        reader = reader.option("multiLine", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Parquet sink (reference S3/S4, ``etl_pipeline.py:113-118,242-247,287-289``).
+
+    Explicit mode (defect D4); optional partitioning mirrors the reference's
+    ``partitionBy("year","artist_id")`` / ``("year","month")`` layouts, which
+    buy reader-side partition pruning for free. ``max_records_per_file``
+    bounds output file size at scale (small-files vs giant-files control).
+    """
+    writer = df.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
