@@ -1,0 +1,109 @@
+"""Structured Streaming operators over event streams (SURVEY.md §2.5).
+
+Streaming twins of the batch window queries in ``queries.py``
+(window_tumbling / window_sliding / session_window_batch), plus streaming
+dedup. The batch twins are the oracle-checkable faces of these operators;
+the tests assert stream == batch on the same input.
+
+Scale posture: watermarks bound state (late rows beyond the delay are
+dropped, closed windows are evicted); ``dropDuplicatesWithinWatermark``
+keeps only in-horizon keys; all aggregations here are keyed so state
+partitions across executors by group key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-based stream source with an explicit schema (streaming sources
+    never infer). ``max_files_per_trigger`` shapes microbatches — one file
+    per batch lets tests exercise watermark advancement."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.format(fmt).load(path)
+
+
+def tumbling_agg(
+    events: DataFrame, ts_col: str = "ts", window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window count/sum with late-data drop beyond the watermark."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("w_start"), "n_events", "total_value")
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window aggregate; each event lands in window/slide buckets."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("w_start"), "n_events")
+    )
+
+
+def session_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    key: str = "user_id",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows with an inactivity gap, per key — the native
+    ``session_window`` operator (state merges adjacent sessions)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(key),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(
+    events: DataFrame, keys: list[str], ts_col: str = "ts", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: drops key repeats arriving within the
+    watermark horizon; state for a key is evicted once the watermark
+    passes, so memory stays bounded (unlike unbounded dropDuplicates)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_available_now(
+    df: DataFrame, query_name: str, output_mode: str, checkpoint_dir: str
+) -> None:
+    """Drain all available input into an in-memory table (tests/CI): the
+    availableNow trigger processes the backlog in bounded microbatches and
+    terminates."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
