@@ -612,6 +612,303 @@ def json_extract(spark, sf_dir):
     )
 
 
+@_q(
+    "pivot_event_counts",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_event_counts(spark, sf_dir):
+    """Pivot: daily event counts, one column per event type (explicit value
+    list keeps the output schema static — required at scale; value
+    discovery is an extra pass)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@_q(
+    "agg_daily",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n_events,
+           round(sum(value), 2) AS total_value, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def agg_daily(spark, sf_dir):
+    """date_trunc calendar bucketing (vs the duration-based F.window)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@_q(
+    "join_full_outer",
+    """
+    SELECT coalesce(c.k, s.k) AS nationkey,
+           coalesce(c.n_cust, 0) AS n_cust, coalesce(s.n_supp, 0) AS n_supp
+    FROM (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1) s
+      ON c.k = s.k
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    """Full outer join of two aggregates with null-side coalescing."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    j = c.join(s, c.k == s.k, "full_outer")
+    return j.select(
+        F.coalesce(c.k, s.k).alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@_q(
+    "sort_limit_global",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def sort_limit_global(spark, sf_dir):
+    """Global top-N: orderBy+limit compiles to TakeOrderedAndProject — a
+    per-partition heap then a driver merge, never a full sort."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@_q(
+    "array_funcs",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           CAST(len(list_filter(embedding, e -> e > 0)) AS INT) AS n_positive,
+           round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_component,
+           round(list_sum(list_transform(embedding,
+                 e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))), 6) AS sum_sq
+    FROM embeddings WHERE vec_id < 50
+    """,
+)
+def array_funcs(spark, sf_dir):
+    """Array-function family: size / filter / max / aggregate, JVM-side."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.size(F.filter("embedding", lambda e: e > 0)).alias("n_positive"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_component"),
+        F.round(F.aggregate(dv, F.lit(0.0), lambda a, x: a + x * x), 6).alias("sum_sq"),
+    )
+
+
+@_q(
+    "map_funcs",
+    """
+    SELECT event_id, event_type AS k0, value AS v0, 1 AS map_size
+    FROM events WHERE event_type IN ('click', 'view')
+    """,
+)
+def map_funcs(spark, sf_dir):
+    """Map-typed column construction and access (create_map / map_keys /
+    map_values / size) — the map round-trips inside the plan."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "view"))
+    m = F.create_map(F.col("event_type"), F.col("value"))
+    return ev.select(
+        "event_id",
+        F.map_keys(m).getItem(0).alias("k0"),
+        F.map_values(m).getItem(0).alias("v0"),
+        F.size(m).alias("map_size"),
+    )
+
+
+@_q(
+    "math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05)                     AS abs_d,
+           CAST(ceil(l_quantity / 7.0) AS BIGINT)     AS ceil_q,
+           CAST(floor(l_quantity / 7.0) AS BIGINT)    AS floor_q,
+           round(sqrt(l_quantity), 6)                 AS sqrt_q,
+           round(ln(l_extendedprice), 6)              AS ln_price,
+           round(pow(1.0 + l_discount, 2), 6)         AS pow_disc,
+           CAST(l_quantity AS BIGINT) % 5             AS mod_q
+    FROM lineitem WHERE l_orderkey < 1000
+    """,
+)
+def math_funcs(spark, sf_dir):
+    """Scalar math family. Transcendentals (ln/pow) are rounded at 6: JVM
+    Math and libm may differ by 1 ulp; sqrt is IEEE-exact."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_d"),
+        F.ceil(F.col("l_quantity") / 7.0).alias("ceil_q"),
+        F.floor(F.col("l_quantity") / 7.0).alias("floor_q"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_q"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("ln_price"),
+        F.round(F.pow(F.lit(1.0) + F.col("l_discount"), 2), 6).alias("pow_disc"),
+        (F.col("l_quantity").cast("long") % 5).alias("mod_q"),
+    )
+
+
+@_q(
+    "cond_funcs",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000 THEN 'high'
+                WHEN o_totalprice >= 100000 THEN 'mid'
+                ELSE 'low' END                             AS price_band,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN')    AS status_norm,
+           greatest(o_totalprice, 50000.0)                 AS floor_price,
+           least(CAST(year(o_orderdate) AS INT), 2000)     AS capped_year
+    FROM orders
+    """,
+)
+def cond_funcs(spark, sf_dir):
+    """Conditional family: multi-branch CASE, coalesce/nullif,
+    greatest/least (reference P4 generalized)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "high")
+        .when(F.col("o_totalprice") >= 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_norm"
+        ),
+        F.greatest("o_totalprice", F.lit(50000.0)).alias("floor_price"),
+        F.least(F.year("o_orderdate"), F.lit(2000)).alias("capped_year"),
+    )
+
+
+@_q(
+    "sql_exists_cte",
+    """
+    WITH late AS (
+      SELECT DISTINCT l_orderkey FROM lineitem l JOIN orders o
+        ON l.l_orderkey = o.o_orderkey
+       WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT o_orderpriority, count(*) AS n_late_orders
+    FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM late)
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_exists_cte(spark, sf_dir):
+    """SQL surface: CTE + IN-subquery (semi join) through spark.sql over
+    registered views — Catalyst plans it identically to the DataFrame form
+    (reference README.md:37)."""
+    register_views(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(
+        """
+        WITH late AS (
+          SELECT DISTINCT l_orderkey FROM lineitem l JOIN orders o
+            ON l.l_orderkey = o.o_orderkey
+           WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        )
+        SELECT o_orderpriority, count(*) AS n_late_orders
+        FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM late)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@_q(
+    "tfidf_topterms",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents WHERE doc_id < 20
+    ), all_tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf,
+             CAST(sum(count(*)) OVER (PARTITION BY doc_id) AS BIGINT) AS doc_len
+      FROM tok GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM all_tok GROUP BY term
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, term, CAST(rank AS INT) AS rank, tfidf FROM (
+      SELECT tf.doc_id, tf.term,
+             round((tf.tf * 1.0 / tf.doc_len) * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY round((tf.tf * 1.0 / tf.doc_len) * ln(n.n_docs * 1.0 / df.df), 6) DESC,
+                        tf.term) AS rank
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+    WHERE rank <= 3
+    """,
+)
+def tfidf_topterms(spark, sf_dir):
+    """Exact TF-IDF with top-3 terms per document (doc_id < 20): explode →
+    term frequencies → document frequencies (broadcast) → scored ranking.
+    The ml-Pipeline variant (HashingTF+IDF) hashes terms; this explicit
+    form is oracle-checkable and keeps term identity."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+    tf = (
+        tok.filter(F.col("doc_id") < 20)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("doc_len", F.sum("tf").over(Window.partitionBy("doc_id")).cast("long"))
+    )
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar; one tiny job, not a per-row action
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "tfidf",
+        F.round((F.col("tf") / F.col("doc_len")) * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "rank", "tfidf")
+    )
+
+
+@_q("agg_quantiles", None)  # approximate sketch (GK / t-digest differ) → rows-only
+def agg_quantiles(spark, sf_dir):
+    """Approximate percentiles via percentile_approx (Greenwald-Khanna
+    sketch; mergeable across partitions — the scale path for quantiles)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.99], 10000).alias(
+            "price_quantiles"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Time windows over events (batch twins of the streaming operators)
 # ---------------------------------------------------------------------------
