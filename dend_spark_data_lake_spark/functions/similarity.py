@@ -274,3 +274,37 @@ def simhash_near_pairs(
     return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def embedding_near_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a, b) with a.id < b.id
+    and cosine(a, b) >= threshold, cosine rounded to ``round_to``.
+
+    Exact all-pairs form — the *verification* face of embedding dedup.
+    The pair join is quadratic by definition, so at scale the candidate
+    set must be pruned first (LSH bucketing as in ``minhash_lsh_pairs``,
+    or IVF centroid assignment) and this exact scorer applied only within
+    buckets; dot products stay JVM-side (zip_with/aggregate, no Python).
+    """
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    e = emb.select(
+        F.col(id_col).alias("id"),
+        dv.alias("v"),
+        F.sqrt(
+            F.aggregate(dv, F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("nrm"),
+    )
+    a = e.select(F.col("id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = e.select(F.col("id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), round_to)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -137,3 +137,34 @@ def bucketed_range_join(
         r[c] for c in right.columns if c not in set(extra_on)
     ]
     return joined.select(*keep)
+
+
+def salted_equi_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 8,
+    salt_cols: Sequence[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join: identical results to ``skewed.join(other,
+    on, how)``, but a hot key's rows spread over ``n_salts`` shuffle
+    partitions.
+
+    The skewed (probe) side gets a deterministic salt in [0, n_salts)
+    hashed from ``salt_cols`` (default: all its columns, so co-equal rows
+    still spread); the other side is replicated ``n_salts`` times via
+    explode; the shuffle key becomes ``(*on, __salt)``. Replication costs
+    n_salts x the *small* side only — use AQE skew-join first, salting when
+    a single key exceeds what one task can hold even after AQE splits.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_equi_join supports inner/left joins")
+    salt_src = [F.col(c) for c in (salt_cols or skewed.columns)]
+    left = skewed.withColumn(
+        "__salt", F.pmod(F.xxhash64(*salt_src), F.lit(n_salts)).cast("int")
+    )
+    right = other.withColumn(
+        "__salt", F.explode(F.array([F.lit(i) for i in range(n_salts)]))
+    )
+    return left.join(right, [*on, "__salt"], how).drop("__salt")

@@ -32,7 +32,12 @@ from pyspark.sql import functions as F
 from .sources.io import read_table, register_views
 from .operators.cleaning import drop_empty_string_rows, drop_null_rows, sentinel_to_null
 from .operators.dedup import dedup_keep_first, dedup_keep_latest
-from .operators.joins import asof_join, bucketed_range_join, broadcast_dim_join
+from .operators.joins import (
+    asof_join,
+    broadcast_dim_join,
+    bucketed_range_join,
+    salted_equi_join,
+)
 from .operators.windows import per_group_top_k
 from .operators.datetime_ops import iso_weekday
 from .functions import text as TX
@@ -1338,6 +1343,236 @@ def multimodal_features(spark, sf_dir):
     mapInPandas (deterministic fake decoder; see functions/multimodal.py)."""
     d = _t(spark, sf_dir, "documents")
     return MM.extract_features(MM.to_media_table(d))
+
+
+@_q(
+    "window_rank_family",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(rank() OVER w AS INT)         AS rnk,
+           CAST(dense_rank() OVER w AS INT)   AS drnk,
+           round(percent_rank() OVER w, 6)    AS prnk,
+           round(cume_dist() OVER w, 6)       AS cdist,
+           CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_orderkey) AS INT) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC)
+    """,
+)
+def window_rank_family(spark, sf_dir):
+    """Ranking-window family: rank/dense_rank/percent_rank/cume_dist over a
+    value ordering (tie-stable: equal values get equal ranks), ntile over a
+    unique ordering (position-based, so the order key must be unique for
+    determinism). One shuffle per distinct (partition, order) spec; these
+    five share specs so Spark plans exactly two Window exchanges."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
+    wq = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(wq).alias("quartile"),
+    )
+
+
+@_q(
+    "window_range_frame",
+    """
+    SELECT l_orderkey, l_linenumber, l_suppkey,
+           round(sum(l_quantity) OVER (
+               PARTITION BY l_suppkey ORDER BY l_shipdate
+               RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2)
+           AS qty_trailing_30d
+    FROM lineitem WHERE l_suppkey < 25
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    """Value-based (RANGE) window frame: per-supplier trailing-30-day
+    quantity sum. The frame is defined by the *order value* (epoch
+    seconds), so ties land in the same frame — deterministic where a
+    ROWS frame would not be. Spark's rangeBetween needs a numeric order
+    key: timestamp cast to epoch-second long, frame [-30 days, 0]."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 25)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(F.col("l_shipdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        F.round(F.sum("l_quantity").over(w), 2).alias("qty_trailing_30d"),
+    )
+
+
+@_q(
+    "window_first_last",
+    """
+    SELECT o_orderkey, o_custkey,
+           first_value(o_orderkey) OVER w   AS first_key,
+           last_value(o_orderkey) OVER w    AS last_key,
+           nth_value(o_orderkey, 2) OVER w  AS second_key,
+           CAST(first_value(o_orderdate) OVER w AS TIMESTAMP) AS first_dt
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last(spark, sf_dir):
+    """Analytic first/last/nth_value over an explicit unbounded ROWS frame
+    (the default frame stops at CURRENT ROW, which would make last_value a
+    running self — the classic trap; the full frame gives true per-group
+    first/last). Unique (date, key) ordering keeps nth deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+        F.first("o_orderdate").over(w).alias("first_dt"),
+    )
+
+
+@_q(
+    "agg_stats",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 4)          AS sd_price,
+           round(var_samp(l_quantity), 4)                  AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6)     AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price,
+           round(min(l_extendedprice), 2)                  AS min_price,
+           round(max(l_extendedprice), 2)                  AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark, sf_dir):
+    """Statistical aggregate family: stddev/variance/correlation/covariance
+    (all single-pass mergeable co-moment sketches — the scale path; rounding
+    absorbs the ~1e-12 relative error of different merge orders)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qty_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@_q(
+    "date_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE)                                AS order_date,
+           CAST(date_diff('day', DATE '1995-01-01',
+                          CAST(o_orderdate AS DATE)) AS INT)        AS days_since_95,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE)        AS month_end,
+           CAST(date_trunc('month', o_orderdate) AS DATE)           AS month_start,
+           CAST(quarter(o_orderdate) AS INT)                        AS qtr,
+           CAST(dayofyear(o_orderdate) AS INT)                      AS doy,
+           CAST(epoch(o_orderdate) AS BIGINT)                       AS unix_sec
+    FROM orders
+    """,
+)
+def date_funcs(spark, sf_dir):
+    """Date-function family beyond the reference's T2 set: to_date,
+    datediff, add_months (month-end clamped, matching interval arithmetic),
+    last_day, date_trunc, quarter, dayofyear, unix_timestamp (session TZ
+    pinned UTC so epoch is deterministic)."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+        F.add_months(d, 3).alias("plus_3m"),
+        F.last_day(d).alias("month_end"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.unix_timestamp("o_orderdate").alias("unix_sec"),
+    )
+
+
+@_q(
+    "join_cross",
+    """
+    SELECT r.r_name AS region_name, n.n_name AS nation_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark, sf_dir):
+    """Explicit cartesian product (tiny x tiny only — a cross join of two
+    big tables is a plan error at scale, which is why Spark requires the
+    explicit crossJoin call)."""
+    r = _t(spark, sf_dir, "region").select(F.col("r_name").alias("region_name"))
+    n = _t(spark, sf_dir, "nation").select(F.col("n_name").alias("nation_name"))
+    return r.crossJoin(n)
+
+
+@_q(
+    "join_skew_salted",
+    """
+    SELECT o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_skew_salted(spark, sf_dir):
+    """Salted equi-join (operators/joins.py salted_equi_join): result is
+    identical to the plain join — the oracle IS the plain join — but a hot
+    orderkey's lineitems spread over 8 salted shuffle partitions. The skew
+    weapon of last resort when AQE skew-splitting isn't enough."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
+    j = salted_equi_join(li, o, ["l_orderkey"], n_salts=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.round(F.sum(_rev()), 4).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@_q(
+    "dedup_embedding_cosine",
+    """
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM e
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (threshold 0.4 — the synthetic
+    embeddings have no >0.5 pairs): exact all-pairs verification face of
+    embedding dedup; the 100 TB path prunes candidates with LSH/IVF buckets
+    first (see sim_ann_lsh) and scores only within buckets."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_pairs(emb, threshold=0.4)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
