@@ -43,6 +43,7 @@ from .operators.datetime_ops import iso_weekday
 from .functions import text as TX
 from .functions import similarity as SIM
 from .functions import multimodal as MM
+from .functions import udfs as UD
 
 
 @dataclass
@@ -1573,6 +1574,139 @@ def dedup_embedding_cosine(spark, sf_dir):
     first (see sim_ann_lsh) and scores only within buckets."""
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.embedding_near_pairs(emb, threshold=0.4)
+
+
+@_q(
+    "unpivot_melt",
+    """
+    SELECT l_returnflag, 'sum_qty' AS measure,
+           round(sum(l_quantity), 2) AS value
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS measure,
+           round(sum(l_extendedprice), 2) AS value
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def unpivot_melt(spark, sf_dir):
+    """Unpivot (wide→long melt) of a per-flag aggregate — the inverse of
+    pivot_event_counts; Spark plans it as Expand (one output row per
+    measure), so cost is measures x rows, no shuffle beyond the agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+@_q(
+    "agg_percentiles_exact",
+    """
+    SELECT l_returnflag,
+           round(CAST(median(l_quantity) AS DOUBLE), 4)                 AS median_qty,
+           round(CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE), 4) AS p90_price,
+           round(CAST(quantile_cont(l_extendedprice, 0.1) AS DOUBLE), 4) AS p10_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles_exact(spark, sf_dir):
+    """Exact percentiles (linear interpolation — Spark percentile() and
+    DuckDB quantile_cont share the definition). Exact quantiles need the
+    group's values materialized per key, unlike the mergeable
+    percentile_approx sketch (agg_quantiles) — the 100 TB default."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).alias("median_qty"),
+        F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90_price"),
+        F.round(F.percentile("l_extendedprice", 0.1), 4).alias("p10_price"),
+    )
+
+
+@_q(
+    "explode_pos",
+    """
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+           round(CAST(unnest(embedding) AS DOUBLE), 6)        AS val
+    FROM embeddings WHERE vec_id < 5
+    """,
+)
+def explode_pos(spark, sf_dir):
+    """posexplode: array→rows with ordinal position preserved (the lossless
+    inverse of collect_list ordered by pos)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select("vec_id", "pos", F.round(F.col("v").cast("double"), 6).alias("val"))
+
+
+@_q(
+    "udf_pandas_scalar",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charged
+    FROM lineitem WHERE l_orderkey < 2000
+    """,
+)
+def udf_pandas_scalar(spark, sf_dir):
+    """Vectorized scalar pandas_udf (Arrow batches, ~10-100x over
+    row-at-a-time). Exists to prove the plumbing — this exact expression
+    belongs JVM-side as builtins (see the oracle), which is the engine's
+    stated default (SURVEY.md §2.4-D3)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # round at 6: the product of 2-decimal-exact factors is 6-decimal
+        # exact, so rounding at 4 can land on a half-boundary (module rule)
+        F.round(
+            UD.charged_price_pandas("l_extendedprice", "l_discount", "l_tax"), 6
+        ).alias("charged"),
+    )
+
+
+@_q(
+    "udf_grouped_agg",
+    """
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6)
+               AS wavg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udf_grouped_agg(spark, sf_dir):
+    """Grouped-aggregate pandas_udf: quantity-weighted average price per
+    flag (Series in, scalar out, inside groupBy().agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            UD.weighted_avg_pandas("l_extendedprice", "l_quantity"), 6
+        ).alias("wavg_price")
+    )
+
+
+@_q(
+    "udf_grouped_map",
+    """
+    SELECT event_id, user_id,
+           round((value - avg(value) OVER (PARTITION BY user_id))
+                 / stddev_samp(value) OVER (PARTITION BY user_id), 6) AS z
+    FROM events WHERE user_id < 50
+    """,
+)
+def udf_grouped_map(spark, sf_dir):
+    """Grouped-map applyInPandas: per-user z-score of event values (whole
+    group as one pd.DataFrame — key cardinality must bound group size at
+    scale). Oracle is the all-builtin window twin."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    z = UD.zscore_per_group(ev.select("event_id", "user_id", "value"), "user_id", "value")
+    return z.select("event_id", "user_id", F.round("z", 6).alias("z"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
