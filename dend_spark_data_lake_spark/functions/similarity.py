@@ -328,3 +328,79 @@ def embedding_near_pairs(
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 100,
+    n_probe: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-style approximate top-k cosine neighbors.
+
+    The scale path for similarity search when both sides are large (the
+    brute-force ``cosine_topk`` is corpus x queries):
+
+    1. pick centroids deterministically (corpus rows with id % mod == 0 —
+       a real system would k-means; determinism matters more here);
+    2. assign every corpus vector to its nearest centroid — one broadcast
+       pass, yielding an equi-join key (the inverted file);
+    3. each query probes its ``n_probe`` nearest centroids' buckets only,
+       so scoring is an *equi-join* on centroid id + per-bucket top-k,
+       never a full cross product. Recall < 1 by design (tested with a
+       recall bound vs the exact baseline, not a hash oracle).
+
+    Returns (query_id, neighbor_id, cosine, rank).
+    """
+    dv = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    cent = corpus.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("cid"), dv(vec_col).alias("cv")
+    )
+    cos_to_cent = lambda v: _dot(v, F.col("cv")) / (  # noqa: E731
+        F.sqrt(_dot(v, v)) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), dv(vec_col).alias("nv"))
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.col("__ccos").desc(), F.col("cid").asc()
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(cent))
+        .withColumn("__ccos", cos_to_cent(F.col("nv")))
+        .withColumn("__r", F.row_number().over(w_assign))
+        .filter(F.col("__r") == 1)
+        .select("cid", "neighbor_id", "nv")
+    )
+
+    q = queries.select(F.col(id_col).alias("query_id"), dv(vec_col).alias("qv"))
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("__ccos").desc(), F.col("cid").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("__ccos", cos_to_cent(F.col("qv")))
+        .withColumn("__r", F.row_number().over(w_probe))
+        .filter(F.col("__r") <= n_probe)
+        .select("query_id", "qv", "cid")
+    )
+
+    cos = _dot(F.col("qv"), F.col("nv")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("nv"), F.col("nv")))
+    )
+    scored = (
+        probes.join(assigned, "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(cos, round_digits).alias("cosine"))
+    )
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_top))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1709,6 +1709,18 @@ def udf_grouped_map(spark, sf_dir):
     return z.select("event_id", "user_id", F.round("z", 6).alias("z"))
 
 
+@_q("sim_ann_ivf", None)  # approximate by design (recall-tested, not hash-matched)
+def sim_ann_ivf(spark, sf_dir):
+    """IVF-bucketed approximate top-5 neighbors for query vectors
+    (vec_id < 10): deterministic centroids, nearest-centroid inverted
+    file, n_probe=2 bucket probing — scoring is an equi-join on centroid
+    id, never corpus x queries (functions/similarity.py ivf_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, centroid_mod=100, n_probe=2
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

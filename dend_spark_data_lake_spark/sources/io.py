@@ -95,3 +95,42 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema=None, header: bool = True, sep: str = ","
+) -> DataFrame:
+    """CSV scan with the same schema posture as JSON: explicit StructType in
+    production (inference reads the data twice), PERMISSIVE bad-row capture."""
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("sep", sep)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (bucketBy + saveAsTable — bucketing only
+    exists through the catalog, not path-based writes).
+
+    Two tables bucketed by the same key into the same bucket count join
+    WITHOUT a shuffle exchange on either side — at 100 TB this converts
+    every recurring fact-fact join on the bucket key from the dominant
+    shuffle into a local zip of pre-hashed files; sorted buckets also drop
+    the sort from sort-merge join.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)

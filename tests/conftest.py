@@ -13,9 +13,14 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from dend_spark_data_lake_spark.session import get_spark
 
-    s = get_spark(master="local[8]", shuffle_partitions=8)
+    wh = tmp_path_factory.mktemp("warehouse")
+    s = get_spark(
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": str(wh)},
+    )
     yield s
     s.stop()

@@ -1,0 +1,51 @@
+"""Approximate-operator quality tests: LSH/IVF are approximate by design,
+so they are graded on recall against the exact baseline (SURVEY.md §7:
+"LSH is approximate — test via recall bounds, not hashes")."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dend_spark_data_lake_spark.functions import similarity as SIM
+from dend_spark_data_lake_spark.sources.io import read_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_ivf_recall_vs_exact(spark):
+    emb = read_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = SIM.cosine_topk(emb, queries, k=5)
+    approx = SIM.ivf_topk(emb, queries, k=5, centroid_mod=50, n_probe=3)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert len(a) > 0
+    recall = len(e & a) / len(e)
+    # n_probe=3 of ~10 centroid buckets: over a third of exact neighbors
+    # must survive bucketing; exact recall varies with the synthetic
+    # geometry, so the bound is intentionally loose but non-trivial
+    assert recall >= 0.35, f"IVF recall {recall:.2f} below bound"
+
+
+def test_ivf_deterministic(spark):
+    emb = read_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    r1 = sorted(map(tuple, SIM.ivf_topk(emb, queries, k=3).collect()))
+    r2 = sorted(map(tuple, SIM.ivf_topk(emb, queries, k=3).collect()))
+    assert r1 == r2
+
+
+def test_ivf_cosine_values_match_exact_when_found(spark):
+    """For every (query, neighbor) IVF returns, the cosine must equal the
+    exact computation — approximation may lose neighbors, never distort
+    scores."""
+    emb = read_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in SIM.cosine_topk(emb, queries, k=100).collect()
+    }
+    for r in SIM.ivf_topk(emb, queries, k=5).collect():
+        key = (r.query_id, r.neighbor_id)
+        if key in exact:
+            assert abs(exact[key] - r.cosine) < 1e-9

@@ -143,3 +143,39 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     )
     got = {tuple(r) for r in spark.table("late").collect()}
     assert got == {(_ts(11), 2, 2.0), (_ts(12), 1, 1.0), (_ts(13), 1, 1.0)}
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-key state across microbatches: the
+    final totals must equal the batch groupBy over ALL input, not just the
+    last file."""
+    from dend_spark_data_lake_spark.streaming.stateful import running_user_totals
+
+    src = str(tmp_path / "src")
+    _write_single_file(
+        spark,
+        [(1, _ts(9), 1, 10.0), (2, _ts(9, 5), 2, 5.0)],
+        src + "/a.parquet",
+    )
+    _write_single_file(
+        spark,
+        [(3, _ts(10), 1, 7.5), (4, _ts(10, 5), 1, 2.5), (5, _ts(10, 10), 2, 1.0)],
+        src + "/b.parquet",
+    )
+    stream = read_event_stream(spark, src, SCHEMA, max_files_per_trigger=1)
+    out = running_user_totals(stream.select("user_id", "value"))
+    run_available_now(out, "stateful_totals", "update", str(tmp_path / "ck"))
+    # update mode appends one row per (key, microbatch); the final state is
+    # the row with the max n_events per key
+    rows = spark.sql(
+        """SELECT user_id, max_by(total_value, n_events) AS total_value,
+                  max(n_events) AS n_events
+           FROM stateful_totals GROUP BY user_id"""
+    ).collect()
+    got = {r.user_id: (r.n_events, r.total_value) for r in rows}
+    assert got == {1: (3, 20.0), 2: (2, 6.0)}
+    # state really spanned batches: user 1 must have an intermediate row
+    inter = spark.sql(
+        "SELECT count(*) AS c FROM stateful_totals WHERE user_id = 1"
+    ).collect()[0].c
+    assert inter == 2
