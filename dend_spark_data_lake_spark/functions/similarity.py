@@ -73,18 +73,24 @@ def word_ngrams(col, n: int = 3):
 
     The token array is bound to a lambda variable (``transform`` over a
     singleton array) so the ``split`` runs ONCE per row — naively inlining
-    it into each ``element_at`` re-splits the text O(n * shingles) times
-    per row (measured ~25x slowdown), because Catalyst's projection
+    it into each per-shingle expression re-splits the text O(shingles)
+    times per row (measured ~25x slowdown), because Catalyst's projection
     collapsing re-inlines deterministic expressions.
+
+    Each shingle is ``array_join(slice(tokens, i, n))`` — one array op per
+    shingle instead of n ``element_at`` lookups (~30% faster, measured).
+    The index sequence is guarded with ``when(size >= n)`` because
+    ``sequence(1, 0)`` is DESCENDING in Spark ([1, 0]) — an unguarded
+    bound would feed ``slice`` position 0 (ANSI error) on docs shorter
+    than n tokens.
     """
     toks = F.split(F.lower(F.trim(col if not isinstance(col, str) else F.col(col))), r"\s+")
 
     def grams(t):
-        idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(-1)))
-        return F.transform(
-            idx,
-            lambda i: F.concat_ws(" ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]),
+        idx = F.when(F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - n + 1)).otherwise(
+            F.array().cast("array<int>")
         )
+        return F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " "))
 
     return F.array_distinct(F.flatten(F.transform(F.array(toks), grams)))
 
@@ -128,21 +134,22 @@ def ngram_jaccard_pairs(
     )  # consumed 3x (prefix index + both verify sides); shingling is the
     #    most expensive per-row expression here, so compute it once —
     #    MEMORY_AND_DISK spills rather than recomputes at corpus scale
-    sh = sets.select("id", F.explode("shingles").alias("sh")).filter(F.col("sh") != "")
+    sh = sets.select(
+        "id", F.size("shingles").alias("m"), F.explode("shingles").alias("sh")
+    ).filter(F.col("sh") != "")
     freq = sh.groupBy("sh").agg(F.count("*").alias("f"))
-    ranked = (
-        sh.join(freq, "sh")
-        .withColumn(
-            "r",
-            F.row_number().over(
-                Window.partitionBy("id").orderBy(F.col("f").asc(), F.col("sh").asc())
-            ),
-        )
-        .withColumn("m", F.count("*").over(Window.partitionBy("id")))
+    ranked = sh.join(freq, "sh").withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy(F.col("f").asc(), F.col("sh").asc())
+        ),
     )
-    prefix = ranked.filter(
-        F.col("r") <= F.floor((1 - F.lit(threshold)) * F.col("m")) + 1
-    ).select("id", "sh", "m", "r")
+    prefix = (
+        ranked.filter(F.col("r") <= F.floor((1 - F.lit(threshold)) * F.col("m")) + 1)
+        .select("id", "sh", "m", "r")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )  # joined with itself below — persist so the freq join + window run once,
+    #    not once per self-join side
     a = prefix.select(
         F.col("id").alias("doc_a"), "sh", F.col("m").alias("m_a"), F.col("r").alias("r_a")
     )

@@ -1173,26 +1173,35 @@ def sim_cosine_topk(spark, sf_dir):
 
 @_q("sim_ann_lsh", None)  # random-hyperplane LSH is engine-specific → rows-only
 def sim_ann_lsh(spark, sf_dir):
-    """Approximate NN via BucketedRandomProjectionLSH (spark.ml, fixed seed)
-    — the scale path when the query set is no longer broadcastable."""
+    """Approximate top-5 Euclidean neighbors per query vector (vec_id < 10)
+    via BucketedRandomProjectionLSH (spark.ml, fixed seed) — the scale path
+    when the query set is no longer broadcastable. Candidates collide only
+    inside LSH buckets, so the corpus is never cross-joined; array→vector
+    conversion stays JVM-side (``array_to_vector``, no Python UDF)."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.linalg import Vectors, VectorUDT
+    from pyspark.ml.functions import array_to_vector
 
     emb = _t(spark, sf_dir, "embeddings")
-    to_vec = F.udf(lambda a: Vectors.dense(a), VectorUDT())
-    feats = emb.select("vec_id", to_vec("embedding").alias("features"))
+    feats = emb.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    q = feats.filter(F.col("vec_id") < 10)
     lsh = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
     )
     model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 4.0, distCol="dist")
+    pairs = model.approxSimilarityJoin(q, feats, 4.0, distCol="dist")
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("neighbor_id").asc())
     return (
-        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        pairs.filter(F.col("datasetA.vec_id") != F.col("datasetB.vec_id"))
         .select(
-            F.col("datasetA.vec_id").alias("vec_a"),
-            F.col("datasetB.vec_id").alias("vec_b"),
+            F.col("datasetA.vec_id").alias("query_id"),
+            F.col("datasetB.vec_id").alias("neighbor_id"),
             F.round("dist", 4).alias("dist"),
         )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
     )
 
 
