@@ -60,15 +60,21 @@ def quality_columns(col: str | Column) -> dict[str, Column]:
     }
 
 
-def normalized_fingerprint(col: str | Column) -> Column:
-    """Deterministic document fingerprint: md5 of casefolded text with
-    non-alphanumerics stripped and whitespace collapsed — catches
-    formatting-only duplicates that exact-text dedup misses.
+def normalize_text(col: str | Column) -> Column:
+    """Canonical text normalization for dedup/fingerprinting: casefold,
+    strip non-alphanumerics, collapse runs of whitespace to single spaces,
+    trim. Pure regexp expressions — replicable verbatim in ANSI SQL.
     """
     c = col if isinstance(col, Column) else F.col(col)
     norm = F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", "")
-    norm = F.trim(F.regexp_replace(norm, WS, " "))
-    return F.md5(norm)
+    return F.trim(F.regexp_replace(norm, WS, " "))
+
+
+def normalized_fingerprint(col: str | Column) -> Column:
+    """Deterministic document fingerprint: md5 of :func:`normalize_text` —
+    catches formatting-only duplicates that exact-text dedup misses.
+    """
+    return F.md5(normalize_text(col))
 
 
 def langid_heuristic(col: str | Column, min_hit_rate_pct: int = 5) -> Column:

@@ -1,0 +1,101 @@
+"""Deterministic sampling & dataset splitting for training-data pipelines.
+
+``df.sample()`` is seed-dependent on partitioning and engine-specific, so it
+can never be oracle-checked and — worse for a 100 TB pipeline — re-running
+after adding files changes which rows are kept. These operators instead hash
+a stable key (md5 of the key rendered as a string) and compare a fixed-width
+hex prefix against a threshold:
+
+- the decision depends only on the key value → reproducible across runs,
+  partitionings, engines, and cluster sizes;
+- it is a pure projection+filter → pushes into the scan, no shuffle, no
+  driver coordination, trivially parallel at any scale;
+- fixed-width lowercase hex compares lexicographically exactly as it does
+  numerically, so the same literal threshold works in Spark and in ANSI
+  SQL oracles (DuckDB ``substr(md5(..), 1, 4)``).
+
+A 4-hex-digit prefix gives 65,536 buckets — rate granularity of ~0.0015%,
+plenty for sampling rates used in practice; widen the prefix if not.
+
+Replaces/extends nothing in the reference (it has no sampling); mandated by
+the driver's LLM-data-pipeline surface (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: number of leading hex digits of the md5 used as the sampling bucket
+PREFIX_DIGITS = 4
+_BUCKETS = 16**PREFIX_DIGITS  # 65536
+
+
+def hash_bucket(key: str | Column) -> Column:
+    """Stable hex bucket for a row key: first 4 hex digits of md5(key).
+
+    The key is rendered via CAST(key AS STRING) so integer keys hash
+    identically in any engine (both Spark and DuckDB render bigints in
+    plain decimal).
+    """
+    c = key if isinstance(key, Column) else F.col(key)
+    return F.substring(F.md5(c.cast("string")), 1, PREFIX_DIGITS)
+
+
+def threshold_hex(fraction: float) -> str:
+    """Hex literal such that ``hash_bucket(k) < threshold`` keeps ~fraction
+    of rows (exactly floor(fraction * 65536) / 65536 of the bucket space).
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return format(min(int(fraction * _BUCKETS), _BUCKETS - 1), f"0{PREFIX_DIGITS}x")
+
+
+def deterministic_sample(df: DataFrame, key: str | Column, fraction: float) -> DataFrame:
+    """Keep a deterministic ~``fraction`` Bernoulli sample keyed on ``key``."""
+    return df.filter(hash_bucket(key) < threshold_hex(fraction))
+
+
+def split_label(
+    key: str | Column, weights: dict[str, float] | None = None
+) -> Column:
+    """Label each row 'train' / 'valid' / 'test' (or custom labels) by hash
+    bucket. ``weights`` maps label -> fraction and must sum to <= 1; any
+    remainder goes to the last label. Default 80/10/10.
+
+    Being hash-based, the assignment is stable under re-runs and data
+    growth: a document keeps its split forever — the property that prevents
+    train/test contamination when a 100 TB corpus is incrementally rebuilt.
+    """
+    weights = weights or {"train": 0.8, "valid": 0.1, "test": 0.1}
+    labels = list(weights)
+    bucket = hash_bucket(key)
+    expr = None
+    cum = 0.0
+    for label in labels[:-1]:
+        cum += weights[label]
+        branch = bucket < F.lit(threshold_hex(cum))
+        expr = F.when(branch, label) if expr is None else expr.when(branch, label)
+    return F.lit(labels[-1]) if expr is None else expr.otherwise(labels[-1])
+
+
+def stratified_thresholds(stratum: str | Column, rates: dict[str, float], default: float) -> Column:
+    """Per-stratum sampling threshold: CASE over the stratum column mapping
+    each stratum to its own hex threshold (e.g. downsample 'en' to 1%,
+    keep low-resource languages at 50%).
+    """
+    c = stratum if isinstance(stratum, Column) else F.col(stratum)
+    expr = None
+    for value, rate in rates.items():
+        branch = c == value
+        lit = F.lit(threshold_hex(rate))
+        expr = F.when(branch, lit) if expr is None else expr.when(branch, lit)
+    default_lit = F.lit(threshold_hex(default))
+    return default_lit if expr is None else expr.otherwise(default_lit)
+
+
+def stratified_sample(
+    df: DataFrame, key: str | Column, stratum: str | Column, rates: dict[str, float], default: float
+) -> DataFrame:
+    """Deterministic stratified sample: per-stratum keep rates, hash-keyed."""
+    return df.filter(hash_bucket(key) < stratified_thresholds(stratum, rates, default))

@@ -39,6 +39,7 @@ from .operators.joins import (
     salted_equi_join,
 )
 from .operators.windows import per_group_top_k
+from .operators import sampling as SAMP
 from .operators.datetime_ops import iso_weekday
 from .functions import text as TX
 from .functions import similarity as SIM
@@ -1727,6 +1728,192 @@ def sim_ann_ivf(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5, centroid_mod=100, n_probe=2
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / dataset splitting (SURVEY.md §2.5 LLM-pipeline)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "sample_det_hash",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+    """,
+)
+def sample_det_hash(spark, sf_dir):
+    """Deterministic ~10% Bernoulli sample keyed on md5(doc_id) — unlike
+    df.sample(), reproducible across runs/engines/partitionings, and a pure
+    filter that pushes into the scan (operators/sampling.py rationale)."""
+    docs = _t(spark, sf_dir, "documents")
+    return SAMP.deterministic_sample(docs, "doc_id", 0.1).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@_q(
+    "split_train_valid_test",
+    """
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'valid'
+                ELSE 'test' END                       AS split,
+           lang,
+           count(*)                                   AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)               AS sum_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def split_train_valid_test(spark, sf_dir):
+    """Hash-keyed 80/10/10 train/valid/test split: a document keeps its
+    split forever as the corpus grows — the stability property that prevents
+    train/test contamination on incremental 100 TB rebuilds."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", SAMP.split_label("doc_id"))
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+@_q(
+    "sample_stratified",
+    """
+    SELECT lang, count(*) AS n_docs
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+          CASE WHEN lang = 'en' THEN '1999' ELSE '8000' END
+    GROUP BY lang
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling: downsample the high-resource
+    stratum ('en' to 10%) while keeping low-resource languages at 50% —
+    the language-rebalancing step of corpus curation, as a pushed-down
+    filter with zero shuffle before the count."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        SAMP.stratified_sample(docs, "doc_id", "lang", {"en": 0.1}, default=0.5)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@_q(
+    "text_normalize",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                               '\s+', ' ', 'g'))      AS norm_text,
+           length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                      '\s+', ' ', 'g'))) AS n_chars_norm
+    FROM documents
+    WHERE doc_id < 200
+    """,
+)
+def text_normalize(spark, sf_dir):
+    """Canonical text normalization (casefold, strip marks, collapse
+    whitespace) as pure JVM-side regexp expressions — the pre-dedup /
+    pre-tokenization cleanup pass, running at scan speed with no UDF."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    norm = TX.normalize_text("text")
+    return docs.select(
+        "doc_id", norm.alias("norm_text"), F.length(norm).alias("n_chars_norm")
+    )
+
+
+@_q(
+    "text_length_band",
+    """
+    WITH total AS (SELECT count(*) AS n FROM documents),
+    hist AS (
+      SELECT n_chars, count(*) AS c FROM documents GROUP BY n_chars
+    ),
+    cum AS (
+      SELECT n_chars, sum(c) OVER (ORDER BY n_chars) AS cum_docs FROM hist
+    ),
+    bounds AS (
+      SELECT min(CASE WHEN cum_docs * 100 >= 5 * n THEN n_chars END)  AS lo,
+             min(CASE WHEN cum_docs * 100 >= 95 * n THEN n_chars END) AS hi
+      FROM cum, total
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents, bounds
+    WHERE n_chars >= lo AND n_chars <= hi
+    GROUP BY lang
+    """,
+)
+def text_length_band(spark, sf_dir):
+    """Percentile length filtering (keep docs in the [p5, p95] n_chars
+    band) via a distributed two-pass plan: histogram of n_chars (small),
+    cumulative counts over the histogram, broadcast the two scalar bounds
+    back as a join-free filter. Never a global percent_rank() window —
+    an unpartitioned window collapses all rows onto ONE task, the classic
+    100 TB anti-pattern. Integer cum*100 >= pct*n arithmetic keeps the
+    boundary decision exact across engines."""
+    docs = _t(spark, sf_dir, "documents")
+    total = docs.count()
+    hist = docs.groupBy("n_chars").agg(F.count("*").alias("c"))
+    cum = hist.withColumn(
+        "cum_docs",
+        F.sum("c").over(Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    bounds = cum.agg(
+        F.min(F.when(F.col("cum_docs") * 100 >= 5 * total, F.col("n_chars"))).alias("lo"),
+        F.min(F.when(F.col("cum_docs") * 100 >= 95 * total, F.col("n_chars"))).alias("hi"),
+    )
+    return (
+        docs.join(F.broadcast(bounds))
+        .filter((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@_q(
+    "agg_ship_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1997-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def agg_ship_priority(spark, sf_dir):
+    """TPC-H-Q3-shaped shipping-priority query: selective filters on all
+    three tables push to the scans, customer is broadcast (small dim after
+    the segment filter), fact⋈fact join shuffles on orderkey only, then
+    top-10 via TakeOrderedAndProject (no global sort materialization).
+    Ordering on the ROUNDED revenue (4-decimal-exact grid, module
+    docstring) + orderkey tie-break keeps the cutoff engine-deterministic."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    ords = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-03-15")
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_rev()), 4).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
     )
 
 

@@ -1,0 +1,58 @@
+"""Deterministic sampling/splitting unit tests (operators/sampling.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from dend_spark_data_lake_spark.operators import sampling as SAMP
+from dend_spark_data_lake_spark.sources.io import read_table
+
+
+def test_threshold_hex_values():
+    assert SAMP.threshold_hex(0.0) == "0000"
+    assert SAMP.threshold_hex(0.1) == "1999"
+    assert SAMP.threshold_hex(0.5) == "8000"
+    assert SAMP.threshold_hex(0.8) == "cccc"
+    assert SAMP.threshold_hex(1.0) == "ffff"
+    with pytest.raises(ValueError):
+        SAMP.threshold_hex(1.5)
+
+
+def test_sample_is_deterministic_and_near_rate(spark):
+    docs = read_table(spark, SF_SMOKE, "documents")
+    total = docs.count()
+    s1 = sorted(r.doc_id for r in SAMP.deterministic_sample(docs, "doc_id", 0.2).collect())
+    s2 = sorted(r.doc_id for r in SAMP.deterministic_sample(docs, "doc_id", 0.2).collect())
+    assert s1 == s2  # same rows every run — no seed/partitioning dependence
+    assert 0.05 * total < len(s1) < 0.45 * total  # loose at tiny n
+
+
+def test_split_label_partitions_all_rows(spark):
+    docs = read_table(spark, SF_SMOKE, "documents")
+    counts = dict(
+        docs.withColumn("split", SAMP.split_label("doc_id"))
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    assert set(counts) <= {"train", "valid", "test"}
+    assert sum(counts.values()) == docs.count()
+    assert counts["train"] > counts.get("valid", 0)
+
+
+def test_stratified_rates_differ_by_stratum(spark):
+    docs = read_table(spark, SF_SMOKE, "documents")
+    base = dict(docs.groupBy("lang").count().collect())
+    kept = dict(
+        SAMP.stratified_sample(docs, "doc_id", "lang", {"en": 0.05}, default=0.9)
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    # 'en' heavily downsampled; other strata mostly retained
+    assert kept.get("en", 0) < 0.5 * base["en"]
+    non_en_base = sum(v for k, v in base.items() if k != "en")
+    non_en_kept = sum(v for k, v in kept.items() if k != "en")
+    assert non_en_kept > 0.6 * non_en_base
