@@ -1917,6 +1917,117 @@ def agg_ship_priority(spark, sf_dir):
     )
 
 
+@_q(
+    "agg_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def agg_customer_distribution(spark, sf_dir):
+    """TPC-H-Q13-shaped customer order-count histogram: left outer join with
+    a compound join-side predicate (the filter belongs ON the join, not
+    WHERE — a WHERE would turn the outer join inner), count(col) null-
+    skipping semantics for customers with no orders, then a second tiny
+    aggregation over the per-customer counts."""
+    cust = _t(spark, sf_dir, "customer")
+    ords = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            ords,
+            (cust.c_custkey == ords.o_custkey)
+            & (ords.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@_q(
+    "sql_having_semijoin",
+    """
+    SELECT c_name, o_orderkey,
+           round(o_totalprice, 2)            AS total_price,
+           round(sum(l_quantity), 2)         AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 250
+    )
+    GROUP BY c_name, o_orderkey, o_totalprice
+    """,
+)
+def sql_having_semijoin(spark, sf_dir):
+    """TPC-H-Q18-shaped large-volume-order query: aggregate-then-HAVING
+    feeding a LEFT SEMI join (the IN-subquery form), then re-aggregation
+    with the customer dim. The HAVING set is tiny after filtering, so it
+    broadcasts; quantities are integer-valued doubles, so the >250
+    threshold is exact in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    ords = _t(spark, sf_dir, "orders").join(
+        F.broadcast(big), F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "sum_qty",
+        )
+    )
+
+
+@_q(
+    "sql_scalar_subquery",
+    """
+    SELECT p_brand, count(*) AS n_above
+    FROM part p
+    WHERE p_retailprice > 1.05 * (
+      SELECT avg(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+    )
+    GROUP BY p_brand
+    """,
+)
+def sql_scalar_subquery(spark, sf_dir):
+    """Correlated scalar subquery (parts priced >5% above their brand's
+    average), written in SQL so Catalyst demonstrates decorrelation: the
+    subquery rewrites to a brand-level aggregate + equi-join, never a
+    per-row re-scan. The 1.05 margin keeps the comparison off the exact
+    avg boundary, where cross-engine FP summation order could differ."""
+    register_views(spark, sf_dir, ["part"])
+    return spark.sql(
+        """
+        SELECT p_brand, count(*) AS n_above
+        FROM part p
+        WHERE p_retailprice > 1.05 * (
+          SELECT avg(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+        )
+        GROUP BY p_brand
+        """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
