@@ -1,0 +1,94 @@
+"""Physical-plan regression tests: lock in the scale properties that make
+these queries viable at 100 TB — filters reaching the parquet scan, small
+dims broadcast instead of shuffled, no accidental cartesian products, and
+column pruning on wide scans. A refactor that silently loses one of these
+still passes correctness tests; these tests are the guardrail.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from dend_spark_data_lake_spark.queries import REGISTRY
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _pushed_nonempty(plan: str) -> int:
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "PushedFilters: [" in line and "PushedFilters: []" not in line
+    )
+
+
+# (query, min broadcast joins, min scans with non-empty pushdown)
+BROADCAST_AND_PUSHDOWN = [
+    ("ref_star_join", 1, 1),
+    ("agg_region_revenue", 3, 1),
+    ("agg_ship_priority", 1, 3),
+    ("ref_pricing_summary", 0, 1),
+    ("sql_having_semijoin", 2, 0),
+    ("topk_per_group", 0, 1),
+]
+
+
+@pytest.mark.parametrize("name,min_bhj,min_pushed", BROADCAST_AND_PUSHDOWN)
+def test_broadcast_and_pushdown(spark, name, min_bhj, min_pushed):
+    plan = _plan(spark, name)
+    assert plan.count("BroadcastHashJoin") >= min_bhj, plan
+    assert _pushed_nonempty(plan) >= min_pushed, plan
+
+
+# Queries where a planner regression could introduce a cartesian product.
+# join_cross is excluded: it is the deliberate cross-join demonstration.
+NO_CARTESIAN = [
+    "ref_star_join",
+    "agg_region_revenue",
+    "agg_ship_priority",
+    "sql_having_semijoin",
+    "sql_scalar_subquery",
+    "agg_customer_distribution",
+    "join_asof",
+    "dedup_ngram_jaccard",
+    "sim_cosine_topk",
+]
+
+
+@pytest.mark.parametrize("name", NO_CARTESIAN)
+def test_no_cartesian_product(spark, name):
+    assert "CartesianProduct" not in _plan(spark, name)
+
+
+def test_column_pruning_reaches_scan(spark):
+    """A 2-column aggregate over 11-column lineitem must not read all 11."""
+    plan = _plan(spark, "ref_dedup_keep_latest")
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines, plan
+    for line in scan_lines:
+        schema = line.split("ReadSchema:")[1]
+        assert schema.count(",") < 8, f"scan reads too many columns: {line}"
+
+
+def test_sampling_filter_is_pre_shuffle(spark):
+    """Deterministic sampling must be a scan-side filter, not post-shuffle:
+    the whole point is discarding 90% of a 100 TB corpus before any
+    exchange."""
+    plan = _plan(spark, "sample_stratified")
+    # Filter (with md5) must appear below the first Exchange in the tree
+    lines = plan.splitlines()
+    first_exchange = next(i for i, l in enumerate(lines) if "Exchange" in l)
+    filter_lines = [i for i, l in enumerate(lines) if "md5" in l and "Filter" in l]
+    assert filter_lines and all(i > first_exchange for i in filter_lines), plan
+
+
+def test_scalar_subquery_decorrelates(spark):
+    """The correlated scalar subquery must rewrite to aggregate+join —
+    never a per-row re-scan (no nested subquery execution nodes)."""
+    plan = _plan(spark, "sql_scalar_subquery")
+    assert "Join" in plan
+    assert "InSubqueryExec" not in plan and "ScalarSubquery" not in plan, plan
