@@ -15,6 +15,8 @@ import re
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from dend_spark_data_lake_spark.session import get_spark  # noqa: E402
@@ -36,9 +38,16 @@ HEADLINE = [
     "join_range",
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
     "sim_cosine_topk",
     "text_quality",
     "text_token_counts",
+    "text_length_band",
+    "agg_ship_priority",
+    "agg_customer_distribution",
+    "sql_having_semijoin",
+    "sample_stratified",
+    "split_train_valid_test",
 ]
 
 
@@ -55,8 +64,29 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/codegen paths outside the measured window.
+    # Warm the JVM/codegen paths outside the measured window: an in-memory
+    # agg, then a parquet scan + broadcast join + agg over the two smallest
+    # tables so the parquet reader, codegen, and join machinery are all
+    # initialized before the first timed query.
     spark.range(1000).selectExpr("sum(id)").collect()
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    region = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    nation.join(region, nation.n_regionkey == region.r_regionkey).groupBy(
+        "r_name"
+    ).count().collect()
+    # Spawn all local[N] Python daemon workers (they import pandas/numpy on
+    # first use — a one-time cluster-lifetime cost, not a per-query cost):
+    # one pandas-UDF task per core.
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s * 1.0
+
+    n_cores = int(cpus) if cpus.isdigit() else 32
+    spark.range(0, n_cores * 10, 1, n_cores).select(
+        _warm("id").alias("v")
+    ).selectExpr("sum(v)").collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
