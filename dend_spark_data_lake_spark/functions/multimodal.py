@@ -91,3 +91,54 @@ def extract_features(media: DataFrame) -> DataFrame:
             yield fake_decode_batch(pdf)
 
     return media.select("doc_id", "payload").mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """REAL media decode seam — intentionally unimplemented.
+
+    Image/audio/video decoding requires codec libraries (PIL, ffmpeg,
+    torchaudio) that are absent in this container by design. Callers that
+    need real pixels/samples replace this one function; everything around
+    it (schemas, batching, chunking, feature plumbing) is live and tested
+    via the deterministic fakes above.
+    """
+    raise NotImplementedError(
+        "media decoding requires codec libraries not present in this "
+        "environment; use extract_features (deterministic fake) or plug a "
+        "decoder into fake_decode_batch's seam"
+    )
+
+
+def chunk_payload(media: DataFrame, chunk_bytes: int = 256) -> DataFrame:
+    """Split each binary payload into fixed-size byte windows — the audio
+    chunking / video GOP-splitting primitive — as PURE JVM expressions:
+    ``posexplode(sequence(...))`` for the window index and ``substring``
+    (binary-typed) for the slice. No Python crossing, so chunking runs at
+    scan speed and the 1→N row expansion stays pipelined (no shuffle).
+
+    Emits (doc_id, chunk_idx, chunk, chunk_n_bytes, chunk_md5).
+    """
+    W = chunk_bytes
+    n = F.coalesce(F.octet_length("payload"), F.lit(0))
+    idx = F.when(n > 0, F.sequence(F.lit(0), F.floor((n - 1) / W).cast("int")))
+    exploded = media.select(
+        "doc_id", "payload", F.posexplode(idx).alias("chunk_idx", "_k")
+    )
+    chunk = F.expr(f"substring(payload, 1 + chunk_idx * {W}, {W})")
+    return exploded.select(
+        "doc_id",
+        "chunk_idx",
+        chunk.alias("chunk"),
+        F.octet_length(chunk).cast("long").alias("chunk_n_bytes"),
+        F.md5(chunk).alias("chunk_md5"),
+    )
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = 256, every_k: int = 4) -> DataFrame:
+    """Frame sampling: keep every k-th fixed-size window of the payload
+    (the video keyframe-sampling access pattern). A composition over
+    :func:`chunk_payload`, so it inherits the no-Python, no-shuffle plan.
+    """
+    return chunk_payload(media, frame_bytes).filter(
+        F.col("chunk_idx") % every_k == 0
+    )

@@ -2028,6 +2028,54 @@ def sql_scalar_subquery(spark, sf_dir):
     )
 
 
+@_q(
+    "multimodal_chunks",
+    """
+    WITH m AS (
+      SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id < 100
+    ), k AS (
+      SELECT CAST(unnest(range(0, 64)) AS INT) AS chunk_idx
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(least(256, n - chunk_idx * 256) AS BIGINT)      AS chunk_n_bytes,
+           md5(substring(text, 1 + chunk_idx * 256, 256))       AS chunk_md5
+    FROM m JOIN k ON chunk_idx * 256 < n
+    """,
+)
+def multimodal_chunks(spark, sf_dir):
+    """Binary payload chunking (audio-chunk / video-GOP primitive): fixed
+    256-byte windows via posexplode(sequence)+binary substring — pure JVM
+    expressions, 1→N expansion stays pipelined with no Python crossing and
+    no shuffle. Content verified by per-chunk md5 (corpus is ASCII, so the
+    oracle's char windows are byte-identical)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    chunks = MM.chunk_payload(MM.to_media_table(docs), chunk_bytes=256)
+    return chunks.select("doc_id", "chunk_idx", "chunk_n_bytes", "chunk_md5")
+
+
+@_q(
+    "multimodal_frame_sample",
+    """
+    WITH m AS (
+      SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id < 100
+    ), k AS (
+      SELECT CAST(unnest(range(0, 64)) AS INT) AS chunk_idx
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(least(64, n - chunk_idx * 64) AS BIGINT)        AS chunk_n_bytes,
+           md5(substring(text, 1 + chunk_idx * 64, 64))         AS chunk_md5
+    FROM m JOIN k ON chunk_idx * 64 < n AND chunk_idx % 2 = 0
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Keyframe-style sampling: every 2nd 64-byte window of each payload
+    (functions/multimodal.py sample_frames) — same no-Python, no-shuffle
+    plan as chunking with a modulo filter on the window index."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    frames = MM.sample_frames(MM.to_media_table(docs), frame_bytes=64, every_k=2)
+    return frames.select("doc_id", "chunk_idx", "chunk_n_bytes", "chunk_md5")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
