@@ -2076,6 +2076,295 @@ def multimodal_frame_sample(spark, sf_dir):
     return frames.select("doc_id", "chunk_idx", "chunk_n_bytes", "chunk_md5")
 
 
+# ---------------------------------------------------------------------------
+# Dedup clustering (pairs -> connected components -> deduplicated corpus)
+# ---------------------------------------------------------------------------
+
+# The near-dup PAIR relation (dedup_ngram_jaccard) as DuckDB CTEs, reused by
+# the two cluster oracles below; `reach` is the transitive closure of the
+# symmetric pair graph, so least(s, min(d)) is the component-min label.
+_DUP_REACH_CTES = """
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 0) + 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+      WHERE ni * 1.0 / (x.n + y.n - ni) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS es, doc_b AS ed FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), reach AS (
+      SELECT es, ed FROM edges
+      UNION
+      SELECT r.es, e.ed FROM reach r JOIN edges e ON r.ed = e.es
+    )
+"""
+
+
+@_q(
+    "dedup_clusters",
+    "WITH RECURSIVE "
+    + _DUP_REACH_CTES
+    + """
+    SELECT es AS doc_id, least(es, min(ed)) AS cluster_id
+    FROM reach GROUP BY es
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTER resolution: exact n-gram-Jaccard pairs →
+    distributed connected components (operators/graph.py min-label
+    propagation). {a,b},{b,c} collapse to one cluster labeled by the
+    minimum doc_id even though (a,c) was never a pair — the step a real
+    dedup pipeline needs between pair mining and row dropping. Oracle is
+    the transitive closure via DuckDB recursive CTE (exact, sf-small);
+    the engine side stays iterative dataflow (100 TB never materializes
+    a closure)."""
+    d = _t(spark, sf_dir, "documents")
+    from .operators.graph import connected_components
+
+    pairs = SIM.ngram_jaccard_pairs(d, n=3, threshold=0.5).select("doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    return cc.select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+@_q(
+    "dedup_corpus",
+    "WITH RECURSIVE "
+    + _DUP_REACH_CTES
+    + """
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE doc_id NOT IN (
+      SELECT es FROM reach GROUP BY es HAVING least(es, min(ed)) <> es
+    )
+    """,
+)
+def dedup_corpus(spark, sf_dir):
+    """End-to-end corpus dedup: keep one representative per near-dup
+    cluster (the min doc_id) plus every unclustered doc — an anti-join of
+    the corpus against the non-representative members. This is the actual
+    100-TB dedup delete path: pairs and components are tiny relative to
+    the corpus, so the final pass is one broadcast-able anti-join over the
+    full table."""
+    d = _t(spark, sf_dir, "documents")
+    from .operators.graph import connected_components
+
+    pairs = SIM.ngram_jaccard_pairs(d, n=3, threshold=0.5).select("doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    drop = cc.filter(F.col("vertex") != F.col("component")).select(
+        F.col("vertex").alias("doc_id")
+    )
+    return d.join(F.broadcast(drop), "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental maintenance: MERGE upsert, SCD-style change intervals
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "merge_upsert_customers",
+    """
+    WITH src AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             round(c_acctbal + 100, 2) AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'NEW#' || CAST(c_custkey AS VARCHAR),
+             c_nationkey, 0.0, c_mktsegment
+      FROM customer WHERE c_custkey % 97 = 0
+    )
+    SELECT
+      CASE WHEN s.c_custkey IS NOT NULL THEN s.c_custkey    ELSE t.c_custkey    END AS c_custkey,
+      CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name       ELSE t.c_name       END AS c_name,
+      CASE WHEN s.c_custkey IS NOT NULL THEN s.c_nationkey  ELSE t.c_nationkey  END AS c_nationkey,
+      CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal    ELSE t.c_acctbal    END AS c_acctbal,
+      CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
+    FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+    """,
+)
+def merge_upsert_customers(spark, sf_dir):
+    """MERGE INTO semantics on plain Parquet (operators/merge.py): a batch
+    of updates (acctbal bump for custkey%10=0) and inserts (new custkeys
+    for custkey%97=0) applied to the customer snapshot via one full-outer
+    join — source-wins per ROW (presence marker), not per column, so a
+    legitimate NULL in the source survives. The reference only ever
+    overwrites whole tables (etl_pipeline.py:113-118, defect D4); this is
+    the incremental path a lake needs."""
+    from .operators.merge import merge_upsert
+
+    c = _t(spark, sf_dir, "customer")
+    updates = c.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.round(F.col("c_acctbal") + 100, 2)
+    )
+    inserts = c.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("NEW#"), F.col("c_custkey").cast("string")).alias("c_name"),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    return merge_upsert(c, updates.unionByName(inserts), ["c_custkey"])
+
+
+@_q(
+    "scd2_status_intervals",
+    """
+    WITH s AS (
+      SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+             lag(o_orderstatus) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders
+    ), g AS (
+      SELECT *, sum(CASE WHEN prev IS NULL OR prev <> o_orderstatus THEN 1 ELSE 0 END)
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS grp
+      FROM s
+    )
+    SELECT o_custkey, o_orderstatus,
+           min(o_orderdate) AS valid_from,
+           max(o_orderdate) AS valid_to,
+           count(*)         AS n_orders
+    FROM g GROUP BY o_custkey, grp, o_orderstatus
+    """,
+)
+def scd2_status_intervals(spark, sf_dir):
+    """SCD-2-style change intervals (gaps-and-islands): collapse each
+    customer's consecutive same-status order runs into validity intervals
+    via lag + conditional running sum — the standard two-window island
+    idiom, both windows on the same (o_custkey, order) sort so Spark plans
+    ONE exchange + one sort for both."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    runs = (
+        o.select("o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate")
+        .withColumn("prev", F.lag("o_orderstatus").over(w))
+        .withColumn(
+            "chg",
+            F.when(
+                F.col("prev").isNull() | (F.col("prev") != F.col("o_orderstatus")), 1
+            ).otherwise(0),
+        )
+        .withColumn("grp", F.sum("chg").over(w))
+    )
+    return (
+        runs.groupBy("o_custkey", "grp", "o_orderstatus")
+        .agg(
+            F.min("o_orderdate").alias("valid_from"),
+            F.max("o_orderdate").alias("valid_to"),
+            F.count("*").alias("n_orders"),
+        )
+        .drop("grp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Additional SQL shapes: disjunctive join predicate, EXISTS/NOT EXISTS pair
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "sql_disjunctive_join",
+    """
+    SELECT p_brand,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+       OR (p_type LIKE '%STEEL%' AND l_quantity >= 40)
+    GROUP BY p_brand
+    """,
+)
+def sql_disjunctive_join(spark, sf_dir):
+    """TPC-H-Q19-shaped disjunctive join predicate: OR-of-ANDs mixing
+    build-side (part) and probe-side (lineitem) columns over one equi-key.
+    Catalyst extracts the common l_partkey=p_partkey equi-condition for a
+    broadcast hash join and evaluates the disjunction as a post-join
+    filter, while CNF conversion pushes the per-side residuals
+    (p_brand/p_size/p_type, l_quantity) down to each scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond1 = (
+        (F.col("p_brand") == "Brand#11")
+        & F.col("p_size").between(1, 15)
+        & q.between(1, 20)
+    )
+    cond2 = (
+        (F.col("p_brand") == "Brand#22")
+        & F.col("p_size").between(10, 30)
+        & q.between(10, 35)
+    )
+    cond3 = F.col("p_type").contains("STEEL") & (q >= 40)
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond1 | cond2 | cond3)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(_rev()), 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@_q(
+    "sql_exists_not_exists",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders    ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                   WHERE l2.l_orderkey = l1.l_orderkey
+                     AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                       WHERE l3.l_orderkey = l1.l_orderkey
+                         AND l3.l_suppkey <> l1.l_suppkey
+                         AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    """,
+)
+def sql_exists_not_exists(spark, sf_dir):
+    """TPC-H-Q21-shaped correlated EXISTS + NOT EXISTS on the same fact:
+    'sole returning supplier on a finished multi-supplier order'. Catalyst
+    decorrelates to a LeftSemi plus a LeftAnti join on l_orderkey — no
+    per-row subquery execution survives in the physical plan."""
+    register_views(spark, sf_dir, ["supplier", "lineitem", "orders"])
+    return spark.sql(
+        """
+        SELECT s_name, count(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders    ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

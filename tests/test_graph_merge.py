@@ -1,0 +1,62 @@
+"""Unit tests: connected components (operators/graph.py) and MERGE upsert
+(operators/merge.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dend_spark_data_lake_spark.operators.graph import connected_components
+from dend_spark_data_lake_spark.operators.merge import merge_upsert
+
+
+def test_connected_components_chain_and_islands(spark):
+    # Components: {1,2,3,4} (a chain — needs >1 propagation round),
+    # {10,11}, {20,21,22} (a triangle).
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["src", "dst"],
+    )
+    got = {
+        (r.vertex, r.component)
+        for r in connected_components(edges, "src", "dst").collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_connected_components_long_path_converges(spark):
+    # Path 0-1-2-...-12: diameter 12 forces many label-propagation rounds;
+    # all vertices must still land on component 0.
+    n = 13
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
+    rows = connected_components(edges, "src", "dst").collect()
+    assert len(rows) == n
+    assert {r.component for r in rows} == {0}
+
+
+def test_merge_upsert_update_insert_passthrough(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "name", "val"]
+    )
+    source = spark.createDataFrame(
+        [(2, "b2", None), (9, "new", 90.0)],
+        "k long, name string, val double",
+    )
+    out = {r.k: (r.name, r.val) for r in merge_upsert(target, source, ["k"]).collect()}
+    assert out == {
+        1: ("a", 10.0),      # untouched target row passes through
+        2: ("b2", None),     # matched: source wins per ROW — its NULL survives
+        3: ("c", 30.0),
+        9: ("new", 90.0),    # unmatched source row inserted
+    }
+
+
+def test_merge_upsert_schema_is_target_schema(spark):
+    target = spark.createDataFrame([(1, "a")], ["k", "name"])
+    source = spark.createDataFrame([(1, "z", "extra")], ["k", "name", "junk"])
+    merged = merge_upsert(target, source, ["k"])
+    assert merged.columns == ["k", "name"]
+    assert merged.collect()[0].name == "z"
