@@ -48,6 +48,12 @@ HEADLINE = [
     "sql_having_semijoin",
     "sample_stratified",
     "split_train_valid_test",
+    "dedup_corpus",
+    "merge_upsert_customers",
+    "scd2_status_intervals",
+    "sql_exists_not_exists",
+    "ts_gapfill",
+    "text_bigram_counts",
 ]
 
 

@@ -41,6 +41,32 @@ def weighted_avg_pandas(value: pd.Series, weight: pd.Series) -> float:  # type: 
     return float((value * weight).sum() / weight.sum())
 
 
+def token_count_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace token counts via ``mapInArrow`` — the zero-copy end of the
+    UDF spectrum: Arrow RecordBatches in, Arrow RecordBatches out, computed
+    entirely with pyarrow.compute kernels (no pandas materialization). Use
+    this form when the logic is expressible in Arrow kernels but not in
+    Spark builtins; here it exists as the API-surface twin of the all-builtin
+    ``functions.text.token_count_ws``. Empty/whitespace-only strings count 0
+    here vs 1 for a regex-split builtin — both engines in the oracle pair see
+    the same non-empty corpus, and the distinction is documented, not hidden.
+    """
+
+    def fn(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            toks = pc.list_value_length(
+                pc.utf8_split_whitespace(pc.utf8_trim_whitespace(b.column(1)))
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), pc.cast(toks, pa.int32())], [id_col, "n_tokens"]
+            )
+
+    return df.select(id_col, text_col).mapInArrow(fn, f"{id_col} long, n_tokens int")
+
+
 def zscore_per_group(df: DataFrame, key: str, value: str) -> DataFrame:
     """Per-group z-score via grouped-map applyInPandas (ddof=1, matching
     stddev_samp); groups with stddev 0/NULL yield NULL z."""

@@ -2365,6 +2365,244 @@ def sql_exists_not_exists(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Histogram binning, time-series gap fill, corpus n-gram stats, imputation,
+# Python UDTF surface
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_histogram",
+    """
+    SELECT CAST(least(floor(o_totalprice / 25000), 19) AS INT) AS bin,
+           count(*) AS n_orders,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_histogram(spark, sf_dir):
+    """Fixed-width histogram binning (clamped top bucket): bin id is a pure
+    projection, so the whole histogram is one map-side-combined aggregate
+    over <=20 groups — the cheapest possible shape for a 100-TB profile
+    pass. o_totalprice is a stored value, so floor(x/25000) is bit-identical
+    across engines."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "bin",
+            F.least(F.floor(F.col("o_totalprice") / 25000), F.lit(19)).cast("int"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@_q(
+    "ts_gapfill",
+    """
+    WITH b AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b
+    ), hourly AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             count(*) AS n, round(sum(value), 2) AS v
+      FROM events GROUP BY 1
+    )
+    SELECT spine.hour,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+           CASE WHEN n IS NULL THEN 1 ELSE 0 END AS is_gap,
+           coalesce(last_value(v IGNORE NULLS) OVER (
+             ORDER BY spine.hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 0.0) AS total_value_ffill
+    FROM spine LEFT JOIN hourly ON spine.hour = hourly.hour
+    """,
+)
+def ts_gapfill(spark, sf_dir):
+    """Time-series gap fill: build the complete hourly spine with
+    F.sequence+explode between min/max event hours, left-join the hourly
+    aggregate, zero-fill counts, and forward-fill the hourly value with
+    last(ignorenulls) — the resample/ffill primitive a metrics pipeline
+    needs. Scale: the expensive side (events) is one grouped aggregate;
+    the spine is O(hours) — tiny — so the join broadcasts and the
+    single-partition ffill window over the SPINE (not the events) is
+    deliberate and safe at any corpus size."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v")
+    )
+    spine = (
+        ev.agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        )
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour")
+        )
+    )
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(hourly, "hour", "left")
+        .withColumn("n_events", F.coalesce("n", F.lit(0)))
+        .withColumn("is_gap", F.when(F.col("n").isNull(), 1).otherwise(0))
+        .withColumn(
+            "total_value_ffill",
+            F.coalesce(F.last("v", ignorenulls=True).over(w), F.lit(0.0)),
+        )
+        .select("hour", "n_events", "is_gap", "total_value_ffill")
+    )
+
+
+@_q(
+    "text_bigram_counts",
+    r"""
+    WITH toks AS (
+      SELECT string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+    ), b AS (
+      SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                                   i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM toks
+    )
+    SELECT bigram, count(*) AS n
+    FROM b GROUP BY 1
+    ORDER BY n DESC, bigram LIMIT 50
+    """,
+)
+def text_bigram_counts(spark, sf_dir):
+    """Corpus-level n-gram statistics: whitespace tokens → adjacent bigrams
+    (pure JVM array transform, no UDF) → global top-50 by frequency with a
+    lexicographic tie-break so the cutoff is deterministic. Scale: explode →
+    map-side-combined count, then orderBy+limit plans as TakeOrderedAndProject
+    (per-partition top-k, no global sort)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))")
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(50)
+    )
+
+
+@_q(
+    "impute_group_median",
+    """
+    WITH med AS (
+      SELECT c_mktsegment, quantile_disc(c_acctbal, 0.5) AS seg_median
+      FROM customer WHERE c_acctbal >= 0 GROUP BY c_mktsegment
+    )
+    SELECT c_custkey, c.c_mktsegment,
+           CASE WHEN c_acctbal < 0 THEN seg_median ELSE c_acctbal END AS acctbal_imputed,
+           CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS was_imputed
+    FROM customer c JOIN med ON c.c_mktsegment = med.c_mktsegment
+    """,
+)
+def impute_group_median(spark, sf_dir):
+    """Missing-value imputation with a per-group DISCRETE median
+    (percentile_disc picks an actual stored value — exact on both engines,
+    unlike an interpolated median whose rational result can sit on a
+    rounding half-boundary): negative acctbal is treated as the missing
+    sentinel and replaced by its segment's median of valid balances.
+    Scale: the median table is |segments| rows — broadcast join; the
+    percentile itself is a single sort-based agg per segment."""
+    register_views(spark, sf_dir, ["customer"])
+    med = spark.sql(
+        """
+        SELECT c_mktsegment,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal) AS seg_median
+        FROM customer WHERE c_acctbal >= 0 GROUP BY c_mktsegment
+        """
+    )
+    c = _t(spark, sf_dir, "customer")
+    return c.join(F.broadcast(med), "c_mktsegment").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") < 0, F.col("seg_median"))
+        .otherwise(F.col("c_acctbal"))
+        .alias("acctbal_imputed"),
+        F.when(F.col("c_acctbal") < 0, 1).otherwise(0).alias("was_imputed"),
+    )
+
+
+@_q(
+    "udtf_word_chunks",
+    """
+    WITH p AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+    )
+    SELECT doc_id, unnest(list_transform(
+             range(0, CAST(ceil(len(t) / 32.0) AS INT)),
+             i -> {'chunk_idx': CAST(i AS INT),
+                   'n_tokens': CAST(len(t[i*32+1 : i*32+32]) AS INT),
+                   'chunk_md5': md5(array_to_string(t[i*32+1 : i*32+32], ' '))}),
+           recursive := true)
+    FROM p
+    """,
+)
+def udtf_word_chunks(spark, sf_dir):
+    """Python UDTF (Spark 4 user-defined TABLE function) surface: chunk each
+    document into 32-token windows for LLM context packing, emitted as
+    (chunk_idx, n_tokens, chunk_md5) rows via LATERAL join. The UDTF is the
+    Python-side slow path kept for API completeness — the JVM fast path for
+    the same job is multimodal_chunks / explode_pos (posexplode over array
+    slices); at 100 TB the UDTF still parallelizes per-partition but pays
+    serialization, so prefer the JVM twin in hot paths."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_tokens int, chunk_md5 string")
+    class WordChunks:
+        def eval(self, text: str, size: int):
+            import hashlib
+
+            toks = text.strip().lower().split()
+            for i in range(0, len(toks), size):
+                piece = toks[i : i + size]
+                yield (
+                    i // size,
+                    len(piece),
+                    hashlib.md5(" ".join(piece).encode()).hexdigest(),
+                )
+
+    spark.udtf.register("word_chunks", WordChunks)
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.n_tokens, c.chunk_md5 "
+        "FROM documents d, LATERAL word_chunks(d.text, 32) c"
+    )
+
+
+@_q(
+    "udf_map_in_arrow",
+    r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
+    FROM documents
+    """,
+)
+def udf_map_in_arrow(spark, sf_dir):
+    """mapInArrow UDF surface: whitespace token counts computed with pure
+    pyarrow.compute kernels on Arrow RecordBatches — no pandas, no per-row
+    Python. Completes the UDF spectrum (scalar pandas_udf / grouped-agg /
+    grouped-map / UDTF / mapInArrow); oracle is the equivalent regex-split
+    length."""
+    d = _t(spark, sf_dir, "documents")
+    return UD.token_count_arrow(d, "doc_id", "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

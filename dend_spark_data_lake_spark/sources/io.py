@@ -113,6 +113,41 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """ORC scan — second columnar lake format next to Parquet. Same posture:
+    explicit schema in production; ORC gets the same Catalyst pushdown /
+    pruning treatment as Parquet (predicate pushdown into stripes via
+    min/max + bloom filters when present)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink with explicit mode and optional Hive partitioning — mirrors
+    write_parquet so a lake can be dual-format."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_text_lines(spark: SparkSession, path: str, whole_file: bool = False) -> DataFrame:
+    """Plain-text source: one row per line (column ``value``), or one row
+    per file with ``whole_file`` — the raw-corpus ingest path for text
+    pipelines (each file splits into per-line partitions; wholetext files
+    are indivisible, so keep them small or chunk downstream)."""
+    # NB: must be the reader kwarg — the string option("wholetext", ...) is
+    # silently ignored by the Spark 4 text source.
+    return spark.read.text(path, wholetext=whole_file)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,
