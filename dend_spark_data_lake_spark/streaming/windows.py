@@ -92,6 +92,65 @@ def dedup_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def enrich_with_static(
+    events: DataFrame, dim: DataFrame, on: list[str] | str, how: str = "left"
+) -> DataFrame:
+    """Stream-static join: enrich each microbatch with a (batch) dimension
+    table. The static side is re-planned per microbatch, so a broadcast
+    hint keeps every batch a map-side hash join — no streaming state at
+    all (unlike stream-stream joins, which buffer both sides)."""
+    return events.join(F.broadcast(dim), on, how)
+
+
+def foreach_batch_upsert(
+    events: DataFrame,
+    snapshot_path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    spark: SparkSession,
+    ts_col: str = "ts",
+    tie_break: tuple[str, ...] = (),
+) -> None:
+    """Incremental lake maintenance: drain the stream with availableNow,
+    applying each microbatch to the Parquet snapshot via MERGE upsert
+    (operators/merge.py) inside ``foreachBatch`` — the standard pattern for
+    sinks with no native streaming support. Each batch deduplicates on the
+    merge keys first (a microbatch can carry several versions of a key; the
+    max-ts row wins) so the merge join stays 1:1.
+
+    The rewrite cost is one full-outer join per batch; at scale the
+    snapshot would be partitioned and only affected partitions rewritten
+    (dynamic partition overwrite), or handed to a MERGE-native format
+    (Delta/Iceberg)."""
+    from ..operators.dedup import dedup_keep_latest
+    from ..operators.merge import merge_upsert
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        latest = dedup_keep_latest(batch, keys, ts_col=ts_col, tie_break=tie_break)
+        try:
+            target = spark.read.parquet(snapshot_path)
+            merged = merge_upsert(target, latest, keys)
+        except Exception:  # first batch: snapshot does not exist yet
+            merged = latest
+        # Write via temp dir + swap: the merge plan reads the same path it
+        # replaces, so an in-place overwrite would corrupt its own input.
+        import shutil
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="merge_snap_")
+        merged.write.mode("overwrite").parquet(tmp + "/snap")
+        shutil.rmtree(snapshot_path, ignore_errors=True)
+        shutil.move(tmp + "/snap", snapshot_path)
+
+    q = (
+        events.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(
     df: DataFrame, query_name: str, output_mode: str, checkpoint_dir: str
 ) -> None:

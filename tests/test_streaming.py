@@ -179,3 +179,54 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
         "SELECT count(*) AS c FROM stateful_totals WHERE user_id = 1"
     ).collect()[0].c
     assert inter == 2
+
+
+def test_stream_static_enrich_equals_batch_join(spark, stream_dir):
+    from dend_spark_data_lake_spark.streaming.windows import enrich_with_static
+
+    rows = [
+        (1, _ts(9), 100, 1.0),
+        (2, _ts(10), 200, 2.0),
+        (3, _ts(11), 999, 3.0),  # no dim match -> left join keeps it
+    ]
+    src = str(stream_dir / "src")
+    _write_file(spark, rows, src)
+    dim = spark.createDataFrame(
+        [(100, "gold"), (200, "silver")], ["user_id", "tier"]
+    )
+    stream = read_event_stream(spark, src, SCHEMA)
+    out = enrich_with_static(stream, dim, "user_id")
+    run_available_now(out, "enriched", "append", str(stream_dir / "ckpt_enrich"))
+    got = {
+        (r.event_id, r.tier) for r in spark.sql("SELECT * FROM enriched").collect()
+    }
+    assert got == {(1, "gold"), (2, "silver"), (3, None)}
+
+
+def test_foreach_batch_upsert_builds_snapshot_incrementally(spark, stream_dir):
+    from dend_spark_data_lake_spark.streaming.windows import foreach_batch_upsert
+
+    src = str(stream_dir / "upsert_src")
+    # Batch-ish file 1: keys 100, 200. File 2: update 200 (later ts), insert 300.
+    _write_single_file(
+        spark,
+        [(1, _ts(9), 100, 1.0), (2, _ts(9, 30), 200, 2.0)],
+        src + "/f1.parquet",
+    )
+    _write_single_file(
+        spark,
+        [(3, _ts(10), 200, 20.0), (4, _ts(10, 5), 300, 3.0)],
+        src + "/f2.parquet",
+    )
+    stream = read_event_stream(spark, src, SCHEMA, max_files_per_trigger=1)
+    snap = str(stream_dir / "snapshot")
+    foreach_batch_upsert(
+        stream,
+        snap,
+        keys=["user_id"],
+        checkpoint_dir=str(stream_dir / "ckpt_upsert"),
+        spark=spark,
+        tie_break=("event_id",),
+    )
+    got = {r.user_id: r.value for r in spark.read.parquet(snap).collect()}
+    assert got == {100: 1.0, 200: 20.0, 300: 3.0}
