@@ -44,6 +44,7 @@ from .operators.datetime_ops import iso_weekday
 from .functions import text as TX
 from .functions import similarity as SIM
 from .functions import multimodal as MM
+from .functions import sketches as SK
 from .functions import udfs as UD
 
 
@@ -2601,6 +2602,45 @@ def udf_map_in_arrow(spark, sf_dir):
     length."""
     d = _t(spark, sf_dir, "documents")
     return UD.token_count_arrow(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Sketch family (rows-only: estimates are DataSketches-specific, no DuckDB
+# twin; accuracy + mergeability locked by tests/test_sketches.py)
+# ---------------------------------------------------------------------------
+
+
+@_q("sketch_hll_distinct_users", None)
+def sketch_hll_distinct_users(spark, sf_dir):
+    """HLL distinct users per event_type, keeping the sketch column so any
+    rollup (all types, a type subset, per-day unions) is a kilobyte merge
+    instead of a rescan — the reusable-sketch contract that matters at
+    100 TB. Estimate column only in the output (sketch binary isn't
+    hashable)."""
+    ev = _t(spark, sf_dir, "events")
+    return SK.hll_distinct(ev, "event_type", "user_id").select(
+        "event_type", F.round("n_distinct_est").cast("long").alias("n_users_est")
+    )
+
+
+@_q("sketch_theta_user_setops", None)
+def sketch_theta_user_setops(spark, sf_dir):
+    """Theta-sketch set algebra: |click users|, |purchase users|, union /
+    intersection / difference cardinalities — INTERSECT / EXCEPT answered
+    on sketches without ever shuffling user ids."""
+    ev = _t(spark, sf_dir, "events")
+    return SK.theta_set_cardinalities(
+        ev, "user_id", F.col("event_type") == "click", F.col("event_type") == "purchase"
+    )
+
+
+@_q("sketch_kll_price_quantiles", None)
+def sketch_kll_price_quantiles(spark, sf_dir):
+    """KLL quantile sketch over l_extendedprice: p50/p90/p99 from one pass +
+    one tiny merge (vs exact percentile's per-group sort). The error bound
+    is on RANK (±~0.8% at k=200), not on the value."""
+    li = _t(spark, sf_dir, "lineitem")
+    return SK.kll_quantiles(li, "l_extendedprice", [0.5, 0.9, 0.99])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
