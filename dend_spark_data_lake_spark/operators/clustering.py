@@ -1,0 +1,93 @@
+"""K-means (Lloyd's algorithm) as pure DataFrame dataflow.
+
+Iterative ML over an embedding column without MLlib's RDD legacy: each
+iteration is (1) broadcast the k centroids to every executor, (2) assign
+each vector to its nearest centroid with JVM-side array expressions — no
+Python in the loop — and (3) recompute centroids with posexplode + avg.
+Complements operators/graph.py as the second iterative-algorithm pattern
+(there: shuffle-join propagation; here: broadcast-and-reaggregate).
+
+Scale posture: the data-sized relation is touched once per iteration with
+a map-side assignment (centroids are k×dim floats — kilobytes — so the
+"join" is a broadcast nested loop over k, i.e. a projection); the only
+shuffle is the (label, dim)-keyed centroid average, k*dim groups. Vectors
+are persisted across iterations; determinism comes from fixed seeds (first
+k rows by id) and a fixed iteration count.
+
+Reference parity: no clustering exists in the reference
+(mahdi-hosseini/dend_spark_data_lake); driver-mandated extension surface
+(SURVEY.md §2.5, similarity/embedding family).
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, functions as F
+
+
+def _assign(vectors: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Add ``cluster`` = argmin over centroids of squared L2 distance.
+
+    Distances are computed with ``aggregate(zip_with(...))`` array
+    expressions; the argmin is ``array_min`` over (distance, index) structs
+    — all whole-stage-codegen, no UDF.
+    """
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"),
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return vectors.withColumn("cluster", F.array_min(dists)["i"])
+
+
+def kmeans_lloyd(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run ``iters`` Lloyd iterations; returns (id, cluster) assignments.
+
+    Seeds are the first ``k`` vectors by ``id_col`` — deterministic, so the
+    result is reproducible run-to-run (kmeans++ would need a randomized
+    pass; determinism matters more here than seed quality, and one extra
+    iteration typically recovers the difference).
+    """
+    vecs = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("embedding")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    centroids = [
+        r.embedding for r in vecs.orderBy("id").limit(k).select("embedding").collect()
+    ]
+    for _ in range(iters):
+        assigned = _assign(vecs, centroids)
+        new_rows = (
+            assigned.select("cluster", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("v").alias("c"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select("cluster", F.col("pc.c").alias("centroid"))
+            .collect()
+        )
+        # empty clusters keep their previous centroid
+        by_id = {r.cluster: list(r.centroid) for r in new_rows}
+        centroids = [by_id.get(i, c) for i, c in enumerate(centroids)]
+
+    out = _assign(vecs, centroids).select("id", "cluster")
+    vecs.unpersist()
+    return out

@@ -2643,6 +2643,48 @@ def sketch_kll_price_quantiles(spark, sf_dir):
     return SK.kll_quantiles(li, "l_extendedprice", [0.5, 0.9, 0.99])
 
 
+# ---------------------------------------------------------------------------
+# Embedding analytics: per-label centroids (oracle-checked), k-means (rows-only)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "embed_centroid_by_label",
+    """
+    SELECT label, CAST(i - 1 AS INT) AS pos, round(avg(embedding[i]), 6) AS c
+    FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dims
+    GROUP BY label, i
+    """,
+)
+def embed_centroid_by_label(spark, sf_dir):
+    """Per-label embedding centroids: posexplode the 64-dim vectors and
+    average per (label, dimension) — the E-step building block for
+    clustering / prototype classification. Scale: one shuffle keyed
+    (label, pos) with map-side partial averages; 10×64 output groups.
+    Random-valued floats make round(.,6) safe (no decimal-grid
+    half-boundary)."""
+    em = _t(spark, sf_dir, "embeddings")
+    return (
+        em.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("c"))
+    )
+
+
+@_q("kmeans_clusters", None)
+def kmeans_clusters(spark, sf_dir):
+    """K-means (Lloyd) over the embedding table: deterministic seeds (first
+    k by vec_id), 5 broadcast-assign/reaggregate iterations, pure JVM array
+    expressions (operators/clustering.py). Rows-only for the driver
+    (iterative, not SQL-expressible); tests/test_clustering.py locks exact
+    agreement with a NumPy replica of the same algorithm."""
+    from .operators.clustering import kmeans_lloyd
+
+    em = _t(spark, sf_dir, "embeddings")
+    out = kmeans_lloyd(em, k=8, iters=5)
+    return out.groupBy("cluster").agg(F.count("*").alias("n_vectors"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -34,6 +34,9 @@ BROADCAST_AND_PUSHDOWN = [
     ("ref_pricing_summary", 0, 1),
     ("sql_having_semijoin", 2, 0),
     ("topk_per_group", 0, 1),
+    ("sql_disjunctive_join", 1, 1),
+    ("impute_group_median", 1, 1),
+    ("dedup_corpus", 1, 0),  # the corpus anti-join must broadcast the drop list
 ]
 
 
@@ -56,6 +59,10 @@ NO_CARTESIAN = [
     "join_asof",
     "dedup_ngram_jaccard",
     "sim_cosine_topk",
+    "sql_exists_not_exists",
+    "merge_upsert_customers",
+    "ts_gapfill",
+    "sql_disjunctive_join",
 ]
 
 
@@ -92,3 +99,11 @@ def test_scalar_subquery_decorrelates(spark):
     plan = _plan(spark, "sql_scalar_subquery")
     assert "Join" in plan
     assert "InSubqueryExec" not in plan and "ScalarSubquery" not in plan, plan
+
+
+def test_global_topk_plans_as_take_ordered(spark):
+    # orderBy+limit must compile to TakeOrderedAndProject (per-partition
+    # top-k + merge), never a global sort — the difference between O(k) and
+    # O(n log n) memory at 100 TB.
+    for name in ("text_bigram_counts", "sort_limit_global"):
+        assert "TakeOrderedAndProject" in _plan(spark, name), name
