@@ -148,6 +148,30 @@ def read_text_lines(spark: SparkSession, path: str, whole_file: bool = False) ->
     return spark.read.text(path, wholetext=whole_file)
 
 
+def read_xml(spark: SparkSession, path: str, row_tag: str, schema=None) -> DataFrame:
+    """XML scan (native in Spark 4 — no spark-xml package needed): one row
+    per ``row_tag`` element. Same schema posture as JSON: explicit
+    StructType in production, inference only in exploration."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str, root_tag: str = "rows", mode: str = "overwrite"
+) -> None:
+    """XML sink with explicit mode — completes the interchange-format
+    matrix (parquet/orc/json/csv/text/xml)."""
+    (
+        df.write.format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .mode(mode)
+        .save(path)
+    )
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

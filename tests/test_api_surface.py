@@ -65,3 +65,13 @@ def test_observation_collects_metrics_without_extra_pass(spark):
     )
     assert df.count() == 100
     assert obs.get == {"rows": 100, "total": 4950}
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    from dend_spark_data_lake_spark.sources.io import read_xml, write_xml
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    path = str(tmp_path / "xml_tbl")
+    write_xml(df, path, row_tag="row")
+    back = read_xml(spark, path, row_tag="row")
+    assert {(r.k, r.v) for r in back.collect()} == {(1, "a"), (2, "b")}
