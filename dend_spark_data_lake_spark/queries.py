@@ -2749,6 +2749,58 @@ def sql_volume_shipping(spark, sf_dir):
     )
 
 
+@_q(
+    "dq_orders_constraints",
+    """
+    SELECT 'not_null(o_custkey,o_orderdate)' AS rule,
+           CAST(sum(CASE WHEN o_custkey IS NULL OR o_orderdate IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'in_range(o_totalprice,0,600000)',
+           CAST(sum(CASE WHEN o_totalprice BETWEEN 0 AND 600000
+                         THEN 0 ELSE 1 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'in_set(o_orderstatus)',
+           CAST(sum(CASE WHEN o_orderstatus IN ('F','O','P')
+                         THEN 0 ELSE 1 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+    FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey) t
+    UNION ALL
+    SELECT 'fk(o_custkey->customer)',
+           CAST(count(*) AS BIGINT)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+)
+def dq_orders_constraints(spark, sf_dir):
+    """Declarative data-quality audit (operators/quality.py): null / range /
+    domain rules fused into ONE conditional aggregate over a single orders
+    scan, key uniqueness as one keyed agg, referential integrity as a
+    broadcast anti-join — the admission gate a 100-TB table needs before a
+    batch lands. Output is the tiny (rule, n_violations) relation."""
+    from .operators import quality as DQ
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return DQ.check(
+        o,
+        [
+            DQ.not_null("o_custkey", "o_orderdate"),
+            DQ.in_range("o_totalprice", 0, 600000),
+            DQ.in_set("o_orderstatus", ["F", "O", "P"]),
+            DQ.UniqueRule("unique(o_orderkey)", ["o_orderkey"]),
+            DQ.ForeignKeyRule(
+                "fk(o_custkey->customer)", ["o_custkey"], c, ["c_custkey"]
+            ),
+        ],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

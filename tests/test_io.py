@@ -92,3 +92,18 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     assert j.count() == li.count()
     spark.sql("DROP TABLE li_b")
     spark.sql("DROP TABLE o_b")
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    # Day 1 writes (k, v); day 2 adds a column. mergeSchema reads must see
+    # the union schema with nulls for the missing column — the add-a-column
+    # evolution path a long-lived lake table WILL hit.
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], ["k", "v"]).write.parquet(path + "/d=1")
+    spark.createDataFrame([(2, "b", 9.5)], ["k", "v", "score"]).write.parquet(
+        path + "/d=2"
+    )
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(df.columns) == {"k", "v", "score", "d"}
+    rows = {r.k: (r.v, r.score) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
