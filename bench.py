@@ -52,6 +52,7 @@ HEADLINE = [
     "merge_upsert_customers",
     "scd2_status_intervals",
     "sql_exists_not_exists",
+    "sql_sole_supplier_rewrite",
     "ts_gapfill",
     "text_bigram_counts",
 ]

@@ -2801,6 +2801,59 @@ def dq_orders_constraints(spark, sf_dir):
     )
 
 
+@_q(
+    "sql_sole_supplier_rewrite",
+    # Same oracle as sql_exists_not_exists — by design: this is the
+    # hand-optimized physical rewrite of the same logical question.
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders    ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                   WHERE l2.l_orderkey = l1.l_orderkey
+                     AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                       WHERE l3.l_orderkey = l1.l_orderkey
+                         AND l3.l_suppkey <> l1.l_suppkey
+                         AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    """,
+)
+def sql_sole_supplier_rewrite(spark, sf_dir):
+    """Q21 rewritten for scale: the EXISTS / NOT EXISTS pair decorrelates
+    (sql_exists_not_exists) into THREE scans of the fact; here the two
+    correlated conditions collapse into one per-order supplier profile —
+    n_supp and n_returning_supp from a single pre-aggregation — so the
+    fact is scanned twice and every join is equi on l_orderkey. EXISTS
+    other-supplier == (n_supp >= 2); NOT EXISTS other-returning-supplier ==
+    (n_ret_supp == 1, the candidate's own). Same DuckDB oracle as the
+    naive form — the rewrite must be answer-identical."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    per_pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r")
+    )
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("has_r").alias("n_ret_supp")
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            o.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -107,3 +107,11 @@ def test_global_topk_plans_as_take_ordered(spark):
     # O(n log n) memory at 100 TB.
     for name in ("text_bigram_counts", "sort_limit_global"):
         assert "TakeOrderedAndProject" in _plan(spark, name), name
+
+
+def test_sole_supplier_rewrite_scans_fact_fewer_times(spark):
+    # the pre-aggregation rewrite must touch the fact strictly less often
+    # than the decorrelated EXISTS/NOT-EXISTS form (3 scans -> 2)
+    naive = _plan(spark, "sql_exists_not_exists").count("lineitem.parquet")
+    rewrite = _plan(spark, "sql_sole_supplier_rewrite").count("lineitem.parquet")
+    assert rewrite < naive, (rewrite, naive)
