@@ -113,3 +113,86 @@ def test_sample_subset_property(spark, n):
     small = {r.k for r in SAMP.deterministic_sample(df, "k", 0.3).collect()}
     big = {r.k for r in SAMP.deterministic_sample(df, "k", 0.6).collect()}
     assert small <= big
+
+
+# ---------------------------------------------------------------------------
+# Spark-backed properties (few examples, invariants that matter at scale)
+# ---------------------------------------------------------------------------
+
+
+def _uf_components(edges):
+    """Inline union-find reference: vertex -> min vertex id of component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {x: find(x) for x in parent}
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(edges):
+    from pyspark.sql import SparkSession
+
+    from dend_spark_data_lake_spark.operators.graph import connected_components
+
+    spark = SparkSession.getActiveSession()
+    edges = [(u, v) for u, v in edges if u != v]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.vertex: r.component for r in connected_components(df).collect()}
+    assert got == _uf_components(edges)
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10), st.integers(0, 100)), min_size=1, max_size=15
+    )
+)
+def test_merge_upsert_laws(pairs):
+    """Empty source is identity; merging the same source twice equals
+    merging it once (idempotence); every source key ends with the source
+    row."""
+    from pyspark.sql import SparkSession
+
+    from dend_spark_data_lake_spark.operators.merge import merge_upsert
+
+    spark = SparkSession.getActiveSession()
+    target = spark.createDataFrame(
+        [(k, v) for k, v in dict(pairs).items()], "k long, v long"
+    )
+    source = spark.createDataFrame(
+        [(k, v + 1000) for k, v in list(dict(pairs).items())[: len(pairs) // 2]]
+        + [(999, 1)],
+        "k long, v long",
+    )
+    empty = spark.createDataFrame([], "k long, v long")
+
+    base = {r.k: r.v for r in target.collect()}
+    assert {r.k: r.v for r in merge_upsert(target, empty, ["k"]).collect()} == base
+
+    once = {r.k: r.v for r in merge_upsert(target, source, ["k"]).collect()}
+    twice = {
+        r.k: r.v
+        for r in merge_upsert(merge_upsert(target, source, ["k"]), source, ["k"]).collect()
+    }
+    assert once == twice
+    for r in source.collect():
+        assert once[r.k] == r.v
