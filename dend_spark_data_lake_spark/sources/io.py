@@ -148,6 +148,21 @@ def read_text_lines(spark: SparkSession, path: str, whole_file: bool = False) ->
     return spark.read.text(path, wholetext=whole_file)
 
 
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Binary-file source for multimodal ingest (SURVEY.md §2.5): one row
+    per file with (path, modificationTime, length, content BINARY). The
+    raw on-ramp for image/audio/video payloads feeding
+    functions/multimodal.py; ``glob`` filters by pattern (e.g. ``*.png``).
+    At scale, prefer many medium files over few huge ones — a wholetext/
+    binary file is indivisible, so file size bounds task parallelism."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
 def read_xml(spark: SparkSession, path: str, row_tag: str, schema=None) -> DataFrame:
     """XML scan (native in Spark 4 — no spark-xml package needed): one row
     per ``row_tag`` element. Same schema posture as JSON: explicit

@@ -75,3 +75,19 @@ def test_xml_roundtrip(spark, tmp_path):
     write_xml(df, path, row_tag="row")
     back = read_xml(spark, path, row_tag="row")
     assert {(r.k, r.v) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_binary_file_source_reads_payload_and_metadata(spark, tmp_path):
+    from dend_spark_data_lake_spark.sources.io import read_binary_files
+
+    p = tmp_path / "blobs"
+    p.mkdir()
+    (p / "a.bin").write_bytes(b"\x00\x01\x02payload")
+    (p / "b.txt").write_bytes(b"not a blob")
+    df = read_binary_files(spark, str(p), glob="*.bin")
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.path.endswith("a.bin")
+    assert bytes(r.content) == b"\x00\x01\x02payload"
+    assert r.length == 10

@@ -230,3 +230,31 @@ def test_foreach_batch_upsert_builds_snapshot_incrementally(spark, stream_dir):
     )
     got = {r.user_id: r.value for r in spark.read.parquet(snap).collect()}
     assert got == {100: 1.0, 200: 20.0, 300: 3.0}
+
+
+def test_sliding_stream_equals_batch(spark, stream_dir):
+    from dend_spark_data_lake_spark.streaming.windows import sliding_agg
+
+    rows = [
+        (1, _ts(9, 10), 100, 1.0),
+        (2, _ts(9, 40), 100, 2.0),
+        (3, _ts(10, 5), 200, 3.0),
+    ]
+    src = str(stream_dir / "slide_src")
+    _write_file(spark, rows, src)
+    stream = read_event_stream(spark, src, SCHEMA)
+    out = sliding_agg(stream, window="1 hour", slide="30 minutes")
+    # update mode: availableNow ends before the 2h watermark would close
+    # any window, so append-mode output would be empty by design
+    run_available_now(out, "slid", "update", str(stream_dir / "ckpt_slide"))
+    got = {
+        (r.w_start.isoformat(), r.n_events)
+        for r in spark.sql("SELECT * FROM slid").collect()
+    }
+    # batch twin: same input through the same operator without readStream
+    batch = sliding_agg(spark.createDataFrame(rows, SCHEMA),
+                        window="1 hour", slide="30 minutes")
+    want = {
+        (r.w_start.isoformat(), r.n_events) for r in batch.collect()
+    }
+    assert got == want and len(got) >= 4
