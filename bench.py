@@ -55,6 +55,7 @@ HEADLINE = [
     "sql_sole_supplier_rewrite",
     "ts_gapfill",
     "text_bigram_counts",
+    "pipeline_llm_corpus",
 ]
 
 

@@ -2854,6 +2854,90 @@ def sql_sole_supplier_rewrite(spark, sf_dir):
     )
 
 
+@_q(
+    "pipeline_llm_corpus",
+    r"""
+    WITH RECURSIVE kept AS (
+      SELECT doc_id, text,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS INT)
+               AS n_tokens
+      FROM documents
+      WHERE CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(lower(text)), '\s+')) END >= 10
+    ), toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM kept
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 0) + 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+      WHERE ni * 1.0 / (x.n + y.n - ni) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS es, doc_b AS ed FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), reach AS (
+      SELECT es, ed FROM edges
+      UNION
+      SELECT r.es, e.ed FROM reach r JOIN edges e ON r.ed = e.es
+    ), dropped AS (
+      SELECT es AS doc_id FROM reach GROUP BY es HAVING least(es, min(ed)) <> es
+    )
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'valid'
+                ELSE 'test' END            AS split,
+           count(*)                        AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT)   AS sum_tokens
+    FROM kept
+    WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    GROUP BY 1
+    """,
+)
+def pipeline_llm_corpus(spark, sf_dir):
+    """The flagship LLM-data-prep COMPOSITE, end to end in one dataflow:
+    quality gate (token count >= 10, pure JVM expressions) → exact
+    near-dup pair mining (PPJoin prefix filter) → cluster resolution
+    (distributed connected components) → drop non-representatives
+    (broadcast anti-join) → deterministic hash split → per-split token
+    accounting. Every stage is an operator tested on its own elsewhere;
+    this query locks their COMPOSITION against a full DuckDB replica
+    (recursive-CTE closure as the cluster oracle). At 100 TB: the corpus
+    is touched by the quality scan, the shingle pass, and the final
+    anti-join+agg; everything between runs on pair/cluster relations that
+    are orders of magnitude smaller."""
+    from .operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    q = TX.quality_columns(F.col("text"))
+    kept = d.select("doc_id", "text", q["n_tokens"].alias("n_tokens")).filter(
+        F.col("n_tokens") >= 10
+    )
+    pairs = SIM.ngram_jaccard_pairs(kept, n=3, threshold=0.5).select("doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    dropped = cc.filter(F.col("vertex") != F.col("component")).select(
+        F.col("vertex").alias("doc_id")
+    )
+    clean = kept.join(F.broadcast(dropped), "doc_id", "left_anti")
+    return (
+        clean.withColumn("split", SAMP.split_label("doc_id"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
