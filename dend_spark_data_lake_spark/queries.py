@@ -2938,6 +2938,106 @@ def pipeline_llm_corpus(spark, sf_dir):
     )
 
 
+@_q(
+    "dedup_semantic_corpus",
+    """
+    WITH RECURSIVE e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+    ), prs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
+    ), edges AS (
+      SELECT va AS es, vb AS ed FROM prs UNION SELECT vb, va FROM prs
+    ), reach AS (
+      SELECT es, ed FROM edges
+      UNION
+      SELECT r.es, e2.ed FROM reach r JOIN edges e2 ON r.ed = e2.es
+    ), dropped AS (
+      SELECT es AS vec_id FROM reach GROUP BY es HAVING least(es, min(ed)) <> es
+    )
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+)
+def dedup_semantic_corpus(spark, sf_dir):
+    """SEMANTIC corpus dedup — the embedding-space twin of dedup_corpus:
+    exact cosine near-dup pairs (blocked-GEMM scoring) → connected
+    components → drop every non-representative vector via broadcast
+    anti-join. Same cluster oracle (recursive-CTE closure) with cosine
+    edges instead of Jaccard edges. At 100 TB the pair stage runs on
+    LSH/IVF buckets (sim_ann_*) instead of all-pairs; the clustering and
+    anti-join stages are identical either way."""
+    from .operators.graph import connected_components
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = SIM.embedding_near_pairs(emb, threshold=0.4).select("vec_a", "vec_b")
+    cc = connected_components(pairs, "vec_a", "vec_b")
+    dropped = cc.filter(F.col("vertex") != F.col("component")).select(
+        F.col("vertex").alias("vec_id")
+    )
+    return emb.join(F.broadcast(dropped), "vec_id", "left_anti").select(
+        "vec_id", "label"
+    )
+
+
+@_q(
+    "ts_anomaly_zscore",
+    """
+    WITH w AS (
+      SELECT event_id, event_type, ts, value,
+             avg(value) OVER win AS m,
+             stddev_samp(value) OVER win AS sd
+      FROM events
+      WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, event_type, ts, value, round((value - m) / sd, 4) AS z
+    FROM w
+    WHERE sd IS NOT NULL AND sd > 0 AND abs((value - m) / sd) > 2.5
+    """,
+)
+def ts_anomaly_zscore(spark, sf_dir):
+    """Streaming-style anomaly detection in batch form: each event scored
+    against the TRAILING window of its type (100 rows ending at the
+    previous event — the current value never contaminates its own
+    baseline), flagged when |z| > 2.5. One shuffle per event_type
+    partition + in-partition sort; the frame is ROWS-based so state is
+    bounded regardless of event rate."""
+    ev = _t(spark, sf_dir, "events")
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-100, -1)
+    )
+    z = (F.col("value") - F.avg("value").over(win)) / F.stddev_samp("value").over(win)
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            "ts",
+            "value",
+            F.avg("value").over(win).alias("m"),
+            F.stddev_samp("value").over(win).alias("sd"),
+        )
+        .filter(
+            F.col("sd").isNotNull()
+            & (F.col("sd") > 0)
+            & (F.abs((F.col("value") - F.col("m")) / F.col("sd")) > 2.5)
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "ts",
+            "value",
+            F.round((F.col("value") - F.col("m")) / F.col("sd"), 4).alias("z"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
