@@ -3038,6 +3038,40 @@ def ts_anomaly_zscore(spark, sf_dir):
     )
 
 
+@_q(
+    "agg_order_history",
+    """
+    SELECT o_custkey,
+           (list(o_orderkey ORDER BY o_orderdate, o_orderkey))[1:5] AS first_orders,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def agg_order_history(spark, sf_dir):
+    """Nested-array aggregation: each customer's first five order keys in
+    date order, as an ARRAY column — the denormalized "history" shape
+    feature pipelines feed to models. collect_list is unordered by
+    contract, so ordering is imposed by collecting (date, key) structs and
+    array_sort-ing them post-agg — deterministic under any partitioning.
+    Scale: one keyed shuffle; the slice caps per-key payload so a hot
+    customer cannot blow up the row."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct("o_orderdate", "o_orderkey"))
+                ).getField("o_orderkey"),
+                1,
+                5,
+            ).alias("first_orders"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
