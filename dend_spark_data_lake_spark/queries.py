@@ -3072,6 +3072,83 @@ def agg_order_history(spark, sf_dir):
     )
 
 
+@_q(
+    "funnel_view_click_purchase",
+    """
+    WITH u AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view'     THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) FILTER (WHERE t_view IS NOT NULL)  AS n_view,
+           count(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view)
+                                                       AS n_view_click,
+           count(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view
+                              AND t_buy > t_click)     AS n_full_funnel
+    FROM u
+    """,
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered funnel analysis (view → click → purchase) in ONE pass: the
+    per-user first-occurrence times of each step come from a single
+    conditional-min aggregate — no self-joins, no windows — then the step
+    predicates compare those times. The canonical product-analytics query,
+    and the shape that stays one shuffle at any event volume."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    step1 = F.col("t_view").isNotNull()
+    step2 = step1 & (F.col("t_click") > F.col("t_view"))
+    step3 = step2 & (F.col("t_buy") > F.col("t_click"))
+    return u.agg(
+        F.count(F.when(step1, 1)).alias("n_view"),
+        F.count(F.when(step2, 1)).alias("n_view_click"),
+        F.count(F.when(step3, 1)).alias("n_full_funnel"),
+    )
+
+
+@_q(
+    "cohort_retention",
+    """
+    WITH firstday AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+      FROM events GROUP BY user_id
+    )
+    SELECT cohort_day,
+           CAST(date_diff('day', cohort_day, date_trunc('day', ts)) AS INT)
+             AS day_offset,
+           count(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN firstday f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-seen day, activity
+    counted per (cohort, day-offset). Two aggregates over the fact plus one
+    equi-join on user_id — at scale both aggregates and the join hash on
+    the same key, so AQE reuses the partitioning; the output is
+    O(days²) regardless of event volume."""
+    ev = _t(spark, sf_dir, "events")
+    # to_date (DateType), not date_trunc (TimestampType): the oracle's
+    # date_trunc('day', ts) comes back as a DATE from DuckDB
+    firstday = ev.groupBy("user_id").agg(
+        F.min(F.to_date(F.col("ts"))).alias("cohort_day")
+    )
+    return (
+        ev.join(firstday, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.to_date(F.col("ts")), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
