@@ -3149,6 +3149,44 @@ def cohort_retention(spark, sf_dir):
     )
 
 
+@_q(
+    "join_fuzzy_levenshtein",
+    """
+    SELECT a.s_suppkey AS key_a, b.s_suppkey AS key_b,
+           CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+    FROM supplier a JOIN supplier b
+      ON a.s_suppkey < b.s_suppkey
+     AND length(a.s_name) BETWEEN length(b.s_name) - 1 AND length(b.s_name) + 1
+    WHERE levenshtein(a.s_name, b.s_name) <= 1
+    """,
+)
+def join_fuzzy_levenshtein(spark, sf_dir):
+    """Edit-distance fuzzy self-join (entity-resolution primitive): supplier
+    names within Levenshtein distance 1, with a length-difference band as
+    the join-level filter (|len(a)-len(b)| <= k is a necessary condition
+    for distance <= k, and it is a cheap band condition the executor
+    evaluates before the quadratic distance call). At 100 TB the real
+    blocker would be a q-gram or prefix bucket (same pattern as PPJoin in
+    similarity.py) — the length band documents the principle: never hand
+    the full cross product to the distance function."""
+    s = _t(spark, sf_dir, "supplier")
+    a = s.select(F.col("s_suppkey").alias("key_a"), F.col("s_name").alias("name_a"))
+    b = s.select(F.col("s_suppkey").alias("key_b"), F.col("s_name").alias("name_b"))
+    return (
+        a.join(
+            b,
+            (F.col("key_a") < F.col("key_b"))
+            & F.length("name_a").between(
+                F.length("name_b") - 1, F.length("name_b") + 1
+            ),
+        )
+        .filter(F.levenshtein("name_a", "name_b") <= 1)
+        .select(
+            "key_a", "key_b", F.levenshtein("name_a", "name_b").alias("dist")
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
