@@ -51,3 +51,76 @@ def running_user_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sessionize_with_timeout(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Custom sessionization with EVENT-TIME TIMEOUT eviction — the pattern
+    the built-in ``session_window`` cannot express when you need custom
+    per-session logic (here: emit (start, end, n) exactly once when the
+    session's gap expires at the watermark).
+
+    State per key is one open session (3 longs). A closed session is
+    emitted either when a later in-batch event exceeds the gap, or — the
+    part that needs the state machinery — when NO further event arrives
+    and the event-time timer set at ``end + gap`` fires as the watermark
+    passes it. Without the timer, an abandoned session would sit in the
+    state store forever; this is the bounded-state contract at scale.
+    """
+    gap_ms = gap_minutes * 60_000
+
+    def fn(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        def emit(start_ms: int, end_ms: int, n: int) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    key: [key_tuple[0]],
+                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                    "session_end": [pd.Timestamp(end_ms, unit="ms")],
+                    "n_events": [n],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_ms, end_ms, n = state.get
+            state.remove()
+            yield emit(start_ms, end_ms, n)
+            return
+
+        batch = pd.concat(list(pdfs))
+        ts_ms = (
+            batch[ts_col].astype("int64") // 1_000_000
+        ).sort_values().tolist()  # ns -> ms
+        cur = state.get if state.exists else None
+        for t in ts_ms:
+            if cur is None:
+                cur = (t, t, 1)
+            elif t - cur[1] > gap_ms:
+                yield emit(*cur)
+                cur = (t, t, 1)
+            else:
+                cur = (cur[0], max(cur[1], t), cur[2] + 1)
+        state.update(cur)
+        # the timer IS the eviction: fires when watermark passes end + gap
+        state.setTimeoutTimestamp(cur[1] + gap_ms)
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=(
+                f"{key} bigint, session_start timestamp, "
+                "session_end timestamp, n_events bigint"
+            ),
+            stateStructType="start_ms bigint, end_ms bigint, n bigint",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -258,3 +258,29 @@ def test_sliding_stream_equals_batch(spark, stream_dir):
         (r.w_start.isoformat(), r.n_events) for r in batch.collect()
     }
     assert got == want and len(got) >= 4
+
+
+def test_sessionize_with_timeout_evicts_via_event_time_timer(spark, stream_dir):
+    from dend_spark_data_lake_spark.streaming.stateful import sessionize_with_timeout
+
+    src = str(stream_dir / "sess_src")
+    # batch 1: two events 10 min apart (one session for user 100)
+    _write_single_file(
+        spark,
+        [(1, _ts(9, 0), 100, 1.0), (2, _ts(9, 10), 100, 1.0)],
+        src + "/f1.parquet",
+    )
+    # batch 2: a much later event — advances the watermark far past the
+    # first session's gap, so its event-time timer must fire and emit it
+    _write_single_file(spark, [(3, _ts(13, 0), 100, 1.0)], src + "/f2.parquet")
+
+    stream = read_event_stream(spark, src, SCHEMA, max_files_per_trigger=1)
+    out = sessionize_with_timeout(stream, gap_minutes=30)
+    run_available_now(out, "sessions", "append", str(stream_dir / "ckpt_sess"))
+    got = [
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    ]
+    # the 9:00-9:10 session was closed by the timer; the 13:00 session is
+    # still open (stream ended before its timer) and must NOT be emitted
+    assert got == [(100, _ts(9, 0), _ts(9, 10), 2)]
