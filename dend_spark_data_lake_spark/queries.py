@@ -3187,6 +3187,49 @@ def join_fuzzy_levenshtein(spark, sf_dir):
     )
 
 
+@_q(
+    "ts_ewma_per_customer",
+    """
+    WITH h AS (
+      SELECT o_custkey,
+             list(CAST(round(o_totalprice * 100) AS BIGINT)
+                  ORDER BY o_orderdate, o_orderkey) AS cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           CAST(len(cents) AS BIGINT) AS n_orders,
+           list_reduce(cents, (acc, x) -> (x * 3 + acc * 7) // 10) AS ewma_cents
+    FROM h
+    """,
+)
+def ts_ewma_per_customer(spark, sf_dir):
+    """Exponentially weighted moving average (alpha=0.3) of each customer's
+    order totals — an inherently SEQUENTIAL recurrence, which SQL windows
+    cannot express — folded into ONE JVM expression: sort the collected
+    (date, key, total) structs, then ``aggregate`` (Catalyst's fold HOF)
+    over the array. No UDF, no driver loop; per-key arrays are
+    order-history-sized, so the fold is executor-local and the query is one
+    keyed shuffle. The recurrence runs in integer CENTS with floor division
+    ((3x + 7acc) div 10): double folding differs between engines by 1 ulp
+    (JVM FMA contraction) exactly often enough to flip 4-decimal rounding,
+    while integer folding is bit-exact everywhere."""
+    o = _t(spark, sf_dir, "orders")
+    cents_struct = F.struct(
+        "o_orderdate",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    arr = F.array_sort(F.collect_list(cents_struct)).getField("cents")
+    return o.groupBy("o_custkey").agg(
+        F.size(arr).cast("long").alias("n_orders"),
+        F.aggregate(
+            F.slice(arr, F.lit(2), F.greatest(F.size(arr) - 1, F.lit(0))),
+            F.element_at(arr, 1),
+            lambda acc, x: F.floor((x * F.lit(3) + acc * F.lit(7)) / F.lit(10)),
+        ).alias("ewma_cents"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
