@@ -56,6 +56,9 @@ HEADLINE = [
     "ts_gapfill",
     "text_bigram_counts",
     "pipeline_llm_corpus",
+    "funnel_view_click_purchase",
+    "cohort_retention",
+    "ts_ewma_per_customer",
 ]
 
 
