@@ -394,6 +394,72 @@ def embedding_near_pairs(
     )
 
 
+def ivf_near_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    centroid_mod: int = 100,
+    n_probe: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-bucketed near-duplicate pair mining — the SCALE path that
+    replaces the all-pairs scorer (``embedding_near_pairs``) inside dedup
+    composites.
+
+    Every vector is assigned to its ``n_probe`` nearest centroids
+    (centroids picked deterministically: rows with id % centroid_mod == 0;
+    nearest by cosine rounded to ``round_digits``, ties broken by centroid
+    id). Candidate pairs are vectors sharing at least one assigned
+    centroid — an EQUI-join on the centroid id, so the corpus is never
+    cross-joined against itself — then each candidate is verified with the
+    exact rounded cosine >= threshold.
+
+    Recall < 1 by design (a near pair split across disjoint probe sets is
+    missed), but the whole procedure is DETERMINISTIC and expressible in
+    ANSI SQL, so composites built on it keep a full value-level DuckDB
+    oracle. At 100 TB: one broadcast pass for assignment (k centroids
+    broadcast), one shuffle on centroid id, per-bucket pair enumeration
+    bounded by bucket size — O(sum b_i²·d), never O(N²·d).
+
+    Returns (vec_a, vec_b, cosine) with vec_a < vec_b.
+    """
+    dv = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    e = emb.select(F.col(id_col).alias("id"), dv(vec_col).alias("v"))
+    cent = e.filter(F.col("id") % centroid_mod == 0).select(
+        F.col("id").alias("cid"), F.col("v").alias("cv")
+    )
+    ccos = _dot(F.col("v"), F.col("cv")) / (
+        F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    w_assign = Window.partitionBy("id").orderBy(
+        F.col("__ccos").desc(), F.col("cid").asc()
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("__ccos", F.round(ccos, round_digits))
+        .withColumn("__r", F.row_number().over(w_assign))
+        .filter(F.col("__r") <= n_probe)
+        .select("cid", "id", "v")
+    )
+    a = assigned.select(F.col("id").alias("vec_a"), F.col("v").alias("va"), "cid")
+    b = assigned.select(F.col("id").alias("vec_b"), F.col("v").alias("vb"), "cid")
+    cand = (
+        a.join(b, "cid")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "va", "vb")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        cand.withColumn("cosine", F.round(cos, round_digits))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

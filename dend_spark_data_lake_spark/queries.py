@@ -905,16 +905,55 @@ def tfidf_topterms(spark, sf_dir):
     )
 
 
-@_q("agg_quantiles", None)  # approximate sketch (GK / t-digest differ) → rows-only
-def agg_quantiles(spark, sf_dir):
-    """Approximate percentiles via percentile_approx (Greenwald-Khanna
-    sketch; mergeable across partitions — the scale path for quantiles)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.99], 10000).alias(
-            "price_quantiles"
-        )
+@_q(
+    "agg_quantiles",
+    """
+    WITH g AS (
+      SELECT l_returnflag,
+             percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,
+             percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+             percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS p75,
+             percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS p99
+      FROM lineitem GROUP BY l_returnflag
     )
+    SELECT l_returnflag, CAST(0.25 AS DOUBLE) AS q, p25 AS price FROM g
+    UNION ALL SELECT l_returnflag, CAST(0.5  AS DOUBLE), p50 FROM g
+    UNION ALL SELECT l_returnflag, CAST(0.75 AS DOUBLE), p75 FROM g
+    UNION ALL SELECT l_returnflag, CAST(0.99 AS DOUBLE), p99 FROM g
+    """,
+)
+def agg_quantiles(spark, sf_dir):
+    """Exact discrete percentiles per group, one output ROW per
+    (group, quantile) — ``percentile_disc`` returns an actual data value
+    (smallest value whose cume_dist >= q, verified identical to DuckDB's
+    definition for n=1..60 x all four q), so the result is 2-decimal-exact
+    and hashable cross-engine. Scalars are exploded to rows rather than
+    packed into an array column because downstream consumers (and the
+    driver's canonicalizer) sort/hash scalar cells, not nested lists.
+
+    The 100 TB path for quantiles is the mergeable sketch
+    (``percentile_approx`` / KLL, see sketch_kll_price_quantiles) — exact
+    disc percentiles need a full per-group sort. Here the sort is the
+    grouped aggregate's in-partition sort after one keyed shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    qs = [0.25, 0.5, 0.75, 0.99]
+    aggd = li.groupBy("l_returnflag").agg(
+        *[
+            F.expr(
+                f"percentile_disc({p}) WITHIN GROUP (ORDER BY l_extendedprice)"
+            ).alias(f"__p{i}")
+            for i, p in enumerate(qs)
+        ]
+    )
+    pairs = F.array(
+        *[
+            F.struct(F.lit(p).alias("q"), F.col(f"__p{i}").alias("price"))
+            for i, p in enumerate(qs)
+        ]
+    )
+    return aggd.select(
+        "l_returnflag", F.explode(pairs).alias("__qp")
+    ).select("l_returnflag", F.col("__qp.q").alias("q"), F.col("__qp.price").alias("price"))
 
 
 # ---------------------------------------------------------------------------
@@ -2946,10 +2985,23 @@ def pipeline_llm_corpus(spark, sf_dir):
       FROM embeddings
     ), n AS (
       SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+    ), c AS (
+      SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 100 = 0
+    ), asg AS (
+      SELECT vec_id, cid FROM (
+        SELECT n.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 6)
+                            DESC, c.cid) AS rn
+        FROM n CROSS JOIN c)
+      WHERE rn <= 2
     ), prs AS (
-      SELECT a.vec_id AS va, b.vec_id AS vb
-      FROM n a JOIN n b ON a.vec_id < b.vec_id
-      WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
+      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN n x ON x.vec_id = a.vec_id
+      JOIN n y ON y.vec_id = b.vec_id
+      WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.4
     ), edges AS (
       SELECT va AS es, vb AS ed FROM prs UNION SELECT vb, va FROM prs
     ), reach AS (
@@ -2965,16 +3017,23 @@ def pipeline_llm_corpus(spark, sf_dir):
 )
 def dedup_semantic_corpus(spark, sf_dir):
     """SEMANTIC corpus dedup — the embedding-space twin of dedup_corpus:
-    exact cosine near-dup pairs (blocked-GEMM scoring) → connected
-    components → drop every non-representative vector via broadcast
-    anti-join. Same cluster oracle (recursive-CTE closure) with cosine
-    edges instead of Jaccard edges. At 100 TB the pair stage runs on
-    LSH/IVF buckets (sim_ann_*) instead of all-pairs; the clustering and
-    anti-join stages are identical either way."""
+    IVF-bucketed cosine near-dup pairs → connected components → drop every
+    non-representative vector via broadcast anti-join. The pair stage is
+    ``ivf_near_pairs`` (deterministic centroids, top-2 probe assignment,
+    equi-join on centroid id, exact rounded-cosine verify) — NOT all-pairs:
+    at 100 TB the corpus shuffles once on the centroid id and pair
+    enumeration is bounded by bucket size. Because the bucketing is
+    deterministic and SQL-expressible, the DuckDB oracle replicates the
+    same assignment + candidate + verify pipeline, then the identical
+    recursive-CTE closure — a full value-level oracle, no recall
+    hand-waving. The exact all-pairs scorer remains available as
+    ``dedup_embedding_cosine`` (the verification baseline)."""
     from .operators.graph import connected_components
 
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = SIM.embedding_near_pairs(emb, threshold=0.4).select("vec_a", "vec_b")
+    pairs = SIM.ivf_near_pairs(
+        emb, threshold=0.4, centroid_mod=100, n_probe=2
+    ).select("vec_a", "vec_b")
     cc = connected_components(pairs, "vec_a", "vec_b")
     dropped = cc.filter(F.col("vertex") != F.col("component")).select(
         F.col("vertex").alias("vec_id")
@@ -3162,28 +3221,47 @@ def cohort_retention(spark, sf_dir):
 )
 def join_fuzzy_levenshtein(spark, sf_dir):
     """Edit-distance fuzzy self-join (entity-resolution primitive): supplier
-    names within Levenshtein distance 1, with a length-difference band as
-    the join-level filter (|len(a)-len(b)| <= k is a necessary condition
-    for distance <= k, and it is a cheap band condition the executor
-    evaluates before the quadratic distance call). At 100 TB the real
-    blocker would be a q-gram or prefix bucket (same pattern as PPJoin in
-    similarity.py) — the length band documents the principle: never hand
-    the full cross product to the distance function."""
+    names within Levenshtein distance 1, blocked by the DELETION-1
+    NEIGHBORHOOD so the candidate stage is an EQUI-join, never a nested
+    loop: two strings with lev <= 1 must share a member of
+    {s} ∪ {s minus one char} (dist 0 shares s itself; an insertion's
+    result minus the inserted char is the shorter string; a substitution
+    minus the substituted char equals the other minus its). Each name
+    emits len+1 variants, hashed to 64-bit longs, and candidates come
+    from a hash self-join on the variant — sharing a variant is necessary
+    but not sufficient (two different deletions can meet, e.g. "ab"/"bc"
+    both delete to "b" at distance 2), so candidates are verified with
+    the exact ``levenshtein`` call. At 100 TB this is one explode
+    (O(len) fan-out), one equi-join shuffle on the variant hash, and a
+    per-candidate verify — the cross product never exists in the plan
+    (locked by tests/test_plans.py: no BroadcastNestedLoopJoin)."""
     s = _t(spark, sf_dir, "supplier")
-    a = s.select(F.col("s_suppkey").alias("key_a"), F.col("s_name").alias("name_a"))
-    b = s.select(F.col("s_suppkey").alias("key_b"), F.col("s_name").alias("name_b"))
-    return (
-        a.join(
-            b,
-            (F.col("key_a") < F.col("key_b"))
-            & F.length("name_a").between(
-                F.length("name_b") - 1, F.length("name_b") + 1
+    variants = F.array_distinct(
+        F.concat(
+            F.array(F.col("s_name")),
+            F.expr(
+                "transform(sequence(1, length(s_name)), i ->"
+                " concat(substring(s_name, 1, i-1),"
+                "        substring(s_name, i+1, length(s_name))))"
             ),
         )
-        .filter(F.levenshtein("name_a", "name_b") <= 1)
-        .select(
-            "key_a", "key_b", F.levenshtein("name_a", "name_b").alias("dist")
-        )
+    )
+    v = s.select(
+        F.col("s_suppkey").alias("key"),
+        F.col("s_name").alias("name"),
+        F.explode(variants).alias("var"),
+    ).select("key", "name", F.xxhash64("var").alias("vh"))
+    a = v.select(F.col("key").alias("key_a"), F.col("name").alias("name_a"), "vh")
+    b = v.select(F.col("key").alias("key_b"), F.col("name").alias("name_b"), "vh")
+    cand = (
+        a.join(b, "vh")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "name_a", "name_b")
+        .dropDuplicates(["key_a", "key_b"])
+    )
+    return (
+        cand.filter(F.levenshtein("name_a", "name_b") <= 1)
+        .select("key_a", "key_b", F.levenshtein("name_a", "name_b").alias("dist"))
     )
 
 
