@@ -342,6 +342,12 @@ def embedding_near_pairs(
     import numpy as np
     import pandas as pd
 
+    # Output id type follows the input id type (int/long/string ids all
+    # work) instead of a hardcoded long — the applyInPandas schema is the
+    # Arrow contract, and a mismatch would fail or silently coerce.
+    id_type = emb.schema[id_col].dataType.simpleString()
+    out_schema = f"vec_a {id_type}, vec_b {id_type}, cosine double"
+
     B = n_blocks
     e = emb.select(
         F.col(id_col).alias("id"),
@@ -362,18 +368,31 @@ def embedding_near_pairs(
     ).select("id", "v", "side", "gi", "gj")
     tiles = a_side.unionByName(b_side)
 
-    def score_tile(key, pdf: pd.DataFrame):
+    # No parameter annotations: a PARTIALLY hinted (key, pdf) signature
+    # makes Spark 4 attempt (and fail) eval-type inference with a
+    # TYPE_HINT_SHOULD_BE_SPECIFIED warning; unhinted signatures use the
+    # applyInPandas schema argument alone.
+    def score_tile(key, pdf):
         gi, gj = key
         av = pdf[pdf["side"] == "a"]
         bv = pdf[pdf["side"] == "b"]
         if av.empty or bv.empty:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
-                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series(dtype=pdf["id"].dtype),
+                    "vec_b": pd.Series(dtype=pdf["id"].dtype),
+                    "cosine": pd.Series(dtype="float64"),
+                }
             )
         A = np.stack(av["v"].to_numpy())
         Bm = np.stack(bv["v"].to_numpy())
-        A /= np.linalg.norm(A, axis=1, keepdims=True)
-        Bm /= np.linalg.norm(Bm, axis=1, keepdims=True)
+        # Zero vectors have no direction: a 0-norm row would divide to NaN
+        # and silently fail every >= threshold comparison; exclude is the
+        # documented semantics (a zero vector is near-dup to nothing).
+        A_n = np.linalg.norm(A, axis=1, keepdims=True)
+        B_n = np.linalg.norm(Bm, axis=1, keepdims=True)
+        A = np.divide(A, A_n, out=np.zeros_like(A), where=A_n != 0)
+        Bm = np.divide(Bm, B_n, out=np.zeros_like(Bm), where=B_n != 0)
         C = A @ Bm.T
         ia, ib = np.nonzero(np.round(C, round_to) >= threshold)
         ids_a = av["id"].to_numpy()[ia]
@@ -389,9 +408,7 @@ def embedding_near_pairs(
             {"vec_a": lo, "vec_b": hi, "cosine": np.round(cos[keep], round_to)}
         )
 
-    return tiles.groupBy("gi", "gj").applyInPandas(
-        score_tile, "vec_a long, vec_b long, cosine double"
-    )
+    return tiles.groupBy("gi", "gj").applyInPandas(score_tile, out_schema)
 
 
 def ivf_near_pairs(

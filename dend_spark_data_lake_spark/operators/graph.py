@@ -56,6 +56,7 @@ def connected_components(
     )
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
 
+    converged = False
     for _ in range(max_rounds):
         # component'(v) = min(component(v), min over neighbors u of component(u))
         nbr_min = (
@@ -76,6 +77,16 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # Exiting via max_rounds means propagation stopped before the
+        # fixpoint: a component whose diameter exceeds max_rounds would be
+        # returned with MULTIPLE labels — silently wrong dedup clusters.
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} "
+            "rounds; the graph has a component with a longer path — "
+            "raise max_rounds"
+        )
     return labels

@@ -97,7 +97,12 @@ def compact_parquet_dir(
     """Rewrite a parquet directory into ~target-sized files; returns the new
     file count. ``sort_within_by`` re-sorts rows inside each output file so
     row-group min-max stats stay tight after compaction. Writes via a temp
-    dir + swap (the plan reads the path it replaces)."""
+    dir + swap (the plan reads the path it replaces).
+
+    The swap is crash-safe: the old directory is renamed ASIDE first, the
+    new one moved in, and the old copy deleted LAST — a failure at any
+    point leaves either the original or the compacted data at ``path``,
+    never neither. The temp dir is always cleaned up."""
     import glob
     import os
     import shutil
@@ -112,7 +117,16 @@ def compact_parquet_dir(
     if sort_within_by:
         out = out.sortWithinPartitions(*sort_within_by)
     tmp = tempfile.mkdtemp(prefix="compact_")
-    out.write.mode("overwrite").parquet(tmp + "/snap")
-    shutil.rmtree(path)
-    shutil.move(tmp + "/snap", path)
+    old = path.rstrip("/") + ".compact_old"
+    try:
+        out.write.mode("overwrite").parquet(tmp + "/snap")
+        os.rename(path, old)  # same-filesystem atomic move aside
+        try:
+            shutil.move(tmp + "/snap", path)
+        except BaseException:
+            os.rename(old, path)  # roll the original back in
+            raise
+        shutil.rmtree(old)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return len(glob.glob(path + "/*.parquet"))

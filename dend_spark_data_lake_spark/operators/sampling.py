@@ -43,12 +43,20 @@ def hash_bucket(key: str | Column) -> Column:
 
 
 def threshold_hex(fraction: float) -> str:
-    """Hex literal such that ``hash_bucket(k) < threshold`` keeps ~fraction
-    of rows (exactly floor(fraction * 65536) / 65536 of the bucket space).
+    """Hex literal such that ``hash_bucket(k) < threshold`` keeps exactly
+    floor(fraction * 65536) / 65536 of the bucket space.
+
+    fraction >= 1.0 returns ``"g"`` — lexicographically greater than every
+    4-hex-digit bucket ('g' > 'f'), so the filter keeps ALL rows. A clamp
+    to 'ffff' here would silently drop the top bucket (~1/65536 of rows)
+    for a caller asking for the full dataset.
     """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    return format(min(int(fraction * _BUCKETS), _BUCKETS - 1), f"0{PREFIX_DIGITS}x")
+    n = int(fraction * _BUCKETS)
+    if n >= _BUCKETS:
+        return "g"
+    return format(n, f"0{PREFIX_DIGITS}x")
 
 
 def deterministic_sample(df: DataFrame, key: str | Column, fraction: float) -> DataFrame:

@@ -126,21 +126,39 @@ def foreach_batch_upsert(
     from ..operators.merge import merge_upsert
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        latest = dedup_keep_latest(batch, keys, ts_col=ts_col, tie_break=tie_break)
-        try:
-            target = spark.read.parquet(snapshot_path)
-            merged = merge_upsert(target, latest, keys)
-        except Exception:  # first batch: snapshot does not exist yet
-            merged = latest
-        # Write via temp dir + swap: the merge plan reads the same path it
-        # replaces, so an in-place overwrite would corrupt its own input.
+        import os
         import shutil
         import tempfile
 
+        latest = dedup_keep_latest(batch, keys, ts_col=ts_col, tie_break=tie_break)
+        # First-batch detection is an explicit existence check — a bare
+        # except here would treat a transient read error or a merge schema
+        # mismatch as "first batch" and silently replace the whole snapshot
+        # with one microbatch. Real errors must propagate and fail the
+        # stream (the checkpoint makes the batch replayable).
+        if os.path.exists(snapshot_path):
+            target = spark.read.parquet(snapshot_path)
+            merged = merge_upsert(target, latest, keys)
+        else:
+            merged = latest
+        # Write via temp dir + swap: the merge plan reads the same path it
+        # replaces, so an in-place overwrite would corrupt its own input.
+        # Swap order is crash-safe: move the old snapshot ASIDE first (a
+        # same-filesystem rename), move the new one in, delete the old copy
+        # last — a failure between steps leaves either the old or the new
+        # snapshot at the path, never nothing.
         tmp = tempfile.mkdtemp(prefix="merge_snap_")
-        merged.write.mode("overwrite").parquet(tmp + "/snap")
-        shutil.rmtree(snapshot_path, ignore_errors=True)
-        shutil.move(tmp + "/snap", snapshot_path)
+        try:
+            merged.write.mode("overwrite").parquet(tmp + "/snap")
+            old = None
+            if os.path.exists(snapshot_path):
+                old = snapshot_path.rstrip("/") + f".old.{batch_id}"
+                os.rename(snapshot_path, old)
+            shutil.move(tmp + "/snap", snapshot_path)
+            if old is not None:
+                shutil.rmtree(old, ignore_errors=True)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
 
     q = (
         events.writeStream.foreachBatch(apply_batch)

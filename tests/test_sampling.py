@@ -15,9 +15,17 @@ def test_threshold_hex_values():
     assert SAMP.threshold_hex(0.1) == "1999"
     assert SAMP.threshold_hex(0.5) == "8000"
     assert SAMP.threshold_hex(0.8) == "cccc"
-    assert SAMP.threshold_hex(1.0) == "ffff"
+    # fraction 1.0 must keep EVERY row, including bucket 'ffff' — the
+    # sentinel 'g' sorts above all 4-hex buckets
+    assert SAMP.threshold_hex(1.0) == "g"
+    assert all(format(b, "04x") < "g" for b in (0, 0xFFFF))
     with pytest.raises(ValueError):
         SAMP.threshold_hex(1.5)
+
+
+def test_sample_fraction_one_keeps_all(spark):
+    docs = read_table(spark, SF_SMOKE, "documents")
+    assert SAMP.deterministic_sample(docs, "doc_id", 1.0).count() == docs.count()
 
 
 def test_sample_is_deterministic_and_near_rate(spark):
