@@ -458,7 +458,9 @@ def ivf_near_pairs(
         .withColumn("__r", F.row_number().over(w_assign))
         .filter(F.col("__r") <= n_probe)
         .select("cid", "id", "v")
-    )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )  # consumed by BOTH sides of the candidate self-join — without the
+    #    persist the corpus x broadcast(centroids) assignment pass runs twice
     a = assigned.select(F.col("id").alias("vec_a"), F.col("v").alias("va"), "cid")
     b = assigned.select(F.col("id").alias("vec_b"), F.col("v").alias("vb"), "cid")
     cand = (

@@ -115,3 +115,65 @@ def test_sole_supplier_rewrite_scans_fact_fewer_times(spark):
     naive = _plan(spark, "sql_exists_not_exists").count("lineitem.parquet")
     rewrite = _plan(spark, "sql_sole_supplier_rewrite").count("lineitem.parquet")
     assert rewrite < naive, (rewrite, naive)
+
+
+def test_fuzzy_join_has_no_nested_loop(spark):
+    """The deletion-neighborhood blocking must keep the edit-distance join
+    an equi-join: a BroadcastNestedLoopJoin here is the O(n²) regression
+    that killed the round-1 version at scale."""
+    plan = _plan(spark, "join_fuzzy_levenshtein")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan, plan  # candidates come from a hash join on vh
+
+
+def test_semantic_dedup_pair_stage_is_bucketed(spark):
+    """dedup_semantic_corpus's pair mining must join on the centroid id —
+    the only allowed cross join is corpus x broadcast(centroids) for
+    assignment (k centroids, O(k) rows), never corpus x corpus."""
+    from dend_spark_data_lake_spark.functions import similarity as SIM
+    from dend_spark_data_lake_spark.sources.io import read_table
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    pairs = SIM.ivf_near_pairs(emb, threshold=0.4, centroid_mod=100, n_probe=2)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    # candidate generation is an equi-join (SortMerge or BroadcastHash) on cid
+    assert "Join [cid" in plan.replace("SortMergeJoin", "Join").replace(
+        "BroadcastHashJoin", "Join"
+    ), plan
+    # the ONLY nested-loop join allowed is the corpus x broadcast(centroids)
+    # assignment pass (k centroids, O(k) broadcast side). It must be
+    # persisted (InMemoryTableScan) so it runs once; the cached subtree's
+    # text renders under BOTH self-join sides, hence <= 2 occurrences.
+    assert "InMemoryTableScan" in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    spark.catalog.clearCache()
+
+
+def test_funnel_is_single_aggregate_no_join(spark):
+    """The funnel is two stacked aggregations over ONE scan of events —
+    a per-step self-join (the naive form) would scan the fact 3x and
+    shuffle 3x."""
+    plan = _plan(spark, "funnel_view_click_purchase")
+    assert "Join" not in plan, plan
+    assert plan.count("events.parquet") == 1, plan
+
+
+def test_ewma_has_no_global_window(spark):
+    """The EWMA fold must stay a grouped aggregate (per-key arrays),
+    never a window over a global sort: 'Window' with an empty partition
+    spec or a global Sort before aggregation is the scale regression."""
+    plan = _plan(spark, "ts_ewma_per_customer")
+    assert "Window" not in plan, plan  # fold is inside the aggregate
+    # exactly one keyed exchange: scan -> partial agg -> shuffle -> final
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_cohort_retention_single_fact_join(spark):
+    """Cohort retention = first-seen aggregate + one equi-join back to the
+    fact + final aggregate; both shuffles hash on user_id so AQE can reuse
+    the exchange. A second join or a cartesian is a regression."""
+    plan = _plan(spark, "cohort_retention")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Join") == 1, plan
