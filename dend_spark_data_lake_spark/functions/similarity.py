@@ -236,6 +236,98 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_banded_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_hashes: int = 8,
+    band_rows: int = 2,
+    threshold: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """MinHash + LSH banding built ONLY from engine-portable primitives
+    (md5, substring, base-16 parse) so the emitted pair set is bit-exactly
+    reproducible in ANSI SQL — unlike ``minhash_lsh_pairs`` (spark.ml),
+    whose seeded hash family and HashingTF bucketing are JVM-specific and
+    therefore grade rows-only.
+
+    Scheme: the i-th MinHash of a document is min over its word-n-gram
+    shingles of the 60-bit integer parsed from the first 15 hex digits of
+    ``md5(i || ':' || shingle)`` (md5 is identical everywhere; 15 hex
+    digits stay inside a signed 64-bit int in every engine). Signatures
+    are cut into ``n_hashes / band_rows`` bands; two documents become a
+    candidate pair iff some band matches exactly (probability
+    1-(1-J^r)^b — recall < 1 BY DESIGN, that is the LSH contract);
+    candidates are then verified with the EXACT n-gram Jaccard and
+    filtered at ``threshold``.
+
+    Scale: one shingle explode, ``n_hashes`` md5s per shingle (map-side,
+    no extra shuffle), one grouped min, one equi-join on (band, key).
+    The md5 family is ~3x slower per hash than xxhash64 — the price of
+    cross-engine determinism; use the spark.ml variant when oracle
+    reproducibility is not required.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    n_bands = n_hashes // band_rows
+    sets = (
+        docs.select(
+            F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("shingles")
+        )
+        .filter(F.size("shingles") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )  # reused by the signature pass and both verify sides
+    sh = sets.select("id", F.explode("shingles").alias("s"))
+
+    def mh(i: int):
+        return F.min(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))), 1, 15), 16, 10
+            ).cast("long")
+        ).alias(f"m{i}")
+
+    sig = sh.groupBy("id").agg(*[mh(i) for i in range(n_hashes)])
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.concat_ws(
+                "_", *[F.col(f"m{j * band_rows + r}") for r in range(band_rows)]
+            ).alias("bkey"),
+        )
+        for j in range(n_bands)
+    ]
+    bands = sig.select(
+        "id", F.explode(F.array(*band_structs)).alias("bv")
+    ).select("id", F.col("bv.band").alias("band"), F.col("bv.bkey").alias("bkey"))
+    a = bands.select(F.col("id").alias("doc_a"), "band", "bkey")
+    b = bands.select(F.col("id").alias("doc_b"), "band", "bkey")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+    sa = sets.select(F.col("id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col("id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
+                round_digits,
+            ),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document, entirely with JVM-side expressions.
 
@@ -265,6 +357,85 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
             )
         )
     return votes.select(F.col("id").alias(id_col), sim.alias("simhash"))
+
+
+def simhash_portable_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 48,
+    band_bits: int = 12,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairs from engine-portable primitives (md5 token
+    hashes, explicit bit votes), so the banded candidate set AND the final
+    Hamming distances are reproducible in ANSI SQL (dedup_simhash's DuckDB
+    oracle) — the portable twin of ``simhash_near_pairs`` (xxhash64, the
+    faster JVM-only path).
+
+    48 bits (not 64) keeps every band value and the assembled fingerprint
+    comfortably inside a SIGNED 64-bit integer in both engines (bit 63
+    would flip the sign in Spark and overflow DuckDB's left shift).
+    Banding: ``n_bits / band_bits`` bands; pigeonhole guarantees any pair
+    with Hamming < n_bands shares a band; larger distances up to
+    ``max_hamming`` are found when a band happens to match.
+
+    Scale: explode tokens -> map-side 48 conditional sums (one grouped
+    agg) -> 4 equi-joins on (band, value) -> popcount verify. No cross
+    product, no Python.
+    """
+    n_bands = n_bits // band_bits
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("t"),
+    ).filter(F.col("t") != "")
+    h = tok.withColumn(
+        "h", F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
+    )
+    votes = h.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(n_bits)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(n_bits):
+        sim = sim + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    sims = votes.select(F.col("id"), sim.alias("simhash"))
+    mask = (1 << band_bits) - 1
+    bands = sims.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), band_bits * i)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a = bands.select(F.col("id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "val")
+    b = bands.select(F.col("id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "val")
+    cand = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
 
 
 def simhash_near_pairs(
@@ -513,13 +684,17 @@ def ivf_topk(
         F.sqrt(_dot(v, v)) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
     )
 
+    # Assignment/probe ranking uses ROUNDED cosines (+ cid tie-break):
+    # unrounded ranking is FP-summation-order-sensitive, which would make
+    # bucket membership engine-specific; rounding makes the whole inverted
+    # file reproducible in ANSI SQL (sim_ann_ivf's DuckDB oracle).
     c = corpus.select(F.col(id_col).alias("neighbor_id"), dv(vec_col).alias("nv"))
     w_assign = Window.partitionBy("neighbor_id").orderBy(
         F.col("__ccos").desc(), F.col("cid").asc()
     )
     assigned = (
         c.crossJoin(F.broadcast(cent))
-        .withColumn("__ccos", cos_to_cent(F.col("nv")))
+        .withColumn("__ccos", F.round(cos_to_cent(F.col("nv")), round_digits))
         .withColumn("__r", F.row_number().over(w_assign))
         .filter(F.col("__r") == 1)
         .select("cid", "neighbor_id", "nv")
@@ -531,7 +706,7 @@ def ivf_topk(
     )
     probes = (
         q.crossJoin(F.broadcast(cent))
-        .withColumn("__ccos", cos_to_cent(F.col("qv")))
+        .withColumn("__ccos", F.round(cos_to_cent(F.col("qv")), round_digits))
         .withColumn("__r", F.row_number().over(w_probe))
         .filter(F.col("__r") <= n_probe)
         .select("query_id", "qv", "cid")

@@ -1163,19 +1163,119 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return SIM.ngram_jaccard_pairs(d, n=3, threshold=0.5)
 
 
-@_q("dedup_minhash", None)  # LSH banding is engine-specific → rows-only
+@_q(
+    "dedup_minhash",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+    ), sets AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 0) + 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+      FROM toks
+    ), sh AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sets WHERE len(shingles) > 0
+    ), sig AS (
+      SELECT doc_id,
+             min(CAST(concat('0x', substr(md5('0:' || s), 1, 15)) AS BIGINT)) AS m0,
+             min(CAST(concat('0x', substr(md5('1:' || s), 1, 15)) AS BIGINT)) AS m1,
+             min(CAST(concat('0x', substr(md5('2:' || s), 1, 15)) AS BIGINT)) AS m2,
+             min(CAST(concat('0x', substr(md5('3:' || s), 1, 15)) AS BIGINT)) AS m3,
+             min(CAST(concat('0x', substr(md5('4:' || s), 1, 15)) AS BIGINT)) AS m4,
+             min(CAST(concat('0x', substr(md5('5:' || s), 1, 15)) AS BIGINT)) AS m5,
+             min(CAST(concat('0x', substr(md5('6:' || s), 1, 15)) AS BIGINT)) AS m6,
+             min(CAST(concat('0x', substr(md5('7:' || s), 1, 15)) AS BIGINT)) AS m7
+      FROM sh GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, 0 AS band, concat(m0, '_', m1) AS bkey FROM sig
+      UNION ALL SELECT doc_id, 1, concat(m2, '_', m3) FROM sig
+      UNION ALL SELECT doc_id, 2, concat(m4, '_', m5) FROM sig
+      UNION ALL SELECT doc_id, 3, concat(m6, '_', m7) FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, len(shingles) AS n FROM sets WHERE len(shingles) > 0
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS ni
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(i.ni * 1.0 / (x.n + y.n - i.ni), 6) AS jaccard
+    FROM inter i JOIN sizes x ON i.doc_a = x.doc_id
+                 JOIN sizes y ON i.doc_b = y.doc_id
+    WHERE i.ni * 1.0 / (x.n + y.n - i.ni) >= 0.5
+    """,
+)
 def dedup_minhash(spark, sf_dir):
-    """MinHash+LSH approximate near-dup candidates (spark.ml, fixed seed)."""
+    """MinHash+LSH banded near-dup pairs with a FULL value-level oracle:
+    the hash family is md5-based (engine-portable), so the banded
+    candidate set — normally the 'approximate, engine-specific' part of
+    LSH — is reproduced bit-exactly by the DuckDB oracle, and candidates
+    are verified with exact n-gram Jaccard. The spark.ml MinHashLSH
+    variant (seeded JVM hashes, rows-only checkable) remains available as
+    functions/similarity.py minhash_lsh_pairs."""
     d = _t(spark, sf_dir, "documents")
-    return SIM.minhash_lsh_pairs(d, num_hash_tables=8, max_jaccard_distance=0.5)
+    return SIM.minhash_banded_pairs(
+        d, n=3, n_hashes=8, band_rows=2, threshold=0.5
+    )
 
 
-@_q("dedup_simhash", None)  # xxhash64 is Spark-specific → rows-only
+def _simhash_oracle(n_bits: int = 48, band_bits: int = 12, max_hamming: int = 8) -> str:
+    """DuckDB replica of simhash_portable_pairs, generated (48 bit votes
+    hand-written would be unreadable; the FORMULA is the spec)."""
+    votes = ",\n             ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(n_bits)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(n_bits)
+    )
+    mask = (1 << band_bits) - 1
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS band, (simhash >> {band_bits * i}) & {mask} AS val FROM sim"
+        for i in range(n_bits // band_bits)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+      FROM documents
+    ), h AS (
+      SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+      FROM tok WHERE t <> ''
+    ), votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM h GROUP BY doc_id
+    ), sim AS (
+      SELECT doc_id, {assemble} AS simhash FROM votes
+    ), bands AS (
+      {band_rows}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sim_a, b.simhash AS sim_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
+    """
+
+
+@_q("dedup_simhash", _simhash_oracle())
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (Hamming <= 8) with banded candidate
-    generation — pure JVM expressions, no UDF."""
+    generation — pure JVM expressions, no UDF. Uses the md5-based portable
+    fingerprint (similarity.py simhash_portable_pairs) so candidate set
+    and Hamming values carry a full value-level DuckDB oracle; the
+    xxhash64 variant (simhash_near_pairs) remains the JVM fast path."""
     d = _t(spark, sf_dir, "documents")
-    return SIM.simhash_near_pairs(d, max_hamming=8)
+    return SIM.simhash_portable_pairs(d, max_hamming=8)
 
 
 @_q(
@@ -1759,12 +1859,57 @@ def udf_grouped_map(spark, sf_dir):
     return z.select("event_id", "user_id", F.round("z", 6).alias("z"))
 
 
-@_q("sim_ann_ivf", None)  # approximate by design (recall-tested, not hash-matched)
+@_q(
+    "sim_ann_ivf",
+    """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+    ), c AS (
+      SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 100 = 0
+    ), asg AS (
+      SELECT vec_id AS neighbor_id, cid FROM (
+        SELECT n.vec_id, c.cid,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 6)
+                            DESC, c.cid) AS rn
+        FROM n CROSS JOIN c)
+      WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT n.vec_id, c.cid,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 6)
+                            DESC, c.cid) AS rn
+        FROM n CROSS JOIN c WHERE n.vec_id < 10)
+      WHERE rn <= 2
+    ), scored AS (
+      SELECT p.query_id, a.neighbor_id,
+             round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6) AS cosine
+      FROM probes p JOIN asg a ON p.cid = a.cid
+      JOIN n q ON q.vec_id = p.query_id
+      JOIN n x ON x.vec_id = a.neighbor_id
+      WHERE a.neighbor_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
 def sim_ann_ivf(spark, sf_dir):
     """IVF-bucketed approximate top-5 neighbors for query vectors
     (vec_id < 10): deterministic centroids, nearest-centroid inverted
     file, n_probe=2 bucket probing — scoring is an equi-join on centroid
-    id, never corpus x queries (functions/similarity.py ivf_topk)."""
+    id, never corpus x queries (functions/similarity.py ivf_topk).
+    Because centroid choice, assignment ranking (rounded cosine + cid
+    tie-break) and final ranking are all deterministic, the whole inverted
+    file is replicated by the DuckDB oracle — the approximation (recall
+    < 1 vs sim_cosine_topk) is part of the SPECIFIED semantics, not
+    engine noise; recall itself is bounded in tests/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5, centroid_mod=100, n_probe=2
@@ -3383,17 +3528,24 @@ _GRADE_FIRST = [
 ]
 
 
+# Immediately behind the window: queries whose oracles are NEW this round
+# (graded rows-only in r01) — first in line if the window widens or when the
+# rotation advances next round.
+_GRADE_NEXT = ["dedup_minhash", "sim_ann_ivf", "dedup_simhash"]
+
+
 def _reorder_registry() -> None:
     global REGISTRY
-    assert len(_GRADE_FIRST) == len(set(_GRADE_FIRST)), "duplicate grade names"
-    missing = [n for n in _GRADE_FIRST if n not in REGISTRY]
+    front = [*_GRADE_FIRST, *_GRADE_NEXT]
+    assert len(front) == len(set(front)), "duplicate grade names"
+    missing = [n for n in front if n not in REGISTRY]
     assert not missing, f"unknown grade names: {missing}"
-    # Right behind the window: entries still lacking a value-level
-    # certification (rows-only checks), so they get graded first if the
-    # driver's window ever widens; the already-certified r01 greens last.
-    rest = [n for n in REGISTRY if n not in _GRADE_FIRST]
+    # Then: entries still lacking a value-level certification (rows-only
+    # checks), so they get graded first if the driver's window ever widens;
+    # the already-certified r01 greens last.
+    rest = [n for n in REGISTRY if n not in front]
     rest.sort(key=lambda n: REGISTRY[n].oracle is not None)
-    REGISTRY = {n: REGISTRY[n] for n in (*_GRADE_FIRST, *rest)}
+    REGISTRY = {n: REGISTRY[n] for n in (*front, *rest)}
 
 
 _reorder_registry()

@@ -134,6 +134,8 @@ def test_semantic_dedup_pair_stage_is_bucketed(spark):
     from dend_spark_data_lake_spark.functions import similarity as SIM
     from dend_spark_data_lake_spark.sources.io import read_table
 
+    spark.catalog.clearCache()  # a previously-cached assignment pass from
+    # another test would double the rendered InMemoryRelation subtree
     emb = read_table(spark, SF_SMOKE, "embeddings")
     pairs = SIM.ivf_near_pairs(emb, threshold=0.4, centroid_mod=100, n_probe=2)
     plan = pairs._jdf.queryExecution().executedPlan().toString()
