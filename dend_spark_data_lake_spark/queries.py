@@ -1488,10 +1488,28 @@ def multimodal_bytes(spark, sf_dir):
     )
 
 
-@_q("multimodal_features", None)  # mapInPandas fake-decode → rows-only
+@_q(
+    "multimodal_features",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(coalesce(list_sum(list_transform(
+                  range(1, length(text) + 1),
+                  i -> ascii(substr(text, i, 1)))), 0) AS BIGINT) AS byte_sum,
+           CAST(coalesce(list_sum(list_transform(
+                  range(1, length(text) + 1),
+                  i -> ascii(substr(text, i, 1)))), 0) % 1920 AS INT) AS fake_width,
+           CAST(octet_length(encode(text)) % 1080 AS INT) AS fake_height
+    FROM documents
+    """,
+)
 def multimodal_features(spark, sf_dir):
     """Arrow-batched feature extraction over binary payloads via
-    mapInPandas (deterministic fake decoder; see functions/multimodal.py)."""
+    mapInPandas (deterministic fake decoder; see functions/multimodal.py).
+    The fake features are pure byte arithmetic, so they carry a DuckDB
+    oracle: per-character ascii() equals the UTF-8 byte value because the
+    synthetic corpus is verified ASCII at every scale factor (a real
+    decoder would replace the whole seam, not the oracle pattern)."""
     d = _t(spark, sf_dir, "documents")
     return MM.extract_features(MM.to_media_table(d))
 
@@ -3531,7 +3549,7 @@ _GRADE_FIRST = [
 # Immediately behind the window: queries whose oracles are NEW this round
 # (graded rows-only in r01) — first in line if the window widens or when the
 # rotation advances next round.
-_GRADE_NEXT = ["dedup_minhash", "sim_ann_ivf", "dedup_simhash"]
+_GRADE_NEXT = ["dedup_minhash", "sim_ann_ivf", "dedup_simhash", "multimodal_features"]
 
 
 def _reorder_registry() -> None:
