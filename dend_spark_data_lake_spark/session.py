@@ -28,17 +28,24 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
-    """Create (or reuse) a SparkSession with the engine's default posture."""
+    """Create (or reuse) a SparkSession with the engine's default posture.
+
+    ``master=""`` (empty string) means "do not set a master at all" — the
+    spark-submit / cluster-manager choice wins (builder.master would
+    override ``spark-submit --master yarn``); ``master=None`` keeps the
+    local-mode default derived from SPARK_GRAFT_CPUS.
+    """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "").strip()
     if master is None:
         master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else (os.cpu_count() or 8)
 
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -1,0 +1,30 @@
+"""The spark-submit job wrapper (jobs/sparkify_etl_job.py) must run the
+full pipeline end-to-end from CLI args — the E2 cluster-submission analog
+(reference /root/reference/emr_step.json + main.py)."""
+
+from __future__ import annotations
+
+import json
+
+from tests.test_sparkify_golden import LOGS, SONGS
+
+
+def test_job_main_runs_pipeline(spark, tmp_path):
+    import jobs.sparkify_etl_job as job
+
+    song_path, log_path = tmp_path / "song_data.json", tmp_path / "log_data.json"
+    song_path.write_text("\n".join(json.dumps(r) for r in SONGS))
+    log_path.write_text("\n".join(json.dumps(r) for r in LOGS))
+    out = tmp_path / "lake"
+    # --master omitted: the active test session is reused via getOrCreate,
+    # exactly like running under spark-submit where the master is external
+    job.main(
+        [
+            "--song-path", str(song_path),
+            "--log-path", str(log_path),
+            "--output", str(out),
+        ]
+    )
+    for table in ("songs", "artists", "users", "time", "songplays"):
+        assert (out / table).exists(), table
+        assert spark.read.parquet(str(out / table)).count() > 0, table
