@@ -238,6 +238,52 @@ def minhash_lsh_pairs(
     )
 
 
+def shingle_contamination(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-decontamination primitive: for every corpus document,
+    count the DISTINCT word-n-gram shingles it shares with any document of
+    the evaluation set. Training corpora are scrubbed of documents that
+    overlap eval benchmarks; n-gram collision against the eval set's
+    shingle index is the standard detector.
+
+    Mechanics: both sides explode to (id, shingle-hash) rows; the eval
+    side is collapsed to its DISTINCT shingle vocabulary; contamination is
+    one inner equi-join on the 64-bit shingle hash + one grouped count.
+    At 100 TB the eval vocabulary is tiny relative to the corpus (benchmark
+    suites are MBs, corpora are TBs), so Spark broadcasts it and the whole
+    check is a map-side join — the corpus never shuffles.
+
+    Returns (id_col, n_shared_shingles) for CONTAMINATED docs only
+    (n_shared_shingles >= 1); clean docs are absent (anti-join the result
+    to drop flagged docs).
+    """
+    c_sh = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(word_ngrams(F.col(text_col), n), lambda s: F.xxhash64(s))
+        ).alias("sh"),
+    )
+    e_sh = (
+        eval_docs.select(
+            F.explode(
+                F.transform(word_ngrams(F.col(text_col), n), lambda s: F.xxhash64(s))
+            ).alias("sh")
+        )
+        .dropDuplicates()
+    )
+    return (
+        c_sh.join(F.broadcast(e_sh), "sh")
+        .groupBy("id")
+        .agg(F.count_distinct("sh").alias("n_shared_shingles"))
+        .select(F.col("id").alias(id_col), "n_shared_shingles")
+    )
+
+
 def minhash_banded_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

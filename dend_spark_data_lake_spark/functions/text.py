@@ -60,6 +60,39 @@ def quality_columns(col: str | Column) -> dict[str, Column]:
     }
 
 
+def repetition_columns(col: str | Column) -> dict[str, Column]:
+    """Repetition-quality signals (the Gopher-rules family): integer-exact
+    counts of total/distinct tokens and bigrams plus the top token's
+    frequency. Boilerplate, keyword-stuffed, and generator-degenerate text
+    scores high on duplicate fractions; thresholding happens downstream.
+    All pure array expressions — the token array is materialized once per
+    row and every count derives from it JVM-side.
+    """
+    t = tokens(col)
+    t = F.filter(t, lambda x: x != "")
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # top token frequency via aggregate over the distinct set: for each
+    # distinct token count its occurrences, take the max
+    top = F.aggregate(
+        F.array_distinct(t),
+        F.lit(0),
+        lambda acc, d: F.greatest(acc, F.size(F.filter(t, lambda x: x == d))),
+    )
+    return {
+        "n_tokens": F.size(t),
+        "n_distinct_tokens": F.size(F.array_distinct(t)),
+        "top_token_count": top,
+        "n_bigrams": F.size(bigrams),
+        "n_distinct_bigrams": F.size(F.array_distinct(bigrams)),
+    }
+
+
 def normalize_text(col: str | Column) -> Column:
     """Canonical text normalization for dedup/fingerprinting: casefold,
     strip non-alphanumerics, collapse runs of whitespace to single spaces,

@@ -3471,6 +3471,131 @@ def ts_ewma_per_customer(spark, sf_dir):
     )
 
 
+@_q(
+    "text_repetition",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), big AS (
+      SELECT doc_id, t,
+             CASE WHEN len(t) >= 2
+                  THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                  ELSE [] END AS bg
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(t) AS INT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS INT) AS n_distinct_tokens,
+           CAST(coalesce(list_max(list_transform(list_distinct(t),
+                  d -> len(list_filter(t, x -> x = d)))), 0) AS INT)
+             AS top_token_count,
+           CAST(len(bg) AS INT) AS n_bigrams,
+           CAST(len(list_distinct(bg)) AS INT) AS n_distinct_bigrams,
+           round(CASE WHEN len(t) = 0 THEN NULL
+                      ELSE len(list_distinct(t)) * 1.0 / len(t) END, 6)
+             AS distinct_token_ratio,
+           round(CASE WHEN len(bg) = 0 THEN NULL
+                      ELSE (len(bg) - len(list_distinct(bg))) * 1.0 / len(bg) END, 6)
+             AS dup_bigram_ratio
+    FROM big
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Repetition-quality signals (Gopher-rules family): distinct-token and
+    duplicate-bigram fractions flag boilerplate/keyword-stuffed/degenerate
+    text. Counts are integer-exact; the two ratios are single IEEE
+    divisions of integers (bit-identical across engines, so rounding is
+    safe even on half-boundaries). Pure array expressions over one token
+    materialization per row — scan-speed, no shuffle beyond none."""
+    d = _t(spark, sf_dir, "documents")
+    r = TX.repetition_columns(F.col("text"))
+    nt, nd = r["n_tokens"], r["n_distinct_tokens"]
+    nb, ndb = r["n_bigrams"], r["n_distinct_bigrams"]
+    return d.select(
+        "doc_id",
+        nt.alias("n_tokens"),
+        nd.alias("n_distinct_tokens"),
+        r["top_token_count"].alias("top_token_count"),
+        nb.alias("n_bigrams"),
+        ndb.alias("n_distinct_bigrams"),
+        F.when(nt == 0, F.lit(None)).otherwise(
+            F.round(nd / nt, 6)
+        ).alias("distinct_token_ratio"),
+        F.when(nb == 0, F.lit(None)).otherwise(
+            F.round((nb - ndb) / nb, 6)
+        ).alias("dup_bigram_ratio"),
+    )
+
+
+@_q(
+    "decontaminate_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 3, 0) + 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS s
+      FROM toks
+    ), ev AS (
+      SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0
+    )
+    SELECT c.doc_id, CAST(count(DISTINCT c.s) AS BIGINT) AS n_shared_shingles
+    FROM sh c JOIN ev ON c.s = ev.s
+    WHERE c.doc_id % 10 <> 0
+    GROUP BY 1
+    """,
+)
+def decontaminate_docs(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing any word
+    4-gram with the held-out eval set (stand-in: doc_id % 10 == 0) —
+    the contamination scrub every LLM corpus pipeline runs before
+    training. The eval shingle vocabulary is broadcast (benchmarks are
+    MBs; corpora are TBs), so the corpus-side check is a map-side join +
+    grouped count: the corpus never shuffles
+    (functions/similarity.py shingle_contamination)."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    eval_docs = d.filter(F.col("doc_id") % 10 == 0)
+    return SIM.shingle_contamination(corpus, eval_docs, n=4)
+
+
+@_q(
+    "text_pii_flags",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text),
+                '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(lower(text), '[0-9]{6,}')) AS INT)
+             AS n_long_digit_runs,
+           CAST(len(regexp_extract_all(lower(text), 'https?://[^ ]+')) AS INT)
+             AS n_urls
+    FROM documents
+    """,
+)
+def text_pii_flags(spark, sf_dir):
+    """PII / scrub-list counters: email-shaped tokens, long digit runs
+    (phone/account-number candidates), URLs. Patterns restricted to the
+    regex subset where Java regex (Spark) and RE2 (DuckDB) agree — no
+    backreferences, no lookaround. regexp_count is a scan-side JVM
+    expression; at 100 TB this runs at read speed and feeds a redaction
+    or drop filter."""
+    d = _t(spark, sf_dir, "documents")
+    lt = F.lower(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.regexp_count(lt, F.lit(r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}")).alias(
+            "n_emails"
+        ),
+        F.regexp_count(lt, F.lit(r"[0-9]{6,}")).alias("n_long_digit_runs"),
+        F.regexp_count(lt, F.lit(r"https?://[^ ]+")).alias("n_urls"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -3549,7 +3674,16 @@ _GRADE_FIRST = [
 # Immediately behind the window: queries whose oracles are NEW this round
 # (graded rows-only in r01) — first in line if the window widens or when the
 # rotation advances next round.
-_GRADE_NEXT = ["dedup_minhash", "sim_ann_ivf", "dedup_simhash", "multimodal_features"]
+_GRADE_NEXT = [
+    "dedup_minhash",
+    "sim_ann_ivf",
+    "dedup_simhash",
+    "multimodal_features",
+    # new this round (never graded):
+    "text_repetition",
+    "decontaminate_docs",
+    "text_pii_flags",
+]
 
 
 def _reorder_registry() -> None:

@@ -20,8 +20,12 @@ from dend_spark_data_lake_spark.operators import sampling as SAMP
 @given(st.floats(min_value=0.0, max_value=1.0, allow_nan=False))
 def test_threshold_hex_monotone_and_bounded(f):
     t = SAMP.threshold_hex(f)
-    assert len(t) == SAMP.PREFIX_DIGITS and t <= "ffff"
+    if t == "g":  # the keep-everything sentinel, above all 4-hex buckets
+        assert f == 1.0 or int(f * SAMP._BUCKETS) >= SAMP._BUCKETS
+    else:
+        assert len(t) == SAMP.PREFIX_DIGITS and t <= "ffff"
     # monotone: a larger fraction never yields a smaller threshold
+    # ('g' > every 4-hex string, so lexicographic order still holds)
     assert SAMP.threshold_hex(min(1.0, f + 0.1)) >= t
 
 
