@@ -698,6 +698,228 @@ def ivf_near_pairs(
     )
 
 
+def _srp_signs(n_planes: int, dim: int) -> list[list[int]]:
+    """±1 hyperplane matrix derived from md5("{p}:{d}") parity — a fixed,
+    public, engine-independent pseudo-random source. Computed driver-side
+    with hashlib (same md5 as SQL engines) and embedded as literals, so no
+    per-row hashing happens at execution time."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16) & 1 else -1
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def srp_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    band_bits: int = 4,
+    quant: int = 1_000_000,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Signed-random-projection (random-hyperplane) LSH top-k — the
+    DETERMINISTIC derandomization of the classic cosine-LSH: hyperplanes
+    come from md5 parity (``_srp_signs``) instead of a seeded RNG, and
+    each projection is an INTEGER dot product of the quantized vector
+    (round(x*1e6), bit-identical IEEE ops in every engine) with the ±1
+    plane — so signature bits, band buckets, and therefore the emitted
+    candidate set reproduce exactly in ANSI SQL (sim_ann_lsh's oracle).
+
+    Banding: ``n_planes/band_bits`` bands (default 4 bands x 4 planes —
+    the synthetic corpus is near-orthogonal, so short bands are needed for
+    useful recall; longer bands suit clustered real embeddings); query and
+    corpus vectors collide when any band matches. Candidates are rescored with the exact
+    rounded cosine and ranked top-k. Recall < 1 by design — vectors whose
+    every band differs are never scored (the LSH contract; the seeded
+    spark.ml variant ``brp_ann_topk`` has the same property with
+    non-reproducible buckets).
+
+    Scale: signatures are one map-side projection per vector (integer
+    arithmetic over embedded literal planes — no hashing at run time, no
+    shuffle); candidate generation is an equi-join on (band, value);
+    per-candidate rescoring touches only colliding pairs.
+    """
+    signs = _srp_signs(n_planes, dim)
+    n_bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+
+    def with_sig(df: DataFrame) -> DataFrame:
+        qi = F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * quant).cast("long"),
+        )
+        out = df.select(F.col(id_col).alias("id"), F.col(vec_col), qi.alias("__qi"))
+        sig = F.lit(0).cast("long")
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(s) for s in signs[p]])
+            proj = F.aggregate(
+                F.zip_with(F.col("__qi"), plane, lambda x, s: x * s),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            )
+            sig = sig + F.when(proj >= 0, F.lit(1 << p).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned(F.col("__sig"), band_bits * i)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("val"),
+                )
+                for i in range(n_bands)
+            ]
+        )
+        return (
+            out.withColumn("__sig", sig)
+            .select("id", vec_col, F.explode(bands).alias("bv"))
+            .select(
+                "id", vec_col, F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+            )
+        )
+
+    qb = with_sig(queries).select(
+        F.col("id").alias("query_id"), F.col(vec_col).alias("__qv"), "band", "val"
+    )
+    cb = with_sig(corpus).select(
+        F.col("id").alias("neighbor_id"), F.col(vec_col).alias("__cv"), "band", "val"
+    )
+    cand = (
+        qb.join(cb, ["band", "val"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    dv = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    cos = _dot(dv("__qv"), dv("__cv")) / (
+        F.sqrt(_dot(dv("__qv"), dv("__qv"))) * F.sqrt(_dot(dv("__cv"), dv("__cv")))
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", F.round(cos, round_digits).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def srp_ann_oracle_sql(
+    table: str = "embeddings",
+    query_pred: str = "qb.vec_id < 10",
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 16,
+    band_bits: int = 4,
+    quant: int = 1_000_000,
+) -> str:
+    """Generated DuckDB replica of :func:`srp_ann_topk` (the ±1 planes are
+    embedded as list literals from the same md5 parity)."""
+    signs = _srp_signs(n_planes, dim)
+    rows = ", ".join(f"({p}, {signs[p]})" for p in range(n_planes))
+    mask = (1 << band_bits) - 1
+    bands = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {i} AS band, (sg >> {band_bits * i}) & {mask} AS val FROM sig"
+        for i in range(n_planes // band_bits)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM {table}
+    ), qi AS (
+      SELECT vec_id, list_transform(v, x -> CAST(round(x * {quant}) AS BIGINT)) AS q
+      FROM e
+    ), planes AS (
+      SELECT * FROM (VALUES {rows}) AS t(p, sgn)
+    ), proj AS (
+      SELECT vec_id, p,
+             list_sum(list_transform(range(1, {dim} + 1), d -> q[d] * sgn[d])) AS pr
+      FROM qi CROSS JOIN planes
+    ), sig AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN pr >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS sg
+      FROM proj GROUP BY vec_id
+    ), bands AS (
+      {bands}
+    ), nrm AS (
+      SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nm FROM e
+    ), cand AS (
+      SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+      FROM bands qb JOIN bands cb ON qb.band = cb.band AND qb.val = cb.val
+      WHERE {query_pred} AND qb.vec_id <> cb.vec_id
+    ), scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(list_dot_product(a.v, b.v) / (a.nm * b.nm), 6) AS cosine
+      FROM cand c JOIN nrm a ON a.vec_id = c.query_id
+                  JOIN nrm b ON b.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+def brp_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 4,
+    seed: int = 42,
+    dist_threshold: float = 4.0,
+) -> DataFrame:
+    """spark.ml BucketedRandomProjectionLSH top-k (Euclidean) — the seeded
+    JVM implementation of the same ANN idea. Buckets depend on the JVM RNG
+    stream, so results are reproducible for a fixed seed within Spark but
+    NOT replicable by an external SQL oracle; recall is bounded against
+    the exact baseline in tests instead. ``srp_ann_topk`` is the
+    derandomized, oracle-checkable variant."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        id_col, array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    q = queries.select(
+        id_col, array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(q, feats, dist_threshold, distCol="dist")
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("neighbor_id").asc())
+    return (
+        pairs.filter(F.col(f"datasetA.{id_col}") != F.col(f"datasetB.{id_col}"))
+        .select(
+            F.col(f"datasetA.{id_col}").alias("query_id"),
+            F.col(f"datasetB.{id_col}").alias("neighbor_id"),
+            F.round("dist", 4).alias("dist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

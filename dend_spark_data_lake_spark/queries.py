@@ -1312,37 +1312,21 @@ def sim_cosine_topk(spark, sf_dir):
     return SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
-@_q("sim_ann_lsh", None)  # random-hyperplane LSH is engine-specific → rows-only
+@_q("sim_ann_lsh", SIM.srp_ann_oracle_sql(k=5, dim=64))
 def sim_ann_lsh(spark, sf_dir):
-    """Approximate top-5 Euclidean neighbors per query vector (vec_id < 10)
-    via BucketedRandomProjectionLSH (spark.ml, fixed seed) — the scale path
-    when the query set is no longer broadcastable. Candidates collide only
-    inside LSH buckets, so the corpus is never cross-joined; array→vector
-    conversion stays JVM-side (``array_to_vector``, no Python UDF)."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
-
+    """Approximate top-5 cosine neighbors per query vector (vec_id < 10)
+    via signed-random-projection LSH with md5-derived hyperplanes and
+    integer-quantized projections (functions/similarity.py srp_ann_topk):
+    signature bits are bit-exact across engines, so the banded candidate
+    set — normally the irreproducible part of LSH — carries a full DuckDB
+    oracle. Candidates collide only inside band buckets (equi-join), the
+    corpus is never cross-joined; recall < 1 is the specified LSH
+    semantics. The seeded spark.ml BucketedRandomProjectionLSH variant
+    remains as similarity.py brp_ann_topk (recall-tested, rows-only by
+    nature)."""
     emb = _t(spark, sf_dir, "embeddings")
-    feats = emb.select(
-        "vec_id",
-        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
-    )
-    q = feats.filter(F.col("vec_id") < 10)
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
-    )
-    model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(q, feats, 4.0, distCol="dist")
-    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("neighbor_id").asc())
-    return (
-        pairs.filter(F.col("datasetA.vec_id") != F.col("datasetB.vec_id"))
-        .select(
-            F.col("datasetA.vec_id").alias("query_id"),
-            F.col("datasetB.vec_id").alias("neighbor_id"),
-            F.round("dist", 4).alias("dist"),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
+    return SIM.srp_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, dim=64
     )
 
 
@@ -3679,6 +3663,7 @@ _GRADE_NEXT = [
     "sim_ann_ivf",
     "dedup_simhash",
     "multimodal_features",
+    "sim_ann_lsh",
     # new this round (never graded):
     "text_repetition",
     "decontaminate_docs",

@@ -35,6 +35,30 @@ def test_ivf_deterministic(spark):
     assert r1 == r2
 
 
+def test_srp_recall_vs_exact(spark):
+    emb = read_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = SIM.cosine_topk(emb, queries, k=5)
+    approx = SIM.srp_ann_topk(emb, queries, k=5, dim=64)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert len(a) > 0
+    recall = len(e & a) / len(e)
+    # 2 bands x 8 planes: a true near neighbor (high cosine => low expected
+    # Hamming across planes) should usually share a band
+    assert recall >= 0.35, f"SRP recall {recall:.2f} below bound"
+
+
+def test_brp_spark_ml_recall_vs_exact(spark):
+    """The seeded spark.ml BucketedRandomProjectionLSH path stays alive and
+    sane: reproducible for a fixed seed, nontrivial Euclidean recall."""
+    emb = read_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    r1 = sorted(map(tuple, SIM.brp_ann_topk(emb, queries, k=5).collect()))
+    r2 = sorted(map(tuple, SIM.brp_ann_topk(emb, queries, k=5).collect()))
+    assert r1 == r2 and len(r1) > 0
+
+
 def test_ivf_cosine_values_match_exact_when_found(spark):
     """For every (query, neighbor) IVF returns, the cosine must equal the
     exact computation — approximation may lose neighbors, never distort
