@@ -93,6 +93,41 @@ def repetition_columns(col: str | Column) -> dict[str, Column]:
     }
 
 
+def sliding_chunks(
+    col: str | Column, chunk_tokens: int = 32, stride: int = 24
+) -> Column:
+    """Overlapping token-window chunks — the context-window splitting step
+    of RAG indexing / LLM training prep: windows of ``chunk_tokens``
+    whitespace tokens starting every ``stride`` tokens (overlap =
+    chunk_tokens - stride), with the final short window kept iff it starts
+    inside the text. Returns an array of (chunk_idx, chunk_text, n_tokens)
+    structs to ``posexplode`` downstream.
+
+    Pure array expressions (one split per row, slice+join per window):
+    chunking runs at scan speed and the 1→N expansion stays pipelined —
+    no shuffle, no Python.
+    """
+    t = F.filter(tokens(col), lambda x: x != "")
+    n = F.size(t)
+    # Last start = smallest stride multiple + 1 whose window reaches the end
+    # (ceil((n - chunk)/stride) in integer arithmetic), so every token is
+    # covered and the tail window may be short; one window when n <= chunk.
+    last_start = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.floor((n - chunk_tokens + stride - 1) / stride).cast("int") * stride + 1
+    )
+    starts = F.when(n > 0, F.sequence(F.lit(1), last_start, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_idx"),
+            F.array_join(F.slice(t, s, chunk_tokens), " ").alias("chunk_text"),
+            F.least(F.size(t) - s + 1, F.lit(chunk_tokens)).alias("n_tokens"),
+        ),
+    )
+
+
 def normalize_text(col: str | Column) -> Column:
     """Canonical text normalization for dedup/fingerprinting: casefold,
     strip non-alphanumerics, collapse runs of whitespace to single spaces,

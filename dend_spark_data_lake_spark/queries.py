@@ -3580,6 +3580,52 @@ def text_pii_flags(spark, sf_dir):
     )
 
 
+@_q(
+    "text_chunk_sliding",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, t, len(t) AS n,
+             CASE WHEN len(t) = 0 THEN CAST([] AS BIGINT[])
+                  WHEN len(t) <= 32 THEN [CAST(1 AS BIGINT)]
+                  ELSE range(1, ((len(t) - 32 + 23) // 24) * 24 + 2, 24)
+             END AS ss
+      FROM toks
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, chunk_text,
+           CAST(n_tokens AS INT) AS n_tokens
+    FROM (
+      SELECT doc_id, unnest(list_transform(range(1, len(ss) + 1), i -> {
+               'chunk_idx': i - 1,
+               'chunk_text': array_to_string(list_slice(t, ss[i], ss[i] + 31), ' '),
+               'n_tokens': least(n - ss[i] + 1, 32)
+             }), recursive := true)
+      FROM starts
+    )
+    """,
+)
+def text_chunk_sliding(spark, sf_dir):
+    """Overlapping context-window chunking (32-token windows, stride 24 —
+    8-token overlap): the document-splitting step of RAG indexing and LLM
+    training prep. Every token is covered (the tail window may be short);
+    chunk boundaries are pure integer arithmetic, so the full chunk TEXT
+    hash-matches the DuckDB oracle. JVM array expressions + one explode:
+    chunking runs at scan speed with no shuffle
+    (functions/text.py sliding_chunks)."""
+    d = _t(spark, sf_dir, "documents")
+    chunks = TX.sliding_chunks(F.col("text"), chunk_tokens=32, stride=24)
+    return d.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").alias("n_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -3668,6 +3714,7 @@ _GRADE_NEXT = [
     "text_repetition",
     "decontaminate_docs",
     "text_pii_flags",
+    "text_chunk_sliding",
 ]
 
 
