@@ -1,0 +1,103 @@
+"""Greedy sequence packing: assign variable-length documents to fixed
+token-budget packs (context windows) — the batch-construction step of LLM
+training prep, where short documents are concatenated until the window is
+full and the next document opens a new pack.
+
+Greedy first-fit-in-order packing is an inherently SEQUENTIAL recurrence
+(the pack a document lands in depends on the running remainder of every
+document before it), which no SQL window can express. Instead of a Python
+loop, the fold runs as ONE Catalyst ``aggregate`` higher-order-function
+over a per-shard sorted array — executor-local, JVM-side, no UDF.
+
+Scale posture (100 TB): the shard key is ``id // docs_per_shard``, so every
+shard holds a FIXED number of documents regardless of corpus size — the
+collected array is bounded (docs_per_shard structs of two longs), and the
+shard count grows linearly with the data. One keyed shuffle (the groupBy),
+one explode; nothing global. This mirrors how production packing runs: each
+writer packs its own shard independently, and (shard, pack_id) is the
+globally unique pack key. Packing quality is within a document-order
+reshuffle of optimal for corpus-scale inputs (bin-packing is NP-hard; greedy
+in-order is the standard streaming choice and wastes < 1 item per pack).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def greedy_pack(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str | Column,
+    budget: int,
+    docs_per_shard: int = 64,
+) -> DataFrame:
+    """Assign each row to a ``(shard, pack_id)`` greedily in ``id_col``
+    order: a row joins the current pack while the pack's running weight
+    stays <= ``budget``, else it opens the next pack. A row heavier than
+    the budget occupies a pack alone (and the row after it always starts
+    fresh). Returns one row per input row:
+    ``(id_col, shard, pack_id, weight)``.
+
+    ``weight_col`` may be a column name or an expression (e.g. a token
+    count computed from text).
+    """
+    w = weight_col if isinstance(weight_col, Column) else F.col(weight_col)
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        w.cast("long").alias("w"),
+        F.floor(F.col(id_col) / docs_per_shard).cast("long").alias("shard"),
+    )
+
+    # Sorted (id, w) structs: array_sort orders by the leading field, so the
+    # fold visits documents in id order within the shard.
+    arr = F.array_sort(F.collect_list(F.struct(F.col("id"), F.col("w"))))
+
+    # Fold state: (current pack, its running weight, assignments so far).
+    # acc starts above the budget so the first element always opens pack 0,
+    # including a zero-weight first element.
+    init = F.struct(
+        F.lit(-1).cast("long").alias("pack"),
+        F.lit(budget + 1).cast("long").alias("acc"),
+        F.expr(
+            "CAST(array() AS array<struct<id:bigint,w:bigint,pack:bigint>>)"
+        ).alias("out"),
+    )
+
+    def step(a: Column, x: Column) -> Column:
+        fits = (a["acc"] + x["w"]) <= F.lit(budget)
+        new_pack = F.when(fits, a["pack"]).otherwise(a["pack"] + 1)
+        new_acc = F.when(fits, a["acc"] + x["w"]).otherwise(x["w"])
+        entry = F.struct(
+            x["id"].alias("id"), x["w"].alias("w"), new_pack.alias("pack")
+        )
+        return F.struct(
+            new_pack.alias("pack"),
+            new_acc.alias("acc"),
+            F.concat(a["out"], F.array(entry)).alias("out"),
+        )
+
+    folded = F.aggregate(arr, init, step, lambda a: a["out"])
+
+    return (
+        base.groupBy("shard")
+        .agg(folded.alias("assign"))
+        .select("shard", F.explode("assign").alias("r"))
+        .select(
+            F.col("r.id").alias(id_col),
+            F.col("shard").alias("shard"),
+            F.col("r.pack").alias("pack_id"),
+            F.col("r.w").alias("weight"),
+        )
+    )
+
+
+def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
+    """Per-pack fill accounting over ``greedy_pack`` output: document count,
+    token total, and fill ratio against the budget. One small keyed agg."""
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("weight").cast("long").alias("tokens_used"),
+        F.round(F.sum("weight") / F.lit(budget), 6).alias("fill_ratio"),
+    )

@@ -40,6 +40,7 @@ from .operators.joins import (
 )
 from .operators.windows import per_group_top_k
 from .operators import sampling as SAMP
+from .operators.packing import greedy_pack
 from .operators.datetime_ops import iso_weekday
 from .functions import text as TX
 from .functions import similarity as SIM
@@ -3626,6 +3627,46 @@ def text_chunk_sliding(spark, sf_dir):
     )
 
 
+@_q(
+    "pack_sequences",
+    """
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, doc_id // 64 AS shard,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS w,
+             row_number() OVER (PARTITION BY doc_id // 64 ORDER BY doc_id)
+               AS rn
+      FROM documents
+    ), pack AS (
+      SELECT shard, rn, doc_id, w,
+             CAST(0 AS BIGINT) AS pack_id, w AS acc
+      FROM docs WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.rn, d.doc_id, d.w,
+             CASE WHEN p.acc + d.w <= 256 THEN p.pack_id
+                  ELSE p.pack_id + 1 END,
+             CASE WHEN p.acc + d.w <= 256 THEN p.acc + d.w ELSE d.w END
+      FROM pack p JOIN docs d ON d.shard = p.shard AND d.rn = p.rn + 1
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard, pack_id,
+           CAST(w AS BIGINT) AS weight
+    FROM pack
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Greedy sequence packing (operators/packing.py): concatenate
+    documents in id order into 256-token context-window packs, 64 docs per
+    shard. The greedy recurrence (pack depends on the running remainder of
+    every prior doc) is a single Catalyst ``aggregate`` fold over a bounded
+    per-shard array — sequential semantics, distributed execution, no UDF.
+    The oracle replays the identical fold as a DuckDB recursive CTE, so
+    every (doc -> pack) assignment is value-checked, not just counted."""
+    d = _t(spark, sf_dir, "documents")
+    return greedy_pack(
+        d, "doc_id", TX.token_count_ws("text"), budget=256, docs_per_shard=64
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -3715,6 +3756,7 @@ _GRADE_NEXT = [
     "decontaminate_docs",
     "text_pii_flags",
     "text_chunk_sliding",
+    "pack_sequences",
 ]
 
 

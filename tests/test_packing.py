@@ -1,0 +1,52 @@
+"""Greedy sequence packing: the Catalyst fold must agree with a plain
+Python greedy reference, including the edge cases (zero-weight rows,
+rows heavier than the budget)."""
+
+from dend_spark_data_lake_spark.operators.packing import greedy_pack, pack_stats
+
+
+def _reference_pack(rows, budget, docs_per_shard):
+    """Pure-Python greedy first-fit-in-order packing, per shard."""
+    out = {}
+    shards = {}
+    for rid, w in sorted(rows):
+        shards.setdefault(rid // docs_per_shard, []).append((rid, w))
+    for shard, docs in shards.items():
+        pack, acc = -1, budget + 1
+        for rid, w in docs:
+            if acc + w <= budget:
+                acc += w
+            else:
+                pack, acc = pack + 1, w
+            out[rid] = (shard, pack)
+    return out
+
+
+def test_greedy_pack_matches_python_reference(spark):
+    rows = [
+        (0, 10), (1, 0), (2, 30), (3, 5),     # zero-weight joins current pack
+        (4, 100), (5, 1),                     # oversize opens + occupies its own pack
+        (6, 12), (7, 13), (8, 14), (9, 2),
+        (64, 31), (65, 32), (66, 33),         # second shard restarts at pack 0
+        (70, 200), (71, 1),                   # oversize in shard 1
+    ]
+    budget, dps = 40, 64
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = {
+        r["doc_id"]: (r["shard"], r["pack_id"])
+        for r in greedy_pack(df, "doc_id", "w", budget, dps).collect()
+    }
+    assert got == _reference_pack(rows, budget, dps)
+
+
+def test_pack_stats_fill_never_exceeds_budget_except_oversize(spark):
+    rows = [(i, 7 + (i * 13) % 23) for i in range(200)]
+    budget = 50
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    packed = greedy_pack(df, "doc_id", "w", budget, docs_per_shard=64)
+    assert packed.count() == len(rows)  # every row assigned exactly once
+    stats = pack_stats(packed, budget).collect()
+    # all weights here are < budget, so no pack may overflow and every
+    # pack except possibly the last of each shard is > half full
+    assert all(r["tokens_used"] <= budget for r in stats)
+    assert all(r["n_docs"] >= 1 for r in stats)
