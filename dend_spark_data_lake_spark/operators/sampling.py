@@ -107,3 +107,64 @@ def stratified_sample(
 ) -> DataFrame:
     """Deterministic stratified sample: per-stratum keep rates, hash-keyed."""
     return df.filter(hash_bucket(key) < stratified_thresholds(stratum, rates, default))
+
+
+def hash_bucket_int(key: str | Column) -> Column:
+    """The md5 bucket as an integer in [0, 65536) — for thresholds computed
+    FROM DATA at runtime (no hex literal to format). ``conv`` of the same
+    4-hex prefix ``hash_bucket`` compares, so the two forms agree bucket
+    for bucket; DuckDB replicates it as
+    ``CAST(concat('0x', substr(md5(k), 1, 4)) AS BIGINT)``."""
+    c = key if isinstance(key, Column) else F.col(key)
+    return F.conv(
+        F.substring(F.md5(c.cast("string")), 1, PREFIX_DIGITS), 16, 10
+    ).cast("long")
+
+
+def rebalance_to_targets(
+    df: DataFrame,
+    key: str | Column,
+    stratum: str,
+    weight: Column,
+    targets: dict[str, int] | None = None,
+) -> DataFrame:
+    """Corpus mixture rebalancing: deterministically downsample each
+    stratum (source / language / domain) so the surviving corpus matches
+    target relative weights, keeping the LARGEST corpus that needs no
+    upsampling.
+
+    ``targets`` maps stratum value -> relative integer weight (unlisted
+    strata get weight 1; ``None`` = uniform). With per-stratum weight
+    totals ``c_s`` and target ratios ``r_s``, the binding stratum sets the
+    scale ``K = min_s(c_s // r_s)`` and each stratum keeps
+    ``(K * r_s) / c_s`` of its rows — all INTEGER arithmetic, so the
+    per-stratum bucket thresholds (and therefore every kept row) are
+    bit-identical in any engine, making the operator fully oracle-checkable.
+
+    Scale posture (100 TB): pass 1 is a map-side-combinable agg to one row
+    per stratum; the threshold table (strata count rows) broadcasts back,
+    and pass 2 is a scan-side filter — the corpus is never shuffled.
+    Hash-keyed selection means the kept set is stable under re-runs and
+    incremental corpus growth (only the binding minimum moving changes it).
+    """
+    kc = key if isinstance(key, Column) else F.col(key)
+    ratio = F.lit(1)
+    for value, r in (targets or {}).items():
+        ratio = F.when(F.col(stratum) == value, F.lit(int(r))).otherwise(ratio)
+    base = df.withColumn("__w", weight.cast("long"))
+    counts = base.groupBy(stratum).agg(
+        F.sum("__w").alias("__c"), F.first(ratio).alias("__r")
+    )
+    scale = counts.agg(F.min(F.expr("__c DIV __r")).alias("__k"))
+    thr = (
+        counts.crossJoin(F.broadcast(scale))
+        .select(
+            stratum,
+            F.expr("CAST((__k * __r * 65536) DIV __c AS BIGINT)").alias("__thr"),
+        )
+    )
+    return (
+        base.join(F.broadcast(thr), stratum)
+        .filter(hash_bucket_int(kc) < F.col("__thr"))
+        .drop("__w", "__thr")
+    )

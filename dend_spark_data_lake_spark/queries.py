@@ -3667,6 +3667,42 @@ def pack_sequences(spark, sf_dir):
     )
 
 
+@_q(
+    "corpus_mix_rebalance",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS w
+      FROM documents
+    ), c AS (
+      SELECT source, CAST(sum(w) AS BIGINT) AS c FROM d GROUP BY source
+    ), t AS (
+      SELECT source, (min(c) OVER () * 65536) // c AS thr FROM c
+    )
+    SELECT d.doc_id, d.source, CAST(d.w AS BIGINT) AS n_tokens
+    FROM d JOIN t USING (source)
+    WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+               AS BIGINT) < t.thr
+    """,
+)
+def corpus_mix_rebalance(spark, sf_dir):
+    """Corpus mixture rebalancing (operators/sampling.py
+    rebalance_to_targets): downsample every source to the binding source's
+    token count so the surviving corpus has a uniform source mix — the
+    composition-control step of corpus curation. Thresholds are integer
+    arithmetic over per-source token totals ((K * 65536) DIV c_s), and row
+    selection is the md5 hash bucket, so the exact kept set is replayed by
+    the oracle. Corpus is aggregated once and filtered once (broadcast
+    threshold table) — never shuffled."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", TX.token_count_ws("text").alias("n_tokens")
+    )
+    return SAMP.rebalance_to_targets(
+        d, "doc_id", "source", F.col("n_tokens"), targets=None
+    ).select("doc_id", "source", F.col("n_tokens").cast("long").alias("n_tokens"))
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -3757,6 +3793,7 @@ _GRADE_NEXT = [
     "text_pii_flags",
     "text_chunk_sliding",
     "pack_sequences",
+    "corpus_mix_rebalance",
 ]
 
 

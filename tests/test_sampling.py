@@ -64,3 +64,35 @@ def test_stratified_rates_differ_by_stratum(spark):
     non_en_base = sum(v for k, v in base.items() if k != "en")
     non_en_kept = sum(v for k, v in kept.items() if k != "en")
     assert non_en_kept > 0.6 * non_en_base
+
+
+def test_rebalance_to_targets_matches_python_replay(spark):
+    """The kept set must equal a pure-Python replay of the integer
+    threshold arithmetic + md5 bucketing — exact, no statistical slack."""
+    import hashlib
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    base = docs.selectExpr("doc_id", "source", "n_chars AS w")
+    targets = {"src0": 3}
+    out = SAMP.rebalance_to_targets(
+        base, "doc_id", "source", F.col("w"), targets=targets
+    )
+    rows = base.collect()
+    totals: dict[str, int] = {}
+    for r in rows:
+        totals[r["source"]] = totals.get(r["source"], 0) + r["w"]
+    k = min(c // targets.get(s, 1) for s, c in totals.items())
+    thr = {s: (k * targets.get(s, 1) * 65536) // c for s, c in totals.items()}
+    expected = {
+        r["doc_id"]
+        for r in rows
+        if int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:4], 16)
+        < thr[r["source"]]
+    }
+    got = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert got == expected
+    # downsample-only: no stratum keeps more weight than it started with
+    kept_tot: dict[str, int] = {}
+    for r in out.collect():
+        kept_tot[r["source"]] = kept_tot.get(r["source"], 0) + r["w"]
+    assert all(kept_tot[s] <= totals[s] for s in kept_tot)
