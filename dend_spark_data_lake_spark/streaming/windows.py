@@ -102,6 +102,47 @@ def enrich_with_static(
     return events.join(F.broadcast(dim), on, how)
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "2 hours",
+    within: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join bounded by an event-time interval: pair each
+    left event with right events for the same key whose timestamp falls in
+    ``[left_ts, left_ts + within]`` — e.g. attribute a click to the view it
+    followed. Right-side columns come back prefixed ``r_``.
+
+    Both sides carry watermarks and the join condition bounds the two event
+    times against each other, which is what lets Spark EVICT buffered rows:
+    a right row older than (watermark) can never match a future left row,
+    so state stays proportional to the interval x arrival rate, not to the
+    stream's history. Without the time bound the state grows forever — the
+    classic stream-join scale killer this operator exists to avoid. The
+    join itself shuffles both sides by ``key``, same as the batch plan."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.select(
+        F.col(key).alias("__rk"),
+        F.col(right_ts).alias("r_" + right_ts),
+        *[
+            F.col(c).alias("r_" + c)
+            for c in right.columns
+            if c not in (key, right_ts)
+        ],
+    ).withWatermark("r_" + right_ts, watermark)
+    rts = F.col("r_" + right_ts)
+    cond = (
+        (F.col(key) == F.col("__rk"))
+        & (rts >= F.col(left_ts))
+        & (rts <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, how).drop("__rk")
+
+
 def foreach_batch_upsert(
     events: DataFrame,
     snapshot_path: str,

@@ -284,3 +284,50 @@ def test_sessionize_with_timeout_evicts_via_event_time_timer(spark, stream_dir):
     # the 9:00-9:10 session was closed by the timer; the 13:00 session is
     # still open (stream ended before its timer) and must NOT be emitted
     assert got == [(100, _ts(9, 0), _ts(9, 10), 2)]
+
+
+def test_stream_stream_interval_join_equals_batch_join(spark, stream_dir):
+    """Views joined to clicks within 1h: the stream-stream interval join
+    must produce exactly the rows of the equivalent batch join."""
+    from dend_spark_data_lake_spark.streaming.windows import (
+        stream_stream_interval_join,
+    )
+
+    views = [
+        (1, _ts(9, 0), 100, 1.0),
+        (2, _ts(10, 0), 100, 2.0),
+        (3, _ts(9, 30), 200, 3.0),
+        (4, _ts(12, 0), 300, 4.0),
+    ]
+    clicks = [
+        (11, _ts(9, 20), 100, 9.0),   # matches view 1 (within 1h)
+        (12, _ts(10, 30), 100, 8.0),  # matches view 2 only (1.5h after v1)
+        (13, _ts(11, 0), 200, 7.0),   # 1.5h after view 3 -> no match
+        (14, _ts(11, 59), 300, 6.0),  # BEFORE view 4 -> no match
+    ]
+    _write_single_file(spark, views, str(stream_dir / "views" / "v.parquet"))
+    _write_single_file(spark, clicks, str(stream_dir / "clicks" / "c.parquet"))
+
+    vs = read_event_stream(spark, str(stream_dir / "views"), SCHEMA)
+    cs = read_event_stream(spark, str(stream_dir / "clicks"), SCHEMA)
+    joined = stream_stream_interval_join(
+        vs, cs, key="user_id", watermark="4 hours", within="1 hour"
+    )
+    run_available_now(joined, "ssj", "append", str(stream_dir / "ck_ssj"))
+    got = {
+        (r["event_id"], r["r_event_id"])
+        for r in spark.sql("SELECT * FROM ssj").collect()
+    }
+
+    bv = spark.createDataFrame(views, SCHEMA)
+    bc = spark.createDataFrame(clicks, SCHEMA)
+    cond = (
+        (bv.user_id == bc.user_id)
+        & (bc.ts >= bv.ts)
+        & (bc.ts <= bv.ts + F.expr("INTERVAL 1 hour"))
+    )
+    expected = {
+        (r[0], r[1])
+        for r in bv.join(bc, cond).select(bv.event_id, bc.event_id).collect()
+    }
+    assert got == expected == {(1, 11), (2, 12)}
