@@ -1,0 +1,44 @@
+"""Distribution diagnostics for partition/shuffle planning.
+
+At 100 TB, the difference between a smooth run and a straggler-bound one is
+usually a handful of heavy keys. Before choosing a join/agg strategy
+(broadcast vs salted vs AQE skew split), a pipeline should MEASURE the key
+distribution; this module is that measurement as a first-class operator.
+
+Everything here is one map-side-combinable aggregation over the key column
+(the only shuffle is by the profiled key itself, at one row per distinct
+key) followed by a TakeOrdered top-N — no full sort, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def key_skew_profile(df: DataFrame, key: str | Column, top_n: int = 10) -> DataFrame:
+    """Top-``top_n`` heaviest keys with exact row counts and integer
+    parts-per-million share of the table — the direct input to a
+    salt-or-broadcast decision. Share is computed as
+    ``(n * 1_000_000) DIV total`` so every emitted value is engine-exact.
+
+    Ordering is (count DESC, key ASC): fully deterministic under ties, so
+    the emitted set is reproducible and oracle-checkable.
+    """
+    kc = key if isinstance(key, Column) else F.col(key)
+    counts = df.groupBy(kc.alias("key_value")).agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+    total = counts.agg(F.sum("n_rows").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .orderBy(F.col("n_rows").desc(), F.col("key_value").asc())
+        .limit(top_n)
+        .select(
+            "key_value",
+            "n_rows",
+            F.expr("CAST((n_rows * 1000000) DIV __total AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+    )
