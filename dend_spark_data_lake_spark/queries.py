@@ -3703,6 +3703,127 @@ def corpus_mix_rebalance(spark, sf_dir):
     ).select("doc_id", "source", F.col("n_tokens").cast("long").alias("n_tokens"))
 
 
+@_q(
+    "sql_revenue_concentration",
+    """
+    WITH r AS (
+      SELECT l_partkey,
+             CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                  AS BIGINT) AS e4
+      FROM lineitem
+    )
+    SELECT l_partkey, CAST(sum(e4) AS BIGINT) AS revenue_e4
+    FROM r
+    GROUP BY l_partkey
+    HAVING CAST(sum(e4) AS BIGINT) > (SELECT 2 * CAST(sum(e4) AS BIGINT)
+                                      FROM r) // 10000
+    """,
+)
+def sql_revenue_concentration(spark, sf_dir):
+    """TPC-H-Q11-shaped concentration query: parts whose revenue exceeds a
+    FRACTION OF THE GLOBAL TOTAL (0.02%) — an aggregate gated by an
+    uncorrelated scalar subquery in HAVING. Catalyst plans the scalar as
+    its own tiny aggregate broadcast into the HAVING filter, so the fact
+    table is scanned twice but shuffled once per agg, never joined row-set
+    to row-set. Revenue is folded to integer e4 units (extprice and
+    discount are 2-decimal-exact, so the product is a 4-decimal grid
+    point) and the threshold uses integer division — both sides of the
+    HAVING comparison are engine-exact integers, immune to FP sum-order."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        WITH r AS (
+          SELECT l_partkey,
+                 CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT) AS e4
+          FROM lineitem
+        )
+        SELECT l_partkey, sum(e4) AS revenue_e4
+        FROM r
+        GROUP BY l_partkey
+        HAVING sum(e4) > (SELECT 2 * sum(e4) FROM r) DIV 10000
+        """
+    )
+
+
+@_q(
+    "profile_key_skew",
+    """
+    WITH c AS (
+      SELECT user_id AS key_value, CAST(count(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY user_id
+    ), t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM c)
+    SELECT key_value, n_rows,
+           (n_rows * 1000000) // t.total AS share_ppm
+    FROM c, t
+    ORDER BY n_rows DESC, key_value ASC
+    LIMIT 10
+    """,
+)
+def profile_key_skew(spark, sf_dir):
+    """Key-skew diagnostic (operators/diagnostics.py): the 10 heaviest
+    event keys with exact counts and integer ppm share — the measurement
+    that decides broadcast vs salted vs AQE-skew-split before a 100 TB
+    join. One combinable agg (shuffle = one row per distinct key) + a
+    TakeOrdered top-N; (count DESC, key ASC) ordering makes the result
+    deterministic under ties."""
+    from .operators.diagnostics import key_skew_profile
+
+    e = _t(spark, sf_dir, "events")
+    return key_skew_profile(e, "user_id", top_n=10)
+
+
+@_q(
+    "embed_quantize_int8",
+    """
+    WITH s AS (
+      SELECT vec_id, len(embedding) AS n_dims,
+             CAST(list_max(list_transform(embedding, x -> abs(x)))
+                  AS DOUBLE) AS mx
+      FROM embeddings
+    ), q AS (
+      SELECT e.vec_id, s.n_dims,
+             CASE WHEN s.mx = 0 THEN 0.0 ELSE 127.0 / s.mx END AS scale,
+             list_transform(e.embedding,
+               x -> CAST(round(CAST(x AS DOUBLE)
+                               * (CASE WHEN s.mx = 0 THEN 0.0
+                                       ELSE 127.0 / s.mx END))
+                         AS INT)) AS codes
+      FROM embeddings e JOIN s USING (vec_id)
+    )
+    SELECT vec_id, CAST(n_dims AS INT) AS n_dims,
+           round(scale, 4) AS scale_r4,
+           md5(array_to_string(codes, ',')) AS codes_md5,
+           CAST(list_max(codes) AS INT) AS max_code
+    FROM q
+    """,
+)
+def embed_quantize_int8(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column: per-vector
+    scale 127/max|x|, codes round(x*scale) — the compression step that
+    shrinks a 100 TB float32 ANN corpus (and every shuffle over it) 4x.
+    Pure JVM array transforms at scan speed, no shuffle. float->double
+    widening is exact and both engines evaluate the identical double
+    expression tree, so the full 64-code payload is value-checked via an
+    md5 of the joined code string (arrays themselves would break the
+    driver canonicalizer). scale is rounded at 4 digits for display only;
+    codes use the unrounded scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(mx == 0, F.lit(0.0)).otherwise(F.lit(127.0) / mx)
+    codes = F.transform(v, lambda x: F.round(x * scale).cast("int"))
+    return emb.select(
+        "vec_id",
+        F.size(v).cast("int").alias("n_dims"),
+        F.round(scale, 4).alias("scale_r4"),
+        F.md5(F.concat_ws(",", F.transform(codes, lambda c: c.cast("string")))).alias(
+            "codes_md5"
+        ),
+        F.array_max(codes).cast("int").alias("max_code"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -3794,6 +3915,9 @@ _GRADE_NEXT = [
     "text_chunk_sliding",
     "pack_sequences",
     "corpus_mix_rebalance",
+    "sql_revenue_concentration",
+    "profile_key_skew",
+    "embed_quantize_int8",
 ]
 
 
