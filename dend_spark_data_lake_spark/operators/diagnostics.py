@@ -26,8 +26,14 @@ def key_skew_profile(df: DataFrame, key: str | Column, top_n: int = 10) -> DataF
     the emitted set is reproducible and oracle-checkable.
     """
     kc = key if isinstance(key, Column) else F.col(key)
-    counts = df.groupBy(kc.alias("key_value")).agg(
-        F.count("*").cast("long").alias("n_rows")
+    # Persist the per-key counts: both the grand total and the top-N read
+    # it, so the fact table is scanned ONCE. The cached relation is one
+    # row per distinct key — the small end of the pipeline, and disk-backed
+    # if a billion-key profile outgrows executor memory.
+    counts = (
+        df.groupBy(kc.alias("key_value"))
+        .agg(F.count("*").cast("long").alias("n_rows"))
+        .persist()
     )
     total = counts.agg(F.sum("n_rows").alias("__total"))
     return (

@@ -155,13 +155,15 @@ def rebalance_to_targets(
     counts = base.groupBy(stratum).agg(
         F.sum("__w").alias("__c"), F.first(ratio).alias("__r")
     )
-    scale = counts.agg(F.min(F.expr("__c DIV __r")).alias("__k"))
-    thr = (
-        counts.crossJoin(F.broadcast(scale))
-        .select(
-            stratum,
-            F.expr("CAST((__k * __r * 65536) DIV __c AS BIGINT)").alias("__thr"),
-        )
+    # The binding scale K = min(c/r) is a window over the per-stratum count
+    # table — strata-count rows, so the single-partition window is O(strata),
+    # and the corpus is scanned exactly twice (counts + filter), never three
+    # times as an agg+crossJoin formulation would plan it.
+    thr = counts.select(
+        stratum,
+        F.expr(
+            "CAST((min(__c DIV __r) OVER () * __r * 65536) DIV __c AS BIGINT)"
+        ).alias("__thr"),
     )
     return (
         base.join(F.broadcast(thr), stratum)

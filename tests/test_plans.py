@@ -179,3 +179,50 @@ def test_cohort_retention_single_fact_join(spark):
     plan = _plan(spark, "cohort_retention")
     assert "CartesianProduct" not in plan, plan
     assert plan.count("Join") == 1, plan
+
+
+def test_pack_sequences_is_single_shuffle_fold(spark):
+    """Greedy packing must stay one keyed exchange (groupBy shard) with the
+    fold inside the aggregate: a Window, a Join, or a second Exchange means
+    the sequential recurrence leaked out of the bounded per-shard arrays."""
+    plan = _plan(spark, "pack_sequences")
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" not in plan and "Join" not in plan, plan
+
+
+def test_rebalance_scans_corpus_exactly_twice(spark):
+    """Mixture rebalancing = one counting pass + one broadcast-threshold
+    filter pass. A third scan (agg+crossJoin planning of the binding
+    minimum) or a shuffled corpus join is the 100 TB regression."""
+    plan = _plan(spark, "corpus_mix_rebalance")
+    assert plan.count("documents.parquet") == 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_revenue_concentration_plans_scalar_not_join(spark):
+    """The global-total threshold must plan as a scalar subquery feeding
+    the HAVING filter — two scans of the fact, but never a row-to-row
+    join of the two aggregates."""
+    plan = _plan(spark, "sql_revenue_concentration")
+    assert plan.count("lineitem.parquet") == 2, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_key_skew_profile_caches_counts_and_takeordered(spark):
+    """The profiler's counts feed both the grand total and the top-N from
+    ONE cached pass over the fact, and the top-N must be TakeOrdered
+    (per-partition heap), never a global sort."""
+    spark.catalog.clearCache()
+    plan = _plan(spark, "profile_key_skew")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("InMemoryTableScan") >= 2, plan  # both consumers hit cache
+    spark.catalog.clearCache()
+
+
+def test_quantization_has_no_shuffle(spark):
+    """Int8 quantization is per-row array math: any Exchange in the plan
+    means it stopped running at scan speed."""
+    plan = _plan(spark, "embed_quantize_int8")
+    assert "Exchange" not in plan, plan
