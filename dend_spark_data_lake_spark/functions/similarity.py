@@ -284,6 +284,112 @@ def shingle_contamination(
     )
 
 
+def _portable_shingle_bands(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    n_hashes: int,
+    band_rows: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared md5-portable MinHash machinery: returns ``(sets, bands)``
+    where ``sets`` is the persisted (id, shingles) relation (reused by the
+    exact-Jaccard verify) and ``bands`` is (id, band, bkey) — one row per
+    document per LSH band."""
+    n_bands = n_hashes // band_rows
+    sets = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            word_ngrams(F.col(text_col), n).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )  # reused by the signature pass and both verify sides
+    sh = sets.select("id", F.explode("shingles").alias("s"))
+
+    def mh(i: int):
+        return F.min(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))), 1, 15), 16, 10
+            ).cast("long")
+        ).alias(f"m{i}")
+
+    sig = sh.groupBy("id").agg(*[mh(i) for i in range(n_hashes)])
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.concat_ws(
+                "_", *[F.col(f"m{j * band_rows + r}") for r in range(band_rows)]
+            ).alias("bkey"),
+        )
+        for j in range(n_bands)
+    ]
+    bands = sig.select(
+        "id", F.explode(F.array(*band_structs)).alias("bv")
+    ).select("id", F.col("bv.band").alias("band"), F.col("bv.bkey").alias("bkey"))
+    return sets, bands
+
+
+def incremental_minhash_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_hashes: int = 8,
+    band_rows: int = 2,
+    threshold: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Incremental near-dup mining: candidates are NEW-batch docs x
+    EXISTING-corpus docs only — the corpus is never compared against
+    itself. This is the steady-state shape of a production dedup pipeline:
+    the corpus side's signatures are computed once (in production, read
+    back from the signature store this stage would maintain) and each
+    arriving batch joins its own few band rows against them.
+
+    Cost scales with |batch| x bands + the band-join fan-out, NOT with
+    |corpus|^2 — re-running ``minhash_banded_pairs`` over corpus+batch
+    would redo (and re-emit) all corpus-internal pairs every ingest cycle.
+    Same md5-portable hash family as ``minhash_banded_pairs``, so the
+    emitted (new_doc, old_doc, jaccard) set is exactly reproducible in
+    ANSI SQL.
+    """
+    sets_c, bands_c = _portable_shingle_bands(
+        corpus, id_col, text_col, n, n_hashes, band_rows
+    )
+    sets_b, bands_b = _portable_shingle_bands(
+        batch, id_col, text_col, n, n_hashes, band_rows
+    )
+    cand = (
+        bands_b.select(F.col("id").alias("new_doc"), "band", "bkey")
+        .join(
+            bands_c.select(F.col("id").alias("old_doc"), "band", "bkey"),
+            ["band", "bkey"],
+        )
+        .select("new_doc", "old_doc")
+        .dropDuplicates()
+    )
+    sa = sets_b.select(F.col("id").alias("new_doc"), F.col("shingles").alias("sh_a"))
+    sb = sets_c.select(F.col("id").alias("old_doc"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cand.join(sa, "new_doc")
+        .join(sb, "old_doc")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
+                round_digits,
+            ),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "new_doc", "old_doc", "jaccard"
+    )
+
+
 def minhash_banded_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -318,36 +424,9 @@ def minhash_banded_pairs(
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
-    n_bands = n_hashes // band_rows
-    sets = (
-        docs.select(
-            F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("shingles")
-        )
-        .filter(F.size("shingles") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )  # reused by the signature pass and both verify sides
-    sh = sets.select("id", F.explode("shingles").alias("s"))
-
-    def mh(i: int):
-        return F.min(
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))), 1, 15), 16, 10
-            ).cast("long")
-        ).alias(f"m{i}")
-
-    sig = sh.groupBy("id").agg(*[mh(i) for i in range(n_hashes)])
-    band_structs = [
-        F.struct(
-            F.lit(j).alias("band"),
-            F.concat_ws(
-                "_", *[F.col(f"m{j * band_rows + r}") for r in range(band_rows)]
-            ).alias("bkey"),
-        )
-        for j in range(n_bands)
-    ]
-    bands = sig.select(
-        "id", F.explode(F.array(*band_structs)).alias("bv")
-    ).select("id", F.col("bv.band").alias("band"), F.col("bv.bkey").alias("bkey"))
+    sets, bands = _portable_shingle_bands(
+        docs, id_col, text_col, n, n_hashes, band_rows
+    )
     a = bands.select(F.col("id").alias("doc_a"), "band", "bkey")
     b = bands.select(F.col("id").alias("doc_b"), "band", "bkey")
     cand = (

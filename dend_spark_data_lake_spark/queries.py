@@ -3824,6 +3824,70 @@ def embed_quantize_int8(spark, sf_dir):
     )
 
 
+@_q(
+    "dedup_incremental_batch",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+    ), sets AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 0) + 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+      FROM toks
+    ), sh AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sets WHERE len(shingles) > 0
+    ), sig AS (
+      SELECT doc_id,
+             min(CAST(concat('0x', substr(md5('0:' || s), 1, 15)) AS BIGINT)) AS m0,
+             min(CAST(concat('0x', substr(md5('1:' || s), 1, 15)) AS BIGINT)) AS m1,
+             min(CAST(concat('0x', substr(md5('2:' || s), 1, 15)) AS BIGINT)) AS m2,
+             min(CAST(concat('0x', substr(md5('3:' || s), 1, 15)) AS BIGINT)) AS m3,
+             min(CAST(concat('0x', substr(md5('4:' || s), 1, 15)) AS BIGINT)) AS m4,
+             min(CAST(concat('0x', substr(md5('5:' || s), 1, 15)) AS BIGINT)) AS m5,
+             min(CAST(concat('0x', substr(md5('6:' || s), 1, 15)) AS BIGINT)) AS m6,
+             min(CAST(concat('0x', substr(md5('7:' || s), 1, 15)) AS BIGINT)) AS m7
+      FROM sh GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, 0 AS band, concat(m0, '_', m1) AS bkey FROM sig
+      UNION ALL SELECT doc_id, 1, concat(m2, '_', m3) FROM sig
+      UNION ALL SELECT doc_id, 2, concat(m4, '_', m5) FROM sig
+      UNION ALL SELECT doc_id, 3, concat(m6, '_', m7) FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS old_doc
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+      WHERE a.doc_id % 10 >= 8 AND b.doc_id % 10 < 8
+    ), sizes AS (
+      SELECT doc_id, len(shingles) AS n FROM sets WHERE len(shingles) > 0
+    ), inter AS (
+      SELECT c.new_doc, c.old_doc, count(*) AS ni
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.new_doc
+      JOIN sh y ON y.doc_id = c.old_doc AND y.s = x.s
+      GROUP BY 1, 2
+    )
+    SELECT i.new_doc, i.old_doc,
+           round(i.ni * 1.0 / (x.n + y.n - i.ni), 6) AS jaccard
+    FROM inter i JOIN sizes x ON i.new_doc = x.doc_id
+                 JOIN sizes y ON i.old_doc = y.doc_id
+    WHERE i.ni * 1.0 / (x.n + y.n - i.ni) >= 0.5
+    """,
+)
+def dedup_incremental_batch(spark, sf_dir):
+    """Incremental (batch-vs-corpus) near-dup mining
+    (functions/similarity.py incremental_minhash_pairs): the 20% of
+    documents with doc_id % 10 >= 8 play the arriving batch; candidates
+    are batch x corpus band matches ONLY, so ingest cost scales with the
+    batch, not with the corpus' own pair count — the steady-state shape
+    of a production dedup pipeline, where corpus signatures live in a
+    maintained store. Same md5-portable MinHash family as dedup_minhash,
+    so every emitted (new_doc, old_doc, jaccard) is value-checked."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 < 8)
+    batch = d.filter(F.col("doc_id") % 10 >= 8)
+    return SIM.incremental_minhash_pairs(corpus, batch)
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -3918,6 +3982,7 @@ _GRADE_NEXT = [
     "sql_revenue_concentration",
     "profile_key_skew",
     "embed_quantize_int8",
+    "dedup_incremental_batch",
 ]
 
 
