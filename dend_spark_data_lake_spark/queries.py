@@ -3888,6 +3888,63 @@ def dedup_incremental_batch(spark, sf_dir):
     return SIM.incremental_minhash_pairs(corpus, batch)
 
 
+@_q(
+    "agg_histogram_equidepth",
+    """
+    WITH b AS (
+      SELECT quantile_disc(l_extendedprice, 0.1) AS b1,
+             quantile_disc(l_extendedprice, 0.2) AS b2,
+             quantile_disc(l_extendedprice, 0.3) AS b3,
+             quantile_disc(l_extendedprice, 0.4) AS b4,
+             quantile_disc(l_extendedprice, 0.5) AS b5,
+             quantile_disc(l_extendedprice, 0.6) AS b6,
+             quantile_disc(l_extendedprice, 0.7) AS b7,
+             quantile_disc(l_extendedprice, 0.8) AS b8,
+             quantile_disc(l_extendedprice, 0.9) AS b9
+      FROM lineitem
+    )
+    SELECT 1 + CAST(l_extendedprice > b1 AS INT) + CAST(l_extendedprice > b2 AS INT)
+             + CAST(l_extendedprice > b3 AS INT) + CAST(l_extendedprice > b4 AS INT)
+             + CAST(l_extendedprice > b5 AS INT) + CAST(l_extendedprice > b6 AS INT)
+             + CAST(l_extendedprice > b7 AS INT) + CAST(l_extendedprice > b8 AS INT)
+             + CAST(l_extendedprice > b9 AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(min(l_extendedprice), 2) AS lo,
+           round(max(l_extendedprice), 2) AS hi
+    FROM lineitem, b
+    GROUP BY 1
+    """,
+)
+def agg_histogram_equidepth(spark, sf_dir):
+    """Equi-depth (decile) histogram WITHOUT a global sort: exact
+    ``percentile_disc`` boundaries in one aggregate pass, broadcast back,
+    bucket = 1 + count of boundaries below the value — two scans, zero
+    wide shuffles, versus the naive ``ntile`` formulation whose global
+    Sort is the 100 TB killer (at cluster scale the boundary pass would
+    swap in ``approx_percentile`` unchanged). percentile_disc picks an
+    actual data value in both engines, and prices are a 2-decimal grid,
+    so bucket edges compare identically."""
+    register_views(spark, sf_dir, ["lineitem"])
+    qs = ", ".join(
+        f"percentile_disc(0.{i}) WITHIN GROUP (ORDER BY l_extendedprice) AS b{i}"
+        for i in range(1, 10)
+    )
+    bucket = " + ".join(
+        f"CAST(l_extendedprice > b{i} AS INT)" for i in range(1, 10)
+    )
+    return spark.sql(
+        f"""
+        WITH b AS (SELECT {qs} FROM lineitem)
+        SELECT 1 + {bucket} AS bucket,
+               count(*) AS n_rows,
+               round(min(l_extendedprice), 2) AS lo,
+               round(max(l_extendedprice), 2) AS hi
+        FROM lineitem, b
+        GROUP BY 1
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -3983,6 +4040,7 @@ _GRADE_NEXT = [
     "profile_key_skew",
     "embed_quantize_int8",
     "dedup_incremental_batch",
+    "agg_histogram_equidepth",
 ]
 
 
