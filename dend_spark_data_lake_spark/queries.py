@@ -3945,6 +3945,88 @@ def agg_histogram_equidepth(spark, sf_dir):
     )
 
 
+@_q(
+    "profile_numeric_corr",
+    """
+    WITH c AS (
+      SELECT CAST(round(l_quantity * 100) AS BIGINT)      AS q,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+             CAST(round(l_discount * 100) AS BIGINT)      AS d
+      FROM lineitem
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(q) AS HUGEINT) AS sq, CAST(sum(p) AS HUGEINT) AS sp,
+             CAST(sum(d) AS HUGEINT) AS sd,
+             CAST(sum(q*q) AS HUGEINT) AS sqq, CAST(sum(p*p) AS HUGEINT) AS spp,
+             CAST(sum(d*d) AS HUGEINT) AS sdd,
+             CAST(sum(q*p) AS HUGEINT) AS sqp, CAST(sum(q*d) AS HUGEINT) AS sqd,
+             CAST(sum(p*d) AS HUGEINT) AS spd
+      FROM c
+    )
+    SELECT col_a, col_b, round(num / sqrt(den_a * den_b), 6) AS pearson_r
+    FROM (
+      SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+             CAST(n*sqp - sq*sp AS DOUBLE) AS num,
+             CAST(n*sqq - sq*sq AS DOUBLE) AS den_a,
+             CAST(n*spp - sp*sp AS DOUBLE) AS den_b FROM s
+      UNION ALL
+      SELECT 'l_quantity', 'l_discount',
+             CAST(n*sqd - sq*sd AS DOUBLE),
+             CAST(n*sqq - sq*sq AS DOUBLE),
+             CAST(n*sdd - sd*sd AS DOUBLE) FROM s
+      UNION ALL
+      SELECT 'l_extendedprice', 'l_discount',
+             CAST(n*spd - sp*sd AS DOUBLE),
+             CAST(n*spp - sp*sp AS DOUBLE),
+             CAST(n*sdd - sd*sd AS DOUBLE) FROM s
+    )
+    """,
+)
+def profile_numeric_corr(spark, sf_dir):
+    """Numeric-profiling correlation matrix with ENGINE-EXACT arithmetic:
+    quantity/price/discount are 2-decimal grids, so their cents are
+    integers and every moment (sum, sum-of-squares, cross products) is an
+    exact integer aggregate — decimal(38) on the Spark side, HUGEINT in
+    the oracle — immune to FP summation order, the reason ``df.stat.corr``
+    can never be oracle-checked. Pearson r is then one double expression
+    over identical integers, safe to round. One combinable pass over the
+    fact (all 10 moments in a single aggregate), O(1) result."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        WITH c AS (
+          SELECT CAST(round(l_quantity * 100) AS DECIMAL(38,0))      AS q,
+                 CAST(round(l_extendedprice * 100) AS DECIMAL(38,0)) AS p,
+                 CAST(round(l_discount * 100) AS DECIMAL(38,0))      AS d
+          FROM lineitem
+        ), s AS (
+          SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+                 sum(q) AS sq, sum(p) AS sp, sum(d) AS sd,
+                 sum(q*q) AS sqq, sum(p*p) AS spp, sum(d*d) AS sdd,
+                 sum(q*p) AS sqp, sum(q*d) AS sqd, sum(p*d) AS spd
+          FROM c
+        )
+        SELECT col_a, col_b, round(num / sqrt(den_a * den_b), 6) AS pearson_r
+        FROM (
+          SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                 CAST(n*sqp - sq*sp AS DOUBLE) AS num,
+                 CAST(n*sqq - sq*sq AS DOUBLE) AS den_a,
+                 CAST(n*spp - sp*sp AS DOUBLE) AS den_b FROM s
+          UNION ALL
+          SELECT 'l_quantity', 'l_discount',
+                 CAST(n*sqd - sq*sd AS DOUBLE),
+                 CAST(n*sqq - sq*sq AS DOUBLE),
+                 CAST(n*sdd - sd*sd AS DOUBLE) FROM s
+          UNION ALL
+          SELECT 'l_extendedprice', 'l_discount',
+                 CAST(n*spd - sp*sd AS DOUBLE),
+                 CAST(n*spp - sp*sp AS DOUBLE),
+                 CAST(n*sdd - sd*sd AS DOUBLE) FROM s
+        )
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -4041,6 +4123,7 @@ _GRADE_NEXT = [
     "embed_quantize_int8",
     "dedup_incremental_batch",
     "agg_histogram_equidepth",
+    "profile_numeric_corr",
 ]
 
 
