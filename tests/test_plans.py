@@ -226,3 +226,25 @@ def test_quantization_has_no_shuffle(spark):
     means it stopped running at scan speed."""
     plan = _plan(spark, "embed_quantize_int8")
     assert "Exchange" not in plan, plan
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Hive-partitioned fact joined to a filtered dim must get a runtime
+    PartitionFilter injected (dynamic partition pruning): at 100 TB this
+    is the difference between scanning 3 partitions and scanning all of
+    them. Locks the session config keeping DPP live."""
+    from dend_spark_data_lake_spark.sources.io import read_table
+
+    ev = read_table(spark, SF_SMOKE, "events").select(
+        "event_id", "event_type", "value"
+    )
+    path = str(tmp_path / "ev_part")
+    ev.write.partitionBy("event_type").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("view", "keep"), ("click", "keep"), ("purchase", "drop")],
+        ["event_type", "disposition"],
+    ).filter("disposition = 'keep'")
+    j = fact.join(dim, "event_type").groupBy("event_type").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan

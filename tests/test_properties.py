@@ -200,3 +200,42 @@ def test_merge_upsert_laws(pairs):
     assert once == twice
     for r in source.collect():
         assert once[r.k] == r.v
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 200), st.integers(0, 80)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(30, 120),
+)
+def test_greedy_pack_matches_reference_fold(rows, budget):
+    """On ANY (id, weight) set and budget, the Catalyst fold must equal the
+    Python greedy recurrence — including zero weights and oversize rows."""
+    from pyspark.sql import SparkSession
+
+    from dend_spark_data_lake_spark.operators.packing import greedy_pack
+
+    spark = SparkSession.getActiveSession()
+    dps = 64
+    expected = {}
+    shards: dict[int, list[tuple[int, int]]] = {}
+    for rid, w in sorted(rows):
+        shards.setdefault(rid // dps, []).append((rid, w))
+    for shard, docs in shards.items():
+        pack, acc = -1, budget + 1
+        for rid, w in docs:
+            if acc + w <= budget:
+                acc += w
+            else:
+                pack, acc = pack + 1, w
+            expected[rid] = (shard, pack)
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = {
+        r["doc_id"]: (r["shard"], r["pack_id"])
+        for r in greedy_pack(df, "doc_id", "w", budget, dps).collect()
+    }
+    assert got == expected
