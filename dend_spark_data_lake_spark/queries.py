@@ -4027,6 +4027,38 @@ def profile_numeric_corr(spark, sf_dir):
     )
 
 
+@_q(
+    "sample_fixed_per_stratum",
+    """
+    SELECT doc_id, lang, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+      FROM documents
+    )
+    WHERE rnk <= 25
+    """,
+)
+def sample_fixed_per_stratum(spark, sf_dir):
+    """Exact-N-per-stratum deterministic carve (fixed eval/holdout set
+    construction): rank documents inside each language by the md5 of
+    their id — a stable pseudo-random order both engines compute
+    identically — and keep the first 25. Unlike rate-based sampling the
+    output size is exact per stratum; unlike ``ORDER BY rand()`` it is
+    reproducible forever. One keyed window shuffle; rank <= N prunes
+    before anything downstream."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 25)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -4124,6 +4156,7 @@ _GRADE_NEXT = [
     "dedup_incremental_batch",
     "agg_histogram_equidepth",
     "profile_numeric_corr",
+    "sample_fixed_per_stratum",
 ]
 
 
