@@ -4059,6 +4059,106 @@ def sample_fixed_per_stratum(spark, sf_dir):
     )
 
 
+@_q(
+    "pipeline_incremental_ingest",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+    ), sets AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 0) + 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+      FROM toks
+    ), sh AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sets WHERE len(shingles) > 0
+    ), sig AS (
+      SELECT doc_id,
+             min(CAST(concat('0x', substr(md5('0:' || s), 1, 15)) AS BIGINT)) AS m0,
+             min(CAST(concat('0x', substr(md5('1:' || s), 1, 15)) AS BIGINT)) AS m1,
+             min(CAST(concat('0x', substr(md5('2:' || s), 1, 15)) AS BIGINT)) AS m2,
+             min(CAST(concat('0x', substr(md5('3:' || s), 1, 15)) AS BIGINT)) AS m3,
+             min(CAST(concat('0x', substr(md5('4:' || s), 1, 15)) AS BIGINT)) AS m4,
+             min(CAST(concat('0x', substr(md5('5:' || s), 1, 15)) AS BIGINT)) AS m5,
+             min(CAST(concat('0x', substr(md5('6:' || s), 1, 15)) AS BIGINT)) AS m6,
+             min(CAST(concat('0x', substr(md5('7:' || s), 1, 15)) AS BIGINT)) AS m7
+      FROM sh GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, 0 AS band, concat(m0, '_', m1) AS bkey FROM sig
+      UNION ALL SELECT doc_id, 1, concat(m2, '_', m3) FROM sig
+      UNION ALL SELECT doc_id, 2, concat(m4, '_', m5) FROM sig
+      UNION ALL SELECT doc_id, 3, concat(m6, '_', m7) FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS old_doc
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+      WHERE a.doc_id % 10 >= 8 AND b.doc_id % 10 < 8
+    ), sizes AS (
+      SELECT doc_id, len(shingles) AS n FROM sets WHERE len(shingles) > 0
+    ), inter AS (
+      SELECT c.new_doc, c.old_doc, count(*) AS ni
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.new_doc
+      JOIN sh y ON y.doc_id = c.old_doc AND y.s = x.s
+      GROUP BY 1, 2
+    ), dropped AS (
+      SELECT DISTINCT i.new_doc AS doc_id
+      FROM inter i JOIN sizes x ON i.new_doc = x.doc_id
+                   JOIN sizes y ON i.old_doc = y.doc_id
+      WHERE i.ni * 1.0 / (x.n + y.n - i.ni) >= 0.5
+    ), surv AS (
+      SELECT doc_id, doc_id // 64 AS shard, len(t) AS w,
+             row_number() OVER (PARTITION BY doc_id // 64 ORDER BY doc_id)
+               AS rn
+      FROM toks
+      WHERE doc_id % 10 >= 8 AND len(t) >= 10
+        AND doc_id NOT IN (SELECT doc_id FROM dropped)
+    ), pack AS (
+      SELECT shard, rn, doc_id, w, CAST(0 AS BIGINT) AS pack_id, w AS acc
+      FROM surv WHERE rn = 1
+      UNION ALL
+      SELECT s.shard, s.rn, s.doc_id, s.w,
+             CASE WHEN p.acc + s.w <= 256 THEN p.pack_id
+                  ELSE p.pack_id + 1 END,
+             CASE WHEN p.acc + s.w <= 256 THEN p.acc + s.w ELSE s.w END
+      FROM pack p JOIN surv s ON s.shard = p.shard AND s.rn = p.rn + 1
+    )
+    SELECT CAST(shard AS BIGINT) AS shard, pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(w) AS BIGINT) AS tokens_used
+    FROM pack GROUP BY 1, 2
+    """,
+)
+def pipeline_incremental_ingest(spark, sf_dir):
+    """Flagship COMPOSITE #2 — the steady-state ingest cycle of a corpus
+    pipeline, end to end: arriving batch (doc_id % 10 >= 8) → quality
+    gate (>= 10 tokens) → incremental near-dup mining against the
+    established corpus (batch x corpus band join ONLY — the corpus is
+    never self-compared) → drop matched newcomers (broadcast anti-join)
+    → greedy-pack survivors into 256-token context windows → per-pack
+    accounting. Every stage is an individually-oracled operator
+    (dedup_incremental_batch, pack_sequences); this query locks their
+    COMPOSITION against one DuckDB replica with a recursive-CTE packing
+    tail. At 100 TB the established corpus is touched exactly once (its
+    band table, maintained incrementally in production); everything else
+    scales with the batch."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 < 8)
+    batch = d.filter(F.col("doc_id") % 10 >= 8)
+    gated = batch.select(
+        "doc_id", "text", TX.token_count_ws("text").alias("n_tokens")
+    ).filter(F.col("n_tokens") >= 10)
+    pairs = SIM.incremental_minhash_pairs(corpus, gated.select("doc_id", "text"))
+    dropped = pairs.select(F.col("new_doc").alias("doc_id")).dropDuplicates()
+    survivors = gated.join(F.broadcast(dropped), "doc_id", "left_anti")
+    packed = greedy_pack(
+        survivors, "doc_id", F.col("n_tokens"), budget=256, docs_per_shard=64
+    )
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("weight").cast("long").alias("tokens_used"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -4157,6 +4257,7 @@ _GRADE_NEXT = [
     "agg_histogram_equidepth",
     "profile_numeric_corr",
     "sample_fixed_per_stratum",
+    "pipeline_incremental_ingest",
 ]
 
 
