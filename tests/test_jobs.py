@@ -28,3 +28,24 @@ def test_job_main_runs_pipeline(spark, tmp_path):
     for table in ("songs", "artists", "users", "time", "songplays"):
         assert (out / table).exists(), table
         assert spark.read.parquet(str(out / table)).count() > 0, table
+
+
+def test_corpus_prep_job_writes_both_stages(spark, tmp_path):
+    import jobs.corpus_prep_job as job
+
+    out = tmp_path / "corpus"
+    job.main(["--data", "/root/testdata/sf0.001", "--output", str(out)])
+    for stage in ("pipeline_llm_corpus", "pipeline_incremental_ingest"):
+        df = spark.read.parquet(str(out / stage))
+        assert df.count() > 0, stage
+
+
+def test_corpus_prep_job_rejects_unknown_stage(tmp_path):
+    import pytest
+
+    import jobs.corpus_prep_job as job
+
+    with pytest.raises(SystemExit):
+        job.main(
+            ["--data", "x", "--output", str(tmp_path), "--stages", "nope"]
+        )
