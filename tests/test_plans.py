@@ -248,3 +248,14 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     j = fact.join(dim, "event_type").groupBy("event_type").count()
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_incremental_dedup_stays_on_hash_joins(spark):
+    """Batch-vs-corpus mining must be band equi-joins end to end: a
+    cartesian or nested-loop anywhere means the blocking broke and the
+    ingest cost went quadratic."""
+    for name in ("dedup_incremental_batch", "pipeline_incremental_ingest"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
