@@ -42,6 +42,11 @@ def greedy_pack(
 
     ``weight_col`` may be a column name or an expression (e.g. a token
     count computed from text).
+
+    ``id_col`` must be a NON-NULL NUMERIC id: it defines both the shard
+    (``id // docs_per_shard``) and the packing order. A string id would
+    cast to NULL and silently vanish — hash it to a long first
+    (``xxhash64``) if the corpus has no numeric key.
     """
     w = weight_col if isinstance(weight_col, Column) else F.col(weight_col)
     base = df.select(

@@ -165,8 +165,15 @@ def rebalance_to_targets(
             "CAST((min(__c DIV __r) OVER () * __r * 65536) DIV __c AS BIGINT)"
         ).alias("__thr"),
     )
+    # Null-safe equality on the stratum: a plain inner join would silently
+    # DROP every NULL-stratum row (they form a legitimate stratum of their
+    # own — groupBy already counts them). Rows with a NULL key still drop
+    # (md5(NULL) is NULL): sampling needs a stable non-null key by contract.
+    thr2 = thr.withColumnRenamed(stratum, "__stratum")
     return (
-        base.join(F.broadcast(thr), stratum)
+        base.join(
+            F.broadcast(thr2), F.col(stratum).eqNullSafe(F.col("__stratum"))
+        )
         .filter(hash_bucket_int(kc) < F.col("__thr"))
-        .drop("__w", "__thr")
+        .drop("__w", "__thr", "__stratum")
     )

@@ -96,3 +96,16 @@ def test_rebalance_to_targets_matches_python_replay(spark):
     for r in out.collect():
         kept_tot[r["source"]] = kept_tot.get(r["source"], 0) + r["w"]
     assert all(kept_tot[s] <= totals[s] for s in kept_tot)
+
+
+def test_rebalance_keeps_null_stratum_rows(spark):
+    """NULL strata are a legitimate stratum: they must be counted,
+    thresholded, and kept — not silently dropped by the threshold join."""
+    rows = [(i, "a" if i % 3 == 0 else None, 10) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, w long")
+    out = SAMP.rebalance_to_targets(df, "doc_id", "src", F.col("w"))
+    kept_null = out.filter(F.col("src").isNull()).count()
+    # the NULL stratum is the larger one (60 rows vs 30) so it gets
+    # downsampled toward the binding 'a' stratum — but never to zero
+    assert kept_null > 0
+    assert out.filter(F.col("src") == "a").count() > 0
