@@ -4159,6 +4159,67 @@ def pipeline_incremental_ingest(spark, sf_dir):
     )
 
 
+@_q(
+    "dedup_canonical_best",
+    "WITH RECURSIVE "
+    + _DUP_REACH_CTES
+    + """
+    , comp AS (
+      SELECT es AS doc_id, least(es, min(ed)) AS cluster_id
+      FROM reach GROUP BY es
+    ), labels AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+             CASE WHEN trim(d.text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(d.text), '\\s+')) END AS w
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS canonical_doc,
+           CAST(w AS BIGINT) AS n_tokens
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY cluster_id ORDER BY w DESC, doc_id) AS rk
+      FROM labels
+    ) WHERE rk = 1
+    """,
+)
+def dedup_canonical_best(spark, sf_dir):
+    """Quality-aware canonical selection: after near-dup clustering, keep
+    each cluster's BEST member (most tokens, doc_id tie-break) rather than
+    the arbitrary min-id — the curation policy that preserves the most
+    complete copy of duplicated content. Selection is one grouped
+    ``max(struct(...))`` aggregate (map-side combinable argmax — no
+    window, no per-cluster sort); singleton docs are their own cluster via
+    a left join on the component labels. Ranking keys are integers, so
+    the winner set is engine-exact."""
+    from .operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", TX.token_count_ws("text").cast("long").alias("n_tokens")
+    )
+    pairs = SIM.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+    ).select("doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    labeled = (
+        d.join(cc, d.doc_id == cc.vertex, "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    best = labeled.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col("n_tokens"), (-F.col("doc_id")).alias("neg_id"))).alias(
+            "b"
+        )
+    )
+    return best.select(
+        "cluster_id",
+        (-F.col("b.neg_id")).alias("canonical_doc"),
+        F.col("b.n_tokens").alias("n_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -4258,6 +4319,7 @@ _GRADE_NEXT = [
     "profile_numeric_corr",
     "sample_fixed_per_stratum",
     "pipeline_incremental_ingest",
+    "dedup_canonical_best",
 ]
 
 
