@@ -48,3 +48,40 @@ def key_skew_profile(df: DataFrame, key: str | Column, top_n: int = 10) -> DataF
             ),
         )
     )
+
+
+def join_fanout_profile(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Pre-flight join cardinality check: the EXACT number of output rows
+    each key would contribute to ``left JOIN right ON key`` (count_left x
+    count_right), top-``top_n`` keys by contribution — run this before a
+    100 TB many-to-many join to catch the key that would explode it.
+
+    Two per-key count aggregates + a join of the count tables (one row
+    per distinct key, the small relation) — the actual join's output is
+    never materialized. All values are exact integer products; ordering
+    breaks ties by key, so the result is deterministic.
+    """
+    lc = (
+        left.groupBy(F.col(key).alias("key_value"))
+        .agg(F.count("*").cast("long").alias("n_left"))
+    )
+    rc = (
+        right.groupBy(F.col(key).alias("key_value"))
+        .agg(F.count("*").cast("long").alias("n_right"))
+    )
+    return (
+        lc.join(rc, "key_value")
+        .select(
+            "key_value",
+            "n_left",
+            "n_right",
+            (F.col("n_left") * F.col("n_right")).alias("out_rows"),
+        )
+        .orderBy(F.col("out_rows").desc(), F.col("key_value").asc())
+        .limit(top_n)
+    )

@@ -4220,6 +4220,40 @@ def dedup_canonical_best(spark, sf_dir):
     )
 
 
+@_q(
+    "profile_join_fanout",
+    """
+    WITH l AS (
+      SELECT user_id AS key_value, CAST(count(*) AS BIGINT) AS n_left
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), r AS (
+      SELECT user_id AS key_value, CAST(count(*) AS BIGINT) AS n_right
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    )
+    SELECT key_value, n_left, n_right, n_left * n_right AS out_rows
+    FROM l JOIN r USING (key_value)
+    ORDER BY out_rows DESC, key_value ASC
+    LIMIT 10
+    """,
+)
+def profile_join_fanout(spark, sf_dir):
+    """Pre-flight join explosion check (operators/diagnostics.py
+    join_fanout_profile): the EXACT per-key output contribution
+    (count_left x count_right) a view-x-click user join would produce,
+    top 10 — the measurement that catches a many-to-many blow-up before
+    a 100 TB join runs it. Two combinable per-key aggs + a join of the
+    count tables; the join's actual output is never materialized."""
+    from .operators.diagnostics import join_fanout_profile
+
+    e = _t(spark, sf_dir, "events")
+    return join_fanout_profile(
+        e.filter(F.col("event_type") == "view"),
+        e.filter(F.col("event_type") == "click"),
+        "user_id",
+        top_n=10,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -4320,6 +4354,7 @@ _GRADE_NEXT = [
     "sample_fixed_per_stratum",
     "pipeline_incremental_ingest",
     "dedup_canonical_best",
+    "profile_join_fanout",
 ]
 
 
