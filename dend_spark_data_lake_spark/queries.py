@@ -4050,11 +4050,21 @@ def sample_fixed_per_stratum(spark, sf_dir):
     reproducible forever. One keyed window shuffle; rank <= N prunes
     before anything downstream."""
     d = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    order = (F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    # Two-phase top-N: a LOCAL top-25 per (lang, input partition) first —
+    # any global top-25 row is a local top-25 row, so the result is
+    # identical — bounds the final per-language window to 25 x partitions
+    # rows instead of sorting a whole language (possibly most of a 100 TB
+    # corpus) in one window partition.
+    local_w = Window.partitionBy("lang", "pid").orderBy(*order)
+    pruned = (
+        d.select("doc_id", "lang", F.spark_partition_id().alias("pid"))
+        .withColumn("lrk", F.row_number().over(local_w))
+        .filter(F.col("lrk") <= 25)
     )
+    w = Window.partitionBy("lang").orderBy(*order)
     return (
-        d.select("doc_id", "lang", F.row_number().over(w).alias("rnk"))
+        pruned.select("doc_id", "lang", F.row_number().over(w).alias("rnk"))
         .filter(F.col("rnk") <= 25)
     )
 
