@@ -4264,6 +4264,93 @@ def profile_join_fanout(spark, sf_dir):
     )
 
 
+@_q(
+    "graph_triangle_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 0) + 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+      WHERE ni * 1.0 / (x.n + y.n - ni) >= 0.5
+    ), tri AS (
+      SELECT count(*) AS n_triangles
+      FROM pairs p1
+      JOIN pairs p2 ON p2.doc_a = p1.doc_b
+      JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b
+    ), deg AS (
+      SELECT v, count(*) AS d FROM (
+        SELECT doc_a AS v FROM pairs UNION ALL SELECT doc_b FROM pairs
+      ) GROUP BY v
+    ), wed AS (
+      SELECT CAST(coalesce(sum(d * (d - 1) // 2), 0) AS BIGINT) AS n_wedges
+      FROM deg
+    )
+    SELECT CAST(n_triangles AS BIGINT) AS n_triangles, n_wedges,
+           round(CASE WHEN n_wedges = 0 THEN 0.0
+                      ELSE 3.0 * n_triangles / n_wedges END, 6)
+             AS global_clustering_r6
+    FROM tri, wed
+    """,
+)
+def graph_triangle_stats(spark, sf_dir):
+    """Triangle count + global clustering coefficient of the near-dup
+    graph — the structural signal that tells a dedup pipeline whether its
+    pair threshold produces tight cliques (true duplicates) or loose
+    chains (threshold too low). Edges are kept in (a < b) orientation, so
+    each triangle is enumerated exactly once by two equi-joins over the
+    PAIR relation (orders of magnitude smaller than the corpus; at larger
+    edge counts the standard degree-orientation bound applies unchanged).
+    Wedges come from a per-vertex degree aggregate; the coefficient is a
+    single ratio of integers, rounded safely."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = SIM.ngram_jaccard_pairs(d, n=3, threshold=0.5).select("doc_a", "doc_b")
+    p1 = pairs.alias("p1")
+    p2 = pairs.alias("p2")
+    p3 = pairs.alias("p3")
+    tri = (
+        p1.join(p2, F.col("p2.doc_a") == F.col("p1.doc_b"))
+        .join(
+            p3,
+            (F.col("p3.doc_a") == F.col("p1.doc_a"))
+            & (F.col("p3.doc_b") == F.col("p2.doc_b")),
+        )
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    deg = (
+        pairs.select(F.col("doc_a").alias("v"))
+        .unionAll(pairs.select(F.col("doc_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    wed = deg.agg(
+        F.coalesce(F.sum(F.expr("d * (d - 1) DIV 2")), F.lit(0))
+        .cast("long")
+        .alias("n_wedges")
+    )
+    return tri.crossJoin(wed).select(
+        "n_triangles",
+        "n_wedges",
+        F.round(
+            F.when(F.col("n_wedges") == 0, F.lit(0.0)).otherwise(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges")
+            ),
+            6,
+        ).alias("global_clustering_r6"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -4365,6 +4452,7 @@ _GRADE_NEXT = [
     "pipeline_incremental_ingest",
     "dedup_canonical_best",
     "profile_join_fanout",
+    "graph_triangle_stats",
 ]
 
 
