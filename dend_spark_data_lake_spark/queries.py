@@ -4351,6 +4351,206 @@ def graph_triangle_stats(spark, sf_dir):
     )
 
 
+@_q(
+    "vocab_top_coverage",
+    r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents WHERE trim(text) <> ''
+    ), counts AS (
+      SELECT token, count(*) AS n FROM toks GROUP BY token
+    ), ranked AS (
+      SELECT token, n,
+             row_number() OVER (ORDER BY n DESC, token) AS rank,
+             sum(n) OVER (ORDER BY n DESC, token
+                          ROWS UNBOUNDED PRECEDING) AS cum_n,
+             sum(n) OVER () AS total_n
+      FROM counts
+    )
+    SELECT rank, token, n,
+           round(CAST(cum_n AS DOUBLE) / total_n, 6) AS coverage_r6
+    FROM ranked WHERE rank <= 100 ORDER BY rank
+    """,
+)
+def vocab_top_coverage(spark, sf_dir):
+    """Vocabulary construction for a training pipeline: top-100 whitespace
+    tokens with cumulative corpus-coverage fraction (the curve that decides
+    vocab size / BPE budget). Scale: tokenize+explode is map-side; the token
+    count is one map-side-combined shuffle keyed by token; the window runs
+    over the AGGREGATED vocabulary (|V| rows, millions at worst — not corpus
+    rows), single partition of small data. Coverage is a ratio of two integer
+    sums → IEEE-exact across engines; rounded for hash stability."""
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.filter(F.trim("text") != "")
+        .select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    w_rank = Window.orderBy(F.desc("n"), "token")
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    return (
+        counts.withColumn("rank", F.row_number().over(w_rank))
+        .withColumn("cum_n", F.sum("n").over(w_cum))
+        .withColumn("total_n", F.sum("n").over(w_all))
+        .filter(F.col("rank") <= 100)
+        .select(
+            "rank",
+            "token",
+            "n",
+            F.round(F.col("cum_n").cast("double") / F.col("total_n"), 6).alias(
+                "coverage_r6"
+            ),
+        )
+        .orderBy("rank")
+    )
+
+
+@_q(
+    "text_ttr_hapax",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents WHERE trim(text) <> ''
+    ), per AS (
+      SELECT doc_id, token, count(*) AS k FROM toks GROUP BY doc_id, token
+    )
+    SELECT doc_id,
+           CAST(sum(k) AS BIGINT) AS n_tokens,
+           count(*) AS n_types,
+           CAST(count(*) FILTER (WHERE k = 1) AS BIGINT) AS n_hapax,
+           round(CAST(count(*) AS DOUBLE) / sum(k), 6) AS ttr_r6,
+           round(CAST(count(*) FILTER (WHERE k = 1) AS DOUBLE)
+                 / count(*), 6) AS hapax_ratio_r6
+    FROM per GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_ttr_hapax(spark, sf_dir):
+    """Lexical-diversity quality signals: per-document type-token ratio and
+    hapax-legomenon ratio (low TTR → boilerplate/repetition; high hapax →
+    noise/OCR garbage). ZERO-shuffle plan: instead of explode + two
+    aggregations, the token multiset is sorted per row (sort_array) and a
+    single Catalyst `aggregate` fold walks the sorted array counting run
+    lengths — distinct types and hapax runs fall out of one map-side pass
+    with a struct accumulator. All outputs are integers or integer ratios
+    (IEEE-exact), rounded for hash stability. At 100 TB this is a pure
+    narrow transformation: no exchange at all (the final orderBy is the
+    driver-facing presentation sort only)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.trim("text") != "")
+        .select(
+            "doc_id",
+            F.sort_array(F.split(F.trim(F.lower("text")), r"\s+")).alias("t"),
+        )
+        .select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tokens"),
+            # fold over the sorted tokens: acc = (prev token, current run
+            # length, #types closed, #hapax closed); finish closes the last
+            # run. types/hapax counted when a run ends.
+            F.expr(
+                """
+                aggregate(
+                  t,
+                  struct(CAST(NULL AS STRING) AS prev, 0L AS run,
+                         0L AS types, 0L AS hapax),
+                  (acc, x) -> IF(
+                    acc.prev IS NULL,
+                    struct(x AS prev, 1L AS run, 0L AS types, 0L AS hapax),
+                    IF(x = acc.prev,
+                       struct(acc.prev AS prev, acc.run + 1L AS run,
+                              acc.types AS types, acc.hapax AS hapax),
+                       struct(x AS prev, 1L AS run,
+                              acc.types + 1L AS types,
+                              acc.hapax + IF(acc.run = 1L, 1L, 0L) AS hapax))),
+                  acc -> struct(
+                    acc.types + 1L AS n_types,
+                    acc.hapax + IF(acc.run = 1L, 1L, 0L) AS n_hapax)
+                )
+                """
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("s.n_types").alias("n_types"),
+            F.col("s.n_hapax").alias("n_hapax"),
+            F.round(
+                F.col("s.n_types").cast("double") / F.col("n_tokens"), 6
+            ).alias("ttr_r6"),
+            F.round(
+                F.col("s.n_hapax").cast("double") / F.col("s.n_types"), 6
+            ).alias("hapax_ratio_r6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_q(
+    "winsorize_prices",
+    """
+    WITH cuts AS (
+      SELECT l_returnflag,
+             quantile_disc(l_extendedprice, 0.01) AS p01,
+             quantile_disc(l_extendedprice, 0.99) AS p99
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN l_extendedprice < p01 OR l_extendedprice > p99
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+           CAST(sum(CAST(round(100 * least(greatest(l_extendedprice, p01), p99))
+                         AS BIGINT)) AS BIGINT) AS sum_winsorized_cents
+    FROM lineitem l JOIN cuts USING (l_returnflag)
+    GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+    """,
+)
+def winsorize_prices(spark, sf_dir):
+    """Outlier treatment by winsorization: clamp each group's values to its
+    own [p01, p99] (exact percentile_disc, not a sketch) and report clamp
+    counts + the winsorized sum in integer cents (engine-exact). Scale: the
+    cuts table is one small aggregate (|groups| rows) broadcast back onto the
+    fact — the fact table shuffles once for its own groupBy, never for the
+    percentile join. percentile_disc over 100 TB is the documented exact-mode
+    cost; swap to percentile_approx for the sketch path (same shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cuts = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile_disc(0.01) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("p01"),
+        F.expr(
+            "percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("p99"),
+    )
+    clamped = li.join(F.broadcast(cuts), "l_returnflag").select(
+        "l_returnflag",
+        F.when(
+            (F.col("l_extendedprice") < F.col("p01"))
+            | (F.col("l_extendedprice") > F.col("p99")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_clamped"),
+        F.round(
+            100
+            * F.least(F.greatest(F.col("l_extendedprice"), F.col("p01")), F.col("p99"))
+        )
+        .cast("long")
+        .alias("cents"),
+    )
+    return (
+        clamped.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("is_clamped").cast("long").alias("n_clamped"),
+            F.sum("cents").cast("long").alias("sum_winsorized_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -4453,6 +4653,9 @@ _GRADE_NEXT = [
     "dedup_canonical_best",
     "profile_join_fanout",
     "graph_triangle_stats",
+    "vocab_top_coverage",
+    "text_ttr_hapax",
+    "winsorize_prices",
 ]
 
 

@@ -41,6 +41,20 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else (os.cpu_count() or 8)
 
+    # Python workers do not inherit the driver's sys.path, only PYTHONPATH /
+    # their own cwd — a driver script launched from outside the repo (cron
+    # job, notebook, /tmp harness) can build plans whose pickled UDFs
+    # reference this package by module name and then fail to unpickle on the
+    # worker. Exporting the package's parent dir before the JVM starts makes
+    # the session location-independent (a real cluster ships the package via
+    # --py-files / a wheel instead).
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_parent}{os.pathsep}{existing}" if existing else pkg_parent
+        )
+
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)
