@@ -259,3 +259,36 @@ def test_incremental_dedup_stays_on_hash_joins(spark):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "BroadcastHashJoin" in plan, name
+
+
+def test_ttr_hapax_is_shuffle_free(spark):
+    """Per-doc TTR/hapax is a sorted-array fold — a pure narrow
+    transformation. Any Exchange beyond the final presentation sort's
+    range partitioning (or an explode + re-aggregate rewrite that shuffles
+    on (doc, token)) means the map-side fold regressed into a corpus-wide
+    shuffle."""
+    plan = _plan(spark, "text_ttr_hapax")
+    assert "HashAggregate" not in plan and "ObjectHashAggregate" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode path
+    # only the orderBy's rangepartitioning may appear
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    assert all("rangepartitioning" in l for l in exchanges), plan
+
+
+def test_winsorize_broadcasts_cuts_never_shuffles_fact_for_join(spark):
+    """The per-group percentile cut table (|groups| rows) must come back
+    onto the fact as a BroadcastHashJoin; a SortMergeJoin here shuffles
+    the full fact table a second time for a 3-row dim."""
+    plan = _plan(spark, "winsorize_prices")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_vocab_window_runs_on_aggregated_vocab_only(spark):
+    """The coverage window must consume the AGGREGATED token counts
+    (map-side partial + one keyed exchange), never raw corpus rows: the
+    Window's child has to be the aggregate, and the token count must be
+    partial-aggregated (two HashAggregate phases) before any window."""
+    plan = _plan(spark, "vocab_top_coverage")
+    assert "Window" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final count
