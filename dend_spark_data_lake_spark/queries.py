@@ -4551,6 +4551,138 @@ def winsorize_prices(spark, sf_dir):
     )
 
 
+@_q(
+    "tokenize_with_vocab",
+    r"""
+    WITH split AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+      FROM documents WHERE trim(text) <> ''
+    ), toks AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(l) + 1),
+                    i -> {'pos': i, 'token': l[i]}), recursive := true)
+      FROM split
+    ), counts AS (
+      SELECT token, count(*) AS n FROM toks GROUP BY token
+    ), vocab AS (
+      SELECT token, row_number() OVER (ORDER BY n DESC, token) AS token_id
+      FROM counts QUALIFY token_id <= 500
+    )
+    SELECT t.doc_id, CAST(t.pos AS INT) AS pos, t.token,
+           CAST(coalesce(v.token_id, 0) AS INT) AS token_id
+    FROM toks t LEFT JOIN vocab v USING (token)
+    WHERE t.doc_id % 20 = 0
+    ORDER BY doc_id, pos
+    """,
+)
+def tokenize_with_vocab(spark, sf_dir):
+    """Tokenizer application — the bridge from vocabulary construction to
+    training examples: corpus-frequency top-500 vocab (rank = token id,
+    deterministic count-then-lexicographic tiebreak), then every (doc,
+    position) token mapped to its id with 0 = OOV. Output is sampled to
+    every-20th doc purely to bound the comparison row count; the vocab is
+    built over the FULL corpus. Scale: the token explode is map-side; the
+    vocab aggregate is one map-side-combined shuffle; the id mapping is a
+    broadcast hash join (|V| rows) onto the exploded stream — the corpus is
+    never shuffled for the mapping itself."""
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower("text")), r"\s+")).alias("pos0", "token"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .withColumn("token_id", F.row_number().over(Window.orderBy(F.desc("n"), "token")))
+        .filter(F.col("token_id") <= 500)
+        .select("token", "token_id")
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .filter(F.col("doc_id") % 20 == 0)
+        .select(
+            "doc_id",
+            F.col("pos").cast("int").alias("pos"),
+            "token",
+            F.coalesce(F.col("token_id"), F.lit(0)).cast("int").alias("token_id"),
+        )
+        .orderBy("doc_id", "pos")
+    )
+
+
+@_q(
+    "quality_threshold_curve",
+    r"""
+    WITH per AS (
+      SELECT CASE WHEN trim(text) = '' THEN 0
+             ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS n_tokens
+      FROM documents
+    ), tot AS (
+      SELECT count(*) AS n_docs, sum(n_tokens) AS n_tokens_total FROM per
+    ), thr AS (SELECT unnest([0, 5, 10, 20, 50, 100, 200]) AS threshold)
+    SELECT t.threshold,
+           CAST(sum(CASE WHEN p.n_tokens >= t.threshold THEN 1 ELSE 0 END)
+                AS BIGINT) AS kept_docs,
+           CAST(sum(CASE WHEN p.n_tokens >= t.threshold THEN p.n_tokens ELSE 0 END)
+                AS BIGINT) AS kept_tokens,
+           round(CAST(sum(CASE WHEN p.n_tokens >= t.threshold THEN 1 ELSE 0 END)
+                      AS DOUBLE) / (SELECT n_docs FROM tot), 6) AS doc_retention_r6,
+           round(CAST(sum(CASE WHEN p.n_tokens >= t.threshold THEN p.n_tokens ELSE 0 END)
+                      AS DOUBLE) / (SELECT n_tokens_total FROM tot), 6)
+             AS token_retention_r6
+    FROM per p, thr t GROUP BY t.threshold ORDER BY t.threshold
+    """,
+)
+def quality_threshold_curve(spark, sf_dir):
+    """Filter-cutoff calibration: for a grid of minimum-token thresholds,
+    the fraction of documents and of tokens the corpus would retain — the
+    curve a pipeline owner reads before choosing a quality gate. ONE
+    conditional-sum aggregate pass over the corpus (the oracle's
+    docs x thresholds cross join is deliberately avoided): 14 conditional
+    sums fold map-side into a single row, which is then exploded into the
+    7-row curve driver-side-free. Counts are integers; retentions are
+    integer ratios rounded at 6."""
+    d = _t(spark, sf_dir, "documents")
+    q = TX.quality_columns(F.col("text"))
+    per = d.select(q["n_tokens"].alias("n_tokens"))
+    thresholds = [0, 5, 10, 20, 50, 100, 200]
+    aggs = [F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens_total")]
+    for t in thresholds:
+        cond = F.col("n_tokens") >= t
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"kd_{t}"))
+        aggs.append(
+            F.sum(F.when(cond, F.col("n_tokens")).otherwise(0)).alias(f"kt_{t}")
+        )
+    one = per.agg(*aggs)
+    curve = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("threshold"),
+                    F.col(f"kd_{t}").cast("long").alias("kept_docs"),
+                    F.col(f"kt_{t}").cast("long").alias("kept_tokens"),
+                )
+                for t in thresholds
+            ]
+        )
+    ).alias("c")
+    return (
+        one.select("n_docs", "n_tokens_total", curve)
+        .select(
+            F.col("c.threshold").alias("threshold"),
+            F.col("c.kept_docs").alias("kept_docs"),
+            F.col("c.kept_tokens").alias("kept_tokens"),
+            F.round(
+                F.col("c.kept_docs").cast("double") / F.col("n_docs"), 6
+            ).alias("doc_retention_r6"),
+            F.round(
+                F.col("c.kept_tokens").cast("double") / F.col("n_tokens_total"), 6
+            ).alias("token_retention_r6"),
+        )
+        .orderBy("threshold")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -4656,6 +4788,8 @@ _GRADE_NEXT = [
     "vocab_top_coverage",
     "text_ttr_hapax",
     "winsorize_prices",
+    "tokenize_with_vocab",
+    "quality_threshold_curve",
 ]
 
 

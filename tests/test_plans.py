@@ -292,3 +292,21 @@ def test_vocab_window_runs_on_aggregated_vocab_only(spark):
     plan = _plan(spark, "vocab_top_coverage")
     assert "Window" in plan, plan
     assert plan.count("HashAggregate") >= 2, plan  # partial + final count
+
+
+def test_tokenize_maps_ids_via_broadcast(spark):
+    """The vocab→id mapping must ride a BroadcastHashJoin on the exploded
+    token stream; a SortMergeJoin here shuffles the whole tokenized corpus
+    against a 500-row dim."""
+    plan = _plan(spark, "tokenize_with_vocab")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_quality_curve_is_single_scan_no_join(spark):
+    """The threshold curve folds 14 conditional sums into one corpus pass;
+    any Join (the oracle's docs x thresholds cross product) or a second
+    scan is the scale regression."""
+    plan = _plan(spark, "quality_threshold_curve")
+    assert "Join" not in plan, plan
+    assert plan.count("documents.parquet") == 1, plan
