@@ -11,8 +11,12 @@ no graph/dedup-cluster surface; this is part of the driver-mandated
 LLM-pipeline extension (SURVEY.md §2.5, fuzzy dedup).
 
 Scale notes:
-- Each round is one shuffle join (edges ⋈ labels on dst) + one grouped min
-  — both hash-partitioned on the same key, so AQE reuses the exchange.
+- The symmetric edge relation is hash-partitioned on its join key ONCE and
+  checkpointed; each round is then one propagation join (only the label
+  side moves — broadcast when small, colocated shuffle otherwise) plus ONE
+  grouped min over labels ∪ propagated labels. The vertex's own label rides
+  the union branch, which removes the old join→min→left-join-back round
+  shape (3 exchanges → 2, one of which AQE turns into a broadcast).
 - Rounds needed = graph diameter. Near-dup clusters are dense (diameter
   2-4 in practice), so the loop terminates in a handful of rounds; the
   ``max_rounds`` guard bounds pathological chains.
@@ -46,7 +50,11 @@ def connected_components(
     """
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = sym.dropDuplicates().localCheckpoint()
+    # Hash-partition the STATIC edge relation on its join key exactly once:
+    # every round's propagation join then only moves the (much smaller)
+    # label side; the checkpointed edge partitioning is reused round after
+    # round instead of re-shuffling the edges per iteration.
+    sym = sym.dropDuplicates().repartition(F.col("u")).localCheckpoint()
 
     labels = (
         sym.select(F.col("u").alias("vertex"))
@@ -58,23 +66,21 @@ def connected_components(
 
     converged = False
     for _ in range(max_rounds):
-        # component'(v) = min(component(v), min over neighbors u of component(u))
-        nbr_min = (
-            sym.join(labels, sym["u"] == labels["vertex"])
-            .groupBy(F.col("v").alias("vertex2"))
-            .agg(F.min("component").alias("nbr_component"))
+        # component'(v) = min(component(v), min over neighbors u of
+        # component(u)). Formulated as union + ONE grouped min (2 exchanges)
+        # rather than join -> grouped min -> left join back (3 exchanges):
+        # the vertex's own label rides the union branch, so the left-join
+        # coalesce is unnecessary.
+        prop = sym.join(labels, sym["u"] == labels["vertex"]).select(
+            F.col("v").alias("vertex"), "component"
         )
         labels = (
-            labels.join(nbr_min, labels["vertex"] == nbr_min["vertex2"], "left")
-            .select(
-                "vertex",
-                F.least(
-                    F.col("component"),
-                    F.coalesce("nbr_component", F.col("component")),
-                ).alias("component"),
-            )
+            labels.unionByName(prop)
+            .groupBy("vertex")
+            .agg(F.min("component").alias("component"))
             .localCheckpoint()
         )
+        # cheap scalar job over the freshly materialized checkpoint blocks
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:
             converged = True
