@@ -2271,7 +2271,7 @@ def multimodal_frame_sample(spark, sf_dir):
 # The near-dup PAIR relation (dedup_ngram_jaccard) as DuckDB CTEs, reused by
 # the two cluster oracles below; `reach` is the transitive closure of the
 # symmetric pair graph, so least(s, min(d)) is the component-min label.
-_DUP_REACH_CTES = """
+_DUP_PAIR_CTES = """
     toks AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
     ), sh AS (
@@ -2293,7 +2293,10 @@ _DUP_REACH_CTES = """
       SELECT doc_a AS es, doc_b AS ed FROM pairs
       UNION
       SELECT doc_b, doc_a FROM pairs
-    ), reach AS (
+    )
+"""
+
+_DUP_REACH_CTES = _DUP_PAIR_CTES + """, reach AS (
       SELECT es, ed FROM edges
       UNION
       SELECT r.es, e.ed FROM reach r JOIN edges e ON r.ed = e.es
