@@ -39,11 +39,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-testdata table as a DataFrame with clean types."""
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name == "events":
-        # TIMESTAMP(NANOS) workaround; truncation to micros matches DuckDB,
-        # whose TIMESTAMP is microsecond-precision.
+        # `ts` arrives either as parquet TIMESTAMP(NANOS) (surfaced as a
+        # nanos long under the legacy conf — truncate to micros, matching
+        # DuckDB's microsecond TIMESTAMP) or as a plain micros TIMESTAMP_NTZ
+        # (cast to session-TZ timestamp; session TZ is pinned UTC so values
+        # are preserved). Branch on the physical type so both generations of
+        # the driver testdata read identically.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if df.schema["ts"].dataType.simpleString() == "bigint":
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(path)
 
 
