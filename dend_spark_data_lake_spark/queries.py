@@ -4686,6 +4686,383 @@ def quality_threshold_curve(spark, sf_dir):
     )
 
 
+@_q(
+    "boilerplate_frequent_grams",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE trim(text) <> ''
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 0) + 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      FROM toks
+    ), df AS (
+      SELECT s, count(*) AS n_docs FROM sh GROUP BY s
+    ), boiler AS (SELECT s FROM df WHERE n_docs >= 4)
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(*) FILTER (WHERE b.s IS NOT NULL) AS BIGINT) AS n_boiler,
+           (count(*) FILTER (WHERE b.s IS NOT NULL)) * 1000000 // count(*)
+             AS boiler_ppm
+    FROM sh LEFT JOIN boiler b ON sh.s = b.s
+    GROUP BY sh.doc_id ORDER BY sh.doc_id
+    """,
+)
+def boilerplate_frequent_grams(spark, sf_dir):
+    """Boilerplate detection (RefinedWeb/C4-style corpus cleaning): a word
+    3-gram occurring in >= 4 DISTINCT documents is boilerplate vocabulary
+    (headers, navigation, license blurbs); each document reports how much of
+    its own shingle set that vocabulary covers, as exact integer ppm — the
+    signal used to drop template-dominated pages before training. Scale: the
+    shingle relation is exploded once and shuffled ONCE keyed by shingle for
+    the document-frequency aggregate; the boilerplate join is keyed on the
+    same shingle column, so AQE reuses the partitioning (no second wide
+    shuffle of the corpus), and the per-doc rollup is a map-side-combinable
+    count. No floats anywhere: counts and an integer division."""
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    sh = d.select(
+        "doc_id", F.explode(SIM.word_ngrams(F.col("text"), 3)).alias("s")
+    )
+    boiler = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 4)
+        .select("s", F.lit(1).alias("is_b"))
+    )
+    return (
+        sh.join(boiler, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("is_b"), F.lit(0))).cast("long").alias("n_boiler"),
+        )
+        .withColumn("boiler_ppm", F.expr("n_boiler * 1000000 DIV n_shingles"))
+        .orderBy("doc_id")
+    )
+
+
+@_q(
+    "sample_temperature_by_lang",
+    """
+    WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_orig
+               FROM documents GROUP BY lang),
+    m AS (SELECT min(n_orig) AS n_min FROM c),
+    thr AS (
+      SELECT lang, n_orig,
+             CAST(floor(65536 * sqrt(CAST(n_min AS DOUBLE) / n_orig))
+                  AS BIGINT) AS bucket_threshold
+      FROM c, m
+    )
+    SELECT d.lang, t.n_orig, t.bucket_threshold,
+           CAST(count(*) FILTER (
+             WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+                        AS BIGINT) < t.bucket_threshold) AS BIGINT) AS n_kept
+    FROM documents d JOIN thr t USING (lang)
+    GROUP BY d.lang, t.n_orig, t.bucket_threshold
+    ORDER BY d.lang
+    """,
+)
+def sample_temperature_by_lang(spark, sf_dir):
+    """Temperature-based multilingual rebalancing (the alpha=0.5 sampling of
+    multilingual-pretraining recipes): each language's keep-rate is
+    sqrt(n_min / n_lang), so the rarest language keeps everything and large
+    languages are downsampled toward the square root of their excess —
+    flattening the distribution without the rare-language starvation of
+    proportional sampling. Selection is the deterministic md5 bucket
+    (operators/sampling.py) against a per-language integer threshold;
+    sqrt/divide are IEEE-correctly-rounded in both engines, and
+    floor(65536*rate) makes the threshold an exact integer, so the sample is
+    bit-reproducible forever. Scale: language histogram = one tiny aggregate;
+    thresholds broadcast back; the corpus is scanned once and never
+    shuffled (the final per-lang rollup moves |langs| partial rows)."""
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_orig"))
+    m = c.agg(F.min("n_orig").alias("n_min"))
+    thr = c.crossJoin(F.broadcast(m)).select(
+        "lang",
+        "n_orig",
+        F.floor(
+            65536 * F.sqrt(F.col("n_min").cast("double") / F.col("n_orig"))
+        ).alias("bucket_threshold"),
+    )
+    kept = F.when(
+        SAMP.hash_bucket_int(F.col("doc_id")) < F.col("bucket_threshold"), 1
+    ).otherwise(0)
+    return (
+        d.join(F.broadcast(thr), "lang")
+        .groupBy("lang", "n_orig", "bucket_threshold")
+        .agg(F.sum(kept).cast("long").alias("n_kept"))
+        .orderBy("lang")
+    )
+
+
+@_q(
+    "profile_source_overlap",
+    r"""
+    WITH toks AS (
+      SELECT source, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE trim(text) <> ''
+    ), v AS (
+      SELECT DISTINCT source, unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 0) + 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      FROM toks
+    ), sizes AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY source
+    ), inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM v a JOIN v b ON a.s = b.s AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, x.n AS n_a, y.n AS n_b, n_shared,
+           n_shared * 1000000 // (x.n + y.n - n_shared) AS jaccard_ppm
+    FROM inter
+    JOIN sizes x ON source_a = x.source
+    JOIN sizes y ON source_b = y.source
+    ORDER BY source_a, source_b
+    """,
+)
+def profile_source_overlap(spark, sf_dir):
+    """Cross-source contamination matrix: pairwise Jaccard similarity of the
+    per-source word-3-gram VOCABULARIES (exact integer ppm) — the corpus
+    diagnostic that surfaces mirrored / scraped-twice sources before dedup
+    spends compute on them. Scale: the corpus collapses to DISTINCT
+    (source, shingle) first, so the self-join operates on vocabulary rows,
+    not document rows, and per-shingle fan-out is bounded by n_sources^2
+    (not corpus size); output is n_sources^2/2 rows. The join key is the
+    shingle — an equi hash join; no pair of documents is ever compared."""
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    v = d.select(
+        "source", F.explode(SIM.word_ngrams(F.col("text"), 3)).alias("s")
+    ).distinct()
+    sizes = v.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    a = v.select(F.col("source").alias("source_a"), "s")
+    b = v.select(F.col("source").alias("source_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnsRenamed({"source": "source_a", "n": "n_a"})),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnsRenamed({"source": "source_b", "n": "n_b"})),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_shared",
+            F.expr("n_shared * 1000000 DIV (n_a + n_b - n_shared)").alias(
+                "jaccard_ppm"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+@_q(
+    "sample_kfold_assign",
+    """
+    SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                AS BIGINT) % 5 AS fold,
+           lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY 1, 2 ORDER BY fold, lang
+    """,
+)
+def sample_kfold_assign(spark, sf_dir):
+    """Deterministic k-fold assignment (cross-validation / sharded-eval
+    splits): fold id = md5-bucket(doc_id) mod k, so folds are reproducible,
+    disjoint, exhaustive, and stable under corpus growth (a doc's fold never
+    changes as neighbors arrive — the property random splits lack). Reported
+    as per-(fold, lang) exact counts/char volumes to verify balance. Scale:
+    pure narrow map + one combinable aggregate; no join, no window."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            (SAMP.hash_bucket_int(F.col("doc_id")) % 5).alias("fold"),
+            "lang",
+            "n_chars",
+        )
+        .groupBy("fold", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("fold", "lang")
+    )
+
+
+@_q(
+    "sql_small_order_revenue",
+    """
+    WITH li AS (
+      SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+             CAST(round(100 * l_extendedprice) AS BIGINT) AS pc
+      FROM lineitem
+    ), agg AS (
+      SELECT l_partkey, sum(q) AS sq, count(*) AS cnt FROM li GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_small_lines,
+           CAST(sum(pc) AS BIGINT) AS revenue_cents,
+           CAST(sum(pc) // 7 AS BIGINT) AS avg_yearly_cents
+    FROM li
+    JOIN agg USING (l_partkey)
+    JOIN part p ON p.p_partkey = li.l_partkey
+    WHERE p.p_brand IN ('Brand#1', 'Brand#2') AND 5 * q * cnt < sq
+    """,
+)
+def sql_small_order_revenue(spark, sf_dir):
+    """TPC-H-Q17-shaped small-quantity revenue: lineitems of selected brands
+    whose quantity is below 20% of that part's average quantity. The
+    correlated AVG subquery is decorrelated into one per-part aggregate
+    joined back to the fact; the fractional comparison q < 0.2 * avg(q) is
+    algebraized to 5*q*cnt < sum(q) — all-integer, engine-exact (quantities
+    are integral; prices fold to cents). Scale: the per-part aggregate and
+    the join back both hash on l_partkey, so the exchange is reused; the
+    brand dimension is a broadcast; output is a single row."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(100 * F.col("l_extendedprice")).cast("long").alias("pc"),
+    )
+    agg = li.groupBy("l_partkey").agg(
+        F.sum("q").alias("sq"), F.count("*").alias("cnt")
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin("Brand#1", "Brand#2"))
+        .select("p_partkey")
+    )
+    return (
+        li.join(agg, "l_partkey")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(5 * F.col("q") * F.col("cnt") < F.col("sq"))
+        .agg(
+            F.count("*").cast("long").alias("n_small_lines"),
+            F.sum("pc").cast("long").alias("revenue_cents"),
+            F.expr("CAST(sum(pc) DIV 7 AS BIGINT)").alias("avg_yearly_cents"),
+        )
+    )
+
+
+@_q(
+    "sql_top_supplier",
+    """
+    WITH r AS (
+      SELECT l_suppkey,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT)) AS total_revenue_e4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-07-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue_e4
+    FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue_e4 = (SELECT max(total_revenue_e4) FROM r)
+    ORDER BY s.s_suppkey
+    """,
+)
+def sql_top_supplier(spark, sf_dir):
+    """TPC-H-Q15-shaped top supplier: revenue per supplier over a 6-month
+    ship window, returning every supplier tied at the maximum (the tie
+    semantics that make Q15 a view-plus-scalar-subquery shape rather than a
+    LIMIT 1). Revenue folds to integer e4 units (2-decimal price x 2-decimal
+    discount sits on a 1e-4 grid) so the equality against max is exact, not
+    a float comparison. Scale: one filtered fact aggregate (pushdown on
+    shipdate); the max is a scalar broadcast; the supplier dim joins
+    broadcast; the fact never shuffles twice."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01"))
+    )
+    r = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+            .cast("long")
+        ).alias("total_revenue_e4")
+    )
+    mx = r.agg(F.max("total_revenue_e4").alias("mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        r.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue_e4") == F.col("mx"))
+        .join(F.broadcast(s), r.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue_e4")
+        .orderBy("s_suppkey")
+    )
+
+
+@_q(
+    "sql_inactive_high_balance",
+    """
+    WITH pos AS (
+      SELECT CAST(round(100 * c_acctbal) AS BIGINT) AS b
+      FROM customer WHERE c_acctbal > 0
+    ), t AS (SELECT sum(b) AS s, count(*) AS n FROM pos)
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(sum(CAST(round(100 * c_acctbal) AS BIGINT)) AS BIGINT)
+             AS total_acctbal_cents
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey, t
+    WHERE CAST(round(100 * c_acctbal) AS BIGINT) * t.n > t.s
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2001-01-01'
+      )
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+)
+def sql_inactive_high_balance(spark, sf_dir):
+    """TPC-H-Q22-shaped sales-opportunity query: customers whose balance
+    exceeds the average POSITIVE balance but who placed no recent orders
+    (anti-join on a date-filtered fact), rolled up by nation. The global-avg
+    comparison is algebraized to bal*n > sum (integer cents x count vs
+    integer sum — engine-exact, no float average). Scale: the positive-
+    balance aggregate is a scalar broadcast; the anti-join's right side is
+    the date-filtered orders (pushdown prunes most of the fact); nation is
+    a broadcast dim; customers shuffle once for the anti-join key."""
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "bal_cents", F.round(100 * F.col("c_acctbal")).cast("long")
+    )
+    t = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.sum("bal_cents").alias("s"), F.count("*").alias("n"))
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01"))
+        .select("o_custkey")
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .filter(F.col("bal_cents") * F.col("n") > F.col("s"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(nation), c.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.sum("bal_cents").cast("long").alias("total_acctbal_cents"),
+        )
+        .orderBy("n_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -4793,6 +5170,13 @@ _GRADE_NEXT = [
     "winsorize_prices",
     "tokenize_with_vocab",
     "quality_threshold_curve",
+    "boilerplate_frequent_grams",
+    "sample_temperature_by_lang",
+    "profile_source_overlap",
+    "sample_kfold_assign",
+    "sql_small_order_revenue",
+    "sql_top_supplier",
+    "sql_inactive_high_balance",
 ]
 
 
