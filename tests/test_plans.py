@@ -310,3 +310,67 @@ def test_quality_curve_is_single_scan_no_join(spark):
     plan = _plan(spark, "quality_threshold_curve")
     assert "Join" not in plan, plan
     assert plan.count("documents.parquet") == 1, plan
+
+
+def test_boilerplate_join_is_equi_not_cartesian(spark):
+    """The boilerplate membership join keys on the shingle (equi hash
+    join over the already-shuffled-by-shingle relation); a nested-loop or
+    cartesian here compares every doc-shingle to every boilerplate gram."""
+    plan = _plan(spark, "boilerplate_frequent_grams")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_temperature_sampling_broadcasts_thresholds(spark):
+    """The per-language keep-thresholds (|langs| rows) must broadcast onto
+    the corpus scan; a SortMergeJoin would shuffle the whole corpus for a
+    five-row dimension."""
+    plan = _plan(spark, "sample_temperature_by_lang")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_kfold_assign_has_no_join(spark):
+    """Fold assignment is a pure narrow map + one combinable aggregate —
+    any join in the plan is a regression."""
+    plan = _plan(spark, "sample_kfold_assign")
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+
+def test_small_order_revenue_broadcasts_brand_dim(spark):
+    """Q17 shape: the brand-filtered part dim rides a BroadcastHashJoin
+    and the brand predicate reaches the part scan as a pushed filter; the
+    per-part aggregate and the join-back share the l_partkey hash."""
+    plan = _plan(spark, "sql_small_order_revenue")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert _pushed_nonempty(plan) >= 1, plan
+
+
+def test_top_supplier_pushes_ship_window_to_scan(spark):
+    """Q15 shape: the 6-month ship window must prune at the lineitem scan
+    (PushedFilters), and the supplier dim must broadcast."""
+    plan = _plan(spark, "sql_top_supplier")
+    assert _pushed_nonempty(plan) >= 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_inactive_high_balance_anti_join_on_pruned_orders(spark):
+    """Q22 shape: the inactivity check is a LeftAnti join whose right side
+    is the date-filtered orders scan (pushdown prunes the fact before the
+    join); nation must broadcast."""
+    plan = _plan(spark, "sql_inactive_high_balance")
+    assert "LeftAnti" in plan, plan
+    assert _pushed_nonempty(plan) >= 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_source_overlap_joins_on_vocabulary_not_docs(spark):
+    """The source-similarity matrix self-joins the DISTINCT (source,
+    shingle) vocabulary on the shingle — an equi join; a cartesian or
+    nested-loop plan would pair documents instead of vocabulary rows."""
+    plan = _plan(spark, "profile_source_overlap")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
