@@ -201,6 +201,97 @@ def ngram_jaccard_pairs(
     return verified.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
 
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_ppm: int = 900_000,
+) -> DataFrame:
+    """Exact near-CONTAINMENT pairs: documents whose word-n-gram shingle set
+    is >= threshold contained in another document's set — the excerpt /
+    quotation / partial-mirror duplicates that symmetric Jaccard misses (a
+    short doc fully quoted inside a long one has high containment but low
+    Jaccard, because the union is dominated by the long doc).
+
+    Candidate generation is the ASYMMETRIC prefix filter: containment
+    C(A in B) = |A∩B|/|A| >= t implies fewer than (1-t)·|A| of A's shingles
+    are missing from B, so A's first ``floor((1-t)·|A|)+1`` shingles in the
+    global (frequency, value) order must intersect B. Hence only the
+    CONTAINED side is pruned to its prefix; the container side indexes all
+    its shingles. The equi-join is still rare-shingle-biased — prefix
+    shingles are each doc's rarest — so hot shingles stay off the pruned
+    side. Verification is exact ``array_intersect`` on the full sets, and
+    the score is integer ppm (no float comparison anywhere).
+
+    Orientation: the contained doc is the one with the SMALLER shingle set
+    (ties: lower id); each qualifying pair is emitted once as
+    (doc_inner, doc_outer, n_inner, n_outer, n_shared, containment_ppm).
+    """
+    sets = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                word_ngrams(F.col(text_col), n), lambda s: F.xxhash64(s)
+            ).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )  # consumed 3x: prefix/index sides + both verify sides
+    sh = sets.select(
+        "id", F.size("shingles").alias("m"), F.explode("shingles").alias("sh")
+    )
+    freq = sh.groupBy("sh").agg(F.count("*").alias("f"))
+    ranked = sh.join(freq, "sh").withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy(F.col("f").asc(), F.col("sh").asc())
+        ),
+    )
+    t = F.lit(threshold_ppm) / F.lit(1_000_000.0)
+    inner_prefix = ranked.filter(
+        F.col("r") <= F.floor((1 - t) * F.col("m")) + 1
+    ).select(F.col("id").alias("doc_inner"), "sh", F.col("m").alias("m_i"))
+    outer_all = sh.select(
+        F.col("id").alias("doc_outer"), "sh", F.col("m").alias("m_o")
+    )
+    cand = (
+        inner_prefix.join(outer_all, "sh")
+        .filter(
+            (F.col("doc_inner") != F.col("doc_outer"))
+            & (F.col("m_i") <= F.col("m_o"))
+        )
+        .select("doc_inner", "doc_outer")
+        .dropDuplicates()
+    )
+    si = sets.select(F.col("id").alias("doc_inner"), F.col("shingles").alias("sh_i"))
+    so = sets.select(F.col("id").alias("doc_outer"), F.col("shingles").alias("sh_o"))
+    verified = (
+        cand.join(si, "doc_inner")
+        .join(so, "doc_outer")
+        .select(
+            "doc_inner",
+            "doc_outer",
+            F.size("sh_i").cast("long").alias("n_inner"),
+            F.size("sh_o").cast("long").alias("n_outer"),
+            F.size(F.array_intersect("sh_i", "sh_o")).cast("long").alias("n_shared"),
+        )
+        .withColumn(
+            "containment_ppm", F.expr("n_shared * 1000000 DIV n_inner")
+        )
+    )
+    return verified.filter(
+        (F.col("containment_ppm") >= threshold_ppm)
+        & (
+            (F.col("n_inner") < F.col("n_outer"))
+            | (
+                (F.col("n_inner") == F.col("n_outer"))
+                & (F.col("doc_inner") < F.col("doc_outer"))
+            )
+        )
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -5063,6 +5063,113 @@ def sql_inactive_high_balance(spark, sf_dir):
     )
 
 
+@_q(
+    "dedup_containment",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE trim(text) <> ''
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 0) + 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS ni
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), o AS (
+      SELECT CASE WHEN x.n < y.n OR (x.n = y.n AND da < db) THEN da ELSE db END
+               AS doc_inner,
+             CASE WHEN x.n < y.n OR (x.n = y.n AND da < db) THEN db ELSE da END
+               AS doc_outer,
+             least(x.n, y.n) AS n_inner, greatest(x.n, y.n) AS n_outer, ni
+      FROM inter JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+    )
+    SELECT doc_inner, doc_outer, n_inner, n_outer, ni AS n_shared,
+           ni * 1000000 // n_inner AS containment_ppm
+    FROM o WHERE ni * 1000000 // n_inner >= 900000
+    ORDER BY doc_inner, doc_outer
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Near-CONTAINMENT dedup (functions/similarity.py::containment_pairs):
+    documents >= 90% shingle-contained in another document — the excerpt /
+    quotation / partial-mirror duplicates that symmetric Jaccard misses,
+    because a short doc quoted inside a long one has a union dominated by
+    the long doc. Candidates come from the ASYMMETRIC prefix filter (only
+    the contained side prunes to its ``floor((1-t)·m)+1`` rarest shingles;
+    the container side indexes everything), so the equi-join never touches
+    hot shingles on the pruned side; verification is exact set
+    intersection; the score is integer ppm. The oracle replays the full
+    quadratic-free definition over string shingles in DuckDB."""
+    d = _t(spark, sf_dir, "documents")
+    return SIM.containment_pairs(d, n=3, threshold_ppm=900_000).orderBy(
+        "doc_inner", "doc_outer"
+    )
+
+
+@_q(
+    "text_commonness",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(
+               string_split_regex(trim(lower(text)), '\s+'))) AS token
+      FROM documents WHERE trim(text) <> ''
+    ), df AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY token
+    ), nd AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+      WHERE trim(text) <> ''
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(d.df) AS BIGINT) AS sum_df,
+           sum(d.df) * 1000000 // (count(*) * (SELECT n_docs FROM nd))
+             AS commonness_ppm
+    FROM toks t JOIN df d USING (token)
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+)
+def text_commonness(spark, sf_dir):
+    """Token-commonness quality signal: each document's mean corpus
+    document-frequency over its distinct tokens, as exact integer ppm — a
+    low score means the doc is built from tokens almost no other document
+    uses (OCR noise, mojibake, codes); a score near 1e6 means pure
+    stopword/boilerplate vocabulary. The integer twin of the float
+    unigram-perplexity proxy (logs are not cross-engine exact; integer
+    ratios are). Scale: the token df aggregate shuffles the distinct
+    (doc, token) stream once keyed by token, and the df join-back rides
+    the SAME key, so the exchange is reused; the doc count is a scalar
+    broadcast; the final per-doc rollup is map-side combinable."""
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+"))
+        ).alias("token"),
+    )
+    dfrel = toks.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    nd = d.agg(F.count("*").cast("long").alias("n_docs"))
+    return (
+        toks.join(dfrel, "token")
+        .crossJoin(F.broadcast(nd))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_types"),
+            F.sum("df").cast("long").alias("sum_df"),
+            F.first("n_docs").alias("nd_"),
+        )
+        .withColumn(
+            "commonness_ppm", F.expr("sum_df * 1000000 DIV (n_types * nd_)")
+        )
+        .drop("nd_")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -5177,6 +5284,8 @@ _GRADE_NEXT = [
     "sql_small_order_revenue",
     "sql_top_supplier",
     "sql_inactive_high_balance",
+    "dedup_containment",
+    "text_commonness",
 ]
 
 

@@ -374,3 +374,20 @@ def test_source_overlap_joins_on_vocabulary_not_docs(spark):
     plan = _plan(spark, "profile_source_overlap")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_containment_prunes_inner_side_no_cartesian(spark):
+    """Containment candidates must come from the asymmetric prefix
+    equi-join (contained side pruned to its rarest shingles); a cartesian
+    or nested-loop plan means the prefix filter was lost."""
+    plan = _plan(spark, "dedup_containment")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_commonness_df_join_reuses_token_key(spark):
+    """The df join-back keys on the token, the same key as the df
+    aggregate — no cartesian, no nested loop; the doc-count scalar rides
+    a 1-row broadcast."""
+    plan = _plan(spark, "text_commonness")
+    assert "CartesianProduct" not in plan, plan
