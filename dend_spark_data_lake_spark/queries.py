@@ -5170,6 +5170,62 @@ def text_commonness(spark, sf_dir):
     )
 
 
+@_q(
+    "sql_recursive_calendar",
+    """
+    WITH RECURSIVE months AS (
+      SELECT DATE '1995-01-01' AS month
+      UNION ALL
+      SELECT CAST(month + INTERVAL 1 MONTH AS DATE) FROM months
+      WHERE month < DATE '2001-07-01'
+    ), o AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(100 * o_totalprice) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT m.month,
+           CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(coalesce(o.revenue_cents, 0) AS BIGINT) AS revenue_cents
+    FROM months m LEFT JOIN o USING (month)
+    ORDER BY m.month
+    """,
+)
+def sql_recursive_calendar(spark, sf_dir):
+    """Recursive-CTE calendar spine (Spark 4 WITH RECURSIVE — new SQL
+    surface): generate the full month series across the order history by
+    bounded acyclic recursion (UNION ALL, 79 steps — far under the
+    recursion-level limit), then zero-fill monthly order counts/revenue by
+    left join. The dimension-generation twin of ts_gapfill's sequence()
+    approach, expressed entirely in SQL. Revenue folds to integer cents
+    (2-decimal-exact totals) so values are engine-exact. Scale: the spine
+    is O(months) rows built driver-free; the fact aggregates once keyed by
+    month; the spine join is a broadcast."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        WITH RECURSIVE months AS (
+          SELECT DATE '1995-01-01' AS month
+          UNION ALL
+          SELECT CAST(month + INTERVAL '1' MONTH AS DATE) FROM months
+          WHERE month < DATE '2001-07-01'
+        ), o AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                 CAST(count(*) AS BIGINT) AS n_orders,
+                 CAST(sum(CAST(round(100 * o_totalprice) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+          FROM orders GROUP BY 1
+        )
+        SELECT m.month,
+               CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+               CAST(coalesce(o.revenue_cents, 0) AS BIGINT) AS revenue_cents
+        FROM months m LEFT JOIN o USING (month)
+        ORDER BY m.month
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -5286,6 +5342,7 @@ _GRADE_NEXT = [
     "sql_inactive_high_balance",
     "dedup_containment",
     "text_commonness",
+    "sql_recursive_calendar",
 ]
 
 
