@@ -5226,6 +5226,48 @@ def sql_recursive_calendar(spark, sf_dir):
     )
 
 
+@_q(
+    "json_variant_agg",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(k) AS BIGINT) AS n_with_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k
+    FROM (
+      SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def json_variant_agg(spark, sf_dir):
+    """Semi-structured aggregation over the VARIANT type (Spark 4): the
+    JSON props column is parsed ONCE into Spark's binary variant encoding
+    (``parse_json``) and fields are read with typed ``variant_get`` paths —
+    the engine-native replacement for repeated ``get_json_object`` string
+    re-parsing (each string-path call re-parses the JSON; variant parses
+    once and the binary encoding serves every path O(log fields)). At
+    100 TB, variant columns also shred into parquet for columnar pruning
+    of subfields. The extraction is per-row narrow work; the rollup is one
+    map-side-combinable aggregate keyed by event_type."""
+    e = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.count("k").cast("long").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -5343,6 +5385,7 @@ _GRADE_NEXT = [
     "dedup_containment",
     "text_commonness",
     "sql_recursive_calendar",
+    "json_variant_agg",
 ]
 
 

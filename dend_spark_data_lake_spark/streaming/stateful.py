@@ -53,6 +53,59 @@ def running_user_totals(
     )
 
 
+def running_user_totals_tws(
+    events: DataFrame, key: str = "user_id", value_col: str = "value"
+) -> DataFrame:
+    """Running per-key totals on the ``transformWithStateInPandas`` API —
+    Spark 4's arbitrary-state operator, the successor to
+    ``applyInPandasWithState`` (same semantics as ``running_user_totals``
+    above, so the stream==batch test covers both implementations).
+
+    Differences that matter at scale: state is HANDLE-BASED (named
+    ValueState/ListState/MapState registered in ``init``), each with an
+    optional per-state TTL — eviction no longer needs hand-rolled timer
+    logic for the simple expiry case; the state store still partitions by
+    group key, so memory scales with keys-per-executor, not stream size.
+
+    Runtime requirement: the TWS driver worker needs the Python
+    ``protobuf`` package (absent in this container — the stream==batch
+    test auto-skips; ``running_user_totals`` above is the fully-exercised
+    equivalent).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n bigint, total double")
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf[value_col].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {
+                    key: [key_tuple[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=f"{key} bigint, n_events bigint, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def sessionize_with_timeout(
     events: DataFrame,
     gap_minutes: int = 30,

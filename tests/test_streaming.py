@@ -331,3 +331,37 @@ def test_stream_stream_interval_join_equals_batch_join(spark, stream_dir):
         for r in bv.join(bc, cond).select(bv.event_id, bc.event_id).collect()
     }
     assert got == expected == {(1, 11), (2, 12)}
+
+
+def test_transform_with_state_totals_across_batches(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API) must keep
+    per-key ValueState across microbatches — final totals equal the batch
+    groupBy over ALL input, matching the applyInPandasWithState twin.
+
+    The TWS driver worker speaks protobuf to the JVM; skip where the
+    Python ``protobuf`` package is absent (this container).
+    """
+    pytest.importorskip("google.protobuf")
+    from dend_spark_data_lake_spark.streaming.stateful import running_user_totals_tws
+
+    src = str(tmp_path / "src")
+    _write_single_file(
+        spark,
+        [(1, _ts(9), 1, 10.0), (2, _ts(9, 5), 2, 5.0)],
+        src + "/a.parquet",
+    )
+    _write_single_file(
+        spark,
+        [(3, _ts(10), 1, 7.5), (4, _ts(10, 5), 1, 2.5), (5, _ts(10, 10), 2, 1.0)],
+        src + "/b.parquet",
+    )
+    stream = read_event_stream(spark, src, SCHEMA, max_files_per_trigger=1)
+    out = running_user_totals_tws(stream.select("user_id", "value"))
+    run_available_now(out, "tws_totals", "update", str(tmp_path / "ck"))
+    rows = spark.sql(
+        """SELECT user_id, max_by(total_value, n_events) AS total_value,
+                  max(n_events) AS n_events
+           FROM tws_totals GROUP BY user_id"""
+    ).collect()
+    got = {r.user_id: (r.n_events, r.total_value) for r in rows}
+    assert got == {1: (3, 20.0), 2: (2, 6.0)}
