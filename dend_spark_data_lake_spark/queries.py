@@ -5268,6 +5268,81 @@ def json_variant_agg(spark, sf_dir):
     )
 
 
+@_q(
+    "sql_pipe_syntax",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(100 * l_extendedprice) AS BIGINT)) AS BIGINT)
+             AS price_cents
+    FROM lineitem
+    WHERE l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def sql_pipe_syntax(spark, sf_dir):
+    """SQL pipe syntax (Spark 4 ``|>`` operators — the linear FROM-first
+    dialect): scan |> filter |> aggregate-with-group |> sort, compiled to
+    the identical Catalyst plan as the nested-SELECT form (the oracle is
+    that nested form in DuckDB). Same engine-exact integer-cents folding;
+    the shipdate predicate still reaches the parquet scan — pipe syntax is
+    sugar over the same logical plan, which this query certifies."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_lines,
+                     CAST(sum(CAST(round(100 * l_extendedprice) AS BIGINT))
+                          AS BIGINT) AS price_cents
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n_lines, price_cents
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@_q(
+    "sql_udf_margin",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(10000 * l_extendedprice * (1 - l_discount)
+                               * (1 + l_tax)) AS BIGINT)) AS BIGINT)
+             AS charged_e4
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def sql_udf_margin(spark, sf_dir):
+    """Catalog SQL UDF (Spark 4 ``CREATE FUNCTION ... RETURN expr``): the
+    charged-amount business rule is defined ONCE as a named SQL function
+    and reused by name — unlike Python UDFs, SQL UDFs inline into the
+    plan at analysis time, so the aggregate below stays whole-stage
+    codegen with zero serialization boundary (the 100 TB-safe way to share
+    business logic). The oracle inlines the same expression."""
+    register_views(spark, sf_dir, ["lineitem"])
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION charged_e4(
+          price DOUBLE, discount DOUBLE, tax DOUBLE)
+        RETURNS BIGINT
+        RETURN CAST(round(10000 * price * (1 - discount) * (1 + tax)) AS BIGINT)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(charged_e4(l_extendedprice, l_discount, l_tax))
+                    AS BIGINT) AS charged_e4
+        FROM lineitem
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -5386,6 +5461,8 @@ _GRADE_NEXT = [
     "text_commonness",
     "sql_recursive_calendar",
     "json_variant_agg",
+    "sql_pipe_syntax",
+    "sql_udf_margin",
 ]
 
 
