@@ -66,6 +66,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # predicate pushdown into custom Python data sources (Spark 4.1;
+        # off by default) — sources/pydatasource.py prunes partitions with it
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # Idempotent partitioned re-writes (reference defect D4: default
         # errorifexists mode crashes on rerun, etl_pipeline.py:113-118).
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
