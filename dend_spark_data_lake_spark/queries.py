@@ -5343,6 +5343,239 @@ def sql_udf_margin(spark, sf_dir):
     )
 
 
+@_q(
+    "sql_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS revenue_e4
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+)
+def sql_local_supplier_volume(spark, sf_dir):
+    """TPC-H-Q5-shaped local-supplier volume: revenue per nation where the
+    SUPPLIER sits in the same nation as the customer (the equi-condition
+    that makes Q5 a 6-table snowflake with a cross-fact correlation, not a
+    star). Join order matters at 100 TB: lineitem joins orders on the fact
+    key (one shuffle pair), customer/supplier/nation/region are broadcast
+    dims; the s_nationkey = c_nationkey correlation rides the supplier
+    broadcast as a post-join filter, so the fact never shuffles for it.
+    Revenue folds to integer e4 units."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+        .cast("long").alias("e4"),
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("e4").cast("long").alias("revenue_e4"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@_q(
+    "sql_market_share",
+    """
+    WITH base AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                  AS BIGINT) AS e4,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = cn.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT o_year,
+           CAST(sum(e4) AS BIGINT) AS total_e4,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN e4 ELSE 0 END)
+                AS BIGINT) AS nation_e4,
+           sum(CASE WHEN supp_nation = 'NATION_3' THEN e4 ELSE 0 END)
+             * 1000000 // sum(e4) AS share_ppm
+    FROM base GROUP BY o_year ORDER BY o_year
+    """,
+)
+def sql_market_share(spark, sf_dir):
+    """TPC-H-Q8-shaped market share: the fraction of a region's customer
+    revenue supplied by one nation, per order year — the
+    conditional-sum-over-total ratio pattern. Both sums fold to integer e4
+    units and the share is exact integer ppm, so the cross-engine compare
+    is bit-stable (no float division drift). Scale: ONE pass over the
+    joined fact with two conditional aggregates — never two scans for
+    numerator and denominator; all dims broadcast; the year extraction is
+    a scan-side expression."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+        .cast("long").alias("e4"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").cast("int").alias("o_year")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cn = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select(
+        "r_regionkey"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    nat = F.when(F.col("supp_nation") == "NATION_3", F.col("e4")).otherwise(0)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == cn.n_nationkey)
+        .join(F.broadcast(r), cn.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == sn.sn_nationkey)
+        .groupBy("o_year")
+        .agg(
+            F.sum("e4").cast("long").alias("total_e4"),
+            F.sum(nat).cast("long").alias("nation_e4"),
+        )
+        .withColumn("share_ppm", F.expr("nation_e4 * 1000000 DIV total_e4"))
+        .select("o_year", "total_e4", "nation_e4", "share_ppm")
+        .orderBy("o_year")
+    )
+
+
+@_q(
+    "sql_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS revenue_e4
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue_e4 DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+def sql_returned_items(spark, sf_dir):
+    """TPC-H-Q10-shaped returned-item report: top 20 customers by revenue
+    lost to returns in a half-year window. The returnflag predicate and
+    the date window both push to their scans (row-group pruning on both
+    facts); customer and nation broadcast; the top-20 is a TakeOrdered
+    (never a global sort), with (revenue DESC, custkey ASC) making the cut
+    deterministic under revenue ties. Revenue in integer e4 units."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+        .cast("long").alias("e4"),
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01"))
+    ).select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("e4").cast("long").alias("revenue_e4"),
+        )
+        .orderBy(F.desc("revenue_e4"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@_q(
+    "sql_promo_revenue",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                         * 10000) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS promo_e4,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS total_e4,
+           sum(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                    * 10000) AS BIGINT) ELSE 0 END)
+             * 1000000 // sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                         * 10000) AS BIGINT)) AS promo_ppm
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l.l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+)
+def sql_promo_revenue(spark, sf_dir):
+    """TPC-H-Q14-shaped promotion effect: the promo-typed share of one
+    month's revenue, as exact integer ppm of integer e4 revenue units —
+    Q14's CASE-sum-over-sum written without any float division. The ship
+    window pushes to the lineitem scan; part broadcasts; one conditional
+    aggregate pass, single output row."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    ).select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+        .cast("long").alias("e4"),
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo = F.when(F.col("p_type") == "PROMO", F.col("e4")).otherwise(0)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(promo).cast("long").alias("promo_e4"),
+            F.sum("e4").cast("long").alias("total_e4"),
+        )
+        .withColumn("promo_ppm", F.expr("promo_e4 * 1000000 DIV total_e4"))
+        .select("n_lines", "promo_e4", "total_e4", "promo_ppm")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -5463,6 +5696,10 @@ _GRADE_NEXT = [
     "json_variant_agg",
     "sql_pipe_syntax",
     "sql_udf_margin",
+    "sql_local_supplier_volume",
+    "sql_market_share",
+    "sql_returned_items",
+    "sql_promo_revenue",
 ]
 
 

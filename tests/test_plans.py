@@ -391,3 +391,38 @@ def test_commonness_df_join_reuses_token_key(spark):
     a 1-row broadcast."""
     plan = _plan(spark, "text_commonness")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q5_shape_broadcasts_all_dims_single_fact_shuffle(spark):
+    """Q5 shape: customer/supplier/nation/region all broadcast; the only
+    exchange pair is lineitem-orders on the order key; the local-supplier
+    correlation must not add a shuffle."""
+    plan = _plan(spark, "sql_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert _pushed_nonempty(plan) >= 1, plan  # orderdate window
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q8_shape_single_pass_conditional_share(spark):
+    """Q8 shape: numerator and denominator are conditional sums in ONE
+    aggregate — the fact must be scanned once, dims broadcast."""
+    plan = _plan(spark, "sql_market_share")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+
+
+def test_q10_shape_takeordered_top20(spark):
+    """Q10 shape: the top-20 must plan as TakeOrdered(AndProject), never a
+    global Sort; returnflag + date window push to the scans."""
+    plan = _plan(spark, "sql_returned_items")
+    assert "TakeOrdered" in plan, plan
+    assert _pushed_nonempty(plan) >= 2, plan
+
+
+def test_q14_shape_broadcast_part_single_row(spark):
+    """Q14 shape: part broadcasts onto the month-pruned lineitem scan; the
+    share is computed in the same aggregate pass (no second scan)."""
+    plan = _plan(spark, "sql_promo_revenue")
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert _pushed_nonempty(plan) >= 1, plan
