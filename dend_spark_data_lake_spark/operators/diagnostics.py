@@ -85,3 +85,47 @@ def join_fanout_profile(
         .orderBy(F.col("out_rows").desc(), F.col("key_value").asc())
         .limit(top_n)
     )
+
+
+def plan_audit(df: DataFrame) -> dict:
+    """Physical-plan audit of a DataFrame BEFORE running it: counts of the
+    plan features that decide whether a job survives a 100x scale-up.
+
+    Returns a dict with:
+
+    - ``exchanges``: shuffle boundaries (each is a full materialization of
+      the stream — the unit of cost to minimize);
+    - ``broadcast_joins`` / ``sort_merge_joins`` / ``shuffled_hash_joins``:
+      the join-strategy mix (a SortMergeJoin against a small dim is a
+      missed broadcast);
+    - ``nested_loop_joins`` / ``cartesian``: the quadratic red flags — any
+      non-zero value here on a large input is a scale killer;
+    - ``scans_with_pushdown`` / ``scans``: how many file scans actually
+      received pushed filters (a filtered query whose scan shows
+      ``PushedFilters: []`` re-reads everything);
+    - ``codegen_spans``: whole-stage codegen regions (wider is better —
+      Python UDFs and some exprs break them); NOTE under AQE the
+      pre-execution plan reports 0 — spans materialize in final plans.
+
+    This is the pre-flight the other diagnostics feed into: run it in CI
+    against known queries and assert the counts (tests/test_plans.py does
+    exactly that), so a refactor that silently degrades a plan fails the
+    build, not the cluster.
+    """
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = sum(
+        1
+        for line in plan.splitlines()
+        if "PushedFilters: [" in line and "PushedFilters: []" not in line
+    )
+    return {
+        "exchanges": plan.count("Exchange"),
+        "broadcast_joins": plan.count("BroadcastHashJoin"),
+        "sort_merge_joins": plan.count("SortMergeJoin"),
+        "shuffled_hash_joins": plan.count("ShuffledHashJoin"),
+        "nested_loop_joins": plan.count("BroadcastNestedLoopJoin"),
+        "cartesian": plan.count("CartesianProduct"),
+        "scans": plan.count("FileScan") + plan.count("BatchScan"),
+        "scans_with_pushdown": pushed,
+        "codegen_spans": plan.count("WholeStageCodegen ("),
+    }

@@ -107,3 +107,40 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(df.columns) == {"k", "v", "score", "d"}
     rows = {r.k: (r.v, r.score) for r in df.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_events_ts_reads_identically_across_encodings(spark, tmp_path):
+    """The driver has shipped events.ts as both TIMESTAMP(NANOS) (read as
+    a nanos long under the legacy conf) and plain micros TIMESTAMP across
+    rounds; read_table must yield identical values either way."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from dend_spark_data_lake_spark.sources.io import read_table
+
+    micros = [1_700_000_000_000_000, 1_700_000_123_456_789]
+    base = {
+        "event_id": [1, 2],
+        "user_id": [10, 20],
+        "event_type": ["a", "b"],
+        "value": [1.0, 2.0],
+        "props": ["{}", "{}"],
+    }
+    nanos_dir = tmp_path / "nanos"
+    micros_dir = tmp_path / "micros"
+    for d in (nanos_dir, micros_dir):
+        d.mkdir()
+    pq.write_table(
+        pa.table({**base, "ts": pa.array([m * 1000 for m in micros], pa.timestamp("ns"))}),
+        str(nanos_dir / "events.parquet"),
+    )
+    pq.write_table(
+        pa.table({**base, "ts": pa.array(micros, pa.timestamp("us"))}),
+        str(micros_dir / "events.parquet"),
+    )
+    a = sorted(
+        (r.event_id, r.ts) for r in read_table(spark, str(nanos_dir), "events").collect()
+    )
+    b = sorted(
+        (r.event_id, r.ts) for r in read_table(spark, str(micros_dir), "events").collect()
+    )
+    assert a == b and len(a) == 2

@@ -426,3 +426,19 @@ def test_q14_shape_broadcast_part_single_row(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("lineitem.parquet") == 1, plan
     assert _pushed_nonempty(plan) >= 1, plan
+
+
+def test_plan_audit_counts_known_shapes(spark):
+    """plan_audit must report the features the other plan tests assert
+    individually: the star join shows broadcasts and zero quadratic joins;
+    a deliberate cross join shows up in the nested-loop/cartesian
+    counters."""
+    from dend_spark_data_lake_spark.operators.diagnostics import plan_audit
+
+    star = plan_audit(REGISTRY["ref_star_join"].fn(spark, SF_SMOKE))
+    assert star["broadcast_joins"] >= 1
+    assert star["cartesian"] == 0 and star["nested_loop_joins"] == 0
+    assert star["scans_with_pushdown"] >= 1
+
+    cross = plan_audit(REGISTRY["join_cross"].fn(spark, SF_SMOKE))
+    assert cross["cartesian"] + cross["nested_loop_joins"] >= 1
