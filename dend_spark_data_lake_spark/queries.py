@@ -5576,6 +5576,119 @@ def sql_promo_revenue(spark, sf_dir):
     )
 
 
+@_q(
+    "pipeline_curation",
+    r"""
+    WITH kept AS (
+      SELECT doc_id, text, lang,
+             CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INT)
+               AS n_tokens
+      FROM documents
+      WHERE trim(text) <> ''
+        AND len(string_split_regex(trim(lower(text)), '\s+')) >= 10
+        AND doc_id % 10 <> 0
+    ), evt AS (
+      SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE doc_id % 10 = 0
+    ), ev AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 3, 0) + 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])))
+               AS s
+      FROM evt
+    ), kt AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM kept
+    ), ksh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 3, 0) + 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])))
+               AS s
+      FROM kt
+    ), contaminated AS (
+      SELECT DISTINCT k.doc_id FROM ksh k JOIN ev ON k.s = ev.s
+    ), deduped AS (
+      SELECT doc_id, lang, n_tokens FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(trim(lower(text)))
+                                     ORDER BY doc_id) AS rn
+        FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+      ) WHERE rn = 1
+    ), c AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM deduped GROUP BY lang
+    ), m AS (SELECT min(n_lang) AS n_min FROM c),
+    thr AS (
+      SELECT lang, CAST(floor(65536 * sqrt(CAST(n_min AS DOUBLE) / n_lang))
+                        AS BIGINT) AS bt
+      FROM c, m
+    ), sampled AS (
+      SELECT d.* FROM deduped d JOIN thr USING (lang)
+      WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                 AS BIGINT) < bt
+    )
+    SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                AS BIGINT) % 5 AS fold,
+           lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+    FROM sampled GROUP BY 1, 2 ORDER BY fold, lang
+    """,
+)
+def pipeline_curation(spark, sf_dir):
+    """Flagship composite #3 — the eval-safe CURATION cycle, chaining this
+    round's operators end to end: quality gate (token floor) → benchmark
+    DECONTAMINATION (drop train docs sharing any 4-gram with the held-out
+    eval slice, ``shingle_contamination``) → exact dedup (fingerprint
+    keep-min) → TEMPERATURE resampling by language (sqrt keep-rates,
+    md5-bucket selection) → deterministic K-FOLD accounting. Every stage is
+    an independently-oracled operator; this query locks their COMPOSITION
+    against a full DuckDB replica with identical integer thresholds.
+
+    Scale: the corpus is scanned for the quality gate, shingled once for
+    the contamination check (eval vocabulary broadcasts — benchmark suites
+    are MBs, corpora TBs), shuffled once by fingerprint for dedup; the
+    language histogram and thresholds are scalar-size broadcasts; sampling
+    and folding are narrow maps. No stage self-joins the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    q = TX.quality_columns(F.col("text"))
+    kept = (
+        d.filter(F.trim("text") != "")
+        .select("doc_id", "text", "lang", q["n_tokens"].alias("n_tokens"))
+        .filter((F.col("n_tokens") >= 10) & (F.col("doc_id") % 10 != 0))
+    )
+    ev = d.filter(F.col("doc_id") % 10 == 0)
+    cont = SIM.shingle_contamination(kept, ev, n=4).select("doc_id")
+    clean = kept.join(F.broadcast(cont), "doc_id", "left_anti")
+    w = Window.partitionBy(F.md5(F.trim(F.lower("text")))).orderBy("doc_id")
+    deduped = (
+        clean.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_tokens")
+    )
+    c = deduped.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    m = c.agg(F.min("n_lang").alias("n_min"))
+    thr = c.crossJoin(F.broadcast(m)).select(
+        "lang",
+        F.floor(
+            65536 * F.sqrt(F.col("n_min").cast("double") / F.col("n_lang"))
+        ).alias("bt"),
+    )
+    sampled = deduped.join(F.broadcast(thr), "lang").filter(
+        SAMP.hash_bucket_int(F.col("doc_id")) < F.col("bt")
+    )
+    return (
+        sampled.select(
+            (SAMP.hash_bucket_int(F.col("doc_id")) % 5).alias("fold"),
+            "lang",
+            "n_tokens",
+        )
+        .groupBy("fold", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+        .orderBy("fold", "lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -5700,6 +5813,7 @@ _GRADE_NEXT = [
     "sql_market_share",
     "sql_returned_items",
     "sql_promo_revenue",
+    "pipeline_curation",
 ]
 
 

@@ -442,3 +442,13 @@ def test_plan_audit_counts_known_shapes(spark):
 
     cross = plan_audit(REGISTRY["join_cross"].fn(spark, SF_SMOKE))
     assert cross["cartesian"] + cross["nested_loop_joins"] >= 1
+
+
+def test_curation_composite_broadcasts_all_small_sides(spark):
+    """The curation flagship must keep every small relation (contaminated
+    ids, eval vocabulary, language thresholds) on broadcast joins and never
+    plan a cartesian; the fingerprint dedup is the only corpus-keyed window."""
+    plan = _plan(spark, "pipeline_curation")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "LeftAnti" in plan, plan
