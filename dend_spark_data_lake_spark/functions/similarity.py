@@ -125,35 +125,7 @@ def ngram_jaccard_pairs(
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, J rounded.
     """
-    # Shingle strings are hashed to 64-bit longs immediately: every
-    # downstream shuffle, join key, sort, and array_intersect then works on
-    # fixed-width longs instead of ~20-byte strings (measured ~35% faster
-    # end-to-end). Jaccard over hashed sets equals Jaccard over the strings
-    # barring a 64-bit collision inside one corpus (~n²/2⁶⁵ — negligible),
-    # and the frequency-then-value prefix order only needs to be a
-    # consistent global total order, which hash values still provide.
-    sets = (
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.transform(
-                word_ngrams(F.col(text_col), n), lambda s: F.xxhash64(s)
-            ).alias("shingles"),
-        )
-        .filter(F.size("shingles") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )  # consumed 3x (prefix index + both verify sides); shingling is the
-    #    most expensive per-row expression here, so compute it once —
-    #    MEMORY_AND_DISK spills rather than recomputes at corpus scale
-    sh = sets.select(
-        "id", F.size("shingles").alias("m"), F.explode("shingles").alias("sh")
-    )
-    freq = sh.groupBy("sh").agg(F.count("*").alias("f"))
-    ranked = sh.join(freq, "sh").withColumn(
-        "r",
-        F.row_number().over(
-            Window.partitionBy("id").orderBy(F.col("f").asc(), F.col("sh").asc())
-        ),
-    )
+    sets, ranked = _shingle_prefix_index(docs, id_col, text_col, n)
     prefix = (
         ranked.filter(F.col("r") <= F.floor((1 - F.lit(threshold)) * F.col("m")) + 1)
         .select("id", "sh", "m", "r")
@@ -201,6 +173,50 @@ def ngram_jaccard_pairs(
     return verified.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
 
+def _shingle_prefix_index(
+    docs: DataFrame, id_col: str, text_col: str, n: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared prefix-filter machinery for the exact set-similarity joins
+    (``ngram_jaccard_pairs`` symmetric, ``containment_pairs`` asymmetric).
+
+    Returns ``(sets, ranked)``: ``sets`` is the persisted
+    (id, hashed-shingle-array) relation — shingling is the most expensive
+    per-row expression, computed once and MEMORY_AND_DISK-persisted because
+    every caller consumes it 3x (index side(s) + both verify sides);
+    ``ranked`` is the exploded (id, m, sh, r) relation where ``r`` is the
+    shingle's rank within its doc in the GLOBAL (corpus frequency, value)
+    order — the order that makes any prefix the doc's rarest shingles, so
+    prefix equi-joins stay off hot shingles. Callers apply their own
+    threshold-specific prefix bound on ``r``.
+
+    Shingle strings are hashed to 64-bit longs immediately: downstream
+    shuffles, sorts, and intersections work on fixed-width longs (~35%
+    faster end-to-end, measured); set relations over hashes equal those
+    over strings barring a 64-bit collision inside one corpus (~n²/2⁶⁵).
+    """
+    sets = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                word_ngrams(F.col(text_col), n), lambda s: F.xxhash64(s)
+            ).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sh = sets.select(
+        "id", F.size("shingles").alias("m"), F.explode("shingles").alias("sh")
+    )
+    freq = sh.groupBy("sh").agg(F.count("*").alias("f"))
+    ranked = sh.join(freq, "sh").withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy(F.col("f").asc(), F.col("sh").asc())
+        ),
+    )
+    return sets, ranked
+
+
 def containment_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -214,10 +230,15 @@ def containment_pairs(
     short doc fully quoted inside a long one has high containment but low
     Jaccard, because the union is dominated by the long doc).
 
-    Candidate generation is the ASYMMETRIC prefix filter: containment
-    C(A in B) = |A∩B|/|A| >= t implies fewer than (1-t)·|A| of A's shingles
-    are missing from B, so A's first ``floor((1-t)·|A|)+1`` shingles in the
-    global (frequency, value) order must intersect B. Hence only the
+    Candidate generation is the ASYMMETRIC prefix filter: the emitted score
+    is ``n_shared * 1e6 DIV m >= t_ppm``, which (floor division against an
+    integer bound) is equivalent to ``n_shared >= ceil(t_ppm·m / 1e6)`` —
+    so at most ``m - ceil(t_ppm·m/1e6)`` of A's shingles are missing from B
+    and A's first ``m - ceil(t_ppm·m/1e6) + 1`` shingles in the global
+    (frequency, value) order must intersect B. The bound is computed in
+    INTEGER arithmetic (``(t_ppm·m + 999999) DIV 1e6``), not float — a
+    float threshold slightly above t would shorten the prefix by one for
+    sizes where t·m is exact and silently drop at-threshold pairs. Only the
     CONTAINED side is pruned to its prefix; the container side indexes all
     its shingles. The equi-join is still rare-shingle-biased — prefix
     shingles are each doc's rarest — so hot shingles stay off the pruned
@@ -228,30 +249,15 @@ def containment_pairs(
     (ties: lower id); each qualifying pair is emitted once as
     (doc_inner, doc_outer, n_inner, n_outer, n_shared, containment_ppm).
     """
-    sets = (
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.transform(
-                word_ngrams(F.col(text_col), n), lambda s: F.xxhash64(s)
-            ).alias("shingles"),
-        )
-        .filter(F.size("shingles") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )  # consumed 3x: prefix/index sides + both verify sides
+    sets, ranked = _shingle_prefix_index(docs, id_col, text_col, n)
+    # minimum shared shingles for containment: ceil(t_ppm * m / 1e6), all-integer
+    min_shared = F.expr(f"({threshold_ppm} * m + 999999) DIV 1000000")
+    inner_prefix = ranked.filter(
+        F.col("r") <= F.col("m") - min_shared + 1
+    ).select(F.col("id").alias("doc_inner"), "sh", F.col("m").alias("m_i"))
     sh = sets.select(
         "id", F.size("shingles").alias("m"), F.explode("shingles").alias("sh")
     )
-    freq = sh.groupBy("sh").agg(F.count("*").alias("f"))
-    ranked = sh.join(freq, "sh").withColumn(
-        "r",
-        F.row_number().over(
-            Window.partitionBy("id").orderBy(F.col("f").asc(), F.col("sh").asc())
-        ),
-    )
-    t = F.lit(threshold_ppm) / F.lit(1_000_000.0)
-    inner_prefix = ranked.filter(
-        F.col("r") <= F.floor((1 - t) * F.col("m")) + 1
-    ).select(F.col("id").alias("doc_inner"), "sh", F.col("m").alias("m_i"))
     outer_all = sh.select(
         F.col("id").alias("doc_outer"), "sh", F.col("m").alias("m_o")
     )

@@ -112,14 +112,28 @@ def plan_audit(df: DataFrame) -> dict:
     exactly that), so a refactor that silently degrades a plan fails the
     build, not the cluster.
     """
+    import re
+
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # An executed AQE plan prints BOTH "== Final Plan ==" and
+    # "== Initial Plan ==" — audit only the final section, or every
+    # counter double-counts after the query has run once.
+    if "== Final Plan ==" in plan:
+        plan = plan.split("== Final Plan ==", 1)[1].split("== Initial Plan ==", 1)[0]
     pushed = sum(
         1
         for line in plan.splitlines()
         if "PushedFilters: [" in line and "PushedFilters: []" not in line
     )
     return {
-        "exchanges": plan.count("Exchange"),
+        # shuffle boundaries only: "Exchange" also substring-matches
+        # BroadcastExchange (not a shuffle) and ReusedExchange (already
+        # counted once at its definition site)
+        "exchanges": (
+            plan.count("Exchange")
+            - plan.count("BroadcastExchange")
+            - plan.count("ReusedExchange")
+        ),
         "broadcast_joins": plan.count("BroadcastHashJoin"),
         "sort_merge_joins": plan.count("SortMergeJoin"),
         "shuffled_hash_joins": plan.count("ShuffledHashJoin"),
@@ -127,5 +141,7 @@ def plan_audit(df: DataFrame) -> dict:
         "cartesian": plan.count("CartesianProduct"),
         "scans": plan.count("FileScan") + plan.count("BatchScan"),
         "scans_with_pushdown": pushed,
-        "codegen_spans": plan.count("WholeStageCodegen ("),
+        # codegen renders as "*(N) Operator" prefixes; count DISTINCT span
+        # ids, not occurrences (every operator in a span carries the prefix)
+        "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
     }

@@ -5177,7 +5177,7 @@ def text_commonness(spark, sf_dir):
       SELECT DATE '1995-01-01' AS month
       UNION ALL
       SELECT CAST(month + INTERVAL 1 MONTH AS DATE) FROM months
-      WHERE month < DATE '2001-07-01'
+      WHERE month < DATE '2001-12-01'
     ), o AS (
       SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
              CAST(count(*) AS BIGINT) AS n_orders,
@@ -5195,7 +5195,7 @@ def text_commonness(spark, sf_dir):
 def sql_recursive_calendar(spark, sf_dir):
     """Recursive-CTE calendar spine (Spark 4 WITH RECURSIVE — new SQL
     surface): generate the full month series across the order history by
-    bounded acyclic recursion (UNION ALL, 79 steps — far under the
+    bounded acyclic recursion (UNION ALL, 84 steps — far under the
     recursion-level limit), then zero-fill monthly order counts/revenue by
     left join. The dimension-generation twin of ts_gapfill's sequence()
     approach, expressed entirely in SQL. Revenue folds to integer cents
@@ -5203,13 +5203,15 @@ def sql_recursive_calendar(spark, sf_dir):
     is O(months) rows built driver-free; the fact aggregates once keyed by
     month; the spine join is a broadcast."""
     register_views(spark, sf_dir, ["orders"])
+    # spine runs past the data's max month (2001-08) so a driver round that
+    # extends the order history cannot silently fall off the calendar
     return spark.sql(
         """
         WITH RECURSIVE months AS (
           SELECT DATE '1995-01-01' AS month
           UNION ALL
           SELECT CAST(month + INTERVAL '1' MONTH AS DATE) FROM months
-          WHERE month < DATE '2001-07-01'
+          WHERE month < DATE '2001-12-01'
         ), o AS (
           SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
                  CAST(count(*) AS BIGINT) AS n_orders,
@@ -5253,7 +5255,9 @@ def json_variant_agg(spark, sf_dir):
     of subfields. The extraction is per-row narrow work; the rollup is one
     map-side-combinable aggregate keyed by event_type."""
     e = _t(spark, sf_dir, "events")
-    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    # try_parse_json: a malformed/empty props row (the documented events
+    # defect shape) yields NULL instead of aborting the whole query
+    k = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "long")
     return (
         e.select("event_type", k.alias("k"))
         .groupBy("event_type")

@@ -443,6 +443,21 @@ def test_plan_audit_counts_known_shapes(spark):
     cross = plan_audit(REGISTRY["join_cross"].fn(spark, SF_SMOKE))
     assert cross["cartesian"] + cross["nested_loop_joins"] >= 1
 
+    # audits must be stable across execution: an executed AQE plan prints
+    # final + initial sections, which must not double the counters, and a
+    # pure broadcast join must report zero shuffle exchanges
+    from pyspark.sql import functions as F
+
+    big = spark.range(1000).withColumn("k", F.col("id") % 10)
+    small = spark.range(10).withColumnRenamed("id", "k")
+    j = big.join(F.broadcast(small), "k")
+    pre = plan_audit(j)
+    j.collect()
+    post = plan_audit(j)
+    assert pre["exchanges"] == post["exchanges"] == 0
+    assert pre["broadcast_joins"] == post["broadcast_joins"] == 1
+    assert post["codegen_spans"] >= 1  # final plan shows *(N) spans
+
 
 def test_curation_composite_broadcasts_all_small_sides(spark):
     """The curation flagship must keep every small relation (contaminated

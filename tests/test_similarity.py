@@ -73,3 +73,26 @@ def test_ivf_cosine_values_match_exact_when_found(spark):
         key = (r.query_id, r.neighbor_id)
         if key in exact:
             assert abs(exact[key] - r.cosine) < 1e-9
+
+
+def test_containment_prefix_bound_exact_at_threshold(spark):
+    """The asymmetric prefix filter must be computed in integer arithmetic:
+    an inner doc sharing EXACTLY ceil(t*m) shingles — with its one missing
+    shingle ranked rarest (first in the prefix order) — sits on the bound
+    where a float-threshold prefix is one short and silently drops the
+    pair."""
+    from dend_spark_data_lake_spark.functions.similarity import containment_pairs
+
+    # inner doc: 12 tokens -> 10 distinct 3-gram shingles; outer contains
+    # 9 of them (90% exactly) and NOT the first one ('w1 w2 w3'), which is
+    # globally unique hence rarest -> prefix position 1
+    inner = " ".join(f"w{i}" for i in range(1, 13))
+    outer = "x1 x2 x3 " + " ".join(f"w{i}" for i in range(2, 13))
+    df = spark.createDataFrame(
+        [(1, inner), (2, outer)], "doc_id long, text string"
+    )
+    got = containment_pairs(df, n=3, threshold_ppm=900_000).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert (row.doc_inner, row.doc_outer) == (1, 2)
+    assert row.containment_ppm == 900_000
