@@ -5693,6 +5693,56 @@ def pipeline_curation(spark, sf_dir):
     )
 
 
+@_q(
+    "sql_lateral_topn",
+    """
+    WITH counts AS (
+      SELECT n.n_regionkey, n.n_name, CAST(count(*) AS BIGINT) AS n_customers
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT r.r_name, t.n_name, t.n_customers, t.rnk FROM region r
+    JOIN (
+      SELECT n_regionkey, n_name, n_customers,
+             CAST(row_number() OVER (
+               PARTITION BY n_regionkey
+               ORDER BY n_customers DESC, n_name ASC) AS INT) AS rnk
+      FROM counts
+    ) t ON t.n_regionkey = r.r_regionkey
+    WHERE t.rnk <= 2
+    ORDER BY r.r_name, t.rnk
+    """,
+)
+def sql_lateral_topn(spark, sf_dir):
+    """LATERAL correlated subquery (SQL surface): top-2 nations by customer
+    count PER REGION, written as a per-row correlated ``LATERAL (... ORDER
+    BY ... LIMIT 2)`` — the SQL form of a dependent top-N join. Catalyst
+    decorrelates it into the same window/rank plan the oracle states
+    explicitly, which is exactly why the form is safe at scale: the lateral
+    does NOT execute once per driving row. Counts are exact integers with a
+    deterministic (count DESC, name ASC) tie-break."""
+    register_views(spark, sf_dir, ["customer", "nation", "region"])
+    return spark.sql(
+        """
+        WITH counts AS (
+          SELECT n.n_regionkey, n.n_name, CAST(count(*) AS BIGINT) AS n_customers
+          FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+          GROUP BY 1, 2
+        )
+        SELECT r.r_name, l.n_name, l.n_customers, l.rnk
+        FROM region r,
+        LATERAL (
+          SELECT n_name, n_customers,
+                 CAST(row_number() OVER (
+                   ORDER BY n_customers DESC, n_name ASC) AS INT) AS rnk
+          FROM counts WHERE counts.n_regionkey = r.r_regionkey
+          ORDER BY n_customers DESC, n_name ASC LIMIT 2
+        ) l
+        ORDER BY r.r_name, l.rnk
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -5818,6 +5868,7 @@ _GRADE_NEXT = [
     "sql_returned_items",
     "sql_promo_revenue",
     "pipeline_curation",
+    "sql_lateral_topn",
 ]
 
 
