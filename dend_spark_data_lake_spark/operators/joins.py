@@ -168,3 +168,72 @@ def salted_equi_join(
         "__salt", F.explode(F.array([F.lit(i) for i in range(n_salts)]))
     )
     return left.join(right, [*on, "__salt"], how).drop("__salt")
+
+
+def interval_overlap_self_join(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_days: int = 7,
+) -> DataFrame:
+    """Keyed interval-OVERLAP self-join without a cartesian: pairs of rows
+    under the same key whose [start, end) windows intersect
+    (``s_a < e_b AND s_b < e_a`` — the two-sided predicate no equi-join can
+    express directly).
+
+    Mechanics: each interval explodes into the coarse ``bucket_days``-wide
+    day buckets it spans; candidates come from an EQUI-join on
+    (key, bucket) — overlapping intervals must share at least one bucket —
+    then exact verification applies the overlap predicate and pairs that
+    shared several buckets are deduplicated. Replication factor is
+    ``ceil(interval_len / bucket_days) + 1`` per row (bounded, choose the
+    bucket near the typical interval length); the join itself is a hash
+    shuffle on (key, bucket). This is the scale-safe plan for temporal
+    conflict detection (double-bookings, overlapping sessions, SCD sanity)
+    — the naive theta-join plans as a per-key nested loop.
+
+    Returns (key, id_a, id_b, overlap_days) with id_a < id_b, exact
+    integer overlap length.
+    """
+    day0 = F.lit("1970-01-01")
+    sd = F.datediff(F.col(start_col), day0)
+    ed = F.datediff(F.col(end_col), day0)
+    w = F.lit(bucket_days)
+    iv = df.select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).alias("id"),
+        sd.alias("sd"),
+        ed.alias("ed"),
+    ).withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("sd") / w), F.floor((F.col("ed") - 1) / w)
+            )
+        ),
+    )
+    a = iv.select(
+        "key", "bucket",
+        F.col("id").alias("id_a"), F.col("sd").alias("sd_a"), F.col("ed").alias("ed_a"),
+    )
+    b = iv.select(
+        "key", "bucket",
+        F.col("id").alias("id_b"), F.col("sd").alias("sd_b"), F.col("ed").alias("ed_b"),
+    )
+    return (
+        a.join(b, ["key", "bucket"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("sd_a") < F.col("ed_b"))
+            & (F.col("sd_b") < F.col("ed_a"))
+        )
+        .select(
+            "key", "id_a", "id_b",
+            (
+                F.least("ed_a", "ed_b") - F.greatest("sd_a", "sd_b")
+            ).cast("long").alias("overlap_days"),
+        )
+        .dropDuplicates(["key", "id_a", "id_b"])
+    )

@@ -5743,6 +5743,53 @@ def sql_lateral_topn(spark, sf_dir):
     )
 
 
+@_q(
+    "join_interval_overlap",
+    """
+    WITH iv AS (
+      SELECT o_custkey, o_orderkey, o_orderdate AS s,
+             o_orderdate + INTERVAL 7 DAY AS e
+      FROM orders
+    )
+    SELECT a.o_custkey AS custkey,
+           a.o_orderkey AS id_a, b.o_orderkey AS id_b,
+           CAST(date_diff('day', greatest(a.s, b.s), least(a.e, b.e))
+                AS BIGINT) AS overlap_days
+    FROM iv a JOIN iv b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+     AND a.s < b.e AND b.s < a.e
+    ORDER BY custkey, id_a, id_b
+    """,
+)
+def join_interval_overlap(spark, sf_dir):
+    """Interval-overlap self-join (operators/joins.py::
+    interval_overlap_self_join): pairs of orders by the same customer whose
+    7-day windows intersect — temporal conflict detection. The two-sided
+    predicate ``s_a < e_b AND s_b < e_a`` has no equi key, so the operator
+    explodes each interval into its coarse day-buckets and equi-joins on
+    (customer, bucket), verifying the exact predicate after — never a
+    per-key nested loop (plan-locked). Overlap lengths are integer days.
+    The oracle is the direct quadratic join (fine at oracle scale)."""
+    from .operators.joins import interval_overlap_self_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("s"),
+        F.date_add(F.col("o_orderdate").cast("date"), 7)
+        .cast("timestamp")
+        .alias("e"),
+    )
+    return (
+        interval_overlap_self_join(
+            o, "o_custkey", "o_orderkey", "s", "e", bucket_days=7
+        )
+        .withColumnRenamed("key", "custkey")
+        .select("custkey", "id_a", "id_b", "overlap_days")
+        .orderBy("custkey", "id_a", "id_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -5869,6 +5916,7 @@ _GRADE_NEXT = [
     "sql_promo_revenue",
     "pipeline_curation",
     "sql_lateral_topn",
+    "join_interval_overlap",
 ]
 
 

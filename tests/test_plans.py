@@ -467,3 +467,12 @@ def test_curation_composite_broadcasts_all_small_sides(spark):
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "LeftAnti" in plan, plan
+
+
+def test_interval_overlap_is_equi_join_not_nested_loop(spark):
+    """The interval-overlap join must ride the (key, bucket) equi-join;
+    a BroadcastNestedLoopJoin or cartesian means the two-sided range
+    predicate leaked into the join itself."""
+    plan = _plan(spark, "join_interval_overlap")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
