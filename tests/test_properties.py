@@ -239,3 +239,90 @@ def test_greedy_pack_matches_reference_fold(rows, budget):
         for r in greedy_pack(df, "doc_id", "w", budget, dps).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    token_lists=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=3, max_size=12),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_containment_pairs_match_brute_force(spark, token_lists):
+    """containment_pairs (asymmetric prefix filter + hashed verify) must
+    equal the brute-force definition on arbitrary small corpora — the
+    prefix filter is an optimization, never allowed to change the answer."""
+    from dend_spark_data_lake_spark.functions.similarity import containment_pairs
+
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_inner, r.doc_outer, r.containment_ppm)
+        for r in containment_pairs(df, n=3, threshold_ppm=700_000).collect()
+    }
+
+    def shingles(toks):
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: shingles(toks) for i, toks in enumerate(token_lists)}
+    want = set()
+    for i in sets:
+        for j in sets:
+            if i >= j:
+                continue
+            # orientation: inner = smaller shingle set, tie -> lower id
+            inner, outer = (i, j)
+            if (len(sets[j]), j) < (len(sets[i]), i):
+                inner, outer = (j, i)
+            ni = len(sets[inner] & sets[outer])
+            ppm = ni * 1_000_000 // len(sets[inner])
+            if ppm >= 700_000:
+                want.add((inner, outer, ppm))
+    assert got == want
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),  # key
+            st.integers(0, 40),  # start day
+            st.integers(1, 10),  # length
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_interval_overlap_matches_brute_force(spark, rows):
+    """The bucket-exploded interval join must equal the quadratic
+    definition for any intervals — bucketing is a pruning strategy, not a
+    semantics change."""
+    import datetime
+
+    from dend_spark_data_lake_spark.operators.joins import interval_overlap_self_join
+
+    d0 = datetime.date(2020, 1, 1)
+    data = [
+        (
+            k,
+            i,
+            datetime.datetime.combine(d0 + datetime.timedelta(days=s), datetime.time()),
+            datetime.datetime.combine(
+                d0 + datetime.timedelta(days=s + ln), datetime.time()
+            ),
+        )
+        for i, (k, s, ln) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "key long, id long, s timestamp, e timestamp")
+    got = {
+        (r.key, r.id_a, r.id_b, r.overlap_days)
+        for r in interval_overlap_self_join(df, "key", "id", "s", "e", 7).collect()
+    }
+    want = set()
+    for k1, i1, s1, e1 in data:
+        for k2, i2, s2, e2 in data:
+            if k1 == k2 and i1 < i2 and s1 < e2 and s2 < e1:
+                ov = (min(e1, e2) - max(s1, s2)).days
+                want.add((k1, i1, i2, ov))
+    assert got == want
