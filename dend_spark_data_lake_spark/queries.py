@@ -5790,6 +5790,56 @@ def join_interval_overlap(spark, sf_dir):
     )
 
 
+@_q(
+    "join_null_safe",
+    """
+    WITH ev AS (
+      SELECT CASE WHEN value < 1 THEN NULL
+                  ELSE CAST(round(value) AS BIGINT) END AS bucket,
+             event_id
+      FROM events
+    ), a AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_even
+      FROM ev WHERE event_id % 2 = 0 GROUP BY bucket
+    ), b AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_odd
+      FROM ev WHERE event_id % 2 = 1 GROUP BY bucket
+    )
+    SELECT a.bucket, a.n_even, b.n_odd
+    FROM a JOIN b ON a.bucket IS NOT DISTINCT FROM b.bucket
+    """,
+)
+def join_null_safe(spark, sf_dir):
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM — the 3VL
+    surface): value-bucket histograms of two halves of the event stream
+    matched INCLUDING the NULL bucket, which plain ``=`` would silently
+    drop (NULL = NULL is NULL, not true). This is the join the sentinel→
+    NULL cleaning (P4) feeds at scale: after sentinels become NULL, any
+    keyed reconciliation on that column must be null-safe or the sentinel
+    population vanishes from the comparison. Spark hashes ``<=>`` keys like
+    ordinary equi-keys — same shuffle plan, no nested loop."""
+    e = _t(spark, sf_dir, "events").select(
+        F.when(F.col("value") < 1, F.lit(None))
+        .otherwise(F.round("value").cast("long"))
+        .alias("bucket"),
+        "event_id",
+    )
+    a = (
+        e.filter(F.col("event_id") % 2 == 0)
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_even"))
+    )
+    b = (
+        e.filter(F.col("event_id") % 2 == 1)
+        .groupBy(F.col("bucket").alias("bucket_b"))
+        .agg(F.count("*").cast("long").alias("n_odd"))
+    )
+    return (
+        a.join(b, a.bucket.eqNullSafe(b.bucket_b))
+        .select("bucket", "n_even", "n_odd")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -5917,6 +5967,7 @@ _GRADE_NEXT = [
     "pipeline_curation",
     "sql_lateral_topn",
     "join_interval_overlap",
+    "join_null_safe",
 ]
 
 
