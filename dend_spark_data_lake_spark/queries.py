@@ -5840,6 +5840,40 @@ def join_null_safe(spark, sf_dir):
     )
 
 
+@_q(
+    "window_distribution_family",
+    """
+    SELECT s_suppkey, s_nationkey,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank_r6,
+           round(cume_dist() OVER w, 6) AS cume_dist_r6
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    ORDER BY s_suppkey
+    """,
+)
+def window_distribution_family(spark, sf_dir):
+    """The distribution window functions — ntile (equi-count banding),
+    percent_rank ((rank-1)/(n-1)), cume_dist (rank/n) — per nation over
+    suppliers. The ORDER BY carries a unique tie-break (acctbal, suppkey)
+    so every assignment is deterministic; both ratios are integer-over-
+    integer (IEEE-exact), rounded only for hash stability. Scale: one
+    shuffle keyed by the partition column; the functions are rank
+    arithmetic over the sorted run, no extra pass."""
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return (
+        s.select(
+            "s_suppkey",
+            "s_nationkey",
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank_r6"),
+            F.round(F.cume_dist().over(w), 6).alias("cume_dist_r6"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -5968,6 +6002,7 @@ _GRADE_NEXT = [
     "sql_lateral_topn",
     "join_interval_overlap",
     "join_null_safe",
+    "window_distribution_family",
 ]
 
 
