@@ -194,25 +194,34 @@ def interval_overlap_self_join(
     conflict detection (double-bookings, overlapping sessions, SCD sanity)
     — the naive theta-join plans as a per-key nested loop.
 
-    Returns (key, id_a, id_b, overlap_days) with id_a < id_b, exact
-    integer overlap length.
+    Returns (key, id_a, id_b, overlap_seconds) with id_a < id_b, exact
+    integer overlap length at second granularity (``datediff`` day
+    truncation would silently miss same-day overlaps). Degenerate or
+    inverted intervals (end <= start) contain no time and are dropped —
+    without the guard, Spark's ``sequence`` steps BACKWARD for start >
+    stop and an inverted row would explode into a bucket per
+    ``bucket_days`` of the inversion span and join against everything it
+    touches.
     """
-    day0 = F.lit("1970-01-01")
-    sd = F.datediff(F.col(start_col), day0)
-    ed = F.datediff(F.col(end_col), day0)
-    w = F.lit(bucket_days)
-    iv = df.select(
-        F.col(key_col).alias("key"),
-        F.col(id_col).alias("id"),
-        sd.alias("sd"),
-        ed.alias("ed"),
-    ).withColumn(
-        "bucket",
-        F.explode(
-            F.sequence(
-                F.floor(F.col("sd") / w), F.floor((F.col("ed") - 1) / w)
-            )
-        ),
+    sd = F.unix_timestamp(F.col(start_col))
+    ed = F.unix_timestamp(F.col(end_col))
+    w = F.lit(bucket_days * 86_400)
+    iv = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(id_col).alias("id"),
+            sd.alias("sd"),
+            ed.alias("ed"),
+        )
+        .filter(F.col("ed") > F.col("sd"))
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("sd") / w), F.floor((F.col("ed") - 1) / w)
+                )
+            ),
+        )
     )
     a = iv.select(
         "key", "bucket",
@@ -233,7 +242,7 @@ def interval_overlap_self_join(
             "key", "id_a", "id_b",
             (
                 F.least("ed_a", "ed_b") - F.greatest("sd_a", "sd_b")
-            ).cast("long").alias("overlap_days"),
+            ).cast("long").alias("overlap_seconds"),
         )
         .dropDuplicates(["key", "id_a", "id_b"])
     )

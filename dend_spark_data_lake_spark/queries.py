@@ -5767,9 +5767,11 @@ def join_interval_overlap(spark, sf_dir):
     7-day windows intersect — temporal conflict detection. The two-sided
     predicate ``s_a < e_b AND s_b < e_a`` has no equi key, so the operator
     explodes each interval into its coarse day-buckets and equi-joins on
-    (customer, bucket), verifying the exact predicate after — never a
-    per-key nested loop (plan-locked). Overlap lengths are integer days.
-    The oracle is the direct quadratic join (fine at oracle scale)."""
+    (customer, bucket), verifying the exact SECOND-granularity predicate
+    after — never a per-key nested loop (plan-locked). The operator emits
+    overlap_seconds; these day-aligned windows fold to whole days
+    exactly. The oracle is the direct quadratic join (fine at oracle
+    scale)."""
     from .operators.joins import interval_overlap_self_join
 
     o = _t(spark, sf_dir, "orders").select(
@@ -5785,7 +5787,12 @@ def join_interval_overlap(spark, sf_dir):
             o, "o_custkey", "o_orderkey", "s", "e", bucket_days=7
         )
         .withColumnRenamed("key", "custkey")
-        .select("custkey", "id_a", "id_b", "overlap_days")
+        .select(
+            "custkey",
+            "id_a",
+            "id_b",
+            F.expr("overlap_seconds DIV 86400").alias("overlap_days"),
+        )
         .orderBy("custkey", "id_a", "id_b")
     )
 

@@ -287,8 +287,8 @@ def test_containment_pairs_match_brute_force(spark, token_lists):
     rows=st.lists(
         st.tuples(
             st.integers(0, 3),  # key
-            st.integers(0, 40),  # start day
-            st.integers(1, 10),  # length
+            st.integers(0, 400),  # start hour
+            st.integers(-5, 72),  # length in hours (<= 0: inverted/empty)
         ),
         min_size=1,
         max_size=15,
@@ -296,33 +296,33 @@ def test_containment_pairs_match_brute_force(spark, token_lists):
 )
 def test_interval_overlap_matches_brute_force(spark, rows):
     """The bucket-exploded interval join must equal the quadratic
-    definition for any intervals — bucketing is a pruning strategy, not a
-    semantics change."""
+    definition for any intervals — including SUB-DAY overlaps (second
+    granularity, not day truncation) — and must DROP inverted/empty
+    intervals instead of exploding them across buckets."""
     import datetime
 
     from dend_spark_data_lake_spark.operators.joins import interval_overlap_self_join
 
-    d0 = datetime.date(2020, 1, 1)
+    d0 = datetime.datetime(2020, 1, 1)
     data = [
         (
             k,
             i,
-            datetime.datetime.combine(d0 + datetime.timedelta(days=s), datetime.time()),
-            datetime.datetime.combine(
-                d0 + datetime.timedelta(days=s + ln), datetime.time()
-            ),
+            d0 + datetime.timedelta(hours=sh),
+            d0 + datetime.timedelta(hours=sh + ln),
         )
-        for i, (k, s, ln) in enumerate(rows)
+        for i, (k, sh, ln) in enumerate(rows)
     ]
     df = spark.createDataFrame(data, "key long, id long, s timestamp, e timestamp")
     got = {
-        (r.key, r.id_a, r.id_b, r.overlap_days)
+        (r.key, r.id_a, r.id_b, r.overlap_seconds)
         for r in interval_overlap_self_join(df, "key", "id", "s", "e", 7).collect()
     }
     want = set()
-    for k1, i1, s1, e1 in data:
-        for k2, i2, s2, e2 in data:
+    valid = [(k, i, s_, e_) for k, i, s_, e_ in data if e_ > s_]
+    for k1, i1, s1, e1 in valid:
+        for k2, i2, s2, e2 in valid:
             if k1 == k2 and i1 < i2 and s1 < e2 and s2 < e1:
-                ov = (min(e1, e2) - max(s1, s2)).days
+                ov = int((min(e1, e2) - max(s1, s2)).total_seconds())
                 want.add((k1, i1, i2, ov))
     assert got == want
