@@ -5881,6 +5881,89 @@ def window_distribution_family(spark, sf_dir):
     )
 
 
+@_q(
+    "vocab_freq_spectrum",
+    r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents WHERE trim(text) <> ''
+    ), counts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS k FROM toks GROUP BY token
+    )
+    SELECT k AS occurrences,
+           CAST(count(*) AS BIGINT) AS n_tokens_with_k,
+           CAST(sum(k) AS BIGINT) AS mass
+    FROM counts
+    GROUP BY k ORDER BY k LIMIT 50
+    """,
+)
+def vocab_freq_spectrum(spark, sf_dir):
+    """Frequency-of-frequencies spectrum (the Good-Turing input): how many
+    vocabulary types occur exactly k times, with the token mass at each k —
+    the curve that calibrates smoothing, estimates unseen-type mass, and
+    shows vocabulary growth saturation for BPE budgeting. Two map-side-
+    combinable aggregates back to back (token counts, then counts-of-
+    counts over the |V|-row result) — the corpus shuffles once keyed by
+    token; the second aggregate moves |V| rows. All integers."""
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    counts = (
+        d.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("k"))
+    )
+    return (
+        counts.groupBy(F.col("k").alias("occurrences"))
+        .agg(
+            F.count("*").cast("long").alias("n_tokens_with_k"),
+            F.sum("k").cast("long").alias("mass"),
+        )
+        .orderBy("occurrences")
+        .limit(50)
+    )
+
+
+@_q(
+    "dedup_cluster_sizes",
+    "WITH RECURSIVE "
+    + _DUP_REACH_CTES
+    + """, comp AS (
+      SELECT es AS vertex, least(es, min(ed)) AS component
+      FROM reach GROUP BY es
+    ), csizes AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY component
+    )
+    SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+    FROM csizes GROUP BY cluster_size ORDER BY cluster_size
+    """,
+)
+def dedup_cluster_sizes(spark, sf_dir):
+    """Near-dup cluster-size distribution — the dedup-health histogram a
+    pipeline owner reads before trusting a threshold: a heavy tail of
+    giant clusters means the similarity threshold is too loose (or a
+    boilerplate template is bridging unrelated docs), while all-pairs
+    clusters of size 2 mean it may be too tight. Computed from the SAME
+    pair relation and connected-components labels as dedup_clusters, then
+    two tiny aggregates over the component table (vertices of the pair
+    graph only — singletons are by definition not in any cluster). The
+    oracle replays the recursive-CTE closure."""
+    from .operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = SIM.ngram_jaccard_pairs(d, n=3, threshold=0.5).select("doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    sizes = cc.groupBy("component").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -5959,6 +6042,13 @@ _GRADE_FIRST = [
 # Immediately behind the window: queries whose oracles are NEW this round
 # (graded rows-only in r01) — first in line if the window widens or when the
 # rotation advances next round.
+#
+# ROUND-3 ROTATION (do this at the START of round 3, before any driver
+# grading): CORRECTNESS_r02 certified _GRADE_FIRST; move _GRADE_NEXT to the
+# front (it becomes the new _GRADE_FIRST), demote the r02-certified names to
+# the back alongside the r01 set, and queue any round-3 additions behind the
+# new window. Every entry stays locally gate-checked at sf0.001/sf0.01
+# regardless of window position.
 _GRADE_NEXT = [
     "dedup_minhash",
     "sim_ann_ivf",
@@ -6010,6 +6100,8 @@ _GRADE_NEXT = [
     "join_interval_overlap",
     "join_null_safe",
     "window_distribution_family",
+    "vocab_freq_spectrum",
+    "dedup_cluster_sizes",
 ]
 
 
