@@ -5891,7 +5891,7 @@ def window_distribution_family(spark, sf_dir):
       SELECT token, CAST(count(*) AS BIGINT) AS k FROM toks GROUP BY token
     )
     SELECT k AS occurrences,
-           CAST(count(*) AS BIGINT) AS n_tokens_with_k,
+           CAST(count(*) AS BIGINT) AS n_types_with_k,
            CAST(sum(k) AS BIGINT) AS mass
     FROM counts
     GROUP BY k ORDER BY k LIMIT 50
@@ -5907,16 +5907,14 @@ def vocab_freq_spectrum(spark, sf_dir):
     token; the second aggregate moves |V| rows. All integers."""
     d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
     counts = (
-        d.select(
-            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
-        )
+        d.select(F.explode(TX.tokens("text")).alias("token"))
         .groupBy("token")
         .agg(F.count("*").cast("long").alias("k"))
     )
     return (
         counts.groupBy(F.col("k").alias("occurrences"))
         .agg(
-            F.count("*").cast("long").alias("n_tokens_with_k"),
+            F.count("*").cast("long").alias("n_types_with_k"),
             F.sum("k").cast("long").alias("mass"),
         )
         .orderBy("occurrences")

@@ -476,3 +476,13 @@ def test_interval_overlap_is_equi_join_not_nested_loop(spark):
     plan = _plan(spark, "join_interval_overlap")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_freq_spectrum_two_combinable_aggregates_single_scan(spark):
+    """The frequency spectrum is two back-to-back partial-aggregated
+    rollups over ONE corpus scan — a join or second scan is the scale
+    regression."""
+    plan = _plan(spark, "vocab_freq_spectrum")
+    assert "Join" not in plan, plan
+    assert plan.count("documents.parquet") == 1, plan
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final x2
