@@ -5962,6 +5962,81 @@ def dedup_cluster_sizes(spark, sf_dir):
     )
 
 
+@_q(
+    "profile_column_stats",
+    """
+    WITH s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) FILTER (WHERE event_type IS NULL) AS BIGINT) AS null_et,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS dist_et,
+             CAST(count(*) FILTER (WHERE user_id IS NULL) AS BIGINT) AS null_uid,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS dist_uid,
+             CAST(count(*) FILTER (WHERE value IS NULL) AS BIGINT) AS null_v,
+             CAST(count(DISTINCT value) AS BIGINT) AS dist_v
+      FROM events
+    )
+    SELECT 'event_type' AS column_name, n_rows, null_et AS n_null,
+           dist_et AS n_distinct FROM s
+    UNION ALL
+    SELECT 'user_id', n_rows, null_uid, dist_uid FROM s
+    UNION ALL
+    SELECT 'value', n_rows, null_v, dist_v FROM s
+    ORDER BY column_name
+    """,
+)
+def profile_column_stats(spark, sf_dir):
+    """Column-level data profile (the ingestion pre-flight every pipeline
+    runs before trusting a new feed): per column, exact row/null/distinct
+    counts in long format. ONE aggregate pass computes every counter
+    (Spark plans the multi-distinct via a single Expand, not one scan per
+    column); the long-format reshape is a driver-free explode of the
+    1-row result. At 100 TB the same shape runs with
+    ``approx_count_distinct`` (documented swap) — exact distincts here
+    keep the oracle exact."""
+    e = _t(spark, sf_dir, "events")
+    one = e.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("event_type").isNull(), 1).otherwise(0))
+        .cast("long").alias("null_et"),
+        F.count_distinct("event_type").cast("long").alias("dist_et"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0))
+        .cast("long").alias("null_uid"),
+        F.count_distinct("user_id").cast("long").alias("dist_uid"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+        .cast("long").alias("null_v"),
+        F.count_distinct("value").cast("long").alias("dist_v"),
+    )
+    rows = F.explode(
+        F.array(
+            F.struct(
+                F.lit("event_type").alias("column_name"),
+                F.col("null_et").alias("n_null"),
+                F.col("dist_et").alias("n_distinct"),
+            ),
+            F.struct(
+                F.lit("user_id").alias("column_name"),
+                F.col("null_uid").alias("n_null"),
+                F.col("dist_uid").alias("n_distinct"),
+            ),
+            F.struct(
+                F.lit("value").alias("column_name"),
+                F.col("null_v").alias("n_null"),
+                F.col("dist_v").alias("n_distinct"),
+            ),
+        )
+    ).alias("c")
+    return (
+        one.select("n_rows", rows)
+        .select(
+            F.col("c.column_name").alias("column_name"),
+            "n_rows",
+            F.col("c.n_null").alias("n_null"),
+            F.col("c.n_distinct").alias("n_distinct"),
+        )
+        .orderBy("column_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -6100,6 +6175,7 @@ _GRADE_NEXT = [
     "window_distribution_family",
     "vocab_freq_spectrum",
     "dedup_cluster_sizes",
+    "profile_column_stats",
 ]
 
 
