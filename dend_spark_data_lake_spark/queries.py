@@ -3251,34 +3251,48 @@ def ts_anomaly_zscore(spark, sf_dir):
 @_q(
     "agg_order_history",
     """
-    SELECT o_custkey,
-           (list(o_orderkey ORDER BY o_orderdate, o_orderkey))[1:5] AS first_orders,
-           count(*) AS n_orders
-    FROM orders
-    GROUP BY o_custkey
+    WITH r AS (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS pos,
+             count(*) OVER (PARTITION BY o_custkey) AS n_orders
+      FROM orders
+    )
+    SELECT o_custkey, pos, o_orderkey, n_orders FROM r WHERE pos <= 5
     """,
 )
 def agg_order_history(spark, sf_dir):
-    """Nested-array aggregation: each customer's first five order keys in
-    date order, as an ARRAY column — the denormalized "history" shape
-    feature pipelines feed to models. collect_list is unordered by
-    contract, so ordering is imposed by collecting (date, key) structs and
-    array_sort-ing them post-agg — deterministic under any partitioning.
+    """Nested-array aggregation, emitted as SCALAR rows: each customer's
+    first five order keys in date order as (o_custkey, pos, o_orderkey,
+    n_orders). The array is still built internally — collect_list is
+    unordered by contract, so ordering is imposed by collecting
+    (date, key) structs and array_sort-ing post-agg, deterministic under
+    any partitioning — then posexplode-d back to one row per position so
+    the output schema stays flat (the driver's canonicalizer sorts/hashes
+    scalar cells, not nested lists; same constraint as agg_quantiles).
     Scale: one keyed shuffle; the slice caps per-key payload so a hot
-    customer cannot blow up the row."""
+    customer cannot blow up the row; the oracle is the equivalent
+    row_number/count window form."""
     o = _t(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_custkey")
-        .agg(
-            F.slice(
-                F.array_sort(
-                    F.collect_list(F.struct("o_orderdate", "o_orderkey"))
-                ).getField("o_orderkey"),
-                1,
-                5,
-            ).alias("first_orders"),
-            F.count("*").alias("n_orders"),
-        )
+    hist = o.groupBy("o_custkey").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(F.struct("o_orderdate", "o_orderkey"))
+            ).getField("o_orderkey"),
+            1,
+            5,
+        ).alias("first_orders"),
+        F.count("*").alias("n_orders"),
+    )
+    return hist.select(
+        "o_custkey",
+        F.posexplode("first_orders").alias("pos0", "o_orderkey"),
+        "n_orders",
+    ).select(
+        "o_custkey",
+        (F.col("pos0") + F.lit(1)).cast("long").alias("pos"),
+        "o_orderkey",
+        "n_orders",
     )
 
 

@@ -30,6 +30,30 @@ def test_oracle_parity(spark, con, name):
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
+def test_no_nested_types_in_oracle_backed_outputs(spark):
+    """The driver's pandas canonicalizer sorts/hashes scalar cells only —
+    an ArrayType/MapType/StructType output column crashes it with
+    'unhashable type'. This bit agg_quantiles (r1) and agg_order_history
+    (r2); guard the whole registry so the class can't recur. Schema-only:
+    plans are built lazily, nothing executes."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name in ORACLE_NAMES:
+        df = REGISTRY[name].fn(spark, SF_SMOKE)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders.append(f"{name}: {bad}")
+    assert not offenders, (
+        "oracle-backed queries with nested output columns "
+        "(driver canonicalizer cannot hash them): " + "; ".join(offenders)
+    )
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
 def test_rows_only_runs(spark, name):
     df = REGISTRY[name].fn(spark, SF_SMOKE)
