@@ -250,8 +250,15 @@ def containment_pairs(
     (doc_inner, doc_outer, n_inner, n_outer, n_shared, containment_ppm).
     """
     sets, ranked = _shingle_prefix_index(docs, id_col, text_col, n)
-    # minimum shared shingles for containment: ceil(t_ppm * m / 1e6), all-integer
-    min_shared = F.expr(f"({threshold_ppm} * m + 999999) DIV 1000000")
+    # minimum shared shingles for containment: ceil(t_ppm * m / 1e6), all-integer.
+    # The multiply MUST be 64-bit: m is a 32-bit F.size output, and
+    # t_ppm * m overflows INT at m >= ~2388 (a ~2400-word doc) — under
+    # Spark 4's default ANSI mode that aborts the job with
+    # ARITHMETIC_OVERFLOW; with ANSI off it silently corrupts the prefix
+    # bound and drops pairs.
+    min_shared = F.expr(
+        f"(CAST({int(threshold_ppm)} AS BIGINT) * m + 999999) DIV 1000000"
+    )
     inner_prefix = ranked.filter(
         F.col("r") <= F.col("m") - min_shared + 1
     ).select(F.col("id").alias("doc_inner"), "sh", F.col("m").alias("m_i"))

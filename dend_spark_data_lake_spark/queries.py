@@ -5252,7 +5252,12 @@ def sql_recursive_calendar(spark, sf_dir):
            CAST(min(k) AS BIGINT) AS min_k,
            CAST(max(k) AS BIGINT) AS max_k
     FROM (
-      SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      -- mirror the Spark side's try_parse_json tolerance: malformed/empty
+      -- props (the documented events defect shape) must read as NULL, not
+      -- abort the oracle run
+      SELECT event_type,
+             CASE WHEN json_valid(props)
+                  THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
       FROM events
     )
     GROUP BY event_type ORDER BY event_type

@@ -98,9 +98,12 @@ def running_user_totals_tws(
         def close(self) -> None:
             pass
 
+    # derive the key field's type from the input schema — hardcoding
+    # bigint would emit a wrong output schema for e.g. a string user id
+    key_type = events.schema[key].dataType.simpleString()
     return events.groupBy(key).transformWithStateInPandas(
         statefulProcessor=RunningTotals(),
-        outputStructType=f"{key} bigint, n_events bigint, total_value double",
+        outputStructType=f"{key} {key_type}, n_events bigint, total_value double",
         outputMode="Update",
         timeMode="None",
     )

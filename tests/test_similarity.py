@@ -96,3 +96,24 @@ def test_containment_prefix_bound_exact_at_threshold(spark):
     row = got[0]
     assert (row.doc_inner, row.doc_outer) == (1, 2)
     assert row.containment_ppm == 900_000
+
+
+def test_containment_large_doc_no_int_overflow(spark):
+    """The prefix bound multiplies threshold_ppm by the doc's shingle
+    count m (a 32-bit F.size output). At m >= ~2388, 900000 * m overflows
+    INT — under Spark 4's default ANSI mode the whole job aborts with
+    ARITHMETIC_OVERFLOW unless the multiply is promoted to BIGINT. A
+    3000-token doc (~2998 distinct shingles) exercises the overflow
+    range; the fully-contained copy must still be found."""
+    from dend_spark_data_lake_spark.functions.similarity import containment_pairs
+
+    big = " ".join(f"t{i}" for i in range(3000))
+    bigger = big + " " + " ".join(f"u{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(1, big), (2, bigger)], "doc_id long, text string"
+    )
+    got = containment_pairs(df, n=3, threshold_ppm=900_000).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert (row.doc_inner, row.doc_outer) == (1, 2)
+    assert row.containment_ppm == 1_000_000
