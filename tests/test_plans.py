@@ -109,6 +109,20 @@ def test_global_topk_plans_as_take_ordered(spark):
         assert "TakeOrderedAndProject" in _plan(spark, name), name
 
 
+def test_vocab_top_coverage_no_global_vocab_window(spark):
+    """The top-100 must come from TakeOrderedAndProject (per-partition
+    heaps), and the only Window node must sit ABOVE the limit — a global
+    no-partition window over the full vocabulary would sort billions of
+    distinct tokens into one task at corpus scale."""
+    plan = _plan(spark, "vocab_top_coverage")
+    assert "TakeOrderedAndProject" in plan, plan
+    # the window's input must be the 100-row limited relation: in the tree
+    # string the Window node appears above (before) TakeOrderedAndProject
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan
+    # the scalar total joins in as a broadcast, not a shuffled window
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
 def test_sole_supplier_rewrite_scans_fact_fewer_times(spark):
     # the pre-aggregation rewrite must touch the fact strictly less often
     # than the decorrelated EXISTS/NOT-EXISTS form (3 scans -> 2)
