@@ -61,6 +61,17 @@ HEADLINE = [
     "ts_ewma_per_customer",
 ]
 
+# Round-2 flagships, benched SEPARATELY so the primary total stays
+# comparable across rounds (the HEADLINE list above is frozen; judge ask r2).
+SECONDARY = [
+    "pipeline_curation",
+    "pipeline_incremental_ingest",
+    "dedup_containment",
+    "tokenize_with_vocab",
+    "pack_sequences",
+    "kmeans_clusters",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -124,6 +135,18 @@ def main() -> None:
 
     timings = {name: round(median(xs), 3) for name, xs in samples.items()}
     total = round(sum(timings.values()), 3)
+
+    # secondary flagships: single pass (kmeans is iterative — bounding total
+    # bench wall matters more than median precision here), separate key so
+    # the primary total stays round-over-round comparable
+    sec_timings: dict[str, float] = {}
+    spark.catalog.clearCache()
+    for name in SECONDARY:
+        fn = Q.REGISTRY[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        sec_timings[name] = round(time.perf_counter() - t0, 3)
+
     print(
         json.dumps(
             {
@@ -134,6 +157,8 @@ def main() -> None:
                 "sf": sf,
                 "runs_per_query": n_runs,
                 "aggregation": "median",
+                "secondary_queries": sec_timings,
+                "secondary_total": round(sum(sec_timings.values()), 3),
             }
         )
     )

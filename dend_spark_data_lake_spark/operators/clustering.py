@@ -91,3 +91,101 @@ def kmeans_lloyd(
     out = _assign(vecs, centroids).select("id", "cluster")
     vecs.unpersist()
     return out
+
+
+def _assign_q(vectors: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """Integer-exact nearest-centroid assignment: squared L2 over QUANTIZED
+    (integer) coordinates. Every distance is a BIGINT sum of BIGINT squares
+    — no floating point anywhere, so the argmin (ties broken by lower
+    cluster index via struct ordering) is bit-reproducible on any engine.
+    """
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("xq"),
+                        F.array(*[F.lit(int(x)).cast("long") for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return vectors.withColumn("cluster", F.array_min(dists)["i"])
+
+
+def kmeans_lloyd_quantized(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Lloyd's k-means over embeddings QUANTIZED to ``round(x * scale)``
+    integers — every iteration's state (integer centroids) and every
+    distance comparison is exact, so the result is deterministic across
+    engines and partitionings, not just across runs. This is the variant a
+    cross-engine correctness gate can value-check; resolution loss at
+    scale=2^20 (~1e-6) is far below embedding noise floors.
+
+    Determinism argument, step by step: (1) quantization ``round(x*2^20)``
+    scales by a power of two (exact in IEEE) then rounds — identical in
+    any engine; (2) per-cluster coordinate sums are BIGINT sums of BIGINTs
+    — exact, order-independent (no FP reassociation); (3) the new centroid
+    ``floor(S/n)`` divides two exact integers as doubles (S stays below
+    2^53 until ~2^32 vectors per cluster at 2^20 scale) — one correctly
+    rounded IEEE op, then floor: identical everywhere; (4) assignment
+    argmin compares BIGINT distances with ties broken by cluster index.
+    State never leaves the integers, so drift cannot accumulate.
+
+    Scale posture: identical to ``kmeans_lloyd`` — per-iteration broadcast
+    assignment (k×dim ints) + one (cluster, pos)-keyed aggregate; the only
+    driver-side data is the k×dim centroid matrix.
+    """
+    vecs = vectors.select(
+        F.col(id_col).alias("id"),
+        # floor(x*scale + 0.5), not round(): engines disagree on half-way
+        # rounding (HALF_UP vs half-to-even), while floor and + are single
+        # exact/correctly-rounded IEEE ops — identical everywhere
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(
+                x.cast("double") * F.lit(float(scale)) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("xq"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    centroids = [
+        [int(v) for v in r.xq]
+        for r in vecs.orderBy("id").limit(k).select("xq").collect()
+    ]
+    for _ in range(iters):
+        assigned = _assign_q(vecs, centroids)
+        new_rows = (
+            assigned.select("cluster", F.posexplode("xq").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(
+                F.floor(
+                    F.sum("v").cast("double") / F.count("*")
+                )
+                .cast("long")
+                .alias("c")
+            )
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select("cluster", F.col("pc.c").alias("centroid"))
+            .collect()
+        )
+        by_id = {r.cluster: [int(v) for v in r.centroid] for r in new_rows}
+        # empty clusters keep their previous centroid
+        centroids = [by_id.get(i, c) for i, c in enumerate(centroids)]
+
+    out = _assign_q(vecs, centroids).select("id", "cluster")
+    vecs.unpersist()
+    return out

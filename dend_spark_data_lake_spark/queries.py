@@ -2861,18 +2861,94 @@ def embed_centroid_by_label(spark, sf_dir):
     )
 
 
-@_q("kmeans_clusters", None)
+def _kmeans_oracle_sql(k: int = 8, iters: int = 5, scale: int = 1 << 20) -> str:
+    """Unrolled quantized-Lloyd replica for DuckDB: every iteration's state
+    is integer centroids, so the replay is exact (see
+    operators/clustering.py::kmeans_lloyd_quantized for the determinism
+    argument). Iterations are unrolled as uniform CTE blocks — plain SQL,
+    no recursion (standard recursive CTEs cannot re-aggregate the full
+    point set per round)."""
+    blocks = [
+        f"""q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {scale} + 0.5) AS BIGINT)) AS xq
+      FROM embeddings
+    ), vx AS (
+      SELECT vec_id, generate_subscripts(xq, 1) AS pos, unnest(xq) AS v FROM q
+    ), seeds AS (
+      SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster
+      FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT {k})
+    ), c0 AS (
+      SELECT sd.cluster, vx.pos, vx.v AS s
+      FROM seeds sd JOIN vx ON vx.vec_id = sd.vec_id
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        blocks.append(
+            f"""d{i} AS (
+      SELECT vx.vec_id, c.cluster, sum((vx.v - c.s) * (vx.v - c.s)) AS dist
+      FROM vx JOIN c{i - 1} c ON vx.pos = c.pos
+      GROUP BY vx.vec_id, c.cluster
+    ), a{i} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        FROM d{i}
+      ) WHERE rn = 1
+    ), n{i} AS (
+      SELECT a.cluster, vx.pos,
+             CAST(floor(CAST(sum(vx.v) AS DOUBLE) / count(*)) AS BIGINT) AS cs
+      FROM a{i} a JOIN vx ON vx.vec_id = a.vec_id
+      GROUP BY a.cluster, vx.pos
+    ), c{i} AS (
+      SELECT p.cluster, p.pos, coalesce(n.cs, p.s) AS s
+      FROM c{i - 1} p LEFT JOIN n{i} n ON n.cluster = p.cluster AND n.pos = p.pos
+    )"""
+        )
+    final = iters + 1
+    blocks.append(
+        f"""d{final} AS (
+      SELECT vx.vec_id, c.cluster, sum((vx.v - c.s) * (vx.v - c.s)) AS dist
+      FROM vx JOIN c{iters} c ON vx.pos = c.pos
+      GROUP BY vx.vec_id, c.cluster
+    ), a{final} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        FROM d{final}
+      ) WHERE rn = 1
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + f"\n    SELECT cluster, count(*) AS n_vectors FROM a{final}"
+        " GROUP BY cluster ORDER BY cluster"
+    )
+
+
+@_q("kmeans_clusters", _kmeans_oracle_sql())
 def kmeans_clusters(spark, sf_dir):
     """K-means (Lloyd) over the embedding table: deterministic seeds (first
     k by vec_id), 5 broadcast-assign/reaggregate iterations, pure JVM array
-    expressions (operators/clustering.py). Rows-only for the driver
-    (iterative, not SQL-expressible); tests/test_clustering.py locks exact
-    agreement with a NumPy replica of the same algorithm."""
-    from .operators.clustering import kmeans_lloyd
+    expressions. Uses the QUANTIZED variant
+    (operators/clustering.py::kmeans_lloyd_quantized): coordinates are
+    round(x * 2^20) integers, so every centroid update and distance argmin
+    is exact integer/deterministic-IEEE arithmetic — which is what lets an
+    iterative algorithm carry a full value-level DuckDB oracle (an unrolled
+    integer-Lloyd replay, `_kmeans_oracle_sql`) instead of a rows-only
+    check. tests/test_clustering.py additionally locks agreement with a
+    NumPy replica."""
+    from .operators.clustering import kmeans_lloyd_quantized
 
     em = _t(spark, sf_dir, "embeddings")
-    out = kmeans_lloyd(em, k=8, iters=5)
-    return out.groupBy("cluster").agg(F.count("*").alias("n_vectors"))
+    out = kmeans_lloyd_quantized(em, k=8, iters=5)
+    return (
+        out.groupBy("cluster")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("cluster")
+    )
 
 
 @_q(
@@ -6136,6 +6212,7 @@ _GRADE_FIRST = [
 # additions queued below them as they land). Every entry stays locally
 # gate-checked at sf0.001/sf0.01 regardless of window position.
 _GRADE_NEXT = [
+    "kmeans_clusters",  # newly oracle-backed (quantized-Lloyd exact replay)
     "vocab_freq_spectrum",
     "dedup_cluster_sizes",
     "profile_column_stats",

@@ -46,3 +46,29 @@ def test_kmeans_clusters_partition_all_vectors(spark):
     assert out.count() == em.count()
     assert out.select("id").distinct().count() == em.count()
     assert out.select("cluster").distinct().count() <= 4
+
+
+def test_kmeans_quantized_partitions_and_is_deterministic(spark):
+    """The quantized variant must partition every vector and be exactly
+    reproducible run-to-run — bit-determinism is its whole contract (the
+    value-level check against an independent engine is the DuckDB oracle
+    on kmeans_clusters; a float-trajectory comparison is NOT meaningful
+    because Lloyd amplifies near-tie flips across iterations)."""
+    from dend_spark_data_lake_spark.operators.clustering import (
+        kmeans_lloyd_quantized,
+    )
+
+    em = read_table(spark, SF_SMOKE, "embeddings")
+    out = kmeans_lloyd_quantized(em, k=4, iters=2)
+    n = em.count()
+    assert out.count() == n
+    assert out.select("id").distinct().count() == n
+    assert out.select("cluster").distinct().count() <= 4
+    again = {
+        r.id: r.cluster
+        for r in kmeans_lloyd_quantized(
+            em.repartition(7), k=4, iters=2
+        ).collect()
+    }
+    first = {r.id: r.cluster for r in out.collect()}
+    assert first == again  # exact, even under a different partitioning
