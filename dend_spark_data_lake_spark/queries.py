@@ -6136,6 +6136,357 @@ def profile_column_stats(spark, sf_dir):
     )
 
 
+
+@_q(
+    "sql_ship_lateness_priority",
+    """
+    SELECT CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) < 0 THEN 'early'
+                WHEN datediff('day', o.o_orderdate, l.l_shipdate) <= 60 THEN 'on_time'
+                ELSE 'late' END AS ship_band,
+           CAST(count(*) FILTER (WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH'))
+                AS BIGINT) AS n_high_priority,
+           CAST(count(*) FILTER (WHERE o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+                AS BIGINT) AS n_low_priority
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def sql_ship_lateness_priority(spark, sf_dir):
+    """TPC-H-Q12-shaped shipping-lateness report (adapted to this schema:
+    no l_shipmode/commitdate columns, so the band is shipdate-vs-orderdate
+    lag). The canonical fact-fact join + conditional-count rollup: one
+    shuffle keyed on orderkey for the join, then a 3-group aggregate that
+    is fully map-side combinable. The priority split is a FILTER/when
+    conditional count — never two scans. Reference parity: generalizes the
+    reference's J1/J2 join + aggregate composites
+    (etl_pipeline.py:259-274)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.when(lag < 0, "early")
+            .when(lag <= 60, "on_time")
+            .otherwise("late")
+            .alias("ship_band"),
+            high.alias("is_high"),
+        )
+        .groupBy("ship_band")
+        .agg(
+            F.count(F.when(F.col("is_high"), 1)).cast("long").alias("n_high_priority"),
+            F.count(F.when(~F.col("is_high"), 1)).cast("long").alias("n_low_priority"),
+        )
+        .orderBy("ship_band")
+    )
+
+
+@_q(
+    "sql_large_volume_customers",
+    """
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+           CAST(round(sum(l.l_quantity)) AS BIGINT) AS sum_qty
+    FROM lineitem l
+    JOIN big b ON b.l_orderkey = l.l_orderkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+             totalprice_cents
+    ORDER BY totalprice_cents DESC, o.o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def sql_large_volume_customers(spark, sf_dir):
+    """TPC-H-Q18-shaped large-volume-customer report: orders whose total
+    line quantity exceeds a threshold, with their customers. The HAVING
+    subquery is a self-aggregate of the fact re-joined to the fact — at
+    scale the aggregate side is tiny (one row per qualifying ORDER, ~1% of
+    orders at threshold 250), so Spark broadcasts it and the fact is
+    scanned twice but shuffled once. Customer is a broadcast dim; top-20 by
+    (totalprice, orderkey) is a TakeOrdered. Quantities are integral
+    doubles, so sum/round are engine-exact; price in integer cents."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 250)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(F.broadcast(big), "l_orderkey")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("totalprice_cents"),
+        )
+        .agg(F.round(F.sum("l_quantity")).cast("long").alias("sum_qty"))
+        .orderBy(F.desc("totalprice_cents"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@_q(
+    "sql_discounted_revenue",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS revenue_e4
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 1 AND 15)
+       OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 5 AND 20
+           AND l.l_quantity BETWEEN 10 AND 25)
+       OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 15 AND 35
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def sql_discounted_revenue(spark, sf_dir):
+    """TPC-H-Q19-shaped disjunctive-block join: revenue from lines matching
+    any of three (brand, size-range, quantity-range) AND-blocks. The OR
+    spans both sides of the join, so it can only be evaluated post-join —
+    the scale move is hoisting each side's IMPLIED bounding predicate
+    (brand IN the 3 brands && size <= 35 on part; quantity BETWEEN 1 AND 40
+    on lineitem) ahead of the join, where it pushes into the parquet scans
+    and shrinks the broadcast/probe inputs; the exact disjunction then
+    evaluates map-side on the survivors. Both engines fold the same
+    integer-e4 revenue."""
+    blocks = (
+        ("Brand#11", 1, 10, 1, 15),
+        ("Brand#15", 5, 20, 10, 25),
+        ("Brand#22", 15, 35, 20, 40),
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+        .cast("long").alias("e4"),
+    )
+    # implied single-side bounds, hoisted so they push down to the scans
+    p = p.filter(
+        F.col("p_brand").isin([b[0] for b in blocks])
+        & (F.col("p_size") >= min(b[1] for b in blocks))
+        & (F.col("p_size") <= max(b[2] for b in blocks))
+    )
+    li = li.filter(
+        (F.col("l_quantity") >= min(b[3] for b in blocks))
+        & (F.col("l_quantity") <= max(b[4] for b in blocks))
+    )
+    disj = None
+    for brand, s_lo, s_hi, q_lo, q_hi in blocks:
+        c = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(s_lo, s_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+        disj = c if disj is None else (disj | c)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(disj)
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("e4").cast("long").alias("revenue_e4"),
+        )
+    )
+
+
+@_q(
+    "quality_gopher_rules",
+    r"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             string_split_regex(trim(text), '\s+') AS words
+      FROM documents WHERE trim(text) <> ''
+    ), m AS (
+      SELECT doc_id, lang,
+             len(words) AS n_words,
+             round(list_sum(list_transform(words, w -> CAST(len(w) AS DOUBLE)))
+                   / len(words), 6) AS mean_word_len_r6,
+             len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+               AS n_alpha_words
+      FROM w
+    )
+    SELECT doc_id, lang, CAST(n_words AS BIGINT) AS n_words,
+           mean_word_len_r6,
+           CAST(n_alpha_words AS BIGINT) AS n_alpha_words,
+           CAST(n_words BETWEEN 50 AND 100000
+                AND mean_word_len_r6 BETWEEN 3 AND 10
+                AND n_alpha_words * 5 >= n_words * 4 AS BOOLEAN) AS keep
+    FROM m ORDER BY doc_id
+    """,
+)
+def quality_gopher_rules(spark, sf_dir):
+    """Gopher-style document quality gate (Rae et al. 2021, §A1.1): word
+    count in [50, 100k], mean word length in [3, 10], and >= 80% of words
+    containing an alphabetic character. Everything is JVM array
+    expressions over one split — no UDF, no shuffle (the orderBy is
+    presentation-only); at 100 TB this is a pure narrow map with the same
+    cost as a scan. The 80% rule is integer cross-multiplication
+    (n_alpha*5 >= n*4), not a float ratio, so the boundary is exact in
+    both engines; mean word length is an integer-sum ratio, rounded for
+    hash stability away from decision boundaries."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim("text"), r"\s+")
+    return (
+        d.filter(F.trim("text") != "")
+        .select(
+            "doc_id",
+            "lang",
+            words.alias("words"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.size("words").cast("long").alias("n_words"),
+            F.round(
+                F.aggregate(
+                    F.col("words"),
+                    F.lit(0.0),
+                    lambda acc, w: acc + F.length(w).cast("double"),
+                )
+                / F.size("words"),
+                6,
+            ).alias("mean_word_len_r6"),
+            F.size(
+                F.filter(F.col("words"), lambda w: w.rlike("[A-Za-z]"))
+            ).cast("long").alias("n_alpha_words"),
+        )
+        .withColumn(
+            "keep",
+            F.col("n_words").between(50, 100000)
+            & F.col("mean_word_len_r6").between(3, 10)
+            & (F.col("n_alpha_words") * 5 >= F.col("n_words") * 4),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_q(
+    "feature_hash_bow",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents WHERE trim(text) <> ''
+    )
+    SELECT doc_id,
+           CAST(CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) % 64
+                AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM toks
+    GROUP BY doc_id, bucket
+    ORDER BY doc_id, bucket
+    """,
+)
+def feature_hash_bow(spark, sf_dir):
+    """Hashing-trick bag-of-words: tokens hashed into 64 buckets via a
+    PORTABLE hash (md5 hex prefix -> int, same value in any engine — the
+    cross-engine-checkable stand-in for the usual murmur3), counted per
+    (doc, bucket). This is the fixed-width featurization that feeds linear
+    quality classifiers at corpus scale without a vocabulary build: one
+    map-side explode + one (doc_id, bucket)-keyed aggregate that is
+    map-side combinable, output bounded at 64 rows per doc regardless of
+    document length."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.trim("text") != "")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
+        )
+        .select(
+            "doc_id",
+            (F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long") % 64)
+            .cast("int")
+            .alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("doc_id", "bucket")
+    )
+
+
+@_q(
+    "embed_threshold_curve",
+    """
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.vec_id < 200 AND b.vec_id < 200
+    )
+    SELECT t.thr_pct, CAST(count(*) FILTER (WHERE p.cos >= t.thr_pct / 100.0)
+                           AS BIGINT) AS n_pairs_at_or_above
+    FROM (VALUES (80), (85), (90), (95), (99)) t(thr_pct), pairs p
+    GROUP BY t.thr_pct ORDER BY t.thr_pct
+    """,
+)
+def embed_threshold_curve(spark, sf_dir):
+    """Near-duplicate-rate-vs-threshold curve: for each candidate cosine
+    cutoff, how many embedding pairs would be merged — the diagnostic that
+    picks a semantic-dedup threshold BEFORE committing to a full dedup run.
+    Computed over a deterministic id-capped slice (200 vectors -> ~20k
+    pairs) because the curve needs only a sample to be decision-grade; the
+    exact all-pairs cosine is the documented baseline path
+    (functions/similarity.py), and the counts-by-threshold rollup is one
+    tiny aggregate over the pair relation, grouped by a 5-row broadcast
+    threshold spine. Threshold compare is >= on a double cosine — far from
+    representability boundaries at these cutoffs."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    dv = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    dot = F.aggregate(
+        F.zip_with(dv("ea"), dv("eb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(dv(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select((dot / (norm("ea") * norm("eb"))).alias("cos"))
+    )
+    thr = spark.range(0, 1).select(
+        F.explode(F.array(*[F.lit(t) for t in (80, 85, 90, 95, 99)])).alias(
+            "thr_pct"
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(thr))
+        .groupBy("thr_pct")
+        .agg(
+            F.count(F.when(F.col("cos") >= F.col("thr_pct") / 100.0, 1))
+            .cast("long")
+            .alias("n_pairs_at_or_above")
+        )
+        .orderBy("thr_pct")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -6214,6 +6565,13 @@ _GRADE_FIRST = [
 _GRADE_NEXT = [
     "kmeans_clusters",  # newly oracle-backed (quantized-Lloyd exact replay)
     "vocab_freq_spectrum",
+    # round-3 additions:
+    "sql_ship_lateness_priority",
+    "sql_large_volume_customers",
+    "sql_discounted_revenue",
+    "quality_gopher_rules",
+    "feature_hash_bow",
+    "embed_threshold_curve",
     "dedup_cluster_sizes",
     "profile_column_stats",
 ]

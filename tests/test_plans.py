@@ -109,6 +109,24 @@ def test_global_topk_plans_as_take_ordered(spark):
         assert "TakeOrderedAndProject" in _plan(spark, name), name
 
 
+def test_q18_q19_shapes(spark):
+    """Q18: the HAVING subquery aggregate and customer dim must broadcast,
+    and the top-20 must be TakeOrdered. Q19: the implied single-side bounds
+    must reach both parquet scans (brand IN-list on part, quantity range on
+    lineitem) with part broadcast — the difference between scanning 3
+    brands' rows and the whole part table."""
+    plan = _plan(spark, "sql_large_volume_customers")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    plan = _plan(spark, "sql_discounted_revenue")
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "p_brand" in plan and " IN (Brand#11,Brand#15,Brand#22)" in plan, plan
+    assert _pushed_nonempty(plan) >= 2, plan
+
+
 def test_vocab_top_coverage_no_global_vocab_window(spark):
     """The top-100 must come from TakeOrderedAndProject (per-partition
     heaps), and the only Window node must sit ABOVE the limit — a global
