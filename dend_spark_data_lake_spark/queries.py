@@ -4687,11 +4687,21 @@ def tokenize_with_vocab(spark, sf_dir):
         "doc_id",
         F.posexplode(F.split(F.trim(F.lower("text")), r"\s+")).alias("pos0", "token"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
-    vocab = (
+    # top-500 via orderBy+limit (TakeOrderedAndProject: per-partition heaps)
+    # BEFORE the id-assigning window — ranking the full vocabulary through a
+    # no-partition window would sort every distinct token into one task
+    # (the vocab_top_coverage defect class); the window here runs over
+    # exactly 500 rows
+    top = (
         toks.groupBy("token")
         .agg(F.count("*").alias("n"))
-        .withColumn("token_id", F.row_number().over(Window.orderBy(F.desc("n"), "token")))
-        .filter(F.col("token_id") <= 500)
+        .orderBy(F.desc("n"), "token")
+        .limit(500)
+    )
+    vocab = (
+        top.withColumn(
+            "token_id", F.row_number().over(Window.orderBy(F.desc("n"), "token"))
+        )
         .select("token", "token_id")
     )
     return (

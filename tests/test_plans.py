@@ -127,6 +127,16 @@ def test_q18_q19_shapes(spark):
     assert _pushed_nonempty(plan) >= 2, plan
 
 
+def test_tokenize_vocab_topk_is_take_ordered(spark):
+    """tokenize_with_vocab's vocab build must heap-select the top-500
+    before any no-partition window (same defect class as
+    vocab_top_coverage: a global row_number over the full vocabulary is
+    one task sorting every distinct token)."""
+    plan = _plan(spark, "tokenize_with_vocab")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan
+
+
 def test_vocab_top_coverage_no_global_vocab_window(spark):
     """The top-100 must come from TakeOrderedAndProject (per-partition
     heaps), and the only Window node must sit ABOVE the limit — a global
