@@ -6497,6 +6497,180 @@ def embed_threshold_curve(spark, sf_dir):
     )
 
 
+
+@_q(
+    "dedup_substring_spans",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+      FROM documents WHERE trim(text) <> ''
+    ), starts AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w) - 19)) AS i
+      FROM toks WHERE len(w) >= 20
+    ), spans AS (
+      SELECT doc_id, md5(array_to_string(w[i : i + 19], ' ')) AS h
+      FROM starts
+    ), shared AS (
+      SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) > 1
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(count(*) FILTER (WHERE sh.h IS NOT NULL) AS BIGINT)
+             AS n_dup_spans
+    FROM spans s LEFT JOIN shared sh ON sh.h = s.h
+    GROUP BY s.doc_id
+    HAVING count(*) FILTER (WHERE sh.h IS NOT NULL) > 0
+    ORDER BY s.doc_id
+    """,
+)
+def dedup_substring_spans(spark, sf_dir):
+    """Substring-level duplication detection (the Lee et al. 2022
+    "Deduplicating Training Data" problem): find documents containing
+    20-token spans that also appear verbatim in OTHER documents — catches
+    boilerplate and quotation overlap that document-level dedup misses
+    entirely. The suffix-array approach of the paper is replaced by its
+    standard distributed approximation: every doc emits all rolling
+     20-token window hashes (linear in corpus tokens — a map-side
+    transform+posexplode, no Python), cross-doc-shared hashes come from
+    one count-distinct aggregate, and a join back scores each doc's
+    duplicated-span count. Scale: the span relation is ~tokens-sized; both
+    the shared-hash aggregate and the scoring join are (hash)-keyed
+    shuffles with map-side partial aggregation; nothing is quadratic. The
+    span hash is md5 of the space-joined window (portable across
+    engines)."""
+    d = _t(spark, sf_dir, "documents")
+    k = 20
+    toks = d.filter(F.trim("text") != "").select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("w")
+    )
+    spans = toks.filter(F.size("w") >= k).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                # one entry per window start (1-based to mirror the oracle)
+                F.sequence(F.lit(1), F.size("w") - (k - 1)),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(F.col("w"), i, k))
+                ),
+            )
+        ).alias("pos0", "h"),
+    ).select("doc_id", "h")
+    shared = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    return (
+        spans.join(shared.withColumn("is_shared", F.lit(1)), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.count(F.when(F.col("is_shared").isNotNull(), 1))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+        .filter(F.col("n_dup_spans") > 0)
+        .orderBy("doc_id")
+    )
+
+
+@_q(
+    "tokenizer_fertility_by_lang",
+    r"""
+    WITH t AS (
+      SELECT lang,
+             len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
+             len(text) AS n_chars,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents WHERE trim(text) <> ''
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           round(CAST(sum(n_chars) AS DOUBLE) / sum(n_tokens), 6)
+             AS chars_per_token_r6,
+           round(CAST(sum(n_bytes) AS DOUBLE) / sum(n_tokens), 6)
+             AS bytes_per_token_r6
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark, sf_dir):
+    """Tokenizer fertility diagnostics per language: bytes-per-token and
+    chars-per-token — the numbers that decide whether a tokenizer
+    under-serves a language (high fertility -> more tokens per byte ->
+    that language pays more compute per character of content). Pure
+    map-side expressions (split/length/octet UTF-8 byte count) folded by
+    one lang-keyed aggregate; ratios are integer-sum divisions (exact
+    operands, one IEEE divide) rounded for hash stability."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.trim("text") != "")
+        .select(
+            "lang",
+            F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n_tokens"),
+            F.length("text").alias("n_chars"),
+            F.octet_length("text").alias("n_bytes"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+        )
+        .withColumn(
+            "chars_per_token_r6",
+            F.round(F.col("total_chars").cast("double") / F.col("total_tokens"), 6),
+        )
+        .withColumn(
+            "bytes_per_token_r6",
+            F.round(F.col("total_bytes").cast("double") / F.col("total_tokens"), 6),
+        )
+        .orderBy("lang")
+    )
+
+
+@_q(
+    "sql_forecast_revenue",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT))
+                AS BIGINT) AS forecast_e4
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def sql_forecast_revenue(spark, sf_dir):
+    """TPC-H-Q6-shaped forecast: single-table scan-heavy aggregate where
+    EVERYTHING rides on predicate pushdown — date range, discount band,
+    and quantity cap must all reach the parquet scan (row-group pruning
+    does the rest). No join, no shuffle beyond the final 1-row combine;
+    the canonical 'is your scan path efficient' probe. Integer-e4 revenue,
+    engine-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_discount") * 10000)
+                .cast("long")
+            ).cast("long").alias("forecast_e4"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -6576,6 +6750,9 @@ _GRADE_NEXT = [
     "kmeans_clusters",  # newly oracle-backed (quantized-Lloyd exact replay)
     "vocab_freq_spectrum",
     # round-3 additions:
+    "dedup_substring_spans",
+    "tokenizer_fertility_by_lang",
+    "sql_forecast_revenue",
     "sql_ship_lateness_priority",
     "sql_large_volume_customers",
     "sql_discounted_revenue",

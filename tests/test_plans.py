@@ -109,6 +109,18 @@ def test_global_topk_plans_as_take_ordered(spark):
         assert "TakeOrderedAndProject" in _plan(spark, name), name
 
 
+def test_q6_all_predicates_pushed(spark):
+    """Q6 is pure scan efficiency: the date range, discount band, and
+    quantity cap must ALL reach the parquet scan as pushed filters."""
+    plan = _plan(spark, "sql_forecast_revenue")
+    pushed = [l for l in plan.splitlines()
+              if "PushedFilters: [" in l and "PushedFilters: []" not in l]
+    assert pushed, plan
+    joined = " ".join(pushed)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in joined, (col, joined)
+
+
 def test_q18_q19_shapes(spark):
     """Q18: the HAVING subquery aggregate and customer dim must broadcast,
     and the top-20 must be TakeOrdered. Q19: the implied single-side bounds
