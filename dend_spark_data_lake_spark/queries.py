@@ -4009,32 +4009,54 @@ def dedup_incremental_batch(spark, sf_dir):
     """,
 )
 def agg_histogram_equidepth(spark, sf_dir):
-    """Equi-depth (decile) histogram WITHOUT a global sort: exact
-    ``percentile_disc`` boundaries in one aggregate pass, broadcast back,
-    bucket = 1 + count of boundaries below the value — two scans, zero
-    wide shuffles, versus the naive ``ntile`` formulation whose global
-    Sort is the 100 TB killer (at cluster scale the boundary pass would
-    swap in ``approx_percentile`` unchanged). percentile_disc picks an
-    actual data value in both engines, and prices are a 2-decimal grid,
-    so bucket edges compare identically."""
-    register_views(spark, sf_dir, ["lineitem"])
-    qs = ", ".join(
-        f"percentile_disc(0.{i}) WITHIN GROUP (ORDER BY l_extendedprice) AS b{i}"
+    """Equi-depth (decile) histogram WITHOUT a global sort OR a buffering
+    percentile aggregate: the decile boundaries come from a distinct-VALUE
+    histogram (map-side-combined groupBy) with a cumulative count, then
+    ``b_i = min value whose 10*cum >= i*N`` — integer arithmetic, exactly
+    percentile_disc semantics (smallest v with F(v) >= q). The earlier
+    ``percentile_disc`` formulation was an ObjectAggregate that buffers the
+    ENTIRE column per task — it exhausted the heap at sf0.1 under default
+    memory, i.e., the exact failure a 100 TB run would hit; the histogram
+    form is O(1) per task. The cumulative window runs over the distinct
+    price grid (2-decimal TPC-H prices — bounded, same precedent as the
+    percentile length band), boundaries broadcast back, bucket = 1 + count
+    of boundaries below the value. At cluster scale the boundary pass
+    swaps in approx_percentile unchanged."""
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    hist = li.groupBy("l_extendedprice").agg(F.count("*").alias("c"))
+    total = hist.agg(F.sum("c").cast("long").alias("n_total"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy("l_extendedprice").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    bounds = cum.crossJoin(F.broadcast(total)).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") * 10 >= i * F.col("n_total"),
+                    F.col("l_extendedprice"),
+                )
+            ).alias(f"b{i}")
+            for i in range(1, 10)
+        ]
+    )
+    bucket = sum(
+        (F.col("l_extendedprice") > F.col(f"b{i}")).cast("int")
         for i in range(1, 10)
     )
-    bucket = " + ".join(
-        f"CAST(l_extendedprice > b{i} AS INT)" for i in range(1, 10)
-    )
-    return spark.sql(
-        f"""
-        WITH b AS (SELECT {qs} FROM lineitem)
-        SELECT 1 + {bucket} AS bucket,
-               count(*) AS n_rows,
-               round(min(l_extendedprice), 2) AS lo,
-               round(max(l_extendedprice), 2) AS hi
-        FROM lineitem, b
-        GROUP BY 1
-        """
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .select((F.lit(1) + bucket).alias("bucket"), "l_extendedprice")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
     )
 
 

@@ -59,7 +59,17 @@ def get_spark(
     if master:
         builder = builder.master(master)
     builder = (
-        builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        builder
+        # Local mode puts driver + all executor threads in ONE JVM; Spark's
+        # 1g default heap is sized for a thin cluster driver, not a 32-core
+        # local box, and under-provisions buffer-heavy aggregates (observed:
+        # heap exhaustion at sf0.1 under the default). Only applied when the
+        # caller/cluster hasn't chosen a size; no-op on an existing session.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
