@@ -4,8 +4,11 @@ LLM-data-pipeline composites.
 Runs the full-corpus preparation (``pipeline_llm_corpus``: quality gate →
 near-dup clustering → split accounting) and, optionally, the steady-state
 ingest cycle (``pipeline_incremental_ingest``: batch quality gate →
-incremental near-dup vs corpus → greedy packing) over a directory of the
-standard parquet tables, writing each result as parquet under ``--output``.
+incremental near-dup vs corpus → greedy packing) and the eval-safe
+curation cycle (``pipeline_curation``: quality gate → decontamination →
+fingerprint dedup → temperature resampling → k-fold accounting) over a
+directory of the standard parquet tables, writing each result as parquet
+under ``--output``.
 
 One artifact runs identically under YARN / Kubernetes / standalone / local —
 the session defers the master choice to spark-submit (same posture as
@@ -33,7 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from dend_spark_data_lake_spark import queries as Q  # noqa: E402
 from dend_spark_data_lake_spark.session import get_spark  # noqa: E402
 
-STAGES = ("pipeline_llm_corpus", "pipeline_incremental_ingest")
+STAGES = ("pipeline_llm_corpus", "pipeline_incremental_ingest", "pipeline_curation")
 
 
 def parse_args(argv: list[str] | None = None) -> argparse.Namespace:

@@ -30,12 +30,16 @@ def test_job_main_runs_pipeline(spark, tmp_path):
         assert spark.read.parquet(str(out / table)).count() > 0, table
 
 
-def test_corpus_prep_job_writes_both_stages(spark, tmp_path):
+def test_corpus_prep_job_writes_all_stages(spark, tmp_path):
     import jobs.corpus_prep_job as job
 
     out = tmp_path / "corpus"
     job.main(["--data", "/root/testdata/sf0.001", "--output", str(out)])
-    for stage in ("pipeline_llm_corpus", "pipeline_incremental_ingest"):
+    for stage in (
+        "pipeline_llm_corpus",
+        "pipeline_incremental_ingest",
+        "pipeline_curation",
+    ):
         df = spark.read.parquet(str(out / stage))
         assert df.count() > 0, stage
 
