@@ -30,6 +30,21 @@ def test_oracle_parity(spark, con, name):
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
+def test_grading_window_invariants():
+    """The driver grades the FIRST 50 registry entries: the window must be
+    exactly _GRADE_FIRST, every entry oracle-backed (a rows-only entry in
+    the window wastes a certification slot), with no duplicates anywhere
+    in the rotation lists."""
+    from dend_spark_data_lake_spark.queries import _GRADE_FIRST, _GRADE_NEXT
+
+    names = list(REGISTRY)
+    assert len(_GRADE_FIRST) == 50
+    assert names[: len(_GRADE_FIRST)] == _GRADE_FIRST
+    assert all(REGISTRY[n].oracle is not None for n in _GRADE_FIRST)
+    rotation = [*_GRADE_FIRST, *_GRADE_NEXT]
+    assert len(rotation) == len(set(rotation))
+
+
 def test_no_nested_types_in_oracle_backed_outputs(spark):
     """The driver's pandas canonicalizer sorts/hashes scalar cells only —
     an ArrayType/MapType/StructType output column crashes it with

@@ -326,3 +326,47 @@ def test_interval_overlap_matches_brute_force(spark, rows):
                 ov = int((min(e1, e2) - max(s1, s2)).total_seconds())
                 want.add((k1, i1, i2, ov))
     assert got == want
+
+
+def test_substring_spans_match_bruteforce(spark):
+    """dedup_substring_spans' windowed-hash construction must agree with a
+    direct Python enumeration of shared 20-token spans on a corpus built
+    to exercise the edges: exact duplicates, partial overlap in the middle
+    of longer docs, docs shorter than the window, and non-overlapping
+    text."""
+    base = [f"w{i}" for i in range(60)]
+    docs = {
+        1: base[:40],                          # shares a 25-token run with 2
+        2: base[15:60],                        # overlap: tokens 15..39
+        3: [f"x{i}" for i in range(30)],       # unique - must not appear
+        4: base[:40],                          # exact duplicate of 1
+        5: base[:10],                          # shorter than the window
+    }
+    k = 20
+    from collections import defaultdict
+
+    span_docs = defaultdict(set)
+    for d, w in docs.items():
+        for i in range(len(w) - k + 1):
+            span_docs[" ".join(w[i : i + k])].add(d)
+    want = {}
+    for d, w in docs.items():
+        spans = [" ".join(w[i : i + k]) for i in range(len(w) - k + 1)]
+        dup = sum(1 for s in spans if len(span_docs[s]) > 1)
+        if dup:
+            want[d] = (len(spans), dup)
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    import tempfile, os
+
+    df = spark.createDataFrame(
+        [(d, " ".join(w), "en", "src", len(" ".join(w))) for d, w in docs.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "documents.parquet"))
+        got = {
+            r.doc_id: (r.n_spans, r.n_dup_spans)
+            for r in REGISTRY["dedup_substring_spans"].fn(spark, tmp).collect()
+        }
+    assert got == want, (got, want)
