@@ -39,19 +39,27 @@ def asof_join(
     right_cols: Sequence[str],
     how: str = "left",
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
-    ``right.ts <= left.ts`` within the same ``on`` key group.
+    ``right.ts <= left.ts`` (``direction="backward"``, default) or the
+    earliest right row with ``right.ts >= left.ts``
+    (``direction="forward"``) within the same ``on`` key group.
 
     Implementation (scale-first): tag and union both sides, then one window
     per key ordered by (ts, side) carrying ``last(right value, ignorenulls)``
-    forward. Cost = one hash shuffle on ``on`` + in-partition sort — the same
-    price as a regular join, with no inequality cross-product. Right rows at
-    exactly ``left.ts`` match (ties resolve right-before-left in the sort).
+    forward. The forward direction is the identical plan with the timestamp
+    sort reversed — nearest-at-or-after becomes the carried value. Cost =
+    one hash shuffle on ``on`` + in-partition sort — the same price as a
+    regular join, with no inequality cross-product. Right rows at exactly
+    ``left.ts`` match in both directions (ties resolve right-before-left in
+    the sort).
 
     Returns ``left`` columns plus ``right_ts + suffix`` and each of
     ``right_cols`` suffixed.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = list(on)
     lcols = left.columns
     tagged_r = right.select(
@@ -71,9 +79,10 @@ def asof_join(
         *[F.col(c) for c in lcols if c not in on],
     )
     unioned = tagged_r.unionByName(tagged_l)
+    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = unioned.withColumn("__match", F.last("__rval", ignorenulls=True).over(w)).filter(

@@ -6693,6 +6693,95 @@ def sql_forecast_revenue(spark, sf_dir):
     )
 
 
+
+@_q(
+    "join_asof_forward",
+    """
+    SELECT e.event_id AS error_id, e.user_id, p.event_id AS next_purchase_id,
+           CASE WHEN p.event_id IS NULL THEN NULL
+                ELSE epoch_us(p.ts) - epoch_us(e.ts) END AS wait_us
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND p.ts >= e.ts
+    """,
+)
+def join_asof_forward(spark, sf_dir):
+    """FORWARD as-of join: each error event matched to the same user's
+    NEXT purchase at or after it (does the user recover and convert?) —
+    the mirror of the backward as-of, same union+window plan with the
+    timestamp sort reversed (operators/joins.py::asof_join
+    direction="forward"). One hash shuffle on the key + in-partition
+    sort; no inequality cross product. The oracle is DuckDB's native
+    forward ASOF (p.ts >= e.ts)."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    j = asof_join(
+        errors,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id"],
+        direction="forward",
+    )
+    wait = F.unix_micros(F.col("ts_right")) - F.unix_micros(F.col("ts"))
+    return j.select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("event_id_right").alias("next_purchase_id"),
+        F.when(
+            F.col("event_id_right").isNull(), F.lit(None).cast("long")
+        ).otherwise(wait).alias("wait_us"),
+    )
+
+
+@_q(
+    "agg_mode_per_group",
+    """
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      FROM orders GROUP BY 1, 2
+    ), r AS (
+      SELECT o_orderstatus, o_orderpriority, n,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY n DESC, o_orderpriority ASC) AS rn
+      FROM c
+    )
+    SELECT o_orderstatus, o_orderpriority AS modal_priority, n AS n_orders
+    FROM r WHERE rn = 1 ORDER BY o_orderstatus
+    """,
+)
+def agg_mode_per_group(spark, sf_dir):
+    """Statistical mode per group with a DETERMINISTIC tie-break
+    (count DESC, value ASC) — deliberately NOT Spark's builtin ``mode()``,
+    whose tie winner is undefined and therefore unstable across
+    partitionings and engines. Two map-side-combinable aggregates: the
+    (group, value) count relation (bounded by the value domain), then a
+    tiny per-group window over |values| rows — the corpus shuffles once."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), F.asc("o_orderpriority")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("modal_priority"),
+            F.col("n").alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -6772,6 +6861,8 @@ _GRADE_NEXT = [
     "kmeans_clusters",  # newly oracle-backed (quantized-Lloyd exact replay)
     "vocab_freq_spectrum",
     # round-3 additions:
+    "join_asof_forward",
+    "agg_mode_per_group",
     "dedup_substring_spans",
     "tokenizer_fertility_by_lang",
     "sql_forecast_revenue",
