@@ -6782,6 +6782,95 @@ def agg_mode_per_group(spark, sf_dir):
     )
 
 
+
+@_q(
+    "customer_rfm_segments",
+    """
+    WITH maxd AS (SELECT max(o_orderdate) AS d0 FROM orders),
+    rfm AS (
+      SELECT o.o_custkey,
+             datediff('day', max(o.o_orderdate), (SELECT d0 FROM maxd))
+               AS recency_days,
+             count(*) AS frequency,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders o GROUP BY o.o_custkey
+    ), scored AS (
+      SELECT o_custkey,
+             CASE WHEN recency_days <= 90 THEN 5 WHEN recency_days <= 365 THEN 4
+                  WHEN recency_days <= 730 THEN 3 WHEN recency_days <= 1460 THEN 2
+                  ELSE 1 END AS r_score,
+             CASE WHEN frequency >= 25 THEN 5 WHEN frequency >= 10 THEN 4
+                  WHEN frequency >= 4 THEN 3 WHEN frequency >= 2 THEN 2
+                  ELSE 1 END AS f_score,
+             CASE WHEN monetary_cents >= 50000000 THEN 5
+                  WHEN monetary_cents >= 20000000 THEN 4
+                  WHEN monetary_cents >= 5000000 THEN 3
+                  WHEN monetary_cents >= 1000000 THEN 2
+                  ELSE 1 END AS m_score
+      FROM rfm
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def customer_rfm_segments(spark, sf_dir):
+    """RFM (recency / frequency / monetary) customer segmentation: one
+    orders pass produces per-customer recency vs the corpus max date,
+    order count, and lifetime spend in integer cents; fixed business-grid
+    bands score each dimension 1-5 and the rollup counts customers per
+    (r, f, m) cell. Bands are FIXED thresholds, not quantiles, by design:
+    data-driven quintiles over a per-customer metric need either a global
+    sort, a buffering percentile aggregate, or a customer-sized cumulative
+    window — each a scale hazard (see agg_histogram_equidepth for the
+    exact-quantile machinery when it IS wanted); fixed bands keep the
+    whole query two map-side-combinable aggregates plus a broadcast 1-row
+    max date. All-integer scoring is engine-exact."""
+    o = _t(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("d0"))
+    rfm = (
+        o.crossJoin(F.broadcast(maxd))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("d0"), F.max("o_orderdate")).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+    )
+    r = (
+        F.when(F.col("recency_days") <= 90, 5)
+        .when(F.col("recency_days") <= 365, 4)
+        .when(F.col("recency_days") <= 730, 3)
+        .when(F.col("recency_days") <= 1460, 2)
+        .otherwise(1)
+    )
+    f_ = (
+        F.when(F.col("frequency") >= 25, 5)
+        .when(F.col("frequency") >= 10, 4)
+        .when(F.col("frequency") >= 4, 3)
+        .when(F.col("frequency") >= 2, 2)
+        .otherwise(1)
+    )
+    m = (
+        F.when(F.col("monetary_cents") >= 50_000_000, 5)
+        .when(F.col("monetary_cents") >= 20_000_000, 4)
+        .when(F.col("monetary_cents") >= 5_000_000, 3)
+        .when(F.col("monetary_cents") >= 1_000_000, 2)
+        .otherwise(1)
+    )
+    return (
+        rfm.select(
+            r.alias("r_score"), f_.alias("f_score"), m.alias("m_score")
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -6863,6 +6952,7 @@ _GRADE_NEXT = [
     # round-3 additions:
     "join_asof_forward",
     "agg_mode_per_group",
+    "customer_rfm_segments",
     "dedup_substring_spans",
     "tokenizer_fertility_by_lang",
     "sql_forecast_revenue",
