@@ -135,6 +135,11 @@ def main() -> None:
 
     timings = {name: round(median(xs), 3) for name, xs in samples.items()}
     total = round(sum(timings.values()), 3)
+    # minimums alongside medians: on a shared host with CPU steal, min-of-n
+    # approximates the machine-independent plan cost while the median tracks
+    # what a user would see — reporting both separates steal from regression
+    mins = {name: round(min(xs), 3) for name, xs in samples.items()}
+    total_min = round(sum(mins.values()), 3)
 
     # secondary flagships: single pass (kmeans is iterative — bounding total
     # bench wall matters more than median precision here), separate key so
@@ -157,6 +162,8 @@ def main() -> None:
                 "sf": sf,
                 "runs_per_query": n_runs,
                 "aggregation": "median",
+                "queries_min": mins,
+                "total_min": total_min,
                 "secondary_queries": sec_timings,
                 "secondary_total": round(sum(sec_timings.values()), 3),
             }
