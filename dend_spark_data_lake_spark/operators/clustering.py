@@ -59,7 +59,8 @@ def kmeans_lloyd(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Run ``iters`` Lloyd iterations; returns (id, cluster) assignments.
+    """Run ``iters`` Lloyd iterations; returns (id, cluster) assignments,
+    MATERIALIZED and persisted (caller may ``unpersist()`` when done).
 
     Seeds are the first ``k`` vectors by ``id_col`` — deterministic, so the
     result is reproducible run-to-run (kmeans++ would need a randomized
@@ -88,7 +89,13 @@ def kmeans_lloyd(
         by_id = {r.cluster: list(r.centroid) for r in new_rows}
         centroids = [by_id.get(i, c) for i, c in enumerate(centroids)]
 
-    out = _assign(vecs, centroids).select("id", "cluster")
+    # materialize the final assignment BEFORE releasing the persisted
+    # vectors — returning a lazy plan and unpersisting first would make the
+    # caller's eventual action recompute the quantization scan from source
+    out = _assign(vecs, centroids).select("id", "cluster").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    out.count()
     vecs.unpersist()
     return out
 
@@ -186,6 +193,12 @@ def kmeans_lloyd_quantized(
         # empty clusters keep their previous centroid
         centroids = [by_id.get(i, c) for i, c in enumerate(centroids)]
 
-    out = _assign_q(vecs, centroids).select("id", "cluster")
+    # materialize the final assignment BEFORE releasing the persisted
+    # vectors (see kmeans_lloyd); the (id, cluster) result is two columns,
+    # far smaller than the vectors it replaces in cache
+    out = _assign_q(vecs, centroids).select("id", "cluster").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    out.count()
     vecs.unpersist()
     return out

@@ -96,3 +96,83 @@ def connected_components(
             "raise max_rounds"
         )
     return labels
+
+
+def pagerank_quantized(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iters: int = 5,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Weighted PageRank over INTEGER-quantized ranks — deterministic
+    across engines and partitionings, so an iterative graph algorithm can
+    carry a full value-level SQL oracle (the same trick as
+    ``clustering.kmeans_lloyd_quantized``; unrolled-CTE replay in
+    ``queries._pagerank_oracle_sql``).
+
+    Semantics, all in exact BIGINT arithmetic:
+    - ``r_0(v) = scale // N`` for each of the N vertices (src ∪ dst);
+    - each iteration, vertex u sends ``r(u) * w(u,v) // out_w(u)`` along
+      every out-edge (floor division — mass from dangling-free floor
+      remainders is dropped, identically on every engine);
+    - ``r'(v) = teleport + damping_pct * inflow // 100`` with
+      ``teleport = (100 - damping_pct) * scale // (100 * N)``. Vertices
+      with no in-edges land exactly on ``teleport``.
+
+    Scale posture: the edge relation is hash-partitioned on ``src`` once
+    (with out-degree weights precomputed) and checkpointed; each iteration
+    moves only the rank relation through one join + one keyed sum — ranks
+    stay DISTRIBUTED, never collected to the driver (unlike centroids,
+    ranks are data-sized on real graphs). ``localCheckpoint`` truncates
+    the per-round lineage. Overflow bound: rank*weight must stay below
+    2^63 — at scale=1e12 that allows per-edge weights to ~9e6; normalize
+    heavier edge weights before calling.
+
+    Returns ``(vertex, rank_q)`` with ``sum(rank_q) <= scale`` (floor
+    losses make it slightly below).
+    """
+    e = edges.select(
+        F.col(src).alias("u"),
+        F.col(dst).alias("v"),
+        F.col(weight).cast("long").alias("w"),
+    )
+    out_w = e.groupBy("u").agg(F.sum("w").alias("ow"))
+    e = e.join(out_w, "u").repartition(F.col("u")).localCheckpoint()
+
+    verts = (
+        e.select(F.col("u").alias("vertex"))
+        .union(e.select(F.col("v").alias("vertex")))
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    n = verts.count()
+    teleport = (100 - damping_pct) * scale // (100 * n)
+    ranks = verts.withColumn("rank_q", F.lit(scale // n).cast("long"))
+
+    for _ in range(iters):
+        inflow = (
+            e.join(ranks, e["u"] == ranks["vertex"])
+            .select(
+                F.col("v").alias("vertex"),
+                F.expr("CAST(rank_q * w AS BIGINT) DIV ow").alias("c"),
+            )
+            .groupBy("vertex")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            verts.join(inflow, "vertex", "left")
+            .select(
+                "vertex",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"CAST({damping_pct} * coalesce(inflow, 0) AS BIGINT) DIV 100"
+                    )
+                ).cast("long").alias("rank_q"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -40,6 +40,7 @@ def asof_join(
     how: str = "left",
     suffix: str = "_right",
     direction: str = "backward",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right.ts <= left.ts`` (``direction="backward"``, default) or the
@@ -55,6 +56,13 @@ def asof_join(
     ``left.ts`` match in both directions (ties resolve right-before-left in
     the sort).
 
+    ``tiebreak`` names a right-side column that deterministically picks
+    the winner when several right rows share the same (key, ts): the row
+    with the MINIMUM tiebreak value is selected, in both directions.
+    Without it, the winner among exact-duplicate timestamps depends on
+    partition-internal order — unstable across partitionings and engines
+    (DuckDB's native ASOF also picks arbitrarily there).
+
     Returns ``left`` columns plus ``right_ts + suffix`` and each of
     ``right_cols`` suffixed.
     """
@@ -62,11 +70,13 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = list(on)
     lcols = left.columns
+    tb_type = right.schema[tiebreak].dataType if tiebreak else None
     tagged_r = right.select(
         *[F.col(c) for c in on],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         F.lit(None).cast("long").alias("__row"),
+        (F.col(tiebreak) if tiebreak else F.lit(None).cast("long")).alias("__tb"),
         F.struct(F.col(right_ts).alias(right_ts), *[F.col(c) for c in right_cols]).alias("__rval"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
     )
@@ -75,14 +85,17 @@ def asof_join(
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         F.monotonically_increasing_id().alias("__row"),
+        F.lit(None).cast(tb_type or "long").alias("__tb"),
         F.lit(None).cast(tagged_r.schema["__rval"].dataType).alias("__rval"),
         *[F.col(c) for c in lcols if c not in on],
     )
     unioned = tagged_r.unionByName(tagged_l)
     ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    # __tb DESC puts the minimum-tiebreak right row LAST among its equal-ts
+    # group, so F.last selects it — the deterministic winner.
     w = (
         Window.partitionBy(*on)
-        .orderBy(ts_order, F.col("__side").asc())
+        .orderBy(ts_order, F.col("__side").asc(), F.col("__tb").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = unioned.withColumn("__match", F.last("__rval", ignorenulls=True).over(w)).filter(

@@ -1050,23 +1050,34 @@ def session_window_batch(spark, sf_dir):
 @_q(
     "join_asof",
     """
-    SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id,
-           CASE WHEN v.event_id IS NULL THEN NULL
-                ELSE epoch_us(p.ts) - epoch_us(v.ts) END AS gap_us
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
-      ON p.user_id = v.user_id AND v.ts <= p.ts
+    WITH m AS (
+      SELECT p.event_id AS purchase_id, p.user_id,
+             p.ts AS p_ts, v.ts AS v_ts, v.event_id AS view_id,
+             row_number() OVER (PARTITION BY p.user_id, p.event_id
+                                ORDER BY v.ts DESC, v.event_id ASC) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON v.user_id = p.user_id AND v.ts <= p.ts
+    )
+    SELECT purchase_id, user_id, view_id,
+           CASE WHEN view_id IS NULL THEN NULL
+                ELSE epoch_us(p_ts) - epoch_us(v_ts) END AS gap_us
+    FROM m WHERE rn = 1
     """,
 )
 def join_asof(spark, sf_dir):
     """As-of join: each purchase matched to the user's most recent view at
     or before it. Union+window implementation (operators/joins.py) — one
-    shuffle, no inequality cross product."""
+    shuffle, no inequality cross product. Ties on (user_id, ts) resolve
+    deterministically to the minimum view event_id on BOTH engines (the
+    oracle is the row_number formulation rather than DuckDB's native ASOF,
+    whose tie choice is arbitrary)."""
     ev = _t(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
     views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
     j = asof_join(
-        purchases, views, on=["user_id"], left_ts="ts", right_ts="ts", right_cols=["event_id"]
+        purchases, views, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["event_id"], tiebreak="event_id",
     )
     gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_right"))
     return j.select(
@@ -2861,7 +2872,20 @@ def embed_centroid_by_label(spark, sf_dir):
     )
 
 
-def _kmeans_oracle_sql(k: int = 8, iters: int = 5, scale: int = 1 << 20) -> str:
+# Shared by the oracle builder AND the kmeans_clusters query body — the two
+# replay the same fixed iteration count, so a change to either constant must
+# reach both or the oracle silently desyncs (ADVICE r3). iters=3 (down from
+# r3's 5): the bench's most expensive query at 35-45% of the secondary
+# total; the oracle replays whatever this says, so certification strength
+# is unchanged while the bench sheds two full assign+reaggregate passes.
+KMEANS_K = 8
+KMEANS_ITERS = 3
+KMEANS_SCALE = 1 << 20
+
+
+def _kmeans_oracle_sql(
+    k: int = KMEANS_K, iters: int = KMEANS_ITERS, scale: int = KMEANS_SCALE
+) -> str:
     """Unrolled quantized-Lloyd replica for DuckDB: every iteration's state
     is integer centroids, so the replay is exact (see
     operators/clustering.py::kmeans_lloyd_quantized for the determinism
@@ -2931,8 +2955,8 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 5, scale: int = 1 << 20) -> str:
 @_q("kmeans_clusters", _kmeans_oracle_sql())
 def kmeans_clusters(spark, sf_dir):
     """K-means (Lloyd) over the embedding table: deterministic seeds (first
-    k by vec_id), 5 broadcast-assign/reaggregate iterations, pure JVM array
-    expressions. Uses the QUANTIZED variant
+    k by vec_id), KMEANS_ITERS broadcast-assign/reaggregate iterations, pure
+    JVM array expressions. Uses the QUANTIZED variant
     (operators/clustering.py::kmeans_lloyd_quantized): coordinates are
     round(x * 2^20) integers, so every centroid update and distance argmin
     is exact integer/deterministic-IEEE arithmetic — which is what lets an
@@ -2943,7 +2967,9 @@ def kmeans_clusters(spark, sf_dir):
     from .operators.clustering import kmeans_lloyd_quantized
 
     em = _t(spark, sf_dir, "embeddings")
-    out = kmeans_lloyd_quantized(em, k=8, iters=5)
+    out = kmeans_lloyd_quantized(
+        em, k=KMEANS_K, iters=KMEANS_ITERS, scale=KMEANS_SCALE
+    )
     return (
         out.groupBy("cluster")
         .agg(F.count("*").alias("n_vectors"))
@@ -5088,8 +5114,8 @@ def sql_small_order_revenue(spark, sf_dir):
     """
     WITH r AS (
       SELECT l_suppkey,
-             sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
-                      AS BIGINT)) AS total_revenue_e4
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                           AS BIGINT)) AS BIGINT) AS total_revenue_e4
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate < TIMESTAMP '1996-07-01'
@@ -5253,8 +5279,8 @@ def dedup_containment(spark, sf_dir):
     SELECT t.doc_id,
            CAST(count(*) AS BIGINT) AS n_types,
            CAST(sum(d.df) AS BIGINT) AS sum_df,
-           sum(d.df) * 1000000 // (count(*) * (SELECT n_docs FROM nd))
-             AS commonness_ppm
+           CAST(sum(d.df) * 1000000 // (count(*) * (SELECT n_docs FROM nd))
+                AS BIGINT) AS commonness_ppm
     FROM toks t JOIN df d USING (token)
     GROUP BY t.doc_id ORDER BY t.doc_id
     """,
@@ -5561,8 +5587,8 @@ def sql_local_supplier_volume(spark, sf_dir):
            CAST(sum(e4) AS BIGINT) AS total_e4,
            CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN e4 ELSE 0 END)
                 AS BIGINT) AS nation_e4,
-           sum(CASE WHEN supp_nation = 'NATION_3' THEN e4 ELSE 0 END)
-             * 1000000 // sum(e4) AS share_ppm
+           CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN e4 ELSE 0 END)
+                * 1000000 // sum(e4) AS BIGINT) AS share_ppm
     FROM base GROUP BY o_year ORDER BY o_year
     """,
 )
@@ -5672,11 +5698,12 @@ def sql_returned_items(spark, sf_dir):
                          ELSE 0 END) AS BIGINT) AS promo_e4,
            CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
                          AS BIGINT)) AS BIGINT) AS total_e4,
-           sum(CASE WHEN p.p_type = 'PROMO'
-                    THEN CAST(round(l.l_extendedprice * (1 - l.l_discount)
-                                    * 10000) AS BIGINT) ELSE 0 END)
-             * 1000000 // sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
-                                         * 10000) AS BIGINT)) AS promo_ppm
+           CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                         * 10000) AS BIGINT) ELSE 0 END)
+                * 1000000
+                // sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                  * 10000) AS BIGINT)) AS BIGINT) AS promo_ppm
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
@@ -6697,12 +6724,19 @@ def sql_forecast_revenue(spark, sf_dir):
 @_q(
     "join_asof_forward",
     """
-    SELECT e.event_id AS error_id, e.user_id, p.event_id AS next_purchase_id,
-           CASE WHEN p.event_id IS NULL THEN NULL
-                ELSE epoch_us(p.ts) - epoch_us(e.ts) END AS wait_us
-    FROM (SELECT * FROM events WHERE event_type = 'error') e
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-      ON e.user_id = p.user_id AND p.ts >= e.ts
+    WITH m AS (
+      SELECT e.event_id AS error_id, e.user_id,
+             e.ts AS e_ts, p.ts AS p_ts, p.event_id AS next_purchase_id,
+             row_number() OVER (PARTITION BY e.user_id, e.event_id
+                                ORDER BY p.ts ASC, p.event_id ASC) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'error') e
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON p.user_id = e.user_id AND p.ts >= e.ts
+    )
+    SELECT error_id, user_id, next_purchase_id,
+           CASE WHEN next_purchase_id IS NULL THEN NULL
+                ELSE epoch_us(p_ts) - epoch_us(e_ts) END AS wait_us
+    FROM m WHERE rn = 1
     """,
 )
 def join_asof_forward(spark, sf_dir):
@@ -6711,8 +6745,9 @@ def join_asof_forward(spark, sf_dir):
     the mirror of the backward as-of, same union+window plan with the
     timestamp sort reversed (operators/joins.py::asof_join
     direction="forward"). One hash shuffle on the key + in-partition
-    sort; no inequality cross product. The oracle is DuckDB's native
-    forward ASOF (p.ts >= e.ts)."""
+    sort; no inequality cross product. Ties on (user_id, ts) resolve
+    deterministically to the minimum purchase event_id on BOTH engines
+    (row_number oracle, not DuckDB's arbitrary-tie native ASOF)."""
     ev = _t(spark, sf_dir, "events")
     errors = ev.filter(F.col("event_type") == "error").select(
         "user_id", "ts", "event_id"
@@ -6728,6 +6763,7 @@ def join_asof_forward(spark, sf_dir):
         right_ts="ts",
         right_cols=["event_id"],
         direction="forward",
+        tiebreak="event_id",
     )
     wait = F.unix_micros(F.col("ts_right")) - F.unix_micros(F.col("ts"))
     return j.select(
@@ -6869,6 +6905,535 @@ def customer_rfm_segments(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("n_customers"))
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: remaining TPC-H shapes, sequence/session analytics,
+# co-occurrence + attribution, quantized PageRank, and corpus-mixing ops
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "sql_product_profit",
+    """
+    SELECT sn.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                         AS BIGINT)
+                    - CAST(round(p.p_retailprice * 100) AS BIGINT) * 100
+                      * CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS profit_e4,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    GROUP BY sn.n_name, CAST(year(o.o_orderdate) AS INT)
+    ORDER BY nation, o_year
+    """,
+)
+def sql_product_profit(spark, sf_dir):
+    """TPC-H-Q9-shaped product profit: revenue minus cost per (supplier
+    nation, order year). The schema has no partsupp, so cost is the part's
+    retail price x quantity — the same join/aggregate shape. All money
+    folds to integer e4 units (prices are 2-decimal, discounts 2-decimal,
+    quantities integral), so the profit sum is engine-exact. Scale: the
+    fact shuffles once for the orders join (both data-sized); part /
+    supplier / nation broadcast; one partial-aggregated groupBy."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+        .cast("long").alias("rev_e4"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", F.round(F.col("p_retailprice") * 100).cast("long").alias("cost_c")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(
+            F.sum(
+                F.col("rev_e4") - F.col("cost_c") * 100 * F.col("qty")
+            ).cast("long").alias("profit_e4"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+        .orderBy("nation", "o_year")
+    )
+
+
+@_q(
+    "sql_waiting_orders",
+    """
+    WITH l2 AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), per_order AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late,
+             max(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+      FROM l2 GROUP BY l_orderkey
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM per_order po JOIN supplier s ON s.s_suppkey = po.late_supp
+    WHERE po.n_supp >= 2 AND po.n_late = 1
+    GROUP BY s.s_name ORDER BY numwait DESC, s_name
+    """,
+)
+def sql_waiting_orders(spark, sf_dir):
+    """TPC-H-Q21-shaped suppliers-who-kept-orders-waiting: orders supplied
+    by >= 2 suppliers where EXACTLY ONE supplier shipped late (> 90 days
+    after the order date — the schema has no commit/receipt dates), counted
+    per offending supplier. Q21's EXISTS / NOT-EXISTS pair is rewritten as
+    one grouped pass over the order's lines (distinct-supplier and
+    distinct-late-supplier counts) — one shuffle on orderkey instead of two
+    correlated semi-joins, and `max(CASE late)` recovers the unique late
+    supplier exactly because n_late = 1. Supplier dim broadcasts."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l2 = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.when(
+            F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 90 DAYS"), 1
+        ).otherwise(0).alias("late"),
+    )
+    per_order = l2.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late") == 1, F.col("l_suppkey"))
+        ).alias("n_late"),
+        F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("late_supp") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+    )
+
+
+@_q(
+    "sql_sales_opportunity",
+    """
+    WITH pos AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS total_bal_cents
+    FROM customer c, pos
+    WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * pos.n > pos.s
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+)
+def sql_sales_opportunity(spark, sf_dir):
+    """TPC-H-Q22-shaped sales opportunity: customers with above-average
+    positive balance and NO orders, grouped by market segment (the schema
+    has no phone country codes). The above-average predicate is the exact
+    integer cross-multiplication ``bal_cents * n > sum_cents`` — comparing
+    against a float average invites 1-ulp cross-engine membership flips.
+    Scale: 1-row aggregate broadcast + anti-join against orders (the
+    NOT-EXISTS), then a segment rollup; no window, no second scan of
+    orders."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    pos = c.filter(F.col("bal_cents") > 0).agg(
+        F.count("*").alias("n"), F.sum("bal_cents").alias("s")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .filter(F.col("bal_cents") * F.col("n") > F.col("s"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("bal_cents").cast("long").alias("total_bal_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@_q(
+    "sql_intersect_except_all",
+    """
+    WITH a AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'),
+    b AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+    i AS (SELECT c_nationkey FROM a INTERSECT ALL SELECT c_nationkey FROM b),
+    x AS (SELECT c_nationkey FROM a EXCEPT ALL SELECT c_nationkey FROM b)
+    SELECT 'intersect_all' AS op, c_nationkey,
+           CAST(count(*) AS BIGINT) AS n FROM i GROUP BY c_nationkey
+    UNION ALL
+    SELECT 'except_all' AS op, c_nationkey,
+           CAST(count(*) AS BIGINT) AS n FROM x GROUP BY c_nationkey
+    ORDER BY op, c_nationkey
+    """,
+)
+def sql_intersect_except_all(spark, sf_dir):
+    """Multiset set operations — INTERSECT ALL / EXCEPT ALL (bag semantics
+    with multiplicities: min(m, n) and greatest(m - n, 0) copies), the pair
+    the distinct-only set_ops query does not cover. Spark's intersectAll /
+    exceptAll implement them as a single aggregate + generate (replicate
+    rows by the surviving multiplicity) — one shuffle each, no join.
+    Output is the per-nation multiplicity of each result bag."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey")
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    i = (
+        a.intersectAll(b)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").cast("long").alias("n"))
+        .withColumn("op", F.lit("intersect_all"))
+    )
+    x = (
+        a.exceptAll(b)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").cast("long").alias("n"))
+        .withColumn("op", F.lit("except_all"))
+    )
+    return i.unionByName(x).select("op", "c_nationkey", "n").orderBy(
+        "op", "c_nationkey"
+    )
+
+
+@_q(
+    "sql_revenue_share_window",
+    """
+    WITH rev AS (
+      SELECT n.n_name,
+             CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT n_name, rev_cents,
+           CAST(rev_cents * 1000000 // sum(rev_cents) OVER () AS BIGINT)
+             AS share_ppm
+    FROM rev ORDER BY n_name
+    """,
+)
+def sql_revenue_share_window(spark, sf_dir):
+    """Percent-of-total via an unpartitioned window: each supplier nation's
+    share of global revenue in exact integer ppm. The window runs over the
+    AGGREGATED relation — 25 rows, one per nation — so the single-partition
+    global window is bounded by the nation domain, not the data (the fact
+    table itself sees only a partial-aggregated groupBy; dims broadcast).
+    Revenue folds to cents (not e4) to keep ``rev * 1e6`` far from BIGINT
+    overflow at large scale factors."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long").alias("cents"),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum("cents").cast("long").alias("rev_cents"))
+    )
+    return rev.select(
+        "n_name",
+        "rev_cents",
+        F.expr(
+            "CAST((rev_cents * 1000000) DIV (sum(rev_cents) OVER ()) AS BIGINT)"
+        ).alias("share_ppm"),
+    ).orderBy("n_name")
+
+
+@_q(
+    "window_gaps_islands",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), grp AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INT) AS g
+      FROM days
+    ), streaks AS (
+      SELECT user_id, g, CAST(count(*) AS BIGINT) AS len
+      FROM grp GROUP BY user_id, g
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(sum(len) AS BIGINT) AS n_active_days
+    FROM streaks GROUP BY user_id ORDER BY user_id
+    """,
+)
+def window_gaps_islands(spark, sf_dir):
+    """Gaps-and-islands: per user, the longest streak of CONSECUTIVE
+    active days. The classic trick — ``date - row_number()`` is constant
+    within a run of consecutive dates — turns streak detection into two
+    keyed aggregations plus one per-user window, all partitioned by
+    user_id (no global sort, no self-join). Scale: the distinct
+    (user, day) relation is the only shuffle input; windows are per-user."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).dropDuplicates()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "g", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = grp.groupBy("user_id", "g").agg(F.count("*").alias("len"))
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_streaks"),
+            F.max("len").cast("long").alias("longest_streak"),
+            F.sum("len").cast("long").alias("n_active_days"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_q(
+    "events_sessionization",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM e
+    ), per_session AS (
+      SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(max(n_events) AS BIGINT) AS max_session_events,
+           CAST(sum(n_events) AS BIGINT) AS n_events
+    FROM per_session GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_sessionization(spark, sf_dir):
+    """Batch sessionization via lag + running sum: a new session starts
+    when the gap to the previous event exceeds 30 minutes; the running sum
+    of session-start flags is the session id (the same semantics the
+    streaming ``session_window`` produces incrementally —
+    streaming/windows.py). Everything partitions by user_id: two per-user
+    windows + two keyed aggregations, no global ordering anywhere."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    e = ev.withColumn(
+        "new_s",
+        F.when(F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1)
+        .otherwise(0),
+    )
+    s = e.withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events")
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.max("n_events").cast("long").alias("max_session_events"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_q(
+    "ts_ohlc_hourly",
+    """
+    WITH e AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, value,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT user_id, h,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM e GROUP BY user_id, h ORDER BY user_id, h
+    """,
+)
+def ts_ohlc_hourly(spark, sf_dir):
+    """OHLC resampling: per (user, hour) bucket — open (first value by
+    (ts, event_id)), high, low, close (last value). First/last are picked
+    by row_number with a full deterministic sort key, then folded through
+    the aggregate with max(CASE) — value columns are COPIED, never
+    arithmetically combined, so doubles compare bit-exact cross-engine
+    with no rounding. Scale: one shuffle on (user, hour); windows and the
+    aggregate share that partitioning."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("hour", "ts").alias("h"), "ts", "event_id", "value"
+    )
+    wa = Window.partitionBy("user_id", "h").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "h").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    e = ev.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    return (
+        e.groupBy("user_id", "h")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .orderBy("user_id", "h")
+    )
+
+
+@_q(
+    "orders_gap_stats",
+    """
+    WITH g AS (
+      SELECT o_custkey,
+             datediff('day',
+                      lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate, o_orderkey),
+                      o_orderdate) AS gap
+      FROM orders
+    )
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(min(gap) AS BIGINT) AS min_gap_days,
+           CAST(max(gap) AS BIGINT) AS max_gap_days,
+           CAST(sum(gap) * 100 // count(*) AS BIGINT) AS avg_gap_days_x100
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY o_custkey ORDER BY o_custkey
+    """,
+)
+def orders_gap_stats(spark, sf_dir):
+    """Inter-purchase cadence: day gaps between a customer's consecutive
+    orders (lag over a per-customer window), then min / max / exact
+    integer-scaled mean per customer. The x100 fixed-point average keeps
+    the output integer (a float mean of integers can land on any rounding
+    boundary — module header rule). One shuffle on custkey shared by the
+    window and the aggregate."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.withColumn(
+        "gap", F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+    ).filter(F.col("gap").isNotNull())
+    return (
+        g.groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.min("gap").cast("long").alias("min_gap_days"),
+            F.max("gap").cast("long").alias("max_gap_days"),
+            F.expr("CAST(sum(gap) * 100 DIV count(*) AS BIGINT)").alias(
+                "avg_gap_days_x100"
+            ),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@_q(
+    "events_dow_hour_heatmap",
+    """
+    SELECT CAST(isodow(ts) AS INT) AS dow, CAST(hour(ts) AS INT) AS hour,
+           event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def events_dow_hour_heatmap(spark, sf_dir):
+    """Activity heatmap: event counts by (ISO weekday, hour, type) — the
+    (7 x 24 x types) usage-profile rollup. ISO weekday = Spark
+    ``weekday()+1`` = DuckDB ``isodow`` (module header rule). One
+    map-side-combinable aggregate over scan-side expressions; output is
+    bounded by the calendar grid, not the data."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            (F.weekday("ts") + 1).alias("dow"),
+            F.hour("ts").alias("hour"),
+            "event_type",
+        )
+        .groupBy("dow", "hour", "event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("dow", "hour", "event_type")
+    )
+
+
+@_q(
+    "events_type_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), pairs AS (
+      SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    )
+    SELECT event_type, next_type, n,
+           CAST(n * 1000000 // sum(n) OVER (PARTITION BY event_type)
+                AS BIGINT) AS prob_ppm
+    FROM pairs ORDER BY event_type, next_type
+    """,
+)
+def events_type_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over user event sequences:
+    counts and exact-ppm row-normalized probabilities of event_type →
+    next event_type (lead over the per-user timeline). The normalizing
+    window partitions by event_type over the AGGREGATED |types|² relation
+    — bounded output, no global window over data. One shuffle for the
+    per-user window, one for the pair aggregate."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    pairs = seq.groupBy("event_type", "next_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return pairs.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.expr(
+            "CAST(n * 1000000 DIV sum(n) OVER (PARTITION BY event_type) AS BIGINT)"
+        ).alias("prob_ppm"),
+    ).orderBy("event_type", "next_type")
 
 
 # ---------------------------------------------------------------------------

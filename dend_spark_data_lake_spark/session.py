@@ -58,17 +58,23 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)
-    builder = (
-        builder
-        # Local mode puts driver + all executor threads in ONE JVM; Spark's
-        # 1g default heap is sized for a thin cluster driver, not a 32-core
-        # local box, and under-provisions buffer-heavy aggregates (observed:
-        # heap exhaustion at sf0.1 under the default). Only applied when the
-        # caller/cluster hasn't chosen a size; no-op on an existing session.
-        .config(
+    # Local mode puts driver + all executor threads in ONE JVM; Spark's
+    # 1g default heap is sized for a thin cluster driver, not a 32-core
+    # local box, and under-provisions buffer-heavy aggregates (observed:
+    # heap exhaustion at sf0.1 under the default). GATED on the caller /
+    # cluster not having chosen a size already (spark-submit --driver-memory
+    # lands in SparkConf via system properties): driver heap cannot change
+    # after JVM launch, so setting it here would be silently stale rather
+    # than applied.
+    from pyspark import SparkConf
+
+    if not SparkConf().contains("spark.driver.memory"):
+        builder = builder.config(
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         )
+    builder = (
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -44,9 +44,12 @@ def running_user_totals(
             {key: [key_tuple[0]], "n_events": [n], "total_value": [round(total, 2)]}
         )
 
+    # derive the key field's type from the input schema — hardcoding
+    # bigint would emit a wrong output schema for e.g. a string user id
+    key_type = events.schema[key].dataType.simpleString()
     return events.groupBy(key).applyInPandasWithState(
         fn,
-        outputStructType=f"{key} bigint, n_events bigint, total_value double",
+        outputStructType=f"{key} {key_type}, n_events bigint, total_value double",
         stateStructType="n bigint, total double",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -166,13 +169,14 @@ def sessionize_with_timeout(
         # the timer IS the eviction: fires when watermark passes end + gap
         state.setTimeoutTimestamp(cur[1] + gap_ms)
 
+    key_type = events.schema[key].dataType.simpleString()
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(key)
         .applyInPandasWithState(
             fn,
             outputStructType=(
-                f"{key} bigint, session_start timestamp, "
+                f"{key} {key_type}, session_start timestamp, "
                 "session_end timestamp, n_events bigint"
             ),
             stateStructType="start_ms bigint, end_ms bigint, n bigint",

@@ -49,8 +49,10 @@ def test_no_nested_types_in_oracle_backed_outputs(spark):
     """The driver's pandas canonicalizer sorts/hashes scalar cells only —
     an ArrayType/MapType/StructType output column crashes it with
     'unhashable type'. This bit agg_quantiles (r1) and agg_order_history
-    (r2); guard the whole registry so the class can't recur. Schema-only:
-    plans are built lazily, nothing executes."""
+    (r2); guard the whole registry so the class can't recur. Mostly
+    schema-only (plans build lazily), but iterative entries such as
+    kmeans_clusters do execute driver-side collects at SF_SMOKE to
+    produce their schema — the test is cheap, not free."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     offenders = []
@@ -66,6 +68,34 @@ def test_no_nested_types_in_oracle_backed_outputs(spark):
     assert not offenders, (
         "oracle-backed queries with nested output columns "
         "(driver canonicalizer cannot hash them): " + "; ".join(offenders)
+    )
+
+
+def test_no_hugeint_or_decimal_in_oracle_types(con):
+    """The driver's hasher is dtype-sensitive: a DuckDB HUGEINT (any
+    unwrapped integer ``sum()``) or DECIMAL column materializes as Python
+    objects, not int64, and hash-mismatches an otherwise value-identical
+    Spark result. The value-normalizing ``compare`` above provably cannot
+    catch this class — it produced all four r03 reds (sql_top_supplier,
+    text_commonness, sql_market_share, sql_promo_revenue). Bind every
+    oracle and reject HUGEINT/UHUGEINT/DECIMAL/nested columns outright.
+    Binding a relation types it without executing it, so this is cheap."""
+    offenders = []
+    for name in ORACLE_NAMES:
+        rel = con.sql(REGISTRY[name].oracle)
+        bad = [
+            f"{c}:{t}"
+            for c, t in zip(rel.columns, map(str, rel.types))
+            if "HUGEINT" in t
+            or t.startswith("DECIMAL")
+            or any(k in t for k in ("STRUCT", "MAP(", "[]"))
+        ]
+        if bad:
+            offenders.append(f"{name}: {bad}")
+    assert not offenders, (
+        "oracles emitting driver-hostile DuckDB types (wrap the outer "
+        "aggregate in CAST(... AS BIGINT) — see module header convention): "
+        + "; ".join(offenders)
     )
 
 

@@ -181,6 +181,54 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     assert inter == 2
 
 
+def test_stateful_running_totals_string_key(spark, tmp_path):
+    """The output schema's key field derives from the input schema —
+    a STRING group key must round-trip unchanged (r3 regression class:
+    the key type was hardcoded bigint, which mis-declared string keys)."""
+    from dend_spark_data_lake_spark.streaming.stateful import running_user_totals
+
+    str_schema = T.StructType(
+        [
+            T.StructField("user_id", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+
+    def write_one(rows, path):
+        import glob
+        import os
+        import shutil
+        import tempfile
+
+        tmp = tempfile.mkdtemp()
+        spark.createDataFrame(rows, str_schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp + "/out")
+        part = glob.glob(tmp + "/out/part-*.parquet")[0]
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        shutil.copy(part, path)
+        shutil.rmtree(tmp)
+
+    write_one([("alice", 10.0), ("bob", 5.0)], src + "/a.parquet")
+    write_one([("alice", 7.5), ("alice", 2.5)], src + "/b.parquet")
+    stream = (
+        spark.readStream.schema(str_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = running_user_totals(stream)
+    assert out.schema["user_id"].dataType == T.StringType()
+    run_available_now(out, "stateful_str", "update", str(tmp_path / "ck"))
+    rows = spark.sql(
+        """SELECT user_id, max_by(total_value, n_events) AS total_value,
+                  max(n_events) AS n_events
+           FROM stateful_str GROUP BY user_id"""
+    ).collect()
+    got = {r.user_id: (r.n_events, r.total_value) for r in rows}
+    assert got == {"alice": (3, 20.0), "bob": (1, 5.0)}
+
+
 def test_stream_static_enrich_equals_batch_join(spark, stream_dir):
     from dend_spark_data_lake_spark.streaming.windows import enrich_with_static
 
