@@ -7436,6 +7436,951 @@ def events_type_transitions(spark, sf_dir):
     ).orderBy("event_type", "next_type")
 
 
+@_q(
+    "text_cooccurrence_pmi",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(
+               string_split_regex(trim(lower(text)), '\s+'))) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ), df AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY tok
+    ), nd AS (
+      SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM toks
+    ), pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(count(*) AS BIGINT) AS n_ab
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY a.tok, b.tok
+    )
+    SELECT tok_a, tok_b, n_ab,
+           round(ln(CAST(n_ab AS DOUBLE) * (SELECT n FROM nd)
+                    / (da.df * db.df)), 6) AS pmi
+    FROM pairs
+    JOIN df da ON da.tok = pairs.tok_a
+    JOIN df db ON db.tok = pairs.tok_b
+    ORDER BY n_ab DESC, tok_a, tok_b LIMIT 100
+    """,
+)
+def text_cooccurrence_pmi(spark, sf_dir):
+    """Token co-occurrence PMI (pointwise mutual information): for the 100
+    most frequent within-document token pairs, ln(P(a,b) / (P(a)P(b)))
+    from exact integer counts — the collocation-mining primitive. Scale:
+    per-doc DISTINCT tokens self-join on doc_id (pair fanout is quadratic
+    in per-doc vocabulary, bounded by document length; at corpus scale,
+    prune to tokens above a document-frequency floor first); counts
+    aggregate with map-side combine; document frequencies broadcast back
+    onto the pair relation; top-100 is TakeOrderedAndProject, no global
+    sort. PMI's ln over identical integer inputs is 1-ulp stable, far
+    inside round(.,6)."""
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        ).alias("tok"),
+    )
+    df = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    nd = toks.agg(F.countDistinct("doc_id").alias("n"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.tok") < F.col("b.tok")))
+        .groupBy(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+        .agg(F.count("*").cast("long").alias("n_ab"))
+    )
+    da = df.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    db = df.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(da), "tok_a")
+        .join(F.broadcast(db), "tok_b")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double") * F.col("n")
+                    / (F.col("df_a") * F.col("df_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("n_ab"), "tok_a", "tok_b")
+        .limit(100)
+    )
+
+
+@_q(
+    "vocab_oov_rate",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ), freq AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY tok
+    ), vocab AS (
+      SELECT tok FROM freq ORDER BY f DESC, tok LIMIT 20
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS oov_ppm
+    FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+)
+def vocab_oov_rate(spark, sf_dir):
+    """Out-of-vocabulary rate per document against a top-20-by-frequency
+    vocabulary (ties broken by token — fully deterministic cutoff): the
+    coverage metric that drives tokenizer-vocabulary sizing. Scale: corpus
+    frequency is one keyed aggregate; the vocabulary (tiny by
+    construction) broadcasts into a left join tagged OOV-or-not; per-doc
+    rates are exact integer ppm. Top-20 via orderBy+limit is
+    TakeOrderedAndProject — no global window."""
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("f"))
+        .orderBy(F.desc("f"), "tok")
+        .limit(20)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.expr(
+                "CAST(sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) "
+                "* 1000000 DIV count(*) AS BIGINT)"
+            ).alias("oov_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_q(
+    "doc_entropy_unigram",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ), c AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(ln(CAST(sum(c) AS DOUBLE))
+                 - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c),
+                 6) AS entropy_nats
+    FROM c GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def doc_entropy_unigram(spark, sf_dir):
+    """Per-document unigram Shannon entropy (nats): H = ln(n) - Σc·ln(c)/n
+    over exact token counts — the diversity/perplexity-floor feature used
+    in corpus quality filters (low entropy = repetitive/templated text).
+    Two keyed aggregations, both map-side combinable; the float work is
+    one ln per distinct (doc, token) whose 1-ulp engine differences sit
+    ~9 orders below round(.,6)."""
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    c = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    return (
+        c.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_types"),
+            F.round(
+                F.log(F.sum("c").cast("double"))
+                - F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+                / F.sum("c"),
+                6,
+            ).alias("entropy_nats"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_q(
+    "embed_label_distance_matrix",
+    """
+    WITH q AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576 + 0.5)
+                  AS BIGINT) AS v
+      FROM embeddings
+    ), cent AS (
+      SELECT label, pos,
+             CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS c
+      FROM q GROUP BY label, pos
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           CAST(sum((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS dist_sq_q
+    FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+    GROUP BY a.label, b.label ORDER BY label_a, label_b
+    """,
+)
+def embed_label_distance_matrix(spark, sf_dir):
+    """Inter-class separation matrix: squared L2 distance between every
+    pair of label centroids, in the same 2^20 integer quantization as the
+    k-means oracle (operators/clustering.py) — sums, floor-div centroids,
+    and distances are all exact BIGINT arithmetic, so the matrix is
+    engine-bit-identical with no rounding judgment calls. Scale: one
+    (label, pos) aggregate over the exploded vectors; the centroid
+    relation is label_count x dim rows (tiny) — the pair join never
+    touches data-sized relations."""
+    em = _t(spark, sf_dir, "embeddings")
+    q = em.select(
+        "label",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(
+                    x.cast("double") * F.lit(float(1 << 20)) + F.lit(0.5)
+                ).cast("long"),
+            )
+        ).alias("pos0", "v"),
+    ).select("label", (F.col("pos0") + 1).alias("pos"), "v")
+    cent = q.groupBy("label", "pos").agg(
+        F.floor(F.sum("v").cast("double") / F.count("*")).cast("long").alias("c")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "pos", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "pos", F.col("c").alias("cb")
+    )
+    return (
+        a.join(b, ["pos"])
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")))
+            .cast("long")
+            .alias("dist_sq_q")
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+@_q(
+    "corpus_upsample_fractional",
+    """
+    WITH w AS (
+      SELECT * FROM (VALUES
+        ('en', 1, 0),    ('zh', 2, 32768),
+        ('fr', 1, 32768), ('es', 2, 0),
+        ('de', 1, 16384)
+      ) AS t(lang, base_copies, frac_buckets)
+    ), rep AS (
+      SELECT d.doc_id, d.lang,
+             w.base_copies
+             + CASE WHEN CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                                  1, 4)) AS BIGINT)
+                         < w.frac_buckets
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM documents d JOIN w ON w.lang = d.lang
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs_in,
+           CAST(sum(n_copies) AS BIGINT) AS n_docs_out
+    FROM rep GROUP BY lang ORDER BY lang
+    """,
+)
+def corpus_upsample_fractional(spark, sf_dir):
+    """Fractional corpus upsampling — the mixture-weighting step of
+    training-data assembly: each language carries a replication factor
+    (e.g. zh x2.5, de x1.25); every document gets the integer floor of
+    copies, plus one more iff its stable md5 bucket (operators/sampling
+    idiom — 4 hex digits, 65,536 buckets) falls under the fractional
+    remainder. The decision is a pure per-row projection on the document
+    id: reproducible across runs, partitionings, and engines; no shuffle
+    beyond the final per-language rollup. The exploded copy relation
+    (``explode(sequence(1, n_copies))``) feeds training shards in the
+    real pipeline; the query certifies the replication arithmetic."""
+    weights = [
+        ("en", 1, 0),
+        ("zh", 2, 32768),
+        ("fr", 1, 32768),
+        ("es", 2, 0),
+        ("de", 1, 16384),
+    ]
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = F.broadcast(
+        spark.createDataFrame(weights, "lang string, base_copies int, frac_buckets int")
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    rep = d.join(w, "lang").select(
+        "lang",
+        (
+            F.col("base_copies")
+            + F.when(bucket < F.col("frac_buckets"), 1).otherwise(0)
+        ).alias("n_copies"),
+    )
+    return (
+        rep.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs_in"),
+            F.sum("n_copies").cast("long").alias("n_docs_out"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_q(
+    "market_basket_pairs",
+    """
+    WITH lp AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_orders
+    FROM pairs GROUP BY part_a, part_b
+    ORDER BY n_orders DESC, part_a, part_b LIMIT 50
+    """,
+)
+def market_basket_pairs(spark, sf_dir):
+    """Market-basket co-occurrence: the 50 part pairs most often bought in
+    the same order (ties broken by the pair keys — fully deterministic).
+    The pair generation is a self-equi-join of the DISTINCT (order, part)
+    relation on orderkey with ``a < b`` halving — fanout is quadratic in
+    basket size, which TPC-H bounds at 7 lines (13 parts max in this
+    data); at retail scale you bound it the same way frequent-itemset
+    miners do, by dropping items below a support floor before pairing.
+    Count aggregation is map-side combinable; top-50 is
+    TakeOrderedAndProject."""
+    lp = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates()
+    )
+    a = lp.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
+    b = lp.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(50)
+    )
+
+
+@_q(
+    "attribution_linear_credit",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), v AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    ), m AS (
+      SELECT p.event_id AS pid, p.user_id, CAST(count(*) AS BIGINT) AS nv
+      FROM p JOIN v ON v.user_id = p.user_id
+                   AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+      GROUP BY p.event_id, p.user_id
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_attributed,
+           CAST(sum(nv) AS BIGINT) AS n_view_credits,
+           CAST(sum(nv * (1000000 // nv)) AS BIGINT) AS distributed_ppm
+    FROM m GROUP BY user_id ORDER BY user_id
+    """,
+)
+def attribution_linear_credit(spark, sf_dir):
+    """Linear (equal-split) marketing attribution: each purchase divides
+    1,000,000 ppm of credit equally across the same user's views in the
+    preceding hour; ``distributed_ppm`` exposes the floor-division loss
+    explicitly (nv x (1e6 // nv) <= 1e6). The hour-window join runs
+    through the bucketed range-join operator (operators/joins.py::
+    bucketed_range_join, 3600-second buckets) — an equi-join on
+    (user, time-bucket) instead of the BroadcastNestedLoop a raw
+    inequality join degenerates to; the exact window predicate filters
+    the bucket residue. Two keyed aggregates after that."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("p_ts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    joined = bucketed_range_join(
+        p.withColumnRenamed("user_id", "p_user"),
+        v,
+        left_ts="p_ts",
+        right_ts="v_ts",
+        lower_expr="p_ts - INTERVAL 1 HOUR",
+        upper_expr="p_ts",
+        bucket_seconds=3600,
+        extra_on=(),
+    )
+    m = (
+        joined.filter(
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("v_ts") >= F.expr("p_ts - INTERVAL 1 HOUR"))
+            & (F.col("v_ts") < F.col("p_ts"))
+        )
+        .groupBy("pid", F.col("p_user").alias("user_id"))
+        .agg(F.count("*").cast("long").alias("nv"))
+    )
+    return (
+        m.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_attributed"),
+            F.sum("nv").cast("long").alias("n_view_credits"),
+            F.expr("CAST(sum(nv * (1000000 DIV nv)) AS BIGINT)").alias(
+                "distributed_ppm"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_q(
+    "customer_ltv_deciles",
+    """
+    WITH ltv AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ), dec AS (
+      SELECT o_custkey, cents,
+             ntile(10) OVER (ORDER BY cents, o_custkey) AS decile
+      FROM ltv
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM dec GROUP BY decile ORDER BY decile
+    """,
+)
+def customer_ltv_deciles(spark, sf_dir):
+    """Customer lifetime-value deciles: exact ntile(10) over per-customer
+    spend in integer cents (total order — (cents, custkey) — so bucket
+    boundaries are engine-identical), then per-decile count/sum/min/max.
+    The unpartitioned ntile is a deliberate exactness trade: it globally
+    sorts the PER-CUSTOMER aggregate (1/40th of orders here). At cluster
+    scale swap the window for the two-pass equivalent — exact decile
+    boundary values via the counting technique of agg_histogram_equidepth,
+    then a broadcast range bucketing — same output, no single-partition
+    sort; the query keeps the window form because the aggregate relation
+    is the small side and exactness is the point."""
+    o = _t(spark, sf_dir, "orders")
+    ltv = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    dec = ltv.withColumn("decile", F.ntile(10).over(w))
+    return (
+        dec.groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.min("cents").cast("long").alias("min_cents"),
+            F.max("cents").cast("long").alias("max_cents"),
+        )
+        .orderBy("decile")
+    )
+
+
+@_q(
+    "window_percent_change",
+    """
+    WITH monthly AS (
+      SELECT n.n_name,
+             CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS month,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name, CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP)
+    )
+    SELECT n_name, month, rev_cents,
+           CAST((rev_cents - lag(rev_cents) OVER w) * 10000
+                // lag(rev_cents) OVER w AS BIGINT) AS mom_change_bp
+    FROM monthly WINDOW w AS (PARTITION BY n_name ORDER BY month)
+    ORDER BY n_name, month
+    """,
+)
+def window_percent_change(spark, sf_dir):
+    """Month-over-month revenue change per customer nation, in exact
+    integer basis points ((cur - prev) * 10000 // prev — NULL on each
+    nation's first month). The lag window partitions by nation over the
+    MONTHLY AGGREGATE (bounded: nations x months), never over raw orders;
+    the orders scan itself is one partial-aggregated groupBy with both
+    dims broadcast."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name", "month")
+        .agg(F.sum("cents").cast("long").alias("rev_cents"))
+    )
+    w = Window.partitionBy("n_name").orderBy("month")
+    return (
+        monthly.withColumn("prev", F.lag("rev_cents").over(w))
+        .select(
+            "n_name",
+            "month",
+            "rev_cents",
+            F.expr(
+                "CAST((rev_cents - prev) * 10000 DIV prev AS BIGINT)"
+            ).alias("mom_change_bp"),
+        )
+        .orderBy("n_name", "month")
+    )
+
+
+@_q(
+    "ts_lagged_correlation",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS clicks,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS purchases
+      FROM events GROUP BY CAST(ts AS DATE)
+    ), lags AS (
+      SELECT unnest(range(0, 8)) AS lag_days
+    ), joined AS (
+      SELECT l.lag_days, a.clicks, b.purchases
+      FROM lags l
+      JOIN daily a ON true
+      JOIN daily b ON b.d = a.d + CAST(l.lag_days AS INT)
+    )
+    SELECT lag_days, CAST(count(*) AS BIGINT) AS n_days,
+           round(corr(CAST(clicks AS DOUBLE), CAST(purchases AS DOUBLE)), 6)
+             AS correlation
+    FROM joined GROUP BY lag_days ORDER BY lag_days
+    """,
+)
+def ts_lagged_correlation(spark, sf_dir):
+    """Lead-lag analysis: Pearson correlation between daily click counts
+    and purchase counts k days later, k = 0..7 — do clicks predict
+    purchases? Inputs are exact integer daily counts (identical on both
+    engines), so the correlation differs only in float-sum ordering,
+    ~1e-15 against round(.,6). Scale: the daily rollup is one aggregate;
+    the lag join runs on the BOUNDED daily relation (days x 8), not on
+    events."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("clicks"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("purchases"),
+    )
+    lags = spark.range(0, 8).select(F.col("id").cast("long").alias("lag_days"))
+    a = daily.select(F.col("d").alias("da"), "clicks")
+    b = daily.select(F.col("d").alias("db"), "purchases")
+    joined = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(
+            b,
+            F.col("db")
+            == F.date_add(F.col("da"), F.col("lag_days").cast("int")),
+        )
+    )
+    return (
+        joined.groupBy("lag_days")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.round(
+                F.corr(
+                    F.col("clicks").cast("double"),
+                    F.col("purchases").cast("double"),
+                ),
+                6,
+            ).alias("correlation"),
+        )
+        .orderBy("lag_days")
+    )
+
+
+@_q(
+    "dq_referential_orphans",
+    """
+    SELECT 'customer->nation' AS relation, CAST(count(*) AS BIGINT) AS n_orphans
+    FROM customer c WHERE NOT EXISTS
+      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    UNION ALL
+    SELECT 'lineitem->orders', CAST(count(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem->part', CAST(count(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'lineitem->supplier', CAST(count(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+    UNION ALL
+    SELECT 'nation->region', CAST(count(*) AS BIGINT)
+    FROM nation n WHERE NOT EXISTS
+      (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)
+    UNION ALL
+    SELECT 'orders->customer', CAST(count(*) AS BIGINT)
+    FROM orders o WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'supplier->nation', CAST(count(*) AS BIGINT)
+    FROM supplier s WHERE NOT EXISTS
+      (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)
+    ORDER BY relation
+    """,
+)
+def dq_referential_orphans(spark, sf_dir):
+    """Referential-integrity audit: orphan-row counts for every foreign-key
+    relationship in the star schema (rows whose FK has no match in the
+    parent), as one union of LEFT-ANTI join counts. Complements
+    dq_orders_constraints (domain rules) with cross-table rules. Scale:
+    each anti-join broadcasts its parent's key column where small
+    (nation/region/supplier/part); the fact-to-fact checks
+    (lineitem->orders, orders->customer) are shuffle anti-joins on the key
+    — the same cost as the production join they validate."""
+    rels = [
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+    parts = []
+    for name, child, fk, parent, pk in rels:
+        orphans = (
+            _t(spark, sf_dir, child)
+            .select(F.col(fk).alias("k"))
+            .join(
+                _t(spark, sf_dir, parent).select(F.col(pk).alias("k")),
+                "k",
+                "left_anti",
+            )
+            .agg(F.count("*").cast("long").alias("n_orphans"))
+            .select(F.lit(name).alias("relation"), "n_orphans")
+        )
+        parts.append(orphans)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("relation")
+
+
+# Shared by the PageRank oracle builder and the graph_pagerank_nations query
+# body (same lockstep contract as KMEANS_* above).
+PR_ITERS = 5
+PR_SCALE = 10**12
+PR_DAMP = 85
+
+
+def _pagerank_oracle_sql(
+    iters: int = PR_ITERS, scale: int = PR_SCALE, damp: int = PR_DAMP
+) -> str:
+    """Unrolled integer-PageRank replica for DuckDB (same unrolled-CTE
+    pattern as `_kmeans_oracle_sql`): ranks are quantized BIGINTs, every
+    per-edge contribution is a floor division, so the replay is exact —
+    see operators/graph.py::pagerank_quantized for the arithmetic spec."""
+    blocks = [
+        """edges AS (
+      SELECT sn.n_nationkey AS u, cn.n_nationkey AS v,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ), ow AS (
+      SELECT u, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY u
+    ), verts AS (
+      SELECT DISTINCT vertex FROM (
+        SELECT u AS vertex FROM edges UNION ALL SELECT v FROM edges)
+    ), nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM verts),
+    r0 AS (
+      SELECT vertex,
+             CAST({scale} // (SELECT n FROM nv) AS BIGINT) AS rank_q
+      FROM verts
+    )""".format(scale=scale)
+    ]
+    for i in range(1, iters + 1):
+        blocks.append(
+            f"""infl{i} AS (
+      SELECT e.v AS vertex, CAST(sum(r.rank_q * e.w // o.ow) AS BIGINT) AS s
+      FROM edges e
+      JOIN r{i - 1} r ON r.vertex = e.u
+      JOIN ow o ON o.u = e.u
+      GROUP BY e.v
+    ), r{i} AS (
+      SELECT verts.vertex,
+             CAST((SELECT {100 - damp} * {scale} // (100 * n) FROM nv)
+                  + {damp} * coalesce(infl{i}.s, 0) // 100 AS BIGINT) AS rank_q
+      FROM verts LEFT JOIN infl{i} ON infl{i}.vertex = verts.vertex
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + f"\n    SELECT n.n_name AS nation, r.rank_q FROM r{iters} r"
+        " JOIN nation n ON n.n_nationkey = r.vertex ORDER BY nation"
+    )
+
+
+@_q("graph_pagerank_nations", _pagerank_oracle_sql())
+def graph_pagerank_nations(spark, sf_dir):
+    """PageRank over the international trade graph: nodes are nations,
+    edge (supplier nation → customer nation) weighted by lineitem count;
+    which nations does trade flow concentrate on? Ranks are quantized to
+    1e12-scale integers (operators/graph.py::pagerank_quantized) so the
+    iterative algorithm — like kmeans_clusters — carries an exact
+    unrolled-CTE DuckDB oracle instead of a rows-only check. Scale: the
+    edge build is a star join with all dims broadcast + one aggregate;
+    each of the 5 rank iterations is one join + one keyed sum over the
+    DISTRIBUTED rank relation (never collected — on a billion-vertex
+    graph ranks are data-sized)."""
+    from .operators.graph import pagerank_quantized
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("u"), F.col("c_nationkey").alias("v")
+        )
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    ranks = pagerank_quantized(
+        edges, src="u", dst="v", weight="w",
+        iters=PR_ITERS, scale=PR_SCALE, damping_pct=PR_DAMP,
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        ranks.join(F.broadcast(n), ranks.vertex == n.n_nationkey)
+        .select(F.col("n_name").alias("nation"), "rank_q")
+        .orderBy("nation")
+    )
+
+
+@_q(
+    "dedup_band_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), sets AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 0) + 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+      FROM toks
+    ), sh AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sets WHERE len(shingles) > 0
+    ), sig AS (
+      SELECT doc_id,
+             min(CAST(concat('0x', substr(md5('0:' || s), 1, 15)) AS BIGINT)) AS m0,
+             min(CAST(concat('0x', substr(md5('1:' || s), 1, 15)) AS BIGINT)) AS m1,
+             min(CAST(concat('0x', substr(md5('2:' || s), 1, 15)) AS BIGINT)) AS m2,
+             min(CAST(concat('0x', substr(md5('3:' || s), 1, 15)) AS BIGINT)) AS m3,
+             min(CAST(concat('0x', substr(md5('4:' || s), 1, 15)) AS BIGINT)) AS m4,
+             min(CAST(concat('0x', substr(md5('5:' || s), 1, 15)) AS BIGINT)) AS m5,
+             min(CAST(concat('0x', substr(md5('6:' || s), 1, 15)) AS BIGINT)) AS m6,
+             min(CAST(concat('0x', substr(md5('7:' || s), 1, 15)) AS BIGINT)) AS m7
+      FROM sh GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, 0 AS band, concat(m0, '_', m1) AS bkey FROM sig
+      UNION ALL SELECT doc_id, 1, concat(m2, '_', m3) FROM sig
+      UNION ALL SELECT doc_id, 2, concat(m4, '_', m5) FROM sig
+      UNION ALL SELECT doc_id, 3, concat(m6, '_', m7) FROM sig
+    ), per_bucket AS (
+      SELECT band, bkey, CAST(count(*) AS BIGINT) AS n_docs
+      FROM bands GROUP BY band, bkey
+    )
+    SELECT CAST(band AS INT) AS band,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(max(n_docs) AS BIGINT) AS max_bucket,
+           CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_buckets_ge2,
+           CAST(sum(CASE WHEN n_docs >= 2 THEN n_docs ELSE 0 END) AS BIGINT)
+             AS n_docs_colliding
+    FROM per_bucket GROUP BY band ORDER BY band
+    """,
+)
+def dedup_band_stats(spark, sf_dir):
+    """LSH observability: the per-band bucket-collision profile of the
+    portable MinHash banding (bucket count, largest bucket, how many
+    docs collide) — the numbers an operator reads to TUNE band_rows /
+    n_hashes before a 100 TB dedup run (a band whose max bucket is huge
+    means the candidate join will fan out; no collisions at all means
+    recall is zero). Reuses the exact banding relation the certified
+    dedup_minhash pairs are built from (functions/similarity.py::
+    _portable_shingle_bands); two keyed aggregations on top — the stats
+    cost nothing compared to the candidate join they de-risk."""
+    d = _t(spark, sf_dir, "documents")
+    _sets, bands = SIM._portable_shingle_bands(
+        d, "doc_id", "text", 3, 8, 2
+    )
+    per_bucket = bands.groupBy("band", "bkey").agg(
+        F.count("*").alias("n_docs")
+    )
+    return (
+        per_bucket.groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.max("n_docs").cast("long").alias("max_bucket"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_buckets_ge2"),
+            F.sum(F.when(F.col("n_docs") >= 2, F.col("n_docs")).otherwise(0))
+            .cast("long")
+            .alias("n_docs_colliding"),
+        )
+        .orderBy("band")
+    )
+
+
+@_q(
+    "sql_rollup_share_of_parent",
+    """
+    WITH rn AS (
+      SELECT r.r_name, n.n_name,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT r_name, n_name, cents,
+           CAST(cents * 1000000 // sum(cents) OVER (PARTITION BY r_name)
+                AS BIGINT) AS share_of_region_ppm
+    FROM rn ORDER BY r_name, n_name
+    """,
+)
+def sql_rollup_share_of_parent(spark, sf_dir):
+    """Hierarchical percent-of-parent: each nation's exact-ppm share of
+    its REGION's revenue (the drill-down companion to the global
+    sql_revenue_share_window). The normalizing window partitions by
+    region over the (region, nation) AGGREGATE — 25 rows — so no
+    data-sized window exists anywhere; the orders scan is one
+    partial-aggregated groupBy with both dims broadcast."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rn = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    return rn.select(
+        "r_name",
+        "n_name",
+        "cents",
+        F.expr(
+            "CAST(cents * 1000000 DIV sum(cents) OVER (PARTITION BY r_name)"
+            " AS BIGINT)"
+        ).alias("share_of_region_ppm"),
+    ).orderBy("r_name", "n_name")
+
+
+@_q(
+    "dedup_prefix_fingerprint",
+    r"""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(array_to_string(
+               string_split_regex(trim(lower(text)), '\s+')[1:8], ' '))
+               AS prefix_hash
+      FROM documents WHERE trim(text) <> ''
+    )
+    SELECT prefix_hash,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc
+    FROM fp GROUP BY prefix_hash HAVING count(*) > 1
+    ORDER BY prefix_hash
+    """,
+)
+def dedup_prefix_fingerprint(spark, sf_dir):
+    """Prefix-fingerprint duplicate groups: documents sharing the same
+    first-8-token normalized prefix (hashed) — the cheap mirror /
+    boilerplate-opening detector run BEFORE fuzzy dedup: syndicated and
+    templated docs share openings even when tails diverge, and a
+    fingerprint groupBy costs one aggregate versus MinHash's
+    shingle explosion. Reports group size, how many distinct sources ship
+    the prefix, and the min doc_id as canonical survivor. Grouping on the
+    md5 keeps the shuffle key 32 bytes regardless of document size; the
+    HAVING prunes the singleton majority before output."""
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    fp = d.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.array_join(
+                F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 8),
+                " ",
+            ).cast("binary")
+        ).alias("prefix_hash"),
+    )
+    return (
+        fp.groupBy("prefix_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").cast("long").alias("canonical_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("prefix_hash")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -7444,17 +8389,79 @@ def events_type_transitions(spark, sf_dir):
 # order). Registration order above is topical; the driver-facing order below
 # is a rotation policy: queries not yet externally certified come first.
 #
-# ROUND-3 WINDOW: the three r01 rows-only names whose portable oracles landed
-# in round 2 (dedup_minhash / dedup_simhash / sim_ann_lsh — their r01 rows
-# read "no_oracle" and must be superseded by value-level rows), then
-# agg_order_history (the only red r02 row — output flattened to scalar rows
-# this round), then every round-2 addition the driver has never seen.
-# 53 candidates for 50 slots: vocab_freq_spectrum / dedup_cluster_sizes /
-# profile_column_stats are deferred to round 4 (each is a small derivative of
-# an already-certified mechanism: a groupBy histogram over the certified
-# dedup_clusters components, a second groupBy over the certified token-count
-# relation, and a one-pass aggregate profile; lowest marginal risk).
+# ROUND-4 WINDOW (50 slots, VERDICT r3 ask #3): the 16 never-graded round-3
+# additions; the 4 r03 hash-fails re-entering after their HUGEINT oracle fix
+# (VERDICT ask #1 — each was an exact value MATCH, only the DuckDB output
+# dtype was wrong); the 4 rows-only sketches that have never received even a
+# rows-only driver row (the driver records the weaker check for them — by
+# design, their accuracy/merge laws are unit-tested instead); and the 26
+# round-4 additions, all locally hash-certified at sf0.001/sf0.01.
 _GRADE_FIRST = [
+    # never-graded round-3 additions (16)
+    "kmeans_clusters",
+    "vocab_freq_spectrum",
+    "join_asof_forward",
+    "agg_mode_per_group",
+    "customer_rfm_segments",
+    "dedup_substring_spans",
+    "tokenizer_fertility_by_lang",
+    "sql_forecast_revenue",
+    "sql_ship_lateness_priority",
+    "sql_large_volume_customers",
+    "sql_discounted_revenue",
+    "quality_gopher_rules",
+    "feature_hash_bow",
+    "embed_threshold_curve",
+    "dedup_cluster_sizes",
+    "profile_column_stats",
+    # re-certifications after the BIGINT oracle-type fix (4)
+    "sql_top_supplier",
+    "text_commonness",
+    "sql_market_share",
+    "sql_promo_revenue",
+    # rows-only sketches, first driver exposure (4)
+    "agg_approx_distinct",
+    "sketch_hll_distinct_users",
+    "sketch_theta_user_setops",
+    "sketch_kll_price_quantiles",
+    # round-4 additions (26)
+    "sql_product_profit",
+    "sql_waiting_orders",
+    "sql_sales_opportunity",
+    "sql_intersect_except_all",
+    "sql_revenue_share_window",
+    "window_gaps_islands",
+    "events_sessionization",
+    "ts_ohlc_hourly",
+    "orders_gap_stats",
+    "events_dow_hour_heatmap",
+    "events_type_transitions",
+    "text_cooccurrence_pmi",
+    "vocab_oov_rate",
+    "doc_entropy_unigram",
+    "embed_label_distance_matrix",
+    "corpus_upsample_fractional",
+    "market_basket_pairs",
+    "attribution_linear_credit",
+    "customer_ltv_deciles",
+    "window_percent_change",
+    "ts_lagged_correlation",
+    "dq_referential_orphans",
+    "graph_pagerank_nations",
+    "dedup_band_stats",
+    "sql_rollup_share_of_parent",
+    "dedup_prefix_fingerprint",
+]
+
+
+# Behind the window: empty this round — every registered oracle-backed query
+# either has a green driver row or sits in the round-4 window above.
+_GRADE_NEXT: list[str] = []
+
+
+# Certified green in CORRECTNESS_r03 (demoted behind the window; the four
+# r03 hash-fails re-enter _GRADE_FIRST above instead of this list).
+_GRADE_DONE_R03 = [
     "dedup_minhash",
     "dedup_simhash",
     "sim_ann_lsh",
@@ -7488,47 +8495,19 @@ _GRADE_FIRST = [
     "profile_source_overlap",
     "sample_kfold_assign",
     "sql_small_order_revenue",
-    "sql_top_supplier",
     "sql_inactive_high_balance",
     "dedup_containment",
-    "text_commonness",
     "sql_recursive_calendar",
     "json_variant_agg",
     "sql_pipe_syntax",
     "sql_udf_margin",
     "sql_local_supplier_volume",
-    "sql_market_share",
     "sql_returned_items",
-    "sql_promo_revenue",
     "pipeline_curation",
     "sql_lateral_topn",
     "join_interval_overlap",
     "join_null_safe",
     "window_distribution_family",
-]
-
-
-# Behind the window, in line for the round-4 rotation (plus any round-3
-# additions queued below them as they land). Every entry stays locally
-# gate-checked at sf0.001/sf0.01 regardless of window position.
-_GRADE_NEXT = [
-    "kmeans_clusters",  # newly oracle-backed (quantized-Lloyd exact replay)
-    "vocab_freq_spectrum",
-    # round-3 additions:
-    "join_asof_forward",
-    "agg_mode_per_group",
-    "customer_rfm_segments",
-    "dedup_substring_spans",
-    "tokenizer_fertility_by_lang",
-    "sql_forecast_revenue",
-    "sql_ship_lateness_priority",
-    "sql_large_volume_customers",
-    "sql_discounted_revenue",
-    "quality_gopher_rules",
-    "feature_hash_bow",
-    "embed_threshold_curve",
-    "dedup_cluster_sizes",
-    "profile_column_stats",
 ]
 
 
@@ -7589,7 +8568,7 @@ _GRADE_DONE_R02 = [
 
 def _reorder_registry() -> None:
     global REGISTRY
-    front = [*_GRADE_FIRST, *_GRADE_NEXT, *_GRADE_DONE_R02]
+    front = [*_GRADE_FIRST, *_GRADE_NEXT, *_GRADE_DONE_R03, *_GRADE_DONE_R02]
     assert len(front) == len(set(front)), "duplicate grade names"
     missing = [n for n in front if n not in REGISTRY]
     assert not missing, f"unknown grade names: {missing}"

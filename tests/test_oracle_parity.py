@@ -32,15 +32,25 @@ def test_oracle_parity(spark, con, name):
 
 def test_grading_window_invariants():
     """The driver grades the FIRST 50 registry entries: the window must be
-    exactly _GRADE_FIRST, every entry oracle-backed (a rows-only entry in
-    the window wastes a certification slot), with no duplicates anywhere
-    in the rotation lists."""
+    exactly _GRADE_FIRST with no duplicates anywhere in the rotation
+    lists. Round 4 deliberately spends 4 slots on the rows-only sketches
+    (their only chance at even a rows-only driver row — every other
+    window entry must be oracle-backed so no certification slot is
+    wasted)."""
     from dend_spark_data_lake_spark.queries import _GRADE_FIRST, _GRADE_NEXT
 
     names = list(REGISTRY)
     assert len(_GRADE_FIRST) == 50
     assert names[: len(_GRADE_FIRST)] == _GRADE_FIRST
-    assert all(REGISTRY[n].oracle is not None for n in _GRADE_FIRST)
+    rows_only_in_window = {
+        n for n in _GRADE_FIRST if REGISTRY[n].oracle is None
+    }
+    assert rows_only_in_window == {
+        "agg_approx_distinct",
+        "sketch_hll_distinct_users",
+        "sketch_theta_user_setops",
+        "sketch_kll_price_quantiles",
+    }
     rotation = [*_GRADE_FIRST, *_GRADE_NEXT]
     assert len(rotation) == len(set(rotation))
 

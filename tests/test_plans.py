@@ -540,3 +540,122 @@ def test_freq_spectrum_two_combinable_aggregates_single_scan(spark):
     assert "Join" not in plan, plan
     assert plan.count("documents.parquet") == 1, plan
     assert plan.count("HashAggregate") >= 4, plan  # partial+final x2
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions
+# ---------------------------------------------------------------------------
+
+# Cartesian products would be planner regressions in all of these. The
+# deliberate bounded cross joins (ts_lagged_correlation's 8-row lag grid,
+# sql_sales_opportunity's 1-row aggregate) broadcast and are asserted
+# separately.
+R4_NO_CARTESIAN = [
+    "sql_product_profit",
+    "sql_waiting_orders",
+    "sql_revenue_share_window",
+    "sql_rollup_share_of_parent",
+    "market_basket_pairs",
+    "attribution_linear_credit",
+    "text_cooccurrence_pmi",
+    "vocab_oov_rate",
+    "graph_pagerank_nations",
+    "window_percent_change",
+    "events_type_transitions",
+]
+
+
+@pytest.mark.parametrize("name", R4_NO_CARTESIAN)
+def test_r4_no_cartesian(spark, name):
+    assert "CartesianProduct" not in _plan(spark, name)
+
+
+def test_product_profit_broadcasts_three_dims(spark):
+    """Q9 shape: part/supplier/nation broadcast; only the orders join may
+    shuffle the fact."""
+    plan = _plan(spark, "sql_product_profit")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_waiting_orders_single_grouped_pass(spark):
+    """Q21 shape rewritten as ONE grouped pass over the order's lines —
+    the correlated EXISTS/NOT EXISTS pair would show up as extra joins."""
+    plan = _plan(spark, "sql_waiting_orders")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan  # supplier dim
+
+
+def test_sales_opportunity_broadcast_scalar_and_anti_join(spark):
+    """Q22 shape: the positive-balance aggregate broadcasts (1 row) and
+    the no-orders predicate is an anti-join, not a second scan + IN."""
+    plan = _plan(spark, "sql_sales_opportunity")
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row cross broadcast
+    assert "LeftAnti" in plan, plan
+
+
+def test_market_basket_takeordered_and_equi_join(spark):
+    """Top-50 must be TakeOrderedAndProject (no global sort) and the pair
+    generation an equi-join on orderkey (a<b as residual filter)."""
+    plan = _plan(spark, "market_basket_pairs")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_attribution_range_join_is_bucketed_equi(spark):
+    """The hour-window view-purchase join must run as an equi-join on the
+    time bucket — a raw inequality join degenerates to nested loop."""
+    plan = _plan(spark, "attribution_linear_credit")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_oov_vocab_broadcasts_and_topk(spark):
+    plan = _plan(spark, "vocab_oov_rate")
+    assert "TakeOrderedAndProject" in plan, plan  # top-20 vocabulary
+    assert "BroadcastHashJoin" in plan, plan  # vocab joins broadcast
+
+
+def test_pmi_frequency_joins_broadcast(spark):
+    """Document frequencies and the corpus size join back as broadcasts;
+    the only data-sized join is the doc_id self-equi-join."""
+    plan = _plan(spark, "text_cooccurrence_pmi")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pagerank_iteration_stays_distributed(spark):
+    """Ranks must flow through joins + keyed sums (no collect of the rank
+    relation is observable; the plan ends in checkpointed scans), and the
+    edge build broadcasts its dims."""
+    plan = _plan(spark, "graph_pagerank_nations")
+    assert "ExistingRDD" in plan or "Scan" in plan, plan  # checkpoint feeds
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_share_windows_run_on_aggregated_relations(spark):
+    """Both percent-of-total queries window over the nation-level
+    AGGREGATE: the Window must sit above a HashAggregate, never directly
+    on a scan-sized relation."""
+    for name in ("sql_revenue_share_window", "sql_rollup_share_of_parent"):
+        plan = _plan(spark, name)
+        assert "Window" in plan, plan
+        w_pos = plan.index("Window")
+        assert "HashAggregate" in plan[w_pos:], (name, plan)
+
+
+def test_ltv_decile_window_on_per_customer_aggregate(spark):
+    """ntile runs over the per-customer aggregate (documented exactness
+    trade); the orders scan must partial-aggregate BELOW the window."""
+    plan = _plan(spark, "customer_ltv_deciles")
+    w_pos = plan.index("Window")
+    assert "HashAggregate" in plan[w_pos:], plan
+
+
+def test_sessionization_windows_are_keyed_by_user(spark):
+    """No unpartitioned window may appear: every window spec partitions
+    by user_id."""
+    plan = _plan(spark, "events_sessionization")
+    import re as _re
+
+    for m in _re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "user_id" in m.group(1), m.group(0)
