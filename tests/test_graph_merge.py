@@ -60,3 +60,55 @@ def test_merge_upsert_schema_is_target_schema(spark):
     merged = merge_upsert(target, source, ["k"])
     assert merged.columns == ["k", "name"]
     assert merged.collect()[0].name == "z"
+
+
+def _pagerank_replica(edges, iters, scale, damp):
+    """Integer-exact Python replica of pagerank_quantized's spec."""
+    out_w = {}
+    for u, v, w in edges:
+        out_w[u] = out_w.get(u, 0) + w
+    verts = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    n = len(verts)
+    teleport = (100 - damp) * scale // (100 * n)
+    r = {v: scale // n for v in verts}
+    for _ in range(iters):
+        inflow = {v: 0 for v in verts}
+        for u, v, w in edges:
+            inflow[v] += r[u] * w // out_w[u]
+        r = {v: teleport + damp * inflow[v] // 100 for v in verts}
+    return r
+
+
+def test_pagerank_quantized_matches_integer_replica(spark):
+    from dend_spark_data_lake_spark.operators.graph import pagerank_quantized
+
+    edges = [
+        (1, 2, 3), (1, 3, 1), (2, 3, 2), (3, 1, 5),
+        (4, 1, 1),  # 4 has no in-edges -> must land exactly on teleport
+        (2, 4, 1),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    got = {
+        r.vertex: r.rank_q
+        for r in pagerank_quantized(df, iters=4, scale=10**9, damping_pct=85).collect()
+    }
+    want = _pagerank_replica(edges, iters=4, scale=10**9, damp=85)
+    assert got == want
+    # structural invariants: floor losses only ever shrink total mass
+    assert sum(got.values()) <= 10**9
+    # every vertex keeps at least the teleport mass
+    teleport = 15 * 10**9 // (100 * len(want))
+    assert all(v >= teleport for v in got.values())
+
+
+def test_pagerank_rank_flows_to_sink(spark):
+    """A two-node graph where everything points at node 2: node 2's rank
+    must strictly exceed node 1's after one iteration."""
+    from dend_spark_data_lake_spark.operators.graph import pagerank_quantized
+
+    df = spark.createDataFrame([(1, 2, 1), (2, 2, 1)], ["src", "dst", "w"])
+    got = {
+        r.vertex: r.rank_q
+        for r in pagerank_quantized(df, iters=3, scale=10**9).collect()
+    }
+    assert got[2] > got[1]

@@ -370,3 +370,34 @@ def test_substring_spans_match_bruteforce(spark):
             for r in REGISTRY["dedup_substring_spans"].fn(spark, tmp).collect()
         }
     assert got == want, (got, want)
+
+
+def test_asof_tiebreak_picks_min_right_id(spark):
+    """Duplicate (key, ts) right rows: the tiebreak column must select the
+    MINIMUM right id deterministically, in both directions (the r3 flake
+    class: without it the winner depended on partition-internal order)."""
+    from datetime import datetime
+
+    from dend_spark_data_lake_spark.operators.joins import asof_join
+
+    t = lambda m: datetime(2024, 1, 1, 12, m)
+    left = spark.createDataFrame(
+        [(1, t(10), 100)], ["k", "ts", "lid"]
+    )
+    # three right rows at the SAME (key, ts) before/at the left ts
+    right = spark.createDataFrame(
+        [(1, t(5), 7), (1, t(5), 3), (1, t(5), 5)], ["k", "ts", "rid"]
+    )
+    back = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        right_cols=["rid"], tiebreak="rid",
+    ).collect()
+    assert len(back) == 1 and back[0].rid_right == 3
+    fwd_right = spark.createDataFrame(
+        [(1, t(15), 9), (1, t(15), 2), (1, t(15), 4)], ["k", "ts", "rid"]
+    )
+    fwd = asof_join(
+        left, fwd_right, on=["k"], left_ts="ts", right_ts="ts",
+        right_cols=["rid"], direction="forward", tiebreak="rid",
+    ).collect()
+    assert len(fwd) == 1 and fwd[0].rid_right == 2
