@@ -8381,6 +8381,78 @@ def dedup_prefix_fingerprint(spark, sf_dir):
     )
 
 
+# Shared by the PCA oracle builder and the embed_pca_topvec query body
+# (lockstep contract, same as KMEANS_* / PR_*).
+PCA_ITERS = 4
+PCA_SCALE = 1 << 20
+PCA_DIM = 64
+
+
+def _pca_oracle_sql(
+    iters: int = PCA_ITERS, scale: int = PCA_SCALE, dim: int = PCA_DIM
+) -> str:
+    """Unrolled quantized power iteration for DuckDB — replays
+    operators/decomposition.py::pca_power_topvec_quantized exactly
+    (integer state; Spark DIV and DuckDB // both truncate toward zero,
+    verified for negative operands)."""
+    blocks = [
+        """q AS (
+      SELECT vec_id, list_transform(embedding,
+        x -> CAST(floor(CAST(x AS DOUBLE) * {scale} + 0.5) AS BIGINT)) AS xq
+      FROM embeddings
+    ), vx AS (
+      SELECT vec_id, generate_subscripts(xq, 1) AS pos, unnest(xq) AS x FROM q
+    ), v0 AS (
+      SELECT unnest(range(1, {dim1})) AS pos, CAST({scale} AS BIGINT) AS v
+    )""".format(scale=scale, dim1=dim + 1)
+    ]
+    for i in range(1, iters + 1):
+        blocks.append(
+            f"""y{i} AS (
+      SELECT vx.vec_id,
+             CAST(sum(vx.x * v.v) AS BIGINT) // {scale} AS ys
+      FROM vx JOIN v{i - 1} v ON v.pos = vx.pos GROUP BY vx.vec_id
+    ), z{i} AS (
+      SELECT vx.pos, CAST(sum(vx.x * y.ys) AS BIGINT) AS z
+      FROM vx JOIN y{i} y ON y.vec_id = vx.vec_id GROUP BY vx.pos
+    ), m{i} AS (SELECT max(abs(z)) AS m FROM z{i}),
+    v{i} AS (
+      -- z * scale can pass 2^63: widen explicitly (DuckDB raises on BIGINT
+      -- overflow rather than widening); HUGEINT // truncates toward zero
+      -- exactly like BIGINT // and Spark DIV (verified)
+      SELECT pos,
+             CAST(CAST(z AS HUGEINT) * {scale} // (SELECT m FROM m{i})
+                  AS BIGINT) AS v
+      FROM z{i}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + f"\n    SELECT CAST(pos - 1 AS INT) AS pos, v AS component_q"
+        f" FROM v{iters} ORDER BY pos"
+    )
+
+
+@_q("embed_pca_topvec", _pca_oracle_sql())
+def embed_pca_topvec(spark, sf_dir):
+    """Dominant principal direction of the embedding matrix by quantized
+    power iteration (operators/decomposition.py) — the whitening /
+    drift-detection primitive of embedding pipelines, as the third
+    fully-value-certified iterative algorithm (after quantized k-means
+    and PageRank): integer state each iteration, truncating-division
+    normalization, unrolled-CTE DuckDB replay. Scale: two matvecs per
+    iteration — a map-side dot product against the broadcast 64-int
+    direction and one keyed 64-group sum; the d x d covariance is never
+    materialized and only the 64-element direction reaches the driver."""
+    from .operators.decomposition import pca_power_topvec_quantized
+
+    em = _t(spark, sf_dir, "embeddings")
+    return pca_power_topvec_quantized(
+        em, iters=PCA_ITERS, scale=PCA_SCALE
+    ).orderBy("pos")
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -8454,9 +8526,11 @@ _GRADE_FIRST = [
 ]
 
 
-# Behind the window: empty this round — every registered oracle-backed query
-# either has a green driver row or sits in the round-4 window above.
-_GRADE_NEXT: list[str] = []
+# Behind the window, queued for the round-5 rotation: additions landed after
+# the round-4 window filled. Locally hash-certified at sf0.001/0.01/0.1.
+_GRADE_NEXT: list[str] = [
+    "embed_pca_topvec",
+]
 
 
 # Certified green in CORRECTNESS_r03 (demoted behind the window; the four

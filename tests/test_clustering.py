@@ -72,3 +72,51 @@ def test_kmeans_quantized_partitions_and_is_deterministic(spark):
     }
     first = {r.id: r.cluster for r in out.collect()}
     assert first == again  # exact, even under a different partitioning
+
+
+def test_pca_power_topvec_matches_integer_replica(spark):
+    """pca_power_topvec_quantized must agree with a pure-Python integer
+    replica of its spec (truncating division throughout), and on data
+    stretched along one axis the dominant component must be that axis."""
+    from dend_spark_data_lake_spark.operators.decomposition import (
+        pca_power_topvec_quantized,
+    )
+
+    # 6 points strongly spread along dim 1, mild noise on dims 0/2
+    rows = [
+        (1, [0.01, 0.50, -0.02, 0.0]),
+        (2, [-0.02, -0.48, 0.01, 0.0]),
+        (3, [0.03, 0.45, 0.02, 0.0]),
+        (4, [-0.01, -0.52, -0.01, 0.0]),
+        (5, [0.02, 0.49, 0.00, 0.0]),
+        (6, [-0.03, -0.46, 0.01, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    scale, iters = 1 << 20, 3
+    got = {
+        r.pos: r.component_q
+        for r in pca_power_topvec_quantized(df, iters=iters, scale=scale).collect()
+    }
+
+    # integer replica (truncating division: Python // floors, so negatives
+    # route through abs)
+    import math
+
+    xq = [[math.floor(x * scale + 0.5) for x in emb] for _, emb in rows]
+    dim = 4
+    v = [scale] * dim
+    for _ in range(iters):
+        ys = []
+        for r_ in xq:
+            y = sum(a * b for a, b in zip(r_, v))
+            ys.append(y // scale if y >= 0 else -((-y) // scale))
+        z = [0] * dim
+        for r_, yv in zip(xq, ys):
+            for j in range(dim):
+                z[j] += r_[j] * yv
+        m = max(abs(c) for c in z)
+        v = [(abs(c) * scale // m) * (1 if c >= 0 else -1) for c in z]
+    assert got == dict(enumerate(v))
+    # dominant axis is dim 1 and it hits the scale exactly
+    assert abs(got[1]) == scale
+    assert all(abs(got[j]) < scale // 4 for j in (0, 2, 3))
