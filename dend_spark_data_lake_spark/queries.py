@@ -7822,25 +7822,28 @@ def attribution_linear_credit(spark, sf_dir):
         F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("p_ts")
     )
     v = ev.filter(F.col("event_type") == "view").select(
-        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+        "user_id", F.col("ts").alias("v_ts")
     )
+    # user_id rides the equi-join key alongside the time bucket (extra_on):
+    # bucketing on time ALONE would fan every purchase out to every view in
+    # the same hour across all users — quadratic in hourly traffic, the
+    # exact blowup the bucketed join exists to avoid
     joined = bucketed_range_join(
-        p.withColumnRenamed("user_id", "p_user"),
+        p,
         v,
         left_ts="p_ts",
         right_ts="v_ts",
         lower_expr="p_ts - INTERVAL 1 HOUR",
         upper_expr="p_ts",
         bucket_seconds=3600,
-        extra_on=(),
+        extra_on=("user_id",),
     )
     m = (
         joined.filter(
-            (F.col("p_user") == F.col("v_user"))
-            & (F.col("v_ts") >= F.expr("p_ts - INTERVAL 1 HOUR"))
+            (F.col("v_ts") >= F.expr("p_ts - INTERVAL 1 HOUR"))
             & (F.col("v_ts") < F.col("p_ts"))
         )
-        .groupBy("pid", F.col("p_user").alias("user_id"))
+        .groupBy("pid", "user_id")
         .agg(F.count("*").cast("long").alias("nv"))
     )
     return (
@@ -8453,6 +8456,255 @@ def embed_pca_topvec(spark, sf_dir):
     ).orderBy("pos")
 
 
+@_q(
+    "sql_min_price_supplier",
+    """
+    WITH eu AS (
+      SELECT s.s_suppkey, s.s_name
+      FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ), lines AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS e2
+      FROM lineitem l JOIN eu ON eu.s_suppkey = l.l_suppkey
+    ), best AS (
+      SELECT l_partkey, min(e2) AS min_e2 FROM lines GROUP BY l_partkey
+    ), pick AS (
+      SELECT l.l_partkey, l.min_supp, l.min_e2 FROM (
+        SELECT lines.l_partkey, lines.e2 AS min_e2,
+               min(lines.l_suppkey) AS min_supp
+        FROM lines JOIN best ON best.l_partkey = lines.l_partkey
+                            AND best.min_e2 = lines.e2
+        GROUP BY lines.l_partkey, lines.e2
+      ) l
+    )
+    SELECT p.p_partkey, p.p_name, eu.s_name AS cheapest_supplier,
+           pick.min_e2 AS min_line_cents
+    FROM pick
+    JOIN part p ON p.p_partkey = pick.l_partkey
+    JOIN eu ON eu.s_suppkey = pick.min_supp
+    WHERE p.p_size <= 5
+    ORDER BY p.p_partkey
+    """,
+)
+def sql_min_price_supplier(spark, sf_dir):
+    """TPC-H-Q2-shaped correlated minimum: for each small part, the
+    EUROPE supplier behind the cheapest observed purchase line (the
+    schema has no partsupp, so observed lineitem totals in integer cents
+    stand in for supply cost). Q2's correlated subquery becomes a grouped
+    min joined back on (part, min-value), with min(suppkey) as the
+    deterministic tie-break — the standard decorrelation. Scale: the
+    region-filtered supplier dim broadcasts into the fact ONCE; the
+    min-value join-back reuses the (partkey) shuffle; part dim broadcasts
+    at the end."""
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select(
+        "r_regionkey"
+    )
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("s_suppkey", "s_name")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("e2"),
+    )
+    lines = li.join(F.broadcast(eu), li.l_suppkey == eu.s_suppkey).select(
+        "l_partkey", "l_suppkey", "e2"
+    )
+    best = lines.groupBy("l_partkey").agg(F.min("e2").alias("min_e2")).select(
+        F.col("l_partkey").alias("b_partkey"), "min_e2"
+    )
+    pick = (
+        lines.join(
+            best,
+            (lines.l_partkey == best.b_partkey) & (lines.e2 == best.min_e2),
+        )
+        .groupBy("l_partkey", "e2")
+        .agg(F.min("l_suppkey").alias("min_supp"))
+        .select(
+            F.col("l_partkey"), F.col("e2").alias("min_line_cents"), "min_supp"
+        )
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 5).select(
+        "p_partkey", "p_name"
+    )
+    return (
+        pick.join(F.broadcast(p), pick.l_partkey == p.p_partkey)
+        .join(F.broadcast(eu), pick.min_supp == eu.s_suppkey)
+        .select(
+            "p_partkey", "p_name",
+            F.col("s_name").alias("cheapest_supplier"),
+            "min_line_cents",
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@_q(
+    "sql_important_stock",
+    """
+    WITH val AS (
+      SELECT l.l_partkey,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS value_cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+      GROUP BY l.l_partkey
+    ), tot AS (
+      SELECT CAST(sum(value_cents) AS BIGINT) AS t,
+             CAST(count(*) AS BIGINT) AS np
+      FROM val
+    )
+    SELECT v.l_partkey AS p_partkey, v.value_cents
+    FROM val v, tot
+    WHERE v.value_cents * tot.np > 2 * tot.t
+    ORDER BY v.value_cents DESC, p_partkey
+    """,
+)
+def sql_important_stock(spark, sf_dir):
+    """TPC-H-Q11-shaped important stock: parts whose ASIA-supplied value
+    exceeds TWICE THE AVERAGE part value (group-relative threshold via
+    exact integer cross-multiplication — value x n_parts > 2 x total —
+    never a float fraction; relative-to-average rather than Q11's fixed
+    0.0001 fraction so the predicate stays selective at every scale
+    factor). Q11's HAVING-over-scalar-subquery becomes one aggregate + a
+    broadcast 1-row total; the region-filtered supplier chain broadcasts
+    into the single fact pass."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    val = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy("l_partkey")
+        .agg(F.sum("cents").cast("long").alias("value_cents"))
+    )
+    tot = val.agg(
+        F.sum("value_cents").cast("long").alias("t"),
+        F.count("*").cast("long").alias("np"),
+    )
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") * F.col("np") > 2 * F.col("t"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value_cents")
+        .orderBy(F.desc("value_cents"), "p_partkey")
+    )
+
+
+@_q(
+    "sql_parts_supplier_relation",
+    """
+    SELECT p.p_brand, p.p_type,
+           CAST(p.p_size % 5 AS INT) AS size_band,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, CAST(p.p_size % 5 AS INT)
+    ORDER BY supplier_cnt DESC, p_brand, p_type, size_band
+    """,
+)
+def sql_parts_supplier_relation(spark, sf_dir):
+    """TPC-H-Q16-shaped parts/supplier relationship: how many distinct
+    suppliers can deliver each (brand, type, size-band) combination,
+    excluding one brand and every supplier in deficit (the stand-in for
+    Q16's complaint suppliers; no partsupp in this schema — lineitem is
+    the supply evidence). The NOT IN is a broadcast anti-join on the
+    tiny negative-balance supplier list; distinct-count aggregates after
+    one fact pass with the part dim broadcast."""
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1").select(
+        "p_partkey", "p_brand", "p_type", (F.col("p_size") % 5).alias("size_band")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "size_band")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "size_band")
+    )
+
+
+@_q(
+    "sql_excess_inventory_suppliers",
+    """
+    WITH sq AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ), pt AS (
+      SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS total_qty FROM sq
+      GROUP BY l_partkey
+    ), conc AS (
+      SELECT sq.l_suppkey, CAST(count(*) AS BIGINT) AS n_dominated_parts
+      FROM sq JOIN pt ON pt.l_partkey = sq.l_partkey
+      WHERE sq.qty * 2 > pt.total_qty AND pt.total_qty > 0
+      GROUP BY sq.l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, c.n_dominated_parts
+    FROM conc c JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    WHERE c.n_dominated_parts >= 5
+    ORDER BY c.n_dominated_parts DESC, s.s_suppkey
+    """,
+)
+def sql_excess_inventory_suppliers(spark, sf_dir):
+    """TPC-H-Q20-shaped supply concentration: suppliers who shipped MORE
+    THAN HALF of a part's 1997 volume, for at least 5 parts — the
+    single-source-risk audit (Q20's excess-quantity predicate against a
+    grouped subtotal, no partsupp needed). Group-relative comparison is
+    exact integer cross-multiplication (qty x 2 > total). Scale: the
+    (part, supplier) rollup and the part total share one partkey
+    shuffle; the ship-year predicate pushes to the scan; supplier dim
+    broadcasts last."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    ).select("l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("q"))
+    sq = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("q").cast("long").alias("qty")
+    )
+    pt = sq.groupBy("l_partkey").agg(F.sum("qty").cast("long").alias("total_qty"))
+    conc = (
+        sq.join(pt, "l_partkey")
+        .filter((F.col("qty") * 2 > F.col("total_qty")) & (F.col("total_qty") > 0))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").cast("long").alias("n_dominated_parts"))
+        .filter(F.col("n_dominated_parts") >= 5)
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        conc.join(F.broadcast(s), conc.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "n_dominated_parts")
+        .orderBy(F.desc("n_dominated_parts"), "s_suppkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -8530,6 +8782,10 @@ _GRADE_FIRST = [
 # the round-4 window filled. Locally hash-certified at sf0.001/0.01/0.1.
 _GRADE_NEXT: list[str] = [
     "embed_pca_topvec",
+    "sql_min_price_supplier",
+    "sql_important_stock",
+    "sql_parts_supplier_relation",
+    "sql_excess_inventory_suppliers",
 ]
 
 
