@@ -63,7 +63,11 @@ def pca_power_topvec_quantized(
         ).alias("xq"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    dim = len(vecs.select("xq").first()[0])
+    first = vecs.select("xq").first()
+    if first is None:
+        vecs.unpersist()
+        raise ValueError("pca_power_topvec_quantized: vector relation is empty")
+    dim = len(first[0])
     v = [scale] * dim
     for _ in range(iters):
         varr = F.array(*[F.lit(int(c)).cast("long") for c in v])

@@ -149,6 +149,8 @@ def pagerank_quantized(
         .localCheckpoint()
     )
     n = verts.count()
+    if n == 0:
+        raise ValueError("pagerank_quantized: edge relation is empty")
     teleport = (100 - damping_pct) * scale // (100 * n)
     ranks = verts.withColumn("rank_q", F.lit(scale // n).cast("long"))
 

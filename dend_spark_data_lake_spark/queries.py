@@ -8705,6 +8705,166 @@ def sql_excess_inventory_suppliers(spark, sf_dir):
     )
 
 
+@_q(
+    "ts_rolling_distinct_users",
+    """
+    WITH ud AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ), days AS (
+      SELECT DISTINCT d FROM ud
+    ), contrib AS (
+      SELECT ud.user_id, ud.d + CAST(o.o AS INT) AS day
+      FROM ud, (SELECT unnest(range(0, 7)) AS o) o
+    )
+    SELECT c.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS rolling_users
+    FROM contrib c
+    WHERE c.day IN (SELECT d FROM days)
+    GROUP BY c.day ORDER BY c.day
+    """,
+)
+def ts_rolling_distinct_users(spark, sf_dir):
+    """Trailing-7-day distinct active users per day — the DAU/WAU family
+    metric whose DISTINCT makes it inexpressible as a plain window sum.
+    Each (user, day) observation is exploded to the 7 days it keeps the
+    user 'active' for, then one distinct-count per day — the shuffle is
+    keyed by day with partial distinct aggregation, and the 7x explosion
+    is a fixed constant (window length), not data fanout. The semi-join
+    restricts output to days that actually occur. This is the exact
+    batch twin of a sliding-window streaming distinct."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(F.to_date("ts").alias("d"), "user_id").dropDuplicates()
+    days = ud.select("d").dropDuplicates()
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+        "d",
+    ).select("user_id", F.date_add(F.col("d"), F.col("o")).alias("day"))
+    return (
+        contrib.join(
+            F.broadcast(days.select(F.col("d").alias("day"))), "day", "semi"
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("rolling_users"))
+        .orderBy("day")
+    )
+
+
+@_q(
+    "agg_weighted_median",
+    """
+    WITH pw AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1
+    ), cum AS (
+      SELECT cents, w,
+             CAST(sum(w) OVER (ORDER BY cents
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+             CAST(sum(w) OVER () AS BIGINT) AS total_w
+      FROM pw
+    )
+    SELECT CAST(min(cents) AS BIGINT) AS weighted_median_cents,
+           CAST(min(total_w) AS BIGINT) AS total_weight
+    FROM cum WHERE 2 * cw >= total_w
+    """,
+)
+def agg_weighted_median(spark, sf_dir):
+    """Exact WEIGHTED median: the smallest price (integer cents) whose
+    cumulative quantity-weight reaches half the total — the
+    inventory-valuation median that percentile() cannot produce (it
+    weights rows equally). Same machinery as agg_histogram_equidepth: the
+    cumulative window runs over the DISTINCT PRICE GRID (bounded by the
+    2-decimal price domain, not the data; the docstring swap for
+    continuous domains is approx_percentile over repeated rows), and the
+    2*cw >= total comparison is exact integer arithmetic."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    pw = li.groupBy("cents").agg(F.sum("q").cast("long").alias("w"))
+    w_cum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = pw.select(
+        "cents",
+        F.sum("w").over(w_cum).cast("long").alias("cw"),
+        F.sum("w").over(w_all).cast("long").alias("total_w"),
+    )
+    return cum.filter(2 * F.col("cw") >= F.col("total_w")).agg(
+        F.min("cents").cast("long").alias("weighted_median_cents"),
+        F.min("total_w").cast("long").alias("total_weight"),
+    )
+
+
+@_q(
+    "dq_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events WHERE ts < TIMESTAMP '2024-01-28'
+      GROUP BY user_id, event_type
+    ), new AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY user_id, event_type
+    ), classified AS (
+      SELECT CASE WHEN o.user_id IS NULL THEN 'inserted'
+                  WHEN o.n = n.n AND o.v = n.v THEN 'unchanged'
+                  ELSE 'changed' END AS change_type
+      FROM new n LEFT JOIN old o ON o.user_id = n.user_id
+                               AND o.event_type = n.event_type
+    )
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n_keys
+    FROM classified GROUP BY change_type ORDER BY change_type
+    """,
+)
+def dq_snapshot_diff(spark, sf_dir):
+    """Snapshot diff (CDC audit): classify every (user, event_type)
+    aggregate row of the NEW snapshot against the OLD one — inserted
+    (key absent before), changed (key present, values differ), unchanged
+    — the verification pass run after every incremental load
+    (merge_upsert_customers is the write side; this is the read-side
+    check). Values fold to integer cents so 'changed' is an exact
+    comparison. Scale: two partial aggregates over the same scan
+    (exchange-reused), one key-partitioned left join, a rollup bounded by
+    the class count."""
+    ev = _t(spark, sf_dir, "events")
+
+    def snap(df):
+        return df.groupBy("user_id", "event_type").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("v"),
+        )
+
+    old = snap(ev.filter(F.col("ts") < F.lit("2024-01-28"))).select(
+        F.col("user_id").alias("o_user"),
+        F.col("event_type").alias("o_type"),
+        F.col("n").alias("o_n"),
+        F.col("v").alias("o_v"),
+    )
+    new = snap(ev)
+    classified = new.join(
+        old,
+        (new.user_id == old.o_user) & (new.event_type == old.o_type),
+        "left",
+    ).select(
+        F.when(F.col("o_user").isNull(), "inserted")
+        .when(
+            (F.col("o_n") == F.col("n")) & (F.col("o_v") == F.col("v")),
+            "unchanged",
+        )
+        .otherwise("changed")
+        .alias("change_type")
+    )
+    return (
+        classified.groupBy("change_type")
+        .agg(F.count("*").cast("long").alias("n_keys"))
+        .orderBy("change_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -8786,6 +8946,9 @@ _GRADE_NEXT: list[str] = [
     "sql_important_stock",
     "sql_parts_supplier_relation",
     "sql_excess_inventory_suppliers",
+    "ts_rolling_distinct_users",
+    "agg_weighted_median",
+    "dq_snapshot_diff",
 ]
 
 

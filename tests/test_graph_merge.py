@@ -112,3 +112,23 @@ def test_pagerank_rank_flows_to_sink(spark):
         for r in pagerank_quantized(df, iters=3, scale=10**9).collect()
     }
     assert got[2] > got[1]
+
+
+def test_pagerank_empty_edges_raises(spark):
+    from dend_spark_data_lake_spark.operators.graph import pagerank_quantized
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "src long, dst long, w long")
+    with _pytest.raises(ValueError, match="empty"):
+        pagerank_quantized(empty)
+
+
+def test_pca_empty_vectors_raises(spark):
+    from dend_spark_data_lake_spark.operators.decomposition import (
+        pca_power_topvec_quantized,
+    )
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="empty"):
+        pca_power_topvec_quantized(empty)

@@ -659,3 +659,35 @@ def test_sessionization_windows_are_keyed_by_user(spark):
 
     for m in _re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "user_id" in m.group(1), m.group(0)
+
+
+def test_q2_shape_broadcasts_region_chain_once(spark):
+    """The EUROPE supplier list broadcasts into the fact; the min join-back
+    must not introduce a cartesian or nested loop."""
+    plan = _plan(spark, "sql_min_price_supplier")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q11_shape_single_fact_pass_with_scalar_total(spark):
+    """The per-part aggregate feeds both the output and the 1-row total:
+    AQE must REUSE the aggregate's exchange at runtime (one physical
+    lineitem pass), and the total joins back as a 1-row broadcast."""
+    df = REGISTRY["sql_important_stock"].fn(spark, SF_SMOKE)
+    df.collect()  # reuse is visible only in the final adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # the 1-row total
+
+
+def test_q16_shape_anti_join_broadcast(spark):
+    plan = _plan(spark, "sql_parts_supplier_relation")
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q20_shape_pushes_ship_year_and_shares_shuffle(spark):
+    plan = _plan(spark, "sql_excess_inventory_suppliers")
+    assert _pushed_nonempty(plan) >= 1, plan  # ship-year window at the scan
+    assert "CartesianProduct" not in plan, plan
