@@ -17,6 +17,12 @@ generator used to certify the API mechanics end to end:
 - **Determinism**: row content is a pure function of ``doc_id`` (md5
   tokens), so reads are reproducible across retries — task retry safety
   is a correctness requirement for any custom source at scale.
+
+``JsonlShardsDataSource`` ("jsonlshards") is the WRITER-side counterpart:
+a partition-parallel JSONL training-shard sink exercising Spark 4's
+``DataSourceWriter`` commit protocol (staged task files -> driver-side
+atomic publication with a ``_SUCCESS`` manifest; see the class docstring
+for the retry-safety argument).
 """
 
 from __future__ import annotations
@@ -27,12 +33,14 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 _LANGS = ("en", "es", "de", "fr", "zh")
@@ -113,5 +121,117 @@ class SyntheticDocsDataSource(DataSource):
         return _SynthDocsReader(self.options)
 
 
+# ---------------------------------------------------------------------------
+# Writer side: JSONL training-shard sink ("jsonlshards")
+# ---------------------------------------------------------------------------
+
+
+class _ShardCommit(WriterCommitMessage):
+    """Per-task commit message: where the task staged its shard and how
+    many rows it holds. Must be picklable (travels executor -> driver)."""
+
+    def __init__(self, tmp_path: str, n_rows: int):
+        self.tmp_path = tmp_path
+        self.n_rows = n_rows
+
+
+class _JsonlShardsWriter(DataSourceWriter):
+    """Partition-parallel JSONL shard writer with a TWO-PHASE COMMIT:
+
+    - ``write`` (executor-side, once per partition, possibly RETRIED):
+      streams the partition's rows to a uniquely-named temp file under
+      ``<path>/_staging/``. A retried/speculative task writes a DIFFERENT
+      temp file — nothing is visible yet, so double-writes cannot corrupt
+      the output (the task-retry-safety contract every distributed sink
+      must satisfy).
+    - ``commit`` (driver-side, exactly once, only after ALL tasks
+      succeed): renames the winning temp files to ``shard-NNNNN.jsonl``
+      and writes a ``_SUCCESS`` manifest with per-shard row counts —
+      readers treat the manifest as the atomic publication point.
+    - ``abort``: deletes staged files; a failed job leaves no partial
+      output visible.
+
+    Local-filesystem rename is used here; on object stores the same
+    protocol runs against a manifest/marker layer (rename is not atomic
+    on S3 — that swap is a deployment concern, not a protocol change).
+    JSONL shards are the interchange format LLM training loaders consume,
+    which is why this sink exists alongside parquet.
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonlshards: 'path' option is required")
+
+    def write(self, iterator):
+        import json as _json
+        import os
+        import uuid
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        tmp = os.path.join(staging, f"task-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _ShardCommit(tmp, n)
+
+    def commit(self, messages):
+        import json as _json
+        import os
+        import shutil
+
+        manifest = []
+        shard_no = 0
+        for m in messages:
+            if m is None or m.n_rows == 0:
+                if m is not None and os.path.exists(m.tmp_path):
+                    os.remove(m.tmp_path)
+                continue
+            final = os.path.join(self.path, f"shard-{shard_no:05d}.jsonl")
+            os.replace(m.tmp_path, final)
+            manifest.append({"shard": os.path.basename(final), "rows": m.n_rows})
+            shard_no += 1
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            _json.dump({"shards": manifest}, f)
+        staging = os.path.join(self.path, "_staging")
+        if os.path.isdir(staging):
+            shutil.rmtree(staging, ignore_errors=True)
+
+    def abort(self, messages):
+        import os
+        import shutil
+
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+        staging = os.path.join(self.path, "_staging")
+        if os.path.isdir(staging):
+            shutil.rmtree(staging, ignore_errors=True)
+
+
+class JsonlShardsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonlshards"
+
+    def writer(self, schema, overwrite: bool) -> _JsonlShardsWriter:
+        import glob as _glob
+        import os
+
+        if overwrite:
+            path = self.options.get("path")
+            if path:
+                for f in _glob.glob(os.path.join(path, "shard-*.jsonl")):
+                    os.remove(f)
+                succ = os.path.join(path, "_SUCCESS")
+                if os.path.exists(succ):
+                    os.remove(succ)
+        return _JsonlShardsWriter(self.options)
+
+
 def register(spark) -> None:
     spark.dataSource.register(SyntheticDocsDataSource)
+    spark.dataSource.register(JsonlShardsDataSource)

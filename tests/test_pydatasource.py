@@ -49,3 +49,49 @@ def test_spark_reapplies_returned_filters(spark):
     # a non-range predicate is not pushable: source yields it back and
     # Spark evaluates it post-scan
     assert df.filter("lang = 'en'").count() == 20
+
+
+def test_jsonlshards_write_creates_shards_and_manifest(spark, tmp_path):
+    """The Python data-source WRITER: partition-parallel JSONL shards,
+    published atomically via the _SUCCESS manifest; round-trip equals the
+    input."""
+    import json
+    import os
+
+    register(spark)
+    out = str(tmp_path / "shards")
+    df = spark.range(0, 100, 1, 4).selectExpr(
+        "id AS doc_id", "CAST(id % 5 AS STRING) AS lang"
+    )
+    df.write.format("jsonlshards").option("path", out).mode("append").save()
+
+    shards = sorted(f for f in os.listdir(out) if f.startswith("shard-"))
+    assert shards, os.listdir(out)
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert sum(s["rows"] for s in manifest["shards"]) == 100
+    assert {s["shard"] for s in manifest["shards"]} == set(shards)
+    # no staging residue
+    assert not os.path.isdir(os.path.join(out, "_staging"))
+    # round-trip
+    back = spark.read.json(os.path.join(out, "shard-*.jsonl"))
+    assert back.count() == 100
+    assert {r.doc_id for r in back.collect()} == set(range(100))
+
+
+def test_jsonlshards_overwrite_replaces_previous_output(spark, tmp_path):
+    import json
+    import os
+
+    register(spark)
+    out = str(tmp_path / "shards2")
+    spark.range(0, 10).selectExpr("id AS doc_id").write.format(
+        "jsonlshards"
+    ).option("path", out).mode("append").save()
+    spark.range(0, 3).selectExpr("id AS doc_id").write.format(
+        "jsonlshards"
+    ).option("path", out).mode("overwrite").save()
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert sum(s["rows"] for s in manifest["shards"]) == 3
+    back = spark.read.json(os.path.join(out, "shard-*.jsonl"))
+    assert back.count() == 3
