@@ -53,6 +53,15 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         default="",
         help="Spark master for LOCAL runs; leave unset under spark-submit",
     )
+    p.add_argument(
+        "--shards",
+        action="store_true",
+        help=(
+            "additionally publish each stage as JSONL training shards via "
+            "the 'jsonlshards' Python data-source sink (atomic _SUCCESS "
+            "manifest; the format LLM training loaders consume)"
+        ),
+    )
     return p.parse_args(argv)
 
 
@@ -63,11 +72,21 @@ def main(argv: list[str] | None = None) -> None:
     if unknown:
         raise SystemExit(f"unknown stages {unknown}; choose from {STAGES}")
     spark = get_spark(app_name="corpus-prep", master=args.master)
+    if args.shards:
+        from dend_spark_data_lake_spark.sources.pydatasource import register
+
+        register(spark)
     for stage in stages:
         df = Q.REGISTRY[stage].fn(spark, args.data)
         dest = os.path.join(args.output, stage)
         df.write.mode("overwrite").parquet(dest)
         print(f"{stage}: {spark.read.parquet(dest).count()} rows -> {dest}")
+        if args.shards:
+            sdest = os.path.join(args.output, stage + "_shards")
+            df.write.format("jsonlshards").option("path", sdest).mode(
+                "overwrite"
+            ).save()
+            print(f"{stage}: JSONL shards -> {sdest}")
 
 
 if __name__ == "__main__":

@@ -53,3 +53,28 @@ def test_corpus_prep_job_rejects_unknown_stage(tmp_path):
         job.main(
             ["--data", "x", "--output", str(tmp_path), "--stages", "nope"]
         )
+
+
+def test_corpus_prep_job_publishes_jsonl_shards(spark, tmp_path):
+    """--shards additionally publishes each stage through the jsonlshards
+    sink with its atomic _SUCCESS manifest."""
+    import json
+    import os
+
+    import jobs.corpus_prep_job as job
+
+    out = tmp_path / "corpus_sh"
+    job.main(
+        [
+            "--data", "/root/testdata/sf0.001",
+            "--output", str(out),
+            "--stages", "pipeline_curation",
+            "--shards",
+        ]
+    )
+    sdir = out / "pipeline_curation_shards"
+    manifest = json.load(open(sdir / "_SUCCESS"))
+    n_manifest = sum(s["rows"] for s in manifest["shards"])
+    n_parquet = spark.read.parquet(str(out / "pipeline_curation")).count()
+    assert n_manifest == n_parquet > 0
+    assert spark.read.json(os.path.join(str(sdir), "shard-*.jsonl")).count() == n_parquet
