@@ -225,3 +225,16 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def read_query_state(spark, checkpoint_dir: str):
+    """State-store introspection (Spark 4 ``statestore`` batch source):
+    read a streaming query's OPERATOR STATE straight out of its checkpoint
+    as a DataFrame — the observability surface for answering "what is this
+    stateful query holding, and how big is it" without instrumenting the
+    query itself. Pair with the ``state-metadata`` source to discover
+    operator/partition layout. Reads are batch and offline: state debugging
+    works on a stopped (or crashed) query's checkpoint, which is exactly
+    when you need it. At scale the read parallelizes by state partition —
+    the same partitioning the running query used."""
+    return spark.read.format("statestore").load(checkpoint_dir)

@@ -413,3 +413,34 @@ def test_transform_with_state_totals_across_batches(spark, tmp_path):
     ).collect()
     got = {r.user_id: (r.n_events, r.total_value) for r in rows}
     assert got == {1: (3, 20.0), 2: (2, 6.0)}
+
+
+def test_statestore_reader_exposes_window_state(spark, tmp_path):
+    """The statestore batch source must expose the tumbling aggregation's
+    per-window state (count/sum) from the checkpoint — matching what the
+    stream emitted."""
+    from dend_spark_data_lake_spark.streaming.windows import (
+        read_event_stream,
+        read_query_state,
+        run_available_now,
+        tumbling_agg,
+    )
+
+    rows = [
+        (1, _ts(10, 5), 1, 10.0),
+        (2, _ts(10, 55), 2, 5.0),
+        (3, _ts(11, 10), 1, 2.5),
+    ]
+    src = str(tmp_path / "src")
+    _write_file(spark, rows, src)
+    ck = str(tmp_path / "ck")
+    stream = read_event_stream(spark, src, SCHEMA)
+    run_available_now(tumbling_agg(stream), "ss_out", "update", ck)
+
+    state = read_query_state(spark, ck).select(
+        F.col("key.window.start").alias("w"),
+        F.col("value.count").alias("n"),
+        F.col("value.sum").alias("s"),
+    )
+    got = {(r.w, r.n, r.s) for r in state.collect()}
+    assert got == {(_ts(10), 2, 15.0), (_ts(11), 1, 2.5)}
