@@ -401,11 +401,12 @@ def _portable_shingle_bands(
     n: int,
     n_hashes: int,
     band_rows: int,
-) -> tuple[DataFrame, DataFrame]:
-    """Shared md5-portable MinHash machinery: returns ``(sets, bands)``
-    where ``sets`` is the persisted (id, shingles) relation (reused by the
-    exact-Jaccard verify) and ``bands`` is (id, band, bkey) — one row per
-    document per LSH band."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared md5-portable MinHash machinery: returns ``(sets, sig,
+    bands)`` where ``sets`` is the persisted (id, shingles) relation
+    (reused by the exact-Jaccard verify), ``sig`` is the per-doc MinHash
+    signature (id, m0..m{n_hashes-1}), and ``bands`` is (id, band, bkey)
+    — one row per document per LSH band."""
     n_bands = n_hashes // band_rows
     sets = (
         docs.select(
@@ -437,7 +438,7 @@ def _portable_shingle_bands(
     bands = sig.select(
         "id", F.explode(F.array(*band_structs)).alias("bv")
     ).select("id", F.col("bv.band").alias("band"), F.col("bv.bkey").alias("bkey"))
-    return sets, bands
+    return sets, sig, bands
 
 
 def incremental_minhash_pairs(
@@ -465,10 +466,10 @@ def incremental_minhash_pairs(
     emitted (new_doc, old_doc, jaccard) set is exactly reproducible in
     ANSI SQL.
     """
-    sets_c, bands_c = _portable_shingle_bands(
+    sets_c, _sig_c, bands_c = _portable_shingle_bands(
         corpus, id_col, text_col, n, n_hashes, band_rows
     )
-    sets_b, bands_b = _portable_shingle_bands(
+    sets_b, _sig_b, bands_b = _portable_shingle_bands(
         batch, id_col, text_col, n, n_hashes, band_rows
     )
     cand = (
@@ -534,7 +535,7 @@ def minhash_banded_pairs(
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
-    sets, bands = _portable_shingle_bands(
+    sets, _sig, bands = _portable_shingle_bands(
         docs, id_col, text_col, n, n_hashes, band_rows
     )
     a = bands.select(F.col("id").alias("doc_a"), "band", "bkey")
@@ -562,6 +563,79 @@ def minhash_banded_pairs(
     )
     return verified.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", "jaccard"
+    )
+
+
+def minhash_estimate_vs_exact(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_hashes: int = 8,
+    band_rows: int = 2,
+) -> DataFrame:
+    """Estimator calibration for the banded MinHash: for every banded
+    CANDIDATE pair, the MinHash Jaccard estimate (matching signature
+    components / n_hashes) next to the exact shingle Jaccard, both in
+    integer ppm, plus the absolute error — the measurement an operator
+    reads to decide whether n_hashes is adequate before trusting the
+    estimate at 100 TB (E[est] = J; sd = sqrt(J(1-J)/n_hashes), so 8
+    hashes is a coarse estimator BY DESIGN — this op is what shows it).
+
+    Cost: identical candidate generation to ``minhash_banded_pairs`` plus
+    one signature self-join on the candidate pairs (signature relation is
+    docs x n_hashes longs — narrow) and the same exact-verify join.
+
+    Returns (doc_a, doc_b, est_ppm, exact_ppm, abs_err_ppm), doc_a < doc_b.
+    """
+    sets, sig, bands = _portable_shingle_bands(
+        docs, id_col, text_col, n, n_hashes, band_rows
+    )
+    a = bands.select(F.col("id").alias("doc_a"), "band", "bkey")
+    b = bands.select(F.col("id").alias("doc_b"), "band", "bkey")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+    sig_a = sig.select(
+        F.col("id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(n_hashes)],
+    )
+    sig_b = sig.select(
+        F.col("id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(n_hashes)],
+    )
+    est = cand.join(sig_a, "doc_a").join(sig_b, "doc_b").select(
+        "doc_a",
+        "doc_b",
+        F.expr(
+            "CAST(("
+            + " + ".join(
+                f"CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END"
+                for i in range(n_hashes)
+            )
+            + f") * 1000000 DIV {n_hashes} AS BIGINT)"
+        ).alias("est_ppm"),
+    )
+    sa = sets.select(F.col("id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col("id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        est.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_ppm",
+            F.expr(
+                "CAST(n_inter * 1000000 DIV "
+                "(size(sh_a) + size(sh_b) - n_inter) AS BIGINT)"
+            ).alias("exact_ppm"),
+        )
+        .withColumn("abs_err_ppm", F.abs(F.col("est_ppm") - F.col("exact_ppm")))
+        .orderBy("doc_a", "doc_b")
     )
 
 

@@ -8260,7 +8260,7 @@ def dedup_band_stats(spark, sf_dir):
     _portable_shingle_bands); two keyed aggregations on top — the stats
     cost nothing compared to the candidate join they de-risk."""
     d = _t(spark, sf_dir, "documents")
-    _sets, bands = SIM._portable_shingle_bands(
+    _sets, _sig, bands = SIM._portable_shingle_bands(
         d, "doc_id", "text", 3, 8, 2
     )
     per_bucket = bands.groupBy("band", "bkey").agg(
@@ -8865,6 +8865,143 @@ def dq_snapshot_diff(spark, sf_dir):
     )
 
 
+@_q(
+    "dedup_minhash_calibration",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+    ), sets AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 0) + 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+      FROM toks
+    ), sh AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sets WHERE len(shingles) > 0
+    ), sig AS (
+      SELECT doc_id,
+             min(CAST(concat('0x', substr(md5('0:' || s), 1, 15)) AS BIGINT)) AS m0,
+             min(CAST(concat('0x', substr(md5('1:' || s), 1, 15)) AS BIGINT)) AS m1,
+             min(CAST(concat('0x', substr(md5('2:' || s), 1, 15)) AS BIGINT)) AS m2,
+             min(CAST(concat('0x', substr(md5('3:' || s), 1, 15)) AS BIGINT)) AS m3,
+             min(CAST(concat('0x', substr(md5('4:' || s), 1, 15)) AS BIGINT)) AS m4,
+             min(CAST(concat('0x', substr(md5('5:' || s), 1, 15)) AS BIGINT)) AS m5,
+             min(CAST(concat('0x', substr(md5('6:' || s), 1, 15)) AS BIGINT)) AS m6,
+             min(CAST(concat('0x', substr(md5('7:' || s), 1, 15)) AS BIGINT)) AS m7
+      FROM sh GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, 0 AS band, concat(m0, '_', m1) AS bkey FROM sig
+      UNION ALL SELECT doc_id, 1, concat(m2, '_', m3) FROM sig
+      UNION ALL SELECT doc_id, 2, concat(m4, '_', m5) FROM sig
+      UNION ALL SELECT doc_id, 3, concat(m6, '_', m7) FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ), est AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST((CASE WHEN x.m0 = y.m0 THEN 1 ELSE 0 END
+                 + CASE WHEN x.m1 = y.m1 THEN 1 ELSE 0 END
+                 + CASE WHEN x.m2 = y.m2 THEN 1 ELSE 0 END
+                 + CASE WHEN x.m3 = y.m3 THEN 1 ELSE 0 END
+                 + CASE WHEN x.m4 = y.m4 THEN 1 ELSE 0 END
+                 + CASE WHEN x.m5 = y.m5 THEN 1 ELSE 0 END
+                 + CASE WHEN x.m6 = y.m6 THEN 1 ELSE 0 END
+                 + CASE WHEN x.m7 = y.m7 THEN 1 ELSE 0 END) * 1000000 // 8
+                  AS BIGINT) AS est_ppm
+      FROM cand c JOIN sig x ON x.doc_id = c.doc_a
+                  JOIN sig y ON y.doc_id = c.doc_b
+    ), sizes AS (
+      SELECT doc_id, len(shingles) AS ns FROM sets WHERE len(shingles) > 0
+    ), inter AS (
+      SELECT e.doc_a, e.doc_b, e.est_ppm, count(*) AS ni
+      FROM est e
+      JOIN sh x ON x.doc_id = e.doc_a
+      JOIN sh y ON y.doc_id = e.doc_b AND y.s = x.s
+      GROUP BY e.doc_a, e.doc_b, e.est_ppm
+    )
+    SELECT i.doc_a, i.doc_b, i.est_ppm,
+           CAST(i.ni * 1000000 // (sx.ns + sy.ns - i.ni) AS BIGINT) AS exact_ppm,
+           CAST(abs(i.est_ppm - i.ni * 1000000 // (sx.ns + sy.ns - i.ni))
+                AS BIGINT) AS abs_err_ppm
+    FROM inter i JOIN sizes sx ON sx.doc_id = i.doc_a
+                 JOIN sizes sy ON sy.doc_id = i.doc_b
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_calibration(spark, sf_dir):
+    """MinHash estimator calibration (functions/similarity.py::
+    minhash_estimate_vs_exact): for every banded candidate pair, the
+    signature-agreement Jaccard ESTIMATE next to the exact shingle
+    Jaccard (both integer ppm) and the absolute error — the
+    before-you-trust-it measurement for sizing n_hashes (sd =
+    sqrt(J(1-J)/k); k=8 is coarse by design and this op is what shows
+    it). Zero-row disagreement with dedup_minhash's candidates by
+    construction: same bands, same verify relation."""
+    d = _t(spark, sf_dir, "documents")
+    return SIM.minhash_estimate_vs_exact(d, n=3, n_hashes=8, band_rows=2)
+
+
+@_q(
+    "supplier_share_hhi",
+    """
+    WITH sup AS (
+      SELECT n.n_name, l.l_suppkey,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY n.n_name, l.l_suppkey
+    ), tot AS (
+      SELECT n_name, CAST(sum(cents) AS BIGINT) AS t,
+             CAST(count(*) AS BIGINT) AS n_suppliers
+      FROM sup GROUP BY n_name
+    )
+    SELECT t.n_name, t.n_suppliers,
+           CAST(sum((s.cents * 10000 // t.t) * (s.cents * 10000 // t.t))
+                AS BIGINT) AS hhi_bp2
+    FROM sup s JOIN tot t ON t.n_name = s.n_name
+    GROUP BY t.n_name, t.n_suppliers ORDER BY t.n_name
+    """,
+)
+def supplier_share_hhi(spark, sf_dir):
+    """Herfindahl-Hirschman concentration index per supplier nation: the
+    sum of squared supplier revenue shares (shares in integer basis
+    points, so HHI lands on the standard 0..10000^2 grid exactly —
+    10^8 = monopoly). The market-concentration metric for single-source
+    risk, computed with two aggregates sharing the (nation, supplier)
+    shuffle plus a nation-keyed join of the BOUNDED totals relation; the
+    floor in `cents * 10000 // total` is applied identically in both
+    engines, making the squared-share sum engine-exact."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sup = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("n_name", "l_suppkey")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    tot = sup.groupBy("n_name").agg(
+        F.sum("cents").cast("long").alias("t"),
+        F.count("*").cast("long").alias("n_suppliers"),
+    )
+    return (
+        sup.join(tot, "n_name")
+        .select(
+            "n_name",
+            "n_suppliers",
+            F.expr("(cents * 10000 DIV t) * (cents * 10000 DIV t)").alias("sq"),
+        )
+        .groupBy("n_name", "n_suppliers")
+        .agg(F.sum("sq").cast("long").alias("hhi_bp2"))
+        .orderBy("n_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -8949,6 +9086,8 @@ _GRADE_NEXT: list[str] = [
     "ts_rolling_distinct_users",
     "agg_weighted_median",
     "dq_snapshot_diff",
+    "dedup_minhash_calibration",
+    "supplier_share_hhi",
 ]
 
 
