@@ -9002,6 +9002,66 @@ def supplier_share_hhi(spark, sf_dir):
     )
 
 
+@_q(
+    "window_cumulative_distinct",
+    """
+    WITH first_seen AS (
+      SELECT n.n_name,
+             o.o_custkey,
+             min(CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP))
+               AS first_month
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name, o.o_custkey
+    ), monthly_new AS (
+      SELECT n_name, first_month AS month,
+             CAST(count(*) AS BIGINT) AS new_customers
+      FROM first_seen GROUP BY n_name, first_month
+    )
+    SELECT n_name, month, new_customers,
+           CAST(sum(new_customers) OVER (PARTITION BY n_name ORDER BY month
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cumulative_customers
+    FROM monthly_new ORDER BY n_name, month
+    """,
+)
+def window_cumulative_distinct(spark, sf_dir):
+    """Cumulative DISTINCT customers per nation by month — the windowed
+    COUNT(DISTINCT) that window functions cannot express directly. The
+    standard rewrite: each customer's FIRST month per nation (one keyed
+    aggregate), monthly new-customer counts, then a plain running sum —
+    distinct-ness is resolved by the first-appearance aggregate, so the
+    window is an ordinary cumulative sum over the bounded
+    (nation x month) relation. Scale: one (nation, customer) shuffle;
+    everything after runs on aggregates."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("month")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    first_seen = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name", "o_custkey")
+        .agg(F.min("month").alias("first_month"))
+    )
+    monthly_new = first_seen.groupBy(
+        "n_name", F.col("first_month").alias("month")
+    ).agg(F.count("*").cast("long").alias("new_customers"))
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return monthly_new.select(
+        "n_name",
+        "month",
+        "new_customers",
+        F.sum("new_customers").over(w).cast("long").alias("cumulative_customers"),
+    ).orderBy("n_name", "month")
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -9088,6 +9148,7 @@ _GRADE_NEXT: list[str] = [
     "dq_snapshot_diff",
     "dedup_minhash_calibration",
     "supplier_share_hhi",
+    "window_cumulative_distinct",
 ]
 
 
