@@ -9062,6 +9062,108 @@ def window_cumulative_distinct(spark, sf_dir):
     ).orderBy("n_name", "month")
 
 
+@_q(
+    "profile_source_divergence",
+    r"""
+    WITH toks AS (
+      SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ), cnt AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY source, tok
+    ), tot AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY source
+    ), srcs AS (
+      SELECT DISTINCT source FROM cnt
+    ), pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b
+      FROM srcs a JOIN srcs b ON a.source < b.source
+    ), terms AS (
+      SELECT p.src_a, p.src_b, v.tok,
+             coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+      FROM pairs p
+      JOIN (SELECT DISTINCT tok FROM cnt) v ON true
+      LEFT JOIN cnt ca ON ca.source = p.src_a AND ca.tok = v.tok
+      LEFT JOIN cnt cb ON cb.source = p.src_b AND cb.tok = v.tok
+      WHERE coalesce(ca.c, 0) + coalesce(cb.c, 0) > 0
+    )
+    SELECT t.src_a, t.src_b,
+           round(sum(
+             CASE WHEN t.ca > 0 THEN (CAST(t.ca AS DOUBLE) / ta.t) * 0.5 *
+               ln((CAST(t.ca AS DOUBLE) / ta.t)
+                  / (0.5 * CAST(t.ca AS DOUBLE) / ta.t
+                     + 0.5 * CAST(t.cb AS DOUBLE) / tb.t)) ELSE 0 END
+             + CASE WHEN t.cb > 0 THEN (CAST(t.cb AS DOUBLE) / tb.t) * 0.5 *
+               ln((CAST(t.cb AS DOUBLE) / tb.t)
+                  / (0.5 * CAST(t.ca AS DOUBLE) / ta.t
+                     + 0.5 * CAST(t.cb AS DOUBLE) / tb.t)) ELSE 0 END
+           ), 6) AS js_nats
+    FROM terms t
+    JOIN tot ta ON ta.source = t.src_a
+    JOIN tot tb ON tb.source = t.src_b
+    GROUP BY t.src_a, t.src_b
+    ORDER BY t.src_a, t.src_b
+    """,
+)
+def profile_source_divergence(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between source token
+    distributions (nats) — the corpus-drift / mirror detector that
+    vocabulary Jaccard (profile_source_overlap) cannot grade: JS sees
+    FREQUENCY shifts, not just vocabulary membership, and is bounded
+    [0, ln 2] so thresholds transfer across corpora. Computed from exact
+    integer counts; per-term float work is two ln's whose engine noise
+    sits ~9 orders under round(.,6). Scale: the (source, token) count
+    relation is the only corpus-sized aggregate; pairs x vocabulary is
+    bounded by |sources|^2 x |vocab| — at web scale, floor the
+    vocabulary by document frequency first (same cap the PMI op
+    documents)."""
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    cnt = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("t"))
+    srcs = cnt.select("source").dropDuplicates()
+    pairs = (
+        srcs.select(F.col("source").alias("src_a"))
+        .join(
+            srcs.select(F.col("source").alias("src_b")),
+            F.col("src_a") < F.col("src_b"),
+        )
+    )
+    vocab = cnt.select("tok").dropDuplicates()
+    ca = cnt.select(
+        F.col("source").alias("src_a"), "tok", F.col("c").alias("ca")
+    )
+    cb = cnt.select(
+        F.col("source").alias("src_b"), "tok", F.col("c").alias("cb")
+    )
+    terms = (
+        pairs.crossJoin(F.broadcast(vocab))
+        .join(ca, ["src_a", "tok"], "left")
+        .join(cb, ["src_b", "tok"], "left")
+        .fillna(0, ["ca", "cb"])
+        .filter(F.col("ca") + F.col("cb") > 0)
+    )
+    ta = tot.select(F.col("source").alias("src_a"), F.col("t").alias("ta"))
+    tb = tot.select(F.col("source").alias("src_b"), F.col("t").alias("tb"))
+    pa = F.col("ca").cast("double") / F.col("ta")
+    pb = F.col("cb").cast("double") / F.col("tb")
+    m = 0.5 * pa + 0.5 * pb
+    contrib = (
+        F.when(F.col("ca") > 0, pa * 0.5 * F.log(pa / m)).otherwise(0.0)
+        + F.when(F.col("cb") > 0, pb * 0.5 * F.log(pb / m)).otherwise(0.0)
+    )
+    return (
+        terms.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.round(F.sum(contrib), 6).alias("js_nats"))
+        .orderBy("src_a", "src_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -9149,6 +9251,7 @@ _GRADE_NEXT: list[str] = [
     "dedup_minhash_calibration",
     "supplier_share_hhi",
     "window_cumulative_distinct",
+    "profile_source_divergence",
 ]
 
 
