@@ -9164,6 +9164,116 @@ def profile_source_divergence(spark, sf_dir):
     )
 
 
+@_q(
+    "ts_anomaly_mad",
+    """
+    WITH cnts AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS t FROM cnts GROUP BY 1
+    ), med AS (
+      SELECT c.event_type, CAST(min(c.cents) AS BIGINT) AS med_cents
+      FROM (SELECT event_type, cents, n,
+                   sum(n) OVER (PARTITION BY event_type ORDER BY cents
+                                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM cnts) c
+      JOIN tot ON tot.event_type = c.event_type
+      WHERE 2 * c.cum >= tot.t GROUP BY c.event_type
+    ), devs AS (
+      SELECT c.event_type, abs(c.cents - m.med_cents) AS d,
+             CAST(sum(c.n) AS BIGINT) AS n
+      FROM cnts c JOIN med m ON m.event_type = c.event_type
+      GROUP BY c.event_type, abs(c.cents - m.med_cents)
+    ), mad AS (
+      SELECT dv.event_type, CAST(min(dv.d) AS BIGINT) AS mad_cents
+      FROM (SELECT event_type, d, n,
+                   sum(n) OVER (PARTITION BY event_type ORDER BY d
+                                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM devs) dv
+      JOIN tot ON tot.event_type = dv.event_type
+      WHERE 2 * dv.cum >= tot.t GROUP BY dv.event_type
+    )
+    SELECT c.event_type, m.med_cents, a.mad_cents,
+           CAST(sum(CASE WHEN abs(c.cents - m.med_cents) > 5 * a.mad_cents
+                         THEN c.n ELSE 0 END) AS BIGINT) AS n_anomalies,
+           CAST(sum(c.n) AS BIGINT) AS n_events
+    FROM cnts c
+    JOIN med m ON m.event_type = c.event_type
+    JOIN mad a ON a.event_type = c.event_type
+    GROUP BY c.event_type, m.med_cents, a.mad_cents
+    ORDER BY c.event_type
+    """,
+)
+def ts_anomaly_mad(spark, sf_dir):
+    """Robust anomaly detection: per event type, the exact MEDIAN and
+    MEDIAN ABSOLUTE DEVIATION of the value distribution (integer cents)
+    and the count of events beyond 5 MADs — the outlier-resistant
+    alternative to ts_anomaly_zscore (a single huge outlier inflates a
+    z-score's sigma and masks itself; it moves a median by at most one
+    grid step). Both medians run as cumulative windows over the BOUNDED
+    DISTINCT-CENTS GRID per type (equidepth machinery), never over raw
+    events; every comparison is integer-exact."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    cnts = ev.groupBy("event_type", "cents").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = cnts.groupBy("event_type").agg(F.sum("n").cast("long").alias("t"))
+    w_c = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    med = (
+        cnts.withColumn("cum", F.sum("n").over(w_c))
+        .join(tot, "event_type")
+        .filter(2 * F.col("cum") >= F.col("t"))
+        .groupBy("event_type")
+        .agg(F.min("cents").cast("long").alias("med_cents"))
+    )
+    devs = (
+        cnts.join(med, "event_type")
+        .select(
+            "event_type",
+            F.abs(F.col("cents") - F.col("med_cents")).alias("d"),
+            "n",
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    w_d = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    mad = (
+        devs.withColumn("cum", F.sum("n").over(w_d))
+        .join(tot, "event_type")
+        .filter(2 * F.col("cum") >= F.col("t"))
+        .groupBy("event_type")
+        .agg(F.min("d").cast("long").alias("mad_cents"))
+    )
+    return (
+        cnts.join(med, "event_type")
+        .join(mad, "event_type")
+        .groupBy("event_type", "med_cents", "mad_cents")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents") - F.col("med_cents"))
+                    > 5 * F.col("mad_cents"),
+                    F.col("n"),
+                ).otherwise(0)
+            ).cast("long").alias("n_anomalies"),
+            F.sum("n").cast("long").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -9252,6 +9362,7 @@ _GRADE_NEXT: list[str] = [
     "supplier_share_hhi",
     "window_cumulative_distinct",
     "profile_source_divergence",
+    "ts_anomaly_mad",
 ]
 
 
