@@ -691,3 +691,48 @@ def test_q20_shape_pushes_ship_year_and_shares_shuffle(spark):
     plan = _plan(spark, "sql_excess_inventory_suppliers")
     assert _pushed_nonempty(plan) >= 1, plan  # ship-year window at the scan
     assert "CartesianProduct" not in plan, plan
+
+
+R5_QUEUE_NO_CARTESIAN = [
+    "sql_min_price_supplier",
+    "supplier_share_hhi",
+    "window_cumulative_distinct",
+    "ts_anomaly_mad",
+    "dedup_minhash_calibration",
+    "ts_rolling_distinct_users",
+    "agg_weighted_median",
+    "dq_snapshot_diff",
+]
+
+
+@pytest.mark.parametrize("name", R5_QUEUE_NO_CARTESIAN)
+def test_r5_queue_no_cartesian(spark, name):
+    assert "CartesianProduct" not in _plan(spark, name)
+
+
+def test_mad_windows_run_on_grid_not_events(spark):
+    """Both MAD medians must window over the aggregated cents grid —
+    every window spec partitions by event_type (no global window) — and
+    the multiply-referenced grid aggregate must be exchange-REUSED at
+    runtime rather than re-scanning events per reference."""
+    import re as _re
+
+    df = REGISTRY["ts_anomaly_mad"].fn(spark, SF_SMOKE)
+    df.collect()  # reuse appears only in the final adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for m in _re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "event_type" in m.group(1), m.group(0)
+    assert plan.count("ReusedExchange") >= 4, plan
+
+
+def test_source_divergence_aggregates_corpus_once(spark):
+    """The (source, token) count relation is the only corpus-sized
+    aggregate: the documents scan must appear exactly once per distinct
+    use (counts / vocab / sources all derive from it)."""
+    plan = _plan(spark, "profile_source_divergence")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_rolling_distinct_semi_join_broadcasts_days(spark):
+    plan = _plan(spark, "ts_rolling_distinct_users")
+    assert "LeftSemi" in plan, plan

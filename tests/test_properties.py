@@ -401,3 +401,43 @@ def test_asof_tiebreak_picks_min_right_id(spark):
         right_cols=["rid"], direction="forward", tiebreak="rid",
     ).collect()
     assert len(fwd) == 1 and fwd[0].rid_right == 2
+
+
+def test_bucketed_range_join_matches_bruteforce(spark):
+    """The bucket-explode + equi-join + residual-filter range join must
+    emit EXACTLY the rows of the naive inequality join — including
+    intervals that span bucket boundaries and exact-boundary timestamps."""
+    import random
+    from datetime import datetime, timedelta
+
+    from dend_spark_data_lake_spark.operators.joins import bucketed_range_join
+
+    rng = random.Random(7)
+    base = datetime(2024, 5, 1)
+    left_rows = [
+        (i, base + timedelta(seconds=rng.randrange(0, 7200)))
+        for i in range(40)
+    ]
+    right_rows = [
+        (j, base + timedelta(seconds=rng.randrange(0, 7200)))
+        for j in range(60)
+    ]
+    left = spark.createDataFrame(left_rows, "lid long, lts timestamp")
+    right = spark.createDataFrame(right_rows, "rid long, rts timestamp")
+    got = {
+        (r.lid, r.rid)
+        for r in bucketed_range_join(
+            left, right,
+            left_ts="lts", right_ts="rts",
+            lower_expr="lts - INTERVAL 10 MINUTES",
+            upper_expr="lts + INTERVAL 10 MINUTES",
+            bucket_seconds=600,
+        ).collect()
+    }
+    want = {
+        (lid, rid)
+        for lid, lts in left_rows
+        for rid, rts in right_rows
+        if lts - timedelta(minutes=10) <= rts <= lts + timedelta(minutes=10)
+    }
+    assert got == want
