@@ -9274,9 +9274,150 @@ def ts_anomaly_mad(spark, sf_dir):
     )
 
 
-# ---------------------------------------------------------------------------
-# Registry grading order
-# ---------------------------------------------------------------------------
+@_q(
+    "pipeline_dedup_report",
+    r"""
+    WITH norm AS (
+      SELECT doc_id, source, trim(lower(text)) AS t
+      FROM documents WHERE trim(text) <> ''
+    ), exact_groups AS (
+      SELECT md5(t) AS h, CAST(count(*) AS BIGINT) AS n
+      FROM norm GROUP BY md5(t) HAVING count(*) > 1
+    ), prefix_groups AS (
+      SELECT md5(array_to_string(
+               string_split_regex(t, '\s+')[1:8], ' ')) AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM norm
+      GROUP BY 1 HAVING count(*) > 1
+    ), toks AS (
+      SELECT doc_id, string_split_regex(t, '\s+') AS tl FROM norm
+    ), sets AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, greatest(len(tl) - 2, 0) + 1),
+               i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])) AS shingles
+      FROM toks
+    ), sh AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sets WHERE len(shingles) > 0
+    ), sig AS (
+      SELECT doc_id,
+             min(CAST(concat('0x', substr(md5('0:' || s), 1, 15)) AS BIGINT)) AS m0,
+             min(CAST(concat('0x', substr(md5('1:' || s), 1, 15)) AS BIGINT)) AS m1,
+             min(CAST(concat('0x', substr(md5('2:' || s), 1, 15)) AS BIGINT)) AS m2,
+             min(CAST(concat('0x', substr(md5('3:' || s), 1, 15)) AS BIGINT)) AS m3,
+             min(CAST(concat('0x', substr(md5('4:' || s), 1, 15)) AS BIGINT)) AS m4,
+             min(CAST(concat('0x', substr(md5('5:' || s), 1, 15)) AS BIGINT)) AS m5,
+             min(CAST(concat('0x', substr(md5('6:' || s), 1, 15)) AS BIGINT)) AS m6,
+             min(CAST(concat('0x', substr(md5('7:' || s), 1, 15)) AS BIGINT)) AS m7
+      FROM sh GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, 0 AS band, concat(m0, '_', m1) AS bkey FROM sig
+      UNION ALL SELECT doc_id, 1, concat(m2, '_', m3) FROM sig
+      UNION ALL SELECT doc_id, 2, concat(m4, '_', m5) FROM sig
+      UNION ALL SELECT doc_id, 3, concat(m6, '_', m7) FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, len(shingles) AS ns FROM sets WHERE len(shingles) > 0
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS ni
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+      GROUP BY 1, 2
+    ), verified AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i JOIN sizes sx ON sx.doc_id = i.doc_a
+                   JOIN sizes sy ON sy.doc_id = i.doc_b
+      WHERE i.ni * 1.0 / (sx.ns + sy.ns - i.ni) >= 0.5
+    )
+    SELECT 'exact' AS method,
+           CAST(count(*) AS BIGINT) AS n_groups_or_pairs,
+           CAST(coalesce(sum(n), 0) AS BIGINT) AS n_docs_involved,
+           CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS n_removable
+    FROM exact_groups
+    UNION ALL
+    SELECT 'minhash_jaccard',
+           CAST(count(*) // 2 AS BIGINT),
+           CAST(count(DISTINCT d) AS BIGINT),
+           CAST(greatest(count(DISTINCT d) - count(DISTINCT c), 0) AS BIGINT)
+    FROM (
+      SELECT doc_a AS d, least(doc_a, doc_b) AS c FROM verified
+      UNION ALL
+      SELECT doc_b AS d, least(doc_a, doc_b) AS c FROM verified
+    )
+    UNION ALL
+    SELECT 'prefix_fingerprint',
+           CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(n), 0) AS BIGINT),
+           CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+    FROM prefix_groups
+    ORDER BY method
+    """,
+)
+def pipeline_dedup_report(spark, sf_dir):
+    """Unified dedup accounting — the report an operator reads before
+    choosing which dedup pass to pay for at 100 TB: for each method
+    (exact normalized-hash, first-8-token prefix fingerprint, verified
+    MinHash Jaccard >= 0.5), how many groups/pairs fire, how many
+    documents are involved, and an upper bound on removable docs
+    (group sizes minus canonical survivors; for the pair relation, a
+    conservative distinct-doc vs distinct-cluster-anchor bound rather
+    than full CC — dedup_corpus is the exact-cluster version). One
+    corpus normalization feeds all three methods; the MinHash branch is
+    exactly the certified dedup_minhash machinery."""
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    norm = d.select(
+        "doc_id", F.trim(F.lower(F.col("text"))).alias("t")
+    )
+    exact = (
+        norm.groupBy(F.md5(F.col("t").cast("binary")).alias("h"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(
+            F.lit("exact").alias("method"),
+            F.count("*").cast("long").alias("n_groups_or_pairs"),
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_docs_involved"),
+            F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).cast("long").alias(
+                "n_removable"
+            ),
+        )
+    )
+    prefix = (
+        norm.groupBy(
+            F.md5(
+                F.array_join(
+                    F.slice(F.split(F.col("t"), r"\s+"), 1, 8), " "
+                ).cast("binary")
+            ).alias("h")
+        )
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(
+            F.lit("prefix_fingerprint").alias("method"),
+            F.count("*").cast("long").alias("n_groups_or_pairs"),
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_docs_involved"),
+            F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).cast("long").alias(
+                "n_removable"
+            ),
+        )
+    )
+    pairs = SIM.minhash_banded_pairs(d, n=3, n_hashes=8, band_rows=2, threshold=0.5)
+    sides = pairs.select(
+        F.col("doc_a").alias("d"), F.least("doc_a", "doc_b").alias("c")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("d"), F.least("doc_a", "doc_b").alias("c"))
+    )
+    mh = sides.agg(
+        F.lit("minhash_jaccard").alias("method"),
+        F.expr("CAST(count(*) DIV 2 AS BIGINT)").alias("n_groups_or_pairs"),
+        F.countDistinct("d").cast("long").alias("n_docs_involved"),
+        F.greatest(
+            F.countDistinct("d") - F.countDistinct("c"), F.lit(0)
+        ).cast("long").alias("n_removable"),
+    )
+    return exact.unionByName(mh).unionByName(prefix).orderBy("method")
 # The external driver grades the FIRST 50 registry entries per round
 # (CORRECTNESS_r01/r02 each contained exactly the first 50 in registration
 # order). Registration order above is topical; the driver-facing order below
@@ -9363,6 +9504,7 @@ _GRADE_NEXT: list[str] = [
     "window_cumulative_distinct",
     "profile_source_divergence",
     "ts_anomaly_mad",
+    "pipeline_dedup_report",
 ]
 
 
