@@ -9418,6 +9418,104 @@ def pipeline_dedup_report(spark, sf_dir):
         ).cast("long").alias("n_removable"),
     )
     return exact.unionByName(mh).unionByName(prefix).orderBy("method")
+
+
+@_q(
+    "sim_ivf_recall_eval",
+    """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+    ), c AS (
+      SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 100 = 0
+    ), asg AS (
+      SELECT vec_id AS neighbor_id, cid FROM (
+        SELECT n.vec_id, c.cid,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 6)
+                            DESC, c.cid) AS rn
+        FROM n CROSS JOIN c)
+      WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT n.vec_id, c.cid,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 6)
+                            DESC, c.cid) AS rn
+        FROM n CROSS JOIN c WHERE n.vec_id < 10)
+      WHERE rn <= 2
+    ), ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT s.*, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM (
+          SELECT p.query_id, a.neighbor_id,
+                 round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6) AS cosine
+          FROM probes p JOIN asg a ON p.cid = a.cid
+          JOIN n q ON q.vec_id = p.query_id
+          JOIN n x ON x.vec_id = a.neighbor_id
+          WHERE a.neighbor_id <> p.query_id) s)
+      WHERE rank <= 5
+    ), exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6)
+                            DESC, x.vec_id) AS rank
+        FROM n q JOIN n x ON x.vec_id <> q.vec_id
+        WHERE q.vec_id < 10)
+      WHERE rank <= 5
+    )
+    SELECT e.query_id,
+           CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(count(i.neighbor_id) * 1000000 // 5 AS BIGINT) AS recall_ppm
+    FROM exact e
+    LEFT JOIN ivf i ON i.query_id = e.query_id
+                   AND i.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id ORDER BY e.query_id
+    """,
+)
+def sim_ivf_recall_eval(spark, sf_dir):
+    """ANN quality evaluation: recall@5 of the IVF index against the
+    exact brute-force top-5 per query vector — the n_probe /
+    centroid-count tuning measurement (the ANN twin of
+    dedup_minhash_calibration). Both sides are the already-certified
+    machineries (functions/similarity.py ivf_topk / cosine_topk); the
+    eval is one left join on (query, neighbor) + a per-query rollup in
+    exact integer ppm. At corpus scale ground truth is the expensive
+    side, which is why recall is evaluated on a capped query slice
+    (vec_id < 10), exactly as here."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    ivf = SIM.ivf_topk(emb, queries_df, k=5, centroid_mod=100, n_probe=2).select(
+        "query_id", F.col("neighbor_id").alias("ivf_neighbor")
+    )
+    exact = SIM.cosine_topk(emb, queries_df, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        exact.join(
+            ivf,
+            (exact.query_id == ivf.query_id)
+            & (exact.neighbor_id == ivf.ivf_neighbor),
+            "left",
+        )
+        .groupBy(exact.query_id)
+        .agg(
+            F.count("ivf_neighbor").cast("long").alias("n_hits"),
+            F.expr(
+                "CAST(count(ivf_neighbor) * 1000000 DIV 5 AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry grading order
+# ---------------------------------------------------------------------------
 # The external driver grades the FIRST 50 registry entries per round
 # (CORRECTNESS_r01/r02 each contained exactly the first 50 in registration
 # order). Registration order above is topical; the driver-facing order below
@@ -9505,6 +9603,7 @@ _GRADE_NEXT: list[str] = [
     "profile_source_divergence",
     "ts_anomaly_mad",
     "pipeline_dedup_report",
+    "sim_ivf_recall_eval",
 ]
 
 
