@@ -9421,6 +9421,71 @@ def pipeline_dedup_report(spark, sf_dir):
 
 
 @_q(
+    "window_nth_value",
+    """
+    WITH o AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), ranked AS (
+      SELECT o_custkey,
+             nth_value(cents, 2) OVER w AS second_cents,
+             nth_value(cents, 3) OVER w AS third_cents,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY o_custkey) AS n_orders
+      FROM o
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY cents DESC, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT o_custkey, CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(second_cents AS BIGINT) AS second_cents,
+           CAST(third_cents AS BIGINT) AS third_cents
+    FROM ranked WHERE rn = 1 AND n_orders >= 3
+    ORDER BY o_custkey
+    """,
+)
+def window_nth_value(spark, sf_dir):
+    """nth_value window function — the analytic-family member the
+    first/last/lag/lead queries don't cover: each customer's 2nd- and
+    3rd-highest order value (deterministic (cents DESC, orderkey) sort,
+    FULL frame — nth_value under the default running frame returns NULL
+    until the nth row arrives, a classic frame bug this query's frame
+    clause avoids). One custkey-partitioned window; customers with < 3
+    orders are excluded so both values are non-NULL."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.desc("cents"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    ranked = o.select(
+        "o_custkey",
+        F.nth_value("cents", 2).over(w).alias("second_cents"),
+        F.nth_value("cents", 3).over(w).alias("third_cents"),
+        F.row_number().over(
+            Window.partitionBy("o_custkey").orderBy(
+                F.desc("cents"), F.asc("o_orderkey")
+            )
+        ).alias("rn"),
+        F.count("*").over(Window.partitionBy("o_custkey")).alias("n_orders"),
+    )
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("n_orders") >= 3))
+        .select(
+            "o_custkey",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("second_cents").cast("long").alias("second_cents"),
+            F.col("third_cents").cast("long").alias("third_cents"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@_q(
     "sim_ivf_recall_eval",
     """
     WITH e AS (
@@ -9604,6 +9669,7 @@ _GRADE_NEXT: list[str] = [
     "ts_anomaly_mad",
     "pipeline_dedup_report",
     "sim_ivf_recall_eval",
+    "window_nth_value",
 ]
 
 
