@@ -9486,6 +9486,79 @@ def window_nth_value(spark, sf_dir):
 
 
 @_q(
+    "events_burst_detection",
+    """
+    WITH per_min AS (
+      SELECT user_id, date_trunc('minute', ts) AS m,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(max(n) AS BIGINT) AS max_events_per_minute,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_active_minutes,
+           CASE WHEN max(n) >= 5 THEN 1 ELSE 0 END AS burst_flag
+    FROM per_min GROUP BY user_id
+    ORDER BY max_events_per_minute DESC, user_id
+    """,
+)
+def events_burst_detection(spark, sf_dir):
+    """Bot/abuse burst detection: each user's maximum events in any one
+    minute (plus totals and a threshold flag) — the rate-limit screening
+    pass of traffic hygiene. Two map-side-combinable aggregates keyed
+    (user, minute) then user; at stream time the same logic is a
+    tumbling-window count (streaming/windows.py tumbling_agg) — this is
+    its batch twin for backfills. All-integer output."""
+    ev = _t(spark, sf_dir, "events")
+    per_min = ev.groupBy(
+        "user_id", F.date_trunc("minute", "ts").alias("m")
+    ).agg(F.count("*").alias("n"))
+    return (
+        per_min.groupBy("user_id")
+        .agg(
+            F.max("n").cast("long").alias("max_events_per_minute"),
+            F.sum("n").cast("long").alias("n_events"),
+            F.count("*").cast("long").alias("n_active_minutes"),
+            F.when(F.max("n") >= 5, 1).otherwise(0).alias("burst_flag"),
+        )
+        .orderBy(F.desc("max_events_per_minute"), "user_id")
+    )
+
+
+@_q(
+    "agg_geometric_mean",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(exp(avg(ln(CAST(round(o_totalprice * 100) AS BIGINT)))), 4)
+             AS geo_mean_cents
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_geometric_mean(spark, sf_dir):
+    """Geometric mean of order value per priority — the multiplicative
+    average that arithmetic means distort for right-skewed money
+    distributions, computed as exp(mean(ln cents)): one combinable
+    aggregate over scan-side expressions. ln of exact integer cents is
+    the only float; its 1-ulp engine noise is ~12 orders below
+    round(.,4) on the exp'd result."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.log(F.round(F.col("o_totalprice") * 100).cast("long").cast("double")).alias(
+            "lnc"
+        ),
+    )
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.exp(F.avg("lnc")), 4).alias("geo_mean_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@_q(
     "sim_ivf_recall_eval",
     """
     WITH e AS (
@@ -9670,6 +9743,8 @@ _GRADE_NEXT: list[str] = [
     "pipeline_dedup_report",
     "sim_ivf_recall_eval",
     "window_nth_value",
+    "events_burst_detection",
+    "agg_geometric_mean",
 ]
 
 
