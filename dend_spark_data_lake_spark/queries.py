@@ -9559,6 +9559,103 @@ def agg_geometric_mean(spark, sf_dir):
 
 
 @_q(
+    "corpus_dataset_card",
+    r"""
+    WITH norm AS (
+      SELECT doc_id, lang, source, trim(lower(text)) AS t, n_chars
+      FROM documents WHERE trim(text) <> ''
+    ), tok AS (
+      SELECT doc_id, len(string_split_regex(t, '\s+')) AS n_toks FROM norm
+    ), vocab AS (
+      SELECT count(DISTINCT tk) AS v FROM (
+        SELECT unnest(string_split_regex(t, '\s+')) AS tk FROM norm)
+    ), dup AS (
+      SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS extra FROM (
+        SELECT count(*) AS n FROM norm GROUP BY md5(t) HAVING count(*) > 1)
+    )
+    SELECT metric, value FROM (
+      SELECT 'n_docs' AS metric, CAST(count(*) AS BIGINT) AS value FROM norm
+      UNION ALL
+      SELECT 'n_tokens', CAST(sum(n_toks) AS BIGINT) FROM tok
+      UNION ALL
+      SELECT 'n_chars', CAST(sum(n_chars) AS BIGINT) FROM norm
+      UNION ALL
+      SELECT 'n_langs', CAST(count(DISTINCT lang) AS BIGINT) FROM norm
+      UNION ALL
+      SELECT 'n_sources', CAST(count(DISTINCT source) AS BIGINT) FROM norm
+      UNION ALL
+      SELECT 'vocab_size', CAST(v AS BIGINT) FROM vocab
+      UNION ALL
+      SELECT 'mean_doc_tokens_x100',
+             CAST(sum(n_toks) * 100 // count(*) AS BIGINT) FROM tok
+      UNION ALL
+      SELECT 'exact_dup_ppm',
+             CAST(dup.extra * 1000000 // (SELECT count(*) FROM norm) AS BIGINT)
+      FROM dup
+    ) ORDER BY metric
+    """,
+)
+def corpus_dataset_card(spark, sf_dir):
+    """Dataset-card statistics in one long-format relation: document /
+    token / char counts, language and source diversity, vocabulary size,
+    fixed-point mean document length, and the exact-duplicate rate (ppm
+    of docs removable by hash dedup) — the header block of a training
+    dataset's datasheet, emitted by the engine instead of hand-assembled.
+    Every metric is an exact integer; the corpus is scanned once for the
+    normalized relation all branches aggregate (exchange-reused), with
+    the token explode confined to the vocabulary branch."""
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    norm = d.select(
+        "doc_id", "lang", "source",
+        F.trim(F.lower(F.col("text"))).alias("t"), "n_chars",
+    )
+    tok = norm.select(
+        "doc_id", F.size(F.split(F.col("t"), r"\s+")).alias("n_toks")
+    )
+
+    def one(metric, df):
+        return df.select(F.lit(metric).alias("metric"), F.col("value"))
+
+    n_docs = one("n_docs", norm.agg(F.count("*").cast("long").alias("value")))
+    n_tokens = one("n_tokens", tok.agg(F.sum("n_toks").cast("long").alias("value")))
+    n_chars = one("n_chars", norm.agg(F.sum("n_chars").cast("long").alias("value")))
+    n_langs = one(
+        "n_langs", norm.agg(F.countDistinct("lang").cast("long").alias("value"))
+    )
+    n_sources = one(
+        "n_sources", norm.agg(F.countDistinct("source").cast("long").alias("value"))
+    )
+    vocab = one(
+        "vocab_size",
+        norm.select(F.explode(F.split(F.col("t"), r"\s+")).alias("tk"))
+        .agg(F.countDistinct("tk").cast("long").alias("value")),
+    )
+    mean_toks = one(
+        "mean_doc_tokens_x100",
+        tok.agg(
+            F.expr("CAST(sum(n_toks) * 100 DIV count(*) AS BIGINT)").alias("value")
+        ),
+    )
+    dup_extra = (
+        norm.groupBy(F.md5(F.col("t").cast("binary")).alias("h"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("extra"))
+    )
+    total = norm.agg(F.count("*").alias("tot"))
+    dup = one(
+        "exact_dup_ppm",
+        dup_extra.crossJoin(F.broadcast(total)).select(
+            F.expr("CAST(extra * 1000000 DIV tot AS BIGINT)").alias("value")
+        ),
+    )
+    out = n_docs
+    for p in (n_tokens, n_chars, n_langs, n_sources, vocab, mean_toks, dup):
+        out = out.unionByName(p)
+    return out.orderBy("metric")
+
+
+@_q(
     "sim_ivf_recall_eval",
     """
     WITH e AS (
@@ -9745,6 +9842,7 @@ _GRADE_NEXT: list[str] = [
     "window_nth_value",
     "events_burst_detection",
     "agg_geometric_mean",
+    "corpus_dataset_card",
 ]
 
 
