@@ -551,6 +551,19 @@ def test_freq_spectrum_two_combinable_aggregates_single_scan(spark):
 # sql_sales_opportunity's 1-row aggregate) broadcast and are asserted
 # separately.
 R4_NO_CARTESIAN = [
+    "sql_intersect_except_all",
+    "window_gaps_islands",
+    "ts_ohlc_hourly",
+    "orders_gap_stats",
+    "events_dow_hour_heatmap",
+    "doc_entropy_unigram",
+    "embed_label_distance_matrix",
+    "corpus_upsample_fractional",
+    "ts_lagged_correlation",
+    "dq_referential_orphans",
+    "dedup_band_stats",
+    "dedup_prefix_fingerprint",
+    "customer_ltv_deciles",
     "sql_product_profit",
     "sql_waiting_orders",
     "sql_revenue_share_window",
