@@ -9656,6 +9656,136 @@ def corpus_dataset_card(spark, sf_dir):
 
 
 @_q(
+    "text_shingle_novelty",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE trim(text) <> ''
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 0) + 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      FROM toks
+    ), first_seen AS (
+      SELECT s, CAST(min(doc_id) AS BIGINT) AS first_doc FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+    FROM sh JOIN first_seen f ON f.s = sh.s
+    GROUP BY sh.doc_id ORDER BY sh.doc_id
+    """,
+)
+def text_shingle_novelty(spark, sf_dir):
+    """Shingle novelty curve: per document (in doc_id ingestion order),
+    the fraction of its distinct 3-gram shingles never seen in ANY
+    earlier document — the marginal-content metric behind
+    dedup-then-train ordering decisions (a doc with novelty_ppm near 0
+    adds nothing even if no single earlier doc duplicates it — exactly
+    the case pairwise dedup misses). One shingle explode, a global
+    min-doc-per-shingle aggregate, and a same-key join-back that reuses
+    the shingle shuffle; exact integer ppm."""
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    sh = d.select(
+        "doc_id",
+        F.explode(SIM.word_ngrams(F.col("text"), 3)).alias("s"),
+    )
+    first_seen = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first_seen, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+            F.expr(
+                "CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)"
+                " * 1000000 DIV count(*) AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_q(
+    "supplier_lead_time_percentiles",
+    """
+    WITH lt AS (
+      SELECT l.l_suppkey,
+             datediff('day', o.o_orderdate, l.l_shipdate) AS days,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT l_suppkey, CAST(sum(n) AS BIGINT) AS t FROM lt GROUP BY 1
+    ), cum AS (
+      SELECT lt.l_suppkey, lt.days, lt.n,
+             sum(lt.n) OVER (PARTITION BY lt.l_suppkey ORDER BY lt.days
+                             ROWS UNBOUNDED PRECEDING) AS cw
+      FROM lt
+    )
+    SELECT c.l_suppkey AS s_suppkey,
+           CAST(min(t.t) AS BIGINT) AS n_lines,
+           CAST(min(CASE WHEN 2 * c.cw >= t.t THEN c.days END) AS BIGINT)
+             AS p50_days,
+           CAST(min(CASE WHEN 10 * c.cw >= 9 * t.t THEN c.days END) AS BIGINT)
+             AS p90_days
+    FROM cum c JOIN tot t ON t.l_suppkey = c.l_suppkey
+    GROUP BY c.l_suppkey ORDER BY s_suppkey
+    """,
+)
+def supplier_lead_time_percentiles(spark, sf_dir):
+    """Per-supplier lead-time SLO percentiles: exact p50/p90 of
+    ship-minus-order days — supplier scorecards need exact grid
+    percentiles, not approx sketches, when the SLA boundary is a whole
+    day. Same counting technique as the equidepth/weighted-median
+    machinery but PARTITIONED: the cumulative window runs per supplier
+    over that supplier's bounded day-gap grid (days domain, not line
+    count), and each percentile is the smallest day where the integer
+    cross-multiplied cumulative weight crosses the rank — no sorting of
+    raw lineitems anywhere."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lt = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_suppkey",
+            F.datediff("l_shipdate", "o_orderdate").alias("days"),
+        )
+        .groupBy("l_suppkey", "days")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = lt.groupBy("l_suppkey").agg(F.sum("n").alias("t"))
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = lt.withColumn("cw", F.sum("n").over(w)).join(tot, "l_suppkey")
+    return (
+        cum.groupBy("l_suppkey")
+        .agg(
+            F.min("t").cast("long").alias("n_lines"),
+            F.min(
+                F.when(2 * F.col("cw") >= F.col("t"), F.col("days"))
+            ).cast("long").alias("p50_days"),
+            F.min(
+                F.when(10 * F.col("cw") >= 9 * F.col("t"), F.col("days"))
+            ).cast("long").alias("p90_days"),
+        )
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            "n_lines", "p50_days", "p90_days",
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@_q(
     "sim_ivf_recall_eval",
     """
     WITH e AS (
@@ -9843,6 +9973,8 @@ _GRADE_NEXT: list[str] = [
     "events_burst_detection",
     "agg_geometric_mean",
     "corpus_dataset_card",
+    "text_shingle_novelty",
+    "supplier_lead_time_percentiles",
 ]
 
 
