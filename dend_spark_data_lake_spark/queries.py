@@ -9786,6 +9786,41 @@ def supplier_lead_time_percentiles(spark, sf_dir):
 
 
 @_q(
+    "agg_boolean_family",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) FILTER (WHERE o_totalprice > 400000) AS BIGINT)
+             AS n_big,
+           CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_fulfilled,
+           bool_and(o_totalprice > 1000) AS all_above_1k,
+           bool_or(o_orderstatus = 'P') AS any_pending
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_boolean_family(spark, sf_dir):
+    """Boolean / conditional aggregate family: the SQL FILTER clause
+    (per-aggregate predicates without CASE scaffolding), count_if, and
+    bool_and / bool_or (ALL/ANY reductions) — the remaining aggregate
+    surface the CASE-sum queries don't demonstrate. All map-side
+    combinable; one scan, one rollup. Exercised through spark.sql so the
+    SQL syntax itself is certified, not just the function objects."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_bf")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(count(*) FILTER (WHERE o_totalprice > 400000) AS BIGINT)
+                 AS n_big,
+               CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_fulfilled,
+               bool_and(o_totalprice > 1000) AS all_above_1k,
+               bool_or(o_orderstatus = 'P') AS any_pending
+        FROM orders_bf GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )
+
+
+@_q(
     "sim_ivf_recall_eval",
     """
     WITH e AS (
@@ -9975,6 +10010,7 @@ _GRADE_NEXT: list[str] = [
     "corpus_dataset_card",
     "text_shingle_novelty",
     "supplier_lead_time_percentiles",
+    "agg_boolean_family",
 ]
 
 

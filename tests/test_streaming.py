@@ -444,3 +444,69 @@ def test_statestore_reader_exposes_window_state(spark, tmp_path):
     )
     got = {(r.w, r.n, r.s) for r in state.collect()}
     assert got == {(_ts(10), 2, 15.0), (_ts(11), 1, 2.5)}
+
+
+def test_streaming_sessionize_equals_batch_gaps(spark, tmp_path):
+    """The custom stateful sessionizer (applyInPandasWithState, event-time
+    timers) must produce EXACTLY the sessions the batch lag+cumsum
+    formulation finds on the same input — the two implementations of the
+    30-minute-gap semantics may never drift apart."""
+    from pyspark.sql import Window
+    from dend_spark_data_lake_spark.streaming.stateful import (
+        sessionize_with_timeout,
+    )
+    from dend_spark_data_lake_spark.streaming.windows import (
+        read_event_stream,
+        run_available_now,
+    )
+
+    rows = [
+        (1, _ts(9, 0), 1, 1.0),
+        (2, _ts(9, 10), 1, 1.0),   # same session
+        (3, _ts(10, 30), 1, 1.0),  # new session (gap 80m)
+        (4, _ts(9, 5), 2, 1.0),
+        (5, _ts(9, 50), 2, 1.0),   # new session (gap 45m)
+    ]
+    import time
+
+    src = tmp_path / "src"
+    _write_single_file(spark, rows, str(src / "f1.parquet"))
+    time.sleep(1.05)  # file source orders batches by modification time
+    # sentinel batch: a far-future event for an EXCLUDED user pushes the
+    # watermark past every open session's (end + gap) so the event-time
+    # timers fire and append mode emits the final sessions — without it
+    # the last session per user is correctly still OPEN (kept in state)
+    _write_single_file(spark, [(99, _ts(23, 0), 99, 1.0)], str(src / "f2.parquet"))
+    stream = read_event_stream(
+        spark, str(src), SCHEMA, max_files_per_trigger=1
+    )
+    out = sessionize_with_timeout(stream, gap_minutes=30)
+    run_available_now(out, "sess_state", "append", str(tmp_path / "ck"))
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.table("sess_state").collect()
+        if r.user_id != 99
+    }
+
+    # batch twin: lag gap flags + running sum session ids
+    batch = spark.read.schema(SCHEMA).parquet(str(src)).filter("user_id != 99")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    s = batch.withColumn(
+        "new_s",
+        F.when(F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1)
+        .otherwise(0),
+    ).withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in s.groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    }
+    assert got == want
