@@ -9786,6 +9786,43 @@ def supplier_lead_time_percentiles(spark, sf_dir):
 
 
 @_q(
+    "window_time_range_frame",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+                AS BIGINT) AS trail30_cents,
+           CAST(count(*) OVER w AS BIGINT) AS trail30_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+)
+def window_time_range_frame(spark, sf_dir):
+    """TIME-interval RANGE frame: each order's trailing-30-day revenue and
+    order count for its customer — the time-based frame the numeric
+    rangeBetween query (window_range_frame) doesn't cover, and the form
+    that matters at scale (a ROWS frame over irregular event times is
+    semantically wrong; the RANGE frame binds by timestamp arithmetic).
+    Same-date peer rows share identical frames by RANGE semantics on both
+    engines, so ties are inherently deterministic. One custkey-partitioned
+    window, integer cents."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_trf")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+                    AS BIGINT) AS trail30_cents,
+               CAST(count(*) OVER w AS BIGINT) AS trail30_orders
+        FROM orders_trf
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, o_orderdate, o_orderkey
+        """
+    )
+
+
+@_q(
     "agg_boolean_family",
     """
     SELECT o_orderpriority,
@@ -10011,6 +10048,7 @@ _GRADE_NEXT: list[str] = [
     "text_shingle_novelty",
     "supplier_lead_time_percentiles",
     "agg_boolean_family",
+    "window_time_range_frame",
 ]
 
 
