@@ -9786,6 +9786,70 @@ def supplier_lead_time_percentiles(spark, sf_dir):
 
 
 @_q(
+    "text_length_percentiles_by_lang",
+    r"""
+    WITH lens AS (
+      SELECT lang, CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+                        AS BIGINT) AS n_toks,
+             CAST(count(*) AS BIGINT) AS n
+      FROM documents WHERE trim(text) <> ''
+      GROUP BY lang, len(string_split_regex(trim(lower(text)), '\s+'))
+    ), tot AS (
+      SELECT lang, CAST(sum(n) AS BIGINT) AS t FROM lens GROUP BY lang
+    ), cum AS (
+      SELECT lens.lang, lens.n_toks, lens.n,
+             sum(lens.n) OVER (PARTITION BY lens.lang ORDER BY lens.n_toks
+                               ROWS UNBOUNDED PRECEDING) AS cw
+      FROM lens
+    )
+    SELECT c.lang,
+           CAST(min(t.t) AS BIGINT) AS n_docs,
+           CAST(min(CASE WHEN 2 * c.cw >= t.t THEN c.n_toks END) AS BIGINT)
+             AS p50_tokens,
+           CAST(min(CASE WHEN 10 * c.cw >= 9 * t.t THEN c.n_toks END)
+                AS BIGINT) AS p90_tokens
+    FROM cum c JOIN tot t ON t.lang = c.lang
+    GROUP BY c.lang ORDER BY c.lang
+    """,
+)
+def text_length_percentiles_by_lang(spark, sf_dir):
+    """Per-language document-length percentiles (exact p50/p90 token
+    counts) — the chunk-size / packing-budget input per language
+    (under-served languages often have systematically shorter documents;
+    a single global percentile hides that). Partitioned counting-grid
+    percentile over the bounded distinct-length domain per language —
+    the same machinery as the supplier lead-time SLOs, applied to the
+    corpus."""
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    lens = d.select(
+        "lang",
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        .cast("long")
+        .alias("n_toks"),
+    ).groupBy("lang", "n_toks").agg(F.count("*").alias("n"))
+    tot = lens.groupBy("lang").agg(F.sum("n").alias("t"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("n_toks")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = lens.withColumn("cw", F.sum("n").over(w)).join(tot, "lang")
+    return (
+        cum.groupBy("lang")
+        .agg(
+            F.min("t").cast("long").alias("n_docs"),
+            F.min(
+                F.when(2 * F.col("cw") >= F.col("t"), F.col("n_toks"))
+            ).cast("long").alias("p50_tokens"),
+            F.min(
+                F.when(10 * F.col("cw") >= 9 * F.col("t"), F.col("n_toks"))
+            ).cast("long").alias("p90_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_q(
     "window_time_range_frame",
     """
     SELECT o_custkey, o_orderkey, o_orderdate,
@@ -10049,6 +10113,7 @@ _GRADE_NEXT: list[str] = [
     "supplier_lead_time_percentiles",
     "agg_boolean_family",
     "window_time_range_frame",
+    "text_length_percentiles_by_lang",
 ]
 
 
