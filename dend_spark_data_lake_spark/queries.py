@@ -10088,7 +10088,11 @@ _GRADE_FIRST = [
 
 
 # Behind the window, queued for the round-5 rotation: additions landed after
-# the round-4 window filled. Locally hash-certified at sf0.001/0.01/0.1.
+# the round-4 window filled — a fourth certified iterative algorithm (PCA),
+# the remaining adapted TPC-H shapes (Q2/Q11/Q16/Q20), estimator-calibration
+# and recall evals for the LSH/IVF indexes, robust statistics, and the
+# dataset-card / dedup-report capstones. Every entry is locally
+# hash-certified at sf0.001 / 0.01 / 0.1.
 _GRADE_NEXT: list[str] = [
     "embed_pca_topvec",
     "sql_min_price_supplier",
