@@ -9850,6 +9850,59 @@ def text_length_percentiles_by_lang(spark, sf_dir):
 
 
 @_q(
+    "events_sessions_detail",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM e
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def events_sessions_detail(spark, sf_dir):
+    """Per-session rows (start, end, event count) from the 30-minute-gap
+    sessionizer — the session-level relation downstream funnel and
+    engagement models join against (events_sessionization is its per-user
+    rollup; the streaming stateful sessionizer is locked equal to this
+    formulation in tests/test_streaming.py). Two per-user windows + one
+    keyed aggregate, nothing global."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    e = ev.withColumn(
+        "new_s",
+        F.when(F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1)
+        .otherwise(0),
+    )
+    s = e.withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        s.groupBy("user_id", F.col("session_id").cast("long").alias("session_id"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@_q(
     "window_time_range_frame",
     """
     SELECT o_custkey, o_orderkey, o_orderdate,
@@ -10118,6 +10171,7 @@ _GRADE_NEXT: list[str] = [
     "agg_boolean_family",
     "window_time_range_frame",
     "text_length_percentiles_by_lang",
+    "events_sessions_detail",
 ]
 
 
