@@ -43,9 +43,11 @@ def asof_join(
     tiebreak: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
-    ``right.ts <= left.ts`` (``direction="backward"``, default) or the
+    ``right.ts <= left.ts`` (``direction="backward"``, default), the
     earliest right row with ``right.ts >= left.ts``
-    (``direction="forward"``) within the same ``on`` key group.
+    (``direction="forward"``), or whichever of those two is closest in
+    absolute time (``direction="nearest"``; equidistant ties resolve
+    BACKWARD) within the same ``on`` key group.
 
     Implementation (scale-first): tag and union both sides, then one window
     per key ordered by (ts, side) carrying ``last(right value, ignorenulls)``
@@ -66,8 +68,10 @@ def asof_join(
     Returns ``left`` columns plus ``right_ts + suffix`` and each of
     ``right_cols`` suffixed.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     on = list(on)
     lcols = left.columns
     tb_type = right.schema[tiebreak].dataType if tiebreak else None
@@ -90,17 +94,36 @@ def asof_join(
         *[F.col(c) for c in lcols if c not in on],
     )
     unioned = tagged_r.unionByName(tagged_l)
-    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+
     # __tb DESC puts the minimum-tiebreak right row LAST among its equal-ts
     # group, so F.last selects it — the deterministic winner.
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(ts_order, F.col("__side").asc(), F.col("__tb").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = unioned.withColumn("__match", F.last("__rval", ignorenulls=True).over(w)).filter(
-        F.col("__side") == 1
-    )
+    def carried(asc: bool):
+        order = F.col("__ts").asc() if asc else F.col("__ts").desc()
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(order, F.col("__side").asc(), F.col("__tb").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last("__rval", ignorenulls=True).over(w)
+
+    if direction == "nearest":
+        # both directions ride the SAME hash partitioning — one exchange,
+        # two in-partition sorts; the nearer candidate wins, backward on
+        # equidistant ties (and when either side has no candidate)
+        b, fw = carried(True), carried(False)
+        gap_b = F.unix_micros(F.col("__ts")) - F.unix_micros(b[right_ts])
+        gap_f = F.unix_micros(fw[right_ts]) - F.unix_micros(F.col("__ts"))
+        pick = (
+            F.when(b.isNull(), fw)
+            .when(fw.isNull(), b)
+            .when(gap_f < gap_b, fw)
+            .otherwise(b)
+        )
+        matched = unioned.withColumn("__match", pick).filter(F.col("__side") == 1)
+    else:
+        matched = unioned.withColumn(
+            "__match", carried(direction == "backward")
+        ).filter(F.col("__side") == 1)
     out = matched.select(
         *[F.col(c) for c in on],
         F.col("__ts").alias(left_ts),

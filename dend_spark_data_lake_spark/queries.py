@@ -9850,6 +9850,89 @@ def text_length_percentiles_by_lang(spark, sf_dir):
 
 
 @_q(
+    "join_asof_nearest",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ), p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), b AS (
+      SELECT error_id, pid AS b_pid, pts AS b_ts FROM (
+        SELECT e.event_id AS error_id, p.event_id AS pid, p.ts AS pts,
+               row_number() OVER (PARTITION BY e.user_id, e.event_id
+                                  ORDER BY p.ts DESC, p.event_id ASC) AS rn
+        FROM e JOIN p ON p.user_id = e.user_id AND p.ts <= e.ts)
+      WHERE rn = 1
+    ), f AS (
+      SELECT error_id, pid AS f_pid, pts AS f_ts FROM (
+        SELECT e.event_id AS error_id, p.event_id AS pid, p.ts AS pts,
+               row_number() OVER (PARTITION BY e.user_id, e.event_id
+                                  ORDER BY p.ts ASC, p.event_id ASC) AS rn
+        FROM e JOIN p ON p.user_id = e.user_id AND p.ts >= e.ts)
+      WHERE rn = 1
+    )
+    SELECT e.event_id AS error_id, e.user_id,
+           CASE
+             WHEN b.b_pid IS NULL AND f.f_pid IS NULL THEN NULL
+             WHEN b.b_pid IS NULL THEN f.f_pid
+             WHEN f.f_pid IS NULL THEN b.b_pid
+             WHEN epoch_us(f.f_ts) - epoch_us(e.ts)
+                  < epoch_us(e.ts) - epoch_us(b.b_ts) THEN f.f_pid
+             ELSE b.b_pid
+           END AS nearest_purchase_id,
+           CASE
+             WHEN b.b_pid IS NULL AND f.f_pid IS NULL THEN NULL
+             WHEN b.b_pid IS NULL THEN epoch_us(f.f_ts) - epoch_us(e.ts)
+             WHEN f.f_pid IS NULL THEN epoch_us(b.b_ts) - epoch_us(e.ts)
+             WHEN epoch_us(f.f_ts) - epoch_us(e.ts)
+                  < epoch_us(e.ts) - epoch_us(b.b_ts)
+               THEN epoch_us(f.f_ts) - epoch_us(e.ts)
+             ELSE epoch_us(b.b_ts) - epoch_us(e.ts)
+           END AS delta_us
+    FROM e
+    LEFT JOIN b ON b.error_id = e.event_id
+    LEFT JOIN f ON f.error_id = e.event_id
+    ORDER BY error_id
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """NEAREST as-of join: each error matched to the same user's closest
+    purchase in EITHER direction (signed delta_us; equidistant ties and
+    duplicate timestamps resolve deterministically — backward wins ties,
+    min event_id within a timestamp). The third as-of direction
+    (operators/joins.py::asof_join direction="nearest"): both carried
+    values ride ONE hash shuffle with two in-partition sorts — still no
+    inequality cross product. The oracle decorrelates both directions
+    with row_number and replays the pick."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    j = asof_join(
+        errors,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id"],
+        direction="nearest",
+        tiebreak="event_id",
+    )
+    delta = F.unix_micros(F.col("ts_right")) - F.unix_micros(F.col("ts"))
+    return j.select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("event_id_right").alias("nearest_purchase_id"),
+        F.when(F.col("event_id_right").isNull(), F.lit(None).cast("long"))
+        .otherwise(delta)
+        .alias("delta_us"),
+    ).orderBy("error_id")
+
+
+@_q(
     "events_sessions_detail",
     """
     WITH e AS (
@@ -10172,6 +10255,7 @@ _GRADE_NEXT: list[str] = [
     "window_time_range_frame",
     "text_length_percentiles_by_lang",
     "events_sessions_detail",
+    "join_asof_nearest",
 ]
 
 
