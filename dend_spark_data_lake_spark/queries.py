@@ -9850,6 +9850,53 @@ def text_length_percentiles_by_lang(spark, sf_dir):
 
 
 @_q(
+    "multimodal_chunk_dedup",
+    """
+    WITH m AS (
+      SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id < 100
+    ), k AS (
+      SELECT CAST(unnest(range(0, 64)) AS INT) AS chunk_idx
+    ), chunks AS (
+      SELECT doc_id, md5(substring(text, 1 + chunk_idx * 256, 256)) AS h
+      FROM m JOIN k ON chunk_idx * 256 < n
+    ), per_hash AS (
+      SELECT h, CAST(count(*) AS BIGINT) AS c FROM chunks GROUP BY h
+    )
+    SELECT CAST(sum(c) AS BIGINT) AS n_chunks,
+           CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+           CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT)
+             AS n_dedupable_chunks,
+           CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) * 1000000
+                // sum(c) AS BIGINT) AS dedup_savings_ppm
+    FROM per_hash
+    """,
+)
+def multimodal_chunk_dedup(spark, sf_dir):
+    """Content-addressable-storage savings estimate over binary payloads:
+    hash every fixed 256-byte chunk and report how many chunks a CAS
+    layer would deduplicate (identical GOPs / audio segments / embedded
+    assets dedupe at the chunk level even when whole files differ) —
+    near-zero on this synthetic corpus, which the exact ppm certifies
+    rather than assumes. Reuses the certified chunking relation
+    (functions/multimodal.py::chunk_payload); the shuffle key is the
+    32-byte chunk hash, never chunk bytes."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    chunks = MM.chunk_payload(MM.to_media_table(docs), chunk_bytes=256)
+    per_hash = chunks.groupBy("chunk_md5").agg(F.count("*").alias("c"))
+    return per_hash.agg(
+        F.sum("c").cast("long").alias("n_chunks"),
+        F.count("*").cast("long").alias("n_distinct_chunks"),
+        F.sum(F.when(F.col("c") > 1, F.col("c") - 1).otherwise(0))
+        .cast("long")
+        .alias("n_dedupable_chunks"),
+        F.expr(
+            "CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) * 1000000"
+            " DIV sum(c) AS BIGINT)"
+        ).alias("dedup_savings_ppm"),
+    )
+
+
+@_q(
     "join_asof_nearest",
     """
     WITH e AS (
@@ -10256,6 +10303,7 @@ _GRADE_NEXT: list[str] = [
     "text_length_percentiles_by_lang",
     "events_sessions_detail",
     "join_asof_nearest",
+    "multimodal_chunk_dedup",
 ]
 
 
