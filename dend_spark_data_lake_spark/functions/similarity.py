@@ -1183,6 +1183,52 @@ def brp_ann_topk(
     )
 
 
+def ivf_assignments(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 100,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Build the inverted file: assign every corpus vector to its nearest
+    deterministic centroid (corpus rows with ``id % centroid_mod == 0``).
+
+    Returns (cid, neighbor_id, nv) where ``nv`` is the double-cast vector
+    — the shared assignment step of ``ivf_topk`` (probed search) and the
+    index-health profile (``sim_ivf_index_stats``): a tuning run inspects
+    bucket balance on exactly the relation the search will probe.
+
+    Assignment ranking uses ROUNDED cosines (+ cid tie-break): unrounded
+    ranking is FP-summation-order-sensitive, which would make bucket
+    membership engine-specific; rounding makes the whole inverted file
+    reproducible in ANSI SQL (sim_ann_ivf's DuckDB oracle).
+
+    Scale: centroids are k rows broadcast everywhere; assignment is one
+    narrow pass over the corpus plus a per-vector window over k candidate
+    rows — no corpus shuffle beyond the (vector, centroid) fanout, which
+    is bounded by k per vector.
+    """
+    dv = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    cent = corpus.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("cid"), dv(vec_col).alias("cv")
+    )
+    cos_to_cent = _dot(F.col("nv"), F.col("cv")) / (
+        F.sqrt(_dot(F.col("nv"), F.col("nv")))
+        * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), dv(vec_col).alias("nv"))
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.col("__ccos").desc(), F.col("cid").asc()
+    )
+    return (
+        c.crossJoin(F.broadcast(cent))
+        .withColumn("__ccos", F.round(cos_to_cent, round_digits))
+        .withColumn("__r", F.row_number().over(w_assign))
+        .filter(F.col("__r") == 1)
+        .select("cid", "neighbor_id", "nv")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1217,20 +1263,12 @@ def ivf_topk(
         F.sqrt(_dot(v, v)) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
     )
 
-    # Assignment/probe ranking uses ROUNDED cosines (+ cid tie-break):
-    # unrounded ranking is FP-summation-order-sensitive, which would make
-    # bucket membership engine-specific; rounding makes the whole inverted
-    # file reproducible in ANSI SQL (sim_ann_ivf's DuckDB oracle).
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), dv(vec_col).alias("nv"))
-    w_assign = Window.partitionBy("neighbor_id").orderBy(
-        F.col("__ccos").desc(), F.col("cid").asc()
-    )
-    assigned = (
-        c.crossJoin(F.broadcast(cent))
-        .withColumn("__ccos", F.round(cos_to_cent(F.col("nv")), round_digits))
-        .withColumn("__r", F.row_number().over(w_assign))
-        .filter(F.col("__r") == 1)
-        .select("cid", "neighbor_id", "nv")
+    assigned = ivf_assignments(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroid_mod=centroid_mod,
+        round_digits=round_digits,
     )
 
     q = queries.select(F.col(id_col).alias("query_id"), dv(vec_col).alias("qv"))

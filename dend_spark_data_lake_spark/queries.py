@@ -10197,6 +10197,344 @@ def sim_ivf_recall_eval(spark, sf_dir):
     )
 
 
+@_q(
+    "agg_salted_twophase",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_salted_twophase(spark, sf_dir):
+    """Two-phase SALTED aggregation for hot grouping keys: partial
+    aggregate on (key, salt) — 16 salt buckets derived from the row id —
+    then a final combine on the key alone. Certified equal to the plain
+    one-phase GROUP BY (the oracle), because count/sum are commutative
+    monoids: salting changes the shuffle layout, never the algebra.
+
+    Scale: event_type has ~5 values, so a plain groupBy at 100 TB sends
+    EVERY row to <=5 reducers — the canonical hot-key straggler. The salt
+    spreads phase 1 across 16x more reducers while keeping it map-side
+    combinable; phase 2 touches only |keys| x 16 partial rows. (Spark's
+    own partial aggregation gives this for free on simple aggregates —
+    the explicit pattern is what you reach for when the payload is
+    per-key state partial agg can't shrink, e.g. collect-heavy aggs.)
+    """
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    partial = (
+        ev.withColumn("__salt", (F.col("event_id") % 16).cast("int"))
+        .groupBy("event_type", "__salt")
+        .agg(F.count("*").alias("pn"), F.sum(cents).alias("ps"))
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pn").cast("long").alias("n_events"),
+            F.sum("ps").cast("long").alias("value_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_q(
+    "agg_incremental_merge",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_incremental_merge(spark, sf_dir):
+    """Incremental aggregate maintenance (materialized-view refresh): a
+    historical SNAPSHOT partial aggregate (orders before 1997) is merged
+    with a DELTA batch's partial aggregate (orders from 1997 on) by
+    summing partials — certified equal to the full recompute over the
+    union (the oracle), because (count, sum) form a commutative monoid.
+
+    Scale: this is the pattern that turns a daily 100 TB full-history
+    rescan into a scan of yesterday's partition only — the snapshot side
+    is |groups| rows read back from the serving store, the delta side
+    aggregates just the new partition, and the merge is a |groups|-row
+    union+combine. The engine-side guarantee that merge == recompute is
+    exactly what this query certifies cross-engine.
+    """
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+
+    def partial(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("pn"), F.sum(cents).alias("ps")
+        )
+
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    snapshot = partial(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        snapshot.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("pn").cast("long").alias("n_orders"),
+            F.sum("ps").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@_q(
+    "sim_ivf_index_stats",
+    """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+    ), c AS (
+      SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 100 = 0
+    ), asg AS (
+      SELECT vec_id AS neighbor_id, cid FROM (
+        SELECT n.vec_id, c.cid,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 6)
+                            DESC, c.cid) AS rn
+        FROM n CROSS JOIN c)
+      WHERE rn = 1
+    ), sizes AS (
+      SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs FROM asg GROUP BY cid
+    ), tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS t FROM sizes)
+    SELECT cid, n_vecs,
+           CAST(n_vecs * 1000000 // t AS BIGINT) AS share_ppm
+    FROM sizes, tot ORDER BY cid
+    """,
+)
+def sim_ivf_index_stats(spark, sf_dir):
+    """IVF index-health profile: per-centroid bucket size and exact-ppm
+    share of the corpus, over the SAME inverted file ivf_topk probes
+    (functions/similarity.py::ivf_assignments). A skewed bucket profile
+    means probe cost is dominated by one hot cell — this is the
+    measurement that drives centroid-count / re-clustering decisions
+    before committing to an ANN run, completing the tuning trio with
+    dedup_band_stats (LSH) and sim_ivf_recall_eval (recall).
+
+    Scale: output is bounded by the number of centroids; the profile is
+    one keyed count over the assignment relation plus a 1-row broadcast
+    total — the corpus is scanned once and never self-joined."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sizes = (
+        SIM.ivf_assignments(emb, centroid_mod=100)
+        .groupBy("cid")
+        .agg(F.count("*").cast("long").alias("n_vecs"))
+    )
+    tot = sizes.agg(F.sum("n_vecs").cast("long").alias("t"))
+    return (
+        sizes.crossJoin(F.broadcast(tot))
+        .select(
+            "cid",
+            "n_vecs",
+            F.expr("CAST(n_vecs * 1000000 DIV t AS BIGINT)").alias("share_ppm"),
+        )
+        .orderBy("cid")
+    )
+
+
+@_q(
+    "profile_dup_source_matrix",
+    """
+    WITH fs AS (
+      SELECT md5(array_to_string(
+               list_slice(string_split_regex(trim(lower(text)), '\s+'), 1, 8),
+               ' ')) AS fp,
+             source, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS shared_fingerprints,
+           CAST(sum(a.n * b.n) AS BIGINT) AS dup_pairs
+    FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def profile_dup_source_matrix(spark, sf_dir):
+    """Cross-source duplicate matrix: for every source pair, how many
+    distinct prefix fingerprints (md5 of the first 8 normalized tokens —
+    the dedup_prefix_fingerprint key) they share and how many
+    cross-source duplicate pairs that implies — the duplication
+    complement of profile_source_overlap's vocabulary Jaccard. A hot
+    cell here means one source mirrors or templates another
+    (syndication, scraper overlap) and should be dropped wholesale
+    rather than deduped document-by-document.
+
+    Scale: documents collapse to one (fingerprint, source, count) row
+    each BEFORE any join — the self-join runs on the aggregated relation
+    keyed by fingerprint, so its fanout per fingerprint is bounded by the
+    number of sources, never by duplicate multiplicity; output is
+    bounded by n_sources^2."""
+    d = _t(spark, sf_dir, "documents")
+    fs = d.groupBy(
+        F.md5(
+            F.array_join(
+                F.slice(F.split(F.trim(F.lower("text")), r"\s+"), 1, 8), " "
+            )
+        ).alias("fp"),
+        "source",
+    ).agg(F.count("*").cast("long").alias("n"))
+    a = fs.select(
+        F.col("fp"), F.col("source").alias("source_a"), F.col("n").alias("na")
+    )
+    b = fs.select(
+        F.col("fp"), F.col("source").alias("source_b"), F.col("n").alias("nb")
+    )
+    return (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("long").alias("shared_fingerprints"),
+            F.sum(F.col("na") * F.col("nb")).cast("long").alias("dup_pairs"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+@_q(
+    "events_adjacent_dedup",
+    """
+    WITH runs AS (
+      SELECT event_type,
+             CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts,
+                    event_id) IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS run_start
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(run_start) AS BIGINT) AS n_runs,
+           CAST((count(*) - sum(run_start)) * 1000000 // count(*) AS BIGINT)
+             AS collapse_ppm
+    FROM runs GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_adjacent_dedup(spark, sf_dir):
+    """Run-length (adjacent-duplicate) event compression accounting: per
+    event type, how many events survive keeping only the FIRST of each
+    consecutive same-type run per user — the lag-IS-DISTINCT-FROM run-
+    start idiom (double-fire clicks, retry storms, sensor chatter). The
+    per-type collapse ratio (exact ppm) tells you what the raw stream
+    costs you versus the run-compressed stream.
+
+    Scale: one user-keyed window (events within a user sort in-partition)
+    feeding a map-side-combinable per-type rollup — no self-join, no
+    second shuffle of the full stream; the tie-break (ts, event_id) makes
+    run boundaries deterministic under any partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = ev.select(
+        "event_type",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        )
+        .otherwise(0)
+        .alias("run_start"),
+    )
+    return (
+        runs.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("run_start").cast("long").alias("n_runs"),
+            F.expr(
+                "CAST((count(*) - sum(run_start)) * 1000000 DIV count(*) "
+                "AS BIGINT)"
+            ).alias("collapse_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_q(
+    "text_bigram_surprisal",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE trim(text) <> ''
+    ), big AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                                   i -> t[i])) AS w1,
+             unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                                   i -> t[i + 1])) AS w2
+      FROM toks
+    ), bg AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM big GROUP BY w1, w2
+    ), ug AS (
+      SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM bg GROUP BY w1
+    ), v AS (
+      SELECT CAST(count(DISTINCT w2) AS BIGINT) AS vocab FROM bg
+    )
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(ln(CAST(ug.cu + v.vocab AS DOUBLE))
+                     - ln(CAST(bg.cb + 1 AS DOUBLE))) / count(*), 6)
+             AS surprisal_nats
+    FROM big d
+    JOIN bg ON d.w1 = bg.w1 AND d.w2 = bg.w2
+    JOIN ug ON d.w1 = ug.w1
+    CROSS JOIN v
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+)
+def text_bigram_surprisal(spark, sf_dir):
+    """Per-document mean bigram surprisal under an add-one-smoothed
+    corpus bigram LM: -ln P(w2|w1) with P = (c(w1,w2)+1)/(c(w1·)+V),
+    averaged over the document's bigrams — the engine-exact stand-in for
+    the KenLM/CCNet perplexity filter (high surprisal = text unlike the
+    corpus; low = templated/repetitive). Counts are exact integers; the
+    only float work is two ln's per distinct bigram whose 1-ulp engine
+    differences sit ~9 orders below round(.,6) (same argument as
+    doc_entropy_unigram).
+
+    Scale: the corpus LM is two token-keyed combinable aggregates; the
+    scoring join is keyed by bigram (never by document pairs), so cost is
+    linear in corpus tokens; V is a 1-row broadcast. At 100 TB you'd
+    df-floor the bigram table (drop hapax bigrams) to bound the model
+    relation — the join shape is unchanged."""
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    toks = d.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("ts")
+    ).filter(F.size("ts") >= 2)
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(slice(ts, 1, size(ts) - 1), (w, i) -> "
+                   "struct(w AS w1, ts[i + 1] AS w2))")
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    bg = big.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("cb"))
+    ug = bg.groupBy("w1").agg(F.sum("cb").cast("long").alias("cu"))
+    v = bg.agg(F.countDistinct("w2").cast("long").alias("vocab"))
+    return (
+        big.join(bg, ["w1", "w2"])
+        .join(ug, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(
+                    F.log(F.col("cu").cast("double") + F.col("vocab"))
+                    - F.log(F.col("cb").cast("double") + 1)
+                )
+                / F.count("*"),
+                6,
+            ).alias("surprisal_nats"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -10304,6 +10642,12 @@ _GRADE_NEXT: list[str] = [
     "events_sessions_detail",
     "join_asof_nearest",
     "multimodal_chunk_dedup",
+    "agg_salted_twophase",
+    "agg_incremental_merge",
+    "sim_ivf_index_stats",
+    "profile_dup_source_matrix",
+    "events_adjacent_dedup",
+    "text_bigram_surprisal",
 ]
 
 
