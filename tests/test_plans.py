@@ -575,6 +575,12 @@ R4_NO_CARTESIAN = [
     "graph_pagerank_nations",
     "window_percent_change",
     "events_type_transitions",
+    "agg_salted_twophase",
+    "agg_incremental_merge",
+    "sim_ivf_index_stats",
+    "profile_dup_source_matrix",
+    "events_adjacent_dedup",
+    "text_bigram_surprisal",
 ]
 
 
@@ -749,3 +755,55 @@ def test_source_divergence_aggregates_corpus_once(spark):
 def test_rolling_distinct_semi_join_broadcasts_days(spark):
     plan = _plan(spark, "ts_rolling_distinct_users")
     assert "LeftSemi" in plan, plan
+
+
+def test_salted_twophase_single_scan_two_aggregate_pairs(spark):
+    """The salted rewrite must stay one events scan feeding two
+    partial+final aggregate pairs — a second scan or a join would mean
+    the phases were planned as separate passes."""
+    plan = _plan(spark, "agg_salted_twophase")
+    assert plan.count("events.parquet") == 1, plan
+    assert plan.count("HashAggregate") >= 4, plan
+    assert "Join" not in plan, plan
+
+
+def test_incremental_merge_partials_stay_aggregates(spark):
+    """Snapshot and delta sides each aggregate BEFORE the union — the
+    final combine must run on partial rows (4+ HashAggregates, union of
+    two filtered scans, no join anywhere)."""
+    plan = _plan(spark, "agg_incremental_merge")
+    assert plan.count("orders.parquet") == 2, plan
+    assert plan.count("HashAggregate") >= 6, plan
+    assert "Join" not in plan, plan
+    assert _pushed_nonempty(plan) >= 2, plan  # date filter pushed both sides
+
+
+def test_dup_source_matrix_joins_aggregated_fingerprints(spark):
+    """The self-join must run on the (fingerprint, source, count)
+    AGGREGATE, never on raw documents: exactly two documents scans (one
+    per join side), each feeding an aggregate below the join, and the
+    join itself hashed — BNLJ/cartesian here would be quadratic in docs."""
+    plan = _plan(spark, "profile_dup_source_matrix")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("documents.parquet") == 2, plan
+
+
+def test_bigram_surprisal_joins_keyed_by_bigram(spark):
+    """LM scoring must join doc bigrams to the count tables on the
+    bigram/unigram keys (hash joins); the only nested-loop is the 1-row
+    vocabulary broadcast."""
+    plan = _plan(spark, "text_bigram_surprisal")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_adjacent_dedup_window_keyed_by_user(spark):
+    """The run-start lag window must partition by user_id (in-partition
+    sort, no global window) and feed one combinable per-type rollup."""
+    import re as _re
+
+    plan = _plan(spark, "events_adjacent_dedup")
+    for m in _re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "user_id" in m.group(1), m.group(0)
+    assert plan.count("events.parquet") == 1, plan
