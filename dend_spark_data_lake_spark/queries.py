@@ -10535,6 +10535,125 @@ def text_bigram_surprisal(spark, sf_dir):
     )
 
 
+@_q(
+    "join_point_in_time",
+    """
+    WITH ch AS (
+      SELECT user_id, ts, max_by(event_type, event_id) AS status
+      FROM events WHERE event_type <> 'purchase'
+      GROUP BY user_id, ts
+    ), d AS (
+      SELECT user_id, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+             status
+      FROM ch
+    )
+    SELECT p.event_id AS purchase_id, p.user_id, d.status,
+           d.valid_from AS status_since
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN d ON d.user_id = p.user_id AND p.ts >= d.valid_from
+               AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    ORDER BY purchase_id
+    """,
+)
+def join_point_in_time(spark, sf_dir):
+    """Point-in-time (SCD2 temporal) dimension join: each purchase picks
+    up the dimension row VALID AT its timestamp. The oracle states the
+    textbook form — build [valid_from, valid_to) intervals with lead()
+    and join on containment — while the engine runs the SCALE-CORRECT
+    rewrite: containment against an SCD2 dimension is exactly an as-of
+    join on the change rows (operators/joins.py::asof_join — union + one
+    keyed shuffle + in-partition window), because intervals partition the
+    timeline per key. Certifying the two forms equal is the point: the
+    BETWEEN form plans as an inequality join (quadratic per key) on any
+    engine; the as-of form never builds a pair relation.
+
+    Change rows are deduped to one status per (user, ts) with a
+    max_by(event_id) tie-break so both engines see identical intervals;
+    purchases before a user's first change keep a NULL status (LEFT
+    semantics on both sides)."""
+    ev = _t(spark, sf_dir, "events")
+    ch = (
+        ev.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("event_type", "event_id").alias("status"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    j = asof_join(
+        purchases, ch, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["status"],
+    )
+    return j.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("status_right").alias("status"),
+        F.col("ts_right").alias("status_since"),
+    ).orderBy("purchase_id")
+
+
+@_q(
+    "profile_psi_event_types",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-16')
+                  AS BIGINT) AS n_a,
+             CAST(count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-16')
+                  AS BIGINT) AS n_b
+      FROM events GROUP BY event_type
+    ), t AS (
+      SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb
+      FROM b WHERE n_a > 0 AND n_b > 0
+    )
+    SELECT event_type, n_a, n_b,
+           round((CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb)
+                 * ln((CAST(n_a AS DOUBLE) / ta)
+                      / (CAST(n_b AS DOUBLE) / tb)), 6) AS psi_term
+    FROM b, t WHERE n_a > 0 AND n_b > 0
+    ORDER BY event_type
+    """,
+)
+def profile_psi_event_types(spark, sf_dir):
+    """Population stability index (PSI) between two time windows of the
+    event stream — the standard drift monitor for a categorical
+    distribution (PSI < 0.1 stable, > 0.25 shifted). One conditional
+    aggregate produces both windows' counts in a single scan (FILTER
+    clause); proportions are exact integer ratios, and the only float
+    work is one ln per bin whose 1-ulp engine noise sits far below
+    round(.,6). Bins present in only one window are excluded from both
+    the terms and the totals (their ln is undefined); a production
+    monitor would add a smoothing floor instead — same plan shape.
+
+    Scale: the corpus is scanned once; everything after the |bins|-row
+    aggregate is broadcast arithmetic. Output is one row per bin (the
+    total PSI is the sum of psi_term — left to the reader so the
+    per-bin attribution stays visible)."""
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    b = ev.groupBy("event_type").agg(
+        F.count(F.when(F.col("ts") < cut, 1)).cast("long").alias("n_a"),
+        F.count(F.when(F.col("ts") >= cut, 1)).cast("long").alias("n_b"),
+    )
+    both = b.filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    t = both.agg(
+        F.sum("n_a").cast("long").alias("ta"), F.sum("n_b").cast("long").alias("tb")
+    )
+    pa = F.col("n_a").cast("double") / F.col("ta")
+    pb = F.col("n_b").cast("double") / F.col("tb")
+    return (
+        both.crossJoin(F.broadcast(t))
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -10648,6 +10767,8 @@ _GRADE_NEXT: list[str] = [
     "profile_dup_source_matrix",
     "events_adjacent_dedup",
     "text_bigram_surprisal",
+    "join_point_in_time",
+    "profile_psi_event_types",
 ]
 
 

@@ -807,3 +807,33 @@ def test_adjacent_dedup_window_keyed_by_user(spark):
     for m in _re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "user_id" in m.group(1), m.group(0)
     assert plan.count("events.parquet") == 1, plan
+
+
+def test_point_in_time_join_is_asof_not_inequality(spark):
+    """The SCD2 containment join must plan as the as-of rewrite (union +
+    keyed window over ONE shuffle) — any BroadcastNestedLoopJoin or
+    CartesianProduct means the BETWEEN form leaked through and the join
+    went quadratic per key."""
+    import re as _re
+
+    plan = _plan(spark, "join_point_in_time")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Union" in plan, plan
+    for m in _re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "user_id" in m.group(1), m.group(0)
+
+
+def test_psi_single_scan_broadcast_total(spark):
+    """PSI computes both windows' counts in one conditional aggregate;
+    the 1-row totals reference the same aggregate, so at runtime the
+    per-type exchange must be REUSED (one physical events scan), with
+    only the 1-row totals broadcast joined back."""
+    df = REGISTRY["profile_psi_event_types"].fn(spark, SF_SMOKE)
+    df.collect()  # reuse appears only in the final adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 1, plan
+    # the only nested-loop is the 1-row totals broadcast (the adaptive
+    # plan string repeats the node in its Initial Plan section)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    assert "CartesianProduct" not in plan, plan
