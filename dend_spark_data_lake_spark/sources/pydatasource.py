@@ -33,6 +33,7 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     EqualTo,
     GreaterThan,
@@ -109,6 +110,63 @@ class _SynthDocsReader(DataSourceReader):
             yield (doc_id, _LANGS[doc_id % len(_LANGS)], _doc_text(doc_id))
 
 
+class _SynthDocsStreamReader(DataSourceStreamReader):
+    """STREAMING counterpart of the batch reader (Spark 4
+    ``DataSourceStreamReader`` — the partition-planning variant, not
+    ``SimpleDataSourceStreamReader``, so each microbatch still fans out
+    across executors like the batch read does).
+
+    Offset protocol (the exactly-once contract):
+
+    - offsets are ``{"offset": n}`` dicts — n is the count of doc_ids
+      fully delivered to COMMITTED microbatches; Spark persists them in
+      the checkpoint's offset log, so a restarted query resumes at the
+      last planned offset instead of replaying from zero.
+    - ``latestOffset`` advances by at most ``rows_per_batch`` per
+      microbatch (rate limiting — the backpressure a real source applies
+      so one batch cannot swallow an unbounded backlog), saturating at
+      the ``rows`` cap, at which point the query drains and
+      ``processAllAvailable``/AvailableNow terminates.
+    - ``partitions(start, end)`` splits the (start, end] doc_id range
+      into ``partitions`` executor-side ranges; ``read`` regenerates
+      content as a pure function of doc_id, so a retried task replays
+      the IDENTICAL rows — determinism is what turns at-least-once task
+      scheduling into exactly-once stream delivery.
+    - ``commit(end)`` is a no-op: a generator has nothing to garbage-
+      collect; a queue-backed source would acknowledge/trim here.
+    """
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", 1000))
+        self.per_batch = int(options.get("rows_per_batch", 100))
+        self.n_parts = int(options.get("partitions", 4))
+        self._current = 0
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def latestOffset(self) -> dict:
+        self._current = min(self._current + self.per_batch, self.n_rows)
+        return {"offset": self._current}
+
+    def partitions(self, start: dict, end: dict):
+        s, e = start["offset"], end["offset"]
+        # resuming from a checkpoint ahead of this (fresh) reader's
+        # rate-limit cursor: fast-forward so latestOffset never regresses
+        self._current = max(self._current, e)
+        per = max(1, -(-(e - s) // self.n_parts))
+        return [
+            _RangePartition(lo, min(lo + per, e)) for lo in range(s, e, per)
+        ] or [_RangePartition(s, s)]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        for doc_id in range(partition.start, partition.end):
+            yield (doc_id, _LANGS[doc_id % len(_LANGS)], _doc_text(doc_id))
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to acknowledge/trim for a deterministic generator
+
+
 class SyntheticDocsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -119,6 +177,9 @@ class SyntheticDocsDataSource(DataSource):
 
     def reader(self, schema) -> _SynthDocsReader:
         return _SynthDocsReader(self.options)
+
+    def streamReader(self, schema) -> _SynthDocsStreamReader:
+        return _SynthDocsStreamReader(self.options)
 
 
 # ---------------------------------------------------------------------------

@@ -95,3 +95,65 @@ def test_jsonlshards_overwrite_replaces_previous_output(spark, tmp_path):
     assert sum(s["rows"] for s in manifest["shards"]) == 3
     back = spark.read.json(os.path.join(out, "shard-*.jsonl"))
     assert back.count() == 3
+
+
+def test_stream_reader_delivers_exactly_once(spark, tmp_path):
+    """The streaming side of synthdocs must deliver every doc_id in
+    [0, rows) exactly once across rate-limited microbatches, with
+    content identical to the batch read — determinism-by-doc_id is what
+    turns task retries into exactly-once delivery."""
+    register(spark)
+    q = (
+        spark.readStream.format("synthdocs")
+        .option("rows", 120)
+        .option("rows_per_batch", 50)
+        .option("partitions", 3)
+        .load()
+        .writeStream.format("memory")
+        .queryName("synthstream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM synthstream").collect()
+    assert sorted(r.doc_id for r in got) == list(range(120))
+    batch = spark.read.format("synthdocs").option("rows", 120).load()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch.collect()))
+
+
+def test_stream_reader_resumes_from_checkpoint(spark, tmp_path):
+    """A restarted query must resume from the checkpointed offset, not
+    replay from zero: first run drains 60 docs, the rerun (same
+    checkpoint, higher cap) must add exactly the NEXT 60 — no overlap,
+    no gap."""
+    register(spark)
+    ckpt = str(tmp_path / "ckpt2")
+    out = str(tmp_path / "out")
+
+    def run(rows_cap):
+        q = (
+            spark.readStream.format("synthdocs")
+            .option("rows", rows_cap)
+            .option("rows_per_batch", 25)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(60)
+    first = spark.read.parquet(out).collect()
+    assert sorted(r.doc_id for r in first) == list(range(60))
+    run(120)
+    merged = spark.read.parquet(out).collect()
+    # the restarted query appended ONLY the un-delivered tail: every id
+    # exactly once across both runs
+    assert sorted(r.doc_id for r in merged) == list(range(120))
