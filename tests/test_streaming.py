@@ -510,3 +510,61 @@ def test_streaming_sessionize_equals_batch_gaps(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_left_outer_join_emits_null_padded_rows(spark, tmp_path):
+    """LEFT OUTER stream-stream join: unmatched left rows must surface
+    NULL-padded once the watermark passes their join window — the outer
+    variant's distinct contract (state eviction DOUBLES as emission).
+    Matched pairs must equal the inner join's; unmatched views 3 and 4
+    (no click within 1h) emit exactly once with NULL right columns after
+    the sentinel batch advances the watermark."""
+    import time
+
+    from dend_spark_data_lake_spark.streaming.windows import (
+        read_event_stream,
+        run_available_now,
+        stream_stream_interval_join,
+    )
+
+    views = [
+        (1, _ts(9, 0), 100, 1.0),
+        (2, _ts(10, 0), 100, 2.0),
+        (3, _ts(9, 30), 200, 3.0),
+        (4, _ts(12, 0), 300, 4.0),
+    ]
+    clicks = [
+        (11, _ts(9, 20), 100, 9.0),   # matches view 1
+        (12, _ts(10, 30), 100, 8.0),  # matches view 2
+        (13, _ts(11, 0), 200, 7.0),   # 1.5h after view 3 -> no match
+        (14, _ts(11, 59), 300, 6.0),  # BEFORE view 4 -> no match
+    ]
+    _write_single_file(spark, views, str(tmp_path / "views" / "v1.parquet"))
+    _write_single_file(spark, clicks, str(tmp_path / "clicks" / "c1.parquet"))
+    time.sleep(1.05)  # file source orders batches by modification time
+    # sentinel batch on BOTH sides: pushes each side's watermark past
+    # every view's [ts, ts+1h] window so unmatched views evict-and-emit
+    _write_single_file(
+        spark, [(98, _ts(23, 0), 99, 0.0)], str(tmp_path / "views" / "v2.parquet")
+    )
+    _write_single_file(
+        spark, [(99, _ts(23, 0), 99, 0.0)], str(tmp_path / "clicks" / "c2.parquet")
+    )
+
+    vs = read_event_stream(
+        spark, str(tmp_path / "views"), SCHEMA, max_files_per_trigger=1
+    )
+    cs = read_event_stream(
+        spark, str(tmp_path / "clicks"), SCHEMA, max_files_per_trigger=1
+    )
+    joined = stream_stream_interval_join(
+        vs, cs, key="user_id", watermark="1 minute", within="1 hour",
+        how="leftOuter",
+    )
+    run_available_now(joined, "ssj_outer", "append", str(tmp_path / "ck"))
+    got = {
+        (r["event_id"], r["r_event_id"])
+        for r in spark.sql("SELECT * FROM ssj_outer").collect()
+        if r["user_id"] != 99
+    }
+    assert got == {(1, 11), (2, 12), (3, None), (4, None)}
