@@ -837,3 +837,67 @@ def test_psi_single_scan_broadcast_total(spark):
     # plan string repeats the node in its Initial Plan section)
     assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE's runtime skew handling is the engine's first line of defense
+    for hot join keys at 100 TB (explicit salting — salted_equi_join —
+    is the second): one key holding ~all the left rows must make AQE
+    mark the sort-merge join skewed and split the hot partition into
+    advisory-sized reads. Locks the capability (configs + runtime
+    re-plan), not just documentation."""
+    import pyspark.sql.functions as F
+
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    ]
+    saved = {}
+    for k in keys:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        # payload must be INCOMPRESSIBLE (md5 per row): shuffle blocks are
+        # compressed, and a constant pad deflates below the skew threshold
+        left = spark.range(0, 50_000).select(
+            F.when(F.col("id") < 49_800, F.lit(0))
+            .otherwise(F.col("id") % 200)
+            .alias("k"),
+            F.concat(
+                F.md5(F.col("id").cast("string")),
+                F.md5((F.col("id") + 1).cast("string")),
+                F.md5((F.col("id") + 2).cast("string")),
+            ).alias("payload"),
+        )
+        right = spark.range(0, 200).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("dim_val")
+        )
+        # the join must be the stage's TOP operator: any operator above it
+        # in the same adaptive plan (even a distribution-free global
+        # aggregate) suppressed the split in this build — a real scale
+        # lesson that skew handling and downstream-operator fusion trade
+        # off, and why the explicit salted_equi_join exists as the
+        # always-available fallback
+        j = left.join(right, "k")
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan, plan  # AQEShuffleRead marks the split read
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

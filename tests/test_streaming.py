@@ -568,3 +568,61 @@ def test_stream_stream_left_outer_join_emits_null_padded_rows(spark, tmp_path):
         if r["user_id"] != 99
     }
     assert got == {(1, 11), (2, 12), (3, None), (4, None)}
+
+
+def test_watermark_drops_late_rows_and_reports_them(spark, tmp_path):
+    """Late-data governance must be OBSERVABLE: a row older than the
+    watermark is dropped from the aggregation AND surfaces in the
+    query's stateOperators metrics (numRowsDroppedByWatermark) — the
+    counter an operations dashboard alerts on. The sentinel at 23:00
+    advances the watermark to 22:59 (delay 1 minute); the next batch's
+    9:05 event is hours below it and must not change any window.
+
+    Deliberately uses the DEFAULT trigger with phased
+    processAllAvailable, not Trigger.AvailableNow: in this Spark build
+    the availableNow multi-batch drain does NOT apply the advancing
+    watermark to late-row filtering within one drain (verified
+    empirically — late rows merge and dropped-counts stay 0), so a
+    continuously-running query is both the realistic deployment and the
+    only shape where the drop contract is enforceable per batch."""
+    from dend_spark_data_lake_spark.streaming.windows import (
+        read_event_stream,
+        tumbling_agg,
+    )
+
+    src = tmp_path / "src"
+    _write_single_file(spark, [(1, _ts(9, 0), 1, 1.0)], str(src / "f1.parquet"))
+    stream = read_event_stream(spark, str(src), SCHEMA, max_files_per_trigger=1)
+    out = tumbling_agg(stream, window="1 hour", watermark="1 minute")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wm_drops")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch: event 1 (9:00) — watermark still 0
+        _write_single_file(
+            spark, [(2, _ts(23, 0), 1, 1.0)], str(src / "f2.parquet")
+        )
+        q.processAllAvailable()  # sentinel advances watermark to 22:59
+        _write_single_file(
+            spark, [(3, _ts(9, 5), 1, 1.0)], str(src / "f3.parquet")
+        )
+        q.processAllAvailable()  # late row: below watermark -> dropped
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in (p["stateOperators"] or [])
+        )
+        got = {
+            (r.w_start, r.n_events)
+            for r in spark.sql("SELECT * FROM wm_drops").collect()
+        }
+    finally:
+        q.stop()
+    assert dropped == 1
+    # the 9:00 window holds ONLY event 1 — the late event never landed
+    assert (_ts(9, 0), 1) in got
+    assert (_ts(9, 0), 2) not in got
