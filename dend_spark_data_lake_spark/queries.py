@@ -39,6 +39,7 @@ from .operators.joins import (
     salted_equi_join,
 )
 from .operators.windows import per_group_top_k
+from .operators import percentiles as PCT
 from .operators import sampling as SAMP
 from .operators.packing import greedy_pack
 from .operators.datetime_ops import iso_weekday
@@ -8781,18 +8782,14 @@ def agg_weighted_median(spark, sf_dir):
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
         F.col("l_quantity").cast("long").alias("q"),
     )
-    pw = li.groupBy("cents").agg(F.sum("q").cast("long").alias("w"))
-    w_cum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy()
-    cum = pw.select(
-        "cents",
-        F.sum("w").over(w_cum).cast("long").alias("cw"),
-        F.sum("w").over(w_all).cast("long").alias("total_w"),
-    )
-    return cum.filter(2 * F.col("cw") >= F.col("total_w")).agg(
-        F.min("cents").cast("long").alias("weighted_median_cents"),
-        F.min("total_w").cast("long").alias("total_weight"),
-    )
+    return PCT.grid_percentiles(
+        li,
+        keys=[],
+        value_col="cents",
+        ranks=[(1, 2, "weighted_median_cents")],
+        weight="q",
+        total_name="total_weight",
+    ).select("weighted_median_cents", "total_weight")
 
 
 @_q(
@@ -9750,32 +9747,17 @@ def supplier_lead_time_percentiles(spark, sf_dir):
     raw lineitems anywhere."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    lt = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            "l_suppkey",
-            F.datediff("l_shipdate", "o_orderdate").alias("days"),
-        )
-        .groupBy("l_suppkey", "days")
-        .agg(F.count("*").alias("n"))
+    lt = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_suppkey",
+        F.datediff("l_shipdate", "o_orderdate").alias("days"),
     )
-    tot = lt.groupBy("l_suppkey").agg(F.sum("n").alias("t"))
-    w = (
-        Window.partitionBy("l_suppkey")
-        .orderBy("days")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = lt.withColumn("cw", F.sum("n").over(w)).join(tot, "l_suppkey")
     return (
-        cum.groupBy("l_suppkey")
-        .agg(
-            F.min("t").cast("long").alias("n_lines"),
-            F.min(
-                F.when(2 * F.col("cw") >= F.col("t"), F.col("days"))
-            ).cast("long").alias("p50_days"),
-            F.min(
-                F.when(10 * F.col("cw") >= 9 * F.col("t"), F.col("days"))
-            ).cast("long").alias("p90_days"),
+        PCT.grid_percentiles(
+            lt,
+            keys=["l_suppkey"],
+            value_col="days",
+            ranks=[(1, 2, "p50_days"), (9, 10, "p90_days")],
+            total_name="n_lines",
         )
         .select(
             F.col("l_suppkey").alias("s_suppkey"),
@@ -9826,25 +9808,16 @@ def text_length_percentiles_by_lang(spark, sf_dir):
         F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
         .cast("long")
         .alias("n_toks"),
-    ).groupBy("lang", "n_toks").agg(F.count("*").alias("n"))
-    tot = lens.groupBy("lang").agg(F.sum("n").alias("t"))
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("n_toks")
-        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = lens.withColumn("cw", F.sum("n").over(w)).join(tot, "lang")
     return (
-        cum.groupBy("lang")
-        .agg(
-            F.min("t").cast("long").alias("n_docs"),
-            F.min(
-                F.when(2 * F.col("cw") >= F.col("t"), F.col("n_toks"))
-            ).cast("long").alias("p50_tokens"),
-            F.min(
-                F.when(10 * F.col("cw") >= 9 * F.col("t"), F.col("n_toks"))
-            ).cast("long").alias("p90_tokens"),
+        PCT.grid_percentiles(
+            lens,
+            keys=["lang"],
+            value_col="n_toks",
+            ranks=[(1, 2, "p50_tokens"), (9, 10, "p90_tokens")],
+            total_name="n_docs",
         )
+        .select("lang", "n_docs", "p50_tokens", "p90_tokens")
         .orderBy("lang")
     )
 
