@@ -78,6 +78,8 @@ SECONDARY = [
     "market_basket_pairs",
     "attribution_linear_credit",
     "text_cooccurrence_pmi",
+    "text_bigram_surprisal",
+    "join_point_in_time",
 ]
 
 

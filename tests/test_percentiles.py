@@ -1,0 +1,62 @@
+"""Direct contract tests for operators/percentiles.py::grid_percentiles —
+the shared counting-grid machinery behind agg_weighted_median,
+supplier_lead_time_percentiles, and text_length_percentiles_by_lang (each
+of those is ALSO hash-certified against DuckDB end to end; this file pins
+the operator's semantics against a plain-Python replica so the helper can
+be reused without re-deriving them)."""
+
+from __future__ import annotations
+
+from dend_spark_data_lake_spark.operators.percentiles import grid_percentiles
+
+
+def _replica(rows, num, den):
+    """percentile_disc over (value, weight) pairs: smallest value whose
+    cumulative weight w satisfies den*cw >= num*total."""
+    total = sum(w for _, w in rows)
+    cw = 0
+    for v, w in sorted(rows):
+        cw += w
+        if den * cw >= num * total:
+            return v
+    raise AssertionError("unreachable for num <= den")
+
+
+def test_keyed_unit_weight_matches_replica(spark):
+    data = [("a", v) for v in [5, 1, 9, 1, 7, 3, 3, 3]] + [
+        ("b", v) for v in [10, 20]
+    ]
+    df = spark.createDataFrame(data, "k string, v long")
+    out = {
+        r["k"]: (r["n"], r["p50"], r["p90"])
+        for r in grid_percentiles(
+            df, ["k"], "v", [(1, 2, "p50"), (9, 10, "p90")], total_name="n"
+        ).collect()
+    }
+    for key in ("a", "b"):
+        rows = [(v, 1) for kk, v in data if kk == key]
+        assert out[key] == (
+            len(rows),
+            _replica(rows, 1, 2),
+            _replica(rows, 9, 10),
+        )
+
+
+def test_global_weighted_matches_replica(spark):
+    # weighted median: heavy weight on a high value drags the median up
+    rows = [(1, 1), (2, 1), (3, 1), (100, 10)]
+    df = spark.createDataFrame(rows, "v long, w long")
+    got = grid_percentiles(
+        df, [], "v", [(1, 2, "p50")], weight="w", total_name="tw"
+    ).collect()[0]
+    assert got["tw"] == 13
+    assert got["p50"] == _replica(rows, 1, 2) == 100
+
+
+def test_duplicate_values_collapse_to_one_grid_row(spark):
+    # the grid aggregates duplicates BEFORE the window: 1000 copies of one
+    # value must behave exactly like weight=1000 on that value
+    many = [("x", 7)] * 1000 + [("x", 8)]
+    df = spark.createDataFrame(many, "k string, v long")
+    got = grid_percentiles(df, ["k"], "v", [(999, 1000, "p999")]).collect()[0]
+    assert got["p999"] == 7  # 1000/1001 of the mass sits on 7
