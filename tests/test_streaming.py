@@ -626,3 +626,66 @@ def test_watermark_drops_late_rows_and_reports_them(spark, tmp_path):
     # the 9:00 window holds ONLY event 1 — the late event never landed
     assert (_ts(9, 0), 1) in got
     assert (_ts(9, 0), 2) not in got
+
+
+def test_sessionizer_identical_under_rocksdb_state_store(spark, tmp_path):
+    """State-store portability: the stateful sessionizer must produce
+    byte-identical sessions under the RocksDB provider — the provider a
+    real deployment uses once per-executor state outgrows the JVM heap
+    (HDFS-backed in-memory maps hold state on-heap; RocksDB spills to
+    local disk with the same exactly-once checkpoint contract). Locks
+    that the engine's stateful operators carry no hidden dependency on
+    the default provider's semantics."""
+    import time
+
+    from dend_spark_data_lake_spark.streaming.stateful import (
+        sessionize_with_timeout,
+    )
+    from dend_spark_data_lake_spark.streaming.windows import (
+        read_event_stream,
+        run_available_now,
+    )
+
+    rows = [
+        (1, _ts(9, 0), 1, 1.0),
+        (2, _ts(9, 10), 1, 1.0),   # same session
+        (3, _ts(10, 30), 1, 1.0),  # new session (gap 80m)
+        (4, _ts(9, 5), 2, 1.0),
+    ]
+    src = tmp_path / "src"
+    _write_single_file(spark, rows, str(src / "f1.parquet"))
+    time.sleep(1.05)
+    _write_single_file(spark, [(99, _ts(23, 0), 99, 1.0)], str(src / "f2.parquet"))
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        saved = spark.conf.get(key)
+    except Exception:
+        saved = None
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        stream = read_event_stream(
+            spark, str(src), SCHEMA, max_files_per_trigger=1
+        )
+        out = sessionize_with_timeout(stream, gap_minutes=30)
+        run_available_now(out, "sess_rocks", "append", str(tmp_path / "ck"))
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.table("sess_rocks").collect()
+        if r.user_id != 99
+    }
+    # sentinel closes every session: both user-1 sessions and user-2's
+    assert got == {
+        (1, _ts(9, 0), _ts(9, 10), 2),
+        (1, _ts(10, 30), _ts(10, 30), 1),
+        (2, _ts(9, 5), _ts(9, 5), 1),
+    }
