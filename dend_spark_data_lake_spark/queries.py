@@ -10627,6 +10627,124 @@ def profile_psi_event_types(spark, sf_dir):
     )
 
 
+@_q(
+    "intervals_merge_coverage",
+    """
+    WITH iv AS (
+      SELECT user_id, ts AS s, ts + INTERVAL 10 MINUTE AS e FROM events
+    ), flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ), islands AS (
+      SELECT user_id, s, e,
+             CAST(sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS island
+      FROM flagged
+    ), merged AS (
+      SELECT user_id, island, min(s) AS ms, max(e) AS me
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(epoch_us(me) - epoch_us(ms)) // 1000000 AS BIGINT)
+             AS covered_seconds
+    FROM merged GROUP BY user_id ORDER BY user_id
+    """,
+)
+def intervals_merge_coverage(spark, sf_dir):
+    """Interval UNION (merge overlapping intervals) per key: each event
+    opens a 10-minute activity interval; overlapping/touching intervals
+    merge into islands, and the per-user report is island count + exact
+    covered seconds — the classic coverage computation (machine uptime,
+    ad exposure, session stitching) that naive SUM(duration) double-
+    counts. The island trick is a running ``max(end)`` over preceding
+    rows: an interval whose start exceeds it begins a new island, and
+    the island id is the running sum of those flags — two window passes
+    over ONE user-keyed sort, no self-join (the BETWEEN-overlap
+    formulation is quadratic per key and needs the bucketed range join;
+    the merge needs neither).
+
+    Scale: both windows and the final aggregates share a single
+    user_id hash partitioning; islands resolve in-partition."""
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.max("e").over(w_prev), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("new_island").over(w_run).cast("long")
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_islands"),
+            F.expr(
+                "CAST(sum(unix_micros(me) - unix_micros(ms)) DIV 1000000 "
+                "AS BIGINT)"
+            ).alias("covered_seconds"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_q(
+    "sql_grouping_flags",
+    """
+    SELECT CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           coalesce(o_orderpriority, '(all)') AS priority,
+           coalesce(o_orderstatus, '(all)') AS status,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    ORDER BY g_priority, g_status, priority, status
+    """,
+)
+def sql_grouping_flags(spark, sf_dir):
+    """GROUPING() metadata over CUBE: the flag that distinguishes a real
+    NULL group from a rollup subtotal row — without it, cube/rollup
+    results are ambiguous the moment the grouped column is nullable.
+    Certified through spark.sql so the SQL surface itself (GROUPING in
+    select + ORDER BY over it) is covered, completing the grouping-sets
+    family (agg_rollup / agg_cube / agg_grouping_sets). One Expand +
+    one combinable aggregate, same plan class as plain cube."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gf")
+    return spark.sql(
+        """
+        SELECT CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               coalesce(o_orderpriority, '(all)') AS priority,
+               coalesce(o_orderstatus, '(all)') AS status,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders_gf
+        GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        ORDER BY g_priority, g_status, priority, status
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -10742,6 +10860,8 @@ _GRADE_NEXT: list[str] = [
     "text_bigram_surprisal",
     "join_point_in_time",
     "profile_psi_event_types",
+    "intervals_merge_coverage",
+    "sql_grouping_flags",
 ]
 
 

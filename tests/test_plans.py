@@ -901,3 +901,25 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_interval_merge_single_user_partitioning(spark):
+    """Both island windows and the aggregates must ride ONE user_id hash
+    partitioning over a single events scan — a self-join here would be
+    the quadratic BETWEEN-overlap formulation this rewrite replaces."""
+    import re as _re
+
+    plan = _plan(spark, "intervals_merge_coverage")
+    assert "Join" not in plan, plan
+    assert plan.count("events.parquet") == 1, plan
+    for m in _re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "user_id" in m.group(1), m.group(0)
+
+
+def test_grouping_flags_is_expand_aggregate(spark):
+    """GROUPING() over CUBE must stay one Expand + combinable aggregate —
+    no join, no second scan."""
+    plan = _plan(spark, "sql_grouping_flags")
+    assert "Expand" in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("orders.parquet") == 1, plan
