@@ -78,3 +78,35 @@ def test_corpus_prep_job_publishes_jsonl_shards(spark, tmp_path):
     n_parquet = spark.read.parquet(str(out / "pipeline_curation")).count()
     assert n_manifest == n_parquet > 0
     assert spark.read.json(os.path.join(str(sdir), "shard-*.jsonl")).count() == n_parquet
+
+
+def test_streaming_ingest_job_drains_and_resumes(spark, tmp_path):
+    """The streaming ingest job must drain the capped source exactly once
+    (quality gate applied) and, rerun with a HIGHER cap on the same
+    checkpoint, append only the undelivered tail — the job-level
+    exactly-once contract a cron-driven incremental ingest relies on."""
+    from jobs.streaming_ingest_job import main as ingest_main
+
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def run(rows):
+        ingest_main(
+            [
+                "--output", out,
+                "--checkpoint", ck,
+                "--rows", str(rows),
+                "--rows-per-batch", "40",
+                "--master", "local[2]",
+            ]
+        )
+
+    run(100)
+    first = spark.read.parquet(out)
+    assert first.count() == 100  # 8-token docs all pass the gate
+    assert set(first.columns) == {
+        "doc_id", "lang", "text", "n_tokens", "fingerprint"
+    }
+    run(150)
+    merged = spark.read.parquet(out)
+    assert sorted(r.doc_id for r in merged.collect()) == list(range(150))
