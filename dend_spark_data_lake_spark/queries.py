@@ -10745,6 +10745,181 @@ def sql_grouping_flags(spark, sf_dir):
     )
 
 
+@_q(
+    "orders_open_backlog",
+    """
+    WITH sp AS (
+      SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS sd,
+             CAST(max(l.l_shipdate) AS DATE) AS ed
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+    ), ev AS (
+      SELECT sd AS d, 1 AS delta FROM sp
+      UNION ALL
+      SELECT ed + 1 AS d, -1 AS delta FROM sp
+    ), daily AS (
+      SELECT d, CAST(sum(delta) AS BIGINT) AS delta FROM ev GROUP BY d
+    )
+    SELECT d,
+           CAST(sum(delta) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS open_orders
+    FROM daily ORDER BY d
+    """,
+)
+def orders_open_backlog(spark, sf_dir):
+    """Sweep-line concurrency counting: how many orders are OPEN (placed,
+    not yet fully shipped) on each calendar day — the backlog/WIP series
+    capacity planning reads. Each order contributes +1 at its order date
+    and -1 the day after its last line ships; the daily running sum of
+    deltas IS the concurrent-open count. The sweep-line rewrite is the
+    scale story: the naive form joins the date spine against order
+    intervals (quadratic-ish range join, or an explode of every
+    order-day), while this is two scans, one date-keyed aggregate, and
+    a cumulative window over the BOUNDED date grid (one partition of
+    ~2,500 rows — the same bounded-domain argument as the equidepth
+    machinery; the raw relation never sees a window)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("mx"))
+        .select(
+            F.col("o_orderdate").cast("date").alias("sd"),
+            F.col("mx").cast("date").alias("ed"),
+        )
+    )
+    ev = sp.select(F.col("sd").alias("d"), F.lit(1).alias("delta")).unionAll(
+        sp.select(F.date_add("ed", 1).alias("d"), F.lit(-1).alias("delta"))
+    )
+    daily = ev.groupBy("d").agg(F.sum("delta").cast("long").alias("delta"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "d", F.sum("delta").over(w).cast("long").alias("open_orders")
+    ).orderBy("d")
+
+
+@_q(
+    "sql_order_priority_check",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate < TIMESTAMP '1995-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 75 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def sql_order_priority_check(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority checking), adapted to this schema:
+    orders placed in 1995Q1 with at least one line shipped more than 75
+    days after the order date, counted by priority (the reference's
+    commit/receipt dates don't exist here; ship-lateness carries the
+    correlated-EXISTS-with-window semantics). Completes the full
+    22-query TPC-H shape sweep. Catalyst decorrelates the EXISTS to a
+    LeftSemi with the correlated date comparison as the join residual;
+    the quarter window prunes orders at the scan."""
+    register_views(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate < TIMESTAMP '1995-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 75 DAY)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )
+
+
+@_q(
+    "agg_higher_moments",
+    """
+    WITH s AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(c AS HUGEINT)) AS s1,
+             sum(CAST(c AS HUGEINT) * c) AS s2,
+             sum(CAST(c AS HUGEINT) * c * c) AS s3,
+             sum(CAST(c AS HUGEINT) * c * c * c) AS s4
+      FROM (SELECT o_orderpriority,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS c
+            FROM orders)
+      GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n,
+           round((CAST(s3 AS DOUBLE) / n
+                  - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+                  + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                      * (CAST(s1 AS DOUBLE) / n))
+                 / power(CAST(s2 AS DOUBLE) / n
+                         - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+                         1.5), 6) AS skewness,
+           round((CAST(s4 AS DOUBLE) / n
+                  - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+                  + 6 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                      * (CAST(s2 AS DOUBLE) / n)
+                  - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                      * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                 / ((CAST(s2 AS DOUBLE) / n
+                     - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                    * (CAST(s2 AS DOUBLE) / n
+                       - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+                 - 3, 6) AS excess_kurtosis
+    FROM s ORDER BY o_orderpriority
+    """,
+)
+def agg_higher_moments(spark, sf_dir):
+    """Exact per-group skewness and excess kurtosis from INTEGER power
+    sums: the builtin skewness()/kurtosis() aggregates accumulate in
+    floating point, so their results depend on partitioning and engine —
+    unusable for a cross-engine contract. Instead the four power sums of
+    integer cents are taken EXACTLY (decimal(38) / HUGEINT; c^4 * n ~
+    2e37 fits at this scale — re-center or re-scale first at larger SFs,
+    noted here deliberately), and the central-moment formulas run once
+    in double over identical integers, written with identical
+    parenthesization on both engines so the IEEE evaluation matches;
+    round(.,6) absorbs the 1-ulp pow() difference.
+
+    Scale: one combinable aggregate pass, five groups out — the exact
+    moment machinery a distribution-drift monitor needs beyond
+    mean/variance (agg_stats covers those)."""
+    c = F.round(F.col("o_totalprice") * 100).cast("long")
+    dec = c.cast("decimal(38,0)")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        dec.alias("c1"),
+        (dec * c).alias("c2"),
+        (dec * c * c).alias("c3"),
+        (dec * c * c * c).alias("c4"),
+    )
+    s = o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c1").alias("s1"),
+        F.sum("c2").alias("s2"),
+        F.sum("c3").alias("s3"),
+        F.sum("c4").alias("s4"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n")
+    d2 = F.col("s2").cast("double") / F.col("n")
+    d3 = F.col("s3").cast("double") / F.col("n")
+    d4 = F.col("s4").cast("double") / F.col("n")
+    m2 = d2 - m1 * m1
+    m3 = d3 - 3 * m1 * d2 + 2 * m1 * m1 * m1
+    m4 = d4 - 4 * m1 * d3 + 6 * m1 * m1 * d2 - 3 * m1 * m1 * m1 * m1
+    return s.select(
+        "o_orderpriority",
+        "n",
+        F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3, 6).alias("excess_kurtosis"),
+    ).orderBy("o_orderpriority")
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -10862,6 +11037,9 @@ _GRADE_NEXT: list[str] = [
     "profile_psi_event_types",
     "intervals_merge_coverage",
     "sql_grouping_flags",
+    "orders_open_backlog",
+    "sql_order_priority_check",
+    "agg_higher_moments",
 ]
 
 

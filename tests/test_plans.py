@@ -923,3 +923,34 @@ def test_grouping_flags_is_expand_aggregate(spark):
     assert "Expand" in plan, plan
     assert "Join" not in plan, plan
     assert plan.count("orders.parquet") == 1, plan
+
+
+def test_open_backlog_window_runs_on_daily_grid(spark):
+    """The sweep-line backlog must window over the AGGREGATED daily-delta
+    grid, never the raw relations: exactly one orders + one lineitem
+    scan feeding a Union of the +1/-1 events, and the cumulative window
+    above the date-keyed aggregate."""
+    plan = _plan(spark, "orders_open_backlog")
+    assert "CartesianProduct" not in plan, plan
+    assert "Union" in plan, plan
+    assert plan.index("Window") < plan.index("HashAggregate"), plan
+
+
+def test_q4_shape_decorrelates_with_pushdown(spark):
+    """Q4's correlated EXISTS must decorrelate to a LeftSemi and the
+    quarter window must prune the orders scan."""
+    plan = _plan(spark, "sql_order_priority_check")
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    pushed = [l for l in plan.splitlines()
+              if "PushedFilters: [" in l and "o_orderdate" in l]
+    assert pushed, plan
+
+
+def test_higher_moments_single_combinable_pass(spark):
+    """Four exact power sums must come from ONE scan and one combinable
+    aggregate — no join, no window, no second pass."""
+    plan = _plan(spark, "agg_higher_moments")
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert plan.count("orders.parquet") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
