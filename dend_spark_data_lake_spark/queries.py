@@ -10920,6 +10920,110 @@ def agg_higher_moments(spark, sf_dir):
     ).orderBy("o_orderpriority")
 
 
+@_q(
+    "alloc_largest_remainder",
+    """
+    WITH c AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+      GROUP BY lang
+    ), t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM c
+    ), base AS (
+      SELECT lang, n_docs,
+             CAST(10000 * n_docs // total AS BIGINT) AS floor_quota,
+             CAST(10000 * n_docs % total AS BIGINT) AS rem
+      FROM c, t
+    ), leftover AS (
+      SELECT CAST(10000 - sum(floor_quota) AS BIGINT) AS l FROM base
+    ), ranked AS (
+      SELECT lang, n_docs, floor_quota,
+             row_number() OVER (ORDER BY rem DESC, lang) AS rr
+      FROM base
+    )
+    SELECT lang, n_docs,
+           CAST(floor_quota + CASE WHEN rr <= l THEN 1 ELSE 0 END AS BIGINT)
+             AS quota
+    FROM ranked, leftover ORDER BY lang
+    """,
+)
+def alloc_largest_remainder(spark, sf_dir):
+    """Exact integer allocation by the largest-remainder method: split a
+    fixed budget of 10,000 sampling slots across languages proportional
+    to their document counts, with the rounding leftover assigned to the
+    groups with the largest remainders (deterministic lang tie-break) —
+    quotas sum to the budget EXACTLY. This is the missing step between
+    'target proportions' and 'an exact-N deterministic carve'
+    (sample_fixed_per_stratum consumes per-stratum Ns; this produces
+    them): floor-divided proportional quotas alone under-allocate, and
+    naive rounding over- or under-shoots — apportionment semantics are
+    the fix (same mathematics as parliamentary seat allocation).
+
+    Scale: everything after the lang count runs on the |groups|-bounded
+    relation; the window sorts groups, never documents."""
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+    t = c.agg(F.sum("n_docs").cast("long").alias("total"))
+    base = c.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_docs",
+        F.expr("CAST(10000 * n_docs DIV total AS BIGINT)").alias("floor_quota"),
+        F.expr("CAST(10000 * n_docs % total AS BIGINT)").alias("rem"),
+    )
+    leftover = base.agg(
+        (F.lit(10000) - F.sum("floor_quota")).cast("long").alias("l")
+    )
+    w = Window.orderBy(F.col("rem").desc(), F.col("lang"))
+    ranked = base.withColumn("rr", F.row_number().over(w))
+    return (
+        ranked.crossJoin(F.broadcast(leftover))
+        .select(
+            "lang",
+            "n_docs",
+            (
+                F.col("floor_quota")
+                + F.when(F.col("rr") <= F.col("l"), 1).otherwise(0)
+            ).cast("long").alias("quota"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_q(
+    "topk_with_ties",
+    """
+    SELECT n_name, c_custkey, bal_cents, rnk FROM (
+      SELECT n.n_name, c.c_custkey,
+             CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_cents,
+             CAST(rank() OVER (PARTITION BY n.n_name
+                  ORDER BY round(c.c_acctbal * 100) DESC) AS INT) AS rnk
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
+    WHERE rnk <= 3 ORDER BY n_name, rnk, c_custkey
+    """,
+)
+def topk_with_ties(spark, sf_dir):
+    """Top-k WITH TIES per group: rank() <= k keeps every row tied at the
+    boundary value (SQL:2008 FETCH FIRST k ROWS WITH TIES semantics) —
+    the correct leaderboard cut when truncating ties silently would be a
+    fairness bug, and the semantic row_number-based topk_per_group
+    deliberately does not have. The rank runs over exact integer cents
+    so boundary equality is engine-portable; output size is data-driven
+    (>= 3k rows), which is the point.
+
+    Scale: same single keyed window as topk_per_group; the dim join
+    broadcasts."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "n_name", "c_custkey", cents.alias("bal_cents")
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("bal_cents").desc())
+    return (
+        j.withColumn("rnk", F.rank().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("n_name", "rnk", "c_custkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -11040,6 +11144,8 @@ _GRADE_NEXT: list[str] = [
     "orders_open_backlog",
     "sql_order_priority_check",
     "agg_higher_moments",
+    "alloc_largest_remainder",
+    "topk_with_ties",
 ]
 
 

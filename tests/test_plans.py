@@ -954,3 +954,17 @@ def test_higher_moments_single_combinable_pass(spark):
     assert "Join" not in plan and "Window" not in plan, plan
     assert plan.count("orders.parquet") == 1, plan
     assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+
+def test_allocation_windows_groups_not_documents(spark):
+    """Largest-remainder allocation must window over the |groups|-bounded
+    relation only — the documents scan feeds exactly one aggregate."""
+    plan = _plan(spark, "alloc_largest_remainder")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.index("Window") < plan.index("HashAggregate"), plan
+
+
+def test_topk_with_ties_broadcasts_dim(spark):
+    plan = _plan(spark, "topk_with_ties")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
