@@ -11024,6 +11024,137 @@ def topk_with_ties(spark, sf_dir):
     )
 
 
+@_q(
+    "pipeline_stream_hygiene",
+    """
+    WITH runs AS (
+      SELECT CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS run_start
+      FROM events
+    ), gaps AS (
+      SELECT CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id))
+                       > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), mins AS (
+      SELECT user_id, date_trunc('minute', ts) AS m,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id, date_trunc('minute', ts)
+    ), bursty AS (
+      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS v FROM mins
+      WHERE c > 3
+    ), b AS (
+      SELECT event_type,
+             CAST(count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-16')
+                  AS BIGINT) AS n_a,
+             CAST(count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-16')
+                  AS BIGINT) AS n_b
+      FROM events GROUP BY event_type
+    ), t AS (
+      SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb
+      FROM b WHERE n_a > 0 AND n_b > 0
+    ), psi AS (
+      SELECT CAST(round(sum(round(
+               (CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb)
+               * ln((CAST(n_a AS DOUBLE) / ta)
+                    / (CAST(n_b AS DOUBLE) / tb)), 6)) * 1000000)
+             AS BIGINT) AS v
+      FROM b, t WHERE n_a > 0 AND n_b > 0
+    )
+    SELECT * FROM (
+      SELECT 'n_events' AS metric, CAST(count(*) AS BIGINT) AS value
+      FROM events
+      UNION ALL
+      SELECT 'n_adjacent_runs', CAST(sum(run_start) AS BIGINT) FROM runs
+      UNION ALL
+      SELECT 'n_sessions', CAST(sum(new_sess) AS BIGINT) FROM gaps
+      UNION ALL
+      SELECT 'n_bursty_users', v FROM bursty
+      UNION ALL
+      SELECT 'psi_microunits', v FROM psi
+    ) ORDER BY metric
+    """,
+)
+def pipeline_stream_hygiene(spark, sf_dir):
+    """Flagship composite #4 — event-stream HYGIENE report: the one-page
+    datasheet an ingest owner reads before trusting a new event feed.
+    Five exact-integer metrics in long format: total events, adjacent
+    same-type runs (what run-length compression would keep —
+    events_adjacent_dedup's corpus-level number), 30-minute-gap sessions
+    (events_sessionization's count), bursty users (any minute with >3
+    events — the bot signal of events_burst_detection), and total PSI
+    drift between the stream's two halves in exact micro-units (each
+    bin's term rounded at 6 before the sum, so the total is
+    engine-portable; profile_psi_event_types keeps the per-bin
+    attribution).
+
+    Scale: the two window branches (runs, sessions) share the SAME
+    (user_id)(ts, event_id) sort; the minute/PSI/count branches are
+    combinable aggregates; every branch reduces to O(1)-or-O(groups)
+    rows before the 5-row union. One logical relation, no branch ever
+    joins back against raw events."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    n_events = ev.agg(
+        F.lit("n_events").alias("metric"),
+        F.count("*").cast("long").alias("value"),
+    )
+    runs = ev.select(
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0).alias("run_start")
+    ).agg(
+        F.lit("n_adjacent_runs").alias("metric"),
+        F.sum("run_start").cast("long").alias("value"),
+    )
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    sess = ev.select(
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1
+        ).otherwise(0).alias("new_sess")
+    ).agg(
+        F.lit("n_sessions").alias("metric"),
+        F.sum("new_sess").cast("long").alias("value"),
+    )
+    mins = ev.groupBy(
+        "user_id", F.date_trunc("minute", "ts").alias("m")
+    ).agg(F.count("*").cast("long").alias("c"))
+    bursty = mins.filter(F.col("c") > 3).agg(
+        F.lit("n_bursty_users").alias("metric"),
+        F.countDistinct("user_id").cast("long").alias("value"),
+    )
+    cut = F.lit("2024-01-16").cast("timestamp")
+    b = ev.groupBy("event_type").agg(
+        F.count(F.when(F.col("ts") < cut, 1)).cast("long").alias("n_a"),
+        F.count(F.when(F.col("ts") >= cut, 1)).cast("long").alias("n_b"),
+    ).filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    t = b.agg(
+        F.sum("n_a").cast("long").alias("ta"), F.sum("n_b").cast("long").alias("tb")
+    )
+    pa = F.col("n_a").cast("double") / F.col("ta")
+    pb = F.col("n_b").cast("double") / F.col("tb")
+    psi = (
+        b.crossJoin(F.broadcast(t))
+        .select(F.round((pa - pb) * F.log(pa / pb), 6).alias("term"))
+        .agg(
+            F.lit("psi_microunits").alias("metric"),
+            F.round(F.sum("term") * 1_000_000).cast("long").alias("value"),
+        )
+    )
+    return (
+        n_events.unionByName(runs)
+        .unionByName(sess)
+        .unionByName(bursty)
+        .unionByName(psi)
+        .orderBy("metric")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -11146,6 +11277,7 @@ _GRADE_NEXT: list[str] = [
     "agg_higher_moments",
     "alloc_largest_remainder",
     "topk_with_ties",
+    "pipeline_stream_hygiene",
 ]
 
 

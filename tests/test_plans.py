@@ -968,3 +968,16 @@ def test_topk_with_ties_broadcasts_dim(spark):
     plan = _plan(spark, "topk_with_ties")
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_stream_hygiene_no_branch_joins_raw_events(spark):
+    """Every hygiene branch must reduce to O(1)/O(groups) rows before
+    the 5-row union — no join against raw events anywhere, and all
+    user windows keyed by user_id."""
+    import re as _re
+
+    plan = _plan(spark, "pipeline_stream_hygiene")
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    for m in _re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "user_id" in m.group(1), m.group(0)
