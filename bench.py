@@ -80,6 +80,7 @@ SECONDARY = [
     "text_cooccurrence_pmi",
     "text_bigram_surprisal",
     "join_point_in_time",
+    "pipeline_stream_hygiene",
 ]
 
 

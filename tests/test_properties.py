@@ -441,3 +441,49 @@ def test_bucketed_range_join_matches_bruteforce(spark):
         if lts - timedelta(minutes=10) <= rts <= lts + timedelta(minutes=10)
     }
     assert got == want
+
+
+def test_asof_nearest_matches_bruteforce(spark):
+    """direction="nearest" must pick, per left row, the right row with
+    the minimum |gap| — backward winning equidistant ties and supplying
+    the min-tiebreak row within a duplicated timestamp — exactly the
+    brute-force scan over all candidates."""
+    from datetime import datetime
+
+    from dend_spark_data_lake_spark.operators.joins import asof_join
+
+    def ts(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    # key 1: right rows around each left; key 2: duplicates at one ts;
+    # key 3: no right rows at all (NULL match)
+    left = [(1, ts(10), 100), (1, ts(30), 101), (2, ts(20), 102), (3, ts(5), 103)]
+    right = [
+        (1, ts(8), 200),   # 2m before left@10
+        (1, ts(11), 201),  # 1m after left@10  -> nearest for 100
+        (1, ts(29), 202),  # 1m before left@30
+        (1, ts(31), 203),  # 1m after left@30: EQUIDISTANT -> backward 202
+        (2, ts(19), 204),  # dup ts pair: min event_id must win
+        (2, ts(19), 205),
+    ]
+    ldf = spark.createDataFrame(left, "k long, ts timestamp, lid long")
+    rdf = spark.createDataFrame(right, "k long, ts timestamp, rid long")
+    got = {
+        r.lid: r.rid_right
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_ts="ts", right_ts="ts",
+            right_cols=["rid"], direction="nearest", tiebreak="rid",
+        ).collect()
+    }
+
+    def brute(k, lts):
+        cands = [(abs((rts - lts).total_seconds()), rts > lts, rid)
+                 for rk, rts, rid in right if rk == k]
+        if not cands:
+            return None
+        # min |gap|; backward (rts <= lts -> False sorts first) on ties;
+        # then min rid
+        return sorted(cands)[0][2]
+
+    want = {lid: brute(k, lts) for k, lts, lid in left}
+    assert got == want == {100: 201, 101: 202, 102: 204, 103: None}
