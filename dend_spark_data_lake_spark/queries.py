@@ -11155,6 +11155,76 @@ def pipeline_stream_hygiene(spark, sf_dir):
     )
 
 
+@_q(
+    "agg_linear_regression",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM (SELECT l_returnflag,
+                   CAST(round(l_discount * 100) AS BIGINT) AS x,
+                   CAST(round(l_quantity) AS BIGINT) AS y
+            FROM lineitem)
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx),
+                 6) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                    * sx) / n, 6) AS intercept
+    FROM s ORDER BY l_returnflag
+    """,
+)
+def agg_linear_regression(spark, sf_dir):
+    """Exact per-group ordinary least squares (quantity vs discount
+    points): slope and intercept derived from EXACT integer sums
+    (n, Σx, Σy, Σxy, Σx²) — the builtin regr_slope/regr_intercept
+    aggregates accumulate in floating point and are partitioning- and
+    engine-dependent, so like skewness/kurtosis they cannot carry a
+    cross-engine contract; the normal-equation arithmetic runs ONCE in
+    double over identical integers with identical parenthesization, and
+    round(.,6) absorbs ulp noise. (Here the relationship is flat by
+    construction — the value is the certified machinery, the elasticity
+    shape a price-response analysis would feed with real data.)
+
+    Scale: one combinable aggregate pass; sums bounded well inside
+    BIGINT for x<=10, y<=50 at any row count below ~1e14."""
+    x = F.round(F.col("l_discount") * 100).cast("long")
+    y = F.round(F.col("l_quantity")).cast("long")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        x.alias("x"),
+        y.alias("y"),
+        (x * y).alias("xy"),
+        (x * x).alias("xx"),
+    )
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("xy").cast("long").alias("sxy"),
+        F.sum("xx").cast("long").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    )
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n")
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    ).orderBy("l_returnflag")
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -11278,6 +11348,7 @@ _GRADE_NEXT: list[str] = [
     "alloc_largest_remainder",
     "topk_with_ties",
     "pipeline_stream_hygiene",
+    "agg_linear_regression",
 ]
 
 

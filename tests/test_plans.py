@@ -981,3 +981,9 @@ def test_stream_hygiene_no_branch_joins_raw_events(spark):
     assert "SortMergeJoin" not in plan, plan
     for m in _re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "user_id" in m.group(1), m.group(0)
+
+
+def test_linear_regression_single_combinable_pass(spark):
+    plan = _plan(spark, "agg_linear_regression")
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert plan.count("lineitem.parquet") == 1, plan
