@@ -11225,6 +11225,123 @@ def agg_linear_regression(spark, sf_dir):
     ).orderBy("l_returnflag")
 
 
+@_q(
+    "text_zipf_fit",
+    r"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+      FROM documents WHERE trim(text) <> ''
+    ), freq AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY t
+      ORDER BY f DESC, t LIMIT 100
+    ), ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, t) AS r FROM freq
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(ln(CAST(r AS DOUBLE))) AS sx,
+             sum(ln(CAST(f AS DOUBLE))) AS sy,
+             sum(ln(CAST(r AS DOUBLE)) * ln(CAST(f AS DOUBLE))) AS sxy,
+             sum(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))) AS sxx
+      FROM ranked
+    )
+    SELECT n,
+           round(-(n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             AS zipf_exponent
+    FROM s
+    """,
+)
+def text_zipf_fit(spark, sf_dir):
+    """Zipf-law exponent of the corpus vocabulary: OLS slope of ln(freq)
+    on ln(rank) over the deterministic top-100 terms, negated — natural
+    text sits near 1.0, while templated/synthetic corpora drift far off,
+    making this a one-number corpus-health screen (the power-law
+    companion to vocab_freq_spectrum's Good-Turing input). The top-100
+    selection is TakeOrdered (per-partition heaps) with a lexicographic
+    tie-break; the rank window runs on the 100-row relation; the ln
+    sums accumulate over exactly 100 identical doubles on both engines,
+    so round(.,6) holds.
+
+    Scale: one token-keyed count, a top-k heap, and O(100) float work —
+    corpus scanned once."""
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    freq = (
+        d.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("f"))
+        .orderBy(F.desc("f"), "t")
+        .limit(100)
+    )
+    w = Window.orderBy(F.desc("f"), "t")
+    ranked = freq.withColumn("r", F.row_number().over(w))
+    lx = F.log(F.col("r").cast("double"))
+    ly = F.log(F.col("f").cast("double"))
+    s = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * ly).alias("sxy"),
+        F.sum(lx * lx).alias("sxx"),
+    )
+    slope = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return s.select("n", F.round(-slope, 6).alias("zipf_exponent"))
+
+
+@_q(
+    "dq_benford_first_digit",
+    """
+    WITH d AS (
+      SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), c AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+    ), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+    SELECT digit, n,
+           CAST(n * 1000000 // total AS BIGINT) AS observed_ppm,
+           CAST(round(ln(1.0 + 1.0 / digit) / ln(10.0) * 1000000)
+                AS BIGINT) AS benford_ppm
+    FROM c, t ORDER BY digit
+    """,
+)
+def dq_benford_first_digit(spark, sf_dir):
+    """Benford's-law first-digit screen over order totals: observed vs
+    expected leading-digit frequency (expected_d = log10(1 + 1/d)) in
+    exact/near-exact ppm — the classic fabricated-amounts and
+    unit-mixing detector for financial columns (synthetic TPC-H prices
+    deviate, which is itself the demonstration). First digit comes from
+    the integer-cents string, so float formatting can't leak engine
+    differences; observed shares are exact integer ppm; the expected
+    column is a 9-value closed form rounded to integer ppm.
+
+    Scale: one scan, a 9-row aggregate, a 1-row broadcast total."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    t = c.agg(F.sum("n").cast("long").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            F.expr("CAST(n * 1000000 DIV total AS BIGINT)").alias(
+                "observed_ppm"
+            ),
+            F.round(
+                F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0)) * 1_000_000
+            ).cast("long").alias("benford_ppm"),
+        )
+        .orderBy("digit")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -11349,6 +11466,8 @@ _GRADE_NEXT: list[str] = [
     "topk_with_ties",
     "pipeline_stream_hygiene",
     "agg_linear_regression",
+    "text_zipf_fit",
+    "dq_benford_first_digit",
 ]
 
 

@@ -987,3 +987,18 @@ def test_linear_regression_single_combinable_pass(spark):
     plan = _plan(spark, "agg_linear_regression")
     assert "Join" not in plan and "Window" not in plan, plan
     assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_zipf_fit_topk_is_take_ordered(spark):
+    """The vocabulary top-100 must heap-select (TakeOrdered) with the
+    rank window running on the 100-row relation — the vocab_top_coverage
+    defect class guard."""
+    plan = _plan(spark, "text_zipf_fit")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan
+
+
+def test_benford_single_scan_broadcast_total(spark):
+    plan = _plan(spark, "dq_benford_first_digit")
+    assert plan.count("orders.parquet") <= 2, plan  # self-ref total may reuse
+    assert "CartesianProduct" not in plan, plan
