@@ -11417,10 +11417,17 @@ _GRADE_FIRST = [
 
 # Behind the window, queued for the round-5 rotation: additions landed after
 # the round-4 window filled — a fourth certified iterative algorithm (PCA),
-# the remaining adapted TPC-H shapes (Q2/Q11/Q16/Q20), estimator-calibration
-# and recall evals for the LSH/IVF indexes, robust statistics, and the
+# the remaining adapted TPC-H shapes (Q2/Q4/Q11/Q16/Q20 — the sweep of all
+# 22 is now complete), estimator-calibration and recall evals for the
+# LSH/IVF indexes, robust and exact-moment/OLS statistics, the apportionment
+# / interval-union / sweep-line / point-in-time idioms, PSI + Benford +
+# Zipf monitors, bigram-LM surprisal, the stream-hygiene flagship, and the
 # dataset-card / dedup-report capstones. Every entry is locally
-# hash-certified at sf0.001 / 0.01 / 0.1.
+# hash-certified at sf0.001 / 0.01 / 0.1 (the full-registry sf0.1 sweep ran
+# clean end of round 4: 229/229). ROUND-5 ROTATION NOTE: this queue is 46
+# entries — promote the first 46 into _GRADE_FIRST plus up to 4
+# re-certifications/rows-only entries to fill the 50 slots, and demote the
+# round-4 window to a _GRADE_DONE_R04 list.
 _GRADE_NEXT: list[str] = [
     "embed_pca_topvec",
     "sql_min_price_supplier",
