@@ -11342,6 +11342,99 @@ def dq_benford_first_digit(spark, sf_dir):
     )
 
 
+@_q(
+    "sample_proportional_carve",
+    """
+    WITH c AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+      GROUP BY lang
+    ), t AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+             CAST(sum(n_docs) // 10 AS BIGINT) AS budget FROM c
+    ), base AS (
+      SELECT lang, n_docs,
+             CAST(budget * n_docs // total AS BIGINT) AS floor_quota,
+             CAST(budget * n_docs % total AS BIGINT) AS rem
+      FROM c, t
+    ), leftover AS (
+      SELECT CAST(max(budget) - sum(floor_quota) AS BIGINT) AS l
+      FROM base, t
+    ), quota AS (
+      SELECT lang,
+             CAST(floor_quota + CASE WHEN row_number() OVER (
+                    ORDER BY rem DESC, lang) <= l THEN 1 ELSE 0 END
+               AS BIGINT) AS q
+      FROM base, leftover
+    ), ranked AS (
+      SELECT d.lang, d.doc_id,
+             row_number() OVER (PARTITION BY d.lang
+                                ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
+                                         d.doc_id) AS rr
+      FROM documents d
+    )
+    SELECT r.lang, CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(min(q.q) AS BIGINT) AS quota
+    FROM ranked r JOIN quota q ON r.lang = q.lang AND r.rr <= q.q
+    GROUP BY r.lang ORDER BY r.lang
+    """,
+)
+def sample_proportional_carve(spark, sf_dir):
+    """Composition: largest-remainder quota allocation feeding the
+    deterministic exact-N carve — a 10%-of-corpus sampling budget is
+    apportioned across languages (quotas sum EXACTLY to the budget),
+    then each stratum keeps its md5-order first ``quota`` documents.
+    This is sample_fixed_per_stratum with DATA-DRIVEN per-stratum Ns:
+    the fixed-N carve takes a constant, real samplers need the
+    apportioned quota, and the join of the ranked corpus against the
+    broadcast |langs|-row quota relation is the composition pattern.
+    Output certifies n_sampled == quota per stratum (the join bound).
+
+    Scale: corpus touched twice (count, rank); the rank window is
+    per-language in-partition; quotas stay a broadcast relation."""
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+    t = c.agg(
+        F.sum("n_docs").cast("long").alias("total"),
+        (F.sum("n_docs") / 10).cast("long").alias("budget"),
+    )
+    base = c.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_docs",
+        F.expr("CAST(budget * n_docs DIV total AS BIGINT)").alias("floor_quota"),
+        F.expr("CAST(budget * n_docs % total AS BIGINT)").alias("rem"),
+        "budget",
+    )
+    leftover = base.agg(
+        (F.max("budget") - F.sum("floor_quota")).cast("long").alias("l")
+    )
+    w = Window.orderBy(F.col("rem").desc(), F.col("lang"))
+    quota = (
+        base.crossJoin(F.broadcast(leftover))
+        .withColumn("rr", F.row_number().over(w))
+        .select(
+            "lang",
+            (
+                F.col("floor_quota")
+                + F.when(F.col("rr") <= F.col("l"), 1).otherwise(0)
+            ).cast("long").alias("q"),
+        )
+    )
+    wr = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = d.select("lang", "doc_id").withColumn("rr", F.row_number().over(wr))
+    return (
+        ranked.join(F.broadcast(quota), "lang")
+        .filter(F.col("rr") <= F.col("q"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_sampled"),
+            F.min("q").cast("long").alias("quota"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -11475,6 +11568,7 @@ _GRADE_NEXT: list[str] = [
     "agg_linear_regression",
     "text_zipf_fit",
     "dq_benford_first_digit",
+    "sample_proportional_carve",
 ]
 
 

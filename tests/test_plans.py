@@ -1002,3 +1002,18 @@ def test_benford_single_scan_broadcast_total(spark):
     plan = _plan(spark, "dq_benford_first_digit")
     assert plan.count("orders.parquet") <= 2, plan  # self-ref total may reuse
     assert "CartesianProduct" not in plan, plan
+
+
+def test_proportional_carve_quota_is_broadcast(spark):
+    """The data-driven quota relation must BROADCAST into the ranked
+    corpus join; the carve rank window must partition by lang."""
+    import re as _re
+
+    plan = _plan(spark, "sample_proportional_carve")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    # the corpus rank window partitions by lang (its md5 sort key is
+    # pre-projected as _w0); the only unpartitioned window is the
+    # |langs|-row remainder ranking
+    assert any(s.startswith("lang") for s in specs), specs
