@@ -11435,6 +11435,133 @@ def sample_proportional_carve(spark, sf_dir):
     )
 
 
+@_q(
+    "embed_ood_maxcos",
+    """
+    WITH q AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576 + 0.5)
+                  AS BIGINT) AS v
+      FROM embeddings
+    ), cent AS (
+      SELECT label, pos,
+             CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS c
+      FROM q GROUP BY label, pos
+    ), scored AS (
+      SELECT q.vec_id, cent.label,
+             round(CAST(sum(q.v * cent.c) AS DOUBLE)
+                   / (sqrt(CAST(sum(q.v * q.v) AS DOUBLE))
+                      * sqrt(CAST(sum(cent.c * cent.c) AS DOUBLE))), 6)
+               AS cos
+      FROM q JOIN cent ON q.pos = cent.pos
+      GROUP BY q.vec_id, cent.label
+    ), best AS (
+      SELECT vec_id, CAST(label AS INT) AS best_label, cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, label) AS rn
+      FROM scored
+    )
+    SELECT vec_id, best_label, cos AS max_cos,
+           CAST(CASE WHEN cos < 0.5 THEN 1 ELSE 0 END AS INT) AS ood_flag
+    FROM best WHERE rn = 1 ORDER BY vec_id
+    """,
+)
+def embed_ood_maxcos(spark, sf_dir):
+    """Out-of-distribution scoring for embeddings: each vector's maximum
+    cosine to any LABEL CENTROID (2^20-quantized integers, same portable
+    centroid as embed_label_distance_matrix) — a vector far from every
+    class prototype (max_cos < 0.5) is flagged OOD, the routing signal
+    curation uses to quarantine off-manifold content before it poisons
+    nearest-neighbor dedup. The argmax label is deterministic (cos DESC,
+    label tie-break); every dot product is an exact BIGINT sum, so only
+    the final division is float (round .6).
+
+    Scale: centroids are |labels| x dim rows (broadcastable); scoring is
+    a pos-keyed join with fanout |labels| per element then a combinable
+    (vec, label) aggregate — O(N·d·L), never pairwise over vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    vq = F.floor(F.col("x").cast("double") * 1048576 + 0.5).cast("long")
+    q = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
+    ).select("vec_id", "label", "pos", vq.alias("v"))
+    cent = q.groupBy("label", "pos").agg(
+        F.floor(F.sum("v").cast("double") / F.count("*")).cast("long").alias("c")
+    ).select(F.col("label").alias("clabel"), "pos", "c")
+    scored = (
+        q.drop("label")
+        .join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "clabel")
+        .agg(
+            F.round(
+                F.sum(F.col("v") * F.col("c")).cast("double")
+                / (
+                    F.sqrt(F.sum(F.col("v") * F.col("v")).cast("double"))
+                    * F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double"))
+                ),
+                6,
+            ).alias("cos")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "clabel")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("clabel").cast("int").alias("best_label"),
+            F.col("cos").alias("max_cos"),
+            F.when(F.col("cos") < 0.5, 1).otherwise(0).cast("int").alias(
+                "ood_flag"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@_q(
+    "ts_seasonal_backtest",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ), l AS (
+      SELECT a.d, a.n, b.n AS fc
+      FROM daily a JOIN daily b ON b.d = a.d - 7
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days_scored,
+           CAST(sum(abs(n - fc)) AS BIGINT) AS total_abs_err,
+           CAST(sum(abs(n - fc)) * 100 // count(*) AS BIGINT) AS mae_x100
+    FROM l
+    """,
+)
+def ts_seasonal_backtest(spark, sf_dir):
+    """Forecast BACKTEST of the seasonal-naive baseline (predict each
+    day's event count with the same weekday last week): exact integer
+    MAE over every scoreable day — the benchmark every real forecasting
+    model must beat before deploying, and the first number a capacity
+    planner asks for. The lag is a self-join on d-7 rather than a 7-row
+    window lag, so calendar gaps can never silently misalign the
+    forecast with a wrong day.
+
+    Scale: one scan to the bounded daily grid; the self-join and the
+    final 1-row rollup run on |days| rows."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    fc = daily.select(F.date_add("d", 7).alias("d"), F.col("n").alias("fc"))
+    scored = daily.join(fc, "d")
+    return scored.agg(
+        F.count("*").cast("long").alias("n_days_scored"),
+        F.sum(F.abs(F.col("n") - F.col("fc"))).cast("long").alias(
+            "total_abs_err"
+        ),
+        F.expr(
+            "CAST(sum(abs(n - fc)) * 100 DIV count(*) AS BIGINT)"
+        ).alias("mae_x100"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -11569,6 +11696,8 @@ _GRADE_NEXT: list[str] = [
     "text_zipf_fit",
     "dq_benford_first_digit",
     "sample_proportional_carve",
+    "embed_ood_maxcos",
+    "ts_seasonal_backtest",
 ]
 
 

@@ -1017,3 +1017,19 @@ def test_proportional_carve_quota_is_broadcast(spark):
     # pre-projected as _w0); the only unpartitioned window is the
     # |langs|-row remainder ranking
     assert any(s.startswith("lang") for s in specs), specs
+
+
+def test_ood_scoring_broadcasts_centroids(spark):
+    """OOD scoring must broadcast the |labels| x dim centroid relation
+    into the pos-keyed join — never a vector-pair join."""
+    plan = _plan(spark, "embed_ood_maxcos")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_seasonal_backtest_joins_daily_grid(spark):
+    """The d-7 forecast join must run on the bounded daily aggregate —
+    one events scan per side at most, no window over raw events."""
+    plan = _plan(spark, "ts_seasonal_backtest")
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
