@@ -11644,10 +11644,10 @@ _GRADE_FIRST = [
 # Zipf monitors, bigram-LM surprisal, the stream-hygiene flagship, and the
 # dataset-card / dedup-report capstones. Every entry is locally
 # hash-certified at sf0.001 / 0.01 / 0.1 (the full-registry sf0.1 sweep ran
-# clean end of round 4: 229/229). ROUND-5 ROTATION NOTE: this queue is 46
-# entries — promote the first 46 into _GRADE_FIRST plus up to 4
-# re-certifications/rows-only entries to fill the 50 slots, and demote the
-# round-4 window to a _GRADE_DONE_R04 list.
+# clean end of round 4: 229/229). ROUND-5 ROTATION NOTE: this queue is 49
+# entries — promote all 49 into _GRADE_FIRST plus one re-certification to
+# fill the 50 slots, and demote the round-4 window to a _GRADE_DONE_R04
+# list.
 _GRADE_NEXT: list[str] = [
     "embed_pca_topvec",
     "sql_min_price_supplier",
