@@ -11562,6 +11562,82 @@ def ts_seasonal_backtest(spark, sf_dir):
     )
 
 
+@_q(
+    "agg_trimmed_mean",
+    """
+    WITH g AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), c AS (
+      SELECT l_returnflag, v, w,
+             CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cw
+      FROM g
+    ), t AS (
+      SELECT l_returnflag, CAST(sum(w) AS BIGINT) AS n,
+             CAST(sum(w) // 10 AS BIGINT) AS k
+      FROM g GROUP BY 1
+    )
+    SELECT c.l_returnflag,
+           CAST(max(t.n) - 2 * max(t.k) AS BIGINT) AS trimmed_n,
+           CAST(sum(c.v * greatest(CAST(0 AS BIGINT),
+                  least(c.cw, t.n - t.k)
+                  - greatest(c.cw - c.w + 1, t.k + 1) + 1)) AS BIGINT)
+             AS trimmed_sum_cents
+    FROM c JOIN t ON c.l_returnflag = t.l_returnflag
+    GROUP BY c.l_returnflag ORDER BY c.l_returnflag
+    """,
+)
+def agg_trimmed_mean(spark, sf_dir):
+    """Exact 10%-trimmed mean per group (as the exact sum/count pair,
+    per the module's averages convention): drop the k = n DIV 10 lowest
+    and highest ROWS, sum the middle mass — the robust location estimate
+    that EXCLUDES tails where winsorize_prices clamps them (completing
+    the robust family with the MAD detector and weighted median). The
+    novelty is rank-RANGE selection on the counting grid: each distinct
+    value's row span [cw-w+1, cw] is intersected with the kept range
+    [k+1, n-k] in exact integer arithmetic, so the fractional boundary
+    value contributes exactly its surviving multiplicity — no sort of
+    raw rows, no row_number over the relation.
+
+    Scale: same posture as the grid-percentile machinery — the
+    cumulative window runs over the bounded distinct-cents grid per
+    group, and everything else is combinable aggregates."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+    )
+    g = li.groupBy("l_returnflag", "v").agg(F.count("*").cast("long").alias("w"))
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = g.withColumn("cw", F.sum("w").over(w_cum).cast("long"))
+    t = g.groupBy("l_returnflag").agg(
+        F.sum("w").cast("long").alias("n"),
+        (F.sum("w") / 10).cast("long").alias("k"),
+    )
+    keep = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cw"), F.col("n") - F.col("k"))
+        - F.greatest(F.col("cw") - F.col("w") + 1, F.col("k") + 1)
+        + 1,
+    )
+    return (
+        c.join(t, "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            (F.max("n") - 2 * F.max("k")).cast("long").alias("trimmed_n"),
+            F.sum(F.col("v") * keep).cast("long").alias("trimmed_sum_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -11644,10 +11720,9 @@ _GRADE_FIRST = [
 # Zipf monitors, bigram-LM surprisal, the stream-hygiene flagship, and the
 # dataset-card / dedup-report capstones. Every entry is locally
 # hash-certified at sf0.001 / 0.01 / 0.1 (the full-registry sf0.1 sweep ran
-# clean end of round 4: 229/229). ROUND-5 ROTATION NOTE: this queue is 49
-# entries — promote all 49 into _GRADE_FIRST plus one re-certification to
-# fill the 50 slots, and demote the round-4 window to a _GRADE_DONE_R04
-# list.
+# clean end of round 4: 229/229). ROUND-5 ROTATION NOTE: this queue is exactly
+# 50 entries — promote it wholesale into _GRADE_FIRST and demote the
+# round-4 window to a _GRADE_DONE_R04 list.
 _GRADE_NEXT: list[str] = [
     "embed_pca_topvec",
     "sql_min_price_supplier",
@@ -11698,6 +11773,7 @@ _GRADE_NEXT: list[str] = [
     "sample_proportional_carve",
     "embed_ood_maxcos",
     "ts_seasonal_backtest",
+    "agg_trimmed_mean",
 ]
 
 

@@ -60,3 +60,38 @@ def test_duplicate_values_collapse_to_one_grid_row(spark):
     df = spark.createDataFrame(many, "k string, v long")
     got = grid_percentiles(df, ["k"], "v", [(999, 1000, "p999")]).collect()[0]
     assert got["p999"] == 7  # 1000/1001 of the mass sits on 7
+
+
+def test_trimmed_mean_matches_sorted_bruteforce(spark):
+    """agg_trimmed_mean's rank-range grid selection must equal the
+    sorted-list definition (drop k = n DIV 10 rows each side, sum the
+    middle) — a formula bug shared with the SQL oracle would pass the
+    cross-engine parity check, so this pins the semantics independently."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT l_returnflag, CAST(round(l_extendedprice*100) AS BIGINT) "
+        f"FROM read_parquet('{SF_SMOKE}/lineitem.parquet')"
+    ).fetchall()
+    con.close()
+    groups = defaultdict(list)
+    for f, v in rows:
+        groups[f].append(v)
+    expect = {}
+    for f, vs in groups.items():
+        vs.sort()
+        k = len(vs) // 10
+        kept = vs[k: len(vs) - k]
+        expect[f] = (len(kept), sum(kept))
+
+    got = {
+        r.l_returnflag: (r.trimmed_n, r.trimmed_sum_cents)
+        for r in REGISTRY["agg_trimmed_mean"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect

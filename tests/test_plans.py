@@ -1033,3 +1033,15 @@ def test_seasonal_backtest_joins_daily_grid(spark):
     plan = _plan(spark, "ts_seasonal_backtest")
     assert "CartesianProduct" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_trimmed_mean_grid_windows_per_group(spark):
+    """The trimmed-mean cumulative window must run over the per-group
+    distinct-cents grid (partitioned by l_returnflag) — never the raw
+    relation, and no sort of raw rows anywhere."""
+    import re as _re
+
+    plan = _plan(spark, "agg_trimmed_mean")
+    assert "CartesianProduct" not in plan, plan
+    for m in _re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "l_returnflag" in m.group(1), m.group(0)
