@@ -10750,7 +10750,8 @@ def sql_grouping_flags(spark, sf_dir):
     """
     WITH sp AS (
       SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS sd,
-             CAST(max(l.l_shipdate) AS DATE) AS ed
+             greatest(CAST(max(l.l_shipdate) AS DATE),
+                      CAST(o.o_orderdate AS DATE)) AS ed
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
       GROUP BY o.o_orderkey, o.o_orderdate
     ), ev AS (
@@ -10787,7 +10788,16 @@ def orders_open_backlog(spark, sf_dir):
         .agg(F.max("l_shipdate").alias("mx"))
         .select(
             F.col("o_orderdate").cast("date").alias("sd"),
-            F.col("mx").cast("date").alias("ed"),
+            # the synthetic data contains ship dates BEFORE the order date;
+            # an inverted span would flow through the sweep as a NEGATIVE
+            # open count (the -1 fires before its +1), so the close date is
+            # clamped to at least the open date — an order is open at
+            # minimum on its order day. Caught by the brute-force pin in
+            # tests/test_properties.py, not by cross-engine parity (both
+            # engines agreed on the wrong semantics).
+            F.greatest(
+                F.col("mx").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("ed"),
         )
     )
     ev = sp.select(F.col("sd").alias("d"), F.lit(1).alias("delta")).unionAll(

@@ -487,3 +487,83 @@ def test_asof_nearest_matches_bruteforce(spark):
 
     want = {lid: brute(k, lts) for k, lts, lid in left}
     assert got == want == {100: 201, 101: 202, 102: 204, 103: None}
+
+
+def test_interval_merge_matches_bruteforce(spark):
+    """intervals_merge_coverage's running-max island trick must equal the
+    classic sort-and-merge interval union — a formula bug shared with
+    the SQL oracle would survive cross-engine parity, so pin the
+    semantics against a plain-Python merge."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT user_id, ts FROM read_parquet('{SF_SMOKE}/events.parquet')"
+    ).fetchall()
+    con.close()
+    per_user = defaultdict(list)
+    width = timedelta(minutes=10)
+    for uid, ts in rows:
+        per_user[uid].append((ts, ts + width))
+    expect = {}
+    for uid, ivs in per_user.items():
+        ivs.sort()
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        # the query floors ONCE over the summed microsecond spans, not
+        # per island — replicate that exactly
+        micros = sum(
+            (e - s) // timedelta(microseconds=1) for s, e in merged
+        )
+        expect[uid] = (len(merged), micros // 1_000_000)
+
+    got = {
+        r.user_id: (r.n_islands, r.covered_seconds)
+        for r in REGISTRY["intervals_merge_coverage"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_open_backlog_matches_bruteforce(spark):
+    """orders_open_backlog's sweep-line running sum must equal direct
+    per-day interval membership counting on every emitted day."""
+    from datetime import timedelta
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    spans = con.sql(
+        f"""SELECT CAST(o.o_orderdate AS DATE),
+                   greatest(CAST(max(l.l_shipdate) AS DATE),
+                            CAST(o.o_orderdate AS DATE))
+            FROM read_parquet('{SF_SMOKE}/orders.parquet') o
+            JOIN read_parquet('{SF_SMOKE}/lineitem.parquet') l
+              ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderkey, o.o_orderdate"""
+    ).fetchall()
+    con.close()
+
+    got = {
+        r.d: r.open_orders
+        for r in REGISTRY["orders_open_backlog"].fn(spark, SF_SMOKE).collect()
+    }
+    # spot-check a spread of emitted days against direct membership
+    days = sorted(got)
+    for d in days[:: max(1, len(days) // 40)]:
+        want = sum(1 for sd, ed in spans if sd <= d <= ed)
+        assert got[d] == want, (d, got[d], want)
+    # the series must end at zero open orders (every order eventually ships)
+    assert got[days[-1]] == 0
