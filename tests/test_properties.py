@@ -567,3 +567,46 @@ def test_open_backlog_matches_bruteforce(spark):
         assert got[d] == want, (d, got[d], want)
     # the series must end at zero open orders (every order eventually ships)
     assert got[days[-1]] == 0
+
+
+def test_attribution_credit_matches_bruteforce(spark):
+    """attribution_linear_credit's bucketed-range-join + floor-division
+    credit math must equal a direct per-purchase scan: for each purchase,
+    count the same user's views in [p_ts - 1h, p_ts), credit each view
+    1e6 DIV nv ppm — pinned independently of the SQL oracle."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT event_id, user_id, event_type, ts FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet') "
+        "WHERE event_type IN ('purchase', 'view')"
+    ).fetchall()
+    con.close()
+    views = defaultdict(list)
+    for eid, uid, et, ts in rows:
+        if et == "view":
+            views[uid].append(ts)
+    expect = defaultdict(lambda: [0, 0, 0])  # n_attributed, credits, ppm
+    hour = timedelta(hours=1)
+    for eid, uid, et, ts in rows:
+        if et != "purchase":
+            continue
+        nv = sum(1 for vt in views[uid] if ts - hour <= vt < ts)
+        if nv:
+            e = expect[uid]
+            e[0] += 1
+            e[1] += nv
+            e[2] += nv * (1_000_000 // nv)
+
+    got = {
+        r.user_id: [r.n_attributed, r.n_view_credits, r.distributed_ppm]
+        for r in REGISTRY["attribution_linear_credit"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == {k: list(v) for k, v in expect.items()}
