@@ -610,3 +610,127 @@ def test_attribution_credit_matches_bruteforce(spark):
         for r in REGISTRY["attribution_linear_credit"].fn(spark, SF_SMOKE).collect()
     }
     assert got == {k: list(v) for k, v in expect.items()}
+
+
+def test_gaps_islands_matches_bruteforce(spark):
+    """window_gaps_islands' date-minus-row_number constancy trick must
+    equal a direct consecutive-day scan per user."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT DISTINCT user_id, CAST(ts AS DATE) FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet')"
+    ).fetchall()
+    con.close()
+    days = defaultdict(set)
+    for uid, d in rows:
+        days[uid].add(d)
+    expect = {}
+    one = timedelta(days=1)
+    for uid, ds in days.items():
+        ds = sorted(ds)
+        streaks, cur = [], 1
+        for a, b in zip(ds, ds[1:]):
+            if b - a == one:
+                cur += 1
+            else:
+                streaks.append(cur)
+                cur = 1
+        streaks.append(cur)
+        expect[uid] = (len(streaks), max(streaks), len(ds))
+
+    got = {
+        r.user_id: (r.n_streaks, r.longest_streak, r.n_active_days)
+        for r in REGISTRY["window_gaps_islands"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_hhi_matches_bruteforce(spark):
+    """supplier_share_hhi's floor-basis-point squared-share sum must
+    equal the direct per-nation computation."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""SELECT n.n_name, s.s_suppkey,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT)
+            FROM read_parquet('{SF_SMOKE}/lineitem.parquet') l
+            JOIN read_parquet('{SF_SMOKE}/supplier.parquet') s
+              ON l.l_suppkey = s.s_suppkey
+            JOIN read_parquet('{SF_SMOKE}/nation.parquet') n
+              ON s.s_nationkey = n.n_nationkey
+            GROUP BY 1, 2"""
+    ).fetchall()
+    con.close()
+    per_nation = defaultdict(dict)
+    for name, sk, cents in rows:
+        per_nation[name][sk] = cents
+    expect = {}
+    for name, sups in per_nation.items():
+        t = sum(sups.values())
+        hhi = sum((c * 10000 // t) ** 2 for c in sups.values())
+        expect[name] = (len(sups), hhi)
+
+    got = {
+        r.n_name: (r.n_suppliers, r.hhi_bp2)
+        for r in REGISTRY["supplier_share_hhi"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_lagged_correlation_matches_bruteforce(spark):
+    """ts_lagged_correlation must equal a direct per-lag Pearson r over
+    the paired daily counts (numpy replica, rounded at 6)."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    import duckdb
+    import numpy as np
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""SELECT CAST(ts AS DATE) AS d,
+                   CAST(count_if(event_type = 'click') AS BIGINT),
+                   CAST(count_if(event_type = 'purchase') AS BIGINT)
+            FROM read_parquet('{SF_SMOKE}/events.parquet') GROUP BY 1"""
+    ).fetchall()
+    con.close()
+    clicks, purchases = {}, {}
+    for d, c, p in rows:
+        clicks[d], purchases[d] = c, p
+    expect = {}
+    for lag in range(8):
+        pairs = [
+            (clicks[d], purchases.get(d + timedelta(days=lag)))
+            for d in clicks
+            if d + timedelta(days=lag) in purchases
+        ]
+        xs = np.array([a for a, _ in pairs], dtype=float)
+        ys = np.array([b for _, b in pairs], dtype=float)
+        r = float(np.corrcoef(xs, ys)[0, 1])
+        expect[lag] = (len(pairs), round(r, 6))
+
+    got = {
+        r.lag_days: (r.n_days, r.correlation)
+        for r in REGISTRY["ts_lagged_correlation"].fn(spark, SF_SMOKE).collect()
+    }
+    for lag in range(8):
+        assert got[lag][0] == expect[lag][0], lag
+        assert abs(got[lag][1] - expect[lag][1]) <= 2e-6, (lag, got[lag], expect[lag])
