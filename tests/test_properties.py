@@ -734,3 +734,50 @@ def test_lagged_correlation_matches_bruteforce(spark):
     for lag in range(8):
         assert got[lag][0] == expect[lag][0], lag
         assert abs(got[lag][1] - expect[lag][1]) <= 2e-6, (lag, got[lag], expect[lag])
+
+
+def test_source_divergence_matches_bruteforce(spark):
+    """profile_source_divergence must equal a direct Jensen-Shannon
+    computation over the per-source token frequency dicts (math.log
+    replica; tolerance one round(6) ulp for float-sum ordering)."""
+    import math
+    from collections import Counter, defaultdict
+    from itertools import combinations
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        rf"""SELECT source,
+                    unnest(string_split_regex(trim(lower(text)), '\s+'))
+             FROM read_parquet('{SF_SMOKE}/documents.parquet')
+             WHERE trim(text) <> ''"""
+    ).fetchall()
+    con.close()
+    counts = defaultdict(Counter)
+    for src, tok in rows:
+        counts[src][tok] += 1
+    totals = {s: sum(c.values()) for s, c in counts.items()}
+    expect = {}
+    for a, b in combinations(sorted(counts), 2):
+        js = 0.0
+        for tok in counts[a].keys() | counts[b].keys():
+            pa = counts[a][tok] / totals[a]
+            pb = counts[b][tok] / totals[b]
+            m = 0.5 * pa + 0.5 * pb
+            if pa > 0:
+                js += 0.5 * pa * math.log(pa / m)
+            if pb > 0:
+                js += 0.5 * pb * math.log(pb / m)
+        expect[(a, b)] = js
+
+    got = {
+        (r.src_a, r.src_b): r.js_nats
+        for r in REGISTRY["profile_source_divergence"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(expect)
+    for k in expect:
+        assert abs(got[k] - expect[k]) <= 2e-6, (k, got[k], expect[k])
