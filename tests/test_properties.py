@@ -781,3 +781,42 @@ def test_source_divergence_matches_bruteforce(spark):
     assert set(got) == set(expect)
     for k in expect:
         assert abs(got[k] - expect[k]) <= 2e-6, (k, got[k], expect[k])
+
+
+def test_type_transitions_match_bruteforce(spark):
+    """events_type_transitions must equal a direct per-user sequence
+    walk: counts of adjacent (type -> next_type) under the (ts,
+    event_id) ordering, with exact floor-ppm row normalization."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT user_id, ts, event_id, event_type FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet')"
+    ).fetchall()
+    con.close()
+    seqs = defaultdict(list)
+    for uid, ts, eid, et in rows:
+        seqs[uid].append((ts, eid, et))
+    trans = Counter()
+    for uid, evs in seqs.items():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            trans[(a, b)] += 1
+    row_tot = Counter()
+    for (a, _), n in trans.items():
+        row_tot[a] += n
+    expect = {
+        k: (n, n * 1_000_000 // row_tot[k[0]]) for k, n in trans.items()
+    }
+
+    got = {
+        (r.event_type, r.next_type): (r.n, r.prob_ppm)
+        for r in REGISTRY["events_type_transitions"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
