@@ -820,3 +820,51 @@ def test_type_transitions_match_bruteforce(spark):
         for r in REGISTRY["events_type_transitions"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_rfm_segments_match_bruteforce(spark):
+    """customer_rfm_segments' fixed integer bands must equal a direct
+    per-customer computation of recency/frequency/monetary and the band
+    edges."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""SELECT o_custkey, CAST(max(o_orderdate) AS DATE),
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            FROM read_parquet('{SF_SMOKE}/orders.parquet')
+            GROUP BY o_custkey"""
+    ).fetchall()
+    mx = con.sql(
+        f"SELECT CAST(max(o_orderdate) AS DATE) FROM "
+        f"read_parquet('{SF_SMOKE}/orders.parquet')"
+    ).fetchone()[0]
+    con.close()
+
+    def r_band(d):
+        return 5 if d <= 90 else 4 if d <= 365 else 3 if d <= 730 else 2 if d <= 1460 else 1
+
+    def f_band(n):
+        return 5 if n >= 25 else 4 if n >= 10 else 3 if n >= 4 else 2 if n >= 2 else 1
+
+    def m_band(c):
+        return (
+            5 if c >= 50_000_000 else 4 if c >= 20_000_000
+            else 3 if c >= 5_000_000 else 2 if c >= 1_000_000 else 1
+        )
+
+    cells = defaultdict(int)
+    for ck, last, freq, cents in rows:
+        cells[(r_band((mx - last).days), f_band(freq), m_band(cents))] += 1
+
+    got = {
+        (r.r_score, r.f_score, r.m_score): r.n_customers
+        for r in REGISTRY["customer_rfm_segments"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == dict(cells)
