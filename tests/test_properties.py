@@ -868,3 +868,79 @@ def test_rfm_segments_match_bruteforce(spark):
         for r in REGISTRY["customer_rfm_segments"].fn(spark, SF_SMOKE).collect()
     }
     assert got == dict(cells)
+
+
+def test_rolling_distinct_users_matches_bruteforce(spark):
+    """ts_rolling_distinct_users' 7x-explode rewrite must equal the
+    direct definition: for each active day d, |distinct users active in
+    [d-6, d]|."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT DISTINCT CAST(ts AS DATE), user_id FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet')"
+    ).fetchall()
+    con.close()
+    by_day = defaultdict(set)
+    for d, uid in rows:
+        by_day[d].add(uid)
+    expect = {}
+    for d in by_day:
+        users = set()
+        for k in range(7):
+            users |= by_day.get(d - timedelta(days=k), set())
+        expect[d] = len(users)
+
+    got = {
+        r.day: r.rolling_users
+        for r in REGISTRY["ts_rolling_distinct_users"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_cumulative_distinct_matches_bruteforce(spark):
+    """window_cumulative_distinct's first-appearance rewrite must equal
+    the direct definition: per (nation, month), |distinct customers with
+    any order in months <= m| — on every emitted month."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""SELECT n.n_name, date_trunc('month', o.o_orderdate), o.o_custkey
+            FROM read_parquet('{SF_SMOKE}/orders.parquet') o
+            JOIN read_parquet('{SF_SMOKE}/customer.parquet') c
+              ON o.o_custkey = c.c_custkey
+            JOIN read_parquet('{SF_SMOKE}/nation.parquet') n
+              ON c.c_nationkey = n.n_nationkey"""
+    ).fetchall()
+    con.close()
+    months = defaultdict(lambda: defaultdict(set))
+    for name, m, ck in rows:
+        months[name][m].add(ck)
+    expect = {}
+    for name, mm in months.items():
+        seen = set()
+        for m in sorted(mm):
+            before = len(seen)
+            seen |= mm[m]
+            if len(seen) > before:  # emitted only when new customers appear
+                expect[(name, m)] = len(seen)
+
+    got = {
+        (r.n_name, r.month): r.cumulative_customers
+        for r in REGISTRY["window_cumulative_distinct"].fn(spark, SF_SMOKE).collect()
+    }
+    assert {(n, m.date() if hasattr(m, "date") else m): v for (n, m), v in got.items()} \
+        == {(n, m.date() if hasattr(m, "date") else m): v for (n, m), v in expect.items()}
