@@ -944,3 +944,88 @@ def test_cumulative_distinct_matches_bruteforce(spark):
     }
     assert {(n, m.date() if hasattr(m, "date") else m): v for (n, m), v in got.items()} \
         == {(n, m.date() if hasattr(m, "date") else m): v for (n, m), v in expect.items()}
+
+
+def test_ltv_deciles_match_bruteforce(spark):
+    """customer_ltv_deciles' ntile(10) must equal the definition: sort
+    customers by (cents, custkey), split into 10 buckets where the first
+    n mod 10 buckets get the extra row."""
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""SELECT o_custkey,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            FROM read_parquet('{SF_SMOKE}/orders.parquet') GROUP BY 1"""
+    ).fetchall()
+    con.close()
+    ordered = sorted(rows, key=lambda t: (t[1], t[0]))
+    n = len(ordered)
+    base, extra = divmod(n, 10)
+    expect = {}
+    i = 0
+    for dec in range(1, 11):
+        size = base + (1 if dec <= extra else 0)
+        chunk = ordered[i : i + size]
+        i += size
+        cents = [c for _, c in chunk]
+        expect[dec] = (len(chunk), sum(cents), min(cents), max(cents))
+
+    got = {
+        r.decile: (r.n_customers, r.total_cents, r.min_cents, r.max_cents)
+        for r in REGISTRY["customer_ltv_deciles"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_percent_change_matches_bruteforce(spark):
+    """window_percent_change's basis-point month-over-month delta must
+    equal direct consecutive-month arithmetic per nation. NOTE the
+    division semantics this pin documents: Spark's DIV (and the DuckDB
+    oracle) truncate toward ZERO, unlike Python's flooring // — negative
+    deltas differ by one bp between the two conventions."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""SELECT n.n_name, date_trunc('month', o.o_orderdate),
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            FROM read_parquet('{SF_SMOKE}/orders.parquet') o
+            JOIN read_parquet('{SF_SMOKE}/customer.parquet') c
+              ON o.o_custkey = c.c_custkey
+            JOIN read_parquet('{SF_SMOKE}/nation.parquet') n
+              ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2"""
+    ).fetchall()
+    con.close()
+    monthly = defaultdict(dict)
+    for name, m, cents in rows:
+        monthly[name][m] = cents
+    def trunc_div(a, b):
+        return abs(a) // b if a >= 0 else -(abs(a) // b)
+
+    expect = {}
+    for name, mm in monthly.items():
+        ms = sorted(mm)
+        for prev_m, m in zip(ms, ms[1:]):
+            expect[(name, m)] = trunc_div(
+                (mm[m] - mm[prev_m]) * 10000, mm[prev_m]
+            )
+
+    got = {
+        (r.n_name, r.month): r.mom_change_bp
+        for r in REGISTRY["window_percent_change"].fn(spark, SF_SMOKE).collect()
+        if r.mom_change_bp is not None
+    }
+    norm = lambda m: m.date() if hasattr(m, "date") else m  # noqa: E731
+    assert {(n_, norm(m)): v for (n_, m), v in got.items()} == {
+        (n_, norm(m)): v for (n_, m), v in expect.items()
+    }
