@@ -1029,3 +1029,52 @@ def test_percent_change_matches_bruteforce(spark):
     assert {(n_, norm(m)): v for (n_, m), v in got.items()} == {
         (n_, norm(m)): v for (n_, m), v in expect.items()
     }
+
+
+def test_equidepth_histogram_matches_bruteforce(spark):
+    """agg_histogram_equidepth must equal the direct computation: the
+    i-th boundary is the smallest value whose cumulative count reaches
+    i/10 of the rows; a row's bucket is 1 + #(boundaries strictly below
+    it)."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    vals = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT l_extendedprice FROM "
+            f"read_parquet('{SF_SMOKE}/lineitem.parquet')"
+        ).fetchall()
+    ]
+    con.close()
+    n = len(vals)
+    grid = sorted(Counter(vals).items())
+    bounds = []
+    for i in range(1, 10):
+        cum = 0
+        for v, c in grid:
+            cum += c
+            if cum * 10 >= i * n:
+                bounds.append(v)
+                break
+    agg = defaultdict(lambda: [0, float("inf"), float("-inf")])
+    for v in vals:
+        b = 1 + sum(1 for bd in bounds if v > bd)
+        a = agg[b]
+        a[0] += 1
+        a[1] = min(a[1], v)
+        a[2] = max(a[2], v)
+    expect = {
+        b: (cnt, round(lo, 2), round(hi, 2)) for b, (cnt, lo, hi) in agg.items()
+    }
+
+    got = {
+        r.bucket: (r.n_rows, r.lo, r.hi)
+        for r in REGISTRY["agg_histogram_equidepth"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
