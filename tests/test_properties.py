@@ -1078,3 +1078,49 @@ def test_equidepth_histogram_matches_bruteforce(spark):
         for r in REGISTRY["agg_histogram_equidepth"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_mad_anomaly_matches_bruteforce(spark):
+    """ts_anomaly_mad must equal the direct definition: per type, median
+    of cents (smallest value where 2*cum >= n), MAD = median of absolute
+    deviations from it, anomalies = rows with |x - med| > 5*MAD."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT event_type, CAST(round(value * 100) AS BIGINT) FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet')"
+    ).fetchall()
+    con.close()
+    by_type = defaultdict(list)
+    for et, c in rows:
+        by_type[et].append(c)
+
+    def disc_median(vals):
+        vals = sorted(vals)
+        n = len(vals)
+        cum = 0
+        last = None
+        for v in vals:
+            cum += 1
+            if 2 * cum >= n:
+                return v
+        return last
+
+    expect = {}
+    for et, vals in by_type.items():
+        med = disc_median(vals)
+        mad = disc_median([abs(v - med) for v in vals])
+        n_anom = sum(1 for v in vals if abs(v - med) > 5 * mad)
+        expect[et] = (med, mad, n_anom, len(vals))
+
+    got = {
+        r.event_type: (r.med_cents, r.mad_cents, r.n_anomalies, r.n_events)
+        for r in REGISTRY["ts_anomaly_mad"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
