@@ -1124,3 +1124,77 @@ def test_mad_anomaly_matches_bruteforce(spark):
         for r in REGISTRY["ts_anomaly_mad"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_shingle_novelty_matches_bruteforce(spark):
+    """text_shingle_novelty must equal the direct computation over each
+    doc's DISTINCT 3-gram set: a shingle is novel iff this doc_id is the
+    minimum doc_id containing it."""
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    doc_shingles = {}
+    for did, text in rows:
+        toks = text.strip().lower().split()
+        doc_shingles[did] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    first = {}
+    for did in sorted(doc_shingles):
+        for s in doc_shingles[did]:
+            first.setdefault(s, did)
+    expect = {}
+    for did, ss in doc_shingles.items():
+        if not ss:
+            continue
+        novel = sum(1 for s in ss if first[s] == did)
+        expect[did] = (len(ss), novel, novel * 1_000_000 // len(ss))
+
+    got = {
+        r.doc_id: (r.n_shingles, r.n_novel, r.novelty_ppm)
+        for r in REGISTRY["text_shingle_novelty"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_oov_rate_matches_bruteforce(spark):
+    """vocab_oov_rate must equal the direct computation: top-20 vocab by
+    (freq DESC, token) over all occurrences, then per-doc OOV occurrence
+    counts in exact ppm."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_SMOKE}/documents.parquet') "
+        "WHERE trim(text) <> ''"
+    ).fetchall()
+    con.close()
+    doc_toks = {did: text.strip().lower().split() for did, text in rows}
+    freq = Counter()
+    for toks in doc_toks.values():
+        freq.update(toks)
+    vocab = {
+        t for t, _ in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    }
+    expect = {}
+    for did, toks in doc_toks.items():
+        oov = sum(1 for t in toks if t not in vocab)
+        expect[did] = (len(toks), oov, oov * 1_000_000 // len(toks))
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.oov_ppm)
+        for r in REGISTRY["vocab_oov_rate"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
