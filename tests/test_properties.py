@@ -1198,3 +1198,79 @@ def test_oov_rate_matches_bruteforce(spark):
         for r in REGISTRY["vocab_oov_rate"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_geometric_mean_matches_bruteforce(spark):
+    """agg_geometric_mean must equal exp(mean(ln cents)) computed in
+    plain Python (tolerance one round(4) ulp for summation order)."""
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) "
+        f"FROM read_parquet('{SF_SMOKE}/orders.parquet')"
+    ).fetchall()
+    con.close()
+    groups = defaultdict(list)
+    for p, c in rows:
+        groups[p].append(c)
+    expect = {
+        p: (len(cs), math.exp(sum(math.log(c) for c in cs) / len(cs)))
+        for p, cs in groups.items()
+    }
+
+    got = {
+        r.o_orderpriority: (r.n_orders, r.geo_mean_cents)
+        for r in REGISTRY["agg_geometric_mean"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(expect)
+    for p in expect:
+        assert got[p][0] == expect[p][0]
+        assert abs(got[p][1] - expect[p][1]) <= 2e-4, (p, got[p], expect[p])
+
+
+def test_burst_detection_matches_bruteforce(spark):
+    """events_burst_detection must equal the direct per-(user, minute)
+    histogram: max/total/active-minute counts and the >= 5 flag."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT user_id, date_trunc('minute', ts) FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet')"
+    ).fetchall()
+    con.close()
+    per_user = defaultdict(Counter)
+    for uid, m in rows:
+        per_user[uid][m] += 1
+    expect = {
+        uid: (
+            max(c.values()),
+            sum(c.values()),
+            len(c),
+            1 if max(c.values()) >= 5 else 0,
+        )
+        for uid, c in per_user.items()
+    }
+
+    got = {
+        r.user_id: (
+            r.max_events_per_minute,
+            r.n_events,
+            r.n_active_minutes,
+            r.burst_flag,
+        )
+        for r in REGISTRY["events_burst_detection"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
