@@ -1274,3 +1274,44 @@ def test_burst_detection_matches_bruteforce(spark):
         for r in REGISTRY["events_burst_detection"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_winsorize_matches_bruteforce(spark):
+    """winsorize_prices must equal the direct definition: per group,
+    clamp to [percentile_disc(.01), percentile_disc(.99)] (smallest
+    value whose cumulative frequency reaches q) and report clamp counts
+    and the exact winsorized cents sum."""
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT l_returnflag, l_extendedprice FROM "
+        f"read_parquet('{SF_SMOKE}/lineitem.parquet')"
+    ).fetchall()
+    con.close()
+    groups = defaultdict(list)
+    for f, v in rows:
+        groups[f].append(v)
+
+    def pdisc(vals, q):
+        return vals[max(0, math.ceil(q * len(vals)) - 1)]
+
+    expect = {}
+    for f, vs in groups.items():
+        vs.sort()
+        p01, p99 = pdisc(vs, 0.01), pdisc(vs, 0.99)
+        n_clamped = sum(1 for v in vs if v < p01 or v > p99)
+        s = sum(int(round(100 * min(max(v, p01), p99))) for v in vs)
+        expect[f] = (len(vs), n_clamped, s)
+
+    got = {
+        r.l_returnflag: (r.n_rows, r.n_clamped, r.sum_winsorized_cents)
+        for r in REGISTRY["winsorize_prices"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
