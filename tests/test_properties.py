@@ -1315,3 +1315,37 @@ def test_winsorize_matches_bruteforce(spark):
         for r in REGISTRY["winsorize_prices"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_join_fanout_matches_bruteforce(spark):
+    """profile_join_fanout's count-table join must equal the direct
+    per-user view x click product, top-10 by contribution with the key
+    tie-break."""
+    from collections import Counter
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT user_id, event_type FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet') "
+        "WHERE event_type IN ('view', 'click')"
+    ).fetchall()
+    con.close()
+    views, clicks = Counter(), Counter()
+    for uid, et in rows:
+        (views if et == "view" else clicks)[uid] += 1
+    prods = [
+        (uid, views[uid], clicks[uid], views[uid] * clicks[uid])
+        for uid in views.keys() & clicks.keys()
+    ]
+    expect = sorted(prods, key=lambda t: (-t[3], t[0]))[:10]
+
+    got = [
+        (r.key_value, r.n_left, r.n_right, r.out_rows)
+        for r in REGISTRY["profile_join_fanout"].fn(spark, SF_SMOKE).collect()
+    ]
+    assert got == expect
