@@ -1349,3 +1349,44 @@ def test_join_fanout_matches_bruteforce(spark):
         for r in REGISTRY["profile_join_fanout"].fn(spark, SF_SMOKE).collect()
     ]
     assert got == expect
+
+
+def test_gap_stats_match_bruteforce(spark):
+    """orders_gap_stats must equal direct consecutive-order day gaps per
+    customer under the (orderdate, orderkey) ordering, with the x100
+    fixed-point truncating mean."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT o_custkey, CAST(o_orderdate AS DATE), o_orderkey FROM "
+        f"read_parquet('{SF_SMOKE}/orders.parquet')"
+    ).fetchall()
+    con.close()
+    per_cust = defaultdict(list)
+    for ck, d, ok in rows:
+        per_cust[ck].append((d, ok))
+    expect = {}
+    for ck, orders in per_cust.items():
+        orders.sort()
+        gaps = [
+            (b[0] - a[0]).days for a, b in zip(orders, orders[1:])
+        ]
+        if gaps:
+            expect[ck] = (
+                len(gaps),
+                min(gaps),
+                max(gaps),
+                sum(gaps) * 100 // len(gaps),
+            )
+
+    got = {
+        r.o_custkey: (r.n_gaps, r.min_gap_days, r.max_gap_days, r.avg_gap_days_x100)
+        for r in REGISTRY["orders_gap_stats"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
