@@ -1390,3 +1390,44 @@ def test_gap_stats_match_bruteforce(spark):
         for r in REGISTRY["orders_gap_stats"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_dataset_card_matches_bruteforce(spark):
+    """corpus_dataset_card's eight long-format metrics must equal a
+    direct Python computation over the normalized corpus (trim+lower,
+    whitespace tokens, md5 exact-dup accounting)."""
+    from collections import Counter
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, lang, source, text, n_chars FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet') WHERE trim(text) <> ''"
+    ).fetchall()
+    con.close()
+    norm = [(d, l, s, t.strip().lower(), nc) for d, l, s, t, nc in rows]
+    toks = [t.split() for _, _, _, t, _ in norm]
+    n_docs = len(norm)
+    n_tokens = sum(len(ts) for ts in toks)
+    dup_counter = Counter(t for _, _, _, t, _ in norm)
+    extra = sum(n - 1 for n in dup_counter.values() if n > 1)
+    expect = {
+        "n_docs": n_docs,
+        "n_tokens": n_tokens,
+        "n_chars": sum(nc for *_, nc in norm),
+        "n_langs": len({l for _, l, *_ in norm}),
+        "n_sources": len({s for _, _, s, *_ in norm}),
+        "vocab_size": len({tk for ts in toks for tk in ts}),
+        "mean_doc_tokens_x100": n_tokens * 100 // n_docs,
+        "exact_dup_ppm": extra * 1_000_000 // n_docs,
+    }
+
+    got = {
+        r.metric: r.value
+        for r in REGISTRY["corpus_dataset_card"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
