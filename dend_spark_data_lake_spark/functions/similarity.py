@@ -925,9 +925,7 @@ def ivf_near_pairs(
     """
     dv = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
     e = emb.select(F.col(id_col).alias("id"), dv(vec_col).alias("v"))
-    cent = e.filter(F.col("id") % centroid_mod == 0).select(
-        F.col("id").alias("cid"), F.col("v").alias("cv")
-    )
+    cent = ivf_centroids(e, "id", "v", centroid_mod)
     ccos = _dot(F.col("v"), F.col("cv")) / (
         F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
     )
@@ -1183,6 +1181,27 @@ def brp_ann_topk(
     )
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 100,
+) -> DataFrame:
+    """THE centroid-selection invariant of the IVF family, defined once:
+    corpus rows with ``id % centroid_mod == 0``, as (cid, cv) with the
+    vector cast to double. ``ivf_near_pairs``, ``ivf_assignments`` and
+    ``ivf_topk`` (query probing) all draw centroids from here so the
+    index-build rule and the query-probe rule can never drift apart
+    (ADVICE r4 — two inline copies could be edited independently).
+
+    A real system would k-means these; the deterministic pick keeps the
+    whole IVF path ANSI-SQL-reproducible for the DuckDB oracles."""
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return corpus.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("cid"), dv.alias("cv")
+    )
+
+
 def ivf_assignments(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -1209,9 +1228,7 @@ def ivf_assignments(
     is bounded by k per vector.
     """
     dv = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
-    cent = corpus.filter(F.col(id_col) % centroid_mod == 0).select(
-        F.col(id_col).alias("cid"), dv(vec_col).alias("cv")
-    )
+    cent = ivf_centroids(corpus, id_col, vec_col, centroid_mod)
     cos_to_cent = _dot(F.col("nv"), F.col("cv")) / (
         F.sqrt(_dot(F.col("nv"), F.col("nv")))
         * F.sqrt(_dot(F.col("cv"), F.col("cv")))
@@ -1256,9 +1273,7 @@ def ivf_topk(
     Returns (query_id, neighbor_id, cosine, rank).
     """
     dv = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
-    cent = corpus.filter(F.col(id_col) % centroid_mod == 0).select(
-        F.col(id_col).alias("cid"), dv(vec_col).alias("cv")
-    )
+    cent = ivf_centroids(corpus, id_col, vec_col, centroid_mod)
     cos_to_cent = lambda v: _dot(v, F.col("cv")) / (  # noqa: E731
         F.sqrt(_dot(v, v)) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
     )

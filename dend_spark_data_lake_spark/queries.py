@@ -10316,7 +10316,7 @@ def sim_ivf_index_stats(spark, sf_dir):
 
 @_q(
     "profile_dup_source_matrix",
-    """
+    r"""
     WITH fs AS (
       SELECT md5(array_to_string(
                list_slice(string_split_regex(trim(lower(text)), '\s+'), 1, 8),
@@ -11405,7 +11405,7 @@ def sample_proportional_carve(spark, sf_dir):
     c = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
     t = c.agg(
         F.sum("n_docs").cast("long").alias("total"),
-        (F.sum("n_docs") / 10).cast("long").alias("budget"),
+        F.expr("CAST(sum(n_docs) DIV 10 AS BIGINT)").alias("budget"),
     )
     base = c.crossJoin(F.broadcast(t)).select(
         "lang",
@@ -11629,7 +11629,7 @@ def agg_trimmed_mean(spark, sf_dir):
     c = g.withColumn("cw", F.sum("w").over(w_cum).cast("long"))
     t = g.groupBy("l_returnflag").agg(
         F.sum("w").cast("long").alias("n"),
-        (F.sum("w") / 10).cast("long").alias("k"),
+        F.expr("CAST(sum(w) DIV 10 AS BIGINT)").alias("k"),
     )
     keep = F.greatest(
         F.lit(0).cast("long"),
@@ -11656,14 +11656,71 @@ def agg_trimmed_mean(spark, sf_dir):
 # order). Registration order above is topical; the driver-facing order below
 # is a rotation policy: queries not yet externally certified come first.
 #
-# ROUND-4 WINDOW (50 slots, VERDICT r3 ask #3): the 16 never-graded round-3
-# additions; the 4 r03 hash-fails re-entering after their HUGEINT oracle fix
-# (VERDICT ask #1 — each was an exact value MATCH, only the DuckDB output
-# dtype was wrong); the 4 rows-only sketches that have never received even a
-# rows-only driver row (the driver records the weaker check for them — by
-# design, their accuracy/merge laws are unit-tested instead); and the 26
-# round-4 additions, all locally hash-certified at sf0.001/sf0.01.
+# ROUND-5 WINDOW (50 slots, VERDICT r4 ask #1): exactly the 50 never-graded,
+# locally-certified entries that were queued in round 4's _GRADE_NEXT —
+# verified set-equal to registry-minus-driver-graded. Every entry is
+# oracle-backed (the 4 rows-only sketches received their err:no_oracle rows
+# in r04 and stay out of all future windows per VERDICT r4 ask #5). A green
+# sweep here gives every oracle-backed query in the registry a green driver
+# row.
 _GRADE_FIRST = [
+    "embed_pca_topvec",
+    "sql_min_price_supplier",
+    "sql_important_stock",
+    "sql_parts_supplier_relation",
+    "sql_excess_inventory_suppliers",
+    "ts_rolling_distinct_users",
+    "agg_weighted_median",
+    "dq_snapshot_diff",
+    "dedup_minhash_calibration",
+    "supplier_share_hhi",
+    "window_cumulative_distinct",
+    "profile_source_divergence",
+    "ts_anomaly_mad",
+    "pipeline_dedup_report",
+    "sim_ivf_recall_eval",
+    "window_nth_value",
+    "events_burst_detection",
+    "agg_geometric_mean",
+    "corpus_dataset_card",
+    "text_shingle_novelty",
+    "supplier_lead_time_percentiles",
+    "agg_boolean_family",
+    "window_time_range_frame",
+    "text_length_percentiles_by_lang",
+    "events_sessions_detail",
+    "join_asof_nearest",
+    "multimodal_chunk_dedup",
+    "agg_salted_twophase",
+    "agg_incremental_merge",
+    "sim_ivf_index_stats",
+    "profile_dup_source_matrix",
+    "events_adjacent_dedup",
+    "text_bigram_surprisal",
+    "join_point_in_time",
+    "profile_psi_event_types",
+    "intervals_merge_coverage",
+    "sql_grouping_flags",
+    "orders_open_backlog",
+    "sql_order_priority_check",
+    "agg_higher_moments",
+    "alloc_largest_remainder",
+    "topk_with_ties",
+    "pipeline_stream_hygiene",
+    "agg_linear_regression",
+    "text_zipf_fit",
+    "dq_benford_first_digit",
+    "sample_proportional_carve",
+    "embed_ood_maxcos",
+    "ts_seasonal_backtest",
+    "agg_trimmed_mean",
+]
+
+
+# Certified in CORRECTNESS_r04 (46/46 oracle-backed green + the 4 rows-only
+# sketches' err:no_oracle rows, recorded once by design). Demoted behind the
+# round-5 window; kept explicit so the rotation history stays auditable.
+_GRADE_DONE_R04 = [
     # never-graded round-3 additions (16)
     "kmeans_clusters",
     "vocab_freq_spectrum",
@@ -11721,70 +11778,14 @@ _GRADE_FIRST = [
 ]
 
 
-# Behind the window, queued for the round-5 rotation: additions landed after
-# the round-4 window filled — a fourth certified iterative algorithm (PCA),
-# the remaining adapted TPC-H shapes (Q2/Q4/Q11/Q16/Q20 — the sweep of all
-# 22 is now complete), estimator-calibration and recall evals for the
-# LSH/IVF indexes, robust and exact-moment/OLS statistics, the apportionment
-# / interval-union / sweep-line / point-in-time idioms, PSI + Benford +
-# Zipf monitors, bigram-LM surprisal, the stream-hygiene flagship, and the
-# dataset-card / dedup-report capstones. Every entry is locally
-# hash-certified at sf0.001 / 0.01 / 0.1 (the full-registry sf0.1 sweep ran
-# clean end of round 4: 229/229). ROUND-5 ROTATION NOTE: this queue is exactly
-# 50 entries — promote it wholesale into _GRADE_FIRST and demote the
-# round-4 window to a _GRADE_DONE_R04 list.
-_GRADE_NEXT: list[str] = [
-    "embed_pca_topvec",
-    "sql_min_price_supplier",
-    "sql_important_stock",
-    "sql_parts_supplier_relation",
-    "sql_excess_inventory_suppliers",
-    "ts_rolling_distinct_users",
-    "agg_weighted_median",
-    "dq_snapshot_diff",
-    "dedup_minhash_calibration",
-    "supplier_share_hhi",
-    "window_cumulative_distinct",
-    "profile_source_divergence",
-    "ts_anomaly_mad",
-    "pipeline_dedup_report",
-    "sim_ivf_recall_eval",
-    "window_nth_value",
-    "events_burst_detection",
-    "agg_geometric_mean",
-    "corpus_dataset_card",
-    "text_shingle_novelty",
-    "supplier_lead_time_percentiles",
-    "agg_boolean_family",
-    "window_time_range_frame",
-    "text_length_percentiles_by_lang",
-    "events_sessions_detail",
-    "join_asof_nearest",
-    "multimodal_chunk_dedup",
-    "agg_salted_twophase",
-    "agg_incremental_merge",
-    "sim_ivf_index_stats",
-    "profile_dup_source_matrix",
-    "events_adjacent_dedup",
-    "text_bigram_surprisal",
-    "join_point_in_time",
-    "profile_psi_event_types",
-    "intervals_merge_coverage",
-    "sql_grouping_flags",
-    "orders_open_backlog",
-    "sql_order_priority_check",
-    "agg_higher_moments",
-    "alloc_largest_remainder",
-    "topk_with_ties",
-    "pipeline_stream_hygiene",
-    "agg_linear_regression",
-    "text_zipf_fit",
-    "dq_benford_first_digit",
-    "sample_proportional_carve",
-    "embed_ood_maxcos",
-    "ts_seasonal_backtest",
-    "agg_trimmed_mean",
-]
+# Behind the window, queued for the round-6 rotation (VERDICT r4 ask #5:
+# oracle-backed entries ONLY — the 4 rows-only sketches have their
+# err:no_oracle rows on record and re-windowing them would burn slots).
+# Once the round-5 sweep lands, every oracle-backed entry has a green
+# driver row, so round 6 pivots to RE-certification: any round-5 additions
+# first, then the oldest-certified entries (r01 greens, graded before the
+# round-2 harness fix) for a freshness pass.
+_GRADE_NEXT: list[str] = []
 
 
 # Certified green in CORRECTNESS_r03 (demoted behind the window; the four
@@ -11896,7 +11897,13 @@ _GRADE_DONE_R02 = [
 
 def _reorder_registry() -> None:
     global REGISTRY
-    front = [*_GRADE_FIRST, *_GRADE_NEXT, *_GRADE_DONE_R03, *_GRADE_DONE_R02]
+    front = [
+        *_GRADE_FIRST,
+        *_GRADE_NEXT,
+        *_GRADE_DONE_R04,
+        *_GRADE_DONE_R03,
+        *_GRADE_DONE_R02,
+    ]
     assert len(front) == len(set(front)), "duplicate grade names"
     missing = [n for n in front if n not in REGISTRY]
     assert not missing, f"unknown grade names: {missing}"

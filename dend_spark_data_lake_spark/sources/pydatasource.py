@@ -140,19 +140,26 @@ class _SynthDocsStreamReader(DataSourceStreamReader):
         self.n_rows = int(options.get("rows", 1000))
         self.per_batch = int(options.get("rows_per_batch", 100))
         self.n_parts = int(options.get("partitions", 4))
-        self._current = 0
+        self._current = 0  # rate-limit cursor
+        # highest offset observed from ANY engine callback (partitions
+        # start/end, commit). latestOffset reports from max(cursor, seen),
+        # so the offset it returns can never regress below a checkpointed
+        # offset even if the engine calls latestOffset BEFORE partitions()
+        # after a restart — exactly-once no longer depends on call ordering
+        self._seen = 0
 
     def initialOffset(self) -> dict:
         return {"offset": 0}
 
     def latestOffset(self) -> dict:
-        self._current = min(self._current + self.per_batch, self.n_rows)
-        return {"offset": self._current}
+        self._current = min(max(self._current, self._seen) + self.per_batch, self.n_rows)
+        return {"offset": max(self._current, self._seen)}
 
     def partitions(self, start: dict, end: dict):
         s, e = start["offset"], end["offset"]
         # resuming from a checkpoint ahead of this (fresh) reader's
         # rate-limit cursor: fast-forward so latestOffset never regresses
+        self._seen = max(self._seen, e)
         self._current = max(self._current, e)
         per = max(1, -(-(e - s) // self.n_parts))
         return [
@@ -164,7 +171,9 @@ class _SynthDocsStreamReader(DataSourceStreamReader):
             yield (doc_id, _LANGS[doc_id % len(_LANGS)], _doc_text(doc_id))
 
     def commit(self, end: dict) -> None:
-        pass  # nothing to acknowledge/trim for a deterministic generator
+        # nothing to acknowledge/trim for a deterministic generator, but
+        # commit IS a checkpoint-position signal — fold it into _seen
+        self._seen = max(self._seen, int(end["offset"]))
 
 
 class SyntheticDocsDataSource(DataSource):

@@ -157,3 +157,34 @@ def test_stream_reader_resumes_from_checkpoint(spark, tmp_path):
     # the restarted query appended ONLY the un-delivered tail: every id
     # exactly once across both runs
     assert sorted(r.doc_id for r in merged) == list(range(120))
+
+
+def test_stream_reader_offset_never_regresses_regardless_of_call_order():
+    """ADVICE r4: a restarted reader that receives latestOffset() BEFORE
+    partitions() must not report an offset below the checkpoint. The
+    reader folds every engine callback (partitions start/end, commit)
+    into a high-water mark and reports from max(cursor, seen) — the
+    exactly-once contract no longer leans on Spark's call ordering."""
+    from dend_spark_data_lake_spark.sources.pydatasource import (
+        _SynthDocsStreamReader,
+    )
+
+    # ordering A (what Spark 4.1 does): partitions() first, then latest
+    r = _SynthDocsStreamReader({"rows": "1000", "rows_per_batch": "100"})
+    r.partitions({"offset": 0}, {"offset": 500})
+    assert r.latestOffset()["offset"] == 600
+
+    # ordering B (the ADVICE hazard): only commit() has run when
+    # latestOffset is asked — the report must still clear the checkpoint
+    r2 = _SynthDocsStreamReader({"rows": "1000", "rows_per_batch": "100"})
+    r2.commit({"offset": 500})
+    assert r2.latestOffset()["offset"] == 600
+
+    # saturation at the rows cap still holds, and the offset stays
+    # monotone across repeated latestOffset calls
+    r3 = _SynthDocsStreamReader({"rows": "150", "rows_per_batch": "100"})
+    assert r3.latestOffset()["offset"] == 100
+    assert r3.latestOffset()["offset"] == 150
+    assert r3.latestOffset()["offset"] == 150
+    r3.commit({"offset": 150})
+    assert r3.latestOffset()["offset"] == 150
