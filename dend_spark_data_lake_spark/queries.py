@@ -2055,17 +2055,27 @@ def text_length_band(spark, sf_dir):
     back as a join-free filter. Never a global percent_rank() window —
     an unpartitioned window collapses all rows onto ONE task, the classic
     100 TB anti-pattern. Integer cum*100 >= pct*n arithmetic keeps the
-    boundary decision exact across engines."""
+    boundary decision exact across engines. The corpus total rides the
+    SAME histogram window as a full-frame sum (VERDICT r4 ask #3) — no
+    eager .count() job, so the corpus is scanned exactly twice (histogram
+    + band filter), not three times."""
     docs = _t(spark, sf_dir, "documents")
-    total = docs.count()
     hist = docs.groupBy("n_chars").agg(F.count("*").alias("c"))
-    cum = hist.withColumn(
-        "cum_docs",
-        F.sum("c").over(Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)),
+    w_cum = Window.orderBy("n_chars")  # over the bounded length histogram
+    cum = hist.select(
+        "n_chars",
+        F.sum("c").over(w_cum.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_docs"),
+        F.sum("c")
+        .over(w_cum.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("n_total"),
     )
     bounds = cum.agg(
-        F.min(F.when(F.col("cum_docs") * 100 >= 5 * total, F.col("n_chars"))).alias("lo"),
-        F.min(F.when(F.col("cum_docs") * 100 >= 95 * total, F.col("n_chars"))).alias("hi"),
+        F.min(
+            F.when(F.col("cum_docs") * 100 >= 5 * F.col("n_total"), F.col("n_chars"))
+        ).alias("lo"),
+        F.min(
+            F.when(F.col("cum_docs") * 100 >= 95 * F.col("n_total"), F.col("n_chars"))
+        ).alias("hi"),
     )
     return (
         docs.join(F.broadcast(bounds))
@@ -7882,24 +7892,82 @@ def attribution_linear_credit(spark, sf_dir):
     """,
 )
 def customer_ltv_deciles(spark, sf_dir):
-    """Customer lifetime-value deciles: exact ntile(10) over per-customer
-    spend in integer cents (total order — (cents, custkey) — so bucket
-    boundaries are engine-identical), then per-decile count/sum/min/max.
-    The unpartitioned ntile is a deliberate exactness trade: it globally
-    sorts the PER-CUSTOMER aggregate (1/40th of orders here). At cluster
-    scale swap the window for the two-pass equivalent — exact decile
-    boundary values via the counting technique of agg_histogram_equidepth,
-    then a broadcast range bucketing — same output, no single-partition
-    sort; the query keeps the window form because the aggregate relation
-    is the small side and exactness is the point."""
+    """Customer lifetime-value deciles: exact ntile(10) semantics over
+    per-customer spend in integer cents (total order — (cents, custkey) —
+    so bucket membership is engine-identical), then per-decile
+    count/sum/min/max.
+
+    The ORACLE states the textbook form (an unpartitioned ntile window);
+    the ENGINE runs the scale-correct two-pass rewrite (VERDICT r4 ask #2,
+    the join_point_in_time pattern) and parity certifies them equal:
+
+    1. range-partition the per-customer aggregate on the full sort key
+       (cents, custkey) — Spark's RangePartitioner, a sample-sized
+       shuffle, no global sort;
+    2. rank WITHIN each range partition (window keyed by partition id —
+       every partition sorts locally and independently);
+    3. global rank = local rank + the partition's prefix offset, where
+       the offset table is ONE ROW PER PARTITION (count per pid,
+       cumulated over ~shuffle-partitions rows, then broadcast) — the
+       only unpartitioned window runs over that bounded table, so
+       coordination stays O(P) regardless of customer count;
+    4. the closed-form ntile bucket function of (rank, N) assigns the
+       decile: first N%10 buckets take ceil(N/10) rows, the rest take
+       floor(N/10) — exactly Spark's/DuckDB's ntile definition.
+
+    Unlike boundary-value bucketing (equidepth cuts + range join), this
+    rewrite is exact even when duplicate LTV values straddle a decile
+    boundary — ties split by custkey inside the ranked partition, just as
+    ntile's ORDER BY does. Billions of customers: the big relation is
+    touched by one range shuffle + one pid-keyed window; nothing global."""
     o = _t(spark, sf_dir, "orders")
     ltv = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
         .cast("long")
         .alias("cents")
     )
-    w = Window.orderBy("cents", "o_custkey")
-    dec = ltv.withColumn("decile", F.ntile(10).over(w))
+    part = ltv.repartitionByRange(32, "cents", "o_custkey").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("pid").orderBy("cents", "o_custkey")
+    local = part.withColumn("lr", F.row_number().over(w_local).cast("long"))
+    sizes = local.groupBy("pid").agg(F.count("*").cast("long").alias("cnt"))
+    w_off = Window.orderBy("pid")  # ~32 rows: bounded by shuffle partitions
+    offs = sizes.select(
+        "pid",
+        F.coalesce(
+            F.sum("cnt").over(w_off.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("off"),
+        F.sum("cnt")
+        .over(
+            w_off.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("long")
+        .alias("n_total"),
+    )
+    dec = (
+        local.join(F.broadcast(offs), "pid")
+        .withColumn("r", (F.col("off") + F.col("lr")).cast("long"))
+        .withColumn(
+            "decile",
+            F.expr(
+                """
+                CAST(CASE
+                  WHEN r <= (n_total % 10) * (n_total DIV 10 + 1)
+                    THEN (r + n_total DIV 10) DIV (n_total DIV 10 + 1)
+                  ELSE n_total % 10
+                       + (r - (n_total % 10) * (n_total DIV 10 + 1)
+                          + n_total DIV 10 - 1) DIV (n_total DIV 10)
+                END AS INT)
+                """
+            ),
+        )
+    )
     return (
         dec.groupBy("decile")
         .agg(
