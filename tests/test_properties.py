@@ -1431,3 +1431,217 @@ def test_dataset_card_matches_bruteforce(spark):
         for r in REGISTRY["corpus_dataset_card"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_psi_terms_match_bruteforce(spark):
+    """profile_psi_event_types must equal a direct PSI computation over
+    the two time windows: bins present in only one window excluded from
+    terms AND totals, psi_term = (pa-pb)*ln(pa/pb) (math.log replica,
+    one round(6) ulp tolerance), counts exact."""
+    from datetime import datetime
+    import math
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT event_type, ts FROM read_parquet('{SF_SMOKE}/events.parquet')"
+    ).fetchall()
+    con.close()
+    cut = datetime(2024, 1, 16)
+    na, nb = {}, {}
+    for et, ts in rows:
+        if ts < cut:
+            na[et] = na.get(et, 0) + 1
+        else:
+            nb[et] = nb.get(et, 0) + 1
+    both = sorted(set(na) & set(nb))
+    ta = sum(na[e] for e in both)
+    tb = sum(nb[e] for e in both)
+    expect = {}
+    for e in both:
+        pa, pb = na[e] / ta, nb[e] / tb
+        expect[e] = (na[e], nb[e], (pa - pb) * math.log(pa / pb))
+
+    got = {
+        r.event_type: (r.n_a, r.n_b, r.psi_term)
+        for r in REGISTRY["profile_psi_event_types"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(expect)
+    for e in expect:
+        assert got[e][:2] == expect[e][:2], e
+        assert abs(got[e][2] - expect[e][2]) <= 2e-6, (e, got[e], expect[e])
+
+
+def test_bigram_surprisal_matches_bruteforce(spark):
+    """text_bigram_surprisal must equal a direct add-one-smoothed bigram
+    LM walk: corpus counts c(w1,w2) and c(w1.) from the bigram table, V
+    = distinct second tokens, per-doc mean of ln(c(w1.)+V) - ln(c+1)."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+        f" WHERE trim(text) <> ''"
+    ).fetchall()
+    con.close()
+    doc_bigrams = {
+        d: list(zip(t.strip().lower().split(), t.strip().lower().split()[1:]))
+        for d, t in rows
+    }
+    cb = Counter(b for bs in doc_bigrams.values() for b in bs)
+    cu = Counter()
+    for (w1, _), n in cb.items():
+        cu[w1] += n
+    vocab = len({w2 for _, w2 in cb})
+    expect = {}
+    for d, bs in doc_bigrams.items():
+        if not bs:
+            continue
+        s = sum(math.log(cu[w1] + vocab) - math.log(cb[(w1, w2)] + 1) for w1, w2 in bs)
+        expect[d] = (len(bs), s / len(bs))
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.surprisal_nats)
+        for r in REGISTRY["text_bigram_surprisal"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(expect)
+    for d in expect:
+        assert got[d][0] == expect[d][0], d
+        assert abs(got[d][1] - expect[d][1]) <= 2e-6, (d, got[d], expect[d])
+
+
+def test_benford_matches_bruteforce(spark):
+    """dq_benford_first_digit must equal a direct leading-digit count
+    over integer cents, exact floor-ppm shares, and the closed-form
+    log10(1 + 1/d) expectation in integer ppm."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT o_totalprice FROM read_parquet('{SF_SMOKE}/orders.parquet')"
+        f" WHERE o_totalprice > 0"
+    ).fetchall()
+    con.close()
+    digits = Counter(int(str(int(round(p * 100)))[0]) for (p,) in rows)
+    total = sum(digits.values())
+    expect = {
+        d: (
+            n,
+            n * 1_000_000 // total,
+            int(round(math.log10(1 + 1 / d) * 1_000_000)),
+        )
+        for d, n in digits.items()
+    }
+
+    got = {
+        r.digit: (r.n, r.observed_ppm, r.benford_ppm)
+        for r in REGISTRY["dq_benford_first_digit"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_higher_moments_match_bruteforce(spark):
+    """agg_higher_moments must equal exact integer power sums (python
+    bigints — overflow-proof) fed through the same double central-moment
+    formulas; tolerance one round(6) ulp for the pow() seam."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT o_orderpriority, o_totalprice FROM "
+        f"read_parquet('{SF_SMOKE}/orders.parquet')"
+    ).fetchall()
+    con.close()
+    sums = defaultdict(lambda: [0, 0, 0, 0, 0])  # n, s1..s4
+    for pri, p in rows:
+        c = int(round(p * 100))
+        s = sums[pri]
+        s[0] += 1
+        s[1] += c
+        s[2] += c * c
+        s[3] += c * c * c
+        s[4] += c * c * c * c
+    expect = {}
+    for pri, (n, s1, s2, s3, s4) in sums.items():
+        m1 = float(s1) / n
+        d2 = float(s2) / n
+        d3 = float(s3) / n
+        d4 = float(s4) / n
+        m2 = d2 - m1 * m1
+        m3 = d3 - 3 * m1 * d2 + 2 * m1 * m1 * m1
+        m4 = d4 - 4 * m1 * d3 + 6 * m1 * m1 * d2 - 3 * m1 * m1 * m1 * m1
+        expect[pri] = (n, m3 / m2**1.5, m4 / (m2 * m2) - 3)
+
+    got = {
+        r.o_orderpriority: (r.n, r.skewness, r.excess_kurtosis)
+        for r in REGISTRY["agg_higher_moments"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(expect)
+    for pri in expect:
+        assert got[pri][0] == expect[pri][0], pri
+        assert abs(got[pri][1] - expect[pri][1]) <= 2e-6, (pri, got[pri], expect[pri])
+        assert abs(got[pri][2] - expect[pri][2]) <= 2e-6, (pri, got[pri], expect[pri])
+
+
+def test_linear_regression_matches_bruteforce(spark):
+    """agg_linear_regression must equal the normal equations over exact
+    integer sums (python bigints) computed independently per return
+    flag; tolerance one round(6) ulp."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT l_returnflag, l_discount, l_quantity FROM "
+        f"read_parquet('{SF_SMOKE}/lineitem.parquet')"
+    ).fetchall()
+    con.close()
+    sums = defaultdict(lambda: [0, 0, 0, 0, 0])  # n, sx, sy, sxy, sxx
+    for rf, disc, qty in rows:
+        x, y = int(round(disc * 100)), int(round(qty))
+        s = sums[rf]
+        s[0] += 1
+        s[1] += x
+        s[2] += y
+        s[3] += x * y
+        s[4] += x * x
+    expect = {}
+    for rf, (n, sx, sy, sxy, sxx) in sums.items():
+        slope = (float(n) * sxy - float(sx) * sy) / (float(n) * sxx - float(sx) * sx)
+        intercept = (float(sy) - slope * sx) / n
+        expect[rf] = (n, slope, intercept)
+
+    got = {
+        r.l_returnflag: (r.n, r.slope, r.intercept)
+        for r in REGISTRY["agg_linear_regression"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(expect)
+    for rf in expect:
+        assert got[rf][0] == expect[rf][0], rf
+        assert abs(got[rf][1] - expect[rf][1]) <= 2e-6, (rf, got[rf], expect[rf])
+        assert abs(got[rf][2] - expect[rf][2]) <= 2e-6, (rf, got[rf], expect[rf])
