@@ -1,0 +1,135 @@
+"""Scale-degradation tier (VERDICT r4 ask #6b): the 10 most expensive
+registry queries must keep an INVARIANT physical-plan shape when
+``spark.sql.shuffle.partitions`` is forced far below (4) and far above
+(256) the tuned value, at the bench scale factor (sf0.1).
+
+Why this matters at 100 TB: partition count is the one knob an operator
+must never encode semantics in. A plan whose join strategy, shuffle
+count, aggregate structure, or global-sort count CHANGES with the
+partition setting is leaning on a local[32] coincidence — e.g. a
+broadcast that silently becomes a shuffle join, or a windowed rank that
+acquires a global sort — and will degrade non-linearly when a cluster
+operator retunes partitions for real data volumes. Shape here means the
+multiset of plan operators that carry scale semantics; partition NUMBERS
+inside the plan are expected to differ and are excluded.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+
+from dend_spark_data_lake_spark.queries import REGISTRY
+
+SF_BENCH = "/root/testdata/sf0.1"
+
+# the 10 most expensive queries by BENCH median (headline + secondary),
+# i.e. the ones whose plans matter most at 100x
+SCALE_QUERIES = [
+    "kmeans_clusters",
+    "pipeline_llm_corpus",
+    "pipeline_incremental_ingest",
+    "embed_pca_topvec",
+    "dedup_ngram_jaccard",
+    "graph_pagerank_nations",
+    "dedup_corpus",
+    "pipeline_curation",
+    "dedup_containment",
+    "text_bigram_surprisal",
+]
+
+# operators whose COUNT defines the scale shape of a plan: join
+# strategies, shuffle boundaries, aggregate structure, top-k vs sort,
+# window operators. Project/Filter/scan-detail lines are formatting
+# noise and excluded.
+_SHAPE_OPS = (
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+    "Exchange",
+    "BroadcastExchange",
+    "TakeOrderedAndProject",
+    "HashAggregate",
+    "ObjectHashAggregate",
+    "SortAggregate",
+    "Window",
+    "Generate",
+    "FlatMapGroupsInPandas",
+    "MapInPandas",
+)
+
+_OP_RE = re.compile(r"^[\s:+\-*(]*([A-Za-z][A-Za-z0-9]*)")
+
+
+def _shape(plan: str) -> Counter:
+    counts: Counter = Counter()
+    for line in plan.splitlines():
+        m = _OP_RE.match(line)
+        if not m:
+            continue
+        op = m.group(1)
+        if op == "Exchange":
+            # distinguish shuffle kinds but not partition numbers
+            kind = "range" if "rangepartitioning" in line else (
+                "single" if "SinglePartition" in line else "hash"
+            )
+            counts[f"Exchange[{kind}]"] += 1
+        elif op == "Sort":
+            # a GLOBAL sort (flag `true`) is a scale hazard; count it
+            # separately from the benign in-partition sorts under
+            # SMJ/Window, whose count follows the join/window ops
+            if re.search(r"\],\s*true", line):
+                counts["Sort[global]"] += 1
+        elif op in _SHAPE_OPS:
+            counts[op] += 1
+    return counts
+
+
+def _plan_shape(spark, name: str) -> Counter:
+    # hermetic per-build: a relation persisted by an EARLIER query build
+    # (e.g. PPJoin's candidate cache inside pipeline_llm_corpus) would be
+    # cache-substituted into this plan and change its printed shape —
+    # that's cache state, not a partition-count effect
+    spark.catalog.clearCache()
+    df = REGISTRY[name].fn(spark, SF_BENCH)
+    return _shape(df._jdf.queryExecution().executedPlan().toString())
+
+
+@pytest.fixture(scope="module")
+def shapes(spark):
+    """Plan shape per query under the low and high partition forcings.
+    Computed once for the module; conf restored even on failure."""
+    key = "spark.sql.shuffle.partitions"
+    orig = spark.conf.get(key)
+    out: dict[str, dict[int, Counter]] = {n: {} for n in SCALE_QUERIES}
+    try:
+        for parts in (4, 256):
+            spark.conf.set(key, str(parts))
+            for name in SCALE_QUERIES:
+                out[name][parts] = _plan_shape(spark, name)
+    finally:
+        spark.conf.set(key, orig)
+    return out
+
+
+@pytest.mark.parametrize("name", SCALE_QUERIES)
+def test_plan_shape_invariant_under_partition_forcing(shapes, name):
+    lo, hi = shapes[name][4], shapes[name][256]
+    assert lo == hi, (
+        f"{name}: plan shape depends on spark.sql.shuffle.partitions\n"
+        f"  at 4:   {dict(lo)}\n  at 256: {dict(hi)}\n"
+        f"  diff:   {dict((lo - hi) + (hi - lo))}"
+    )
+
+
+@pytest.mark.parametrize("name", SCALE_QUERIES)
+def test_no_cartesian_and_bounded_global_sorts(shapes, name):
+    """Companion hard bounds at BOTH forcings: never a cartesian product,
+    and at most one global sort (the presentation orderBy)."""
+    for parts, shape in shapes[name].items():
+        assert shape["CartesianProduct"] == 0, (name, parts, dict(shape))
+        assert shape["Sort[global]"] <= 1, (name, parts, dict(shape))
