@@ -11850,10 +11850,64 @@ _GRADE_DONE_R04 = [
 # oracle-backed entries ONLY — the 4 rows-only sketches have their
 # err:no_oracle rows on record and re-windowing them would burn slots).
 # Once the round-5 sweep lands, every oracle-backed entry has a green
-# driver row, so round 6 pivots to RE-certification: any round-5 additions
-# first, then the oldest-certified entries (r01 greens, graded before the
-# round-2 harness fix) for a freshness pass.
-_GRADE_NEXT: list[str] = []
+# driver row, so round 6 pivots to RE-certification, oldest certificate
+# first: the 45 entries whose only driver row is CORRECTNESS_r01 (graded
+# before the round-2 harness fix), then the head of the r02 cohort. Any
+# round-6 additions should be inserted at the FRONT of this queue.
+_GRADE_NEXT: list[str] = [
+    # sole certificate is r01 (45, in r01 grading order)
+    "ref_pricing_summary",
+    "ref_dedup_keep_latest",
+    "ref_dedup_keep_first",
+    "ref_sentinel_null",
+    "ref_clean_cast_filter",
+    "ref_time_table",
+    "ref_star_join",
+    "ref_float_eq_join",
+    "agg_region_revenue",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_count_distinct",
+    "join_semi_anti",
+    "join_outer",
+    "window_running_sum",
+    "window_lag_lead",
+    "topk_per_group",
+    "set_ops",
+    "string_funcs",
+    "json_extract",
+    "pivot_event_counts",
+    "agg_daily",
+    "join_full_outer",
+    "sort_limit_global",
+    "array_funcs",
+    "map_funcs",
+    "math_funcs",
+    "cond_funcs",
+    "sql_exists_cte",
+    "tfidf_topterms",
+    "window_tumbling",
+    "window_sliding",
+    "session_window_batch",
+    "join_asof",
+    "join_range",
+    "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "sim_cosine_topk",
+    "embed_norm_stats",
+    "text_quality",
+    "text_token_counts",
+    "text_fingerprint",
+    "text_langid",
+    "multimodal_bytes",
+    # oldest r02 certificates (5)
+    "pipeline_llm_corpus",
+    "dedup_semantic_corpus",
+    "dedup_clusters",
+    "dedup_corpus",
+    "dedup_embedding_cosine",
+]
 
 
 # Certified green in CORRECTNESS_r03 (demoted behind the window; the four
@@ -11965,14 +12019,16 @@ _GRADE_DONE_R02 = [
 
 def _reorder_registry() -> None:
     global REGISTRY
-    front = [
-        *_GRADE_FIRST,
-        *_GRADE_NEXT,
-        *_GRADE_DONE_R04,
-        *_GRADE_DONE_R03,
-        *_GRADE_DONE_R02,
-    ]
-    assert len(front) == len(set(front)), "duplicate grade names"
+    # within the live rotation (window + queue) duplicates are bugs; a
+    # queue entry may ALSO sit in a done-list (re-certification of an
+    # old green) — first occurrence wins when flattening
+    rotation = [*_GRADE_FIRST, *_GRADE_NEXT]
+    assert len(rotation) == len(set(rotation)), "duplicate grade names"
+    front = list(
+        dict.fromkeys(
+            [*rotation, *_GRADE_DONE_R04, *_GRADE_DONE_R03, *_GRADE_DONE_R02]
+        )
+    )
     missing = [n for n in front if n not in REGISTRY]
     assert not missing, f"unknown grade names: {missing}"
     # Then: entries still lacking a value-level certification (rows-only

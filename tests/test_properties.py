@@ -1645,3 +1645,311 @@ def test_linear_regression_matches_bruteforce(spark):
         assert got[rf][0] == expect[rf][0], rf
         assert abs(got[rf][1] - expect[rf][1]) <= 2e-6, (rf, got[rf], expect[rf])
         assert abs(got[rf][2] - expect[rf][2]) <= 2e-6, (rf, got[rf], expect[rf])
+
+
+def test_ood_maxcos_matches_bruteforce(spark):
+    """embed_ood_maxcos must equal a direct computation: 2^20-quantized
+    elements, per-(label,pos) floor-mean centroids, integer dot products,
+    argmax over ROUNDED cosines with label tie-break, ood at 0.5."""
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT vec_id, label, embedding FROM "
+        f"read_parquet('{SF_SMOKE}/embeddings.parquet')"
+    ).fetchall()
+    con.close()
+    vecs = {
+        vid: (lab, [int(math.floor(float(x) * 1048576 + 0.5)) for x in emb])
+        for vid, lab, emb in rows
+    }
+    by_label = defaultdict(list)
+    for _, (lab, v) in vecs.items():
+        by_label[lab].append(v)
+    cents = {
+        lab: [int(math.floor(sum(col) / len(vs))) for col in zip(*vs)]
+        for lab, vs in by_label.items()
+    }
+    expect = {}
+    for vid, (_, v) in vecs.items():
+        best = None
+        for lab in sorted(cents):
+            c = cents[lab]
+            cos = round(
+                sum(a * b for a, b in zip(v, c))
+                / (
+                    math.sqrt(sum(a * a for a in v))
+                    * math.sqrt(sum(b * b for b in c))
+                ),
+                6,
+            )
+            if best is None or cos > best[1]:
+                best = (lab, cos)
+        expect[vid] = (int(best[0]), best[1], 1 if best[1] < 0.5 else 0)
+
+    got = {
+        r.vec_id: (r.best_label, r.max_cos, r.ood_flag)
+        for r in REGISTRY["embed_ood_maxcos"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(expect)
+    for vid in expect:
+        assert got[vid][0] == expect[vid][0], vid
+        assert abs(got[vid][1] - expect[vid][1]) <= 2e-6, (vid, got[vid], expect[vid])
+        assert got[vid][2] == expect[vid][2], vid
+
+
+def test_seasonal_backtest_matches_bruteforce(spark):
+    """ts_seasonal_backtest must equal a direct seasonal-naive MAE:
+    each day scored against the same weekday last week, exact integers."""
+    from collections import Counter
+    from datetime import timedelta
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT CAST(ts AS DATE) FROM read_parquet('{SF_SMOKE}/events.parquet')"
+    ).fetchall()
+    con.close()
+    daily = Counter(d for (d,) in rows)
+    scored = [
+        abs(daily[d] - daily[d - timedelta(days=7)])
+        for d in daily
+        if d - timedelta(days=7) in daily
+    ]
+    expect = (len(scored), sum(scored), sum(scored) * 100 // len(scored))
+
+    r = REGISTRY["ts_seasonal_backtest"].fn(spark, SF_SMOKE).collect()[0]
+    assert (r.n_days_scored, r.total_abs_err, r.mae_x100) == expect
+
+
+def test_weighted_median_matches_bruteforce(spark):
+    """agg_weighted_median must equal the smallest price whose cumulative
+    quantity weight reaches half the total (exact integer sweep)."""
+    from collections import Counter
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT l_extendedprice, l_quantity FROM "
+        f"read_parquet('{SF_SMOKE}/lineitem.parquet')"
+    ).fetchall()
+    con.close()
+    w = Counter()
+    for p, q in rows:
+        w[int(round(p * 100))] += int(q)
+    total = sum(w.values())
+    cum = 0
+    median = None
+    for cents in sorted(w):
+        cum += w[cents]
+        if 2 * cum >= total:
+            median = cents
+            break
+
+    r = REGISTRY["agg_weighted_median"].fn(spark, SF_SMOKE).collect()[0]
+    assert (r.weighted_median_cents, r.total_weight) == (median, total)
+
+
+def test_largest_remainder_matches_bruteforce(spark):
+    """alloc_largest_remainder must equal a direct Hamilton-method
+    allocation: floor quotas, leftovers to the largest remainders with
+    lexicographic tie-break, quotas summing exactly to the budget."""
+    from collections import Counter
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT lang FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    counts = Counter(l for (l,) in rows)
+    total = sum(counts.values())
+    floor_q = {l: 10_000 * n // total for l, n in counts.items()}
+    rem = {l: 10_000 * n % total for l, n in counts.items()}
+    leftover = 10_000 - sum(floor_q.values())
+    order = sorted(counts, key=lambda l: (-rem[l], l))
+    expect = {
+        l: (counts[l], floor_q[l] + (1 if i < leftover else 0))
+        for i, l in enumerate(order)
+    }
+    assert sum(q for _, q in expect.values()) == 10_000  # exactness law
+
+    got = {
+        r.lang: (r.n_docs, r.quota)
+        for r in REGISTRY["alloc_largest_remainder"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_intervals_coverage_matches_bruteforce(spark):
+    """intervals_merge_coverage must equal a direct per-user sweep-line
+    union of the 10-minute activity intervals (touching intervals merge;
+    coverage in whole seconds via integer microsecond floors)."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT user_id, ts FROM read_parquet('{SF_SMOKE}/events.parquet')"
+    ).fetchall()
+    con.close()
+    per_user = defaultdict(list)
+    ten = timedelta(minutes=10)
+    for u, ts in rows:
+        per_user[u].append((ts, ts + ten))
+    expect = {}
+    for u, iv in per_user.items():
+        iv.sort()
+        islands = []
+        cs, ce = iv[0]
+        for s, e in iv[1:]:
+            if s > ce:
+                islands.append((cs, ce))
+                cs, ce = s, e
+            else:
+                ce = max(ce, e)
+        islands.append((cs, ce))
+        us = sum(
+            (e - s) // timedelta(microseconds=1) for s, e in islands
+        )
+        expect[u] = (len(islands), us // 1_000_000)
+
+    got = {
+        r.user_id: (r.n_islands, r.covered_seconds)
+        for r in REGISTRY["intervals_merge_coverage"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_proportional_carve_matches_bruteforce(spark):
+    """sample_proportional_carve must equal a direct largest-remainder
+    carve of a total//10 budget, with n_sampled = min(quota, n_docs) and
+    zero-quota languages absent from the output."""
+    from collections import Counter
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT lang FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    counts = Counter(l for (l,) in rows)
+    total = sum(counts.values())
+    budget = total // 10
+    floor_q = {l: budget * n // total for l, n in counts.items()}
+    rem = {l: budget * n % total for l, n in counts.items()}
+    leftover = budget - sum(floor_q.values())
+    order = sorted(counts, key=lambda l: (-rem[l], l))
+    quota = {
+        l: floor_q[l] + (1 if i < leftover else 0) for i, l in enumerate(order)
+    }
+    assert sum(quota.values()) == budget  # exactness law
+    expect = {
+        l: (min(q, counts[l]), q) for l, q in quota.items() if q > 0
+    }
+
+    got = {
+        r.lang: (r.n_sampled, r.quota)
+        for r in REGISTRY["sample_proportional_carve"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_snapshot_diff_matches_bruteforce(spark):
+    """dq_snapshot_diff must equal a direct old-vs-new aggregate diff
+    with exact integer value folding."""
+    from collections import Counter, defaultdict
+    from datetime import datetime
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT user_id, event_type, ts, value FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet')"
+    ).fetchall()
+    con.close()
+    cut = datetime(2024, 1, 28)
+    old, new = defaultdict(lambda: [0, 0]), defaultdict(lambda: [0, 0])
+    for u, et, ts, v in rows:
+        cents = int(round(v * 100))
+        new[(u, et)][0] += 1
+        new[(u, et)][1] += cents
+        if ts < cut:
+            old[(u, et)][0] += 1
+            old[(u, et)][1] += cents
+    classes = Counter()
+    for k, nv in new.items():
+        if k not in old:
+            classes["inserted"] += 1
+        elif old[k] == nv:
+            classes["unchanged"] += 1
+        else:
+            classes["changed"] += 1
+
+    got = {
+        r.change_type: r.n_keys
+        for r in REGISTRY["dq_snapshot_diff"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == dict(classes)
+
+
+def test_zipf_fit_matches_bruteforce(spark):
+    """text_zipf_fit must equal a direct OLS of ln(freq) on ln(rank)
+    over the deterministic top-100 terms, negated."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT text FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+        f" WHERE trim(text) <> ''"
+    ).fetchall()
+    con.close()
+    freq = Counter(tok for (t,) in rows for tok in t.strip().lower().split())
+    top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    n = len(top)
+    sx = sum(math.log(r) for r in range(1, n + 1))
+    sy = sum(math.log(f) for _, f in top)
+    sxy = sum(math.log(r) * math.log(f) for r, (_, f) in enumerate(top, 1))
+    sxx = sum(math.log(r) ** 2 for r in range(1, n + 1))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+
+    r = REGISTRY["text_zipf_fit"].fn(spark, SF_SMOKE).collect()[0]
+    assert r.n == n
+    assert abs(r.zipf_exponent - (-slope)) <= 2e-6, (r.zipf_exponent, -slope)
