@@ -1953,3 +1953,270 @@ def test_zipf_fit_matches_bruteforce(spark):
     r = REGISTRY["text_zipf_fit"].fn(spark, SF_SMOKE).collect()[0]
     assert r.n == n
     assert abs(r.zipf_exponent - (-slope)) <= 2e-6, (r.zipf_exponent, -slope)
+
+
+def test_lead_time_percentiles_match_bruteforce(spark):
+    """supplier_lead_time_percentiles must equal a direct per-supplier
+    grid sweep: p50/p90 as the smallest day-gap whose cumulative count
+    crosses the integer rank (percentile_disc semantics)."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""SELECT l.l_suppkey, CAST(l.l_shipdate AS DATE),
+                   CAST(o.o_orderdate AS DATE)
+            FROM read_parquet('{SF_SMOKE}/lineitem.parquet') l
+            JOIN read_parquet('{SF_SMOKE}/orders.parquet') o
+              ON o.o_orderkey = l.l_orderkey"""
+    ).fetchall()
+    con.close()
+    per_supp = defaultdict(list)
+    for sk, ship, od in rows:
+        per_supp[sk].append((ship - od).days)
+    expect = {}
+    for sk, days in per_supp.items():
+        days.sort()
+        t = len(days)
+        p50 = next(d for i, d in enumerate(days, 1) if 2 * i >= t)
+        p90 = next(d for i, d in enumerate(days, 1) if 10 * i >= 9 * t)
+        expect[sk] = (t, p50, p90)
+
+    got = {
+        r.s_suppkey: (r.n_lines, r.p50_days, r.p90_days)
+        for r in REGISTRY["supplier_lead_time_percentiles"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_length_percentiles_by_lang_match_bruteforce(spark):
+    """text_length_percentiles_by_lang must equal the direct per-language
+    token-length grid sweep."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT lang, text FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+        f" WHERE trim(text) <> ''"
+    ).fetchall()
+    con.close()
+    per_lang = defaultdict(list)
+    for lang, t in rows:
+        per_lang[lang].append(len(t.strip().lower().split()))
+    expect = {}
+    for lang, lens in per_lang.items():
+        lens.sort()
+        t = len(lens)
+        p50 = next(v for i, v in enumerate(lens, 1) if 2 * i >= t)
+        p90 = next(v for i, v in enumerate(lens, 1) if 10 * i >= 9 * t)
+        expect[lang] = (t, p50, p90)
+
+    got = {
+        r.lang: (r.n_docs, r.p50_tokens, r.p90_tokens)
+        for r in REGISTRY["text_length_percentiles_by_lang"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_sessions_detail_matches_bruteforce(spark):
+    """events_sessions_detail must equal a direct per-user walk with the
+    30-minute-gap break under the (ts, event_id) ordering."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT user_id, ts, event_id FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet')"
+    ).fetchall()
+    con.close()
+    per_user = defaultdict(list)
+    for u, ts, eid in rows:
+        per_user[u].append((ts, eid))
+    gap = timedelta(minutes=30)
+    expect = {}
+    for u, evs in per_user.items():
+        evs.sort()
+        sid = 0
+        prev = None
+        sessions = defaultdict(list)
+        for ts, _ in evs:
+            if prev is None or ts - prev > gap:
+                sid += 1
+            sessions[sid].append(ts)
+            prev = ts
+        for sid, tss in sessions.items():
+            expect[(u, sid)] = (min(tss), max(tss), len(tss))
+
+    got = {
+        (r.user_id, r.session_id): (r.session_start, r.session_end, r.n_events)
+        for r in REGISTRY["events_sessions_detail"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_adjacent_dedup_matches_bruteforce(spark):
+    """events_adjacent_dedup must equal a direct per-user run-length walk
+    with exact floor-ppm collapse ratios."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT user_id, ts, event_id, event_type FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet')"
+    ).fetchall()
+    con.close()
+    per_user = defaultdict(list)
+    for u, ts, eid, et in rows:
+        per_user[u].append((ts, eid, et))
+    n_events, n_runs = Counter(), Counter()
+    for u, evs in per_user.items():
+        evs.sort(key=lambda x: (x[0], x[1]))
+        prev = object()
+        for _, _, et in evs:
+            n_events[et] += 1
+            if et != prev:
+                n_runs[et] += 1
+            prev = et
+    expect = {
+        et: (
+            n_events[et],
+            n_runs[et],
+            (n_events[et] - n_runs[et]) * 1_000_000 // n_events[et],
+        )
+        for et in n_events
+    }
+
+    got = {
+        r.event_type: (r.n_events, r.n_runs, r.collapse_ppm)
+        for r in REGISTRY["events_adjacent_dedup"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_time_range_frame_matches_bruteforce(spark):
+    """window_time_range_frame must equal a direct trailing-30-day
+    inclusion sweep per customer (RANGE semantics: same-date peers share
+    frames; the bound is orderdate - 30 days inclusive)."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM "
+        f"read_parquet('{SF_SMOKE}/orders.parquet')"
+    ).fetchall()
+    con.close()
+    per_cust = defaultdict(list)
+    for ck, ok, od, p in rows:
+        per_cust[ck].append((od, ok, int(round(p * 100))))
+    expect = {}
+    back = timedelta(days=30)
+    for ck, orders in per_cust.items():
+        for od, ok, _ in orders:
+            in_frame = [c for d, _, c in orders if od - back <= d <= od]
+            expect[(ck, ok)] = (sum(in_frame), len(in_frame))
+
+    got = {
+        (r.o_custkey, r.o_orderkey): (r.trail30_cents, r.trail30_orders)
+        for r in REGISTRY["window_time_range_frame"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_topk_with_ties_matches_bruteforce(spark):
+    """topk_with_ties must equal the direct rank()<=3 cut: rank = 1 +
+    count of strictly greater balances in the nation, keeping ALL
+    boundary ties."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""SELECT n.n_name, c.c_custkey, c.c_acctbal
+            FROM read_parquet('{SF_SMOKE}/customer.parquet') c
+            JOIN read_parquet('{SF_SMOKE}/nation.parquet') n
+              ON c.c_nationkey = n.n_nationkey"""
+    ).fetchall()
+    con.close()
+    per_nation = defaultdict(list)
+    for nn, ck, bal in rows:
+        per_nation[nn].append((int(round(bal * 100)), ck))
+    expect = set()
+    for nn, cs in per_nation.items():
+        bals = [b for b, _ in cs]
+        for b, ck in cs:
+            rnk = 1 + sum(1 for x in bals if x > b)
+            if rnk <= 3:
+                expect.add((nn, ck, b, rnk))
+
+    got = {
+        (r.n_name, r.c_custkey, r.bal_cents, r.rnk)
+        for r in REGISTRY["topk_with_ties"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_boolean_family_matches_bruteforce(spark):
+    """agg_boolean_family must equal direct conditional counts and
+    ALL/ANY reductions per priority."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT o_orderpriority, o_totalprice, o_orderstatus FROM "
+        f"read_parquet('{SF_SMOKE}/orders.parquet')"
+    ).fetchall()
+    con.close()
+    groups = defaultdict(list)
+    for pri, p, st in rows:
+        groups[pri].append((p, st))
+    expect = {
+        pri: (
+            len(g),
+            sum(1 for p, _ in g if p > 400000),
+            sum(1 for _, s in g if s == "F"),
+            all(p > 1000 for p, _ in g),
+            any(s == "P" for _, s in g),
+        )
+        for pri, g in groups.items()
+    }
+
+    got = {
+        r.o_orderpriority: (r.n_orders, r.n_big, r.n_fulfilled, r.all_above_1k, r.any_pending)
+        for r in REGISTRY["agg_boolean_family"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
