@@ -2220,3 +2220,87 @@ def test_boolean_family_matches_bruteforce(spark):
         for r in REGISTRY["agg_boolean_family"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_dup_source_matrix_matches_bruteforce(spark):
+    """profile_dup_source_matrix must equal a direct fingerprint-pair
+    count: md5 of the first 8 normalized tokens per doc, per-source
+    counts, and for each source pair the shared-fingerprint count plus
+    the implied cross-source duplicate pairs sum(n_a * n_b)."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT source, text FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    per = Counter()
+    for src, t in rows:
+        fp = hashlib.md5(
+            " ".join(t.strip().lower().split()[:8]).encode()
+        ).hexdigest()
+        per[(fp, src)] += 1
+    by_fp = defaultdict(list)
+    for (fp, src), n in per.items():
+        by_fp[fp].append((src, n))
+    shared, pairs = Counter(), Counter()
+    for fp, srcs in by_fp.items():
+        srcs.sort()
+        for i in range(len(srcs)):
+            for j in range(i + 1, len(srcs)):
+                key = (srcs[i][0], srcs[j][0])
+                shared[key] += 1
+                pairs[key] += srcs[i][1] * srcs[j][1]
+    expect = {k: (shared[k], pairs[k]) for k in shared}
+
+    got = {
+        (r.source_a, r.source_b): (r.shared_fingerprints, r.dup_pairs)
+        for r in REGISTRY["profile_dup_source_matrix"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_chunk_dedup_matches_bruteforce(spark):
+    """multimodal_chunk_dedup must equal direct 256-byte chunk hashing
+    over the doc_id<100 slice with exact floor-ppm savings."""
+    import hashlib
+    from collections import Counter
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT text FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+        f" WHERE doc_id < 100"
+    ).fetchall()
+    con.close()
+    hashes = Counter()
+    for (t,) in rows:
+        b = t.encode()
+        for i in range(0, len(b), 256):
+            hashes[hashlib.md5(b[i : i + 256]).hexdigest()] += 1
+    n_chunks = sum(hashes.values())
+    dedupable = sum(c - 1 for c in hashes.values() if c > 1)
+    expect = (
+        n_chunks,
+        len(hashes),
+        dedupable,
+        dedupable * 1_000_000 // n_chunks,
+    )
+
+    r = REGISTRY["multimodal_chunk_dedup"].fn(spark, SF_SMOKE).collect()[0]
+    assert (
+        r.n_chunks,
+        r.n_distinct_chunks,
+        r.n_dedupable_chunks,
+        r.dedup_savings_ppm,
+    ) == expect
