@@ -2304,3 +2304,48 @@ def test_chunk_dedup_matches_bruteforce(spark):
         r.n_dedupable_chunks,
         r.dedup_savings_ppm,
     ) == expect
+
+
+def test_ivf_index_stats_match_bruteforce(spark):
+    """sim_ivf_index_stats must equal a direct inverted-file build:
+    centroids are vec_id % 100 == 0, each vector assigned to the argmax
+    of ROUND(cosine, 6) with cid tie-break, bucket sizes and exact
+    floor-ppm shares."""
+    import math
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{SF_SMOKE}/embeddings.parquet')"
+    ).fetchall()
+    con.close()
+    vecs = {vid: [float(x) for x in emb] for vid, emb in rows}
+    cents = {vid: v for vid, v in vecs.items() if vid % 100 == 0}
+    norms = {vid: math.sqrt(sum(x * x for x in v)) for vid, v in vecs.items()}
+    sizes = {}
+    for vid, v in vecs.items():
+        best = None
+        for cid in sorted(cents):
+            cos = round(
+                sum(a * b for a, b in zip(v, cents[cid]))
+                / (norms[vid] * norms[cid]),
+                6,
+            )
+            if best is None or cos > best[1]:
+                best = (cid, cos)
+        sizes[best[0]] = sizes.get(best[0], 0) + 1
+    total = sum(sizes.values())
+    expect = {
+        cid: (n, n * 1_000_000 // total) for cid, n in sizes.items()
+    }
+
+    got = {
+        r.cid: (r.n_vecs, r.share_ppm)
+        for r in REGISTRY["sim_ivf_index_stats"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
