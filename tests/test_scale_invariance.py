@@ -133,3 +133,39 @@ def test_no_cartesian_and_bounded_global_sorts(shapes, name):
     for parts, shape in shapes[name].items():
         assert shape["CartesianProduct"] == 0, (name, parts, dict(shape))
         assert shape["Sort[global]"] <= 1, (name, parts, dict(shape))
+
+
+# queries whose broadcasts must come from EXPLICIT hints, with the
+# minimum broadcast-join count each must retain when the auto threshold
+# is disabled. At 100 TB the optimizer's stats exceed any threshold, so
+# a broadcast that exists only because the dim is small-at-test-SF will
+# silently become a shuffle join in production — hints are the contract.
+HINTED_BROADCASTS = [
+    ("ref_star_join", 1),
+    ("agg_region_revenue", 3),
+    ("dedup_corpus", 1),       # the drop-list anti-join
+    ("winsorize_prices", 1),   # the percentile cut table
+    ("customer_ltv_deciles", 1),  # the partition offset table
+    ("dq_benford_first_digit", 1),  # the 1-row total
+    ("profile_psi_event_types", 1),
+    ("text_bigram_surprisal", 1),  # the vocab scalar
+]
+
+
+@pytest.mark.parametrize("name,min_bhj", HINTED_BROADCASTS)
+def test_broadcasts_survive_disabled_auto_threshold(spark, name, min_bhj):
+    """With spark.sql.autoBroadcastJoinThreshold=-1 (the state a 100 TB
+    plan is effectively in), the explicit broadcast() hints must still
+    produce at least the same broadcast joins — none of these queries
+    may be leaning on size-based auto-broadcast."""
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    orig = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "-1")
+        spark.catalog.clearCache()
+        df = REGISTRY[name].fn(spark, SF_BENCH)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(key, orig)
+    n = plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin")
+    assert n >= min_bhj, f"{name}: only {n} broadcast joins with auto-broadcast off\n{plan[:2000]}"
