@@ -22,6 +22,58 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def global_cumulative_counts(
+    grid: DataFrame,
+    value_col: str,
+    weight_col: str,
+    n_parts: int = 32,
+    cum_name: str = "__cw",
+    total_name: str = "__t",
+) -> DataFrame:
+    """Distributed GLOBAL cumulative weights over a (value, weight) grid
+    — no unpartitioned window over the grid, so the distinct-value
+    domain may be unbounded (per-customer sums, arbitrary-precision
+    prices) without collapsing onto one task.
+
+    Technique (same as customer_ltv_deciles' two-pass ntile, VERDICT r4):
+    range-partition the grid on the value, cumulate WITHIN each range
+    partition (pid-keyed window), then add each partition's prefix
+    offset from a ~n_parts-row broadcast table; the only unpartitioned
+    window runs over that bounded offset table. Returns the grid rows
+    plus ``cum_name`` (cumulative weight through this value) and
+    ``total_name`` (grand total) — exactly what an unpartitioned
+    ``sum(w) OVER (ORDER BY value)`` + full-frame total would produce.
+    """
+    p = grid.repartitionByRange(n_parts, value_col).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__pid").orderBy(value_col)
+    local = p.withColumn(
+        "__lcw",
+        F.sum(weight_col).over(w_local.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sizes = local.groupBy("__pid").agg(F.sum(weight_col).cast("long").alias("__pn"))
+    w_off = Window.orderBy("__pid")  # bounded: one row per range partition
+    offs = sizes.select(
+        "__pid",
+        F.coalesce(
+            F.sum("__pn").over(w_off.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("__off"),
+        F.sum("__pn")
+        .over(w_off.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .cast("long")
+        .alias(total_name),
+    )
+    return (
+        local.join(F.broadcast(offs), "__pid")
+        .withColumn(cum_name, (F.col("__off") + F.col("__lcw")).cast("long"))
+        .drop("__pid", "__lcw", "__off")
+    )
+
+
 def grid_percentiles(
     df: DataFrame,
     keys: Sequence[str],
@@ -47,14 +99,19 @@ def grid_percentiles(
         else F.sum(F.col(weight) if isinstance(weight, str) else weight)
     )
     grid = df.groupBy(*keys, value_col).agg(wexpr.cast("long").alias("__n"))
-    tot = grid.groupBy(*keys).agg(F.sum("__n").cast("long").alias("__t"))
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(value_col)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = grid.withColumn("__cw", F.sum("__n").over(w))
-    cum = cum.join(tot, list(keys)) if keys else cum.crossJoin(F.broadcast(tot))
+    if keys:
+        tot = grid.groupBy(*keys).agg(F.sum("__n").cast("long").alias("__t"))
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(value_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = grid.withColumn("__cw", F.sum("__n").over(w)).join(tot, list(keys))
+    else:
+        # keyless: the global grid may be unbounded (arbitrary distinct
+        # values), so cumulate distributed instead of via an
+        # unpartitioned window — see global_cumulative_counts
+        cum = global_cumulative_counts(grid, value_col, "__n")
     aggs = [
         F.min(
             F.when(den * F.col("__cw") >= num * F.col("__t"), F.col(value_col))

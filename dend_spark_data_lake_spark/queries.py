@@ -4054,23 +4054,19 @@ def agg_histogram_equidepth(spark, sf_dir):
     ``percentile_disc`` formulation was an ObjectAggregate that buffers the
     ENTIRE column per task — it exhausted the heap at sf0.1 under default
     memory, i.e., the exact failure a 100 TB run would hit; the histogram
-    form is O(1) per task. The cumulative window runs over the distinct
-    price grid (2-decimal TPC-H prices — bounded, same precedent as the
-    percentile length band), boundaries broadcast back, bucket = 1 + count
-    of boundaries below the value. At cluster scale the boundary pass
-    swaps in approx_percentile unchanged."""
+    form is O(1) per task. The cumulative count runs DISTRIBUTED over the
+    distinct price grid (range partition + pid-local window + broadcast
+    prefix offsets — operators/percentiles.py::global_cumulative_counts,
+    the same two-pass technique as customer_ltv_deciles), so the grid
+    domain need not be bounded; boundaries broadcast back, bucket = 1 +
+    count of boundaries below the value. At cluster scale the boundary
+    pass swaps in approx_percentile unchanged."""
     li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
     hist = li.groupBy("l_extendedprice").agg(F.count("*").alias("c"))
-    total = hist.agg(F.sum("c").cast("long").alias("n_total"))
-    cum = hist.withColumn(
-        "cum",
-        F.sum("c").over(
-            Window.orderBy("l_extendedprice").rowsBetween(
-                Window.unboundedPreceding, 0
-            )
-        ),
+    cum = PCT.global_cumulative_counts(
+        hist, "l_extendedprice", "c", cum_name="cum", total_name="n_total"
     )
-    bounds = cum.crossJoin(F.broadcast(total)).agg(
+    bounds = cum.agg(
         *[
             F.min(
                 F.when(
