@@ -2349,3 +2349,148 @@ def test_ivf_index_stats_match_bruteforce(spark):
         for r in REGISTRY["sim_ivf_index_stats"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_nth_value_matches_bruteforce(spark):
+    """window_nth_value must equal the direct 2nd/3rd-highest pick per
+    customer under the (cents DESC, orderkey) ordering."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT o_custkey, o_orderkey, o_totalprice FROM "
+        f"read_parquet('{SF_SMOKE}/orders.parquet')"
+    ).fetchall()
+    con.close()
+    per_cust = defaultdict(list)
+    for ck, ok, p in rows:
+        per_cust[ck].append((-int(round(p * 100)), ok))
+    expect = {}
+    for ck, orders in per_cust.items():
+        if len(orders) < 3:
+            continue
+        orders.sort()
+        expect[ck] = (len(orders), -orders[1][0], -orders[2][0])
+
+    got = {
+        r.o_custkey: (r.n_orders, r.second_cents, r.third_cents)
+        for r in REGISTRY["window_nth_value"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_stream_hygiene_matches_bruteforce(spark):
+    """pipeline_stream_hygiene's five metrics must equal a direct walk:
+    event count, adjacent-run starts, 30-minute sessions, bursty users
+    (any minute with >3 events), and total PSI in micro-units (per-bin
+    terms rounded at 6 BEFORE summing, matching both engines)."""
+    import math
+    from collections import Counter, defaultdict
+    from datetime import datetime, timedelta
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT user_id, ts, event_id, event_type FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet')"
+    ).fetchall()
+    con.close()
+    per_user = defaultdict(list)
+    for u, ts, eid, et in rows:
+        per_user[u].append((ts, eid, et))
+    n_runs = n_sess = 0
+    gap = timedelta(minutes=30)
+    for evs in per_user.values():
+        evs.sort(key=lambda x: (x[0], x[1]))
+        prev_t, prev_ts = object(), None
+        for ts, _, et in evs:
+            if et != prev_t:
+                n_runs += 1
+            if prev_ts is None or ts - prev_ts > gap:
+                n_sess += 1
+            prev_t, prev_ts = et, ts
+    minute_counts = Counter(
+        (u, ts.replace(second=0, microsecond=0)) for u, ts, _, _ in rows
+    )
+    bursty = len({u for (u, _), c in minute_counts.items() if c > 3})
+    cut = datetime(2024, 1, 16)
+    na, nb = Counter(), Counter()
+    for _, ts, _, et in rows:
+        (na if ts < cut else nb)[et] += 1
+    both = set(na) & set(nb)
+    ta, tb = sum(na[e] for e in both), sum(nb[e] for e in both)
+    psi = sum(
+        round((na[e] / ta - nb[e] / tb) * math.log((na[e] / ta) / (nb[e] / tb)), 6)
+        for e in both
+    )
+    expect = {
+        "n_events": len(rows),
+        "n_adjacent_runs": n_runs,
+        "n_sessions": n_sess,
+        "n_bursty_users": bursty,
+        "psi_microunits": int(round(psi * 1_000_000)),
+    }
+
+    got = {
+        r.metric: r.value
+        for r in REGISTRY["pipeline_stream_hygiene"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_ivf_recall_eval_matches_bruteforce(spark):
+    """sim_ivf_recall_eval must equal a direct end-to-end IVF replica:
+    nearest-centroid inverted file, 2-probe bucket search, top-5 by
+    rounded cosine with id tie-breaks, recall@5 vs the exact top-5."""
+    import math
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{SF_SMOKE}/embeddings.parquet')"
+    ).fetchall()
+    con.close()
+    vecs = {vid: [float(x) for x in emb] for vid, emb in rows}
+    norms = {vid: math.sqrt(sum(x * x for x in v)) for vid, v in vecs.items()}
+    cents = sorted(vid for vid in vecs if vid % 100 == 0)
+
+    def rcos(a, b):
+        return round(
+            sum(x * y for x, y in zip(vecs[a], vecs[b])) / (norms[a] * norms[b]), 6
+        )
+
+    asg = {}
+    for vid in vecs:
+        best = max(cents, key=lambda c: (rcos(vid, c), -c))
+        asg.setdefault(best, []).append(vid)
+    queries = sorted(v for v in vecs if v < 10)
+    expect = {}
+    for q in queries:
+        probes = sorted(cents, key=lambda c: (-rcos(q, c), c))[:2]
+        cand = {n for c in probes for n in asg.get(c, []) if n != q}
+        ivf5 = set(sorted(cand, key=lambda n: (-rcos(q, n), n))[:5])
+        exact5 = set(
+            sorted((n for n in vecs if n != q), key=lambda n: (-rcos(q, n), n))[:5]
+        )
+        hits = len(ivf5 & exact5)
+        expect[q] = (hits, hits * 1_000_000 // 5)
+
+    got = {
+        r.query_id: (r.n_hits, r.recall_ppm)
+        for r in REGISTRY["sim_ivf_recall_eval"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
