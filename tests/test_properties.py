@@ -2494,3 +2494,127 @@ def test_ivf_recall_eval_matches_bruteforce(spark):
         for r in REGISTRY["sim_ivf_recall_eval"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def _minhash_replica(sf_dir):
+    """Shared direct MinHash machinery for the calibration/report pins:
+    3-gram shingle sets, 8 md5-derived min-hashes, 4 bands of 2 rows.
+    Returns (shingle_sets, sigs, banded candidate pairs)."""
+    import hashlib
+    from collections import defaultdict
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    sets, sigs = {}, {}
+    for did, t in rows:
+        toks = t.strip().lower().split()
+        sh = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+        if not sh:
+            continue
+        sets[did] = sh
+        sigs[did] = [
+            min(
+                int(hashlib.md5(f"{k}:{s}".encode()).hexdigest()[:15], 16)
+                for s in sh
+            )
+            for k in range(8)
+        ]
+    buckets = defaultdict(set)
+    for did, m in sigs.items():
+        for band in range(4):
+            buckets[(band, f"{m[2*band]}_{m[2*band+1]}")].add(did)
+    cand = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+    return sets, sigs, cand
+
+
+def test_minhash_calibration_matches_bruteforce(spark):
+    """dedup_minhash_calibration must equal the direct estimator-vs-exact
+    table: signature-agreement ppm, exact shingle Jaccard ppm, abs error
+    — for every banded candidate pair sharing at least one shingle."""
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    sets, sigs, cand = _minhash_replica(SF_SMOKE)
+    expect = {}
+    for a, b in cand:
+        ni = len(sets[a] & sets[b])
+        if ni == 0:
+            continue
+        est = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y) * 1_000_000 // 8
+        exact = ni * 1_000_000 // (len(sets[a]) + len(sets[b]) - ni)
+        expect[(a, b)] = (est, exact, abs(est - exact))
+
+    got = {
+        (r.doc_a, r.doc_b): (r.est_ppm, r.exact_ppm, r.abs_err_ppm)
+        for r in REGISTRY["dedup_minhash_calibration"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_dedup_report_matches_bruteforce(spark):
+    """pipeline_dedup_report's three method rows must equal direct
+    computations: exact normalized-hash groups, first-8-token prefix
+    groups, and verified (Jaccard >= 0.5) MinHash pairs with the
+    distinct-doc vs distinct-anchor removable bound."""
+    import hashlib
+    from collections import Counter
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+        f" WHERE trim(text) <> ''"
+    ).fetchall()
+    con.close()
+    norm = {d: t.strip().lower() for d, t in rows}
+    exact_groups = Counter(
+        hashlib.md5(t.encode()).hexdigest() for t in norm.values()
+    )
+    eg = [n for n in exact_groups.values() if n > 1]
+    prefix_groups = Counter(
+        hashlib.md5(" ".join(t.split()[:8]).encode()).hexdigest()
+        for t in norm.values()
+    )
+    pg = [n for n in prefix_groups.values() if n > 1]
+
+    sets, sigs, cand = _minhash_replica(SF_SMOKE)
+    verified = [
+        (a, b)
+        for a, b in cand
+        if len(sets[a] & sets[b])
+        / (len(sets[a]) + len(sets[b]) - len(sets[a] & sets[b]))
+        >= 0.5
+    ]
+    docs = {d for p in verified for d in p}
+    anchors = {min(a, b) for a, b in verified}
+    expect = {
+        "exact": (len(eg), sum(eg), sum(n - 1 for n in eg)),
+        "prefix_fingerprint": (len(pg), sum(pg), sum(n - 1 for n in pg)),
+        "minhash_jaccard": (
+            len(verified),
+            len(docs),
+            max(len(docs) - len(anchors), 0),
+        ),
+    }
+
+    got = {
+        r.method: (r.n_groups_or_pairs, r.n_docs_involved, r.n_removable)
+        for r in REGISTRY["pipeline_dedup_report"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
