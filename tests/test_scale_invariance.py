@@ -169,3 +169,45 @@ def test_broadcasts_survive_disabled_auto_threshold(spark, name, min_bhj):
         spark.conf.set(key, orig)
     n = plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin")
     assert n >= min_bhj, f"{name}: only {n} broadcast joins with auto-broadcast off\n{plan[:2000]}"
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide shape invariance at smoke scale
+# ---------------------------------------------------------------------------
+# The 10 expensive queries above get the sf0.1 treatment; every OTHER
+# registry query gets the same check at sf0.001 where plan builds are
+# cheap — the guarantee becomes "NO query's physical-plan shape depends
+# on spark.sql.shuffle.partitions", not just the top of the cost table.
+
+from tests.conftest import SF_SMOKE
+
+BROAD_QUERIES = [n for n in REGISTRY if n not in SCALE_QUERIES]
+
+
+@pytest.fixture(scope="module")
+def broad_shapes(spark):
+    key = "spark.sql.shuffle.partitions"
+    orig = spark.conf.get(key)
+    out: dict[str, dict[int, Counter]] = {}
+    try:
+        for parts in (4, 256):
+            spark.conf.set(key, str(parts))
+            for name in BROAD_QUERIES:
+                spark.catalog.clearCache()
+                df = REGISTRY[name].fn(spark, SF_SMOKE)
+                out.setdefault(name, {})[parts] = _shape(
+                    df._jdf.queryExecution().executedPlan().toString()
+                )
+    finally:
+        spark.conf.set(key, orig)
+    return out
+
+
+@pytest.mark.parametrize("name", BROAD_QUERIES)
+def test_broad_plan_shape_invariant(broad_shapes, name):
+    lo, hi = broad_shapes[name][4], broad_shapes[name][256]
+    assert lo == hi, (
+        f"{name}: plan shape depends on spark.sql.shuffle.partitions\n"
+        f"  at 4:   {dict(lo)}\n  at 256: {dict(hi)}\n"
+        f"  diff:   {dict((lo - hi) + (hi - lo))}"
+    )
