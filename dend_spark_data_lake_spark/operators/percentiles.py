@@ -74,6 +74,77 @@ def global_cumulative_counts(
     )
 
 
+def distributed_ntile(
+    df: DataFrame,
+    n_buckets: int,
+    order_cols: Sequence[str],
+    out_col: str = "ntile",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Exact ``ntile(n)`` over an unpartitioned total order WITHOUT a
+    global sort — the scale-correct replacement for
+    ``ntile(n) OVER (ORDER BY ...)``, which collapses the relation onto
+    one task.
+
+    Two-pass plan (VERDICT r4 ask #2; certified hash-identical to the
+    window form by customer_ltv_deciles' oracle parity at three SFs):
+
+    1. range-partition on the full sort key (RangePartitioner — a
+       sample-sized shuffle);
+    2. rank within each range partition (pid-keyed window);
+    3. global rank = local rank + broadcast per-partition prefix offset
+       (the only unpartitioned window runs over the ~n_parts-row offset
+       table);
+    4. closed-form ntile bucket of (rank, N): the first ``N % n``
+       buckets take ``N DIV n + 1`` rows, the rest ``N DIV n`` — exactly
+       the SQL ntile definition, ties split by the sort key like the
+       window's ORDER BY would.
+
+    The sort key should be a total order (append a unique id) so output
+    is deterministic. Adds ``out_col`` (int); drops no input columns.
+    """
+    part = df.repartitionByRange(n_parts, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*order_cols)
+    local = part.withColumn("__lr", F.row_number().over(w_local).cast("long"))
+    sizes = local.groupBy("__pid").agg(F.count("*").cast("long").alias("__cnt"))
+    w_off = Window.orderBy("__pid")  # bounded: one row per range partition
+    offs = sizes.select(
+        "__pid",
+        F.coalesce(
+            F.sum("__cnt").over(w_off.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("__off"),
+        F.sum("__cnt")
+        .over(w_off.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .cast("long")
+        .alias("__N"),
+    )
+    k = int(n_buckets)
+    return (
+        local.join(F.broadcast(offs), "__pid")
+        .withColumn("__r", (F.col("__off") + F.col("__lr")).cast("long"))
+        .withColumn(
+            out_col,
+            F.expr(
+                f"""
+                CAST(CASE
+                  WHEN __r <= (__N % {k}) * (__N DIV {k} + 1)
+                    THEN (__r + __N DIV {k}) DIV (__N DIV {k} + 1)
+                  ELSE __N % {k}
+                       + (__r - (__N % {k}) * (__N DIV {k} + 1)
+                          + __N DIV {k} - 1) DIV (__N DIV {k})
+                END AS INT)
+                """
+            ),
+        )
+        .drop("__pid", "__lr", "__off", "__N", "__r")
+    )
+
+
 def grid_percentiles(
     df: DataFrame,
     keys: Sequence[str],

@@ -7922,47 +7922,8 @@ def customer_ltv_deciles(spark, sf_dir):
         .cast("long")
         .alias("cents")
     )
-    part = ltv.repartitionByRange(32, "cents", "o_custkey").withColumn(
-        "pid", F.spark_partition_id()
-    )
-    w_local = Window.partitionBy("pid").orderBy("cents", "o_custkey")
-    local = part.withColumn("lr", F.row_number().over(w_local).cast("long"))
-    sizes = local.groupBy("pid").agg(F.count("*").cast("long").alias("cnt"))
-    w_off = Window.orderBy("pid")  # ~32 rows: bounded by shuffle partitions
-    offs = sizes.select(
-        "pid",
-        F.coalesce(
-            F.sum("cnt").over(w_off.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("off"),
-        F.sum("cnt")
-        .over(
-            w_off.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        )
-        .cast("long")
-        .alias("n_total"),
-    )
-    dec = (
-        local.join(F.broadcast(offs), "pid")
-        .withColumn("r", (F.col("off") + F.col("lr")).cast("long"))
-        .withColumn(
-            "decile",
-            F.expr(
-                """
-                CAST(CASE
-                  WHEN r <= (n_total % 10) * (n_total DIV 10 + 1)
-                    THEN (r + n_total DIV 10) DIV (n_total DIV 10 + 1)
-                  ELSE n_total % 10
-                       + (r - (n_total % 10) * (n_total DIV 10 + 1)
-                          + n_total DIV 10 - 1) DIV (n_total DIV 10)
-                END AS INT)
-                """
-            ),
-        )
+    dec = PCT.distributed_ntile(
+        ltv, 10, ["cents", "o_custkey"], out_col="decile"
     )
     return (
         dec.groupBy("decile")

@@ -7,6 +7,8 @@ be reused without re-deriving them)."""
 
 from __future__ import annotations
 
+from hypothesis import given, settings, strategies as st
+
 from dend_spark_data_lake_spark.operators.percentiles import grid_percentiles
 
 
@@ -95,3 +97,39 @@ def test_trimmed_mean_matches_sorted_bruteforce(spark):
         for r in REGISTRY["agg_trimmed_mean"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),  # value (forces ties)
+            st.integers(min_value=0, max_value=10**6),  # unique-ish id
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[1],
+    ),
+    st.integers(min_value=1, max_value=12),
+)
+def test_distributed_ntile_equals_window_ntile(spark, rows, n):
+    """distributed_ntile must equal ntile(n) OVER (ORDER BY v, id) for
+    ANY input and bucket count — including N < n, heavy ties at bucket
+    boundaries, and single-row inputs."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from dend_spark_data_lake_spark.operators.percentiles import distributed_ntile
+
+    df = spark.createDataFrame(rows, "v int, id long")
+    got = {
+        (r.v, r.id): r.ntile
+        for r in distributed_ntile(df, n, ["v", "id"]).collect()
+    }
+    ref = {
+        (r.v, r.id): r.nt
+        for r in df.withColumn(
+            "nt", F.ntile(n).over(W.orderBy("v", "id"))
+        ).collect()
+    }
+    assert got == ref

@@ -672,7 +672,7 @@ def test_ltv_decile_two_pass_no_global_row_sort(spark):
     final 10-row decile orderBy."""
     plan = _plan(spark, "customer_ltv_deciles")
     assert "ntile" not in plan, plan
-    assert "windowspecdefinition(pid#" in plan, plan
+    assert "windowspecdefinition(__pid#" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "rangepartitioning(cents#" in plan, plan
     # every GLOBAL sort (flag `true`) must order by decile — the 10-row
