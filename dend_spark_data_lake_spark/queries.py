@@ -1980,6 +1980,62 @@ def split_train_valid_test(spark, sf_dir):
 
 
 @_q(
+    "split_leakage_safe",
+    """
+    WITH g AS (
+      SELECT md5(trim(lower(text))) AS h, CAST(count(*) AS BIGINT) AS n
+      FROM documents WHERE trim(text) <> '' GROUP BY 1
+    ), s AS (
+      SELECT CASE WHEN substr(md5(h), 1, 4) < 'cccc' THEN 'train'
+                  WHEN substr(md5(h), 1, 4) < 'e666' THEN 'valid'
+                  ELSE 'test' END AS split, n
+      FROM g
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS dup_docs
+    FROM s GROUP BY split ORDER BY split
+    """,
+)
+def split_leakage_safe(spark, sf_dir):
+    """LEAKAGE-SAFE train/valid/test split: assignment is keyed on the
+    duplicate-GROUP hash (md5 of the normalized text), not the doc_id —
+    so two copies of the same document can never land in different
+    splits. Doc-keyed splitting (split_train_valid_test) is stable under
+    corpus growth but leaks: a training document's duplicate in the test
+    split is memorized evaluation data. Keying the 80/10/10 hash bucket
+    on content makes the split a pure function of the group, closing the
+    exact-dup leak (the near-dup closure composes the same way over
+    dedup_corpus's cluster ids — cluster id in place of the md5).
+
+    Output per split: group count, doc count, and how many docs sit in
+    multi-copy groups (the population the doc-keyed split would have
+    scattered). tests/test_sampling.py locks the invariant end-to-end:
+    every multi-doc group maps to exactly one split.
+
+    Scale: one corpus scan into a content-hash aggregate (map-side
+    combinable), split label computed from the group key, 3-row output —
+    no joins, no windows."""
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    g = d.groupBy(
+        F.md5(F.trim(F.lower(F.col("text"))).cast("binary")).alias("h")
+    ).agg(F.count("*").cast("long").alias("n"))
+    s = g.withColumn("split", SAMP.split_label("h"))
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum("n").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("dup_docs"),
+        )
+        .orderBy("split")
+    )
+
+
+@_q(
     "sample_stratified",
     """
     SELECT lang, count(*) AS n_docs
@@ -11812,6 +11868,8 @@ _GRADE_DONE_R04 = [
 # before the round-2 harness fix), then the head of the r02 cohort. Any
 # round-6 additions should be inserted at the FRONT of this queue.
 _GRADE_NEXT: list[str] = [
+    # round-5 additions, never graded (front of the queue)
+    "split_leakage_safe",
     # sole certificate is r01 (45, in r01 grading order)
     "ref_pricing_summary",
     "ref_dedup_keep_latest",

@@ -2618,3 +2618,41 @@ def test_dedup_report_matches_bruteforce(spark):
         for r in REGISTRY["pipeline_dedup_report"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_leakage_safe_split_matches_bruteforce(spark):
+    """split_leakage_safe must equal the direct computation: exact-dup
+    groups by md5(normalized text), 80/10/10 bucket on md5 of the GROUP
+    hash, per-split group/doc/dup-doc counts."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT text FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+        f" WHERE trim(text) <> ''"
+    ).fetchall()
+    con.close()
+    groups = Counter(
+        hashlib.md5(t.strip().lower().encode()).hexdigest() for (t,) in rows
+    )
+    agg = defaultdict(lambda: [0, 0, 0])
+    for h, n in groups.items():
+        b = hashlib.md5(h.encode()).hexdigest()[:4]
+        split = "train" if b < "cccc" else ("valid" if b < "e666" else "test")
+        a = agg[split]
+        a[0] += 1
+        a[1] += n
+        a[2] += n if n > 1 else 0
+    expect = {s: tuple(v) for s, v in agg.items()}
+
+    got = {
+        r.split: (r.n_groups, r.n_docs, r.dup_docs)
+        for r in REGISTRY["split_leakage_safe"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect

@@ -109,3 +109,40 @@ def test_rebalance_keeps_null_stratum_rows(spark):
     # downsampled toward the binding 'a' stratum — but never to zero
     assert kept_null > 0
     assert out.filter(F.col("src") == "a").count() > 0
+
+
+def test_leakage_safe_split_never_separates_duplicates(spark):
+    """The leakage invariant, end to end: every duplicate group maps to
+    exactly ONE split (and with doc-keyed assignment the same corpus
+    WOULD scatter at least one multi-copy group whenever one exists —
+    the leak the operator closes)."""
+    from pyspark.sql import functions as F
+
+    from dend_spark_data_lake_spark.operators import sampling as SAMP
+    from dend_spark_data_lake_spark.sources.io import read_table
+    from tests.conftest import SF_SMOKE
+
+    d = read_table(spark, SF_SMOKE, "documents").filter(F.trim("text") != "")
+    h = F.md5(F.trim(F.lower(F.col("text"))).cast("binary")).alias("h")
+    docs = d.select("doc_id", h)
+    # group-keyed split: one distinct label per group, always
+    by_group = docs.withColumn("split", SAMP.split_label("h"))
+    spans = (
+        by_group.groupBy("h")
+        .agg(F.countDistinct("split").alias("k"), F.count("*").alias("n"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert spans == 0
+    # doc-keyed split on the same corpus: if any multi-copy group exists,
+    # show the leak is real (some group straddles splits) — this is the
+    # failure mode split_leakage_safe exists to prevent
+    by_doc = docs.withColumn("split", SAMP.split_label("doc_id"))
+    multi = (
+        by_doc.groupBy("h")
+        .agg(F.countDistinct("split").alias("k"), F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    n_multi = multi.count()
+    if n_multi >= 10:  # enough groups that hash scatter is near-certain
+        assert multi.filter(F.col("k") > 1).count() > 0
