@@ -2656,3 +2656,70 @@ def test_leakage_safe_split_matches_bruteforce(spark):
         for r in REGISTRY["split_leakage_safe"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_cluster_safe_split_matches_bruteforce(spark):
+    """split_cluster_safe must equal a direct union-find over the exact
+    n-gram-Jaccard >= 0.5 pair graph: min-id cluster labels, singleton
+    clusters for unpaired docs, 80/10/10 bucket on md5 of the cluster
+    id, per-split doc/cluster/clustered-doc counts."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    sh = {}
+    for did, t in rows:
+        toks = t.strip().lower().split()
+        s = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        if s:
+            sh[did] = s
+    parent = {d: d for d, _ in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    by_shingle = defaultdict(list)
+    for did, s in sh.items():
+        for g in s:
+            by_shingle[g].append(did)
+    cand = {
+        (a, b)
+        for ids in by_shingle.values()
+        for a in ids
+        for b in ids
+        if a < b
+    }
+    for a, b in cand:
+        ni = len(sh[a] & sh[b])
+        if ni / (len(sh[a]) + len(sh[b]) - ni) >= 0.5:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    clusters = Counter(find(d) for d, _ in rows)
+    agg = defaultdict(lambda: [0, 0, 0])
+    for cid, n in clusters.items():
+        b = hashlib.md5(str(cid).encode()).hexdigest()[:4]
+        split = "train" if b < "cccc" else ("valid" if b < "e666" else "test")
+        a = agg[split]
+        a[0] += n
+        a[1] += 1
+        a[2] += n if n > 1 else 0
+    expect = {s: tuple(v) for s, v in agg.items()}
+
+    got = {
+        r.split: (r.n_docs, r.n_clusters, r.clustered_docs)
+        for r in REGISTRY["split_cluster_safe"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
