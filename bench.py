@@ -81,6 +81,8 @@ SECONDARY = [
     "text_bigram_surprisal",
     "join_point_in_time",
     "pipeline_stream_hygiene",
+    # round-5 flagship (leakage-safe splitting over the dedup closure)
+    "split_cluster_safe",
 ]
 
 
