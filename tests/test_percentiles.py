@@ -133,3 +133,36 @@ def test_distributed_ntile_equals_window_ntile(spark, rows, n):
         ).collect()
     }
     assert got == ref
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),  # distinct grid value
+            st.integers(min_value=1, max_value=100),  # weight
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_global_cumulative_counts_property(spark, rows):
+    """global_cumulative_counts must equal the plain sorted cumulative
+    sum for ANY (value, weight) grid — including negative values and
+    single-row grids — and carry the exact grand total on every row."""
+    from dend_spark_data_lake_spark.operators.percentiles import (
+        global_cumulative_counts,
+    )
+
+    df = spark.createDataFrame(rows, "v int, w long")
+    out = global_cumulative_counts(df, "v", "w").collect()
+    total = sum(w for _, w in rows)
+    cum, expect = 0, {}
+    for v, w in sorted(rows):
+        cum += w
+        expect[v] = cum
+    assert len(out) == len(rows)
+    for r in out:
+        assert r["__cw"] == expect[r["v"]], (r["v"], r["__cw"], expect[r["v"]])
+        assert r["__t"] == total
