@@ -102,7 +102,11 @@ def distributed_ntile(
 
     The sort key should be a total order (append a unique id) so output
     is deterministic. Adds ``out_col`` (int); drops no input columns.
+    Column names prefixed ``__`` are reserved scratch space here (as in
+    ``global_cumulative_counts``) — don't pass frames that carry them.
     """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     part = df.repartitionByRange(n_parts, *order_cols).withColumn(
         "__pid", F.spark_partition_id()
     )
