@@ -2723,3 +2723,138 @@ def test_cluster_safe_split_matches_bruteforce(spark):
         for r in REGISTRY["split_cluster_safe"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_band_stats_match_bruteforce(spark):
+    """dedup_band_stats must equal the direct per-band bucket profile of
+    the same MinHash banding replica."""
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    _, sigs, _ = _minhash_replica(SF_SMOKE)
+    buckets = Counter()
+    for did, m in sigs.items():
+        for band in range(4):
+            buckets[(band, f"{m[2*band]}_{m[2*band+1]}")] += 1
+    expect = {}
+    for band in range(4):
+        sizes = [n for (b, _), n in buckets.items() if b == band]
+        expect[band] = (
+            len(sizes),
+            sum(sizes),
+            max(sizes),
+            sum(1 for n in sizes if n >= 2),
+            sum(n for n in sizes if n >= 2),
+        )
+
+    got = {
+        r.band: (r.n_buckets, r.n_docs, r.max_bucket, r.n_buckets_ge2, r.n_docs_colliding)
+        for r in REGISTRY["dedup_band_stats"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_prefix_fingerprint_matches_bruteforce(spark):
+    """dedup_prefix_fingerprint must equal the direct first-8-token md5
+    grouping with source counts and min-doc canonicals."""
+    import hashlib
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, source, text FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet') WHERE trim(text) <> ''"
+    ).fetchall()
+    con.close()
+    groups = defaultdict(list)
+    for did, src, t in rows:
+        h = hashlib.md5(
+            " ".join(t.strip().lower().split()[:8]).encode()
+        ).hexdigest()
+        groups[h].append((did, src))
+    expect = {
+        h: (len(g), len({s for _, s in g}), min(d for d, _ in g))
+        for h, g in groups.items()
+        if len(g) > 1
+    }
+
+    got = {
+        r.prefix_hash: (r.n_docs, r.n_sources, r.canonical_doc)
+        for r in REGISTRY["dedup_prefix_fingerprint"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_ohlc_matches_bruteforce(spark):
+    """ts_ohlc_hourly must equal the direct per-(user, hour) OHLC pick
+    under the (ts, event_id) ordering — values copied, so floats compare
+    bit-exact."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT user_id, ts, event_id, value FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet')"
+    ).fetchall()
+    con.close()
+    per = defaultdict(list)
+    for u, ts, eid, v in rows:
+        per[(u, ts.replace(minute=0, second=0, microsecond=0))].append((ts, eid, v))
+    expect = {}
+    for k, evs in per.items():
+        evs.sort(key=lambda x: (x[0], x[1]))
+        vals = [v for _, _, v in evs]
+        expect[k] = (evs[0][2], max(vals), min(vals), evs[-1][2], len(evs))
+
+    got = {
+        (r.user_id, r.h): (r.open, r.high, r.low, r.close, r.n_events)
+        for r in REGISTRY["ts_ohlc_hourly"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_market_basket_matches_bruteforce(spark):
+    """market_basket_pairs must equal the direct per-order pair count
+    with the deterministic (n desc, a, b) top-50 cut."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT DISTINCT l_orderkey, l_partkey FROM "
+        f"read_parquet('{SF_SMOKE}/lineitem.parquet')"
+    ).fetchall()
+    con.close()
+    baskets = defaultdict(list)
+    for ok, pk in rows:
+        baskets[ok].append(pk)
+    pairs = Counter()
+    for parts in baskets.values():
+        parts.sort()
+        for i in range(len(parts)):
+            for j in range(i + 1, len(parts)):
+                pairs[(parts[i], parts[j])] += 1
+    top = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    expect = [(a, b, n) for (a, b), n in top]
+
+    got = [
+        (r.part_a, r.part_b, r.n_orders)
+        for r in REGISTRY["market_basket_pairs"].fn(spark, SF_SMOKE).collect()
+    ]
+    assert got == expect
