@@ -2858,3 +2858,112 @@ def test_market_basket_matches_bruteforce(spark):
         for r in REGISTRY["market_basket_pairs"].fn(spark, SF_SMOKE).collect()
     ]
     assert got == expect
+
+
+def test_revenue_share_matches_bruteforce(spark):
+    """sql_revenue_share_window must equal the direct per-nation revenue
+    roll-up with exact floor-ppm shares of the global total."""
+    from collections import Counter
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""SELECT n.n_name, l.l_extendedprice, l.l_discount
+            FROM read_parquet('{SF_SMOKE}/lineitem.parquet') l
+            JOIN read_parquet('{SF_SMOKE}/supplier.parquet') s
+              ON s.s_suppkey = l.l_suppkey
+            JOIN read_parquet('{SF_SMOKE}/nation.parquet') n
+              ON n.n_nationkey = s.s_nationkey"""
+    ).fetchall()
+    con.close()
+    # p*(1-d)*100 can land exactly on .5: Spark/DuckDB round HALF_UP over
+    # the double's shortest decimal repr, Python round() is banker's —
+    # replicate the engines' rule exactly via Decimal(repr(x))
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rev = Counter()
+    for nn, p, d in rows:
+        v = p * (1 - d) * 100
+        rev[nn] += int(
+            Decimal(repr(v)).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+        )
+    total = sum(rev.values())
+    expect = {
+        nn: (c, c * 1_000_000 // total) for nn, c in rev.items()
+    }
+
+    got = {
+        r.n_name: (r.rev_cents, r.share_ppm)
+        for r in REGISTRY["sql_revenue_share_window"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_dow_hour_heatmap_matches_bruteforce(spark):
+    """events_dow_hour_heatmap must equal direct (ISO weekday, hour,
+    type) counting."""
+    from collections import Counter
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT ts, event_type FROM read_parquet('{SF_SMOKE}/events.parquet')"
+    ).fetchall()
+    con.close()
+    expect = Counter((ts.isoweekday(), ts.hour, et) for ts, et in rows)
+
+    got = {
+        (r.dow, r.hour, r.event_type): r.n
+        for r in REGISTRY["events_dow_hour_heatmap"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == dict(expect)
+
+
+def test_referential_orphans_match_bruteforce(spark):
+    """dq_referential_orphans must equal direct set-difference counts
+    for every FK relationship."""
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rels = [
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+    con = duckdb.connect()
+    expect = {}
+    for name, child, fk, parent, pk in rels:
+        fks = [
+            v
+            for (v,) in con.sql(
+                f"SELECT {fk} FROM read_parquet('{SF_SMOKE}/{child}.parquet')"
+            ).fetchall()
+        ]
+        pks = {
+            v
+            for (v,) in con.sql(
+                f"SELECT {pk} FROM read_parquet('{SF_SMOKE}/{parent}.parquet')"
+            ).fetchall()
+        }
+        expect[name] = sum(1 for v in fks if v not in pks)
+    con.close()
+
+    got = {
+        r.relation: r.n_orphans
+        for r in REGISTRY["dq_referential_orphans"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
