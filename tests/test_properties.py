@@ -2967,3 +2967,151 @@ def test_referential_orphans_match_bruteforce(spark):
         for r in REGISTRY["dq_referential_orphans"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_entropy_matches_bruteforce(spark):
+    """doc_entropy_unigram must equal the direct H = ln(n) - sum c·ln(c)/n
+    over exact per-doc token counts."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+        f" WHERE trim(text) <> ''"
+    ).fetchall()
+    con.close()
+    expect = {}
+    for did, t in rows:
+        c = Counter(t.strip().lower().split())
+        n = sum(c.values())
+        h = math.log(n) - sum(v * math.log(v) for v in c.values()) / n
+        expect[did] = (n, len(c), h)
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_types, r.entropy_nats)
+        for r in REGISTRY["doc_entropy_unigram"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(expect)
+    for did in expect:
+        assert got[did][:2] == expect[did][:2], did
+        assert abs(got[did][2] - expect[did][2]) <= 2e-6, did
+
+
+def test_pmi_matches_bruteforce(spark):
+    """text_cooccurrence_pmi must equal the direct PMI over exact
+    distinct-token co-occurrence counts with the deterministic top-100
+    cut."""
+    import math
+    from collections import Counter
+    from itertools import combinations
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+        f" WHERE trim(text) <> ''"
+    ).fetchall()
+    con.close()
+    doc_toks = {d: sorted(set(t.strip().lower().split())) for d, t in rows}
+    df = Counter(tok for ts in doc_toks.values() for tok in ts)
+    n_docs = len(doc_toks)
+    pairs = Counter(p for ts in doc_toks.values() for p in combinations(ts, 2))
+    top = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    expect = {
+        (a, b): (n, math.log(n * n_docs / (df[a] * df[b])))
+        for (a, b), n in top
+    }
+
+    got = {
+        (r.tok_a, r.tok_b): (r.n_ab, r.pmi)
+        for r in REGISTRY["text_cooccurrence_pmi"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k][0] == expect[k][0], k
+        assert abs(got[k][1] - expect[k][1]) <= 2e-6, k
+
+
+def test_label_distance_matrix_matches_bruteforce(spark):
+    """embed_label_distance_matrix must equal direct integer-quantized
+    centroid L2 distances — exact BIGINT arithmetic end to end."""
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT label, embedding FROM "
+        f"read_parquet('{SF_SMOKE}/embeddings.parquet')"
+    ).fetchall()
+    con.close()
+    by_label = defaultdict(list)
+    for lab, emb in rows:
+        by_label[lab].append(
+            [int(math.floor(float(x) * 1048576 + 0.5)) for x in emb]
+        )
+    cents = {
+        lab: [int(math.floor(sum(col) / len(vs))) for col in zip(*vs)]
+        for lab, vs in by_label.items()
+    }
+    labs = sorted(cents)
+    expect = {
+        (a, b): sum((x - y) ** 2 for x, y in zip(cents[a], cents[b]))
+        for i, a in enumerate(labs)
+        for b in labs[i + 1 :]
+    }
+
+    got = {
+        (r.label_a, r.label_b): r.dist_sq_q
+        for r in REGISTRY["embed_label_distance_matrix"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_upsample_fractional_matches_bruteforce(spark):
+    """corpus_upsample_fractional must equal the direct md5-bucket
+    replication arithmetic per language."""
+    import hashlib
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    weights = {"en": (1, 0), "zh": (2, 32768), "fr": (1, 32768),
+               "es": (2, 0), "de": (1, 16384)}
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, lang FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    agg = defaultdict(lambda: [0, 0])
+    for did, lang in rows:
+        if lang not in weights:
+            continue
+        base, frac = weights[lang]
+        bucket = int(hashlib.md5(str(did).encode()).hexdigest()[:4], 16)
+        agg[lang][0] += 1
+        agg[lang][1] += base + (1 if bucket < frac else 0)
+    expect = {l: tuple(v) for l, v in agg.items()}
+
+    got = {
+        r.lang: (r.n_docs_in, r.n_docs_out)
+        for r in REGISTRY["corpus_upsample_fractional"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
