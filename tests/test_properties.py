@@ -3115,3 +3115,197 @@ def test_upsample_fractional_matches_bruteforce(spark):
         for r in REGISTRY["corpus_upsample_fractional"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_freq_spectrum_matches_bruteforce(spark):
+    """vocab_freq_spectrum must equal the direct counts-of-counts with
+    the first-50 k cut."""
+    from collections import Counter
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT text FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+        f" WHERE trim(text) <> ''"
+    ).fetchall()
+    con.close()
+    freq = Counter(tok for (t,) in rows for tok in t.strip().lower().split())
+    spectrum = Counter(freq.values())
+    expect = [
+        (k, n, k * n) for k, n in sorted(spectrum.items())
+    ][:50]
+
+    got = [
+        (r.occurrences, r.n_types_with_k, r.mass)
+        for r in REGISTRY["vocab_freq_spectrum"].fn(spark, SF_SMOKE).collect()
+    ]
+    assert got == expect
+
+
+def test_cluster_sizes_match_bruteforce(spark):
+    """dedup_cluster_sizes must equal the union-find component-size
+    histogram over the Jaccard>=0.5 pair graph (clustered vertices
+    only)."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    sh = {}
+    for did, t in rows:
+        toks = t.strip().lower().split()
+        s = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        if s:
+            sh[did] = s
+    by_shingle = defaultdict(list)
+    for did, s in sh.items():
+        for g in s:
+            by_shingle[g].append(did)
+    edges = set()
+    for ids in by_shingle.values():
+        for a in ids:
+            for b in ids:
+                if a < b:
+                    edges.add((a, b))
+    edges = {
+        (a, b)
+        for a, b in edges
+        if len(sh[a] & sh[b]) / (len(sh[a]) + len(sh[b]) - len(sh[a] & sh[b])) >= 0.5
+    }
+    verts = {d for p in edges for d in p}
+    parent = {d: d for d in verts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_sizes = Counter(find(v) for v in verts)
+    expect = dict(Counter(comp_sizes.values()))
+
+    got = {
+        r.cluster_size: r.n_clusters
+        for r in REGISTRY["dedup_cluster_sizes"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_gopher_rules_match_bruteforce(spark):
+    """quality_gopher_rules must equal the direct rule evaluation: word
+    count band, mean-word-length band (round-6 seam), exact 80%
+    alpha-word cross-multiplication."""
+    import re
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, lang, text FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet') WHERE trim(text) <> ''"
+    ).fetchall()
+    con.close()
+    alpha = re.compile(r"[A-Za-z]")
+    expect = {}
+    for did, lang, t in rows:
+        words = t.strip().split()
+        n = len(words)
+        mean_len = sum(len(w) for w in words) / n
+        n_alpha = sum(1 for w in words if alpha.search(w))
+        keep = (50 <= n <= 100000) and (3 <= round(mean_len, 6) <= 10) and (
+            n_alpha * 5 >= n * 4
+        )
+        expect[did] = (lang, n, mean_len, n_alpha, keep)
+
+    got = {
+        r.doc_id: (r.lang, r.n_words, r.mean_word_len_r6, r.n_alpha_words, r.keep)
+        for r in REGISTRY["quality_gopher_rules"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(expect)
+    for did in expect:
+        g, e = got[did], expect[did]
+        assert (g[0], g[1], g[3], g[4]) == (e[0], e[1], e[3], e[4]), did
+        assert abs(g[2] - e[2]) <= 2e-6, did
+
+
+def test_feature_hash_matches_bruteforce(spark):
+    """feature_hash_bow must equal direct md5-prefix bucket counting."""
+    import hashlib
+    from collections import Counter
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+        f" WHERE trim(text) <> ''"
+    ).fetchall()
+    con.close()
+    counts = Counter()
+    for did, t in rows:
+        for tok in t.strip().lower().split():
+            b = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 64
+            counts[(did, b)] += 1
+
+    got = {
+        (r.doc_id, r.bucket): r.n
+        for r in REGISTRY["feature_hash_bow"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == dict(counts)
+
+
+def test_threshold_curve_matches_bruteforce(spark):
+    """embed_threshold_curve must equal direct pairwise-cosine threshold
+    counting over the capped slice (same left-fold double arithmetic)."""
+    import math
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{SF_SMOKE}/embeddings.parquet') WHERE vec_id < 200"
+    ).fetchall()
+    con.close()
+    vecs = {vid: [float(x) for x in emb] for vid, emb in rows}
+    norms = {vid: math.sqrt(sum(x * x for x in v)) for vid, v in vecs.items()}
+    ids = sorted(vecs)
+    cosines = [
+        sum(x * y for x, y in zip(vecs[a], vecs[b])) / (norms[a] * norms[b])
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+    ]
+    expect = {
+        t: sum(1 for c in cosines if c >= t / 100.0)
+        for t in (80, 85, 90, 95, 99)
+    }
+
+    got = {
+        r.thr_pct: r.n_pairs_at_or_above
+        for r in REGISTRY["embed_threshold_curve"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
