@@ -3309,3 +3309,122 @@ def test_threshold_curve_matches_bruteforce(spark):
         for r in REGISTRY["embed_threshold_curve"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_substring_spans_match_bruteforce(spark):
+    """dedup_substring_spans must equal the direct rolling 20-token span
+    hashing with cross-doc-shared scoring."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+        f" WHERE trim(text) <> ''"
+    ).fetchall()
+    con.close()
+    k = 20
+    doc_spans = {}
+    for did, t in rows:
+        w = t.strip().lower().split()
+        if len(w) < k:
+            continue
+        doc_spans[did] = [
+            hashlib.md5(" ".join(w[i : i + k]).encode()).hexdigest()
+            for i in range(len(w) - k + 1)
+        ]
+    docs_per_hash = defaultdict(set)
+    for did, hs in doc_spans.items():
+        for h in hs:
+            docs_per_hash[h].add(did)
+    shared = {h for h, ds in docs_per_hash.items() if len(ds) > 1}
+    expect = {}
+    for did, hs in doc_spans.items():
+        n_dup = sum(1 for h in hs if h in shared)
+        if n_dup > 0:
+            expect[did] = (len(hs), n_dup)
+
+    got = {
+        r.doc_id: (r.n_spans, r.n_dup_spans)
+        for r in REGISTRY["dedup_substring_spans"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_fertility_matches_bruteforce(spark):
+    """tokenizer_fertility_by_lang must equal direct per-language token/
+    char/byte sums and their round-6 ratios."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT lang, text FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+        f" WHERE trim(text) <> ''"
+    ).fetchall()
+    con.close()
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for lang, t in rows:
+        a = agg[lang]
+        a[0] += 1
+        a[1] += len(t.strip().lower().split())
+        a[2] += len(t)
+        a[3] += len(t.encode("utf-8"))
+    expect = {
+        lang: (n, tt, tc, tb, tc / tt, tb / tt)
+        for lang, (n, tt, tc, tb) in agg.items()
+    }
+
+    got = {
+        r.lang: (
+            r.n_docs, r.total_tokens, r.total_chars, r.total_bytes,
+            r.chars_per_token_r6, r.bytes_per_token_r6,
+        )
+        for r in REGISTRY["tokenizer_fertility_by_lang"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(expect)
+    for lang in expect:
+        assert got[lang][:4] == expect[lang][:4], lang
+        assert abs(got[lang][4] - expect[lang][4]) <= 2e-6, lang
+        assert abs(got[lang][5] - expect[lang][5]) <= 2e-6, lang
+
+
+def test_q6_forecast_matches_bruteforce(spark):
+    """sql_forecast_revenue must equal the direct filtered integer-e4
+    revenue sum (engine HALF_UP rounding replicated via Decimal(repr))."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""SELECT l_extendedprice, l_discount FROM
+            read_parquet('{SF_SMOKE}/lineitem.parquet')
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24"""
+    ).fetchall()
+    con.close()
+    total = sum(
+        int(
+            Decimal(repr(p * d * 10000)).quantize(
+                Decimal("1"), rounding=ROUND_HALF_UP
+            )
+        )
+        for p, d in rows
+    )
+    r = REGISTRY["sql_forecast_revenue"].fn(spark, SF_SMOKE).collect()[0]
+    assert (r.n_lines, r.forecast_e4) == (len(rows), total)
