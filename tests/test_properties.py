@@ -3428,3 +3428,113 @@ def test_q6_forecast_matches_bruteforce(spark):
     )
     r = REGISTRY["sql_forecast_revenue"].fn(spark, SF_SMOKE).collect()[0]
     assert (r.n_lines, r.forecast_e4) == (len(rows), total)
+
+
+def test_ship_lateness_matches_bruteforce(spark):
+    """sql_ship_lateness_priority must equal direct band and priority
+    counting over the orderkey join."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""SELECT CAST(l.l_shipdate AS DATE), CAST(o.o_orderdate AS DATE),
+                   o.o_orderpriority
+            FROM read_parquet('{SF_SMOKE}/lineitem.parquet') l
+            JOIN read_parquet('{SF_SMOKE}/orders.parquet') o
+              ON o.o_orderkey = l.l_orderkey"""
+    ).fetchall()
+    con.close()
+    agg = defaultdict(lambda: [0, 0])
+    for ship, od, pri in rows:
+        lag = (ship - od).days
+        band = "early" if lag < 0 else ("on_time" if lag <= 60 else "late")
+        agg[band][0 if pri in ("1-URGENT", "2-HIGH") else 1] += 1
+    expect = {b: tuple(v) for b, v in agg.items()}
+
+    got = {
+        r.ship_band: (r.n_high_priority, r.n_low_priority)
+        for r in REGISTRY["sql_ship_lateness_priority"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_asof_forward_matches_bruteforce(spark):
+    """join_asof_forward must equal the direct next-purchase-at-or-after
+    pick with the (ts, event_id) tie-break; NULL for unconverted."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT user_id, ts, event_id, event_type FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet')"
+        f" WHERE event_type IN ('error', 'purchase')"
+    ).fetchall()
+    con.close()
+    purchases = defaultdict(list)
+    errors = []
+    for u, ts, eid, et in rows:
+        if et == "purchase":
+            purchases[u].append((ts, eid))
+        else:
+            errors.append((u, ts, eid))
+    for ps in purchases.values():
+        ps.sort()
+    expect = {}
+    for u, ts, eid in errors:
+        nxt = min(
+            ((pts, pid) for pts, pid in purchases.get(u, []) if pts >= ts),
+            default=None,
+        )
+        if nxt is None:
+            expect[eid] = (u, None, None)
+        else:
+            us = (nxt[0] - ts) // __import__("datetime").timedelta(microseconds=1)
+            expect[eid] = (u, nxt[1], us)
+
+    got = {
+        r.error_id: (r.user_id, r.next_purchase_id, r.wait_us)
+        for r in REGISTRY["join_asof_forward"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_mode_per_group_matches_bruteforce(spark):
+    """agg_mode_per_group must equal the direct (count DESC, value ASC)
+    modal pick per status."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT o_orderstatus, o_orderpriority FROM "
+        f"read_parquet('{SF_SMOKE}/orders.parquet')"
+    ).fetchall()
+    con.close()
+    counts = Counter(rows)
+    by_status = defaultdict(list)
+    for (st, pri), n in counts.items():
+        by_status[st].append((-n, pri))
+    expect = {}
+    for st, lst in by_status.items():
+        lst.sort()
+        expect[st] = (lst[0][1], -lst[0][0])
+
+    got = {
+        r.o_orderstatus: (r.modal_priority, r.n_orders)
+        for r in REGISTRY["agg_mode_per_group"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
