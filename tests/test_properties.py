@@ -3538,3 +3538,93 @@ def test_mode_per_group_matches_bruteforce(spark):
         for r in REGISTRY["agg_mode_per_group"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_product_profit_matches_bruteforce(spark):
+    """sql_product_profit must equal the direct five-way join profit
+    roll-up over exact integer money units (engine HALF_UP rounding)."""
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""SELECT sn.n_name, year(o.o_orderdate),
+                   l.l_extendedprice, l.l_discount, l.l_quantity,
+                   p.p_retailprice
+            FROM read_parquet('{SF_SMOKE}/lineitem.parquet') l
+            JOIN read_parquet('{SF_SMOKE}/part.parquet') p
+              ON p.p_partkey = l.l_partkey
+            JOIN read_parquet('{SF_SMOKE}/supplier.parquet') s
+              ON s.s_suppkey = l.l_suppkey
+            JOIN read_parquet('{SF_SMOKE}/orders.parquet') o
+              ON o.o_orderkey = l.l_orderkey
+            JOIN read_parquet('{SF_SMOKE}/nation.parquet') sn
+              ON sn.n_nationkey = s.s_nationkey"""
+    ).fetchall()
+    con.close()
+
+    def r(x):
+        return int(Decimal(repr(x)).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+
+    agg = defaultdict(lambda: [0, 0])
+    for nn, yr, ep, disc, qty, rp in rows:
+        profit = r(ep * (1 - disc) * 10000) - r(rp * 100) * 100 * int(qty)
+        a = agg[(nn, yr)]
+        a[0] += profit
+        a[1] += 1
+    expect = {k: tuple(v) for k, v in agg.items()}
+
+    got = {
+        (r_.nation, r_.o_year): (r_.profit_e4, r_.n_lines)
+        for r_ in REGISTRY["sql_product_profit"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_waiting_orders_match_bruteforce(spark):
+    """sql_waiting_orders must equal the direct exactly-one-late-supplier
+    accounting over multi-supplier orders."""
+    from collections import Counter, defaultdict
+    from datetime import timedelta
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
+            FROM read_parquet('{SF_SMOKE}/lineitem.parquet') l
+            JOIN read_parquet('{SF_SMOKE}/orders.parquet') o
+              ON o.o_orderkey = l.l_orderkey"""
+    ).fetchall()
+    con.close()
+    supp_names = dict(
+        duckdb.sql(
+            f"SELECT s_suppkey, s_name FROM "
+            f"read_parquet('{SF_SMOKE}/supplier.parquet')"
+        ).fetchall()
+    )
+    per_order = defaultdict(lambda: (set(), set()))
+    late_cut = timedelta(days=90)
+    for ok, sk, ship, od in rows:
+        supp, late = per_order[ok]
+        supp.add(sk)
+        if ship > od + late_cut:
+            late.add(sk)
+    numwait = Counter()
+    for supp, late in per_order.values():
+        if len(supp) >= 2 and len(late) == 1:
+            numwait[supp_names[next(iter(late))]] += 1
+
+    got = {
+        r.s_name: r.numwait
+        for r in REGISTRY["sql_waiting_orders"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == dict(numwait)
