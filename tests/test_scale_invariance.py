@@ -149,6 +149,14 @@ HINTED_BROADCASTS = [
     ("dq_benford_first_digit", 1),  # the 1-row total
     ("profile_psi_event_types", 1),
     ("text_bigram_surprisal", 1),  # the vocab scalar
+    ("agg_ship_priority", 1),       # the segment-filtered customer dim
+    ("tokenize_with_vocab", 1),     # the top-500 vocab map
+    ("sample_temperature_by_lang", 1),  # the per-lang threshold table
+    ("text_length_band", 1),        # the [p5, p95] bounds scalar
+    ("sql_product_profit", 3),      # part / supplier / nation dims
+    ("vocab_oov_rate", 1),          # the top-20 vocabulary
+    ("split_cluster_safe", 1),      # the cluster-label relation
+    ("agg_weighted_median", 1),     # the grid offset table
 ]
 
 
