@@ -3628,3 +3628,127 @@ def test_waiting_orders_match_bruteforce(spark):
         for r in REGISTRY["sql_waiting_orders"].fn(spark, SF_SMOKE).collect()
     }
     assert got == dict(numwait)
+
+
+def test_point_in_time_matches_bruteforce(spark):
+    """join_point_in_time must equal the direct SCD2 pick: each purchase
+    takes the latest non-purchase status change at or before its ts
+    (changes deduped to one status per (user, ts) by max event_id);
+    NULL before the first change."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT user_id, ts, event_id, event_type FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet')"
+    ).fetchall()
+    con.close()
+    changes = defaultdict(dict)  # user -> ts -> (event_id, type)
+    purchases = []
+    for u, ts, eid, et in rows:
+        if et == "purchase":
+            purchases.append((u, ts, eid))
+        else:
+            cur = changes[u].get(ts)
+            if cur is None or eid > cur[0]:
+                changes[u][ts] = (eid, et)
+    per_user = {
+        u: sorted((ts, st) for ts, (_, st) in m.items())
+        for u, m in changes.items()
+    }
+    expect = {}
+    for u, ts, eid in purchases:
+        prior = [(cts, st) for cts, st in per_user.get(u, []) if cts <= ts]
+        if prior:
+            cts, st = prior[-1]
+            expect[eid] = (u, st, cts)
+        else:
+            expect[eid] = (u, None, None)
+
+    got = {
+        r.purchase_id: (r.user_id, r.status, r.status_since)
+        for r in REGISTRY["join_point_in_time"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_q4_priority_check_matches_bruteforce(spark):
+    """sql_order_priority_check must equal the direct correlated-EXISTS
+    evaluation over 1995Q1 orders."""
+    from collections import Counter, defaultdict
+    from datetime import datetime, timedelta
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    orders = con.sql(
+        f"SELECT o_orderkey, o_orderdate, o_orderpriority FROM "
+        f"read_parquet('{SF_SMOKE}/orders.parquet')"
+        f" WHERE o_orderdate >= TIMESTAMP '1995-01-01'"
+        f" AND o_orderdate < TIMESTAMP '1995-04-01'"
+    ).fetchall()
+    lines = con.sql(
+        f"SELECT l_orderkey, l_shipdate FROM "
+        f"read_parquet('{SF_SMOKE}/lineitem.parquet')"
+    ).fetchall()
+    con.close()
+    ship = defaultdict(list)
+    for ok, sd in lines:
+        ship[ok].append(sd)
+    counts = Counter()
+    for ok, od, pri in orders:
+        if any(sd > od + timedelta(days=75) for sd in ship.get(ok, [])):
+            counts[pri] += 1
+
+    got = {
+        r.o_orderpriority: r.order_count
+        for r in REGISTRY["sql_order_priority_check"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == dict(counts)
+
+
+def test_grouping_flags_match_bruteforce(spark):
+    """sql_grouping_flags must equal the direct CUBE expansion with
+    correct GROUPING() metadata per stratum."""
+    from collections import Counter
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT o_orderpriority, o_orderstatus FROM "
+        f"read_parquet('{SF_SMOKE}/orders.parquet')"
+    ).fetchall()
+    con.close()
+    counts = Counter(rows)
+    n_total = sum(counts.values())
+    by_pri = Counter()
+    by_st = Counter()
+    for (pri, st), n in counts.items():
+        by_pri[pri] += n
+        by_st[st] += n
+    expect = {}
+    for (pri, st), n in counts.items():
+        expect[(0, 0, pri, st)] = n
+    for pri, n in by_pri.items():
+        expect[(0, 1, pri, "(all)")] = n
+    for st, n in by_st.items():
+        expect[(1, 0, "(all)", st)] = n
+    expect[(1, 1, "(all)", "(all)")] = n_total
+
+    got = {
+        (r.g_priority, r.g_status, r.priority, r.status): r.n
+        for r in REGISTRY["sql_grouping_flags"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
