@@ -3752,3 +3752,176 @@ def test_grouping_flags_match_bruteforce(spark):
         for r in REGISTRY["sql_grouping_flags"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_q2_min_price_supplier_matches_bruteforce(spark):
+    """sql_min_price_supplier must equal the direct per-part cheapest
+    EUROPE line pick with the min-suppkey tie-break."""
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    eu = dict(
+        con.sql(
+            f"""SELECT s.s_suppkey, s.s_name
+                FROM read_parquet('{SF_SMOKE}/supplier.parquet') s
+                JOIN read_parquet('{SF_SMOKE}/nation.parquet') n
+                  ON n.n_nationkey = s.s_nationkey
+                JOIN read_parquet('{SF_SMOKE}/region.parquet') r
+                  ON r.r_regionkey = n.n_regionkey
+                WHERE r.r_name = 'EUROPE'"""
+        ).fetchall()
+    )
+    lines = con.sql(
+        f"SELECT l_partkey, l_suppkey, l_extendedprice FROM "
+        f"read_parquet('{SF_SMOKE}/lineitem.parquet')"
+    ).fetchall()
+    parts = dict(
+        con.sql(
+            f"SELECT p_partkey, p_name FROM "
+            f"read_parquet('{SF_SMOKE}/part.parquet') WHERE p_size <= 5"
+        ).fetchall()
+    )
+    con.close()
+    best = {}  # partkey -> (min_e2, min_suppkey)
+    for pk, sk, ep in lines:
+        if sk not in eu:
+            continue
+        e2 = int(round(ep * 100))
+        cur = best.get(pk)
+        if cur is None or (e2, sk) < cur:
+            best[pk] = (e2, sk)
+    expect = {
+        pk: (parts[pk], eu[sk], e2)
+        for pk, (e2, sk) in best.items()
+        if pk in parts
+    }
+
+    got = {
+        r.p_partkey: (r.p_name, r.cheapest_supplier, r.min_line_cents)
+        for r in REGISTRY["sql_min_price_supplier"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_q11_important_stock_matches_bruteforce(spark):
+    """sql_important_stock must equal the direct twice-the-average cut
+    via integer cross-multiplication."""
+    from collections import Counter
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""SELECT l.l_partkey, l.l_extendedprice
+            FROM read_parquet('{SF_SMOKE}/lineitem.parquet') l
+            JOIN read_parquet('{SF_SMOKE}/supplier.parquet') s
+              ON s.s_suppkey = l.l_suppkey
+            JOIN read_parquet('{SF_SMOKE}/nation.parquet') n
+              ON n.n_nationkey = s.s_nationkey
+            JOIN read_parquet('{SF_SMOKE}/region.parquet') r
+              ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = 'ASIA'"""
+    ).fetchall()
+    con.close()
+    val = Counter()
+    for pk, ep in rows:
+        val[pk] += int(round(ep * 100))
+    t, np_ = sum(val.values()), len(val)
+    expect = {pk: v for pk, v in val.items() if v * np_ > 2 * t}
+
+    got = {
+        r.p_partkey: r.value_cents
+        for r in REGISTRY["sql_important_stock"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_q16_parts_supplier_matches_bruteforce(spark):
+    """sql_parts_supplier_relation must equal direct distinct-supplier
+    counting with brand and deficit-supplier exclusions."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    bad = {
+        v
+        for (v,) in con.sql(
+            f"SELECT s_suppkey FROM read_parquet('{SF_SMOKE}/supplier.parquet')"
+            f" WHERE s_acctbal < 0"
+        ).fetchall()
+    }
+    rows = con.sql(
+        f"""SELECT p.p_brand, p.p_type, p.p_size % 5, l.l_suppkey
+            FROM read_parquet('{SF_SMOKE}/lineitem.parquet') l
+            JOIN read_parquet('{SF_SMOKE}/part.parquet') p
+              ON p.p_partkey = l.l_partkey
+            WHERE p.p_brand <> 'Brand#1'"""
+    ).fetchall()
+    con.close()
+    supp = defaultdict(set)
+    for brand, ptype, band, sk in rows:
+        if sk not in bad:
+            supp[(brand, ptype, band)].add(sk)
+    expect = {k: len(v) for k, v in supp.items()}
+
+    got = {
+        (r.p_brand, r.p_type, r.size_band): r.supplier_cnt
+        for r in REGISTRY["sql_parts_supplier_relation"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_q20_excess_inventory_matches_bruteforce(spark):
+    """sql_excess_inventory_suppliers must equal the direct more-than-
+    half-of-1997-volume domination count with the >= 5 parts floor."""
+    from collections import Counter, defaultdict
+    from datetime import datetime
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT l_partkey, l_suppkey, l_quantity FROM "
+        f"read_parquet('{SF_SMOKE}/lineitem.parquet')"
+        f" WHERE l_shipdate >= TIMESTAMP '1997-01-01'"
+        f" AND l_shipdate < TIMESTAMP '1998-01-01'"
+    ).fetchall()
+    names = dict(
+        duckdb.sql(
+            f"SELECT s_suppkey, s_name FROM "
+            f"read_parquet('{SF_SMOKE}/supplier.parquet')"
+        ).fetchall()
+    )
+    con.close()
+    sq = Counter()
+    for pk, sk, q in rows:
+        sq[(pk, sk)] += int(q)
+    pt = Counter()
+    for (pk, _), q in sq.items():
+        pt[pk] += q
+    dominated = Counter()
+    for (pk, sk), q in sq.items():
+        if pt[pk] > 0 and q * 2 > pt[pk]:
+            dominated[sk] += 1
+    expect = {
+        sk: (names[sk], n) for sk, n in dominated.items() if n >= 5
+    }
+
+    got = {
+        r.s_suppkey: (r.s_name, r.n_dominated_parts)
+        for r in REGISTRY["sql_excess_inventory_suppliers"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
