@@ -3925,3 +3925,78 @@ def test_q20_excess_inventory_matches_bruteforce(spark):
         for r in REGISTRY["sql_excess_inventory_suppliers"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_intersect_except_all_match_bruteforce(spark):
+    """sql_intersect_except_all must equal bag semantics computed
+    directly: min(m, n) and max(m - n, 0) multiplicities per nation."""
+    from collections import Counter
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT c_mktsegment, c_nationkey FROM "
+        f"read_parquet('{SF_SMOKE}/customer.parquet')"
+        f" WHERE c_mktsegment IN ('MACHINERY', 'BUILDING')"
+    ).fetchall()
+    con.close()
+    a = Counter(nk for seg, nk in rows if seg == "MACHINERY")
+    b = Counter(nk for seg, nk in rows if seg == "BUILDING")
+    expect = {}
+    for nk in set(a) | set(b):
+        i = min(a[nk], b[nk])
+        x = max(a[nk] - b[nk], 0)
+        if i:
+            expect[("intersect_all", nk)] = i
+        if x:
+            expect[("except_all", nk)] = x
+
+    got = {
+        (r.op, r.c_nationkey): r.n
+        for r in REGISTRY["sql_intersect_except_all"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_sessionization_rollup_matches_bruteforce(spark):
+    """events_sessionization must equal the direct per-user session walk
+    rolled up (session count, max size, total events)."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT user_id, ts, event_id FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet')"
+    ).fetchall()
+    con.close()
+    per_user = defaultdict(list)
+    for u, ts, eid in rows:
+        per_user[u].append((ts, eid))
+    gap = timedelta(minutes=30)
+    expect = {}
+    for u, evs in per_user.items():
+        evs.sort()
+        sizes = []
+        prev = None
+        for ts, _ in evs:
+            if prev is None or ts - prev > gap:
+                sizes.append(0)
+            sizes[-1] += 1
+            prev = ts
+        expect[u] = (len(sizes), max(sizes), sum(sizes))
+
+    got = {
+        r.user_id: (r.n_sessions, r.max_session_events, r.n_events)
+        for r in REGISTRY["events_sessionization"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
