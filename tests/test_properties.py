@@ -4000,3 +4000,144 @@ def test_sessionization_rollup_matches_bruteforce(spark):
         for r in REGISTRY["events_sessionization"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_q18_large_volume_matches_bruteforce(spark):
+    """sql_large_volume_customers must equal the direct >250-quantity
+    order pick with the deterministic (price DESC, orderkey) top-20."""
+    from collections import Counter
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    li = con.sql(
+        f"SELECT l_orderkey, l_quantity FROM "
+        f"read_parquet('{SF_SMOKE}/lineitem.parquet')"
+    ).fetchall()
+    orders = {
+        ok: (ck, od, tp)
+        for ok, ck, od, tp in con.sql(
+            f"SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM "
+            f"read_parquet('{SF_SMOKE}/orders.parquet')"
+        ).fetchall()
+    }
+    cust = dict(
+        con.sql(
+            f"SELECT c_custkey, c_name FROM "
+            f"read_parquet('{SF_SMOKE}/customer.parquet')"
+        ).fetchall()
+    )
+    con.close()
+    qty = Counter()
+    for ok, q in li:
+        qty[ok] += q
+    rows = []
+    for ok, sq in qty.items():
+        if sq > 250:
+            ck, od, tp = orders[ok]
+            rows.append(
+                (
+                    int(round(tp * 100)),
+                    ok,
+                    ck,
+                    cust[ck],
+                    od,
+                    int(round(sq)),
+                )
+            )
+    rows.sort(key=lambda r: (-r[0], r[1]))
+    expect = [
+        (ck, name, ok, od, cents, sq)
+        for cents, ok, ck, name, od, sq in rows[:20]
+    ]
+
+    got = [
+        (r.c_custkey, r.c_name, r.o_orderkey, r.o_orderdate, r.totalprice_cents, r.sum_qty)
+        for r in REGISTRY["sql_large_volume_customers"].fn(spark, SF_SMOKE).collect()
+    ]
+    assert got == expect
+
+
+def test_q19_disjunctive_matches_bruteforce(spark):
+    """sql_discounted_revenue must equal direct evaluation of the three
+    disjunctive blocks (engine HALF_UP rounding)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""SELECT p.p_brand, p.p_size, l.l_quantity,
+                   l.l_extendedprice, l.l_discount
+            FROM read_parquet('{SF_SMOKE}/lineitem.parquet') l
+            JOIN read_parquet('{SF_SMOKE}/part.parquet') p
+              ON p.p_partkey = l.l_partkey"""
+    ).fetchall()
+    con.close()
+    blocks = (
+        ("Brand#11", 1, 10, 1, 15),
+        ("Brand#15", 5, 20, 10, 25),
+        ("Brand#22", 15, 35, 20, 40),
+    )
+    n = rev = 0
+    for brand, size, q, ep, d in rows:
+        if any(
+            brand == b and s_lo <= size <= s_hi and q_lo <= q <= q_hi
+            for b, s_lo, s_hi, q_lo, q_hi in blocks
+        ):
+            n += 1
+            rev += int(
+                Decimal(repr(ep * (1 - d) * 10000)).quantize(
+                    Decimal("1"), rounding=ROUND_HALF_UP
+                )
+            )
+
+    r = REGISTRY["sql_discounted_revenue"].fn(spark, SF_SMOKE).collect()[0]
+    assert (r.n_lines, r.revenue_e4) == (n, rev)
+
+
+def test_q22_sales_opportunity_matches_bruteforce(spark):
+    """sql_sales_opportunity must equal the direct above-average positive
+    balance + no-orders cut via integer cross-multiplication."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    custs = con.sql(
+        f"SELECT c_custkey, c_mktsegment, c_acctbal FROM "
+        f"read_parquet('{SF_SMOKE}/customer.parquet')"
+    ).fetchall()
+    with_orders = {
+        v
+        for (v,) in con.sql(
+            f"SELECT DISTINCT o_custkey FROM "
+            f"read_parquet('{SF_SMOKE}/orders.parquet')"
+        ).fetchall()
+    }
+    con.close()
+    pos = [int(round(b * 100)) for _, _, b in custs if b > 0]
+    n_pos, s_pos = len(pos), sum(pos)
+    agg = defaultdict(lambda: [0, 0])
+    for ck, seg, bal in custs:
+        cents = int(round(bal * 100))
+        if cents * n_pos > s_pos and ck not in with_orders:
+            a = agg[seg]
+            a[0] += 1
+            a[1] += cents
+    expect = {seg: tuple(v) for seg, v in agg.items()}
+
+    got = {
+        r.c_mktsegment: (r.n_customers, r.total_bal_cents)
+        for r in REGISTRY["sql_sales_opportunity"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
