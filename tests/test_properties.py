@@ -4141,3 +4141,43 @@ def test_q22_sales_opportunity_matches_bruteforce(spark):
         for r in REGISTRY["sql_sales_opportunity"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_share_of_parent_matches_bruteforce(spark):
+    """sql_rollup_share_of_parent must equal direct per-nation revenue
+    with exact floor-ppm shares of the parent region."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""SELECT r.r_name, n.n_name, o.o_totalprice
+            FROM read_parquet('{SF_SMOKE}/orders.parquet') o
+            JOIN read_parquet('{SF_SMOKE}/customer.parquet') c
+              ON c.c_custkey = o.o_custkey
+            JOIN read_parquet('{SF_SMOKE}/nation.parquet') n
+              ON n.n_nationkey = c.c_nationkey
+            JOIN read_parquet('{SF_SMOKE}/region.parquet') r
+              ON r.r_regionkey = n.n_regionkey"""
+    ).fetchall()
+    con.close()
+    cents = Counter()
+    for rn, nn, tp in rows:
+        cents[(rn, nn)] += int(round(tp * 100))
+    region_total = defaultdict(int)
+    for (rn, _), c_ in cents.items():
+        region_total[rn] += c_
+    expect = {
+        (rn, nn): (c_, c_ * 1_000_000 // region_total[rn])
+        for (rn, nn), c_ in cents.items()
+    }
+
+    got = {
+        (r.r_name, r.n_name): (r.cents, r.share_of_region_ppm)
+        for r in REGISTRY["sql_rollup_share_of_parent"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
