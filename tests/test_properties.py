@@ -4181,3 +4181,144 @@ def test_share_of_parent_matches_bruteforce(spark):
         for r in REGISTRY["sql_rollup_share_of_parent"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_ewma_matches_bruteforce(spark):
+    """ts_ewma_per_customer must equal the direct integer EWMA fold
+    ((3x + 7acc) floor-div 10) over each customer's date-ordered
+    history."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM "
+        f"read_parquet('{SF_SMOKE}/orders.parquet')"
+    ).fetchall()
+    con.close()
+    per_cust = defaultdict(list)
+    for ck, od, ok, tp in rows:
+        per_cust[ck].append((od, ok, int(round(tp * 100))))
+    expect = {}
+    for ck, orders in per_cust.items():
+        orders.sort()
+        acc = orders[0][2]
+        for _, _, x in orders[1:]:
+            acc = (x * 3 + acc * 7) // 10
+        expect[ck] = (len(orders), acc)
+
+    got = {
+        r.o_custkey: (r.n_orders, r.ewma_cents)
+        for r in REGISTRY["ts_ewma_per_customer"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_funnel_matches_bruteforce(spark):
+    """funnel_view_click_purchase must equal the direct first-occurrence
+    ordered-funnel evaluation."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT user_id, event_type, ts FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet')"
+        f" WHERE event_type IN ('view', 'click', 'purchase')"
+    ).fetchall()
+    con.close()
+    firsts = defaultdict(dict)
+    for u, et, ts in rows:
+        cur = firsts[u].get(et)
+        if cur is None or ts < cur:
+            firsts[u][et] = ts
+    n1 = n2 = n3 = 0
+    for m in firsts.values():
+        v, c, b = m.get("view"), m.get("click"), m.get("purchase")
+        if v is not None:
+            n1 += 1
+            if c is not None and c > v:
+                n2 += 1
+                if b is not None and b > c:
+                    n3 += 1
+
+    r = REGISTRY["funnel_view_click_purchase"].fn(spark, SF_SMOKE).collect()[0]
+    assert (r.n_view, r.n_view_click, r.n_full_funnel) == (n1, n2, n3)
+
+
+def test_cohort_retention_matches_bruteforce(spark):
+    """cohort_retention must equal the direct (first-day cohort, day
+    offset) distinct-user triangle."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT user_id, CAST(ts AS DATE) FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet')"
+    ).fetchall()
+    con.close()
+    first = {}
+    for u, d in rows:
+        if u not in first or d < first[u]:
+            first[u] = d
+    tri = defaultdict(set)
+    for u, d in rows:
+        tri[(first[u], (d - first[u]).days)].add(u)
+    expect = {k: len(v) for k, v in tri.items()}
+
+    got = {
+        (r.cohort_day, r.day_offset): r.n_active
+        for r in REGISTRY["cohort_retention"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_impute_median_matches_bruteforce(spark):
+    """impute_group_median must equal the direct percentile_disc(0.5)
+    imputation per segment."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT c_custkey, c_mktsegment, c_acctbal FROM "
+        f"read_parquet('{SF_SMOKE}/customer.parquet')"
+    ).fetchall()
+    con.close()
+    valid = defaultdict(list)
+    for _, seg, bal in rows:
+        if bal >= 0:
+            valid[seg].append(bal)
+    med = {}
+    for seg, vals in valid.items():
+        vals.sort()
+        n = len(vals)
+        # percentile_disc(0.5): smallest value with cum fraction >= 0.5
+        med[seg] = vals[(n - 1) // 2] if n % 2 else vals[n // 2 - 1]
+    expect = {
+        ck: (seg, med[seg] if bal < 0 else bal, 1 if bal < 0 else 0)
+        for ck, seg, bal in rows
+    }
+
+    got = {
+        r.c_custkey: (r.c_mktsegment, r.acctbal_imputed, r.was_imputed)
+        for r in REGISTRY["impute_group_median"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
