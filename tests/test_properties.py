@@ -4322,3 +4322,94 @@ def test_impute_median_matches_bruteforce(spark):
         for r in REGISTRY["impute_group_median"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_gapfill_matches_bruteforce(spark):
+    """ts_gapfill must equal the direct hourly spine with zero-filled
+    counts, gap flags, and forward-filled values (round-2 seam
+    tolerance for float-sum ordering)."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT ts, value FROM read_parquet('{SF_SMOKE}/events.parquet')"
+    ).fetchall()
+    con.close()
+    hourly_n = defaultdict(int)
+    hourly_v = defaultdict(float)
+    for ts, v in rows:
+        h = ts.replace(minute=0, second=0, microsecond=0)
+        hourly_n[h] += 1
+        hourly_v[h] += v
+    lo, hi = min(hourly_n), max(hourly_n)
+    expect = {}
+    last_v = 0.0
+    h = lo
+    while h <= hi:
+        n = hourly_n.get(h, 0)
+        if n:
+            last_v = round(hourly_v[h], 2)
+        expect[h] = (n, 0 if n else 1, last_v)
+        h += timedelta(hours=1)
+
+    got = {
+        r.hour: (r.n_events, r.is_gap, r.total_value_ffill)
+        for r in REGISTRY["ts_gapfill"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(expect)
+    for h in expect:
+        assert got[h][:2] == expect[h][:2], h
+        assert abs(got[h][2] - expect[h][2]) <= 0.011, (h, got[h], expect[h])
+
+
+def test_zscore_anomalies_match_bruteforce(spark):
+    """ts_anomaly_zscore must equal the direct trailing-100 z-score
+    computation per event type (sample stddev; the current value never
+    in its own baseline)."""
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT event_id, event_type, ts, value FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet')"
+    ).fetchall()
+    con.close()
+    per_type = defaultdict(list)
+    for eid, et, ts, v in rows:
+        per_type[et].append((ts, eid, v))
+    expect = {}
+    for et, evs in per_type.items():
+        evs.sort(key=lambda x: (x[0], x[1]))
+        vals = [v for _, _, v in evs]
+        for i, (ts, eid, v) in enumerate(evs):
+            w = vals[max(0, i - 100) : i]
+            if len(w) < 2:
+                continue
+            m = sum(w) / len(w)
+            var = sum((x - m) ** 2 for x in w) / (len(w) - 1)
+            if var <= 0:
+                continue
+            z = (v - m) / math.sqrt(var)
+            if abs(z) > 2.5:
+                expect[eid] = (et, v, z)
+
+    got = {
+        r.event_id: (r.event_type, r.value, r.z)
+        for r in REGISTRY["ts_anomaly_zscore"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(expect)
+    for eid in expect:
+        assert got[eid][:2] == expect[eid][:2], eid
+        assert abs(got[eid][2] - expect[eid][2]) <= 2e-4, eid
