@@ -11826,14 +11826,76 @@ def agg_trimmed_mean(spark, sf_dir):
 # order). Registration order above is topical; the driver-facing order below
 # is a rotation policy: queries not yet externally certified come first.
 #
-# ROUND-5 WINDOW (50 slots, VERDICT r4 ask #1): exactly the 50 never-graded,
-# locally-certified entries that were queued in round 4's _GRADE_NEXT —
-# verified set-equal to registry-minus-driver-graded. Every entry is
-# oracle-backed (the 4 rows-only sketches received their err:no_oracle rows
-# in r04 and stay out of all future windows per VERDICT r4 ask #5). A green
-# sweep here gives every oracle-backed query in the registry a green driver
-# row.
+# ROUND-6 WINDOW (50 slots, VERDICT r5 ask #1): the first 50 names of the
+# round-5 queue. Head: the two round-5 splits — the only oracle-backed
+# entries without a driver row (judge-certified green at sf0.01 in r5).
+# Then the 45 entries whose only driver row is CORRECTNESS_r01 (graded
+# before the round-2 harness fix), then the three OLDEST r02 certificates.
+# The queue held 52 names but the window holds 50; per VERDICT r5 ask #1
+# the trim is deliberate and from the END (the two newest r02-cohort
+# re-certifications re-queue in _GRADE_NEXT below) so the splits cannot
+# fall off the front.
 _GRADE_FIRST = [
+    # round-5 additions, never driver-graded (the round-6 priority)
+    "split_leakage_safe",
+    "split_cluster_safe",
+    # sole certificate is r01 (45, in r01 grading order)
+    "ref_pricing_summary",
+    "ref_dedup_keep_latest",
+    "ref_dedup_keep_first",
+    "ref_sentinel_null",
+    "ref_clean_cast_filter",
+    "ref_time_table",
+    "ref_star_join",
+    "ref_float_eq_join",
+    "agg_region_revenue",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_count_distinct",
+    "join_semi_anti",
+    "join_outer",
+    "window_running_sum",
+    "window_lag_lead",
+    "topk_per_group",
+    "set_ops",
+    "string_funcs",
+    "json_extract",
+    "pivot_event_counts",
+    "agg_daily",
+    "join_full_outer",
+    "sort_limit_global",
+    "array_funcs",
+    "map_funcs",
+    "math_funcs",
+    "cond_funcs",
+    "sql_exists_cte",
+    "tfidf_topterms",
+    "window_tumbling",
+    "window_sliding",
+    "session_window_batch",
+    "join_asof",
+    "join_range",
+    "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "sim_cosine_topk",
+    "embed_norm_stats",
+    "text_quality",
+    "text_token_counts",
+    "text_fingerprint",
+    "text_langid",
+    "multimodal_bytes",
+    # oldest r02 certificates (3)
+    "pipeline_llm_corpus",
+    "dedup_semantic_corpus",
+    "dedup_clusters",
+]
+
+
+# Certified in CORRECTNESS_r05 (50/50 green: rows+schema+hash). Demoted
+# behind the round-6 window; kept explicit so the rotation history stays
+# auditable in one place.
+_GRADE_DONE_R05 = [
     "embed_pca_topvec",
     "sql_min_price_supplier",
     "sql_important_stock",
@@ -11948,68 +12010,13 @@ _GRADE_DONE_R04 = [
 ]
 
 
-# Behind the window, queued for the round-6 rotation (VERDICT r4 ask #5:
-# oracle-backed entries ONLY — the 4 rows-only sketches have their
-# err:no_oracle rows on record and re-windowing them would burn slots).
-# Once the round-5 sweep lands, every oracle-backed entry has a green
-# driver row, so round 6 pivots to RE-certification, oldest certificate
-# first: the 45 entries whose only driver row is CORRECTNESS_r01 (graded
-# before the round-2 harness fix), then the head of the r02 cohort. Any
-# round-6 additions should be inserted at the FRONT of this queue.
+# Behind the window, queued for the round-7 rotation: the two r02-cohort
+# re-certifications trimmed off the end of the round-6 window (their r02
+# greens stand; re-certification is hygiene, not a gap). Once the round-6
+# sweep lands, the only certificates older than the round-2 harness fix
+# are these two plus the tail of the r02 cohort (_GRADE_DONE_R02). Any
+# round-7 additions should be inserted at the FRONT of this queue.
 _GRADE_NEXT: list[str] = [
-    # round-5 additions, never graded (front of the queue)
-    "split_leakage_safe",
-    "split_cluster_safe",
-    # sole certificate is r01 (45, in r01 grading order)
-    "ref_pricing_summary",
-    "ref_dedup_keep_latest",
-    "ref_dedup_keep_first",
-    "ref_sentinel_null",
-    "ref_clean_cast_filter",
-    "ref_time_table",
-    "ref_star_join",
-    "ref_float_eq_join",
-    "agg_region_revenue",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_count_distinct",
-    "join_semi_anti",
-    "join_outer",
-    "window_running_sum",
-    "window_lag_lead",
-    "topk_per_group",
-    "set_ops",
-    "string_funcs",
-    "json_extract",
-    "pivot_event_counts",
-    "agg_daily",
-    "join_full_outer",
-    "sort_limit_global",
-    "array_funcs",
-    "map_funcs",
-    "math_funcs",
-    "cond_funcs",
-    "sql_exists_cte",
-    "tfidf_topterms",
-    "window_tumbling",
-    "window_sliding",
-    "session_window_batch",
-    "join_asof",
-    "join_range",
-    "dedup_exact_docs",
-    "dedup_ngram_jaccard",
-    "sim_cosine_topk",
-    "embed_norm_stats",
-    "text_quality",
-    "text_token_counts",
-    "text_fingerprint",
-    "text_langid",
-    "multimodal_bytes",
-    # oldest r02 certificates (5)
-    "pipeline_llm_corpus",
-    "dedup_semantic_corpus",
-    "dedup_clusters",
     "dedup_corpus",
     "dedup_embedding_cosine",
 ]
@@ -12131,7 +12138,7 @@ def _reorder_registry() -> None:
     assert len(rotation) == len(set(rotation)), "duplicate grade names"
     front = list(
         dict.fromkeys(
-            [*rotation, *_GRADE_DONE_R04, *_GRADE_DONE_R03, *_GRADE_DONE_R02]
+            [*rotation, *_GRADE_DONE_R05, *_GRADE_DONE_R04, *_GRADE_DONE_R03, *_GRADE_DONE_R02]
         )
     )
     missing = [n for n in front if n not in REGISTRY]

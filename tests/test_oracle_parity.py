@@ -48,37 +48,46 @@ def test_grading_window_invariants():
     assert len(rotation) == len(set(rotation))
 
 
-def test_round5_window_is_exactly_the_never_graded_set():
-    """The round-5 window must be set-equal to registry-minus-driver-graded
-    (VERDICT r4 ask #1), derived from the actual CORRECTNESS_r0*.json
-    artifacts — not from our own rotation lists — so a green r05 sweep
-    provably certifies the whole oracle-backed registry."""
+def test_round6_window_rotation_policy():
+    """The round-6 window (VERDICT r5 ask #1) must lead with every
+    oracle-backed entry that has NO driver row in CORRECTNESS_r01..r05
+    (the two round-5 splits), and every other window slot must be a
+    re-certification whose MOST RECENT driver certificate predates the
+    round-3 artifact — i.e. the stale r01/r02 cohorts, oldest first.
+    Derived from the actual CORRECTNESS_r0*.json artifacts, not from our
+    own rotation lists."""
     import json
     from pathlib import Path
 
-    from dend_spark_data_lake_spark.queries import _GRADE_FIRST
+    from dend_spark_data_lake_spark.queries import _GRADE_FIRST, _GRADE_NEXT
 
     repo = Path(__file__).resolve().parent.parent
-    artifacts = sorted(repo.glob("CORRECTNESS_r0[1-4].json"))
-    if len(artifacts) < 4:
+    artifacts = sorted(repo.glob("CORRECTNESS_r0[1-5].json"))
+    if len(artifacts) < 5:
         pytest.skip("driver correctness artifacts not present")
-    from dend_spark_data_lake_spark.queries import _GRADE_NEXT
 
-    graded: set[str] = set()
+    latest_round: dict[str, int] = {}
     for p in artifacts:
-        graded |= set(json.loads(p.read_text()))
-    never_graded = set(REGISTRY) - graded
-    assert set(_GRADE_FIRST) <= never_graded, (
-        f"window re-grades: {set(_GRADE_FIRST) - never_graded}"
+        rnd = int(p.stem[-1])
+        for name in json.loads(p.read_text()):
+            latest_round[name] = max(latest_round.get(name, 0), rnd)
+
+    oracle_backed = {n for n, s in REGISTRY.items() if s.oracle is not None}
+    never_graded = oracle_backed - set(latest_round)
+    k = len(never_graded)
+    assert set(_GRADE_FIRST[:k]) == never_graded, (
+        f"never-graded entries must lead the window: "
+        f"{never_graded ^ set(_GRADE_FIRST[:k])}"
     )
-    # anything never-graded but outside the window must be a round-5+
-    # addition queued at the FRONT of the next rotation
-    overflow = never_graded - set(_GRADE_FIRST)
-    queued_front = set(_GRADE_NEXT[: len(overflow)])
-    assert overflow == queued_front, (
-        f"never-graded entries neither in window nor queue front: "
-        f"{overflow - queued_front}"
+    stale = [n for n in _GRADE_FIRST[k:] if latest_round[n] > 2]
+    assert not stale, f"window re-grades entries with fresh (r03+) rows: {stale}"
+    # the queue holds only stale-certificate entries too (nothing falls
+    # through the rotation ungraded)
+    assert never_graded.isdisjoint(_GRADE_NEXT), (
+        "never-graded entries must be IN the window, not queued behind it"
     )
+    queued_stale = [n for n in _GRADE_NEXT if latest_round.get(n, 0) > 2]
+    assert not queued_stale, f"queue holds fresh-certificate entries: {queued_stale}"
 
 
 def test_no_nested_types_in_oracle_backed_outputs(spark):
