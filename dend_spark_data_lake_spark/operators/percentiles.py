@@ -29,6 +29,7 @@ def global_cumulative_counts(
     n_parts: int = 32,
     cum_name: str = "__cw",
     total_name: str = "__t",
+    assume_deterministic: bool = True,
 ) -> DataFrame:
     """Distributed GLOBAL cumulative weights over a (value, weight) grid
     — no unpartitioned window over the grid, so the distinct-value
@@ -43,6 +44,15 @@ def global_cumulative_counts(
     plus ``cum_name`` (cumulative weight through this value) and
     ``total_name`` (grand total) — exactly what an unpartitioned
     ``sum(w) OVER (ORDER BY value)`` + full-frame total would produce.
+
+    ``grid`` must be DETERMINISTIC under re-evaluation (ADVICE r5): the
+    partitioned frame is evaluated twice — once for the offsets branch,
+    once for the final join — and the global ranks rely on the
+    RangePartitioner sampling and pid assignment agreeing across both.
+    Every current call site feeds deterministic parquet-derived frames.
+    For a frame containing ``rand()``/``sample()``/a non-deterministic
+    UDF, pass ``assume_deterministic=False`` to pin one evaluation via
+    ``localCheckpoint`` (eager, materializes the grid) before fan-out.
     """
     p = grid.repartitionByRange(n_parts, value_col).withColumn(
         "__pid", F.spark_partition_id()
@@ -52,6 +62,8 @@ def global_cumulative_counts(
         "__lcw",
         F.sum(weight_col).over(w_local.rowsBetween(Window.unboundedPreceding, 0)),
     )
+    if not assume_deterministic:
+        local = local.localCheckpoint()
     sizes = local.groupBy("__pid").agg(F.sum(weight_col).cast("long").alias("__pn"))
     w_off = Window.orderBy("__pid")  # bounded: one row per range partition
     offs = sizes.select(
@@ -80,6 +92,7 @@ def distributed_ntile(
     order_cols: Sequence[str],
     out_col: str = "ntile",
     n_parts: int = 32,
+    assume_deterministic: bool = True,
 ) -> DataFrame:
     """Exact ``ntile(n)`` over an unpartitioned total order WITHOUT a
     global sort — the scale-correct replacement for
@@ -104,6 +117,11 @@ def distributed_ntile(
     is deterministic. Adds ``out_col`` (int); drops no input columns.
     Column names prefixed ``__`` are reserved scratch space here (as in
     ``global_cumulative_counts``) — don't pass frames that carry them.
+
+    ``df`` must be DETERMINISTIC under re-evaluation (ADVICE r5; see
+    ``global_cumulative_counts``) — the ranked frame feeds both the
+    sizes branch and the final join. For non-deterministic inputs pass
+    ``assume_deterministic=False`` (eager ``localCheckpoint``).
     """
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
@@ -112,6 +130,8 @@ def distributed_ntile(
     )
     w_local = Window.partitionBy("__pid").orderBy(*order_cols)
     local = part.withColumn("__lr", F.row_number().over(w_local).cast("long"))
+    if not assume_deterministic:
+        local = local.localCheckpoint()
     sizes = local.groupBy("__pid").agg(F.count("*").cast("long").alias("__cnt"))
     w_off = Window.orderBy("__pid")  # bounded: one row per range partition
     offs = sizes.select(

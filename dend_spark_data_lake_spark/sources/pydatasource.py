@@ -142,10 +142,17 @@ class _SynthDocsStreamReader(DataSourceStreamReader):
         self.n_parts = int(options.get("partitions", 4))
         self._current = 0  # rate-limit cursor
         # highest offset observed from ANY engine callback (partitions
-        # start/end, commit). latestOffset reports from max(cursor, seen),
-        # so the offset it returns can never regress below a checkpointed
-        # offset even if the engine calls latestOffset BEFORE partitions()
-        # after a restart — exactly-once no longer depends on call ordering
+        # start AND end, commit). latestOffset reports from max(cursor,
+        # seen), so once any callback has carried a checkpointed position
+        # the reported offset cannot regress below it — this covers the
+        # partitions-first and commit-first restart orderings. The one
+        # ordering it cannot cover: a clean restart whose FIRST callback
+        # is latestOffset (last batch fully committed, so the engine has
+        # nothing to replan) — no callback has carried the checkpoint yet,
+        # so latestOffset reports per_batch. That is safe, not lossy: the
+        # engine maxes the reported offset with its own offset log, and
+        # partitions()/read() only ever see engine-validated (start, end]
+        # ranges, so no row is skipped or re-delivered either way.
         self._seen = 0
 
     def initialOffset(self) -> dict:
@@ -158,9 +165,13 @@ class _SynthDocsStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         s, e = start["offset"], end["offset"]
         # resuming from a checkpoint ahead of this (fresh) reader's
-        # rate-limit cursor: fast-forward so latestOffset never regresses
-        self._seen = max(self._seen, e)
-        self._current = max(self._current, e)
+        # rate-limit cursor: fast-forward so latestOffset never regresses.
+        # Fold BOTH bounds in — on a restart replaying the last planned
+        # batch, the checkpointed position the engine knows about is the
+        # start s (e is the batch being re-planned); on steady-state calls
+        # e dominates anyway.
+        self._seen = max(self._seen, s, e)
+        self._current = max(self._current, s, e)
         per = max(1, -(-(e - s) // self.n_parts))
         return [
             _RangePartition(lo, min(lo + per, e)) for lo in range(s, e, per)

@@ -150,3 +150,66 @@ def test_rows_only_runs(spark, name):
     n = df.count()
     assert n >= 0
     assert df.columns  # stable schema
+
+
+# ---------------------------------------------------------------------------
+# Negative controls for the comparator itself (VERDICT r5 ask #4)
+# ---------------------------------------------------------------------------
+# An all-green board is exactly when a silent comparator bug costs the
+# most: these tests feed compare() inputs that MUST mismatch and assert
+# it says so. Each control targets one defect class the harness exists
+# to catch.
+
+
+def test_compare_detects_mutated_query_threshold(spark, con):
+    """End-to-end control on a real registry query: run ref_pricing_summary's
+    Spark plan against its own oracle mutated by an off-by-one shipdate
+    threshold — the exact silent-defect shape the gate exists for."""
+    spec = REGISTRY["ref_pricing_summary"]
+    df = spec.fn(spark, SF_SMOKE)
+    assert compare(df, con, spec.oracle) == []  # sanity: unmutated matches
+    assert "1998-09-02" in spec.oracle
+    mutated = spec.oracle.replace("1998-09-02", "1998-09-03")
+    assert mutated != spec.oracle
+    problems = compare(df, con, mutated)
+    assert problems, "comparator passed an off-by-one threshold mutation"
+
+
+def test_compare_detects_value_mutation(spark, con):
+    """A single cell off by one in an aggregate must fail the hash leg
+    even when row count and schema agree."""
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+    assert compare(df, con, "SELECT * FROM (VALUES (1, 10), (2, 20)) t(k, v)") == []
+    problems = compare(df, con, "SELECT * FROM (VALUES (1, 10), (2, 21)) t(k, v)")
+    assert problems and any("row" in p for p in problems)
+
+
+def test_compare_detects_row_count_mutation(spark, con):
+    df = spark.createDataFrame([(1,), (2,)], "k int")
+    problems = compare(df, con, "SELECT * FROM (VALUES (1,), (2,), (3,)) t(k)")
+    assert any("row count differs" in p for p in problems)
+
+
+def test_compare_detects_column_rename(spark, con):
+    """The driver sorts columns by NAME before hashing — a mis-aliased
+    aggregate must be caught at the schema leg, not silently pass."""
+    df = spark.createDataFrame([(1, 2)], "k int, sum_qty int")
+    problems = compare(df, con, "SELECT 1 AS k, 2 AS total_qty")
+    assert any("columns differ" in p for p in problems)
+
+
+def test_compare_detects_null_vs_value(spark, con):
+    df = spark.createDataFrame([(1, None)], "k int, v int")
+    problems = compare(df, con, "SELECT 1 AS k, 0 AS v")
+    assert problems
+
+
+def test_compare_detects_swapped_rows_across_columns(spark, con):
+    """Order-insensitive canonicalization must not be PERMUTATION-
+    insensitive: transposing values between rows within a column is a
+    real defect and must still mismatch."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string")
+    problems = compare(
+        df, con, "SELECT * FROM (VALUES (1, 'b'), (2, 'a')) t(k, s)"
+    )
+    assert problems

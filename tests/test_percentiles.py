@@ -166,3 +166,68 @@ def test_global_cumulative_counts_property(spark, rows):
     for r in out:
         assert r["__cw"] == expect[r["v"]], (r["v"], r["__cw"], expect[r["v"]])
         assert r["__t"] == total
+
+
+def test_distributed_ntile_nondeterministic_input_checkpointed(spark):
+    """ADVICE r5: the helper evaluates its partitioned frame twice (sizes
+    branch + final join), so a non-deterministic input could silently
+    mis-rank unless ``assume_deterministic=False`` pins one evaluation
+    via localCheckpoint. With the flag, a rand()-keyed frame must still
+    produce an EXACT ntile distribution: every row exactly one bucket,
+    bucket sizes N DIV n (+1 for the first N % n), and buckets ordered
+    consistently with the frozen sort key."""
+    from pyspark.sql import functions as F
+
+    from dend_spark_data_lake_spark.operators.percentiles import (
+        distributed_ntile,
+    )
+
+    n, k = 1003, 7
+    df = (
+        spark.range(n)
+        .withColumn("r", F.rand(seed=None))  # non-deterministic per re-eval
+        .withColumn("id", F.col("id").cast("long"))
+    )
+    out = distributed_ntile(
+        df, k, ["r", "id"], n_parts=8, assume_deterministic=False
+    ).collect()
+    assert len(out) == n
+    sizes = {}
+    for row in out:
+        sizes[row["ntile"]] = sizes.get(row["ntile"], 0) + 1
+    big, rem = n // k, n % k
+    assert sizes == {b: big + 1 if b <= rem else big for b in range(1, k + 1)}
+    # bucket order must agree with the (frozen) sort key: max r of bucket
+    # b <= min r of bucket b+1 modulo id tie-breaks — check via sorting
+    ranked = sorted(out, key=lambda r: (r["r"], r["id"]))
+    buckets = [r["ntile"] for r in ranked]
+    assert buckets == sorted(buckets)
+
+
+def test_global_cumulative_counts_nondeterministic_weights(spark):
+    """Same ADVICE r5 hazard for the cumulative-counts helper: with
+    assume_deterministic=False a rand()-derived weight grid must still
+    satisfy the cumulative-sum invariants (monotone cum, constant total,
+    last cum == total) because one evaluation is pinned."""
+    from pyspark.sql import functions as F
+
+    from dend_spark_data_lake_spark.operators.percentiles import (
+        global_cumulative_counts,
+    )
+
+    df = spark.range(200).select(
+        F.col("id").cast("int").alias("v"),
+        (F.floor(F.rand(seed=None) * 5) + 1).cast("long").alias("w"),
+    )
+    out = sorted(
+        global_cumulative_counts(df, "v", "w", assume_deterministic=False).collect(),
+        key=lambda r: r["v"],
+    )
+    assert len(out) == 200
+    totals = {r["__t"] for r in out}
+    assert len(totals) == 1
+    prev = 0
+    for r in out:
+        assert r["__cw"] > prev
+        prev = r["__cw"]
+    assert prev == totals.pop()

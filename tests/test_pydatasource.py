@@ -160,11 +160,14 @@ def test_stream_reader_resumes_from_checkpoint(spark, tmp_path):
 
 
 def test_stream_reader_offset_never_regresses_regardless_of_call_order():
-    """ADVICE r4: a restarted reader that receives latestOffset() BEFORE
-    partitions() must not report an offset below the checkpoint. The
-    reader folds every engine callback (partitions start/end, commit)
-    into a high-water mark and reports from max(cursor, seen) — the
-    exactly-once contract no longer leans on Spark's call ordering."""
+    """ADVICE r4 + r5: a restarted reader whose first offset-bearing
+    callback is partitions() or commit() must not report an offset below
+    the checkpoint — the reader folds BOTH partition bounds and the
+    commit position into a high-water mark and reports from max(cursor,
+    seen). The one ordering the mark cannot cover (clean restart whose
+    very first callback is latestOffset) is safe by the engine contract:
+    Spark maxes the report with its own offset log, and partitions()
+    only ever receives engine-validated ranges."""
     from dend_spark_data_lake_spark.sources.pydatasource import (
         _SynthDocsStreamReader,
     )
@@ -173,6 +176,12 @@ def test_stream_reader_offset_never_regresses_regardless_of_call_order():
     r = _SynthDocsStreamReader({"rows": "1000", "rows_per_batch": "100"})
     r.partitions({"offset": 0}, {"offset": 500})
     assert r.latestOffset()["offset"] == 600
+
+    # ordering A': the checkpoint arrives via the START bound only (an
+    # empty replan range) — ADVICE r5: start must be folded in too
+    r1b = _SynthDocsStreamReader({"rows": "1000", "rows_per_batch": "100"})
+    r1b.partitions({"offset": 500}, {"offset": 500})
+    assert r1b.latestOffset()["offset"] == 600
 
     # ordering B (the ADVICE hazard): only commit() has run when
     # latestOffset is asked — the report must still clear the checkpoint
