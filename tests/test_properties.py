@@ -4413,3 +4413,305 @@ def test_zscore_anomalies_match_bruteforce(spark):
     for eid in expect:
         assert got[eid][:2] == expect[eid][:2], eid
         assert abs(got[eid][2] - expect[eid][2]) <= 2e-4, eid
+
+
+# ---------------------------------------------------------------------------
+# Round-6 pin closure (VERDICT r5 ask #3): oracle-independent replicas for
+# the formula-heavy r01–r03 cohort entries. The pin class targets queries
+# whose arithmetic is AUTHORED twice (Spark plan + oracle SQL by the same
+# hand) — a shared formula bug is invisible to cross-engine parity, so each
+# pin recomputes the result from raw parquet in plain Python/numpy with
+# independently-written formulas.
+# ---------------------------------------------------------------------------
+
+
+def _smoke_docs():
+    import duckdb
+
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, text, lang, source FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def _ws_tokens(text):
+    import re
+
+    s = text.strip().lower()
+    return re.split(r"\s+", s) if s else []
+
+
+def test_tfidf_topterms_matches_bruteforce(spark):
+    """tfidf_topterms must equal the textbook (tf/doc_len)*ln(N/df) with
+    top-3 (score desc, term asc) ranking, recomputed with Counter+math."""
+    import math
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    docs = _smoke_docs()
+    n_docs = len(docs)
+    df = Counter()
+    tf_by_doc = {}
+    for doc_id, text, _, _ in docs:
+        toks = _ws_tokens(text)
+        df.update(set(toks))
+        if doc_id < 20:
+            tf_by_doc[doc_id] = Counter(toks)
+    expect = set()
+    for doc_id, tf in tf_by_doc.items():
+        doc_len = sum(tf.values())
+        scored = sorted(
+            (
+                (round((c / doc_len) * math.log(n_docs / df[t]), 6), t)
+                for t, c in tf.items()
+            ),
+            key=lambda p: (-p[0], p[1]),
+        )
+        for rank, (score, term) in enumerate(scored[:3], start=1):
+            expect.add((doc_id, term, rank, score))
+
+    got = {
+        (r.doc_id, r.term, r.rank, r.tfidf)
+        for r in REGISTRY["tfidf_topterms"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_text_quality_matches_bruteforce(spark):
+    """text_quality's integer signals must equal direct Python counts."""
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from dend_spark_data_lake_spark.functions.text import EN_STOPWORDS
+    from tests.conftest import SF_SMOKE
+
+    expect = {}
+    for doc_id, text, _, _ in _smoke_docs():
+        toks = _ws_tokens(text)
+        expect[doc_id] = (
+            len(text),
+            len(toks),
+            sum(text.count(c) for c in ".!?,;:"),
+            sum(1 for t in toks if t in EN_STOPWORDS),
+            len(toks) >= 10,
+        )
+    got = {
+        r.doc_id: (r.n_chars, r.n_tokens, r.n_punct, r.n_stopwords, r.quality_ok)
+        for r in REGISTRY["text_quality"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_text_fingerprint_matches_bruteforce(spark):
+    """text_fingerprint must equal hashlib-md5 of the normalized text
+    (lower, strip non-alnum, collapse whitespace, trim)."""
+    import hashlib
+    import re
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    expect = {}
+    for doc_id, text, _, _ in _smoke_docs():
+        norm = re.sub(r"\s+", " ", re.sub(r"[^a-z0-9\s]", "", text.lower())).strip()
+        expect[doc_id] = hashlib.md5(norm.encode()).hexdigest()
+    got = {
+        r.doc_id: r.fingerprint
+        for r in REGISTRY["text_fingerprint"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_text_langid_matches_bruteforce(spark):
+    """text_langid's integer decision boundary (stopword hits*100 >=
+    n_tokens*5) must match a direct recount."""
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from dend_spark_data_lake_spark.functions.text import EN_STOPWORDS
+    from tests.conftest import SF_SMOKE
+
+    expect = {}
+    for doc_id, text, lang, _ in _smoke_docs():
+        toks = _ws_tokens(text)
+        hits = sum(1 for t in toks if t in EN_STOPWORDS)
+        pred = "unk" if not toks else ("en" if hits * 100 >= len(toks) * 5 else "unk")
+        expect[doc_id] = (lang, pred)
+    got = {
+        r.doc_id: (r.lang_label, r.lang_pred)
+        for r in REGISTRY["text_langid"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_text_token_counts_matches_bruteforce(spark):
+    """text_token_counts per-lang sums must equal direct re.findall
+    counts for both tokenizations."""
+    import re
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    n, ws, bpe = Counter(), Counter(), Counter()
+    for _, text, lang, _ in _smoke_docs():
+        n[lang] += 1
+        ws[lang] += len(_ws_tokens(text))
+        bpe[lang] += len(re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", text))
+    expect = {lang: (n[lang], ws[lang], bpe[lang]) for lang in n}
+    got = {
+        r.lang: (r.n_docs, r.total_ws_tokens, r.total_bpe_tokens)
+        for r in REGISTRY["text_token_counts"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def _shingle_sets(n=3):
+    """doc_id -> distinct word-n-gram set (docs with >= 1 shingle)."""
+    out = {}
+    for doc_id, text, _, _ in _smoke_docs():
+        t = _ws_tokens(text)
+        sh = {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+        if sh:
+            out[doc_id] = sh
+    return out
+
+
+def test_ngram_jaccard_matches_bruteforce(spark):
+    """dedup_ngram_jaccard must equal the all-pairs set-Jaccard at the
+    0.5 threshold — the prefix-filtered index must lose NO pair."""
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    sets = _shingle_sets()
+    ids = sorted(sets)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if inter and inter / union >= 0.5:
+                expect[(a, b)] = round(inter / union, 6)
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in REGISTRY["dedup_ngram_jaccard"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_minhash_banded_matches_bruteforce(spark):
+    """dedup_minhash: hashlib-md5 minhash signatures, band buckets, and
+    the exact-Jaccard verify filter must all reproduce bit-for-bit."""
+    import hashlib
+    from itertools import combinations
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    def h(i, s):
+        return int(hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:15], 16)
+
+    sets = _shingle_sets()
+    sigs = {
+        d: [min(h(i, s) for s in sh) for i in range(8)] for d, sh in sets.items()
+    }
+    buckets = {}
+    for d, m in sigs.items():
+        for band in range(4):
+            key = (band, f"{m[2 * band]}_{m[2 * band + 1]}")
+            buckets.setdefault(key, []).append(d)
+    cands = set()
+    for ds in buckets.values():
+        for a, b in combinations(sorted(ds), 2):
+            cands.add((a, b))
+    expect = {}
+    for a, b in cands:
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if inter and inter / union >= 0.5:
+            expect[(a, b)] = round(inter / union, 6)
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in REGISTRY["dedup_minhash"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_simhash_matches_bruteforce(spark):
+    """dedup_simhash: 48-bit md5 vote fingerprint, 12-bit band buckets,
+    Hamming <= 8 — all integer arithmetic, recomputed with hashlib."""
+    import hashlib
+    from itertools import combinations
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    fps = {}
+    for doc_id, text, _, _ in _smoke_docs():
+        toks = [t for t in _ws_tokens(text) if t]
+        if not toks:
+            continue
+        votes = [0] * 48
+        for t in toks:
+            hv = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for b in range(48):
+                votes[b] += 1 if (hv >> b) & 1 else -1
+        fps[doc_id] = sum(1 << b for b in range(48) if votes[b] > 0)
+    buckets = {}
+    for d, fp in fps.items():
+        for band in range(4):
+            buckets.setdefault((band, (fp >> (12 * band)) & 0xFFF), []).append(d)
+    expect = {}
+    for ds in buckets.values():
+        for a, b in combinations(sorted(ds), 2):
+            ham = bin(fps[a] ^ fps[b]).count("1")
+            if ham <= 8:
+                expect[(a, b)] = ham
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in REGISTRY["dedup_simhash"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_session_window_batch_matches_bruteforce(spark):
+    """session_window_batch must equal the per-user 30-minute-gap walk
+    under (ts, event_id) ordering, with 0-based cumulative session ids."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT user_id, ts, event_id FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet')"
+    ).fetchall()
+    con.close()
+    per_user = defaultdict(list)
+    for u, ts, eid in rows:
+        per_user[u].append((ts, eid))
+    gap = timedelta(minutes=30)
+    expect = {}
+    for u, evs in per_user.items():
+        evs.sort()
+        sid, prev = 0, None
+        sessions = defaultdict(list)
+        for ts, _ in evs:
+            if prev is not None and ts - prev > gap:
+                sid += 1
+            sessions[sid].append(ts)
+            prev = ts
+        for sid, tss in sessions.items():
+            expect[(u, sid)] = (min(tss), max(tss), len(tss))
+    got = {
+        (r.user_id, r.sess_id): (r.session_start, r.session_end, r.n_events)
+        for r in REGISTRY["session_window_batch"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
