@@ -4715,3 +4715,240 @@ def test_session_window_batch_matches_bruteforce(spark):
         for r in REGISTRY["session_window_batch"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def _smoke_embeddings():
+    import duckdb
+
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT vec_id, label, embedding FROM "
+        f"read_parquet('{SF_SMOKE}/embeddings.parquet')"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def test_cosine_topk_matches_bruteforce(spark):
+    """sim_cosine_topk must equal the numpy all-pairs cosine with
+    round-6-then-rank (score desc, neighbor_id asc) semantics."""
+    import numpy as np
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    vecs = {vid: np.asarray(v, dtype=np.float64) for vid, _, v in _smoke_embeddings()}
+    norms = {vid: float(np.sqrt(v @ v)) for vid, v in vecs.items()}
+    expect = set()
+    for q in [v for v in vecs if v < 10]:
+        scored = sorted(
+            (
+                (-round(float(vecs[q] @ vecs[c]) / (norms[q] * norms[c]), 6), c)
+                for c in vecs
+                if c != q
+            ),
+        )
+        for rank, (neg, c) in enumerate(scored[:5], start=1):
+            expect.add((q, c, -neg, rank))
+    got = {
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in REGISTRY["sim_cosine_topk"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_embedding_near_pairs_matches_bruteforce(spark):
+    """dedup_embedding_cosine (blocked-GEMM applyInPandas path) must equal
+    the plain numpy all-pairs scan at the rounded >= 0.4 threshold."""
+    import numpy as np
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_embeddings()
+    ids = [vid for vid, _, _ in rows]
+    M = np.asarray([v for _, _, v in rows], dtype=np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    C = M @ M.T
+    expect = {}
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            a, b = ids[i], ids[j]
+            if a < b:
+                cos = round(float(C[i, j]), 6)
+                if cos >= 0.4:
+                    expect[(a, b)] = cos
+    got = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in REGISTRY["dedup_embedding_cosine"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_embed_norm_stats_matches_bruteforce(spark):
+    """embed_norm_stats per-label (n, avg L2 norm, avg dim0) must match
+    the numpy recomputation."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    by_label = defaultdict(list)
+    for vid, label, v in _smoke_embeddings():
+        by_label[label].append(np.asarray(v, dtype=np.float64))
+    expect = {
+        lab: (
+            len(vs),
+            round(float(np.mean([np.sqrt(v @ v) for v in vs])), 4),
+            round(float(np.mean([v[0] for v in vs])), 6),
+        )
+        for lab, vs in by_label.items()
+    }
+    got = {
+        r.label: (r.n_vectors, r.avg_norm, r.avg_dim0)
+        for r in REGISTRY["embed_norm_stats"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_det_hash_sample_matches_bruteforce(spark):
+    """sample_det_hash: the md5-hex-prefix < '1999' Bernoulli filter must
+    select exactly the hashlib-computed id set."""
+    import hashlib
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    expect = {
+        doc_id
+        for doc_id, _, _, _ in _smoke_docs()
+        if hashlib.md5(str(doc_id).encode()).hexdigest()[:4] < "1999"
+    }
+    got = {r.doc_id for r in REGISTRY["sample_det_hash"].fn(spark, SF_SMOKE).collect()}
+    assert got == expect
+
+
+def test_split_train_valid_test_matches_bruteforce(spark):
+    """split_train_valid_test: the 80/10/10 md5-bucket assignment and the
+    per-(split, lang) rollup must match a hashlib walk over documents."""
+    import hashlib
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, lang, n_chars FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    agg = defaultdict(lambda: [0, 0])
+    for doc_id, lang, n_chars in rows:
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()[:4]
+        split = "train" if h < "cccc" else ("valid" if h < "e666" else "test")
+        agg[(split, lang)][0] += 1
+        agg[(split, lang)][1] += n_chars
+    expect = {k: tuple(v) for k, v in agg.items()}
+    got = {
+        (r.split, r.lang): (r.n_docs, r.sum_chars)
+        for r in REGISTRY["split_train_valid_test"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_stratified_sample_matches_bruteforce(spark):
+    """sample_stratified: per-stratum md5 thresholds (en 10%, default 50%)
+    must reproduce the hashlib-selected per-lang counts."""
+    import hashlib
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    counts = Counter()
+    for doc_id, _, lang, _ in _smoke_docs():
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()[:4]
+        if h < ("1999" if lang == "en" else "8000"):
+            counts[lang] += 1
+    got = {
+        r.lang: r.n_docs
+        for r in REGISTRY["sample_stratified"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == dict(counts)
+
+
+def test_text_length_band_matches_bruteforce(spark):
+    """text_length_band: the integer cum*100 >= pct*n band bounds and the
+    per-lang rollup inside [p5, p95] must match a sorted-histogram walk."""
+    from collections import Counter, defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    docs = [(doc_id, lang, len(text)) for doc_id, text, lang, _ in _smoke_docs()]
+    n = len(docs)
+    hist = Counter(nc for _, _, nc in docs)
+    lo = hi = None
+    cum = 0
+    for nc in sorted(hist):
+        cum += hist[nc]
+        if lo is None and cum * 100 >= 5 * n:
+            lo = nc
+        if hi is None and cum * 100 >= 95 * n:
+            hi = nc
+    agg = defaultdict(list)
+    for _, lang, nc in docs:
+        if lo <= nc <= hi:
+            agg[lang].append(nc)
+    expect = {
+        lang: (len(v), min(v), max(v)) for lang, v in agg.items()
+    }
+    got = {
+        r.lang: (r.n_docs, r.min_chars, r.max_chars)
+        for r in REGISTRY["text_length_band"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_percentiles_exact_matches_bruteforce(spark):
+    """agg_percentiles_exact must equal numpy's linear-interpolation
+    quantiles (the definition Spark percentile() and DuckDB quantile_cont
+    share) per return flag."""
+    from collections import defaultdict
+
+    import duckdb
+    import numpy as np
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT l_returnflag, l_quantity, l_extendedprice FROM "
+        f"read_parquet('{SF_SMOKE}/lineitem.parquet')"
+    ).fetchall()
+    con.close()
+    qty, price = defaultdict(list), defaultdict(list)
+    for flag, q, p in rows:
+        qty[flag].append(q)
+        price[flag].append(p)
+    expect = {
+        flag: (
+            round(float(np.percentile(qty[flag], 50, method="linear")), 4),
+            round(float(np.percentile(price[flag], 90, method="linear")), 4),
+            round(float(np.percentile(price[flag], 10, method="linear")), 4),
+        )
+        for flag in qty
+    }
+    got = {
+        r.l_returnflag: (r.median_qty, r.p90_price, r.p10_price)
+        for r in REGISTRY["agg_percentiles_exact"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
