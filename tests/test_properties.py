@@ -4952,3 +4952,337 @@ def test_percentiles_exact_matches_bruteforce(spark):
         for r in REGISTRY["agg_percentiles_exact"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_multimodal_chunks_matches_bruteforce(spark):
+    """multimodal_chunks: fixed 256-byte windows + per-chunk md5 must
+    match a direct Python slicing walk (corpus is ASCII)."""
+    import hashlib
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    expect = {}
+    for doc_id, text, _, _ in _smoke_docs():
+        if doc_id >= 100:
+            continue
+        for idx in range(0, (len(text) + 255) // 256):
+            piece = text[idx * 256 : idx * 256 + 256]
+            expect[(doc_id, idx)] = (
+                len(piece),
+                hashlib.md5(piece.encode()).hexdigest(),
+            )
+    got = {
+        (r.doc_id, r.chunk_idx): (r.chunk_n_bytes, r.chunk_md5)
+        for r in REGISTRY["multimodal_chunks"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_multimodal_frame_sample_matches_bruteforce(spark):
+    """multimodal_frame_sample: every 2nd 64-byte window, same walk."""
+    import hashlib
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    expect = {}
+    for doc_id, text, _, _ in _smoke_docs():
+        if doc_id >= 100:
+            continue
+        for idx in range(0, (len(text) + 63) // 64):
+            if idx % 2:
+                continue
+            piece = text[idx * 64 : idx * 64 + 64]
+            expect[(doc_id, idx)] = (
+                len(piece),
+                hashlib.md5(piece.encode()).hexdigest(),
+            )
+    got = {
+        (r.doc_id, r.chunk_idx): (r.chunk_n_bytes, r.chunk_md5)
+        for r in REGISTRY["multimodal_frame_sample"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_scd2_intervals_match_bruteforce(spark):
+    """scd2_status_intervals must equal the per-customer run-length walk
+    over (o_orderdate, o_orderkey)-ordered statuses."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate FROM "
+        f"read_parquet('{SF_SMOKE}/orders.parquet')"
+    ).fetchall()
+    con.close()
+    per_cust = defaultdict(list)
+    for ck, ok, st, dt in rows:
+        per_cust[ck].append((dt, ok, st))
+    expect = set()
+    for ck, orders in per_cust.items():
+        orders.sort()
+        runs = []
+        for dt, _, st in orders:
+            if runs and runs[-1][0] == st:
+                runs[-1][1].append(dt)
+            else:
+                runs.append((st, [dt]))
+        for st, dts in runs:
+            expect.add((ck, st, min(dts), max(dts), len(dts)))
+    got = {
+        (r.o_custkey, r.o_orderstatus, r.valid_from, r.valid_to, r.n_orders)
+        for r in REGISTRY["scd2_status_intervals"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_agg_histogram_matches_bruteforce(spark):
+    """agg_histogram's clamped floor(x/25000) binning must match a direct
+    Python walk over order totals."""
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = [
+        r[0]
+        for r in con.sql(
+            f"SELECT o_totalprice FROM read_parquet('{SF_SMOKE}/orders.parquet')"
+        ).fetchall()
+    ]
+    con.close()
+    bins = defaultdict(list)
+    for p in rows:
+        bins[min(math.floor(p / 25000), 19)].append(p)
+    expect = {
+        b: (len(v), round(min(v), 2), round(max(v), 2)) for b, v in bins.items()
+    }
+    got = {
+        r.bin: (r.n_orders, r.lo, r.hi)
+        for r in REGISTRY["agg_histogram"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_dedup_exact_docs_matches_bruteforce(spark):
+    """dedup_exact_docs: hashlib-md5 content groups with min-id keep."""
+    import hashlib
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    groups = defaultdict(list)
+    for doc_id, text, _, _ in _smoke_docs():
+        groups[hashlib.md5(text.encode()).hexdigest()].append(doc_id)
+    expect = {h: (min(ids), len(ids)) for h, ids in groups.items()}
+    got = {
+        r.text_md5: (r.keep_id, r.n_copies)
+        for r in REGISTRY["dedup_exact_docs"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_text_normalize_matches_bruteforce(spark):
+    """text_normalize must equal the Python re normalization chain."""
+    import re
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    expect = {}
+    for doc_id, text, _, _ in _smoke_docs():
+        if doc_id >= 200:
+            continue
+        norm = re.sub(r"\s+", " ", re.sub(r"[^a-z0-9\s]", "", text.lower())).strip()
+        expect[doc_id] = (norm, len(norm))
+    got = {
+        r.doc_id: (r.norm_text, r.n_chars_norm)
+        for r in REGISTRY["text_normalize"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_centroid_by_label_matches_bruteforce(spark):
+    """embed_centroid_by_label must equal numpy per-(label, dim) means."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    by_label = defaultdict(list)
+    for _, label, v in _smoke_embeddings():
+        by_label[label].append(np.asarray(v, dtype=np.float64))
+    expect = {}
+    for lab, vs in by_label.items():
+        m = np.mean(vs, axis=0)
+        for pos in range(len(m)):
+            expect[(lab, pos)] = round(float(m[pos]), 6)
+    got = {
+        (r.label, r.pos): r.c
+        for r in REGISTRY["embed_centroid_by_label"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def _lev(a, b):
+    if abs(len(a) - len(b)) > 1:
+        return 2  # caller only needs <= 1
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_levenshtein_matches_bruteforce(spark):
+    """join_fuzzy_levenshtein: the deletion-1-neighborhood blocked join
+    must equal the all-pairs DP edit distance at threshold 1 (no pair
+    lost to blocking)."""
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT s_suppkey, s_name FROM read_parquet('{SF_SMOKE}/supplier.parquet')"
+    ).fetchall()
+    con.close()
+    expect = {}
+    for i, (ka, na) in enumerate(rows):
+        for kb, nb in rows[i + 1 :]:
+            lo, hi = (ka, kb) if ka < kb else (kb, ka)
+            la, lb = (na, nb) if ka < kb else (nb, na)
+            d = _lev(la, lb)
+            if d <= 1:
+                expect[(lo, hi)] = d
+    got = {
+        (r.key_a, r.key_b): r.dist
+        for r in REGISTRY["join_fuzzy_levenshtein"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+class _UF:
+    def __init__(self):
+        self.p = {}
+
+    def find(self, x):
+        self.p.setdefault(x, x)
+        while self.p[x] != x:
+            self.p[x] = self.p[self.p[x]]
+            x = self.p[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[max(ra, rb)] = min(ra, rb)
+
+
+def _components(pairs):
+    """pair list -> {vertex: min-vertex-of-component} (edge-touched only)."""
+    uf = _UF()
+    for a, b in pairs:
+        uf.union(a, b)
+    return {v: uf.find(v) for v in uf.p}
+
+
+def test_dedup_clusters_match_unionfind(spark):
+    """dedup_clusters (min-label propagation over ngram-Jaccard pairs)
+    must equal a plain union-find over the replica pair set."""
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    sets = _shingle_sets()
+    ids = sorted(sets)
+    pairs = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter and inter / len(sets[a] | sets[b]) >= 0.5:
+                pairs.append((a, b))
+    expect = _components(pairs)
+    got = {
+        r.doc_id: r.cluster_id
+        for r in REGISTRY["dedup_clusters"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_dedup_corpus_matches_unionfind(spark):
+    """dedup_corpus must keep exactly corpus minus non-representative
+    cluster members (union-find replica)."""
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    sets = _shingle_sets()
+    ids = sorted(sets)
+    pairs = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter and inter / len(sets[a] | sets[b]) >= 0.5:
+                pairs.append((a, b))
+    comp = _components(pairs)
+    drop = {v for v, c in comp.items() if v != c}
+    expect = {d for d, _, _, _ in _smoke_docs()} - drop
+    got = {r.doc_id for r in REGISTRY["dedup_corpus"].fn(spark, SF_SMOKE).collect()}
+    assert got == expect
+
+
+def test_semantic_corpus_matches_bruteforce(spark):
+    """dedup_semantic_corpus: IVF top-2 probe assignment (vec_id%100
+    centroids), in-bucket rounded-cosine >= 0.4 pairs, union-find drop —
+    full numpy replica of the bucketed pipeline."""
+    from itertools import combinations
+
+    import numpy as np
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_embeddings()
+    vecs = {vid: np.asarray(v, dtype=np.float64) for vid, _, v in rows}
+    labels = {vid: lab for vid, lab, _ in rows}
+    norms = {vid: float(np.sqrt(v @ v)) for vid, v in vecs.items()}
+    cents = [vid for vid in vecs if vid % 100 == 0]
+    assigned = {}
+    for vid, v in vecs.items():
+        scored = sorted(
+            ((-round(float(v @ vecs[c]) / (norms[vid] * norms[c]), 6), c) for c in cents)
+        )
+        assigned[vid] = [c for _, c in scored[:2]]
+    buckets = {}
+    for vid, cids in assigned.items():
+        for c in cids:
+            buckets.setdefault(c, []).append(vid)
+    pairs = set()
+    for members in buckets.values():
+        for a, b in combinations(sorted(members), 2):
+            cos = round(float(vecs[a] @ vecs[b]) / (norms[a] * norms[b]), 6)
+            if cos >= 0.4:
+                pairs.add((a, b))
+    comp = _components(sorted(pairs))
+    drop = {v for v, c in comp.items() if v != c}
+    expect = {vid: labels[vid] for vid in vecs if vid not in drop}
+    got = {
+        r.vec_id: r.label
+        for r in REGISTRY["dedup_semantic_corpus"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
