@@ -5286,3 +5286,147 @@ def test_semantic_corpus_matches_bruteforce(spark):
         for r in REGISTRY["dedup_semantic_corpus"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_text_repetition_matches_bruteforce(spark):
+    """text_repetition's token/bigram duplicate signals and ratios must
+    equal direct Counter arithmetic."""
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    expect = {}
+    for doc_id, text, _, _ in _smoke_docs():
+        t = [x for x in _ws_tokens(text) if x]
+        bg = [f"{a} {b}" for a, b in zip(t, t[1:])] if len(t) >= 2 else []
+        tc = Counter(t)
+        expect[doc_id] = (
+            len(t),
+            len(tc),
+            max(tc.values()) if tc else 0,
+            len(bg),
+            len(set(bg)),
+            round(len(tc) / len(t), 6) if t else None,
+            round((len(bg) - len(set(bg))) / len(bg), 6) if bg else None,
+        )
+    got = {
+        r.doc_id: (
+            r.n_tokens,
+            r.n_distinct_tokens,
+            r.top_token_count,
+            r.n_bigrams,
+            r.n_distinct_bigrams,
+            r.distinct_token_ratio,
+            r.dup_bigram_ratio,
+        )
+        for r in REGISTRY["text_repetition"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_decontaminate_matches_bruteforce(spark):
+    """decontaminate_docs: shared-4-gram counts vs the doc_id%10 eval set
+    must equal direct set intersections."""
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    shingles = {}
+    for doc_id, text, _, _ in _smoke_docs():
+        t = _ws_tokens(text)
+        shingles[doc_id] = {" ".join(t[i : i + 4]) for i in range(len(t) - 3)}
+    eval_vocab = set().union(
+        *(sh for d, sh in shingles.items() if d % 10 == 0)
+    )
+    expect = {
+        d: len(sh & eval_vocab)
+        for d, sh in shingles.items()
+        if d % 10 != 0 and sh & eval_vocab
+    }
+    got = {
+        r.doc_id: r.n_shared_shingles
+        for r in REGISTRY["decontaminate_docs"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_pii_flags_match_bruteforce(spark):
+    """text_pii_flags regex counters must equal Python re.findall counts."""
+    import re
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    expect = {}
+    for doc_id, text, _, _ in _smoke_docs():
+        lt = text.lower()
+        expect[doc_id] = (
+            len(re.findall(r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", lt)),
+            len(re.findall(r"[0-9]{6,}", lt)),
+            len(re.findall(r"https?://[^ ]+", lt)),
+        )
+    got = {
+        r.doc_id: (r.n_emails, r.n_long_digit_runs, r.n_urls)
+        for r in REGISTRY["text_pii_flags"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_chunk_sliding_matches_bruteforce(spark):
+    """text_chunk_sliding: 32-token windows at stride 24 with short-tail
+    coverage must match a Python slicing walk."""
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    expect = {}
+    for doc_id, text, _, _ in _smoke_docs():
+        t = [x for x in _ws_tokens(text) if x]
+        n = len(t)
+        if n == 0:
+            continue
+        if n <= 32:
+            starts = [1]
+        else:
+            last = ((n - 32 + 23) // 24) * 24 + 1
+            starts = list(range(1, last + 1, 24))
+        for idx, s in enumerate(starts):
+            piece = t[s - 1 : s + 31]
+            expect[(doc_id, idx)] = (" ".join(piece), min(n - s + 1, 32))
+    got = {
+        (r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tokens)
+        for r in REGISTRY["text_chunk_sliding"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_mix_rebalance_matches_bruteforce(spark):
+    """corpus_mix_rebalance: per-source integer thresholds
+    (min_tokens * 65536 DIV c_s) over md5 hash buckets must reproduce the
+    exact kept set."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    docs = []
+    for doc_id, text, _, source in _smoke_docs():
+        s = text.strip()
+        w = len(re.split(r"\s+", s)) if s else 0
+        docs.append((doc_id, source, w))
+    totals = Counter()
+    for _, src, w in docs:
+        totals[src] += w
+    k = min(totals.values())
+    thr = {src: k * 65536 // c for src, c in totals.items()}
+    expect = {
+        (d, src): w
+        for d, src, w in docs
+        if int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16) < thr[src]
+    }
+    got = {
+        (r.doc_id, r.source): r.n_tokens
+        for r in REGISTRY["corpus_mix_rebalance"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
