@@ -5430,3 +5430,234 @@ def test_mix_rebalance_matches_bruteforce(spark):
         for r in REGISTRY["corpus_mix_rebalance"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_revenue_concentration_matches_bruteforce(spark):
+    """sql_revenue_concentration: integer e4 revenue per part gated by
+    the exact (2 * total) DIV 10000 threshold — arbitrary-precision
+    Python ints, the class where engine and oracle could share a bug."""
+    from collections import Counter
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT l_partkey, l_extendedprice, l_discount FROM "
+        f"read_parquet('{SF_SMOKE}/lineitem.parquet')"
+    ).fetchall()
+    con.close()
+    rev = Counter()
+    for pk, price, disc in rows:
+        v = price * (1 - disc) * 10000
+        rev[pk] += int(v + 0.5) if v >= 0 else -int(-v + 0.5)
+    thr = (2 * sum(rev.values())) // 10000
+    expect = {pk: e4 for pk, e4 in rev.items() if e4 > thr}
+    got = {
+        r.l_partkey: r.revenue_e4
+        for r in REGISTRY["sql_revenue_concentration"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_key_skew_matches_bruteforce(spark):
+    """profile_key_skew: exact counts + floor-ppm shares, top-10 under
+    (count desc, key asc)."""
+    from collections import Counter
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT user_id FROM read_parquet('{SF_SMOKE}/events.parquet')"
+    ).fetchall()
+    con.close()
+    counts = Counter(u for (u,) in rows)
+    total = sum(counts.values())
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    expect = [(k, n, n * 1_000_000 // total) for k, n in top]
+    got = [
+        (r.key_value, r.n_rows, r.share_ppm)
+        for r in REGISTRY["profile_key_skew"].fn(spark, SF_SMOKE).collect()
+    ]
+    assert got == expect
+
+
+def test_quantize_int8_matches_bruteforce(spark):
+    """embed_quantize_int8: per-vector 127/max|x| scale and HALF-UP
+    rounded codes, md5-verified payload — numpy/hashlib replica."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    def half_away(v):
+        return math.floor(v + 0.5) if v >= 0 else -math.floor(-v + 0.5)
+
+    expect = {}
+    for vid, _, v in _smoke_embeddings():
+        x = np.asarray(v, dtype=np.float64)
+        mx = float(np.max(np.abs(x)))
+        scale = 0.0 if mx == 0 else 127.0 / mx
+        codes = [half_away(float(xi) * scale) for xi in x]
+        expect[vid] = (
+            len(codes),
+            round(scale, 4),
+            hashlib.md5(",".join(str(c) for c in codes).encode()).hexdigest(),
+            max(codes),
+        )
+    got = {
+        r.vec_id: (r.n_dims, r.scale_r4, r.codes_md5, r.max_code)
+        for r in REGISTRY["embed_quantize_int8"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_incremental_batch_matches_bruteforce(spark):
+    """dedup_incremental_batch: batch(id%10>=8) x corpus band candidates
+    with exact-Jaccard verify — hashlib MinHash replica; the corpus must
+    never self-pair."""
+    import hashlib
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    def h(i, s):
+        return int(hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:15], 16)
+
+    sets = _shingle_sets()
+    sigs = {
+        d: [min(h(i, s) for s in sh) for i in range(8)] for d, sh in sets.items()
+    }
+    buckets = {}
+    for d, m in sigs.items():
+        for band in range(4):
+            buckets.setdefault((band, f"{m[2 * band]}_{m[2 * band + 1]}"), []).append(d)
+    cands = set()
+    for ds in buckets.values():
+        for a in ds:
+            for b in ds:
+                if a % 10 >= 8 and b % 10 < 8:
+                    cands.add((a, b))
+    expect = {}
+    for new, old in cands:
+        inter = len(sets[new] & sets[old])
+        union = len(sets[new] | sets[old])
+        if inter and inter / union >= 0.5:
+            expect[(new, old)] = round(inter / union, 6)
+    got = {
+        (r.new_doc, r.old_doc): r.jaccard
+        for r in REGISTRY["dedup_incremental_batch"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_numeric_corr_matches_bruteforce(spark):
+    """profile_numeric_corr: exact integer moments (Python bignums) and
+    the one-double-expression Pearson r."""
+    import math
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT l_quantity, l_extendedprice, l_discount FROM "
+        f"read_parquet('{SF_SMOKE}/lineitem.parquet')"
+    ).fetchall()
+    con.close()
+    cents = [
+        (int(round(q * 100)), int(round(p * 100)), int(round(d * 100)))
+        for q, p, d in rows
+    ]
+    n = len(cents)
+    cols = list(zip(*cents))
+    names = ["l_quantity", "l_extendedprice", "l_discount"]
+
+    def r(i, j):
+        si, sj = sum(cols[i]), sum(cols[j])
+        sij = sum(a * b for a, b in zip(cols[i], cols[j]))
+        sii = sum(a * a for a in cols[i])
+        sjj = sum(b * b for b in cols[j])
+        num = float(n * sij - si * sj)
+        return round(num / math.sqrt(float(n * sii - si * si) * float(n * sjj - sj * sj)), 6)
+
+    expect = {
+        (names[0], names[1]): r(0, 1),
+        (names[0], names[2]): r(0, 2),
+        (names[1], names[2]): r(1, 2),
+    }
+    got = {
+        (row.col_a, row.col_b): row.pearson_r
+        for row in REGISTRY["profile_numeric_corr"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_fixed_per_stratum_matches_bruteforce(spark):
+    """sample_fixed_per_stratum: md5-ordered top-25 per language with the
+    two-phase local/global window producing the same exact carve."""
+    import hashlib
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    by_lang = defaultdict(list)
+    for doc_id, _, lang, _ in _smoke_docs():
+        by_lang[lang].append(
+            (hashlib.md5(str(doc_id).encode()).hexdigest(), doc_id)
+        )
+    expect = {}
+    for lang, members in by_lang.items():
+        members.sort()
+        for rnk, (_, doc_id) in enumerate(members[:25], start=1):
+            expect[doc_id] = (lang, rnk)
+    got = {
+        r.doc_id: (r.lang, r.rnk)
+        for r in REGISTRY["sample_fixed_per_stratum"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_canonical_best_matches_bruteforce(spark):
+    """dedup_canonical_best: per-cluster argmax on (token count desc,
+    doc_id asc), singletons self-clustered — union-find replica."""
+    import re
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    sets = _shingle_sets()
+    ids = sorted(sets)
+    pairs = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter and inter / len(sets[a] | sets[b]) >= 0.5:
+                pairs.append((a, b))
+    comp = _components(pairs)
+    best = {}
+    for doc_id, text, _, _ in _smoke_docs():
+        s = text.strip()
+        w = len(re.split(r"\s+", s)) if s else 0
+        cid = comp.get(doc_id, doc_id)
+        cand = (w, -doc_id)
+        if cid not in best or cand > best[cid][0]:
+            best[cid] = (cand, doc_id, w)
+    expect = {cid: (d, w) for cid, (_, d, w) in best.items()}
+    got = {
+        r.cluster_id: (r.canonical_doc, r.n_tokens)
+        for r in REGISTRY["dedup_canonical_best"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
