@@ -5661,3 +5661,235 @@ def test_canonical_best_matches_bruteforce(spark):
         for r in REGISTRY["dedup_canonical_best"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_triangle_stats_match_bruteforce(spark):
+    """graph_triangle_stats: triangle/wedge counts over the near-dup pair
+    graph via direct adjacency-set enumeration."""
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    sets = _shingle_sets()
+    ids = sorted(sets)
+    pairs = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter and inter / len(sets[a] | sets[b]) >= 0.5:
+                pairs.add((a, b))
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(
+        1
+        for a, b in pairs
+        for c in adj[a] & adj[b]
+        if c > b
+    )
+    wedges = sum(d * (d - 1) // 2 for d in (len(v) for v in adj.values()))
+    coef = round(3.0 * tri / wedges, 6) if wedges else 0.0
+    rows = REGISTRY["graph_triangle_stats"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_triangles, r.n_wedges, r.global_clustering_r6) == (tri, wedges, coef)
+
+
+def test_vocab_top_coverage_matches_bruteforce(spark):
+    """vocab_top_coverage: top-100 tokens by (count desc, token asc) with
+    cumulative coverage over the FULL token total."""
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    counts = Counter()
+    for _, text, _, _ in _smoke_docs():
+        counts.update(_ws_tokens(text))
+    total = sum(counts.values())
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    expect, cum = {}, 0
+    for rank, (tok, n) in enumerate(ranked, start=1):
+        cum += n
+        expect[rank] = (tok, n, round(cum / total, 6))
+    got = {
+        r.rank: (r.token, r.n, r.coverage_r6)
+        for r in REGISTRY["vocab_top_coverage"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_ttr_hapax_matches_bruteforce(spark):
+    """text_ttr_hapax: the zero-shuffle sorted-array fold must equal plain
+    Counter type/hapax counts and integer-ratio TTRs."""
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    expect = {}
+    for doc_id, text, _, _ in _smoke_docs():
+        toks = _ws_tokens(text)
+        if not toks:
+            continue
+        c = Counter(toks)
+        hapax = sum(1 for v in c.values() if v == 1)
+        expect[doc_id] = (
+            len(toks),
+            len(c),
+            hapax,
+            round(len(c) / len(toks), 6),
+            round(hapax / len(c), 6),
+        )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_types, r.n_hapax, r.ttr_r6, r.hapax_ratio_r6)
+        for r in REGISTRY["text_ttr_hapax"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_tokenize_with_vocab_matches_bruteforce(spark):
+    """tokenize_with_vocab: full-corpus top-500 vocab ids (count desc,
+    token asc) applied to every-20th doc, 0 = OOV."""
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    counts = Counter()
+    docs_toks = {}
+    for doc_id, text, _, _ in _smoke_docs():
+        toks = _ws_tokens(text)
+        if not toks:
+            continue
+        counts.update(toks)
+        docs_toks[doc_id] = toks
+    vocab = {
+        tok: i
+        for i, (tok, _) in enumerate(
+            sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:500], start=1
+        )
+    }
+    expect = {}
+    for doc_id, toks in docs_toks.items():
+        if doc_id % 20:
+            continue
+        for pos, tok in enumerate(toks, start=1):
+            expect[(doc_id, pos)] = (tok, vocab.get(tok, 0))
+    got = {
+        (r.doc_id, r.pos): (r.token, r.token_id)
+        for r in REGISTRY["tokenize_with_vocab"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_boilerplate_grams_match_bruteforce(spark):
+    """boilerplate_frequent_grams: >= 4-doc shingles as boilerplate vocab,
+    per-doc integer ppm coverage."""
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    sets = _shingle_sets()
+    df = Counter()
+    for sh in sets.values():
+        df.update(sh)
+    boiler = {s for s, n in df.items() if n >= 4}
+    expect = {}
+    for d, sh in sets.items():
+        nb = len(sh & boiler)
+        expect[d] = (len(sh), nb, nb * 1_000_000 // len(sh))
+    got = {
+        r.doc_id: (r.n_shingles, r.n_boiler, r.boiler_ppm)
+        for r in REGISTRY["boilerplate_frequent_grams"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_temperature_sampling_matches_bruteforce(spark):
+    """sample_temperature_by_lang: floor(65536*sqrt(n_min/n)) thresholds
+    over md5 buckets, per-lang kept counts."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    docs = _smoke_docs()
+    n = Counter(lang for _, _, lang, _ in docs)
+    n_min = min(n.values())
+    thr = {
+        lang: math.floor(65536 * math.sqrt(n_min / c)) for lang, c in n.items()
+    }
+    kept = Counter()
+    for doc_id, _, lang, _ in docs:
+        if int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) < thr[lang]:
+            kept[lang] += 1
+    expect = {lang: (n[lang], thr[lang], kept[lang]) for lang in n}
+    got = {
+        r.lang: (r.n_orig, r.bucket_threshold, r.n_kept)
+        for r in REGISTRY["sample_temperature_by_lang"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_source_overlap_matches_bruteforce(spark):
+    """profile_source_overlap: pairwise source-vocabulary Jaccard in
+    exact integer ppm via direct set ops."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    vocab = defaultdict(set)
+    for _, text, _, source in _smoke_docs():
+        t = _ws_tokens(text)
+        vocab[source] |= {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+    expect = {}
+    for a, b in combinations(sorted(vocab), 2):
+        inter = len(vocab[a] & vocab[b])
+        union = len(vocab[a] | vocab[b])
+        expect[(a, b)] = (
+            len(vocab[a]),
+            len(vocab[b]),
+            inter,
+            inter * 1_000_000 // union,
+        )
+    got = {
+        (r.source_a, r.source_b): (r.n_a, r.n_b, r.n_shared, r.jaccard_ppm)
+        for r in REGISTRY["profile_source_overlap"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_kfold_assign_matches_bruteforce(spark):
+    """sample_kfold_assign: md5-bucket mod 5 fold ids with per-(fold,
+    lang) exact counts."""
+    import hashlib
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, lang, n_chars FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    agg = defaultdict(lambda: [0, 0])
+    for doc_id, lang, n_chars in rows:
+        fold = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) % 5
+        agg[(fold, lang)][0] += 1
+        agg[(fold, lang)][1] += n_chars
+    expect = {k: tuple(v) for k, v in agg.items()}
+    got = {
+        (r.fold, r.lang): (r.n_docs, r.sum_chars)
+        for r in REGISTRY["sample_kfold_assign"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
