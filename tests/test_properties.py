@@ -5893,3 +5893,345 @@ def test_kfold_assign_matches_bruteforce(spark):
         for r in REGISTRY["sample_kfold_assign"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def _smoke_lineitem(cols):
+    import duckdb
+
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT {', '.join(cols)} FROM read_parquet('{SF_SMOKE}/lineitem.parquet')"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def test_udf_pandas_scalar_matches_bruteforce(spark):
+    """udf_pandas_scalar: the charged-amount business rule
+    price*(1-disc)*(1+tax) rounded at 6, per line below orderkey 2000."""
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_lineitem(
+        ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"]
+    )
+    expect = {
+        (ok, ln): round(p * (1 - d) * (1 + t), 6)
+        for ok, ln, p, d, t in rows
+        if ok < 2000
+    }
+    got = {
+        (r.l_orderkey, r.l_linenumber): r.charged
+        for r in REGISTRY["udf_pandas_scalar"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_udf_grouped_agg_matches_bruteforce(spark):
+    """udf_grouped_agg: quantity-weighted average price per flag."""
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    acc = defaultdict(lambda: [0.0, 0.0])
+    for flag, p, q in _smoke_lineitem(
+        ["l_returnflag", "l_extendedprice", "l_quantity"]
+    ):
+        acc[flag][0] += p * q
+        acc[flag][1] += q
+    expect = {flag: round(pq / q, 6) for flag, (pq, q) in acc.items()}
+    got = {
+        r.l_returnflag: r.wavg_price
+        for r in REGISTRY["udf_grouped_agg"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_udf_grouped_map_matches_bruteforce(spark):
+    """udf_grouped_map: per-user sample-stddev z-scores (numpy ddof=1)."""
+    from collections import defaultdict
+
+    import duckdb
+    import numpy as np
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT event_id, user_id, value FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet') WHERE user_id < 50"
+    ).fetchall()
+    con.close()
+    per_user = defaultdict(list)
+    for eid, u, v in rows:
+        per_user[u].append((eid, v))
+    expect = {}
+    for u, evs in per_user.items():
+        vals = np.asarray([v for _, v in evs], dtype=np.float64)
+        m = float(vals.mean())
+        sd = float(vals.std(ddof=1)) if len(vals) > 1 else float("nan")
+        for eid, v in evs:
+            z = (v - m) / sd if sd and not np.isnan(sd) else None
+            expect[(eid, u)] = round(z, 6) if z is not None else None
+    got = {
+        (r.event_id, r.user_id): r.z
+        for r in REGISTRY["udf_grouped_map"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_bigram_counts_match_bruteforce(spark):
+    """text_bigram_counts: corpus top-50 adjacent bigrams with the
+    (count desc, bigram asc) deterministic cutoff."""
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    counts = Counter()
+    for _, text, _, _ in _smoke_docs():
+        t = _ws_tokens(text)
+        counts.update(f"{a} {b}" for a, b in zip(t, t[1:]))
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    got = [
+        (r.bigram, r.n)
+        for r in REGISTRY["text_bigram_counts"].fn(spark, SF_SMOKE).collect()
+    ]
+    assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == expect
+
+
+def test_dq_constraints_match_bruteforce(spark):
+    """dq_orders_constraints: all five audit rules recounted directly."""
+    from collections import Counter
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    orders = con.sql(
+        f"SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, o_orderstatus "
+        f"FROM read_parquet('{SF_SMOKE}/orders.parquet')"
+    ).fetchall()
+    custkeys = {
+        r[0]
+        for r in con.sql(
+            f"SELECT c_custkey FROM read_parquet('{SF_SMOKE}/customer.parquet')"
+        ).fetchall()
+    }
+    con.close()
+    keys = Counter(ok for ok, *_ in orders)
+    expect = {
+        "not_null(o_custkey,o_orderdate)": sum(
+            1 for _, ck, dt, _, _ in orders if ck is None or dt is None
+        ),
+        "in_range(o_totalprice,0,600000)": sum(
+            1 for _, _, _, tp, _ in orders if not (0 <= tp <= 600000)
+        ),
+        "in_set(o_orderstatus)": sum(
+            1 for _, _, _, _, st in orders if st not in ("F", "O", "P")
+        ),
+        "unique(o_orderkey)": sum(n - 1 for n in keys.values()),
+        "fk(o_custkey->customer)": sum(
+            1 for _, ck, _, _, _ in orders if ck not in custkeys
+        ),
+    }
+    got = {
+        r.rule: r.n_violations
+        for r in REGISTRY["dq_orders_constraints"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_customer_distribution_matches_bruteforce(spark):
+    """agg_customer_distribution (Q13 shape): per-customer non-urgent
+    order counts, then the count-of-counts histogram."""
+    from collections import Counter
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    custs = [
+        r[0]
+        for r in con.sql(
+            f"SELECT c_custkey FROM read_parquet('{SF_SMOKE}/customer.parquet')"
+        ).fetchall()
+    ]
+    orders = con.sql(
+        f"SELECT o_custkey, o_orderpriority FROM "
+        f"read_parquet('{SF_SMOKE}/orders.parquet')"
+    ).fetchall()
+    con.close()
+    per_cust = Counter()
+    for ck, prio in orders:
+        if prio != "1-URGENT":
+            per_cust[ck] += 1
+    dist = Counter(per_cust.get(ck, 0) for ck in custs)
+    got = {
+        r.c_count: r.custdist
+        for r in REGISTRY["agg_customer_distribution"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == dict(dist)
+
+
+def test_order_history_matches_bruteforce(spark):
+    """agg_order_history: first five order keys per customer in
+    (date, key) order with total counts."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    orders = con.sql(
+        f"SELECT o_custkey, o_orderkey, o_orderdate FROM "
+        f"read_parquet('{SF_SMOKE}/orders.parquet')"
+    ).fetchall()
+    con.close()
+    per_cust = defaultdict(list)
+    for ck, ok, dt in orders:
+        per_cust[ck].append((dt, ok))
+    expect = {}
+    for ck, os in per_cust.items():
+        os.sort()
+        for pos, (_, ok) in enumerate(os[:5], start=1):
+            expect[(ck, pos)] = (ok, len(os))
+    got = {
+        (r.o_custkey, r.pos): (r.o_orderkey, r.n_orders)
+        for r in REGISTRY["agg_order_history"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_sql_udf_margin_matches_bruteforce(spark):
+    """sql_udf_margin: integer e4 charged amounts with HALF-AWAY rounding
+    per line, summed per flag — Python bignum replica."""
+    import math
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    acc = defaultdict(lambda: [0, 0])
+    for flag, p, d, t in _smoke_lineitem(
+        ["l_returnflag", "l_extendedprice", "l_discount", "l_tax"]
+    ):
+        v = 10000 * p * (1 - d) * (1 + t)
+        e4 = math.floor(v + 0.5) if v >= 0 else -math.floor(-v + 0.5)
+        acc[flag][0] += 1
+        acc[flag][1] += e4
+    expect = {flag: tuple(v) for flag, v in acc.items()}
+    got = {
+        r.l_returnflag: (r.n_lines, r.charged_e4)
+        for r in REGISTRY["sql_udf_margin"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_quality_threshold_curve_matches_bruteforce(spark):
+    """quality_threshold_curve: doc/token retention at each threshold."""
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    lens = [len(_ws_tokens(text)) for _, text, _, _ in _smoke_docs()]
+    n_docs, n_tokens = len(lens), sum(lens)
+    expect = {}
+    for thr in [0, 5, 10, 20, 50, 100, 200]:
+        kd = sum(1 for w in lens if w >= thr)
+        kt = sum(w for w in lens if w >= thr)
+        expect[thr] = (kd, kt, round(kd / n_docs, 6), round(kt / n_tokens, 6))
+    got = {
+        r.threshold: (r.kept_docs, r.kept_tokens, r.doc_retention_r6, r.token_retention_r6)
+        for r in REGISTRY["quality_threshold_curve"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_multimodal_features_match_bruteforce(spark):
+    """multimodal_features: deterministic fake decoder's byte arithmetic
+    (ascii sums, modulo dimensions) recomputed directly."""
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    expect = {}
+    for doc_id, text, _, _ in _smoke_docs():
+        bs = sum(ord(c) for c in text)
+        nb = len(text.encode())
+        expect[doc_id] = (nb, bs, bs % 1920, nb % 1080)
+    got = {
+        r.doc_id: (r.n_bytes, r.byte_sum, r.fake_width, r.fake_height)
+        for r in REGISTRY["multimodal_features"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_multimodal_bytes_matches_bruteforce(spark):
+    """multimodal_bytes: per-source payload byte totals."""
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    n, total = Counter(), Counter()
+    for _, text, _, source in _smoke_docs():
+        n[source] += 1
+        total[source] += len(text.encode())
+    expect = {src: (n[src], total[src]) for src in n}
+    got = {
+        r.source: (r.n_docs, r.total_bytes)
+        for r in REGISTRY["multimodal_bytes"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_small_order_revenue_matches_bruteforce(spark):
+    """sql_small_order_revenue (Q17 shape): the 5*q*cnt < sum(q) integer
+    algebraization and cents accounting recomputed with Python ints."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    li = con.sql(
+        f"SELECT l_partkey, l_quantity, l_extendedprice FROM "
+        f"read_parquet('{SF_SMOKE}/lineitem.parquet')"
+    ).fetchall()
+    brands = {
+        r[0]: r[1]
+        for r in con.sql(
+            f"SELECT p_partkey, p_brand FROM read_parquet('{SF_SMOKE}/part.parquet')"
+        ).fetchall()
+    }
+    con.close()
+    per_part = defaultdict(lambda: [0, 0])  # sum q, count
+    for pk, q, _ in li:
+        per_part[pk][0] += int(q)
+        per_part[pk][1] += 1
+    n_small, cents = 0, 0
+    for pk, q, p in li:
+        if brands.get(pk) in ("Brand#1", "Brand#2"):
+            sq, cnt = per_part[pk]
+            if 5 * int(q) * cnt < sq:
+                n_small += 1
+                cents += int(round(100 * p))
+    rows = REGISTRY["sql_small_order_revenue"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_small_lines, r.revenue_cents, r.avg_yearly_cents) == (
+        n_small,
+        cents,
+        cents // 7,
+    )
