@@ -6235,3 +6235,493 @@ def test_small_order_revenue_matches_bruteforce(spark):
         cents,
         cents // 7,
     )
+
+
+def test_srp_ann_matches_bruteforce(spark):
+    """sim_ann_lsh: md5-parity hyperplanes, integer quantized projections,
+    4x4-bit band buckets, exact-cosine rescoring — full numpy/hashlib
+    replica of the banded pipeline (candidate set included)."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_embeddings()
+    vecs = {vid: np.asarray(v, dtype=np.float64) for vid, _, v in rows}
+    norms = {vid: float(np.sqrt(v @ v)) for vid, v in vecs.items()}
+    signs = [
+        [
+            1 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16) & 1 else -1
+            for d in range(64)
+        ]
+        for p in range(16)
+    ]
+
+    def half_away(v):
+        return math.floor(v + 0.5) if v >= 0 else -math.floor(-v + 0.5)
+
+    sig = {}
+    for vid, v in vecs.items():
+        qi = [half_away(float(x) * 1_000_000) for x in v]
+        s = 0
+        for p in range(16):
+            if sum(q * sgn for q, sgn in zip(qi, signs[p])) >= 0:
+                s |= 1 << p
+        sig[vid] = s
+    buckets = {}
+    for vid, s in sig.items():
+        for band in range(4):
+            buckets.setdefault((band, (s >> (4 * band)) & 0xF), []).append(vid)
+    cands = set()
+    for members in buckets.values():
+        qs = [v for v in members if v < 10]
+        for q in qs:
+            for c in members:
+                if c != q:
+                    cands.add((q, c))
+    per_q = {}
+    for q, c in cands:
+        cos = round(float(vecs[q] @ vecs[c]) / (norms[q] * norms[c]), 6)
+        per_q.setdefault(q, []).append((-cos, c))
+    expect = set()
+    for q, scored in per_q.items():
+        scored.sort()
+        for rank, (neg, c) in enumerate(scored[:5], start=1):
+            expect.add((q, c, -neg, rank))
+    got = {
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in REGISTRY["sim_ann_lsh"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_ivf_ann_matches_bruteforce(spark):
+    """sim_ann_ivf: nearest-centroid inverted file (vec_id%100 centroids),
+    2-probe queries, in-bucket exact rescoring — numpy replica."""
+    import numpy as np
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_embeddings()
+    vecs = {vid: np.asarray(v, dtype=np.float64) for vid, _, v in rows}
+    norms = {vid: float(np.sqrt(v @ v)) for vid, v in vecs.items()}
+    cents = [vid for vid in vecs if vid % 100 == 0]
+
+    def ranked_cents(vid):
+        return sorted(
+            (
+                (-round(float(vecs[vid] @ vecs[c]) / (norms[vid] * norms[c]), 6), c)
+                for c in cents
+            )
+        )
+
+    inv = {}
+    for vid in vecs:
+        cid = ranked_cents(vid)[0][1]
+        inv.setdefault(cid, []).append(vid)
+    expect = set()
+    for q in [v for v in vecs if v < 10]:
+        cand = set()
+        for _, cid in ranked_cents(q)[:2]:
+            cand.update(inv.get(cid, []))
+        cand.discard(q)
+        scored = sorted(
+            (
+                (-round(float(vecs[q] @ vecs[c]) / (norms[q] * norms[c]), 6), c)
+                for c in cand
+            )
+        )
+        for rank, (neg, c) in enumerate(scored[:5], start=1):
+            expect.add((q, c, -neg, rank))
+    got = {
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in REGISTRY["sim_ann_ivf"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_scalar_subquery_matches_bruteforce(spark):
+    """sql_scalar_subquery: parts priced > 1.05x their brand average."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT p_brand, p_retailprice FROM read_parquet('{SF_SMOKE}/part.parquet')"
+    ).fetchall()
+    con.close()
+    by_brand = defaultdict(list)
+    for brand, price in rows:
+        by_brand[brand].append(price)
+    expect = Counter()
+    for brand, prices in by_brand.items():
+        avg = sum(prices) / len(prices)
+        n = sum(1 for p in prices if p > 1.05 * avg)
+        if n:
+            expect[brand] = n
+    got = {
+        r.p_brand: r.n_above
+        for r in REGISTRY["sql_scalar_subquery"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == dict(expect)
+
+
+def test_lateral_topn_matches_bruteforce(spark):
+    """sql_lateral_topn: top-2 nations by customer count per region."""
+    from collections import Counter
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    cust = con.sql(
+        f"SELECT c_nationkey FROM read_parquet('{SF_SMOKE}/customer.parquet')"
+    ).fetchall()
+    nations = con.sql(
+        f"SELECT n_nationkey, n_name, n_regionkey FROM "
+        f"read_parquet('{SF_SMOKE}/nation.parquet')"
+    ).fetchall()
+    regions = dict(
+        con.sql(
+            f"SELECT r_regionkey, r_name FROM read_parquet('{SF_SMOKE}/region.parquet')"
+        ).fetchall()
+    )
+    con.close()
+    counts = Counter(nk for (nk,) in cust)
+    per_region = {}
+    for nk, name, rk in nations:
+        per_region.setdefault(rk, []).append((-counts.get(nk, 0), name))
+    expect = set()
+    for rk, members in per_region.items():
+        members.sort()
+        for rnk, (negc, name) in enumerate(members[:2], start=1):
+            if -negc > 0 or True:
+                expect.add((regions[rk], name, -negc, rnk))
+    got = {
+        (r.r_name, r.n_name, r.n_customers, r.rnk)
+        for r in REGISTRY["sql_lateral_topn"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_inactive_high_balance_matches_bruteforce(spark):
+    """sql_inactive_high_balance (Q22 shape): bal*n > sum integer gate +
+    no-recent-orders anti-join, per-nation rollup."""
+    from collections import defaultdict
+    from datetime import datetime
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    cust = con.sql(
+        f"SELECT c_custkey, c_acctbal, c_nationkey FROM "
+        f"read_parquet('{SF_SMOKE}/customer.parquet')"
+    ).fetchall()
+    nation = dict(
+        con.sql(
+            f"SELECT n_nationkey, n_name FROM read_parquet('{SF_SMOKE}/nation.parquet')"
+        ).fetchall()
+    )
+    recent = {
+        r[0]
+        for r in con.sql(
+            f"SELECT DISTINCT o_custkey FROM read_parquet('{SF_SMOKE}/orders.parquet') "
+            f"WHERE o_orderdate >= TIMESTAMP '2001-01-01'"
+        ).fetchall()
+    }
+    con.close()
+    cents = lambda b: int(round(100 * b))  # noqa: E731
+    pos = [cents(b) for _, b, _ in cust if b > 0]
+    s, n = sum(pos), len(pos)
+    agg = defaultdict(lambda: [0, 0])
+    for ck, b, nk in cust:
+        if cents(b) * n > s and ck not in recent:
+            agg[nation[nk]][0] += 1
+            agg[nation[nk]][1] += cents(b)
+    expect = {k: tuple(v) for k, v in agg.items()}
+    got = {
+        r.n_name: (r.n_cust, r.total_acctbal_cents)
+        for r in REGISTRY["sql_inactive_high_balance"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_returned_items_match_bruteforce(spark):
+    """sql_returned_items (Q10 shape): half-year returned-revenue top-20
+    with integer e4 accounting and the (revenue desc, custkey asc) cut."""
+    import math
+    from collections import defaultdict
+    from datetime import datetime
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    li = con.sql(
+        f"SELECT l_orderkey, l_extendedprice, l_discount FROM "
+        f"read_parquet('{SF_SMOKE}/lineitem.parquet') WHERE l_returnflag = 'R'"
+    ).fetchall()
+    orders = con.sql(
+        f"SELECT o_orderkey, o_custkey FROM read_parquet('{SF_SMOKE}/orders.parquet') "
+        f"WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+        f"AND o_orderdate < TIMESTAMP '1997-07-01'"
+    ).fetchall()
+    cust = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(
+            f"SELECT c_custkey, c_name, c_nationkey FROM "
+            f"read_parquet('{SF_SMOKE}/customer.parquet')"
+        ).fetchall()
+    }
+    nation = dict(
+        con.sql(
+            f"SELECT n_nationkey, n_name FROM read_parquet('{SF_SMOKE}/nation.parquet')"
+        ).fetchall()
+    )
+    con.close()
+    by_order = dict(orders)
+    agg = defaultdict(lambda: [0, 0])
+    for ok, p, d in li:
+        if ok in by_order:
+            ck = by_order[ok]
+            name, nk = cust[ck]
+            v = p * (1 - d) * 10000
+            agg[(ck, name, nation[nk])][0] += 1
+            agg[(ck, name, nation[nk])][1] += math.floor(v + 0.5)
+    ranked = sorted(agg.items(), key=lambda kv: (-kv[1][1], kv[0][0]))[:20]
+    expect = {k: tuple(v) for k, v in ranked}
+    got = {
+        (r.c_custkey, r.c_name, r.n_name): (r.n_lines, r.revenue_e4)
+        for r in REGISTRY["sql_returned_items"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_recursive_calendar_matches_bruteforce(spark):
+    """sql_recursive_calendar: 1995-01..2001-12 month spine with
+    zero-filled integer-cents monthly rollups."""
+    from collections import defaultdict
+    from datetime import date
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    orders = con.sql(
+        f"SELECT o_orderdate, o_totalprice FROM "
+        f"read_parquet('{SF_SMOKE}/orders.parquet')"
+    ).fetchall()
+    con.close()
+    agg = defaultdict(lambda: [0, 0])
+    for dt, tp in orders:
+        m = date(dt.year, dt.month, 1)
+        agg[m][0] += 1
+        agg[m][1] += int(round(100 * tp))
+    expect = {}
+    y, m = 1995, 1
+    while (y, m) <= (2001, 12):
+        d = date(y, m, 1)
+        expect[d] = tuple(agg.get(d, [0, 0]))
+        m += 1
+        if m == 13:
+            y, m = y + 1, 1
+    got = {
+        r.month: (r.n_orders, r.revenue_cents)
+        for r in REGISTRY["sql_recursive_calendar"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_having_semijoin_matches_bruteforce(spark):
+    """sql_having_semijoin (Q18 shape): orders with > 250 total quantity,
+    re-aggregated with the customer dim."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    li = con.sql(
+        f"SELECT l_orderkey, l_quantity FROM read_parquet('{SF_SMOKE}/lineitem.parquet')"
+    ).fetchall()
+    orders = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(
+            f"SELECT o_orderkey, o_custkey, o_totalprice FROM "
+            f"read_parquet('{SF_SMOKE}/orders.parquet')"
+        ).fetchall()
+    }
+    cust = dict(
+        con.sql(
+            f"SELECT c_custkey, c_name FROM read_parquet('{SF_SMOKE}/customer.parquet')"
+        ).fetchall()
+    )
+    con.close()
+    qty = defaultdict(float)
+    for ok, q in li:
+        qty[ok] += q
+    expect = {}
+    for ok, total_q in qty.items():
+        if total_q > 250 and ok in orders:
+            ck, tp = orders[ok]
+            expect[(cust[ck], ok)] = (round(tp, 2), round(total_q, 2))
+    got = {
+        (r.c_name, r.o_orderkey): (r.total_price, r.sum_qty)
+        for r in REGISTRY["sql_having_semijoin"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def _q21_waiting_counts():
+    """Shared Q21-shape replica for sql_exists_not_exists and its
+    hand-optimized rewrite sql_sole_supplier_rewrite."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    li = con.sql(
+        f"SELECT l_orderkey, l_suppkey, l_returnflag FROM "
+        f"read_parquet('{SF_SMOKE}/lineitem.parquet')"
+    ).fetchall()
+    fstatus = {
+        r[0]
+        for r in con.sql(
+            f"SELECT o_orderkey FROM read_parquet('{SF_SMOKE}/orders.parquet') "
+            f"WHERE o_orderstatus = 'F'"
+        ).fetchall()
+    }
+    supp = dict(
+        con.sql(
+            f"SELECT s_suppkey, s_name FROM read_parquet('{SF_SMOKE}/supplier.parquet')"
+        ).fetchall()
+    )
+    con.close()
+    by_order = defaultdict(list)
+    for ok, sk, rf in li:
+        by_order[ok].append((sk, rf))
+    counts = Counter()
+    for ok, lines in by_order.items():
+        if ok not in fstatus:
+            continue
+        supps = {sk for sk, _ in lines}
+        r_supps = {sk for sk, rf in lines if rf == "R"}
+        for sk, rf in lines:
+            if rf != "R":
+                continue
+            if supps - {sk} and not (r_supps - {sk}):
+                counts[supp[sk]] += 1
+    return dict(counts)
+
+
+def test_exists_not_exists_matches_bruteforce(spark):
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    expect = _q21_waiting_counts()
+    got = {
+        r.s_name: r.numwait
+        for r in REGISTRY["sql_exists_not_exists"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_sole_supplier_rewrite_matches_bruteforce(spark):
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    expect = _q21_waiting_counts()
+    got = {
+        r.s_name: r.numwait
+        for r in REGISTRY["sql_sole_supplier_rewrite"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_local_supplier_volume_matches_bruteforce(spark):
+    """sql_local_supplier_volume (Q5 shape): ASIA-local supplier revenue
+    per nation in integer e4 units."""
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    li = con.sql(
+        f"SELECT l_orderkey, l_suppkey, l_extendedprice, l_discount FROM "
+        f"read_parquet('{SF_SMOKE}/lineitem.parquet')"
+    ).fetchall()
+    orders = {
+        r[0]: r[1]
+        for r in con.sql(
+            f"SELECT o_orderkey, o_custkey FROM read_parquet('{SF_SMOKE}/orders.parquet') "
+            f"WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+            f"AND o_orderdate < TIMESTAMP '1998-01-01'"
+        ).fetchall()
+    }
+    cust_nation = dict(
+        con.sql(
+            f"SELECT c_custkey, c_nationkey FROM read_parquet('{SF_SMOKE}/customer.parquet')"
+        ).fetchall()
+    )
+    supp_nation = dict(
+        con.sql(
+            f"SELECT s_suppkey, s_nationkey FROM read_parquet('{SF_SMOKE}/supplier.parquet')"
+        ).fetchall()
+    )
+    nations = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(
+            f"SELECT n_nationkey, n_name, n_regionkey FROM "
+            f"read_parquet('{SF_SMOKE}/nation.parquet')"
+        ).fetchall()
+    }
+    asia = {
+        r[0]
+        for r in con.sql(
+            f"SELECT r_regionkey FROM read_parquet('{SF_SMOKE}/region.parquet') "
+            f"WHERE r_name = 'ASIA'"
+        ).fetchall()
+    }
+    con.close()
+    agg = defaultdict(lambda: [0, 0])
+    for ok, sk, p, d in li:
+        ck = orders.get(ok)
+        if ck is None:
+            continue
+        nk = cust_nation[ck]
+        name, rk = nations[nk]
+        if rk in asia and supp_nation[sk] == nk:
+            v = p * (1 - d) * 10000
+            agg[name][0] += 1
+            agg[name][1] += math.floor(v + 0.5)
+    expect = {k: tuple(v) for k, v in agg.items()}
+    got = {
+        r.n_name: (r.n_lines, r.revenue_e4)
+        for r in REGISTRY["sql_local_supplier_volume"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
