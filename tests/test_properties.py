@@ -6725,3 +6725,174 @@ def test_local_supplier_volume_matches_bruteforce(spark):
         for r in REGISTRY["sql_local_supplier_volume"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_volume_shipping_matches_bruteforce(spark):
+    """sql_volume_shipping (Q7 shape): nation-pair shipping revenue per
+    ship year, fsum replica."""
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    li = con.sql(
+        f"SELECT l_orderkey, l_suppkey, l_shipdate, l_extendedprice, l_discount "
+        f"FROM read_parquet('{SF_SMOKE}/lineitem.parquet')"
+    ).fetchall()
+    orders = dict(
+        con.sql(
+            f"SELECT o_orderkey, o_custkey FROM read_parquet('{SF_SMOKE}/orders.parquet')"
+        ).fetchall()
+    )
+    cust_nation = dict(
+        con.sql(
+            f"SELECT c_custkey, c_nationkey FROM read_parquet('{SF_SMOKE}/customer.parquet')"
+        ).fetchall()
+    )
+    supp_nation = dict(
+        con.sql(
+            f"SELECT s_suppkey, s_nationkey FROM read_parquet('{SF_SMOKE}/supplier.parquet')"
+        ).fetchall()
+    )
+    nname = dict(
+        con.sql(
+            f"SELECT n_nationkey, n_name FROM read_parquet('{SF_SMOKE}/nation.parquet')"
+        ).fetchall()
+    )
+    con.close()
+    groups = defaultdict(list)
+    for ok, sk, sd, p, d in li:
+        sn = nname[supp_nation[sk]]
+        cn = nname[cust_nation[orders[ok]]]
+        if (sn, cn) in (("NATION_1", "NATION_2"), ("NATION_2", "NATION_1")):
+            groups[(sn, cn, sd.year)].append(p * (1 - d))
+    expect = {
+        k: (round(math.fsum(v), 4), len(v)) for k, v in groups.items()
+    }
+    got = {
+        (r.supp_nation, r.cust_nation, r.l_year): (r.revenue, r.n_items)
+        for r in REGISTRY["sql_volume_shipping"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_ship_priority_matches_bruteforce(spark):
+    """agg_ship_priority (Q3 shape): BUILDING-segment pre-ship revenue
+    top-10 under (rounded revenue desc, orderkey asc)."""
+    import math
+    from collections import defaultdict
+    from datetime import datetime
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    cutoff = datetime(1997, 3, 15)
+    con = duckdb.connect()
+    li = con.sql(
+        f"SELECT l_orderkey, l_shipdate, l_extendedprice, l_discount FROM "
+        f"read_parquet('{SF_SMOKE}/lineitem.parquet')"
+    ).fetchall()
+    orders = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.sql(
+            f"SELECT o_orderkey, o_custkey, o_orderdate, o_orderpriority FROM "
+            f"read_parquet('{SF_SMOKE}/orders.parquet')"
+        ).fetchall()
+    }
+    building = {
+        r[0]
+        for r in con.sql(
+            f"SELECT c_custkey FROM read_parquet('{SF_SMOKE}/customer.parquet') "
+            f"WHERE c_mktsegment = 'BUILDING'"
+        ).fetchall()
+    }
+    con.close()
+    groups = defaultdict(list)
+    for ok, sd, p, d in li:
+        if sd <= cutoff or ok not in orders:
+            continue
+        ck, od, prio = orders[ok]
+        if ck in building and od < cutoff:
+            groups[(ok, od, prio)].append(p * (1 - d))
+    ranked = sorted(
+        ((round(math.fsum(v), 4), k) for k, v in groups.items()),
+        key=lambda rv: (-rv[0], rv[1][0]),
+    )[:10]
+    expect = {k: rev for rev, k in ranked}
+    got = {
+        (r.l_orderkey, r.o_orderdate, r.o_orderpriority): r.revenue
+        for r in REGISTRY["agg_ship_priority"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_disjunctive_join_matches_bruteforce(spark):
+    """sql_disjunctive_join (Q19 shape): the OR-of-ANDs predicate over
+    brand/size/type x quantity, per-brand revenue."""
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    li = con.sql(
+        f"SELECT l_partkey, l_quantity, l_extendedprice, l_discount FROM "
+        f"read_parquet('{SF_SMOKE}/lineitem.parquet')"
+    ).fetchall()
+    parts = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.sql(
+            f"SELECT p_partkey, p_brand, p_size, p_type FROM "
+            f"read_parquet('{SF_SMOKE}/part.parquet')"
+        ).fetchall()
+    }
+    con.close()
+    groups = defaultdict(list)
+    for pk, q, p, d in li:
+        brand, size, ptype = parts[pk]
+        ok = (
+            (brand == "Brand#11" and 1 <= size <= 15 and 1 <= q <= 20)
+            or (brand == "Brand#22" and 10 <= size <= 30 and 10 <= q <= 35)
+            or ("STEEL" in ptype and q >= 40)
+        )
+        if ok:
+            groups[brand].append(p * (1 - d))
+    expect = {b: (round(math.fsum(v), 4), len(v)) for b, v in groups.items()}
+    got = {
+        r.p_brand: (r.revenue, r.n_items)
+        for r in REGISTRY["sql_disjunctive_join"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_udtf_word_chunks_matches_bruteforce(spark):
+    """udtf_word_chunks: 32-token chunk windows + md5, recomputed with an
+    independent slicing walk."""
+    import hashlib
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    expect = {}
+    for doc_id, text, _, _ in _smoke_docs():
+        toks = text.strip().lower().split()
+        for i in range(0, len(toks), 32):
+            piece = toks[i : i + 32]
+            expect[(doc_id, i // 32)] = (
+                len(piece),
+                hashlib.md5(" ".join(piece).encode()).hexdigest(),
+            )
+    got = {
+        (r.doc_id, r.chunk_idx): (r.n_tokens, r.chunk_md5)
+        for r in REGISTRY["udtf_word_chunks"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
