@@ -6896,3 +6896,396 @@ def test_udtf_word_chunks_matches_bruteforce(spark):
         for r in REGISTRY["udtf_word_chunks"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def _smoke_table(table, cols):
+    import duckdb
+
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT {', '.join(cols)} FROM read_parquet('{SF_SMOKE}/{table}.parquet')"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def test_region_revenue_matches_bruteforce(spark):
+    """agg_region_revenue (Q5 shape, float variant): ASIA local-supplier
+    revenue per nation, fsum replica."""
+    import math
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    orders = dict(_smoke_table("orders", ["o_orderkey", "o_custkey"]))
+    cust_nation = dict(_smoke_table("customer", ["c_custkey", "c_nationkey"]))
+    supp_nation = dict(_smoke_table("supplier", ["s_suppkey", "s_nationkey"]))
+    nations = {
+        nk: (name, rk)
+        for nk, name, rk in _smoke_table(
+            "nation", ["n_nationkey", "n_name", "n_regionkey"]
+        )
+    }
+    asia = {
+        rk
+        for rk, rn in _smoke_table("region", ["r_regionkey", "r_name"])
+        if rn == "ASIA"
+    }
+    groups = defaultdict(list)
+    for ok, sk, p, d in _smoke_table(
+        "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ):
+        nk = cust_nation[orders[ok]]
+        name, rk = nations[nk]
+        if rk in asia and supp_nation[sk] == nk:
+            groups[name].append(p * (1 - d))
+    expect = {k: (round(math.fsum(v), 4), len(v)) for k, v in groups.items()}
+    got = {
+        r.nation: (r.revenue, r.n_items)
+        for r in REGISTRY["agg_region_revenue"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_rollup_matches_bruteforce(spark):
+    """agg_rollup: (region, nation) / (region) / () levels recomputed."""
+    import math
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    nations = {
+        nk: (name, rk)
+        for nk, name, rk in _smoke_table(
+            "nation", ["n_nationkey", "n_name", "n_regionkey"]
+        )
+    }
+    regions = dict(_smoke_table("region", ["r_regionkey", "r_name"]))
+    rows = []
+    for _, bal, nk in _smoke_table("customer", ["c_custkey", "c_acctbal", "c_nationkey"]):
+        name, rk = nations[nk]
+        rows.append((regions[rk], name, bal))
+    levels = defaultdict(list)
+    for rn, nn, bal in rows:
+        levels[(rn, nn)].append(bal)
+        levels[(rn, None)].append(bal)
+        levels[(None, None)].append(bal)
+    expect = {
+        k: (round(math.fsum(v), 2), len(v)) for k, v in levels.items()
+    }
+    got = {
+        (r.r_name, r.n_name): (r.total_bal, r.n_customers)
+        for r in REGISTRY["agg_rollup"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_cube_matches_bruteforce(spark):
+    """agg_cube: all four (flag, status) grouping levels recomputed."""
+    import math
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    levels = defaultdict(list)
+    for flag, st, q in _smoke_table(
+        "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"]
+    ):
+        for key in ((flag, st), (flag, None), (None, st), (None, None)):
+            levels[key].append(q)
+    expect = {k: (round(math.fsum(v), 2), len(v)) for k, v in levels.items()}
+    got = {
+        (r.l_returnflag, r.l_linestatus): (r.sum_qty, r.n_items)
+        for r in REGISTRY["agg_cube"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_grouping_sets_matches_bruteforce(spark):
+    """agg_grouping_sets: (priority) / (status) / () sets recomputed."""
+    import math
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    levels = defaultdict(list)
+    for prio, st, tp in _smoke_table(
+        "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"]
+    ):
+        levels[(prio, None)].append(tp)
+        levels[(None, st)].append(tp)
+        levels[(None, None)].append(tp)
+    expect = {k: (round(math.fsum(v), 2), len(v)) for k, v in levels.items()}
+    got = {
+        (r.o_orderpriority, r.o_orderstatus): (r.total, r.n)
+        for r in REGISTRY["agg_grouping_sets"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_count_distinct_matches_bruteforce(spark):
+    """agg_count_distinct: per-segment distinct nations / counts / sums."""
+    import math
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    seg = defaultdict(lambda: (set(), []))
+    for mk, nk, bal in _smoke_table(
+        "customer", ["c_mktsegment", "c_nationkey", "c_acctbal"]
+    ):
+        seg[mk][0].add(nk)
+        seg[mk][1].append(bal)
+    expect = {
+        mk: (len(nks), len(bals), round(math.fsum(bals), 2))
+        for mk, (nks, bals) in seg.items()
+    }
+    got = {
+        r.c_mktsegment: (r.n_nations, r.n_customers, r.total_bal)
+        for r in REGISTRY["agg_count_distinct"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_agg_daily_matches_bruteforce(spark):
+    """agg_daily: calendar-day buckets with counts/sums/distinct users."""
+    import math
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    days = defaultdict(lambda: ([], set()))
+    for ts, v, u in _smoke_table("events", ["ts", "value", "user_id"]):
+        day = ts.replace(hour=0, minute=0, second=0, microsecond=0)
+        days[day][0].append(v)
+        days[day][1].add(u)
+    expect = {
+        d: (len(vs), round(math.fsum(vs), 2), len(us))
+        for d, (vs, us) in days.items()
+    }
+    got = {
+        r.day: (r.n_events, r.total_value, r.n_users)
+        for r in REGISTRY["agg_daily"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_topk_per_group_matches_bruteforce(spark):
+    """topk_per_group: top-3 orders per segment under
+    (totalprice desc, orderkey asc)."""
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    seg_of = dict(_smoke_table("customer", ["c_custkey", "c_mktsegment"]))
+    per_seg = defaultdict(list)
+    for ok, ck, tp in _smoke_table("orders", ["o_orderkey", "o_custkey", "o_totalprice"]):
+        per_seg[seg_of[ck]].append((-tp, ok))
+    expect = {}
+    for mk, members in per_seg.items():
+        members.sort()
+        for rn, (ntp, ok) in enumerate(members[:3], start=1):
+            expect[(mk, ok)] = (-ntp, rn)
+    got = {
+        (r.c_mktsegment, r.o_orderkey): (r.o_totalprice, r.rn)
+        for r in REGISTRY["topk_per_group"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_pivot_counts_match_bruteforce(spark):
+    """pivot_event_counts: per-day per-type counts in static columns."""
+    from collections import Counter, defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    days = defaultdict(Counter)
+    for ts, et in _smoke_table("events", ["ts", "event_type"]):
+        days[ts.replace(hour=0, minute=0, second=0, microsecond=0)][et] += 1
+    types = ["click", "error", "purchase", "signup", "view"]
+    expect = {d: tuple(c.get(t, 0) for t in types) for d, c in days.items()}
+    got = {
+        r.day: (r.click, r.error, r.purchase, r.signup, r.view)
+        for r in REGISTRY["pivot_event_counts"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_running_sum_matches_bruteforce(spark):
+    """window_running_sum: per-supplier RANGE-frame running revenue —
+    shipdate peers share the running value."""
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    per_supp = defaultdict(list)
+    for sk, ok, ln, sd, p, d in _smoke_table(
+        "lineitem",
+        [
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            "l_shipdate",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    ):
+        per_supp[sk].append((sd, ok, ln, p * (1 - d)))
+    expect = {}
+    for sk, rows in per_supp.items():
+        rows.sort(key=lambda t: t[0])
+        i, cum = 0, 0.0
+        while i < len(rows):
+            j = i
+            while j < len(rows) and rows[j][0] == rows[i][0]:
+                cum += rows[j][3]
+                j += 1
+            for sd, ok, ln, rev in rows[i:j]:
+                expect[(sk, ok, ln)] = (sd, round(rev, 4), round(cum, 4))
+            i = j
+    got = {
+        (r.l_suppkey, r.l_orderkey, r.l_linenumber): (
+            r.l_shipdate,
+            r.rev,
+            r.running_rev,
+        )
+        for r in REGISTRY["window_running_sum"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_lag_lead_matches_bruteforce(spark):
+    """window_lag_lead: per-customer prev/next totals and sequence under
+    the (date, key) tie-broken order."""
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    per_cust = defaultdict(list)
+    for ck, ok, dt, tp in _smoke_table(
+        "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
+    ):
+        per_cust[ck].append((dt, ok, tp))
+    expect = {}
+    for ck, rows in per_cust.items():
+        rows.sort()
+        for i, (dt, ok, tp) in enumerate(rows):
+            expect[(ck, ok)] = (
+                dt,
+                tp,
+                rows[i - 1][2] if i > 0 else None,
+                rows[i + 1][2] if i + 1 < len(rows) else None,
+                i + 1,
+            )
+    got = {
+        (r.o_custkey, r.o_orderkey): (
+            r.o_orderdate,
+            r.o_totalprice,
+            r.prev_total,
+            r.next_total,
+            r.order_seq,
+        )
+        for r in REGISTRY["window_lag_lead"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_sort_limit_matches_bruteforce(spark):
+    """sort_limit_global: global top-20 orders by (price desc, key asc)."""
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    expect = sorted(rows, key=lambda r: (-r[2], r[0]))[:20]
+    got = [
+        (r.o_orderkey, r.o_custkey, r.o_totalprice)
+        for r in REGISTRY["sort_limit_global"].fn(spark, SF_SMOKE).collect()
+    ]
+    assert sorted(got, key=lambda r: (-r[2], r[0])) == expect
+
+
+def test_window_tumbling_matches_bruteforce(spark):
+    """window_tumbling: 1-hour buckets with counts/sums/distinct users."""
+    import math
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    buckets = defaultdict(lambda: ([], set()))
+    for ts, v, u in _smoke_table("events", ["ts", "value", "user_id"]):
+        h = ts.replace(minute=0, second=0, microsecond=0)
+        buckets[h][0].append(v)
+        buckets[h][1].add(u)
+    expect = {
+        h: (len(vs), round(math.fsum(vs), 2), len(us))
+        for h, (vs, us) in buckets.items()
+    }
+    got = {
+        r.w_start: (r.n_events, r.total_value, r.n_users)
+        for r in REGISTRY["window_tumbling"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_window_sliding_matches_bruteforce(spark):
+    """window_sliding: 1-hour windows sliding by 30 minutes — every event
+    lands in exactly two windows."""
+    import math
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    buckets = defaultdict(list)
+    for ts, v in _smoke_table("events", ["ts", "value"]):
+        half = ts.replace(minute=(ts.minute // 30) * 30, second=0, microsecond=0)
+        buckets[half].append(v)
+        buckets[half - timedelta(minutes=30)].append(v)
+    expect = {
+        w: (len(vs), round(math.fsum(vs), 2)) for w, vs in buckets.items()
+    }
+    got = {
+        r.w_start: (r.n_events, r.total_value)
+        for r in REGISTRY["window_sliding"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_exists_cte_matches_bruteforce(spark):
+    """sql_exists_cte: late-shipping orders (> 60 days) per priority."""
+    from collections import Counter
+    from datetime import timedelta
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    orders = {
+        ok: (dt, prio)
+        for ok, dt, prio in _smoke_table(
+            "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        )
+    }
+    late = set()
+    for ok, sd in _smoke_table("lineitem", ["l_orderkey", "l_shipdate"]):
+        if ok in orders and sd > orders[ok][0] + timedelta(days=60):
+            late.add(ok)
+    expect = Counter(orders[ok][1] for ok in late)
+    got = {
+        r.o_orderpriority: r.n_late_orders
+        for r in REGISTRY["sql_exists_cte"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == dict(expect)
