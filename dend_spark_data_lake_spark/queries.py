@@ -2500,6 +2500,62 @@ def split_cluster_safe(spark, sf_dir):
 
 
 @_q(
+    "dq_split_leak_audit",
+    "WITH "
+    + _DUP_PAIR_CTES
+    + """
+    , lab AS (
+      SELECT doc_a, doc_b,
+             CASE WHEN substr(md5(CAST(doc_a AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+                  WHEN substr(md5(CAST(doc_a AS VARCHAR)), 1, 4) < 'e666' THEN 'valid'
+                  ELSE 'test' END AS s_a,
+             CASE WHEN substr(md5(CAST(doc_b AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+                  WHEN substr(md5(CAST(doc_b AS VARCHAR)), 1, 4) < 'e666' THEN 'valid'
+                  ELSE 'test' END AS s_b
+      FROM pairs
+    )
+    SELECT least(s_a, s_b) AS split_lo, greatest(s_a, s_b) AS split_hi,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(CASE WHEN s_a <> s_b THEN 1 ELSE 0 END AS INT) AS is_cross
+    FROM lab GROUP BY 1, 2, 4 ORDER BY 1, 2
+    """,
+)
+def dq_split_leak_audit(spark, sf_dir):
+    """Split-contamination AUDIT: for every near-duplicate pair
+    (word-3-gram Jaccard >= 0.5), which splits would the doc-keyed
+    80/10/10 assignment place the two copies in? Cross-split cells
+    (is_cross = 1) are evaluation leaks — a test document whose near-copy
+    trains is memorized eval data. This is the measurement that motivates
+    split_leakage_safe / split_cluster_safe: run the audit before
+    switching split policy, and after (on the cluster-keyed label) the
+    cross cells are provably zero (tests/test_sampling.py locks that
+    invariant for the safe splits).
+
+    Scale: the split label is a pure FUNCTION of doc_id (md5 bucket), so
+    it is computed directly on the tiny pair relation — no join against
+    the corpus at all; the only heavy work is the pair mining already
+    shared with dedup_ngram_jaccard, and the rollup is a <=6-row
+    aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = SIM.ngram_jaccard_pairs(d, n=3, threshold=0.5).select("doc_a", "doc_b")
+    lab = pairs.select(
+        SAMP.split_label("doc_a").alias("s_a"),
+        SAMP.split_label("doc_b").alias("s_b"),
+    )
+    return (
+        lab.select(
+            F.least("s_a", "s_b").alias("split_lo"),
+            F.greatest("s_a", "s_b").alias("split_hi"),
+            F.when(F.col("s_a") != F.col("s_b"), 1).otherwise(0).alias("is_cross"),
+        )
+        .groupBy("split_lo", "split_hi", "is_cross")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .select("split_lo", "split_hi", "n_pairs", "is_cross")
+        .orderBy("split_lo", "split_hi")
+    )
+
+
+@_q(
     "dedup_corpus",
     "WITH RECURSIVE "
     + _DUP_REACH_CTES
@@ -2998,6 +3054,117 @@ def sketch_kll_price_quantiles(spark, sf_dir):
     is on RANK (±~0.8% at k=200), not on the value."""
     li = _t(spark, sf_dir, "lineitem")
     return SK.kll_quantiles(li, "l_extendedprice", [0.5, 0.9, 0.99])
+
+
+def _cms_oracle_sql(d: int = 4, w: int = 64) -> str:
+    """Generated DuckDB replica of sketch_cms_heavy_hitters: the sketch is
+    md5-derived integer arithmetic end to end, so — uniquely in the sketch
+    family — the full estimate surface carries a value-level oracle."""
+    def b(i: int, key: str = "user_id") -> str:
+        return (
+            f"CAST(concat('0x', substr(md5(concat('{i}:', "
+            f"CAST({key} AS VARCHAR))), 1, 8)) AS BIGINT) % {w}"
+        )
+
+    sketch_rows = "\n      UNION ALL ".join(
+        f"SELECT {i} AS i, {b(i)} AS b FROM events" for i in range(d)
+    )
+    cand_rows = "\n      UNION ALL ".join(
+        f"SELECT user_id, n_true, {i} AS i, {b(i)} AS b FROM truth"
+        for i in range(d)
+    )
+    return f"""
+    WITH cms AS (
+      SELECT i, b, CAST(count(*) AS BIGINT) AS cnt FROM (
+      {sketch_rows}
+      ) GROUP BY i, b
+    ), truth AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_true
+      FROM events GROUP BY user_id
+    ), cand AS (
+      {cand_rows}
+    ), est AS (
+      SELECT c.user_id, c.n_true, CAST(min(m.cnt) AS BIGINT) AS n_est
+      FROM cand c JOIN cms m ON m.i = c.i AND m.b = c.b
+      GROUP BY c.user_id, c.n_true
+    )
+    SELECT user_id, n_true, n_est, n_est - n_true AS overcount
+    FROM est ORDER BY n_true DESC, user_id LIMIT 10
+    """
+
+
+@_q("sketch_cms_heavy_hitters", _cms_oracle_sql())
+def sketch_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min Sketch heavy hitters — the frequency-sketch member of the
+    family (HLL counts distincts, Theta does set algebra, KLL does ranks;
+    CMS answers "how often does key X occur" in O(d*w) space). d=4 hash
+    rows x w=64 buckets, hashes md5-derived ("{i}:{key}" prefix family,
+    same derandomization as the MinHash/SRP pipelines) — so unlike the
+    DataSketches-backed three above, the WHOLE estimate surface is exact
+    integer arithmetic with a full DuckDB oracle, and the canonical CMS
+    guarantee (estimate >= true count, overcount bounded by collisions) is
+    visible in the output as an exact `overcount` column for the top-10
+    true-heaviest users.
+
+    Scale: the sketch build is one map-side-combinable aggregate over a
+    d-way explode (the shuffle moves d*w=256 partial rows per task, not
+    events); the sketch itself is a 256-row broadcast; estimation joins
+    candidates to it map-side. The truth table here (for the overcount
+    audit) is the expensive relation — a real deployment keeps only the
+    sketch + a candidate heap, which is the point of the structure."""
+    ev = _t(spark, sf_dir, "events")
+    d, w = 4, 64
+
+    def bucket(i: int, col: Column) -> Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), col.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % w
+        )
+
+    def with_buckets(df: DataFrame) -> DataFrame:
+        ib = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        bucket(i, F.col("user_id")).alias("b"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("ib")
+        return df.select(*df.columns, ib).select(
+            *df.columns, F.col("ib.i").alias("i"), F.col("ib.b").alias("b")
+        )
+
+    cms = (
+        with_buckets(ev.select("user_id"))
+        .groupBy("i", "b")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    truth = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("n_true"))
+    est = (
+        with_buckets(truth)
+        .join(F.broadcast(cms), ["i", "b"])
+        .groupBy("user_id", "n_true")
+        .agg(F.min("cnt").cast("long").alias("n_est"))
+    )
+    return (
+        est.orderBy(F.desc("n_true"), "user_id")
+        .limit(10)
+        .select(
+            "user_id",
+            "n_true",
+            "n_est",
+            (F.col("n_est") - F.col("n_true")).alias("overcount"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -12017,6 +12184,11 @@ _GRADE_DONE_R04 = [
 # are these two plus the tail of the r02 cohort (_GRADE_DONE_R02). Any
 # round-7 additions should be inserted at the FRONT of this queue.
 _GRADE_NEXT: list[str] = [
+    # round-6 additions, never graded (front of the queue per policy; the
+    # round-6 window was already frozen when these landed)
+    "sketch_cms_heavy_hitters",
+    "dq_split_leak_audit",
+    # r02-cohort re-certifications trimmed off the round-6 window
     "dedup_corpus",
     "dedup_embedding_cosine",
 ]

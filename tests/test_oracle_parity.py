@@ -74,19 +74,26 @@ def test_round6_window_rotation_policy():
 
     oracle_backed = {n for n, s in REGISTRY.items() if s.oracle is not None}
     never_graded = oracle_backed - set(latest_round)
-    k = len(never_graded)
-    assert set(_GRADE_FIRST[:k]) == never_graded, (
+    # never-graded entries either lead the WINDOW (they existed when the
+    # round-6 window was cut: the two splits) or sit at the FRONT of the
+    # queue (round-6 additions made after the window froze — the graded
+    # surface stays untouched between rotation and grading)
+    in_window = never_graded & set(_GRADE_FIRST)
+    queued = never_graded - in_window
+    k = len(in_window)
+    assert set(_GRADE_FIRST[:k]) == in_window, (
         f"never-graded entries must lead the window: "
-        f"{never_graded ^ set(_GRADE_FIRST[:k])}"
+        f"{in_window ^ set(_GRADE_FIRST[:k])}"
+    )
+    assert set(_GRADE_NEXT[: len(queued)]) == queued, (
+        f"never-graded additions must head the queue: "
+        f"{queued ^ set(_GRADE_NEXT[: len(queued)])}"
     )
     stale = [n for n in _GRADE_FIRST[k:] if latest_round[n] > 2]
     assert not stale, f"window re-grades entries with fresh (r03+) rows: {stale}"
-    # the queue holds only stale-certificate entries too (nothing falls
-    # through the rotation ungraded)
-    assert never_graded.isdisjoint(_GRADE_NEXT), (
-        "never-graded entries must be IN the window, not queued behind it"
-    )
-    queued_stale = [n for n in _GRADE_NEXT if latest_round.get(n, 0) > 2]
+    queued_stale = [
+        n for n in _GRADE_NEXT[len(queued):] if latest_round.get(n, 0) > 2
+    ]
     assert not queued_stale, f"queue holds fresh-certificate entries: {queued_stale}"
 
 

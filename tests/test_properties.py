@@ -7289,3 +7289,65 @@ def test_exists_cte_matches_bruteforce(spark):
         for r in REGISTRY["sql_exists_cte"].fn(spark, SF_SMOKE).collect()
     }
     assert got == dict(expect)
+
+
+def test_cms_heavy_hitters_match_bruteforce(spark):
+    """sketch_cms_heavy_hitters: d=4 x w=64 md5 Count-Min recomputed with
+    hashlib — estimates must equal the replica AND dominate true counts
+    (the CMS guarantee) for every user, not just the reported top-10."""
+    import hashlib
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    users = [u for (u,) in _smoke_table("events", ["user_id"])]
+    truth = Counter(users)
+
+    def bucket(i, u):
+        return int(hashlib.md5(f"{i}:{u}".encode()).hexdigest()[:8], 16) % 64
+
+    cms = Counter()
+    for u in users:
+        for i in range(4):
+            cms[(i, bucket(i, u))] += 1
+    est = {u: min(cms[(i, bucket(i, u))] for i in range(4)) for u in truth}
+    for u, n in truth.items():
+        assert est[u] >= n  # CMS never undercounts
+    top = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    expect = {u: (n, est[u], est[u] - n) for u, n in top}
+    got = {
+        r.user_id: (r.n_true, r.n_est, r.overcount)
+        for r in REGISTRY["sketch_cms_heavy_hitters"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_split_leak_audit_matches_bruteforce(spark):
+    """dq_split_leak_audit: near-dup pair split matrix recomputed from the
+    shingle-set pairs + hashlib md5 split buckets."""
+    import hashlib
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    def label(doc_id):
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()[:4]
+        return "train" if h < "cccc" else ("valid" if h < "e666" else "test")
+
+    sets = _shingle_sets()
+    ids = sorted(sets)
+    cells = Counter()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter and inter / len(sets[a] | sets[b]) >= 0.5:
+                sa, sb = label(a), label(b)
+                cells[(min(sa, sb), max(sa, sb), int(sa != sb))] += 1
+    expect = {(lo, hi): (n, x) for (lo, hi, x), n in cells.items()}
+    got = {
+        (r.split_lo, r.split_hi): (r.n_pairs, r.is_cross)
+        for r in REGISTRY["dq_split_leak_audit"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
