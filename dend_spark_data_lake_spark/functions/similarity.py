@@ -1314,3 +1314,68 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the k nearest corpus vectors with a DIFFERENT label — the
+    negatives closest to the decision boundary, which dominate the
+    contrastive gradient (cf. Robinson et al., "Contrastive Learning with
+    Hard Negative Samples", ICLR 2021).
+
+    Same plan shape as :func:`cosine_topk` (broadcast query block ×
+    one corpus scan, JVM-side ``zip_with`` dot products, ranking on the
+    ROUNDED cosine with an id tie-break so both engines rank identically)
+    plus the label-mismatch predicate, which is applied BEFORE scoring so
+    same-label rows never pay the O(dim) dot product.
+
+    Scale posture (100 TB): exact brute force is the per-batch baseline —
+    queries broadcast (bounded by contract), corpus scanned once, no
+    shuffle. When the query block itself is corpus-sized, swap the scan
+    for the IVF route (``ivf_topk``): bucket both sides by nearest
+    centroid and score only within probed buckets — the label predicate
+    composes unchanged.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).cast("int").alias("query_label"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).cast("int").alias("neighbor_label"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__cv"),
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        (F.col("neighbor_id") != F.col("query_id"))
+        & (F.col("neighbor_label") != F.col("query_label"))
+    )
+    cos = _dot(F.col("__qv"), F.col("__cv")) / (
+        F.sqrt(_dot(F.col("__qv"), F.col("__qv")))
+        * F.sqrt(_dot(F.col("__cv"), F.col("__cv")))
+    )
+    scored = pairs.select(
+        "query_id",
+        "query_label",
+        "neighbor_id",
+        "neighbor_label",
+        F.round(cos, round_digits).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label", "cosine", "rank"
+        )
+    )

@@ -106,3 +106,33 @@ def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
         F.sum("weight").cast("long").alias("tokens_used"),
         F.round(F.sum("weight") / F.lit(budget), 6).alias("fill_ratio"),
     )
+
+
+#: power-of-two padding bucket ladder (min 16, cap 8192 — documents longer
+#: than the cap clip to it, modelling a max-sequence-length truncation).
+POW2_BUCKETS = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192]
+
+
+def pow2_length_bucket(n_tokens: Column, buckets: list[int] | None = None) -> Column:
+    """Smallest ladder bucket >= n_tokens (the padded sequence length when
+    batching by length, as dynamic-padding data loaders do). Implemented as
+    a CASE ladder — integer comparisons only, no ``log2`` float round-trip
+    whose exactness at powers of two would differ per libm — so the bucket
+    is bit-identical in any engine and the ladder folds into the scan
+    projection. Values above the top bucket CLIP to it (truncation)."""
+    ladder = buckets or POW2_BUCKETS
+    expr = None
+    for b in ladder[:-1]:
+        cond = n_tokens <= F.lit(b)
+        expr = F.when(cond, F.lit(b)) if expr is None else expr.when(cond, F.lit(b))
+    top = F.lit(ladder[-1])
+    return (expr.otherwise(top) if expr is not None else top).cast("long")
+
+
+def pow2_bucket_sql(expr: str, buckets: list[int] | None = None) -> str:
+    """The DuckDB oracle rendering of :func:`pow2_length_bucket` over the
+    SQL expression ``expr`` — generated from the same ladder constant so
+    the two can never drift."""
+    ladder = buckets or POW2_BUCKETS
+    whens = " ".join(f"WHEN {expr} <= {b} THEN {b}" for b in ladder[:-1])
+    return f"CAST(CASE {whens} ELSE {ladder[-1]} END AS BIGINT)"

@@ -23,7 +23,7 @@ the driver's LLM-data-pipeline surface (SURVEY.md §2.5).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: number of leading hex digits of the md5 used as the sampling bucket
@@ -177,3 +177,59 @@ def rebalance_to_targets(
         .filter(hash_bucket_int(kc) < F.col("__thr"))
         .drop("__w", "__thr", "__stratum")
     )
+
+
+def es_key(key: str | Column, weight: str | Column) -> Column:
+    """Efraimidis–Spirakis weighted-sampling key ``u^(1/w)``.
+
+    ``u`` is the deterministic md5 bucket mapped to the open unit interval
+    (``(h + 0.5) / 65536`` — never exactly 0 or 1, so ``pow``/``ln`` are
+    always finite) and ``w`` is the row weight (> 0 by contract). Taking the
+    k LARGEST keys draws a weighted sample without replacement: P(row i
+    first) = w_i / sum(w) (Efraimidis & Spirakis, IPL 2006, "Weighted
+    random sampling with a reservoir"). Deterministic u makes the draw
+    reproducible across runs/engines — the same property the rest of this
+    module builds on — at the price of one fixed sample per key-universe
+    (re-keying, e.g. salting the md5 input, redraws).
+    """
+    kc = key if isinstance(key, Column) else F.col(key)
+    wc = weight if isinstance(weight, Column) else F.col(weight)
+    u = (hash_bucket_int(kc) + F.lit(0.5)) / F.lit(float(_BUCKETS))
+    return F.pow(u, F.lit(1.0) / wc.cast("double"))
+
+
+def weighted_reservoir_topk(
+    df: DataFrame, key: str | Column, weight: str | Column, k: int, round_digits: int = 6
+) -> DataFrame:
+    """Distributed weighted sample WITHOUT replacement of size k (A-ES).
+
+    Appends ``es_key`` (rounded, so the ranking key is identical across
+    engines) and ``rank`` and keeps the top k by (es_key desc, key asc).
+
+    Scale posture (100 TB): the es-key is a scan-side projection; the
+    top-k is an ``ORDER BY ... LIMIT k`` which Spark plans as
+    TakeOrderedAndProject — each partition keeps its local k and only
+    k-row heaps travel to the driver-side merge. No global sort, no
+    shuffle of the corpus; the only data movement is num_partitions × k
+    rows. (This is why the operator takes k, not a fraction: a fixed-size
+    weighted draw is the reservoir formulation.)
+    """
+    kc = key if isinstance(key, Column) else F.col(key)
+    keyed = df.withColumn("es_key", F.round(es_key(kc, weight), round_digits))
+    ordered = keyed.orderBy(F.col("es_key").desc(), kc.asc()).limit(k)
+    # The rank window runs over the already-limited k rows (k is small by
+    # contract), so the unpartitioned window is O(k), not O(corpus).
+    w = Window.orderBy(F.col("es_key").desc(), kc.asc())
+    return ordered.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def shard_id(key: str | Column, n_shards: int) -> Column:
+    """Deterministic shard assignment: md5 bucket mod n_shards.
+
+    The md5 bucket (not Spark's murmur ``hash()``) keeps the assignment
+    engine-portable and oracle-checkable; mod over a uniform 16-bit bucket
+    is near-uniform for n_shards << 65536 (the exact per-shard expectation
+    is audited by the shard_balance_audit query).
+    """
+    kc = key if isinstance(key, Column) else F.col(key)
+    return (hash_bucket_int(kc) % F.lit(int(n_shards))).cast("int")

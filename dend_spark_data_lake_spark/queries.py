@@ -42,10 +42,12 @@ from .operators.windows import per_group_top_k
 from .operators import percentiles as PCT
 from .operators import sampling as SAMP
 from .operators.packing import greedy_pack
+from .operators import packing as PK
 from .operators.datetime_ops import iso_weekday
 from .functions import text as TX
 from .functions import similarity as SIM
 from .functions import multimodal as MM
+from .functions import privacy as PRIV
 from .functions import sketches as SK
 from .functions import udfs as UD
 
@@ -11986,6 +11988,251 @@ def agg_trimmed_mean(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-6 training-pipeline extensions: weighted reservoir sampling,
+# DP-noised releases, hard-negative mining, padding-bucket audit, shard
+# balance audit
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "sample_weighted_reservoir",
+    """
+    WITH s AS (
+      SELECT doc_id, lang, n_chars,
+             round(pow((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                             AS BIGINT) + 0.5) / 65536.0,
+                       1.0 / n_chars), 6) AS es_key
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, es_key,
+           CAST(row_number() OVER (ORDER BY es_key DESC, doc_id) AS INT) AS rank
+    FROM s ORDER BY es_key DESC, doc_id LIMIT 20
+    """,
+)
+def sample_weighted_reservoir(spark, sf_dir):
+    """Weighted sample WITHOUT replacement, k=20, weight = n_chars
+    (longer documents proportionally likelier) — the Efraimidis–Spirakis
+    reservoir scheme: draw key u^(1/w) per row from the deterministic md5
+    uniform and keep the k largest (operators/sampling.py
+    weighted_reservoir_topk). Deterministic u makes the draw
+    engine-portable, so the whole sample — not just its size — is
+    oracle-checked. Ranking is on the ROUNDED key with a doc_id
+    tie-break per the module determinism rules.
+
+    Scale: the key is a scan-side projection and the top-k plans as
+    TakeOrderedAndProject (per-partition k-row heaps, no global sort, no
+    corpus shuffle) — the same plan at sf0.001 and at 100 TB. The
+    reference has no sampling at all (SURVEY.md §2 extension rows)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return SAMP.weighted_reservoir_topk(d, "doc_id", "n_chars", k=20)
+
+
+@_q(
+    "dp_laplace_release",
+    """
+    WITH g AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+    ), n AS (
+      SELECT lang, n_docs,
+             -1.0 * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)) AS noise
+      FROM (SELECT lang, n_docs,
+                   (CAST(concat('0x', substr(md5(lang || ':laplace'), 1, 4))
+                         AS BIGINT) + 0.5) / 65536.0 AS u
+            FROM g)
+    )
+    SELECT lang, n_docs, round(noise, 6) AS noise,
+           greatest(CAST(0 AS BIGINT),
+                    CAST(floor(n_docs + noise + 0.5) AS BIGINT)) AS n_released
+    FROM n ORDER BY lang
+    """,
+)
+def dp_laplace_release(spark, sf_dir):
+    """Differentially-private release of per-language document counts:
+    Laplace(0, b) noise with b = sensitivity/epsilon = 1/1.0 added to each
+    count, then rounded to the nearest non-negative integer (floor(x+0.5)
+    — identical half-handling in both engines, unlike round()). The noise
+    is drawn by inverse CDF from the deterministic md5 uniform
+    (functions/privacy.py, incl. the documented fixed-noise-table caveat),
+    which is what lets a DP mechanism — normally unverifiable randomness —
+    carry a full cross-engine value oracle.
+
+    Scale: one map-side-combinable count per language plus a scan-side
+    noise projection over the (|langs|)-row aggregate; nothing else
+    moves."""
+    d = _t(spark, sf_dir, "documents")
+    noise = PRIV.laplace_noise(F.col("lang"), scale=1.0)
+    return (
+        d.groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(noise, 6).alias("noise"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.floor(F.col("n_docs") + noise + F.lit(0.5)).cast("long"),
+            ).alias("n_released"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_q(
+    "sim_hard_negatives",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(label AS INT) AS query_label,
+             embedding AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS neighbor_id, CAST(label AS INT) AS neighbor_label,
+             embedding AS cv
+      FROM embeddings
+    ), scored AS (
+      SELECT query_id, query_label, neighbor_id, neighbor_label,
+             round(
+               list_sum(list_transform(range(1, len(qv)+1),
+                        i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, len(qv)+1),
+                        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, len(cv)+1),
+                        i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))),
+             6) AS cosine
+      FROM c CROSS JOIN q
+      WHERE neighbor_id <> query_id AND neighbor_label <> query_label
+    )
+    SELECT query_id, query_label, neighbor_id, neighbor_label, cosine,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    """,
+)
+def sim_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: per query vector
+    (vec_id < 10), the 3 nearest corpus vectors with a DIFFERENT label —
+    the near-boundary negatives a contrastive loss learns most from
+    (functions/similarity.py hard_negative_topk). Label predicate applied
+    before scoring, so same-label rows never pay the dot product.
+
+    Scale: exact brute force over a broadcast query block and one corpus
+    scan (the per-batch mining baseline); for corpus-sized query sets the
+    IVF bucket route composes with the label predicate unchanged — see
+    the operator docstring."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.hard_negative_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+@_q(
+    "pack_length_buckets",
+    f"""
+    WITH t AS (
+      SELECT CASE WHEN trim(text) = '' THEN 0
+             ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+      FROM documents
+    ), b AS (
+      SELECT {PK.pow2_bucket_sql('n_tokens')} AS bucket_len, n_tokens FROM t
+    )
+    SELECT bucket_len,
+           CAST(count(*) AS BIGINT)              AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT)         AS sum_tokens,
+           CAST(bucket_len * count(*) AS BIGINT) AS padded_tokens,
+           CAST(bucket_len * count(*) - sum(n_tokens) AS BIGINT) AS padding_waste
+    FROM b GROUP BY bucket_len ORDER BY bucket_len
+    """,
+)
+def pack_length_buckets(spark, sf_dir):
+    """Length-bucketing audit for batch-efficient training: assign every
+    document its power-of-two padded sequence length (CASE ladder — no
+    log2 float round-trip; operators/packing.py pow2_length_bucket, with
+    the oracle SQL generated from the SAME ladder constant) and report,
+    per bucket, the exact padded-token capacity and padding waste. This is
+    the measurement that decides between dynamic padding, bucketing, and
+    the greedy packer (pack_sequences): waste here is tokens a bucketed
+    loader pads; the packer's fill_ratio is the alternative. All columns
+    are exact BIGINTs — no ratio column, per the module's
+    half-boundary rounding rule.
+
+    Scale: scan-side token count + ladder projection, one combinable
+    aggregate to <= 10 rows."""
+    d = _t(spark, sf_dir, "documents")
+    b = d.select(
+        PK.pow2_length_bucket(TX.token_count_ws(F.col("text"))).alias("bucket_len"),
+        TX.token_count_ws(F.col("text")).alias("n_tokens"),
+    )
+    return (
+        b.groupBy("bucket_len")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+        .select(
+            "bucket_len",
+            "n_docs",
+            "sum_tokens",
+            (F.col("bucket_len") * F.col("n_docs")).cast("long").alias("padded_tokens"),
+            (F.col("bucket_len") * F.col("n_docs") - F.col("sum_tokens"))
+            .cast("long")
+            .alias("padding_waste"),
+        )
+        .orderBy("bucket_len")
+    )
+
+
+@_q(
+    "shard_balance_audit",
+    """
+    WITH s AS (
+      SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                       AS BIGINT) % 32 AS INT) AS shard,
+             n_chars
+      FROM documents
+    ), g AS (
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM s GROUP BY shard
+    )
+    SELECT shard, n_docs, sum_chars,
+           CAST(n_docs * 32 - sum(n_docs) OVER () AS BIGINT)       AS docs_dev_x32,
+           CAST(sum_chars * 32 - sum(sum_chars) OVER () AS BIGINT) AS chars_dev_x32
+    FROM g ORDER BY shard
+    """,
+)
+def shard_balance_audit(spark, sf_dir):
+    """Balance audit of the deterministic 32-way training-shard
+    assignment (operators/sampling.py shard_id — the same md5-bucket-mod
+    rule the jsonlshards sink uses): per shard, document and character
+    mass plus the EXACT deviation from perfect balance scaled by the
+    shard count (n*32 - total = 32*(n - mean) — integer, so no
+    average-rounding boundary). A skewed shard means stragglers in every
+    epoch of a data-parallel training job.
+
+    Scale: one combinable aggregate to 32 rows; the deviation window runs
+    over the 32-row aggregate, never the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    g = (
+        d.select(SAMP.shard_id(F.col("doc_id"), 32).alias("shard"), "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+    w = Window.partitionBy()
+    return g.select(
+        "shard",
+        "n_docs",
+        "sum_chars",
+        (F.col("n_docs") * 32 - F.sum("n_docs").over(w)).cast("long").alias("docs_dev_x32"),
+        (F.col("sum_chars") * 32 - F.sum("sum_chars").over(w))
+        .cast("long")
+        .alias("chars_dev_x32"),
+    ).orderBy("shard")
+
+
+# ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
 # The external driver grades the FIRST 50 registry entries per round
@@ -12188,6 +12435,11 @@ _GRADE_NEXT: list[str] = [
     # round-6 window was already frozen when these landed)
     "sketch_cms_heavy_hitters",
     "dq_split_leak_audit",
+    "sample_weighted_reservoir",
+    "dp_laplace_release",
+    "sim_hard_negatives",
+    "pack_length_buckets",
+    "shard_balance_audit",
     # r02-cohort re-certifications trimmed off the round-6 window
     "dedup_corpus",
     "dedup_embedding_cosine",

