@@ -1079,3 +1079,45 @@ def test_keyless_grid_percentiles_cumulate_distributed(spark):
             r"windowspecdefinition\((?:l_extendedprice|cents)#\d+ ASC", plan
         )
         assert not bad, (name, bad)
+
+
+def test_weighted_reservoir_is_take_ordered(spark):
+    """sample_weighted_reservoir must plan the top-k as
+    TakeOrderedAndProject (per-partition k-row heaps) — never a global
+    range-partitioned sort of the corpus — and the rank window must run
+    AFTER the limit, i.e. ordered by the projected es_key, over k rows."""
+    plan = _plan(spark, "sample_weighted_reservoir")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning(es_key" not in plan, plan
+
+
+def test_hard_negatives_broadcast_no_shuffle_of_corpus(spark):
+    """sim_hard_negatives: the query block must broadcast (the corpus is
+    scanned once, never shuffled) and the ranking window must partition by
+    query_id — bounded by the query-block contract."""
+    plan = _plan(spark, "sim_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "windowspecdefinition(query_id#" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_shard_audit_window_over_shard_aggregate_only(spark):
+    """shard_balance_audit: the single-partition deviation window must
+    consume the 32-row shard aggregate (its input exchange follows the
+    final HashAggregate), and the corpus aggregate itself must have a
+    map-side partial."""
+    plan = _plan(spark, "shard_balance_audit")
+    assert "partial_count" in plan, plan
+    # the only SinglePartition exchange sits above the keyed aggregate
+    pre, _, post = plan.partition("Exchange SinglePartition")
+    assert post, plan
+    assert "HashAggregate" in post, plan
+
+
+def test_length_buckets_single_combinable_pass(spark):
+    """pack_length_buckets: one scan, partial+final hash aggregate on the
+    bucket key — no join, no window, no second scan of documents."""
+    plan = _plan(spark, "pack_length_buckets")
+    assert "partial_count" in plan, plan
+    assert "Join" not in plan and "windowspecdefinition" not in plan, plan
+    assert plan.count("FileScan parquet") == 1, plan
