@@ -103,3 +103,31 @@ def heavy_hitters(df: DataFrame, cols: list[str], support: float = 0.01) -> Data
     deciding on skew salting. May contain false positives, never false
     negatives; returns one row of ``<col>_freqItems`` arrays."""
     return df.stat.freqItems(cols, support)
+
+
+def bloom_positions(key: Column, k: int = 3, m: int = 1024) -> Column:
+    """The k Bloom-filter bit positions of ``key``: an array of
+    ``md5("{i}:" || key)`` buckets mod m, i = 0..k-1 — the same
+    derandomized "{i}:key" md5 hash family the CMS / MinHash / SRP
+    pipelines use, so the filter contents (and therefore the exact
+    false-positive set, not just its expected rate) are reproducible in
+    any engine. DuckDB replica per position:
+    ``CAST(concat('0x', substr(md5('{i}:' || CAST(key AS VARCHAR)), 1, 8))
+    AS BIGINT) % m``.
+
+    The relational Bloom representation is the DISTINCT set of inserted
+    positions (<= m rows, one BIGINT each) rather than a packed bitmap:
+    semantically identical, broadcast-join-able, and engine-portable —
+    the bitmap packing is an executor-local micro-optimization Spark's own
+    runtime bloom filters already apply underneath.
+    """
+    c = key.cast("string")
+    return F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), c)), 1, 8), 16, 10
+            ).cast("long")
+            % m
+            for i in range(k)
+        ]
+    )

@@ -12232,6 +12232,238 @@ def shard_balance_audit(spark, sf_dir):
     ).orderBy("shard")
 
 
+@_q(
+    "dq_bloom_filter_audit",
+    """
+    WITH build AS (
+      SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+    ), pos AS (
+      SELECT DISTINCT (CAST(concat('0x', substr(md5(CAST(i AS VARCHAR) || ':'
+                       || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 1024) AS p
+      FROM build CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) h
+    ), cand AS (
+      SELECT c_custkey, c_mktsegment,
+             (CAST(concat('0x', substr(md5(CAST(i AS VARCHAR) || ':'
+              || CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 1024) AS p
+      FROM customer CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) h
+    ), hits AS (
+      SELECT cand.c_custkey, any_value(cand.c_mktsegment) AS c_mktsegment,
+             count(pos.p) AS nhit
+      FROM cand LEFT JOIN pos ON cand.p = pos.p
+      GROUP BY cand.c_custkey
+    ), flags AS (
+      SELECT h.c_mktsegment,
+             CASE WHEN h.nhit = 3 THEN 1 ELSE 0 END AS bloom_pass,
+             CASE WHEN b.k IS NOT NULL THEN 1 ELSE 0 END AS actual
+      FROM hits h LEFT JOIN build b ON h.c_custkey = b.k
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT)        AS n_customers,
+           CAST(sum(actual) AS BIGINT)     AS n_actual,
+           CAST(sum(bloom_pass) AS BIGINT) AS n_bloom_pass,
+           CAST(sum(bloom_pass * (1 - actual)) AS BIGINT) AS n_false_pos
+    FROM flags GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def dq_bloom_filter_audit(spark, sf_dir):
+    """Bloom-filter join-pruning audit: build a k=3 x m=1024 Bloom filter
+    over the custkeys holding URGENT orders (functions/sketches.py
+    bloom_positions — md5-derandomized, so the EXACT false-positive set
+    is engine-reproducible, not just its expected rate), probe every
+    customer, and compare against exact semi-join membership per market
+    segment. n_false_pos is the rows a bloom-pruned scan would still read
+    before the join discards them — the number that decides whether a
+    runtime bloom filter (Spark's own join pruning) pays for itself at a
+    given m. The replica pin additionally asserts the no-false-negative
+    guarantee customer by customer.
+
+    Scale: the filter's relational form (distinct inserted positions,
+    <= m rows) broadcasts; the probe is a scan-side explode(k) +
+    broadcast join; exact membership is a broadcast left join against
+    the distinct build keys. The big side is scanned once, shuffled only
+    by the k-row-per-customer explode's aggregate."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    build = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    pos = (
+        build.select(F.explode(SK.bloom_positions(F.col("k"))).alias("p"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    cand = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.explode(SK.bloom_positions(F.col("c_custkey"))).alias("p"),
+    )
+    hits = (
+        cand.join(F.broadcast(pos), "p", "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.first("c_mktsegment").alias("c_mktsegment"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("nhit"),
+        )
+    )
+    flags = hits.join(
+        F.broadcast(build), hits["c_custkey"] == build["k"], "left"
+    ).select(
+        "c_mktsegment",
+        (F.col("nhit") == 3).cast("int").alias("bloom_pass"),
+        F.col("k").isNotNull().cast("int").alias("actual"),
+    )
+    return (
+        flags.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("actual").cast("long").alias("n_actual"),
+            F.sum("bloom_pass").cast("long").alias("n_bloom_pass"),
+            F.sum(F.col("bloom_pass") * (1 - F.col("actual")))
+            .cast("long")
+            .alias("n_false_pos"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@_q(
+    "curation_source_cap",
+    """
+    WITH r AS (
+      SELECT doc_id, source, lang, n_chars,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id
+             ) AS INT) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source, lang, n_chars, rn FROM r WHERE rn <= 15
+    """,
+)
+def curation_source_cap(spark, sf_dir):
+    """Per-source document cap (keep at most 15 per source): the
+    anti-domination curation rule — without it a single crawled domain can
+    swamp the mixture (the Gopher/C4 per-domain cap). Selection within a
+    source is by the deterministic md5 bucket (an unbiased "random" 15,
+    reproducible across engines — not first-N by doc_id, which would bias
+    toward old documents), doc_id tie-break.
+
+    Scale: rank <= N over a PARTITION BY source window triggers Spark's
+    WindowGroupLimit rewrite — each task pre-prunes to its local top-15
+    per source BEFORE the shuffle (locked in tests/test_plans.py), so the
+    shuffle moves O(sources x 15 x tasks) rows, not the corpus; the
+    domination-prone heavy sources are exactly the ones pruned hardest."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        SAMP.hash_bucket(F.col("doc_id")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source", "lang", "n_chars")
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 15)
+    )
+
+
+@_q(
+    "curation_token_budget",
+    """
+    WITH q AS (
+      SELECT doc_id, lang,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END
+                  AS BIGINT) AS tok,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                  t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
+                  AS BIGINT) AS nstop
+      FROM documents
+    ), base AS (
+      SELECT doc_id, lang, tok,
+             CAST(CASE WHEN tok > 0 THEN (100 * nstop) // tok ELSE 0 END AS INT)
+               AS score
+      FROM q
+    ), ordered AS (
+      SELECT lang, tok,
+             sum(tok) OVER (ORDER BY score DESC, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM base
+    ), tot AS (SELECT CAST((sum(tok) * 2) // 5 AS BIGINT) AS budget FROM base)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_selected,
+           CAST(sum(tok) AS BIGINT) AS tokens_selected
+    FROM ordered, tot WHERE cum <= budget GROUP BY lang ORDER BY lang
+    """,
+)
+def curation_token_budget(spark, sf_dir):
+    """Token-budget data selection: keep the highest-quality documents
+    (quality = integer stopword-density percentile, a fluency proxy on
+    the fixed stopword list) until 40% of the corpus' tokens are spent —
+    the "select the best N tokens for this training run" operator.
+    Semantics: global order by (score desc, doc_id), keep while the
+    inclusive running token total fits the budget.
+
+    Scale: the oracle's global ordered cumsum is exactly what must NOT be
+    planned at 100 TB (one task sorts the corpus). Instead: (1) one
+    combinable agg to the <= 101-row score-bucket grid; (2) cumulative +
+    total over THAT bounded grid (unpartitioned window is O(101));
+    (3) whole buckets under budget join back broadcast; (4) only the
+    single boundary bucket runs a doc-level cumulative — via the
+    range-partition + pid-window + broadcast-offset rewrite
+    (operators/percentiles.py global_cumulative_counts), never an
+    unpartitioned doc window. Same two-pass machinery as
+    distributed_ntile, composed with a budget predicate."""
+    d = _t(spark, sf_dir, "documents")
+    q = TX.quality_columns(F.col("text"))
+    base = (
+        d.select(
+            "doc_id",
+            "lang",
+            q["n_tokens"].cast("long").alias("tok"),
+            q["n_stopwords"].cast("long").alias("nstop"),
+        )
+        .withColumn(
+            "score",
+            F.when(
+                F.col("tok") > 0, F.expr("CAST((100 * nstop) DIV tok AS INT)")
+            ).otherwise(F.lit(0)),
+        )
+    )
+    b = base.groupBy("score").agg(F.sum("tok").cast("long").alias("btok"))
+    wb = Window.orderBy(F.col("score").desc())
+    # bounded: the score grid has at most 101 rows, so both windows below
+    # are O(grid), never O(corpus)
+    cumb = (
+        b.select(
+            "score",
+            "btok",
+            F.sum("btok").over(wb.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+            F.sum("btok").over(Window.partitionBy()).alias("total"),
+        )
+        .withColumn("budget", F.expr("CAST((total * 2) DIV 5 AS BIGINT)"))
+    )
+    full = cumb.filter(F.col("cum") <= F.col("budget")).select("score")
+    bnd = cumb.filter(
+        (F.col("cum") > F.col("budget"))
+        & (F.col("cum") - F.col("btok") < F.col("budget"))
+    ).select(
+        "score",
+        (F.col("budget") - (F.col("cum") - F.col("btok"))).alias("__rem"),
+    )
+    sel_full = base.join(F.broadcast(full), "score").select("lang", "tok")
+    inner = base.join(F.broadcast(bnd), "score")
+    inner_c = PCT.global_cumulative_counts(inner, "doc_id", "tok")
+    sel_bnd = inner_c.filter(F.col("__cw") <= F.col("__rem")).select("lang", "tok")
+    return (
+        sel_full.unionByName(sel_bnd)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_selected"),
+            F.sum("tok").cast("long").alias("tokens_selected"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -12440,6 +12672,9 @@ _GRADE_NEXT: list[str] = [
     "sim_hard_negatives",
     "pack_length_buckets",
     "shard_balance_audit",
+    "dq_bloom_filter_audit",
+    "curation_source_cap",
+    "curation_token_budget",
     # r02-cohort re-certifications trimmed off the round-6 window
     "dedup_corpus",
     "dedup_embedding_cosine",

@@ -1121,3 +1121,36 @@ def test_length_buckets_single_combinable_pass(spark):
     assert "partial_count" in plan, plan
     assert "Join" not in plan and "windowspecdefinition" not in plan, plan
     assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_source_cap_prunes_before_shuffle(spark):
+    """curation_source_cap: the rank<=15 filter must trigger the
+    WindowGroupLimit rewrite with a PARTIAL (pre-shuffle) stage, so each
+    task ships at most 15 rows per source instead of the corpus."""
+    plan = _plan(spark, "curation_source_cap")
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan.split("Exchange", 1)[1] or "Partial" in plan, plan
+    pre_exchange = plan.split("Exchange hashpartitioning(source", 1)[1]
+    assert "WindowGroupLimit" in pre_exchange, plan
+
+
+def test_bloom_audit_broadcasts_filter_and_build(spark):
+    """dq_bloom_filter_audit: both small sides (the <=m-row position set
+    and the distinct build keys) must broadcast; the customer side is
+    never cartesian-joined."""
+    plan = _plan(spark, "dq_bloom_filter_audit")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_token_budget_no_unpartitioned_doc_window(spark):
+    """curation_token_budget: the only doc-level cumulative must run
+    pid-partitioned (the global_cumulative_counts rewrite); unpartitioned
+    windows may only order by the bounded score grid."""
+    import re as _re
+
+    plan = _plan(spark, "curation_token_budget")
+    assert "windowspecdefinition(__pid#" in plan, plan
+    bad = _re.findall(r"windowspecdefinition\(doc_id#\d+ ASC", plan)
+    assert not bad, (bad, plan)

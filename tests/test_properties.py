@@ -7495,3 +7495,105 @@ def test_shard_balance_audit_matches_bruteforce(spark):
     assert got == expect
     # deviations scaled by shard count sum to zero by construction
     assert sum(d for _, _, d, _ in expect.values()) == 0
+
+
+def test_bloom_filter_audit_matches_bruteforce(spark):
+    """dq_bloom_filter_audit: k=3 x m=1024 md5 Bloom recomputed with
+    hashlib — segment table must match AND no customer may be a false
+    negative (the Bloom guarantee, checked customer by customer)."""
+    import hashlib
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    def positions(key):
+        return [
+            int(hashlib.md5(f"{i}:{key}".encode()).hexdigest()[:8], 16) % 1024
+            for i in range(3)
+        ]
+
+    build = {
+        ck
+        for ck, prio in _smoke_table("orders", ["o_custkey", "o_orderpriority"])
+        if prio == "1-URGENT"
+    }
+    inserted = {p for k in build for p in positions(k)}
+    seg = defaultdict(lambda: [0, 0, 0, 0])
+    for ck, mkt in _smoke_table("customer", ["c_custkey", "c_mktsegment"]):
+        actual = ck in build
+        bloom = all(p in inserted for p in positions(ck))
+        assert bloom or not actual  # no false negatives, ever
+        row = seg[mkt]
+        row[0] += 1
+        row[1] += actual
+        row[2] += bloom
+        row[3] += bloom and not actual
+    expect = {m: tuple(v) for m, v in seg.items()}
+    got = {
+        r.c_mktsegment: (r.n_customers, r.n_actual, r.n_bloom_pass, r.n_false_pos)
+        for r in REGISTRY["dq_bloom_filter_audit"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_source_cap_matches_bruteforce(spark):
+    """curation_source_cap: per-source md5-ordered top-15 recomputed in
+    plain Python, full kept-set identity."""
+    import hashlib
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    by_source = defaultdict(list)
+    for doc_id, source, lang, n_chars in _smoke_table(
+        "documents", ["doc_id", "source", "lang", "n_chars"]
+    ):
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()[:4]
+        by_source[source].append((h, doc_id, lang, n_chars))
+    expect = set()
+    for source, rows in by_source.items():
+        rows.sort()
+        for rn, (_, doc_id, lang, n_chars) in enumerate(rows[:15], start=1):
+            expect.add((doc_id, source, lang, n_chars, rn))
+    got = {
+        (r.doc_id, r.source, r.lang, r.n_chars, r.rn)
+        for r in REGISTRY["curation_source_cap"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_token_budget_matches_bruteforce(spark):
+    """curation_token_budget: the grid+boundary distributed selection must
+    equal the straight 'order by (score desc, doc_id), keep while
+    cumsum <= 40% of tokens' recomputed in plain Python."""
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    STOP = {"the", "a", "of", "and", "to", "in", "is", "it"}
+    docs = []
+    for doc_id, lang, text in _smoke_table("documents", ["doc_id", "lang", "text"]):
+        toks = text.lower().split() if text.strip() else []
+        tok = len(toks)
+        nstop = sum(1 for t in toks if t in STOP)
+        score = (100 * nstop) // tok if tok > 0 else 0
+        docs.append((-score, doc_id, lang, tok))
+    docs.sort()
+    budget = (sum(t for *_, t in docs) * 2) // 5
+    per_lang = defaultdict(lambda: [0, 0])
+    cum = 0
+    for _, _, lang, tok in docs:
+        cum += tok
+        if cum > budget:
+            break
+        per_lang[lang][0] += 1
+        per_lang[lang][1] += tok
+    expect = {lang: tuple(v) for lang, v in per_lang.items()}
+    got = {
+        r.lang: (r.n_selected, r.tokens_selected)
+        for r in REGISTRY["curation_token_budget"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
