@@ -41,6 +41,7 @@ def asof_join(
     suffix: str = "_right",
     direction: str = "backward",
     tiebreak: str | None = None,
+    tolerance_sec: float | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right.ts <= left.ts`` (``direction="backward"``, default), the
@@ -64,6 +65,14 @@ def asof_join(
     Without it, the winner among exact-duplicate timestamps depends on
     partition-internal order — unstable across partitionings and engines
     (DuckDB's native ASOF also picks arbitrarily there).
+
+    ``tolerance_sec`` bounds the match distance (pandas ``merge_asof``
+    tolerance): a selected right row farther than this from ``left.ts`` is
+    masked to NULL (dropped under ``how="inner"``). Masking AFTER selection
+    is equivalent to constraining the join: the as-of winner is by
+    definition the nearest candidate in its direction, so if it misses the
+    tolerance every other candidate does too. Implemented as a post-window
+    projection — no change to the join's plan shape or cost.
 
     Returns ``left`` columns plus ``right_ts + suffix`` and each of
     ``right_cols`` suffixed.
@@ -124,6 +133,14 @@ def asof_join(
         matched = unioned.withColumn(
             "__match", carried(direction == "backward")
         ).filter(F.col("__side") == 1)
+    if tolerance_sec is not None:
+        gap = F.abs(
+            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col(f"__match.{right_ts}"))
+        )
+        matched = matched.withColumn(
+            "__match",
+            F.when(gap <= F.lit(int(tolerance_sec * 1_000_000)), F.col("__match")),
+        )
     out = matched.select(
         *[F.col(c) for c in on],
         F.col("__ts").alias(left_ts),

@@ -12464,6 +12464,142 @@ def curation_token_budget(spark, sf_dir):
     )
 
 
+@_q(
+    "join_asof_tolerance",
+    """
+    WITH m AS (
+      SELECT p.event_id AS purchase_id, p.user_id,
+             p.ts AS p_ts, v.ts AS v_ts, v.event_id AS view_id,
+             row_number() OVER (PARTITION BY p.user_id, p.event_id
+                                ORDER BY v.ts DESC, v.event_id ASC) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON v.user_id = p.user_id AND v.ts <= p.ts
+           AND v.ts >= p.ts - INTERVAL 1 HOUR
+    )
+    SELECT purchase_id, user_id, view_id,
+           CASE WHEN view_id IS NULL THEN NULL
+                ELSE epoch_us(p_ts) - epoch_us(v_ts) END AS gap_us
+    FROM m WHERE rn = 1
+    """,
+)
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join with a match tolerance (pandas merge_asof semantics):
+    each purchase matched to the user's most recent view at or before it,
+    but only within 1 hour — a stale view is no attribution. The engine
+    masks the as-of winner past tolerance AFTER the window (equivalent to
+    constraining the join, since the winner is by definition the nearest
+    backward candidate; operators/joins.py asof_join tolerance_sec), so
+    the plan is byte-identical to the untolerated as-of — one shuffle,
+    no inequality cross product. The oracle is the constrained-join
+    formulation, proving the equivalence cross-engine."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    j = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id"],
+        tiebreak="event_id",
+        tolerance_sec=3600,
+    )
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_right"))
+    return j.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("event_id_right").alias("view_id"),
+        F.when(F.col("event_id_right").isNull(), F.lit(None).cast("long"))
+        .otherwise(gap)
+        .alias("gap_us"),
+    )
+
+
+@_q(
+    "ids_global_stable",
+    """
+    SELECT doc_id, lang,
+           CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS gid
+    FROM documents
+    """,
+)
+def ids_global_stable(spark, sf_dir):
+    """Contiguous, stable global row ids 1..N ordered by doc_id — the
+    "assign every training example a dense id" operator (shard-offset
+    bookkeeping, example-level resume cursors). NOT zipWithIndex (RDD
+    round-trip, partition-order-dependent) and NOT an unpartitioned
+    row_number (one task sorts the corpus): the pid-window + broadcast-
+    offset rewrite (operators/percentiles.py global_cumulative_counts
+    with unit weights) assigns exactly the oracle's row_number at scan
+    parallelism.
+
+    Scale: one range exchange + in-partition window; the only
+    unpartitioned window runs over the ~n_partitions-row offset table."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", "lang", F.lit(1).cast("long").alias("__one"))
+    c = PCT.global_cumulative_counts(base, "doc_id", "__one")
+    return c.select("doc_id", "lang", F.col("__cw").cast("long").alias("gid"))
+
+
+@_q(
+    "epoch_shuffle_schedule",
+    """
+    WITH e AS (SELECT unnest([0, 1, 2]) AS epoch),
+    r AS (
+      SELECT CAST(epoch AS INT) AS epoch, doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY epoch
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                               || CAST(epoch AS VARCHAR)), 1, 8), doc_id
+             ) AS INT) AS pos
+      FROM documents CROSS JOIN e
+    )
+    SELECT epoch, pos, doc_id FROM r WHERE pos <= 5 ORDER BY epoch, pos
+    """,
+)
+def epoch_shuffle_schedule(spark, sf_dir):
+    """Deterministic per-epoch reshuffling: epoch e's training order is
+    md5(doc_id:e) — a fresh, reproducible permutation every epoch with
+    ZERO data movement (the order is a pure projection; a reader sorts
+    its own shard by the key, or buckets by key prefix). This is how a
+    100 TB corpus gets per-epoch shuffling without ever re-shuffling
+    bytes. The query audits the schedule: the first 5 positions of each
+    of 3 epochs, exact cross-engine.
+
+    Scale: the epoch explode is x|epochs| on doc ids only (not payloads);
+    pos <= 5 triggers the WindowGroupLimit partial pre-shuffle prune, so
+    tasks ship 5 rows per epoch, not the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    b = d.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(e) for e in range(3)])).alias("epoch"),
+    )
+    key = F.substring(
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("epoch").cast("string"),
+            )
+        ),
+        1,
+        8,
+    )
+    w = Window.partitionBy("epoch").orderBy(key, F.col("doc_id"))
+    return (
+        b.withColumn("pos", F.row_number().over(w).cast("int"))
+        .filter(F.col("pos") <= 5)
+        .select(F.col("epoch").cast("int").alias("epoch"), "pos", "doc_id")
+        .orderBy("epoch", "pos")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -12675,6 +12811,9 @@ _GRADE_NEXT: list[str] = [
     "dq_bloom_filter_audit",
     "curation_source_cap",
     "curation_token_budget",
+    "join_asof_tolerance",
+    "ids_global_stable",
+    "epoch_shuffle_schedule",
     # r02-cohort re-certifications trimmed off the round-6 window
     "dedup_corpus",
     "dedup_embedding_cosine",

@@ -1154,3 +1154,33 @@ def test_token_budget_no_unpartitioned_doc_window(spark):
     assert "windowspecdefinition(__pid#" in plan, plan
     bad = _re.findall(r"windowspecdefinition\(doc_id#\d+ ASC", plan)
     assert not bad, (bad, plan)
+
+
+def test_asof_tolerance_same_shape_as_asof(spark):
+    """join_asof_tolerance: the tolerance mask must not change the as-of
+    plan family — single hash shuffle union+window, no inequality
+    cross-product fallback."""
+    plan = _plan(spark, "join_asof_tolerance")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition(user_id#" in plan, plan
+
+
+def test_global_ids_no_unpartitioned_doc_window(spark):
+    """ids_global_stable: gid assignment must be the pid-window rewrite;
+    no unpartitioned window may order by doc_id."""
+    import re as _re
+
+    plan = _plan(spark, "ids_global_stable")
+    assert "windowspecdefinition(__pid#" in plan, plan
+    bad = _re.findall(r"windowspecdefinition\(doc_id#\d+ ASC", plan)
+    assert not bad, (bad, plan)
+
+
+def test_epoch_schedule_prunes_before_shuffle(spark):
+    """epoch_shuffle_schedule: pos <= 5 must trigger a partial
+    WindowGroupLimit before the epoch shuffle."""
+    plan = _plan(spark, "epoch_shuffle_schedule")
+    assert "WindowGroupLimit" in plan, plan
+    pre = plan.split("Exchange hashpartitioning(epoch", 1)
+    assert len(pre) == 2 and "WindowGroupLimit" in pre[1], plan

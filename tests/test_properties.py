@@ -7597,3 +7597,85 @@ def test_token_budget_matches_bruteforce(spark):
         for r in REGISTRY["curation_token_budget"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_asof_tolerance_matches_bruteforce(spark):
+    """join_asof_tolerance: most-recent-view-within-1h recomputed in
+    plain Python (max ts, min event_id tie-break, 1h mask)."""
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    views = defaultdict(list)
+    purchases = []
+    for eid, uid, typ, ts in _smoke_table(
+        "events", ["event_id", "user_id", "event_type", "ts"]
+    ):
+        if typ == "view":
+            views[uid].append((ts, eid))
+        elif typ == "purchase":
+            purchases.append((eid, uid, ts))
+    expect = {}
+    for eid, uid, pts in purchases:
+        cand = [
+            (ts, vid)
+            for ts, vid in views.get(uid, [])
+            if ts <= pts and (pts - ts).total_seconds() <= 3600
+        ]
+        if cand:
+            best = min(cand, key=lambda tv: (-tv[0].timestamp(), tv[1]))
+            gap = int((pts - best[0]).total_seconds() * 1_000_000)
+            expect[eid] = (uid, best[1], gap)
+        else:
+            expect[eid] = (uid, None, None)
+    got = {
+        r.purchase_id: (r.user_id, r.view_id, r.gap_us)
+        for r in REGISTRY["join_asof_tolerance"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_global_ids_dense_and_ordered(spark):
+    """ids_global_stable: the pid-window rewrite must reproduce exactly
+    1..N in doc_id order."""
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = sorted(_smoke_table("documents", ["doc_id", "lang"]))
+    expect = {doc_id: (lang, gid) for gid, (doc_id, lang) in enumerate(rows, start=1)}
+    got = {
+        r.doc_id: (r.lang, r.gid)
+        for r in REGISTRY["ids_global_stable"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_epoch_schedule_matches_bruteforce(spark):
+    """epoch_shuffle_schedule: per-epoch md5 permutation heads recomputed
+    with hashlib; epochs must produce DIFFERENT leading permutations."""
+    import hashlib
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    ids = [d for (d,) in _smoke_table("documents", ["doc_id"])]
+    expect = set()
+    heads = {}
+    for e in range(3):
+        order = sorted(
+            ids,
+            key=lambda d: (
+                hashlib.md5(f"{d}:{e}".encode()).hexdigest()[:8],
+                d,
+            ),
+        )
+        heads[e] = tuple(order[:5])
+        for pos, d in enumerate(order[:5], start=1):
+            expect.add((e, pos, d))
+    assert len(set(heads.values())) == 3  # epochs genuinely reshuffle
+    got = {
+        (r.epoch, r.pos, r.doc_id)
+        for r in REGISTRY["epoch_shuffle_schedule"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
