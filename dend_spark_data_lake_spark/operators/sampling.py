@@ -233,3 +233,44 @@ def shard_id(key: str | Column, n_shards: int) -> Column:
     """
     kc = key if isinstance(key, Column) else F.col(key)
     return (hash_bucket_int(kc) % F.lit(int(n_shards))).cast("int")
+
+
+#: Poisson(1) inverse-CDF thresholds on the 16-bit md5 bucket:
+#: floor(65536 * CDF(k)) for k = 0..6 (P(X > 6) < 1e-4 truncates to 7).
+#: Hard-coded INTEGER constants so the Spark ladder, the SQL oracle
+#: rendering, and any replica recompute from the same numbers.
+POISSON1_THRESHOLDS = [24109, 48218, 60273, 64291, 65296, 65497, 65530]
+
+
+def poisson1_multiplicity(key: str | Column) -> Column:
+    """Deterministic Poisson(1) draw for ``key``: the bootstrap-resample
+    multiplicity of a row in one replicate (the Poisson bootstrap —
+    Chamandy et al., "Estimating uncertainty for massive data streams",
+    Google TR 2012 — the streaming/distributed form of the bootstrap:
+    independent per-row multiplicities, no global resample pass).
+
+    Inverse CDF over the md5 bucket with the integer thresholds in
+    :data:`POISSON1_THRESHOLDS`, so the draw is bit-identical in any
+    engine. Key the draw on ``doc_id || ':' || replicate`` to get
+    independent replicates.
+    """
+    h = hash_bucket_int(key)
+    expr = None
+    for mult, t in enumerate(POISSON1_THRESHOLDS):
+        cond = h < F.lit(t)
+        branch = F.lit(mult)
+        expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+    return expr.otherwise(F.lit(len(POISSON1_THRESHOLDS))).cast("long")
+
+
+def poisson1_sql(key_expr: str) -> str:
+    """DuckDB rendering of :func:`poisson1_multiplicity` over the SQL
+    expression ``key_expr`` — generated from the same threshold constants
+    so the two cannot drift."""
+    h = (
+        f"CAST(concat('0x', substr(md5({key_expr}), 1, 4)) AS BIGINT)"
+    )
+    whens = " ".join(
+        f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(POISSON1_THRESHOLDS)
+    )
+    return f"CAST(CASE {whens} ELSE {len(POISSON1_THRESHOLDS)} END AS BIGINT)"

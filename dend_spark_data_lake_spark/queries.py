@@ -12600,6 +12600,206 @@ def epoch_shuffle_schedule(spark, sf_dir):
     )
 
 
+def _bootstrap_oracle_sql(b: int = 32) -> str:
+    """Generated DuckDB replica of stats_bootstrap_ci — the replicate
+    explode and the Poisson(1) inverse-CDF ladder are rendered from the
+    same constants the Spark side uses (operators/sampling.py
+    POISSON1_THRESHOLDS), so the two cannot drift."""
+    mult = SAMP.poisson1_sql("CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)")
+    return f"""
+    WITH reps AS (SELECT unnest(range(0, {b})) AS b),
+    w AS (
+      SELECT lang, CAST(b AS INT) AS b,
+             CAST(sum({mult} * n_chars) AS BIGINT) AS sw,
+             CAST(sum({mult}) AS BIGINT) AS nw
+      FROM documents CROSS JOIN reps GROUP BY lang, b
+    ), keyed AS (
+      SELECT lang, b, sw, nw,
+             CAST((sw * 1000000) // nw AS BIGINT) AS mean_x1e6,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY (sw * 1000000) // nw, b) AS rk
+      FROM w WHERE nw > 0
+    ), truth AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+    )
+    SELECT t.lang, t.n_docs,
+           max(CASE WHEN rk = 2 THEN mean_x1e6 END)  AS mean_x1e6_lo,
+           max(CASE WHEN rk = {b - 1} THEN mean_x1e6 END) AS mean_x1e6_hi
+    FROM keyed k JOIN truth t ON k.lang = t.lang
+    GROUP BY t.lang, t.n_docs ORDER BY t.lang
+    """
+
+
+@_q("stats_bootstrap_ci", _bootstrap_oracle_sql())
+def stats_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap confidence interval for mean document length per
+    language — error bars for corpus statistics, the thing a dataset card
+    should publish next to every mean. B=32 replicates; each row's
+    multiplicity in replicate b is a DETERMINISTIC Poisson(1) draw keyed
+    md5(doc_id:b) via the integer inverse-CDF ladder
+    (operators/sampling.py poisson1_multiplicity — the distributed
+    Poisson bootstrap: no global resample pass, just independent per-row
+    weights). The interval is the 2nd/31st replicate mean, i.e. a
+    ~93.75% percentile-bootstrap CI; replicate means are ranked and
+    REPORTED in exact integer micro-units (sw * 1e6 DIV nw) so neither
+    the ordering nor the output can hit a float rounding boundary.
+
+    Scale: the explode is x32 on (lang, n_chars) pairs only; everything
+    else is a combinable agg to 32*|langs| rows and an O(32)-per-lang
+    window. nw=0 replicates (probability e^-n per stratum) are excluded
+    by construction on both sides."""
+    d = _t(spark, sf_dir, "documents")
+    B = 32
+    reps = d.select(
+        "lang",
+        "n_chars",
+        F.explode(F.array(*[F.lit(b) for b in range(B)])).alias("b"),
+        "doc_id",
+    )
+    mult = SAMP.poisson1_multiplicity(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"), F.col("b").cast("string")
+        )
+    )
+    w = (
+        reps.withColumn("__m", mult)
+        .groupBy("lang", F.col("b").cast("int").alias("b"))
+        .agg(
+            F.sum(F.col("__m") * F.col("n_chars")).cast("long").alias("sw"),
+            F.sum("__m").cast("long").alias("nw"),
+        )
+        .filter(F.col("nw") > 0)
+        .withColumn("mean_x1e6", F.expr("CAST((sw * 1000000) DIV nw AS BIGINT)"))
+    )
+    wr = Window.partitionBy("lang").orderBy("mean_x1e6", "b")
+    ranked = w.withColumn("rk", F.row_number().over(wr))
+    truth = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+    ci = ranked.groupBy("lang").agg(
+        F.max(F.when(F.col("rk") == 2, F.col("mean_x1e6"))).alias("mean_x1e6_lo"),
+        F.max(F.when(F.col("rk") == B - 1, F.col("mean_x1e6"))).alias(
+            "mean_x1e6_hi"
+        ),
+    )
+    return (
+        truth.join(ci, "lang")
+        .select("lang", "n_docs", "mean_x1e6_lo", "mean_x1e6_hi")
+        .orderBy("lang")
+    )
+
+
+@_q(
+    "lake_compaction_plan",
+    """
+    WITH parts AS (
+      SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS part_bytes
+      FROM documents GROUP BY lang, source
+    ), planned AS (
+      SELECT lang, source, part_bytes,
+             sum(part_bytes) OVER (PARTITION BY lang ORDER BY source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM parts
+    )
+    SELECT lang, source, part_bytes,
+           CAST((cum - part_bytes) // 8192 AS BIGINT) AS bin_id
+    FROM planned ORDER BY lang, source
+    """,
+)
+def lake_compaction_plan(spark, sf_dir):
+    """Small-file compaction PLAN over the partition manifest: treat each
+    (lang, source) Hive partition as one file of part_bytes (char proxy),
+    and assign partitions to ~8 KiB output bins by next-fit over the
+    cumulative size within each lang — the planning half of
+    operators/layout.py compact_parquet_dir (which rewrites; this decides
+    WHAT to merge, the decision a 100 TB table maintenance job makes from
+    the metastore listing alone). bin_id = bytes-before DIV target:
+    deterministic integer arithmetic, no packing heuristic drift.
+
+    Scale: runs entirely on the partition-manifest RELATION (one row per
+    partition, corpus-size-independent); the per-lang cumulative window
+    is bounded by partitions-per-lang, never rows."""
+    d = _t(spark, sf_dir, "documents")
+    parts = d.groupBy("lang", "source").agg(
+        F.sum("n_chars").cast("long").alias("part_bytes")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("source")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        parts.withColumn("cum", F.sum("part_bytes").over(w))
+        .select(
+            "lang",
+            "source",
+            "part_bytes",
+            F.expr("CAST((cum - part_bytes) DIV 8192 AS BIGINT)").alias("bin_id"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@_q(
+    "dq_zonemap_pruning_audit",
+    """
+    WITH blocks AS (
+      SELECT l_orderkey // 4000 AS block_id,
+             min(l_shipdate) AS mn, max(l_shipdate) AS mx,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN l_shipdate > DATE '1995-06-15' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_match
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CASE WHEN mx <= DATE '1995-06-15' THEN 'pruned'
+                WHEN mn >  DATE '1995-06-15' THEN 'full'
+                ELSE 'partial' END AS status,
+           CAST(count(*) AS BIGINT)  AS n_blocks,
+           CAST(sum(n_rows) AS BIGINT) AS total_rows,
+           CAST(sum(n_match) AS BIGINT) AS matching_rows
+    FROM blocks GROUP BY 1 ORDER BY 1
+    """,
+)
+def dq_zonemap_pruning_audit(spark, sf_dir):
+    """Zone-map (min/max statistics) pruning effectiveness for the
+    predicate l_shipdate > 1995-06-15 over orderkey-contiguous blocks of
+    ~4000 keys — the row-group analog: 'pruned' blocks would be skipped
+    entirely by parquet min/max stats, 'full' blocks read with zero
+    waste, 'partial' blocks read-and-filtered. A mostly-'partial' answer
+    is the data-driven argument for re-clustering (write_zordered /
+    lake_compaction_plan): sorting or z-ordering on shipdate turns
+    partial blocks into pruned+full ones. matching_rows vs total_rows
+    quantifies the read amplification exactly.
+
+    Scale: one combinable aggregate to the block manifest (~keys/4000
+    rows), then a 3-row rollup — the audit never reshuffles lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1995-06-15").cast("date")
+    blocks = li.groupBy(
+        F.expr("l_orderkey DIV 4000").alias("block_id")
+    ).agg(
+        F.min("l_shipdate").alias("mn"),
+        F.max("l_shipdate").alias("mx"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum((F.col("l_shipdate") > cutoff).cast("long")).alias("n_match"),
+    )
+    return (
+        blocks.select(
+            F.when(F.col("mx") <= cutoff, "pruned")
+            .when(F.col("mn") > cutoff, "full")
+            .otherwise("partial")
+            .alias("status"),
+            "n_rows",
+            "n_match",
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").cast("long").alias("n_blocks"),
+            F.sum("n_rows").cast("long").alias("total_rows"),
+            F.sum("n_match").cast("long").alias("matching_rows"),
+        )
+        .orderBy("status")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -12814,6 +13014,9 @@ _GRADE_NEXT: list[str] = [
     "join_asof_tolerance",
     "ids_global_stable",
     "epoch_shuffle_schedule",
+    "stats_bootstrap_ci",
+    "lake_compaction_plan",
+    "dq_zonemap_pruning_audit",
     # r02-cohort re-certifications trimmed off the round-6 window
     "dedup_corpus",
     "dedup_embedding_cosine",

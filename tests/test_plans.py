@@ -1184,3 +1184,23 @@ def test_epoch_schedule_prunes_before_shuffle(spark):
     assert "WindowGroupLimit" in plan, plan
     pre = plan.split("Exchange hashpartitioning(epoch", 1)
     assert len(pre) == 2 and "WindowGroupLimit" in pre[1], plan
+
+
+def test_bootstrap_windows_per_lang_only(spark):
+    """stats_bootstrap_ci: the replicate ranking window must partition by
+    lang (32 rows per partition); the corpus aggregate must have a
+    map-side partial."""
+    import re as _re
+
+    plan = _plan(spark, "stats_bootstrap_ci")
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    for m in _re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "lang" in m.group(1), m.group(0)
+
+
+def test_zonemap_audit_single_scan_no_join(spark):
+    """dq_zonemap_pruning_audit: one lineitem scan, combinable block
+    aggregate, 3-row rollup — no join, no window."""
+    plan = _plan(spark, "dq_zonemap_pruning_audit")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan and "windowspecdefinition" not in plan, plan

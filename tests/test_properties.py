@@ -7679,3 +7679,117 @@ def test_epoch_schedule_matches_bruteforce(spark):
         for r in REGISTRY["epoch_shuffle_schedule"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_bootstrap_ci_matches_bruteforce(spark):
+    """stats_bootstrap_ci: the 32-replicate Poisson bootstrap recomputed
+    with hashlib + the shared integer inverse-CDF ladder; CI must bracket
+    a sane range and match exactly in integer micro-units."""
+    import hashlib
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.operators.sampling import POISSON1_THRESHOLDS
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    def mult(key):
+        h = int(hashlib.md5(key.encode()).hexdigest()[:4], 16)
+        for k, t in enumerate(POISSON1_THRESHOLDS):
+            if h < t:
+                return k
+        return len(POISSON1_THRESHOLDS)
+
+    rows = _smoke_table("documents", ["doc_id", "lang", "n_chars"])
+    per = defaultdict(lambda: defaultdict(lambda: [0, 0]))  # lang -> b -> [sw, nw]
+    n_docs = defaultdict(int)
+    for doc_id, lang, n_chars in rows:
+        n_docs[lang] += 1
+        for b in range(32):
+            m = mult(f"{doc_id}:{b}")
+            per[lang][b][0] += m * n_chars
+            per[lang][b][1] += m
+    expect = {}
+    for lang, reps in per.items():
+        means = sorted(
+            ((sw * 1_000_000) // nw, b) for b, (sw, nw) in reps.items() if nw > 0
+        )
+        expect[lang] = (n_docs[lang], means[1][0], means[30][0])
+        assert means[1][0] <= means[30][0]
+    got = {
+        r.lang: (r.n_docs, r.mean_x1e6_lo, r.mean_x1e6_hi)
+        for r in REGISTRY["stats_bootstrap_ci"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_compaction_plan_matches_bruteforce(spark):
+    """lake_compaction_plan: next-fit bin assignment over the cumulative
+    partition sizes recomputed in plain Python; bins must be contiguous
+    per lang."""
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    sizes = defaultdict(int)
+    for lang, source, n_chars in _smoke_table(
+        "documents", ["lang", "source", "n_chars"]
+    ):
+        sizes[(lang, source)] += n_chars
+    expect = {}
+    by_lang = defaultdict(list)
+    for (lang, source), pb in sizes.items():
+        by_lang[lang].append((source, pb))
+    for lang, parts in by_lang.items():
+        parts.sort()
+        cum = 0
+        prev_bin = 0
+        for source, pb in parts:
+            bin_id = cum // 8192
+            assert bin_id >= prev_bin  # next-fit bins never go backwards
+            prev_bin = bin_id
+            expect[(lang, source)] = (pb, bin_id)
+            cum += pb
+    got = {
+        (r.lang, r.source): (r.part_bytes, r.bin_id)
+        for r in REGISTRY["lake_compaction_plan"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_zonemap_audit_matches_bruteforce(spark):
+    """dq_zonemap_pruning_audit: block min/max classification recomputed
+    in plain Python; pruned blocks must contribute zero matches and full
+    blocks must match every row."""
+    import datetime
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    cutoff = datetime.date(1995, 6, 15)
+    blocks = defaultdict(lambda: [None, None, 0, 0])
+    for ok, sd in _smoke_table("lineitem", ["l_orderkey", "l_shipdate"]):
+        if isinstance(sd, datetime.datetime):
+            sd = sd.date()
+        b = blocks[ok // 4000]
+        b[0] = sd if b[0] is None else min(b[0], sd)
+        b[1] = sd if b[1] is None else max(b[1], sd)
+        b[2] += 1
+        b[3] += sd > cutoff
+    agg = defaultdict(lambda: [0, 0, 0])
+    for mn, mx, n, m in blocks.values():
+        status = "pruned" if mx <= cutoff else ("full" if mn > cutoff else "partial")
+        if status == "pruned":
+            assert m == 0
+        if status == "full":
+            assert m == n
+        agg[status][0] += 1
+        agg[status][1] += n
+        agg[status][2] += m
+    expect = {s: tuple(v) for s, v in agg.items()}
+    got = {
+        r.status: (r.n_blocks, r.total_rows, r.matching_rows)
+        for r in REGISTRY["dq_zonemap_pruning_audit"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
