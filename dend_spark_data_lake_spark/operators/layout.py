@@ -130,3 +130,14 @@ def compact_parquet_dir(
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return len(glob.glob(path + "/*.parquet"))
+
+
+def morton_sql(x_expr: str, y_expr: str, bits: int = 16) -> str:
+    """DuckDB rendering of :func:`morton_key` over integer SQL expressions
+    — generated from the same bit loop so the two interleaves cannot
+    drift. Pure shift/AND/OR integer arithmetic: bit-exact cross-engine."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x_expr} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y_expr} >> {i}) & 1) << {2 * i + 1})")
+    return "CAST((" + " | ".join(terms) + ") AS BIGINT)"

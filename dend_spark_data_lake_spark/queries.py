@@ -12800,6 +12800,133 @@ def dq_zonemap_pruning_audit(spark, sf_dir):
     )
 
 
+def _zorder_gain_oracle_sql() -> str:
+    """Generated DuckDB replica of dq_zorder_pruning_gain: the Morton
+    interleave is rendered by operators/layout.py morton_sql from the
+    same bit loop the Spark expression unrolls."""
+    from .operators.layout import morton_sql
+
+    z = morton_sql("xc", "yc", bits=8)
+    return f"""
+    WITH base AS (
+      SELECT l_orderkey AS ok,
+             date_diff('day', DATE '1992-01-01', l_shipdate) AS days,
+             CASE WHEN l_shipdate > DATE '1995-06-15' THEN 1 ELSE 0 END AS m
+      FROM lineitem
+    ), stats AS (
+      SELECT min(ok) AS okmn, max(ok) AS okmx,
+             min(days) AS dmn, max(days) AS dmx
+      FROM base
+    ), coded AS (
+      SELECT ok, days, m,
+             ((ok - okmn) * 255) // greatest(1, okmx - okmn) AS xc,
+             ((days - dmn) * 255) // greatest(1, dmx - dmn) AS yc
+      FROM base CROSS JOIN stats
+    ), blocked AS (
+      SELECT 'natural' AS layout, (xc * 16) // 256 AS block_id, days, m FROM coded
+      UNION ALL
+      SELECT 'zorder' AS layout, ({z} * 16) // 65536 AS block_id, days, m FROM coded
+    ), blocks AS (
+      SELECT layout, block_id, min(days) AS mn, max(days) AS mx,
+             CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(m) AS BIGINT) AS n_match
+      FROM blocked GROUP BY layout, block_id
+    ), cut AS (
+      SELECT date_diff('day', DATE '1992-01-01', DATE '1995-06-15') AS c
+    )
+    SELECT layout,
+           CASE WHEN mx <= c THEN 'pruned' WHEN mn > c THEN 'full'
+                ELSE 'partial' END AS status,
+           CAST(count(*) AS BIGINT)     AS n_blocks,
+           CAST(sum(n_rows) AS BIGINT)  AS total_rows,
+           CAST(sum(n_match) AS BIGINT) AS matching_rows
+    FROM blocks CROSS JOIN cut GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@_q("dq_zorder_pruning_gain", _zorder_gain_oracle_sql())
+def dq_zorder_pruning_gain(spark, sf_dir):
+    """Does z-ordering actually help this predicate? Compare zone-map
+    pruning for l_shipdate > 1995-06-15 under two 16-block layouts of
+    lineitem: 'natural' (blocks = contiguous orderkey ranges — the
+    insertion order) vs 'zorder' (blocks = contiguous ranges of the
+    Morton interleave of the 8-bit min-max codes of orderkey x shipdate;
+    operators/layout.py morton_key, with the oracle's interleave
+    generated from the same bit loop). Because the date's high bits land
+    in the Morton key's high bits, z-order blocks separate by date and
+    some become fully prunable — the exact gain this query measures
+    before anyone pays for a re-cluster (write_zordered).
+
+    Scale: min/max normalization scalars come from one combinable
+    aggregate broadcast back (never a driver collect); the interleave is
+    a pure codegen projection; blocks aggregate map-side to <= 32 rows
+    per layout."""
+    from .operators.layout import morton_key
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"),
+        F.datediff(F.col("l_shipdate"), F.lit("1992-01-01").cast("date")).alias(
+            "days"
+        ),
+        (F.col("l_shipdate") > F.lit("1995-06-15").cast("date"))
+        .cast("long")
+        .alias("m"),
+    )
+    stats = li.agg(
+        F.min("ok").alias("okmn"),
+        F.max("ok").alias("okmx"),
+        F.min("days").alias("dmn"),
+        F.max("days").alias("dmx"),
+    )
+    coded = li.crossJoin(F.broadcast(stats)).select(
+        "days",
+        "m",
+        F.expr("((ok - okmn) * 255) DIV greatest(1, okmx - okmn)").alias("xc"),
+        F.expr("((days - dmn) * 255) DIV greatest(1, dmx - dmn)").alias("yc"),
+    )
+    z = morton_key(F.col("xc"), F.col("yc"), bits=8)
+    blocked = coded.select(
+        F.lit("natural").alias("layout"),
+        F.expr("(xc * 16) DIV 256").alias("block_id"),
+        "days",
+        "m",
+    ).unionByName(
+        coded.select(
+            F.lit("zorder").alias("layout"),
+            # (z * 16) DIV 65536 == z >> 12 for non-negative ints
+            F.shiftright(z, 12).cast("long").alias("block_id"),
+            "days",
+            "m",
+        )
+    )
+    cut = F.datediff(
+        F.lit("1995-06-15").cast("date"), F.lit("1992-01-01").cast("date")
+    )
+    blocks = blocked.groupBy("layout", "block_id").agg(
+        F.min("days").alias("mn"),
+        F.max("days").alias("mx"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("m").cast("long").alias("n_match"),
+    )
+    return (
+        blocks.select(
+            "layout",
+            F.when(F.col("mx") <= cut, "pruned")
+            .when(F.col("mn") > cut, "full")
+            .otherwise("partial")
+            .alias("status"),
+            "n_rows",
+            "n_match",
+        )
+        .groupBy("layout", "status")
+        .agg(
+            F.count("*").cast("long").alias("n_blocks"),
+            F.sum("n_rows").cast("long").alias("total_rows"),
+            F.sum("n_match").cast("long").alias("matching_rows"),
+        )
+        .orderBy("layout", "status")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -13017,6 +13144,7 @@ _GRADE_NEXT: list[str] = [
     "stats_bootstrap_ci",
     "lake_compaction_plan",
     "dq_zonemap_pruning_audit",
+    "dq_zorder_pruning_gain",
     # r02-cohort re-certifications trimmed off the round-6 window
     "dedup_corpus",
     "dedup_embedding_cosine",

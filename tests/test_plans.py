@@ -1204,3 +1204,13 @@ def test_zonemap_audit_single_scan_no_join(spark):
     plan = _plan(spark, "dq_zonemap_pruning_audit")
     assert plan.count("FileScan parquet") == 1, plan
     assert "Join" not in plan and "windowspecdefinition" not in plan, plan
+
+
+def test_zorder_gain_broadcasts_stats_no_collect_shape(spark):
+    """dq_zorder_pruning_gain: normalization scalars must arrive by
+    broadcast join (a 1-row stats aggregate), never a second-pass literal;
+    block aggregates must combine map-side."""
+    plan = _plan(spark, "dq_zorder_pruning_gain")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "partial_count" in plan, plan
+    assert "windowspecdefinition" not in plan, plan

@@ -7793,3 +7793,65 @@ def test_zonemap_audit_matches_bruteforce(spark):
         for r in REGISTRY["dq_zonemap_pruning_audit"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_zorder_pruning_gain_matches_bruteforce(spark):
+    """dq_zorder_pruning_gain: Morton interleave + both block framings
+    recomputed in plain Python; z-order must yield at least as many
+    fully-classified (pruned/full) blocks as the natural layout."""
+    import datetime
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    epoch = datetime.date(1992, 1, 1)
+    rows = []
+    for ok, sd in _smoke_table("lineitem", ["l_orderkey", "l_shipdate"]):
+        if isinstance(sd, datetime.datetime):
+            sd = sd.date()
+        rows.append((ok, (sd - epoch).days))
+    okmn, okmx = min(r[0] for r in rows), max(r[0] for r in rows)
+    dmn, dmx = min(r[1] for r in rows), max(r[1] for r in rows)
+    cut = (datetime.date(1995, 6, 15) - epoch).days
+
+    def morton(x, y):
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    blocks = defaultdict(lambda: [None, None, 0, 0])
+    for ok, days in rows:
+        xc = ((ok - okmn) * 255) // max(1, okmx - okmn)
+        yc = ((days - dmn) * 255) // max(1, dmx - dmn)
+        for layout, bid in (
+            ("natural", (xc * 16) // 256),
+            ("zorder", morton(xc, yc) >> 12),
+        ):
+            b = blocks[(layout, bid)]
+            b[0] = days if b[0] is None else min(b[0], days)
+            b[1] = days if b[1] is None else max(b[1], days)
+            b[2] += 1
+            b[3] += days > cut
+    agg = defaultdict(lambda: [0, 0, 0])
+    for (layout, _), (mn, mx, n, m) in blocks.items():
+        status = "pruned" if mx <= cut else ("full" if mn > cut else "partial")
+        a = agg[(layout, status)]
+        a[0] += 1
+        a[1] += n
+        a[2] += m
+    expect = {k: tuple(v) for k, v in agg.items()}
+    got = {
+        (r.layout, r.status): (r.n_blocks, r.total_rows, r.matching_rows)
+        for r in REGISTRY["dq_zorder_pruning_gain"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    full_nat = sum(
+        v[0] for (lay, st), v in expect.items() if lay == "natural" and st != "partial"
+    )
+    full_z = sum(
+        v[0] for (lay, st), v in expect.items() if lay == "zorder" and st != "partial"
+    )
+    assert full_z >= full_nat  # the point of z-ordering
