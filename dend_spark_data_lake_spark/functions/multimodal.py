@@ -142,3 +142,42 @@ def sample_frames(media: DataFrame, frame_bytes: int = 256, every_k: int = 4) ->
     return chunk_payload(media, frame_bytes).filter(
         F.col("chunk_idx") % every_k == 0
     )
+
+
+HEX_SYMBOLS = "0123456789ABCDEF"
+
+
+def payload_hex_entropy(payload: Column, round_digits: int = 6) -> Column:
+    """Shannon entropy (bits/symbol) of a binary payload's 4-bit nibble
+    stream — a codec-free corruption / compressibility signal: encrypted
+    or already-compressed payloads sit near 4.0, text-like payloads well
+    below, constant padding near 0. Works on OPAQUE bytes, so it runs
+    where the real decoder (decode_media) cannot.
+
+    Computed JVM-side with no explode: ``hex(payload)`` renders the
+    nibble stream as uppercase hex (identical rendering in DuckDB), each
+    of the 16 fixed symbols is counted via length-difference after
+    replace, and the 16 entropy terms fold in a FIXED symbol order — so
+    the floating sum is evaluated in the same order in any engine and the
+    rounded value is reproducible.
+    """
+    h = F.hex(payload)
+    n = F.length(h).cast("double")
+    ent = F.lit(0.0)
+    for s in HEX_SYMBOLS:
+        c = (F.length(h) - F.length(F.replace(h, F.lit(s), F.lit("")))).cast("double")
+        p = c / n
+        ent = ent + F.when(c > 0, -p * F.log2(p)).otherwise(F.lit(0.0))
+    return F.round(ent, round_digits)
+
+
+def payload_hex_entropy_sql(payload_expr: str, round_digits: int = 6) -> str:
+    """DuckDB rendering of :func:`payload_hex_entropy` — generated from
+    the same symbol order so the term-fold order (and thus the rounded
+    float) cannot drift."""
+    terms = []
+    for s in HEX_SYMBOLS:
+        c = f"(length(hex({payload_expr})) - length(replace(hex({payload_expr}), '{s}', '')))"
+        p = f"({c} * 1.0 / length(hex({payload_expr})))"
+        terms.append(f"CASE WHEN {c} > 0 THEN -{p} * log2({p}) ELSE 0.0 END")
+    return f"round({' + '.join(terms)}, {round_digits})"

@@ -12927,6 +12927,38 @@ def dq_zorder_pruning_gain(spark, sf_dir):
     )
 
 
+def _payload_entropy_oracle_sql() -> str:
+    ent = MM.payload_hex_entropy_sql("encode(text)")
+    return f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           {ent} AS nibble_entropy
+    FROM documents
+    """
+
+
+@_q("multimodal_payload_entropy", _payload_entropy_oracle_sql())
+def multimodal_payload_entropy(spark, sf_dir):
+    """Codec-free payload screening: Shannon entropy of each binary
+    payload's 4-bit nibble stream (functions/multimodal.py
+    payload_hex_entropy — oracle SQL generated from the same fixed symbol
+    order, so the 16-term float fold is order-identical cross-engine).
+    Encrypted/compressed payloads ~4.0 bits, text well below, padding
+    near 0 — the triage that decides which blobs are worth sending to the
+    real decoder seam (decode_media), and it runs on OPAQUE bytes where
+    the decoder cannot.
+
+    Scale: per-row codegen projection over the media table (16 fixed
+    replace/length terms, no explode, no UDF, no shuffle)."""
+    d = _t(spark, sf_dir, "documents")
+    media = MM.to_media_table(d)
+    return media.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        MM.payload_hex_entropy(F.col("payload")).alias("nibble_entropy"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -13145,6 +13177,7 @@ _GRADE_NEXT: list[str] = [
     "lake_compaction_plan",
     "dq_zonemap_pruning_audit",
     "dq_zorder_pruning_gain",
+    "multimodal_payload_entropy",
     # r02-cohort re-certifications trimmed off the round-6 window
     "dedup_corpus",
     "dedup_embedding_cosine",

@@ -7855,3 +7855,33 @@ def test_zorder_pruning_gain_matches_bruteforce(spark):
         v[0] for (lay, st), v in expect.items() if lay == "zorder" and st != "partial"
     )
     assert full_z >= full_nat  # the point of z-ordering
+
+
+def test_payload_entropy_matches_bruteforce(spark):
+    """multimodal_payload_entropy: nibble entropy recomputed with
+    collections.Counter over the hex rendering, same 16-term fold order;
+    values must sit in [0, 4] bits."""
+    import math
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.functions.multimodal import HEX_SYMBOLS
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    expect = {}
+    for doc_id, text in _smoke_table("documents", ["doc_id", "text"]):
+        h = text.encode("utf-8").hex().upper()
+        counts = Counter(h)
+        ent = 0.0
+        for s in HEX_SYMBOLS:  # FIXED fold order, matching both engines
+            c = counts.get(s, 0)
+            if c > 0:
+                p = c / len(h)
+                ent += -p * math.log2(p)
+        expect[doc_id] = (len(h) // 2, round(ent, 6))
+        assert 0.0 <= ent <= 4.0 + 1e-9
+    got = {
+        r.doc_id: (r.n_bytes, r.nibble_entropy)
+        for r in REGISTRY["multimodal_payload_entropy"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
