@@ -12927,6 +12927,59 @@ def dq_zorder_pruning_gain(spark, sf_dir):
     )
 
 
+@_q(
+    "dedup_cc_incremental",
+    "WITH RECURSIVE "
+    + _DUP_REACH_CTES
+    + """, comp AS (
+      SELECT es AS vertex, least(es, min(ed)) AS component
+      FROM reach GROUP BY es
+    ), csizes AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY component
+    )
+    SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+    FROM csizes GROUP BY cluster_size ORDER BY cluster_size
+    """,
+)
+def dedup_cc_incremental(spark, sf_dir):
+    """INCREMENTAL connected-components maintenance: docs with
+    doc_id % 5 == 0 play the newly-arrived batch. The old corpus' near-dup
+    components are CONTRACTED to star edges (vertex -> old label) and the
+    CC iteration runs on star-edges ∪ new-batch pairs only — never
+    re-walking the old pair graph. Contraction preserves connectivity and
+    every old vertex stays present, so the result provably equals
+    from-scratch CC on the full pair graph — and the ORACLE is exactly
+    that from-scratch closure, making the equivalence the thing the
+    cross-engine check certifies. Output: the cluster-size histogram
+    through the incremental path.
+
+    Scale: this is how a 100 TB dedup graph absorbs a daily batch — the
+    old graph participates as one edge per vertex (its label), so
+    iteration cost tracks the BATCH's pair count plus |V|, not the
+    accumulated corpus pair count."""
+    from .operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = SIM.ngram_jaccard_pairs(d, n=3, threshold=0.5).select("doc_a", "doc_b")
+    new_a, new_b = (F.col("doc_a") % 5 == 0), (F.col("doc_b") % 5 == 0)
+    old_pairs = pairs.filter(~new_a & ~new_b)
+    new_pairs = pairs.filter(new_a | new_b)
+    old_cc = connected_components(old_pairs, "doc_a", "doc_b")
+    star = old_cc.select(
+        F.col("vertex").alias("doc_a"), F.col("component").alias("doc_b")
+    )
+    cc = connected_components(star.unionByName(new_pairs), "doc_a", "doc_b")
+    sizes = cc.groupBy("component").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
 def _payload_entropy_oracle_sql() -> str:
     ent = MM.payload_hex_entropy_sql("encode(text)")
     return f"""
@@ -13178,6 +13231,7 @@ _GRADE_NEXT: list[str] = [
     "dq_zonemap_pruning_audit",
     "dq_zorder_pruning_gain",
     "multimodal_payload_entropy",
+    "dedup_cc_incremental",
     # r02-cohort re-certifications trimmed off the round-6 window
     "dedup_corpus",
     "dedup_embedding_cosine",

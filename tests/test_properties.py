@@ -7885,3 +7885,42 @@ def test_payload_entropy_matches_bruteforce(spark):
         for r in REGISTRY["multimodal_payload_entropy"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_cc_incremental_matches_bruteforce(spark):
+    """dedup_cc_incremental: the contracted-star incremental path must
+    reproduce the cluster-size histogram of a plain union-find over ALL
+    near-dup pairs — the incremental == from-scratch invariant."""
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    sets = _shingle_sets()
+    ids = sorted(sets)
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter and inter / len(sets[a] | sets[b]) >= 0.5:
+                union(a, b)
+    csize = Counter(find(v) for v in parent)
+    expect = dict(Counter(csize.values()))
+    got = {
+        r.cluster_size: r.n_clusters
+        for r in REGISTRY["dedup_cc_incremental"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
