@@ -38,6 +38,9 @@ SCALE_QUERIES = [
     "pipeline_curation",
     "dedup_containment",
     "text_bigram_surprisal",
+    # round-6 additions whose docstrings make multi-stage shape claims
+    "curation_token_budget",
+    "dedup_cc_incremental",
 ]
 
 # operators whose COUNT defines the scale shape of a plan: join
