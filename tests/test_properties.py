@@ -7924,3 +7924,45 @@ def test_cc_incremental_matches_bruteforce(spark):
         for r in REGISTRY["dedup_cc_incremental"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_pin_harness_detects_formula_drift(spark):
+    """Negative control for the PIN class (mirror of the comparator
+    negative controls): a deliberately perturbed replica — the Bloom
+    audit recomputed with k=2 hashes instead of 3 — must produce a
+    non-empty result that does NOT match the engine, proving the pin
+    comparisons cannot pass vacuously."""
+    import hashlib
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    def positions(key, k):
+        return [
+            int(hashlib.md5(f"{i}:{key}".encode()).hexdigest()[:8], 16) % 1024
+            for i in range(k)
+        ]
+
+    build = {
+        ck
+        for ck, prio in _smoke_table("orders", ["o_custkey", "o_orderpriority"])
+        if prio == "1-URGENT"
+    }
+    inserted = {p for kk in build for p in positions(kk, 2)}
+    seg = defaultdict(lambda: [0, 0, 0, 0])
+    for ck, mkt in _smoke_table("customer", ["c_custkey", "c_mktsegment"]):
+        actual = ck in build
+        bloom = all(p in inserted for p in positions(ck, 2))
+        row = seg[mkt]
+        row[0] += 1
+        row[1] += actual
+        row[2] += bloom
+        row[3] += bloom and not actual
+    perturbed = {m: tuple(v) for m, v in seg.items()}
+    got = {
+        r.c_mktsegment: (r.n_customers, r.n_actual, r.n_bloom_pass, r.n_false_pos)
+        for r in REGISTRY["dq_bloom_filter_audit"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got and perturbed
+    assert got != perturbed, "k=2 replica unexpectedly matched the k=3 engine"
