@@ -83,6 +83,9 @@ SECONDARY = [
     "pipeline_stream_hygiene",
     # round-5 flagship (leakage-safe splitting over the dedup closure)
     "split_cluster_safe",
+    # round-6 flagships (token-budget curation; incremental CC maintenance)
+    "curation_token_budget",
+    "dedup_cc_incremental",
 ]
 
 
