@@ -13012,6 +13012,220 @@ def multimodal_payload_entropy(spark, sf_dir):
     )
 
 
+@_q(
+    "sim_truncated_dim_recall",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+    ), full_rank AS (
+      SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM (
+        SELECT query_id, neighbor_id,
+               round(
+                 list_sum(list_transform(range(1, 65),
+                          i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, 65),
+                          i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, 65),
+                          i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))),
+               6) AS cosine
+        FROM c CROSS JOIN q WHERE neighbor_id <> query_id)
+    ), trunc_rank AS (
+      SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM (
+        SELECT query_id, neighbor_id,
+               round(
+                 list_sum(list_transform(range(1, 17),
+                          i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, 17),
+                          i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, 17),
+                          i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))),
+               6) AS cosine
+        FROM c CROSS JOIN q WHERE neighbor_id <> query_id)
+    )
+    SELECT f.query_id,
+           CAST(count(t.neighbor_id) AS BIGINT) AS n_overlap,
+           CAST(count(t.neighbor_id) * 20 AS BIGINT) AS recall_pct
+    FROM (SELECT * FROM full_rank WHERE rank <= 5) f
+    LEFT JOIN (SELECT * FROM trunc_rank WHERE rank <= 5) t
+      ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+    GROUP BY f.query_id ORDER BY f.query_id
+    """,
+)
+def sim_truncated_dim_recall(spark, sf_dir):
+    """Matryoshka-style dimension-truncation evaluation: recall@5 of
+    cosine search over the FIRST 16 of 64 embedding dims against the
+    full-dim exact top-5 — the measurement behind "can we shrink the ANN
+    index 4x" (MRL embeddings put the most information in the prefix
+    dims; this query tells you what that costs on YOUR vectors). Both
+    rankings use round-6-then-rank with id tie-breaks; recall is exact
+    integer (n_overlap * 20).
+
+    Scale: two broadcast-query x corpus-scan passes (the sliced pass
+    reads 4x fewer floats per row — the point of truncation), one
+    5-rows-per-query join. No new machinery: composes cosine_topk over
+    F.slice."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    full = SIM.cosine_topk(emb, q, k=5)
+    t16 = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    q16 = t16.filter(F.col("vec_id") < 10)
+    trunc = SIM.cosine_topk(t16, q16, k=5).select(
+        "query_id", F.col("neighbor_id").alias("t_neighbor_id")
+    )
+    j = full.join(
+        trunc,
+        (full["query_id"] == trunc["query_id"])
+        & (full["neighbor_id"] == trunc["t_neighbor_id"]),
+        "left",
+    )
+    return (
+        j.groupBy(full["query_id"].alias("query_id"))
+        .agg(F.count("t_neighbor_id").cast("long").alias("n_overlap"))
+        .select(
+            "query_id",
+            "n_overlap",
+            (F.col("n_overlap") * 20).cast("long").alias("recall_pct"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@_q(
+    "stream_state_size_estimate",
+    """
+    WITH deltas AS (
+      SELECT date_trunc('minute', ts) AS m, 1 AS d FROM events
+      UNION ALL
+      SELECT date_trunc('minute', ts) + INTERVAL 30 MINUTE AS m, -1 AS d
+      FROM events
+    ), grid AS (
+      SELECT m, CAST(sum(d) AS BIGINT) AS delta FROM deltas GROUP BY m
+    ), cum AS (
+      SELECT m, sum(delta) OVER (ORDER BY m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS state
+      FROM grid
+    )
+    SELECT CAST((SELECT count(*) FROM events) AS BIGINT) AS total_events,
+           CAST(max(state) AS BIGINT)                    AS peak_state,
+           min(m) FILTER (WHERE state = (SELECT max(state) FROM cum))
+             AS peak_minute
+    FROM cum
+    """,
+)
+def stream_state_size_estimate(spark, sf_dir):
+    """Streaming state sizing from history: if a stateful stream job held
+    each event for a 30-minute TTL (dedup cache, session state, join
+    buffer), how many rows of state would it hold at peak, and when? The
+    sweep-line rewrite: +1 at the event minute, -1 at minute+TTL, one
+    aggregate to the minute grid, cumulative sum = live state, max = the
+    provisioning number. This is the capacity-planning query run BEFORE
+    turning on a watermarked stream (streaming/ module) — state that fits
+    at p50 but not at the burst peak is an OOM in production.
+
+    Scale: the minute grid is unbounded over time, so the cumulative runs
+    through the pid-window + broadcast-offset rewrite
+    (global_cumulative_counts) — never an unpartitioned window over the
+    grid; the final max/argmax is a combinable aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.date_trunc("minute", F.col("ts"))
+    deltas = (
+        ev.select(m.alias("m"), F.lit(1).alias("d"))
+        .unionByName(
+            ev.select(
+                (m + F.expr("INTERVAL 30 MINUTES")).alias("m"),
+                F.lit(-1).alias("d"),
+            )
+        )
+        .groupBy("m")
+        .agg(F.sum("d").cast("long").alias("delta"))
+    )
+    cum = PCT.global_cumulative_counts(deltas, "m", "delta")
+    peak = cum.agg(F.max("__cw").alias("p")).select("p")
+    total = ev.agg(F.count("*").cast("long").alias("total_events"))
+    return (
+        cum.join(F.broadcast(peak))
+        .filter(F.col("__cw") == F.col("p"))
+        .agg(
+            F.max("p").cast("long").alias("peak_state"),
+            F.min("m").alias("peak_minute"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select("total_events", "peak_state", "peak_minute")
+    )
+
+
+@_q(
+    "corpus_interleave_schedule",
+    """
+    WITH sidx AS (
+      SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS s_idx,
+             CAST((SELECT count(DISTINCT source) FROM documents) AS BIGINT) AS ns
+      FROM (SELECT DISTINCT source FROM documents)
+    ), ranked AS (
+      SELECT d.doc_id, d.source,
+             CAST(row_number() OVER (PARTITION BY d.source
+               ORDER BY substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4), d.doc_id)
+             AS BIGINT) AS r
+      FROM documents d
+    )
+    SELECT CAST((r.r - 1) * s.ns + s.s_idx AS BIGINT) AS pos, r.source, r.doc_id
+    FROM ranked r JOIN sidx s ON r.source = s.source
+    WHERE (r.r - 1) * s.ns + s.s_idx <= 40
+    ORDER BY pos
+    """,
+)
+def corpus_interleave_schedule(spark, sf_dir):
+    """Balanced source interleave: the global training order that visits
+    every source once before any source repeats — pos = (rank_within_
+    source - 1) * n_sources + source_index, with the within-source order
+    the deterministic md5 permutation (same rule as curation_source_cap /
+    epoch_shuffle_schedule). This is mixture SCHEDULING as pure
+    arithmetic: no shuffle materializes the order, a reader computes any
+    position's document directly. The query audits the first 40 global
+    positions; the pin asserts the first n_sources positions cover every
+    source exactly once.
+
+    Scale: the source index table (|sources| rows) broadcasts; the
+    within-source rank prunes via WindowGroupLimit (only ranks small
+    enough to land in the audited prefix survive the shuffle)."""
+    d = _t(spark, sf_dir, "documents")
+    src = d.select("source").distinct()
+    wsrc = Window.orderBy("source")
+    ns = src.agg(F.count("*").cast("long").alias("ns"))
+    sidx = (
+        src.withColumn("s_idx", F.row_number().over(wsrc).cast("long"))
+        .crossJoin(F.broadcast(ns))
+    )
+    wr = Window.partitionBy("source").orderBy(
+        SAMP.hash_bucket(F.col("doc_id")), F.col("doc_id")
+    )
+    # pos = (r-1)*ns + s_idx >= r for every ns >= 1, so r <= 40 is implied
+    # by pos <= 40 — stating it EXPLICITLY here (Catalyst cannot derive a
+    # rank bound through the join) is what arms the WindowGroupLimit
+    # partial pre-shuffle prune (plan-locked).
+    ranked = (
+        d.select("doc_id", "source")
+        .withColumn("r", F.row_number().over(wr).cast("long"))
+        .filter(F.col("r") <= 40)
+    )
+    return (
+        ranked.join(F.broadcast(sidx), "source")
+        .select(
+            ((F.col("r") - 1) * F.col("ns") + F.col("s_idx")).alias("pos"),
+            "source",
+            "doc_id",
+        )
+        .filter(F.col("pos") <= 40)
+        .orderBy("pos")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -13232,6 +13446,9 @@ _GRADE_NEXT: list[str] = [
     "dq_zorder_pruning_gain",
     "multimodal_payload_entropy",
     "dedup_cc_incremental",
+    "sim_truncated_dim_recall",
+    "stream_state_size_estimate",
+    "corpus_interleave_schedule",
     # r02-cohort re-certifications trimmed off the round-6 window
     "dedup_corpus",
     "dedup_embedding_cosine",

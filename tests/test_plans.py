@@ -1214,3 +1214,31 @@ def test_zorder_gain_broadcasts_stats_no_collect_shape(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
     assert "partial_count" in plan, plan
     assert "windowspecdefinition" not in plan, plan
+
+
+def test_state_estimate_no_unpartitioned_grid_window(spark):
+    """stream_state_size_estimate: the minute-grid cumulative must run
+    pid-partitioned; no window may order by the minute without a
+    partition key."""
+    import re as _re
+
+    plan = _plan(spark, "stream_state_size_estimate")
+    assert "windowspecdefinition(__pid#" in plan, plan
+    bad = _re.findall(r"windowspecdefinition\(m#\d+ ASC", plan)
+    assert not bad, (bad, plan)
+
+
+def test_interleave_prunes_rank_before_shuffle(spark):
+    """corpus_interleave_schedule: the explicit r <= 40 bound must arm a
+    partial WindowGroupLimit; the source-index table must broadcast."""
+    plan = _plan(spark, "corpus_interleave_schedule")
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_truncated_recall_broadcasts_queries_both_passes(spark):
+    """sim_truncated_dim_recall: both ranking passes must broadcast the
+    query block; no cartesian fallback."""
+    plan = _plan(spark, "sim_truncated_dim_recall")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") + plan.count("BroadcastHashJoin") >= 2, plan

@@ -7966,3 +7966,103 @@ def test_pin_harness_detects_formula_drift(spark):
     }
     assert got and perturbed
     assert got != perturbed, "k=2 replica unexpectedly matched the k=3 engine"
+
+
+def test_truncated_dim_recall_matches_bruteforce(spark):
+    """sim_truncated_dim_recall: full-64 and first-16-dim top-5 sets
+    recomputed with numpy; recall must be exact n_overlap * 20 and the
+    truncated search must lose SOME recall somewhere (else the eval is
+    vacuous at this dim)."""
+    import numpy as np
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_embeddings()
+    vecs = {vid: np.asarray(v, dtype=np.float64) for vid, _, v in rows}
+
+    def topk(dim):
+        out = {}
+        for q in [v for v in vecs if v < 10]:
+            qv = vecs[q][:dim]
+            nq = float(np.sqrt(qv @ qv))
+            scored = sorted(
+                (
+                    -round(float(qv @ vecs[c][:dim]) / (nq * float(np.sqrt(vecs[c][:dim] @ vecs[c][:dim]))), 6),
+                    c,
+                )
+                for c in vecs
+                if c != q
+            )
+            out[q] = {c for _, c in scored[:5]}
+        return out
+
+    full, trunc = topk(64), topk(16)
+    expect = {
+        q: (len(full[q] & trunc[q]), len(full[q] & trunc[q]) * 20) for q in full
+    }
+    got = {
+        r.query_id: (r.n_overlap, r.recall_pct)
+        for r in REGISTRY["sim_truncated_dim_recall"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert any(n < 5 for n, _ in expect.values())
+
+
+def test_stream_state_estimate_matches_bruteforce(spark):
+    """stream_state_size_estimate: the 30-min-TTL sweep line recomputed
+    in plain Python minute by minute."""
+    import datetime
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    deltas = Counter()
+    n = 0
+    for (ts,) in _smoke_table("events", ["ts"]):
+        m = ts.replace(second=0, microsecond=0)
+        deltas[m] += 1
+        deltas[m + datetime.timedelta(minutes=30)] -= 1
+        n += 1
+    state, peak, peak_minute = 0, -1, None
+    for m in sorted(deltas):
+        state += deltas[m]
+        if state > peak:
+            peak, peak_minute = state, m
+    row = REGISTRY["stream_state_size_estimate"].fn(spark, SF_SMOKE).collect()[0]
+    got_minute = row.peak_minute
+    if got_minute.tzinfo is not None:
+        got_minute = got_minute.replace(tzinfo=None)
+    assert (row.total_events, row.peak_state, got_minute) == (n, peak, peak_minute)
+
+
+def test_interleave_schedule_matches_bruteforce(spark):
+    """corpus_interleave_schedule: positions recomputed in plain Python;
+    the first n_sources positions must cover every source exactly once."""
+    import hashlib
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    by_source = defaultdict(list)
+    for doc_id, source in _smoke_table("documents", ["doc_id", "source"]):
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()[:4]
+        by_source[source].append((h, doc_id))
+    sources = sorted(by_source)
+    ns = len(sources)
+    expect = {}
+    for s_idx, source in enumerate(sources, start=1):
+        rows = sorted(by_source[source])
+        for r, (_, doc_id) in enumerate(rows, start=1):
+            pos = (r - 1) * ns + s_idx
+            if pos <= 40:
+                expect[pos] = (source, doc_id)
+    got = {
+        r.pos: (r.source, r.doc_id)
+        for r in REGISTRY["corpus_interleave_schedule"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    first_round = {got[p][0] for p in range(1, ns + 1) if p in got}
+    assert len(first_round) == min(ns, 40)
