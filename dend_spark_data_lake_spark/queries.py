@@ -13226,6 +13226,132 @@ def corpus_interleave_schedule(spark, sf_dir):
     )
 
 
+@_q(
+    "events_markov_entropy_rate",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), pairs AS (
+      SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS c
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ), per_state AS (
+      SELECT event_type,
+             CAST(sum(c) AS BIGINT) AS n_out,
+             round(ln(CAST(sum(c) AS DOUBLE))
+                   - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c),
+                   6) AS h_nats
+      FROM pairs GROUP BY event_type
+    )
+    SELECT event_type, n_out, h_nats,
+           round(h_nats * n_out / (SELECT sum(n_out) FROM per_state), 6)
+             AS contrib_nats
+    FROM per_state ORDER BY event_type
+    """,
+)
+def events_markov_entropy_rate(spark, sf_dir):
+    """Per-state conditional entropy of the first-order Markov chain over
+    user event sequences, in nats — how PREDICTABLE the next event is
+    given the current one (the sequence-modeling difficulty signal; a
+    near-zero state is templated flow, a high state is noise). Uses the
+    same exact-count formulation as doc_entropy_unigram
+    (H = ln(n) − Σc·ln(c)/n, 1-ulp fp differences ~9 orders below the
+    rounding) and the same per-user lead timeline as
+    events_type_transitions. contrib_nats = p(state)·H(state): summing
+    the column gives the chain's entropy rate under the empirical state
+    distribution.
+
+    Scale: one per-user window (the natural event partitioning), then
+    everything runs on the |types|² aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pairs = seq.groupBy("event_type", "next_type").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    per_state = pairs.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n_out"),
+        F.round(
+            F.log(F.sum("c").cast("double"))
+            - F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+            / F.sum("c"),
+            6,
+        ).alias("h_nats"),
+    )
+    total = per_state.agg(F.sum("n_out").cast("long").alias("__tot"))
+    return (
+        per_state.crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            "n_out",
+            "h_nats",
+            F.round(
+                F.col("h_nats") * F.col("n_out") / F.col("__tot"), 6
+            ).alias("contrib_nats"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_q(
+    "curation_quality_dedup_matrix",
+    "WITH RECURSIVE "
+    + _DUP_REACH_CTES
+    + """, dropset AS (
+      SELECT es FROM reach GROUP BY es HAVING least(es, min(ed)) <> es
+    )
+    SELECT (CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END) >= 10
+             AS quality_ok,
+           doc_id NOT IN (SELECT es FROM dropset) AS dedup_keep,
+           CAST(count(*) AS BIGINT)     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def curation_quality_dedup_matrix(spark, sf_dir):
+    """Interaction matrix of the two big curation filters: quality
+    (>= 10 whitespace tokens, the text_quality rule) x near-dup survival
+    (representative-or-unclustered, the dedup_corpus rule). The
+    off-diagonal cells are the planning numbers a pipeline owner needs:
+    docs that pass quality but die in dedup are wasted quality-filter
+    compute (run dedup FIRST if that cell dominates), and dup-survivors
+    that fail quality say the dedup representative choice is keeping the
+    wrong copy. Composes the existing pair-mining + CC machinery with the
+    quality projection in one pass over the corpus.
+
+    Scale: drop-set broadcast left join (the dedup_corpus delete-path
+    shape) + scan-side quality flag + 4-row combinable rollup."""
+    from .operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = SIM.ngram_jaccard_pairs(d, n=3, threshold=0.5).select("doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    drop = (
+        cc.filter(F.col("vertex") != F.col("component"))
+        .select(F.col("vertex").alias("doc_id"))
+        .withColumn("__dropped", F.lit(1))
+    )
+    flagged = d.join(F.broadcast(drop), "doc_id", "left").select(
+        (TX.token_count_ws(F.col("text")) >= 10).alias("quality_ok"),
+        F.col("__dropped").isNull().alias("dedup_keep"),
+        "n_chars",
+    )
+    return (
+        flagged.groupBy("quality_ok", "dedup_keep")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("quality_ok", "dedup_keep")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -13449,6 +13575,8 @@ _GRADE_NEXT: list[str] = [
     "sim_truncated_dim_recall",
     "stream_state_size_estimate",
     "corpus_interleave_schedule",
+    "events_markov_entropy_rate",
+    "curation_quality_dedup_matrix",
     # r02-cohort re-certifications trimmed off the round-6 window
     "dedup_corpus",
     "dedup_embedding_cosine",

@@ -8066,3 +8066,89 @@ def test_interleave_schedule_matches_bruteforce(spark):
     assert got == expect
     first_round = {got[p][0] for p in range(1, ns + 1) if p in got}
     assert len(first_round) == min(ns, 40)
+
+
+def test_markov_entropy_rate_matches_bruteforce(spark):
+    """events_markov_entropy_rate: transition counts + per-state entropy
+    recomputed in plain Python; every state entropy in [0, ln(|types|)]."""
+    import math
+    from collections import Counter, defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    by_user = defaultdict(list)
+    for uid, et, ts, eid in _smoke_table(
+        "events", ["user_id", "event_type", "ts", "event_id"]
+    ):
+        by_user[uid].append((ts, eid, et))
+    trans = Counter()
+    for rows in by_user.values():
+        rows.sort()
+        for (_, _, a), (_, _, b) in zip(rows, rows[1:]):
+            trans[(a, b)] += 1
+    out = defaultdict(dict)
+    for (a, b), c in trans.items():
+        out[a][b] = c
+    total = sum(trans.values())
+    expect = {}
+    n_types = len({t for pair in trans for t in pair})
+    for a, targets in out.items():
+        n = sum(targets.values())
+        h = round(
+            math.log(n) - sum(c * math.log(c) for c in targets.values()) / n, 6
+        )
+        assert -1e-9 <= h <= math.log(n_types) + 1e-9
+        expect[a] = (n, h, round(h * n / total, 6))
+    got = {
+        r.event_type: (r.n_out, r.h_nats, r.contrib_nats)
+        for r in REGISTRY["events_markov_entropy_rate"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_quality_dedup_matrix_matches_bruteforce(spark):
+    """curation_quality_dedup_matrix: the 2x2 retention matrix recomputed
+    with the union-find drop set + plain token counts; cells must sum to
+    the corpus."""
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    sets = _shingle_sets()
+    ids = sorted(sets)
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter and inter / len(sets[a] | sets[b]) >= 0.5:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    dropped = {v for v in parent if find(v) != v}
+    cells = defaultdict(lambda: [0, 0])
+    n_total = 0
+    for doc_id, text, n_chars in _smoke_table(
+        "documents", ["doc_id", "text", "n_chars"]
+    ):
+        q = (len(text.split()) if text.strip() else 0) >= 10
+        k = doc_id not in dropped
+        cells[(q, k)][0] += 1
+        cells[(q, k)][1] += n_chars
+        n_total += 1
+    expect = {cell: tuple(v) for cell, v in cells.items()}
+    assert sum(v[0] for v in expect.values()) == n_total
+    got = {
+        (r.quality_ok, r.dedup_keep): (r.n_docs, r.sum_chars)
+        for r in REGISTRY["curation_quality_dedup_matrix"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
