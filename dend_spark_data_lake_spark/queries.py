@@ -13352,6 +13352,92 @@ def curation_quality_dedup_matrix(spark, sf_dir):
     )
 
 
+@_q(
+    "embed_centroid_drift",
+    """
+    WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+    comp AS (
+      SELECT label, i,
+             CAST(sum(CASE WHEN vec_id % 2 = 0
+                  THEN CAST(round(embedding[i] * 1048576) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS s_old,
+             CAST(sum(CASE WHEN vec_id % 2 = 1
+                  THEN CAST(round(embedding[i] * 1048576) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS s_new
+      FROM embeddings CROSS JOIN dims GROUP BY label, i
+    ), counts AS (
+      SELECT label,
+             CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_old,
+             CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new
+      FROM embeddings GROUP BY label
+    )
+    SELECT c.label, n_old, n_new,
+           round(sum(s_old * s_new)
+                 / (sqrt(CAST(sum(s_old * s_old) AS DOUBLE))
+                  * sqrt(CAST(sum(s_new * s_new) AS DOUBLE))), 6) AS drift_cos
+    FROM comp c JOIN counts USING (label)
+    GROUP BY c.label, n_old, n_new ORDER BY c.label
+    """,
+)
+def embed_centroid_drift(spark, sf_dir):
+    """Embedding drift monitor: per label, the cosine between the OLD
+    snapshot's centroid (vec_id even) and the NEW snapshot's (vec_id odd)
+    — the retraining/-reindexing trigger (drift_cos well below 1 means
+    the class has moved and the ANN index / classifier built on old
+    vectors is stale). Components are quantized to integers
+    (round(v * 2^20), the kmeans trick) and SUMMED — exact cross-engine —
+    and because cosine ignores scalar magnitude, the centroid division by
+    n never happens: cos(sum_old, sum_new) == cos(mean_old, mean_new),
+    so the only float op is one dot/sqrt per label, rounded.
+
+    Scale: one shuffle keyed (label, dim) with map-side partial integer
+    sums (the embed_centroid_by_label shape), then a |labels|x64-row
+    fold."""
+    em = _t(spark, sf_dir, "embeddings")
+    q = (F.round(F.col("v") * (1 << 20))).cast("long")
+    comp = (
+        em.select("label", "vec_id", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.when(F.col("vec_id") % 2 == 0, q).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("s_old"),
+            F.sum(F.when(F.col("vec_id") % 2 == 1, q).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("s_new"),
+        )
+    )
+    counts = em.groupBy("label").agg(
+        F.sum((F.col("vec_id") % 2 == 0).cast("long")).cast("long").alias("n_old"),
+        F.sum((F.col("vec_id") % 2 == 1).cast("long")).cast("long").alias("n_new"),
+    )
+    return (
+        comp.groupBy("label")
+        .agg(
+            F.sum(F.col("s_old") * F.col("s_new")).alias("__dot"),
+            F.sum(F.col("s_old") * F.col("s_old")).alias("__no"),
+            F.sum(F.col("s_new") * F.col("s_new")).alias("__nn"),
+        )
+        .join(counts, "label")
+        .select(
+            "label",
+            "n_old",
+            "n_new",
+            F.round(
+                F.col("__dot")
+                / (
+                    F.sqrt(F.col("__no").cast("double"))
+                    * F.sqrt(F.col("__nn").cast("double"))
+                ),
+                6,
+            ).alias("drift_cos"),
+        )
+        .orderBy("label")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -13577,6 +13663,7 @@ _GRADE_NEXT: list[str] = [
     "corpus_interleave_schedule",
     "events_markov_entropy_rate",
     "curation_quality_dedup_matrix",
+    "embed_centroid_drift",
     # r02-cohort re-certifications trimmed off the round-6 window
     "dedup_corpus",
     "dedup_embedding_cosine",

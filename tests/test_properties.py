@@ -8152,3 +8152,40 @@ def test_quality_dedup_matrix_matches_bruteforce(spark):
         for r in REGISTRY["curation_quality_dedup_matrix"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_centroid_drift_matches_bruteforce(spark):
+    """embed_centroid_drift: integer-quantized component sums + cosine
+    recomputed with numpy; drift must equal the quantized-mean cosine and
+    sit in [-1, 1]."""
+    import math
+
+    import numpy as np
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    halves = {}
+    for vid, lab, vec in _smoke_embeddings():
+        qv = [math.floor(v * (1 << 20) + 0.5) for v in np.asarray(vec, dtype=np.float64)]
+        key = (lab, vid % 2)
+        if key not in halves:
+            halves[key] = [np.zeros(64, dtype=np.int64), 0]
+        halves[key][0] += np.asarray(qv, dtype=np.int64)
+        halves[key][1] += 1
+    labels = sorted({lab for lab, _ in halves})
+    expect = {}
+    for lab in labels:
+        so, n_old = halves.get((lab, 0), [np.zeros(64, dtype=np.int64), 0])
+        sn, n_new = halves.get((lab, 1), [np.zeros(64, dtype=np.int64), 0])
+        dot = int((so * sn).sum())
+        no = int((so * so).sum())
+        nn = int((sn * sn).sum())
+        cos = round(dot / (math.sqrt(no) * math.sqrt(nn)), 6)
+        assert -1.0 <= cos <= 1.0
+        expect[lab] = (n_old, n_new, cos)
+    got = {
+        r.label: (r.n_old, r.n_new, r.drift_cos)
+        for r in REGISTRY["embed_centroid_drift"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
