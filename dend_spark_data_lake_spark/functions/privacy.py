@@ -7,17 +7,25 @@ Laplace noise with scale b = sensitivity / epsilon (Dwork et al.,
 "Calibrating Noise to Sensitivity in Private Data Analysis", TCC 2006).
 
 The noise here is DETERMINISTIC — drawn by inverse-CDF from the md5
-bucket of a caller-supplied key (normally the group key plus a fixed
-salt), the same engine-portable uniform the sampling operators use
+bucket of a caller-supplied key (normally the group key plus a salt),
+the same engine-portable uniform the sampling operators use
 (operators/sampling.py). That makes the released numbers reproducible
-across runs and oracle-checkable cross-engine. The privacy caveat is
-documented rather than hidden: a deterministic draw keyed on the group
-value is a FIXED noise table, so it protects against the same
-threat-model as a released one-shot noisy table (each release is one
-draw), but re-keying (changing the salt) is required for fresh draws,
-and composing many releases with the same salt spends no fresh
-randomness. Production DP would swap ``md5(key||salt)`` for a keyed PRF
-(HMAC) with a secret salt; the Spark-side plumbing is identical.
+across runs and oracle-checkable cross-engine.
+
+PRIVACY CAVEAT — read before releasing anything: with a PUBLIC salt
+(such as the demo default ``"laplace"``) this mechanism provides ZERO
+privacy, not epsilon-DP. Anyone who knows the salt can recompute
+``md5(key || ':' || salt)`` from the group key alone, reconstruct the
+exact noise value, and subtract it to denoise the release exactly.
+That is strictly weaker than a released one-shot noisy table, whose
+noise realization is not public. The deterministic draw exists so the
+cross-engine oracle can certify the PLUMBING (inverse-CDF transform,
+scan-side projection, scale arithmetic) — it is a testing device, not
+a privacy mechanism. Production DP use REQUIRES swapping
+``md5(key||salt)`` for a keyed PRF (HMAC) with a salt kept secret from
+every release consumer (and fresh per release for composition); the
+Spark-side plumbing is identical. Callers should treat the ``salt``
+parameter as mandatory-and-secret, never the default.
 
 No counterpart in the reference (SURVEY.md §2 training-pipeline
 extension rows).
@@ -42,8 +50,13 @@ def det_uniform(key: Column, salt: str) -> Column:
     ) / F.lit(float(_BUCKETS))
 
 
-def laplace_noise(key: Column, scale: float, salt: str = "laplace") -> Column:
+def laplace_noise(key: Column, scale: float, salt: str) -> Column:
     """Laplace(0, b) noise by inverse CDF of a deterministic uniform.
+
+    ``salt`` is deliberately REQUIRED (no default): a public or guessable
+    salt makes the noise exactly recomputable from ``key`` and the release
+    denoisable (zero privacy — see the module caveat). Pass a secret,
+    per-release value in production (and swap md5 for HMAC).
 
     With c = u - 1/2 ∈ (-1/2, 1/2):  noise = -b · sign(c) · ln(1 - 2|c|).
     DuckDB replica (the oracle formula, kept in lockstep with this

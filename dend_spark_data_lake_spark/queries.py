@@ -12047,20 +12047,24 @@ def sample_weighted_reservoir(spark, sf_dir):
     """,
 )
 def dp_laplace_release(spark, sf_dir):
-    """Differentially-private release of per-language document counts:
+    """DP-release PLUMBING demo for per-language document counts:
     Laplace(0, b) noise with b = sensitivity/epsilon = 1/1.0 added to each
     count, then rounded to the nearest non-negative integer (floor(x+0.5)
     — identical half-handling in both engines, unlike round()). The noise
-    is drawn by inverse CDF from the deterministic md5 uniform
-    (functions/privacy.py, incl. the documented fixed-noise-table caveat),
-    which is what lets a DP mechanism — normally unverifiable randomness —
-    carry a full cross-engine value oracle.
+    is drawn by inverse CDF from the deterministic md5 uniform with the
+    PUBLIC demo salt (functions/privacy.py) — which provides ZERO actual
+    privacy (the noise is exactly recomputable from the group key, so the
+    release can be denoised; see the module caveat) but is what lets the
+    mechanism's plumbing — normally unverifiable randomness — carry a full
+    cross-engine value oracle. A real release must use a secret HMAC salt.
 
     Scale: one map-side-combinable count per language plus a scan-side
     noise projection over the (|langs|)-row aggregate; nothing else
     moves."""
     d = _t(spark, sf_dir, "documents")
-    noise = PRIV.laplace_noise(F.col("lang"), scale=1.0)
+    # PUBLIC demo salt — zero privacy by construction; testing device only
+    # (matches the oracle's hardcoded ':laplace'; see functions/privacy.py)
+    noise = PRIV.laplace_noise(F.col("lang"), scale=1.0, salt="laplace")
     return (
         d.groupBy("lang")
         .agg(F.count("*").cast("long").alias("n_docs"))
@@ -12442,9 +12446,14 @@ def curation_token_budget(spark, sf_dir):
         .withColumn("budget", F.expr("CAST((total * 2) DIV 5 AS BIGINT)"))
     )
     full = cumb.filter(F.col("cum") <= F.col("budget")).select("score")
+    # Boundary bucket: first bucket whose inclusive cum crosses the budget.
+    # The exclusive bound is <= (not <) so that when the full buckets exactly
+    # exhaust the budget, the next bucket is still selected with __rem == 0
+    # and its zero-token head docs (inclusive cum == budget) are kept —
+    # matching the oracle's inclusive `cum <= budget` semantics.
     bnd = cumb.filter(
         (F.col("cum") > F.col("budget"))
-        & (F.col("cum") - F.col("btok") < F.col("budget"))
+        & (F.col("cum") - F.col("btok") <= F.col("budget"))
     ).select(
         "score",
         (F.col("budget") - (F.col("cum") - F.col("btok"))).alias("__rem"),
@@ -13446,20 +13455,76 @@ def embed_centroid_drift(spark, sf_dir):
 # order). Registration order above is topical; the driver-facing order below
 # is a rotation policy: queries not yet externally certified come first.
 #
-# ROUND-6 WINDOW (50 slots, VERDICT r5 ask #1): the first 50 names of the
-# round-5 queue. Head: the two round-5 splits — the only oracle-backed
-# entries without a driver row (judge-certified green at sf0.01 in r5).
-# Then the 45 entries whose only driver row is CORRECTNESS_r01 (graded
-# before the round-2 harness fix), then the three OLDEST r02 certificates.
-# The queue held 52 names but the window holds 50; per VERDICT r5 ask #1
-# the trim is deliberate and from the END (the two newest r02-cohort
-# re-certifications re-queue in _GRADE_NEXT below) so the splits cannot
-# fall off the front.
+# ROUND-7 WINDOW (50 slots): per the rotation policy, never-graded entries
+# head the window — the 25 round-6 additions (landed after the round-6
+# window froze), then the two r02-cohort re-certifications trimmed off the
+# round-6 window's end (dedup_corpus, dedup_embedding_cosine), then the 23
+# OLDEST remaining r02-only certificates (re-certification hygiene: their
+# r02 greens stand, but every other cohort has a newer row).
 _GRADE_FIRST = [
-    # round-5 additions, never driver-graded (the round-6 priority)
+    # round-6 additions, never driver-graded (the round-7 priority)
+    "sketch_cms_heavy_hitters",
+    "dq_split_leak_audit",
+    "sample_weighted_reservoir",
+    "dp_laplace_release",
+    "sim_hard_negatives",
+    "pack_length_buckets",
+    "shard_balance_audit",
+    "dq_bloom_filter_audit",
+    "curation_source_cap",
+    "curation_token_budget",
+    "join_asof_tolerance",
+    "ids_global_stable",
+    "epoch_shuffle_schedule",
+    "stats_bootstrap_ci",
+    "lake_compaction_plan",
+    "dq_zonemap_pruning_audit",
+    "dq_zorder_pruning_gain",
+    "multimodal_payload_entropy",
+    "dedup_cc_incremental",
+    "sim_truncated_dim_recall",
+    "stream_state_size_estimate",
+    "corpus_interleave_schedule",
+    "events_markov_entropy_rate",
+    "curation_quality_dedup_matrix",
+    "embed_centroid_drift",
+    # r02-cohort re-certifications trimmed off the round-6 window (2)
+    "dedup_corpus",
+    "dedup_embedding_cosine",
+    # oldest remaining r02-only certificates (23, in r02 grading order)
+    "join_fuzzy_levenshtein",
+    "sample_det_hash",
+    "split_train_valid_test",
+    "sample_stratified",
+    "udf_pandas_scalar",
+    "udf_grouped_agg",
+    "udf_grouped_map",
+    "udf_map_in_arrow",
+    "udtf_word_chunks",
+    "window_rank_family",
+    "window_range_frame",
+    "window_first_last",
+    "agg_stats",
+    "agg_percentiles_exact",
+    "agg_quantiles",
+    "agg_histogram",
+    "agg_ship_priority",
+    "agg_customer_distribution",
+    "date_funcs",
+    "explode_pos",
+    "unpivot_melt",
+    "text_normalize",
+    "text_length_band",
+]
+
+
+# Certified in CORRECTNESS_r06 (50/50 green: rows+schema+hash — the two
+# round-5 splits' first driver rows plus the r01-cohort re-certifications).
+# Demoted behind the round-7 window; kept explicit so the rotation history
+# stays auditable in one place.
+_GRADE_DONE_R06 = [
     "split_leakage_safe",
     "split_cluster_safe",
-    # sole certificate is r01 (45, in r01 grading order)
     "ref_pricing_summary",
     "ref_dedup_keep_latest",
     "ref_dedup_keep_first",
@@ -13505,7 +13570,6 @@ _GRADE_FIRST = [
     "text_fingerprint",
     "text_langid",
     "multimodal_bytes",
-    # oldest r02 certificates (3)
     "pipeline_llm_corpus",
     "dedup_semantic_corpus",
     "dedup_clusters",
@@ -13630,43 +13694,34 @@ _GRADE_DONE_R04 = [
 ]
 
 
-# Behind the window, queued for the round-7 rotation: the two r02-cohort
-# re-certifications trimmed off the end of the round-6 window (their r02
-# greens stand; re-certification is hygiene, not a gap). Once the round-6
-# sweep lands, the only certificates older than the round-2 harness fix
-# are these two plus the tail of the r02 cohort (_GRADE_DONE_R02). Any
-# round-7 additions should be inserted at the FRONT of this queue.
+# Behind the window, queued for the round-8 rotation: the tail of the r02
+# cohort not promoted into the round-7 window (their r02 greens stand;
+# re-certification is hygiene, not a gap). Any round-7 additions are
+# inserted at the FRONT of this queue per the rotation policy (never into
+# the already-frozen window above).
 _GRADE_NEXT: list[str] = [
-    # round-6 additions, never graded (front of the queue per policy; the
-    # round-6 window was already frozen when these landed)
-    "sketch_cms_heavy_hitters",
-    "dq_split_leak_audit",
-    "sample_weighted_reservoir",
-    "dp_laplace_release",
-    "sim_hard_negatives",
-    "pack_length_buckets",
-    "shard_balance_audit",
-    "dq_bloom_filter_audit",
-    "curation_source_cap",
-    "curation_token_budget",
-    "join_asof_tolerance",
-    "ids_global_stable",
-    "epoch_shuffle_schedule",
-    "stats_bootstrap_ci",
-    "lake_compaction_plan",
-    "dq_zonemap_pruning_audit",
-    "dq_zorder_pruning_gain",
-    "multimodal_payload_entropy",
-    "dedup_cc_incremental",
-    "sim_truncated_dim_recall",
-    "stream_state_size_estimate",
-    "corpus_interleave_schedule",
-    "events_markov_entropy_rate",
-    "curation_quality_dedup_matrix",
-    "embed_centroid_drift",
-    # r02-cohort re-certifications trimmed off the round-6 window
-    "dedup_corpus",
-    "dedup_embedding_cosine",
+    # r02-only certificates remaining after the round-7 promotion (21)
+    "text_bigram_counts",
+    "join_cross",
+    "join_skew_salted",
+    "sql_having_semijoin",
+    "sql_scalar_subquery",
+    "sql_disjunctive_join",
+    "sql_exists_not_exists",
+    "sql_volume_shipping",
+    "sql_sole_supplier_rewrite",
+    "multimodal_chunks",
+    "multimodal_frame_sample",
+    "merge_upsert_customers",
+    "scd2_status_intervals",
+    "ts_gapfill",
+    "ts_anomaly_zscore",
+    "ts_ewma_per_customer",
+    "impute_group_median",
+    "embed_centroid_by_label",
+    "dq_orders_constraints",
+    "funnel_view_click_purchase",
+    "cohort_retention",
 ]
 
 
@@ -13786,7 +13841,14 @@ def _reorder_registry() -> None:
     assert len(rotation) == len(set(rotation)), "duplicate grade names"
     front = list(
         dict.fromkeys(
-            [*rotation, *_GRADE_DONE_R05, *_GRADE_DONE_R04, *_GRADE_DONE_R03, *_GRADE_DONE_R02]
+            [
+                *rotation,
+                *_GRADE_DONE_R06,
+                *_GRADE_DONE_R05,
+                *_GRADE_DONE_R04,
+                *_GRADE_DONE_R03,
+                *_GRADE_DONE_R02,
+            ]
         )
     )
     missing = [n for n in front if n not in REGISTRY]

@@ -48,22 +48,22 @@ def test_grading_window_invariants():
     assert len(rotation) == len(set(rotation))
 
 
-def test_round6_window_rotation_policy():
-    """The round-6 window (VERDICT r5 ask #1) must lead with every
-    oracle-backed entry that has NO driver row in CORRECTNESS_r01..r05
-    (the two round-5 splits), and every other window slot must be a
-    re-certification whose MOST RECENT driver certificate predates the
-    round-3 artifact — i.e. the stale r01/r02 cohorts, oldest first.
-    Derived from the actual CORRECTNESS_r0*.json artifacts, not from our
-    own rotation lists."""
+def test_round7_window_rotation_policy():
+    """The round-7 window must lead with every oracle-backed entry that
+    has NO driver row in CORRECTNESS_r01..r06 (the 25 round-6 additions,
+    which landed after the round-6 window froze), and every other window
+    slot must be a re-certification whose MOST RECENT driver certificate
+    predates the round-3 artifact — i.e. the stale r02 cohort, oldest
+    first. Derived from the actual CORRECTNESS_r0*.json artifacts, not
+    from our own rotation lists."""
     import json
     from pathlib import Path
 
     from dend_spark_data_lake_spark.queries import _GRADE_FIRST, _GRADE_NEXT
 
     repo = Path(__file__).resolve().parent.parent
-    artifacts = sorted(repo.glob("CORRECTNESS_r0[1-5].json"))
-    if len(artifacts) < 5:
+    artifacts = sorted(repo.glob("CORRECTNESS_r0[1-6].json"))
+    if len(artifacts) < 6:
         pytest.skip("driver correctness artifacts not present")
 
     latest_round: dict[str, int] = {}
@@ -75,9 +75,9 @@ def test_round6_window_rotation_policy():
     oracle_backed = {n for n, s in REGISTRY.items() if s.oracle is not None}
     never_graded = oracle_backed - set(latest_round)
     # never-graded entries either lead the WINDOW (they existed when the
-    # round-6 window was cut: the two splits) or sit at the FRONT of the
-    # queue (round-6 additions made after the window froze — the graded
-    # surface stays untouched between rotation and grading)
+    # round-7 window was cut: the 25 round-6 additions) or sit at the
+    # FRONT of the queue (round-7 additions made after the window froze —
+    # the graded surface stays untouched between rotation and grading)
     in_window = never_graded & set(_GRADE_FIRST)
     queued = never_graded - in_window
     k = len(in_window)
