@@ -13448,6 +13448,817 @@ def embed_centroid_drift(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 training-pipeline extensions: temporal holdout splits, watermark
+# provisioning, A/B experimentation, survival/churn hazard, calibration,
+# negative sampling, water-filling quotas, mutual-kNN graph, DSIR selection
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "split_temporal_holdout",
+    """
+    WITH r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS cnt
+      FROM events
+    ), s AS (
+      SELECT event_type,
+             CASE WHEN rn <= greatest(1, (4 * cnt) // 5)
+                  THEN 'train' ELSE 'eval' END AS split,
+             user_id
+      FROM r
+    )
+    SELECT split, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM s GROUP BY split, event_type ORDER BY split, event_type
+    """,
+)
+def split_temporal_holdout(spark, sf_dir):
+    """Per-user temporal holdout split: each user's events are ordered by
+    (ts, event_id) and the LAST ~20% go to eval, the rest to train (with
+    at least one train event per user, so singleton users never leak their
+    only event into eval). This is the split a recommender / sequential
+    model must use — the hash splits (split_train_valid_test et al.)
+    shuffle a user's future into train, which leaks temporal signal.
+    Integer boundary: n_train = greatest(1, (4*cnt) DIV 5), exact in both
+    engines.
+
+    Scale: one user-keyed shuffle; both the row_number and the per-user
+    count ride the same partitioned window (never unpartitioned). The
+    count-distinct in the report aggregates (split, event_type)-keyed —
+    bounded output."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = Window.partitionBy("user_id")
+    r = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("cnt"),
+    )
+    s = r.select(
+        "event_type",
+        "user_id",
+        F.when(
+            F.col("rn") <= F.greatest(F.lit(1), F.expr("(4 * cnt) DIV 5")),
+            F.lit("train"),
+        )
+        .otherwise(F.lit("eval"))
+        .alias("split"),
+    )
+    return (
+        s.groupBy("split", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("split", "event_type")
+    )
+
+
+@_q(
+    "events_watermark_lateness",
+    """
+    WITH l AS (
+      SELECT greatest(CAST(0 AS BIGINT),
+               max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - epoch_us(ts)) AS late_us
+      FROM events
+    ), t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+             CAST(sum(CASE WHEN late_us > 300000000 THEN 1 ELSE 0 END) AS BIGINT) AS d300,
+             CAST(sum(CASE WHEN late_us > 900000000 THEN 1 ELSE 0 END) AS BIGINT) AS d900,
+             CAST(sum(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS d3600
+      FROM l
+    )
+    SELECT CAST(0 AS BIGINT) AS delay_sec, d0 AS n_late,
+           CAST((1000000 * d0) // n AS BIGINT) AS late_ppm FROM t
+    UNION ALL SELECT 300, d300, CAST((1000000 * d300) // n AS BIGINT) FROM t
+    UNION ALL SELECT 900, d900, CAST((1000000 * d900) // n AS BIGINT) FROM t
+    UNION ALL SELECT 3600, d3600, CAST((1000000 * d3600) // n AS BIGINT) FROM t
+    ORDER BY delay_sec
+    """,
+)
+def events_watermark_lateness(spark, sf_dir):
+    """Watermark-delay provisioning: how many events a Structured
+    Streaming job would DROP at candidate watermark delays {0, 5m, 15m,
+    1h}. Arrival order is approximated per user by event_id; an event's
+    lateness is the gap (in exact integer microseconds) behind the
+    running event-time maximum at its arrival. Read this BEFORE choosing
+    `withWatermark` — the companion of stream_state_size_estimate (that
+    one prices the state, this one prices the data loss).
+
+    Scale: one user-keyed shuffle for the running max (partitioned
+    window), then a single combinable conditional aggregate; the 4-row
+    report is unpivoted from one pass — the event table is scanned
+    once."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    us = F.unix_micros(F.col("ts"))
+    late = ev.select(
+        F.greatest(F.lit(0).cast("long"), F.max(us).over(w) - us).alias("late_us")
+    )
+    t = late.agg(
+        F.count("*").cast("long").alias("n"),
+        *[
+            F.sum((F.col("late_us") > d * 1_000_000).cast("long"))
+            .cast("long")
+            .alias(f"d{d}")
+            for d in (0, 300, 900, 3600)
+        ],
+    )
+    return (
+        t.selectExpr(
+            "stack(4, "
+            "CAST(0 AS BIGINT), d0, CAST((1000000 * d0) DIV n AS BIGINT), "
+            "CAST(300 AS BIGINT), d300, CAST((1000000 * d300) DIV n AS BIGINT), "
+            "CAST(900 AS BIGINT), d900, CAST((1000000 * d900) DIV n AS BIGINT), "
+            "CAST(3600 AS BIGINT), d3600, CAST((1000000 * d3600) DIV n AS BIGINT)"
+            ") AS (delay_sec, n_late, late_ppm)"
+        )
+        .orderBy("delay_sec")
+    )
+
+
+@_q(
+    "stats_ab_test_proportions",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(concat('0x', substr(md5('ab:' || user_id), 1, 4)) AS BIGINT) % 2
+               AS variant,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ), s AS (
+      SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+             CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+      FROM u
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           CAST((1000000 * conv_a) // n_a AS BIGINT) AS conv_a_ppm,
+           CAST((1000000 * conv_b) // n_b AS BIGINT) AS conv_b_ppm,
+           CASE WHEN CAST(n_a AS HUGEINT) * n_b * (conv_a + conv_b)
+                     * (n_a + n_b - conv_a - conv_b) = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST((CAST(1000000 AS HUGEINT)
+                      * (conv_a * n_b - conv_b * n_a)
+                      * (conv_a * n_b - conv_b * n_a)
+                      * (n_a + n_b))
+                     // (CAST(n_a AS HUGEINT) * n_b * (conv_a + conv_b)
+                         * (n_a + n_b - conv_a - conv_b))
+                     AS BIGINT) END AS z2_e6,
+           (CAST(n_a AS HUGEINT) * n_b * (conv_a + conv_b)
+              * (n_a + n_b - conv_a - conv_b) > 0
+            AND (CAST(1000000 AS HUGEINT)
+                 * (conv_a * n_b - conv_b * n_a)
+                 * (conv_a * n_b - conv_b * n_a)
+                 * (n_a + n_b))
+                >= (CAST(3841459 AS HUGEINT) * n_a * n_b * (conv_a + conv_b)
+                    * (n_a + n_b - conv_a - conv_b))) AS significant
+    FROM s
+    """,
+)
+def stats_ab_test_proportions(spark, sf_dir):
+    """Two-proportion A/B test on purchase conversion under a
+    deterministic md5 user-level assignment (variant = bucket % 2 — the
+    assignment every online experiment actually ships). The two-sided
+    pooled z-statistic is reported as z² in exact integer micro-units:
+      z² = (c_a·n_b − c_b·n_a)² · N / (n_a·n_b·c·(N−c)),   c = c_a+c_b
+    evaluated entirely in 128-bit integer arithmetic (DECIMAL(38,0) on
+    the Spark side, HUGEINT in the oracle) because the cross terms
+    overflow int64 at scale; `significant` is the exact integer
+    comparison z² ≥ 3.841459 (the χ²₍₁₎ 95% critical value) — no float
+    ever enters the statistic, so the decision is bit-reproducible.
+
+    Scale: one user-keyed combinable aggregate (conversion flag), then a
+    single-row conditional aggregate; nothing else moves."""
+    ev = _t(spark, sf_dir, "events")
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+        )
+        .select(
+            (
+                SAMP.hash_bucket_int(
+                    F.concat(F.lit("ab:"), F.col("user_id").cast("string"))
+                )
+                % 2
+            ).alias("variant"),
+            "conv",
+        )
+    )
+    s = u.agg(
+        F.sum((F.col("variant") == 0).cast("long")).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum((F.col("variant") == 1).cast("long")).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    dec = "DECIMAL(38,0)"
+    # num and den are exact 128-bit integers (DECIMAL(38,0)); Spark decimal
+    # division rounds HALF_UP at scale 6 while the oracle's // floors, so
+    # the estimated quotient is corrected to the true floor with exact
+    # decimal comparisons (est is provably within 1 of the floor)
+    terms = s.selectExpr(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        "CAST((1000000 * conv_a) DIV n_a AS BIGINT) AS conv_a_ppm",
+        "CAST((1000000 * conv_b) DIV n_b AS BIGINT) AS conv_b_ppm",
+        f"""(CAST(1000000 AS {dec})
+              * CAST(conv_a * n_b - conv_b * n_a AS {dec})
+              * CAST(conv_a * n_b - conv_b * n_a AS {dec})
+              * CAST(n_a + n_b AS {dec})) AS __num""",
+        f"""(CAST(n_a AS {dec}) * CAST(n_b AS {dec})
+             * CAST(conv_a + conv_b AS {dec})
+             * CAST(n_a + n_b - conv_a - conv_b AS {dec})) AS __den""",
+    ).selectExpr(
+        "*",
+        f"""CAST(FLOOR(__num / CASE WHEN __den = 0 THEN CAST(1 AS {dec})
+                                    ELSE __den END) AS {dec}) AS __est""",
+    )
+    return terms.selectExpr(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        "conv_a_ppm",
+        "conv_b_ppm",
+        """CAST(CASE WHEN __den = 0 THEN 0
+                     WHEN (__est + 1) * __den <= __num THEN __est + 1
+                     WHEN __est * __den > __num THEN __est - 1
+                     ELSE __est END AS BIGINT) AS z2_e6""",
+        f"""(__den > 0 AND __num >= CAST(3841459 AS {dec}) * __den)
+           AS significant""",
+    )
+
+
+@_q(
+    "quality_calibration_bins",
+    """
+    WITH q AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+             CASE WHEN len(string_split(lower(trim(text)), ' ')) > 0
+                  THEN (100 * len(list_filter(string_split(lower(trim(text)), ' '),
+                        t -> t IN ('the','a','of','and','to','in','is','it'))))
+                       // len(string_split(lower(trim(text)), ' '))
+                  ELSE 0 END AS score
+      FROM documents
+    ), b AS (
+      SELECT least(score // 2, 9) AS bin,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(is_en) AS BIGINT) AS n_en
+      FROM q GROUP BY 1
+    ), t AS (
+      SELECT bin, n_docs, n_en,
+             CAST((1000000 * n_en) // n_docs AS BIGINT) AS en_rate_ppm,
+             CAST((1000000 * sum(n_en) OVER ()) // sum(n_docs) OVER () AS BIGINT)
+               AS overall_ppm
+      FROM b
+    )
+    SELECT bin, n_docs, n_en, en_rate_ppm,
+           CAST(abs(en_rate_ppm - overall_ppm) AS BIGINT) AS gap_ppm
+    FROM t ORDER BY bin
+    """,
+)
+def quality_calibration_bins(spark, sf_dir):
+    """Calibration / reliability binning of a quality score against an
+    independent label: does the stopword-density score (the fluency proxy
+    the curation operators rank by) actually predict English? Documents
+    are bucketed by score into <= 10 bins; each bin reports the observed
+    P(lang = 'en') in exact ppm plus its gap from the base rate — the
+    reliability-diagram table, the pre-flight check before any
+    score-thresholded selection (curation_token_budget,
+    quality_threshold_curve) is trusted. All integer arithmetic: score =
+    (100*stop_hits) DIV tokens, rates via DIV — no float enters.
+
+    Scale: scan-side score projection, one combinable aggregate to the
+    <= 10-row bin grid; the base-rate window runs over THAT grid
+    (bounded, never the corpus)."""
+    d = _t(spark, sf_dir, "documents")
+    q = TX.quality_columns(F.col("text"))
+    base = d.select(
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+        (100 * q["n_stopwords"]).cast("long").alias("__hits100"),
+        q["n_tokens"].cast("long").alias("__tok"),
+    )
+    scored = base.select(
+        "is_en",
+        F.when(
+            F.col("__tok") > 0, F.expr("__hits100 DIV __tok")
+        ).otherwise(F.lit(0)).alias("score"),
+    )
+    b = (
+        scored.select(
+            F.least(F.expr("score DIV 2"), F.lit(9)).cast("long").alias("bin"),
+            "is_en",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("is_en").cast("long").alias("n_en"),
+        )
+    )
+    wall = Window.partitionBy()
+    t = b.select(
+        "bin",
+        "n_docs",
+        "n_en",
+        F.expr("CAST((1000000 * n_en) DIV n_docs AS BIGINT)").alias("en_rate_ppm"),
+        (F.sum("n_en").over(wall)).alias("__ten"),
+        (F.sum("n_docs").over(wall)).alias("__tdocs"),
+    ).withColumn(
+        "overall_ppm", F.expr("CAST((1000000 * __ten) DIV __tdocs AS BIGINT)")
+    )
+    return t.select(
+        "bin",
+        "n_docs",
+        "n_en",
+        "en_rate_ppm",
+        F.abs(F.col("en_rate_ppm") - F.col("overall_ppm"))
+        .cast("long")
+        .alias("gap_ppm"),
+    ).orderBy("bin")
+
+
+@_q(
+    "events_hazard_churn",
+    """
+    WITH u AS (
+      SELECT user_id,
+             (max(epoch_us(ts)) - min(epoch_us(ts))) // 604800000000 AS lw
+      FROM events GROUP BY user_id
+    ), g AS (
+      SELECT CAST(lw AS BIGINT) AS week, CAST(count(*) AS BIGINT) AS n_churned
+      FROM u GROUP BY lw
+    ), c AS (
+      SELECT week, n_churned,
+             CAST(sum(n_churned) OVER (ORDER BY week DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_at_risk
+      FROM g
+    )
+    SELECT week, n_churned, n_at_risk,
+           CAST((1000000 * n_churned) // n_at_risk AS BIGINT) AS hazard_ppm
+    FROM c ORDER BY week
+    """,
+)
+def events_hazard_churn(spark, sf_dir):
+    """Discrete-time churn hazard (the Kaplan-Meier life table on activity
+    spans): a user's observed lifetime is the whole weeks between their
+    first and last event; hazard(w) = P(churn in week w | survived to w) =
+    churned(w) / at_risk(w) in exact ppm, where at_risk(w) counts every
+    user whose lifetime reaches week w (a suffix sum over the week grid).
+    The retention number product teams actually act on — cohort_retention
+    reports activity by calendar month, this reports the conditional
+    drop-off curve.
+
+    Scale: one user-keyed combinable min/max aggregate, then everything
+    runs on the <= span-weeks-row grid (the suffix-sum window is over that
+    bounded grid, never the corpus)."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    u = ev.groupBy("user_id").agg(
+        ((F.max(us) - F.min(us))).alias("__span_us")
+    )
+    g = (
+        u.select(F.expr("__span_us DIV 604800000000").cast("long").alias("week"))
+        .groupBy("week")
+        .agg(F.count("*").cast("long").alias("n_churned"))
+    )
+    # bounded: the week grid is the event-time span in weeks, not the corpus
+    w = Window.orderBy(F.col("week").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = g.withColumn("n_at_risk", F.sum("n_churned").over(w).cast("long"))
+    return c.select(
+        "week",
+        "n_churned",
+        "n_at_risk",
+        F.expr("CAST((1000000 * n_churned) DIV n_at_risk AS BIGINT)").alias(
+            "hazard_ppm"
+        ),
+    ).orderBy("week")
+
+
+@_q(
+    "corpus_quota_waterfill",
+    """
+    WITH d AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS demand
+      FROM documents GROUP BY source
+    ), grid AS (
+      SELECT source, demand,
+             row_number() OVER (ORDER BY demand, source) AS k,
+             sum(demand) OVER (ORDER BY demand, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             count(*) OVER () AS s,
+             CAST((3 * sum(demand) OVER ()) // 5 AS BIGINT) AS budget
+      FROM d
+    ), cross_k AS (
+      SELECT *, min(CASE WHEN cum + demand * (s - k) >= budget THEN k END)
+                  OVER () AS kstar
+      FROM grid
+    ), lam AS (
+      SELECT *, max(CASE WHEN k = kstar
+                    THEN (budget - (cum - demand)) // (s - kstar + 1) END)
+                  OVER () AS waterline
+      FROM cross_k
+    ), q0 AS (
+      SELECT source, demand, budget,
+             least(demand, coalesce(waterline, demand)) AS quota0,
+             demand > coalesce(waterline, demand) AS capped
+      FROM lam
+    ), lo AS (
+      SELECT *, budget - sum(quota0) OVER () AS leftover,
+             CASE WHEN capped THEN row_number()
+               OVER (ORDER BY capped DESC, demand DESC, source) END AS rcap
+      FROM q0
+    )
+    SELECT source, demand AS demand_chars,
+           CAST(quota0 + CASE WHEN capped AND rcap <= leftover
+                              THEN 1 ELSE 0 END AS BIGINT) AS quota_chars,
+           capped
+    FROM lo ORDER BY source
+    """,
+)
+def corpus_quota_waterfill(spark, sf_dir):
+    """Max-min-fair (water-filling) character quotas per source: spend a
+    60% character budget so every source keeps everything below a common
+    waterline λ and only the heaviest sources are capped — the
+    anti-domination mixture allocator (curation_source_cap caps document
+    COUNTS at a fixed N; this solves for the budget-exact cap). λ is found
+    on the sorted demand grid (smallest k where cum_{k-1} + d_k·(S-k+1)
+    covers the budget, then integer floor division), and the sub-λ
+    remainder from flooring is distributed +1 to the largest capped
+    sources in deterministic order, so Σ quota == budget EXACTLY (the pin
+    asserts it). Pure integer arithmetic throughout.
+
+    Scale: one combinable per-source aggregate, then every window runs on
+    the |sources|-row grid — bounded, never the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    dem = d.groupBy("source").agg(F.sum("n_chars").cast("long").alias("demand"))
+    # bounded: all windows below run over the |sources|-row demand grid
+    wall = Window.partitionBy()
+    word = Window.orderBy("demand", "source")
+    grid = dem.select(
+        "source",
+        "demand",
+        F.row_number().over(word).alias("k"),
+        F.sum("demand")
+        .over(word.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.count("*").over(wall).alias("s"),
+        F.expr("CAST((3 * sum(demand) OVER ()) DIV 5 AS BIGINT)").alias("budget"),
+    )
+    cross_k = grid.withColumn(
+        "kstar",
+        F.min(
+            F.when(
+                F.col("cum") + F.col("demand") * (F.col("s") - F.col("k"))
+                >= F.col("budget"),
+                F.col("k"),
+            )
+        ).over(wall),
+    )
+    lam = cross_k.withColumn(
+        "waterline",
+        F.max(
+            F.when(
+                F.col("k") == F.col("kstar"),
+                F.expr("(budget - (cum - demand)) DIV (s - kstar + 1)"),
+            )
+        ).over(wall),
+    )
+    q0 = lam.select(
+        "source",
+        "demand",
+        "budget",
+        F.least(
+            F.col("demand"), F.coalesce(F.col("waterline"), F.col("demand"))
+        ).alias("quota0"),
+        (
+            F.col("demand") > F.coalesce(F.col("waterline"), F.col("demand"))
+        ).alias("capped"),
+    )
+    lo = q0.withColumn(
+        "leftover", F.col("budget") - F.sum("quota0").over(wall)
+    ).withColumn(
+        "rcap",
+        F.when(
+            F.col("capped"),
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("capped").desc(), F.col("demand").desc(), "source"
+                )
+            ),
+        ),
+    )
+    return lo.select(
+        "source",
+        F.col("demand").alias("demand_chars"),
+        (
+            F.col("quota0")
+            + F.when(
+                F.col("capped") & (F.col("rcap") <= F.col("leftover")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("quota_chars"),
+        "capped",
+    ).orderBy("source")
+
+
+@_q(
+    "rec_negative_sampling",
+    """
+    WITH shelves AS (
+      SELECT CAST(concat('0x', substr(md5('shelf:' || p_partkey), 1, 4))
+                  AS BIGINT) % 64 AS shelf,
+             arg_min(p_partkey, md5(CAST(p_partkey AS VARCHAR))) AS rep
+      FROM part GROUP BY 1
+    ), probes AS (
+      SELECT DISTINCT c_custkey, rep AS cand
+      FROM customer
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS slot) s
+      JOIN shelves ON shelves.shelf =
+        CAST(concat('0x', substr(md5('neg:' || c_custkey || ':' || slot), 1, 4))
+             AS BIGINT) % 64
+    ), seen AS (
+      SELECT DISTINCT o_custkey, l_partkey
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), cand AS (
+      SELECT c_custkey, cand AS p_partkey FROM probes
+      WHERE NOT EXISTS (SELECT 1 FROM seen
+                        WHERE o_custkey = c_custkey AND l_partkey = cand)
+    )
+    SELECT c_custkey, p_partkey, CAST(rank AS INT) AS rank FROM (
+      SELECT c_custkey, p_partkey,
+             row_number() OVER (PARTITION BY c_custkey ORDER BY
+               CAST(concat('0x',
+                    substr(md5('rank:' || c_custkey || ':' || p_partkey), 1, 4))
+                    AS BIGINT),
+               p_partkey) AS rank
+      FROM cand) r
+    WHERE rank <= 3 ORDER BY c_custkey, rank
+    """,
+)
+def rec_negative_sampling(spark, sf_dir):
+    """Deterministic negative sampling for recommender / contrastive
+    training over the purchase graph: each customer draws 8 md5 probes
+    into 64 item "shelves" (each shelf pre-reduced to one representative
+    item by min-md5 — an arg_min aggregate, no window over the item dim),
+    candidates the customer has actually ordered are removed by anti-join,
+    and the 3 md5-ranked survivors per customer are emitted. Unlike
+    rand()-based samplers this is reproducible run-to-run and
+    cross-engine — the property that makes training jobs resumable.
+
+    Scale: the shelf table is 64 rows (broadcast); probes are 8 per
+    customer; the seen-pairs distinct and the anti-join are co-keyed
+    (custkey, partkey) shuffles; the final window partitions by customer.
+    Nothing is ever itemcount x customercount."""
+    part = _t(spark, sf_dir, "part")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    shelves = (
+        part.select(
+            (
+                SAMP.hash_bucket_int(
+                    F.concat(F.lit("shelf:"), F.col("p_partkey").cast("string"))
+                )
+                % 64
+            ).alias("shelf"),
+            "p_partkey",
+            F.md5(F.col("p_partkey").cast("string")).alias("__h"),
+        )
+        .groupBy("shelf")
+        .agg(F.min_by("p_partkey", F.col("__h")).alias("rep"))
+    )
+    probes = (
+        cust.select("c_custkey", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("slot"))
+        .select(
+            "c_custkey",
+            (
+                SAMP.hash_bucket_int(
+                    F.concat(
+                        F.lit("neg:"),
+                        F.col("c_custkey").cast("string"),
+                        F.lit(":"),
+                        F.col("slot").cast("string"),
+                    )
+                )
+                % 64
+            ).alias("shelf"),
+        )
+        .join(F.broadcast(shelves), "shelf")
+        .select("c_custkey", F.col("rep").alias("p_partkey"))
+        .distinct()
+    )
+    seen = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    cand = probes.join(
+        seen,
+        (probes.c_custkey == seen.o_custkey) & (probes.p_partkey == seen.l_partkey),
+        "left_anti",
+    )
+    w = Window.partitionBy("c_custkey").orderBy(
+        SAMP.hash_bucket_int(
+            F.concat(
+                F.lit("rank:"),
+                F.col("c_custkey").cast("string"),
+                F.lit(":"),
+                F.col("p_partkey").cast("string"),
+            )
+        ),
+        "p_partkey",
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("c_custkey", "p_partkey", "rank")
+        .orderBy("c_custkey", "rank")
+    )
+
+
+@_q(
+    "sim_knn_mutual_stats",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0
+    ), scored AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid,
+             round(
+               list_sum(list_transform(range(1, len(a.embedding)+1),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1),
+                 i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+             6) AS cosine
+      FROM s a CROSS JOIN s b WHERE a.vec_id <> b.vec_id
+    ), top5 AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                 ORDER BY cosine DESC, nid) AS rn
+        FROM scored) z
+      WHERE rn <= 5
+    ), mutual AS (
+      SELECT t1.qid, t1.nid FROM top5 t1
+      JOIN top5 t2 ON t1.qid = t2.nid AND t1.nid = t2.qid
+    ), deg AS (
+      SELECT s.vec_id, CAST(count(m.nid) AS BIGINT) AS d
+      FROM s LEFT JOIN mutual m ON m.qid = s.vec_id
+      GROUP BY s.vec_id
+    )
+    SELECT CAST(d AS INT) AS mutual_degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY d ORDER BY mutual_degree
+    """,
+)
+def sim_knn_mutual_stats(spark, sf_dir):
+    """Mutual-kNN graph health check on a deterministic 25% evaluation
+    sample (vec_id % 4 == 0): exact cosine top-5 per node, an edge is
+    MUTUAL when each endpoint ranks the other in its own top-5, and the
+    output is the mutual-degree histogram (degree 0..5 -> node count).
+    Embedding-quality triage: healthy representation spaces have high
+    mutual-degree mass; hubness (a few nodes in everyone's top-k that
+    reciprocate nothing) shows up as a spike at 0. Rounded-cosine +
+    id tie-breaks make the graph — not just the histogram —
+    engine-reproducible.
+
+    Scale: the exact graph is deliberately computed on the bounded sample
+    (broadcast sample x sample scan, the sim_cosine_topk shape); the
+    full-corpus route composes the same mutual join with IVF/LSH
+    candidate generation (sim_ann_ivf) instead of the exact scorer. The
+    mutual join and degree count are keyed shuffles on node id."""
+    emb = _t(spark, sf_dir, "embeddings")
+    s = emb.filter(F.col("vec_id") % 4 == 0)
+    top5 = SIM.cosine_topk(s, s, k=5).select("query_id", "neighbor_id")
+    t1 = top5.alias("t1")
+    t2 = top5.alias("t2")
+    mutual = t1.join(
+        t2,
+        (F.col("t1.query_id") == F.col("t2.neighbor_id"))
+        & (F.col("t1.neighbor_id") == F.col("t2.query_id")),
+    ).select(F.col("t1.query_id").alias("qid"), F.col("t1.neighbor_id").alias("nid"))
+    deg = (
+        s.select("vec_id")
+        .join(mutual, s.vec_id == mutual.qid, "left")
+        .groupBy("vec_id")
+        .agg(F.count("nid").cast("long").alias("d"))
+    )
+    return (
+        deg.groupBy(F.col("d").cast("int").alias("mutual_degree"))
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .orderBy("mutual_degree")
+    )
+
+
+@_q(
+    "curation_dsir_importance",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split(lower(trim(text)), ' '),
+                                t -> t <> '')) AS t
+      FROM documents
+    ), tb AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5('dsir:' || t), 1, 4)) AS BIGINT) % 512
+               AS b
+      FROM tok
+    ), lm AS (
+      SELECT b,
+             CAST(count(*) AS BIGINT) AS cs,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+      FROM tb GROUP BY b
+    ), tot AS (
+      SELECT CAST(sum(cs) AS BIGINT) AS ns, CAST(sum(ct) AS BIGINT) AS nt FROM lm
+    ), ratio AS (
+      SELECT b, ln((ct + 1.0) / (nt + 512.0)) - ln((cs + 1.0) / (ns + 512.0))
+               AS logr
+      FROM lm, tot
+    ), w AS (
+      SELECT tb.doc_id, round(sum(logr), 6) AS logw
+      FROM tb JOIN ratio USING (b) GROUP BY tb.doc_id
+    )
+    SELECT d.doc_id, d.lang, w.logw
+    FROM w JOIN documents d USING (doc_id)
+    ORDER BY w.logw DESC, d.doc_id LIMIT 20
+    """,
+)
+def curation_dsir_importance(spark, sf_dir):
+    """DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): documents are scored
+    by the log importance ratio of a hashed-unigram LM of the TARGET
+    distribution (English docs) over the RAW distribution (full corpus) —
+    log w(x) = sum_tokens [ln p_target(bucket) - ln p_raw(bucket)] with
+    512 md5 hash buckets and add-one smoothing — and the top 20 most
+    target-like documents are emitted. This is the principled version of
+    threshold curation: select by distributional match to a trusted
+    target, not by hand-tuned rules.
+
+    Scale: both LMs are one combinable aggregate to the 512-row bucket
+    grid, which then BROADCASTS to the token stream (the corpus is never
+    shuffled by bucket); per-doc sums are map-side combinable on doc_id;
+    the global top-20 plans as TakeOrderedAndProject (per-partition
+    heaps, no global sort)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.filter(TX.tokens(F.col("text")), lambda t: t != "")).alias("t"),
+    )
+    tb = toks.select(
+        "doc_id",
+        "lang",
+        (SAMP.hash_bucket_int(F.concat(F.lit("dsir:"), F.col("t"))) % 512).alias("b"),
+    )
+    lm = tb.groupBy("b").agg(
+        F.count("*").cast("long").alias("cs"),
+        F.sum((F.col("lang") == "en").cast("long")).cast("long").alias("ct"),
+    )
+    # bounded: totals + ratios live on the 512-row bucket grid
+    wall = Window.partitionBy()
+    ratio = lm.select(
+        "b",
+        (
+            F.log((F.col("ct") + 1.0) / (F.sum("ct").over(wall) + 512.0))
+            - F.log((F.col("cs") + 1.0) / (F.sum("cs").over(wall) + 512.0))
+        ).alias("logr"),
+    )
+    w = (
+        tb.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("logr"), 6).alias("logw"))
+    )
+    return (
+        w.join(d.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "logw")
+        .orderBy(F.col("logw").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
 # The external driver grades the FIRST 50 registry entries per round
@@ -13700,6 +14511,17 @@ _GRADE_DONE_R04 = [
 # inserted at the FRONT of this queue per the rotation policy (never into
 # the already-frozen window above).
 _GRADE_NEXT: list[str] = [
+    # round-7 additions, never graded (front of the queue per policy; the
+    # round-7 window was already frozen when these landed)
+    "split_temporal_holdout",
+    "events_watermark_lateness",
+    "stats_ab_test_proportions",
+    "quality_calibration_bins",
+    "events_hazard_churn",
+    "corpus_quota_waterfill",
+    "rec_negative_sampling",
+    "sim_knn_mutual_stats",
+    "curation_dsir_importance",
     # r02-only certificates remaining after the round-7 promotion (21)
     "text_bigram_counts",
     "join_cross",
