@@ -1242,3 +1242,113 @@ def test_truncated_recall_broadcasts_queries_both_passes(spark):
     plan = _plan(spark, "sim_truncated_dim_recall")
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") + plan.count("BroadcastHashJoin") >= 2, plan
+
+
+# ---------------------------------------------------------------------------
+# Round-7 additions
+# ---------------------------------------------------------------------------
+
+
+def test_temporal_holdout_windows_partition_by_user(spark):
+    """split_temporal_holdout: the rank and per-user count must ride
+    user-partitioned windows; nothing may window over the whole event
+    table."""
+    import re as _re
+
+    plan = _plan(spark, "split_temporal_holdout")
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for s in specs:
+        assert "user_id" in s, (s, plan)
+
+
+def test_watermark_lateness_single_scan_partitioned_window(spark):
+    """events_watermark_lateness: one events scan; the running max
+    partitions by user; the threshold counts combine map-side."""
+    import re as _re
+
+    plan = _plan(spark, "events_watermark_lateness")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    for s in _re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "user_id" in s, (s, plan)
+
+
+def test_ab_test_no_windows_combinable_aggs(spark):
+    """stats_ab_test_proportions: one events scan, two combinable
+    aggregates, zero windows — the whole statistic folds map-side."""
+    plan = _plan(spark, "stats_ab_test_proportions")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "partial_sum" in plan or "partial_count" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_calibration_bins_single_scan_grid_windows(spark):
+    """quality_calibration_bins: one documents scan and a combinable bin
+    aggregate; the base-rate windows run on the bin grid AFTER the
+    aggregate (no window may reference doc-level columns)."""
+    import re as _re
+
+    plan = _plan(spark, "quality_calibration_bins")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    for s in _re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "is_en" not in s and "text" not in s, (s, plan)
+
+
+def test_hazard_churn_single_scan_grid_suffix_sum(spark):
+    """events_hazard_churn: one events scan, a combinable per-user
+    min/max aggregate, then the suffix sum on the bounded week grid."""
+    plan = _plan(spark, "events_hazard_churn")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "partial_min" in plan and "partial_max" in plan, plan
+
+
+def test_quota_waterfill_single_scan_combinable_demand(spark):
+    """corpus_quota_waterfill: one documents scan; the per-source demand
+    aggregate combines map-side; every window runs on the source grid
+    (no window may reference doc-level columns)."""
+    import re as _re
+
+    plan = _plan(spark, "corpus_quota_waterfill")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "partial_sum" in plan, plan
+    for s in _re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "n_chars" not in s and "doc_id" not in s, (s, plan)
+
+
+def test_negative_sampling_broadcast_shelves_keyed_antijoin(spark):
+    """rec_negative_sampling: the 64-row shelf table must broadcast; the
+    seen-pairs anti-join must stay a hash join (no nested-loop fallback);
+    the rank window partitions by customer."""
+    import re as _re
+
+    plan = _plan(spark, "rec_negative_sampling")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftAnti" in plan, plan
+    for s in _re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "c_custkey" in s, (s, plan)
+
+
+def test_knn_mutual_broadcasts_sample_no_cartesian(spark):
+    """sim_knn_mutual_stats: the sample block must arrive by broadcast
+    (the deliberate bounded-sample scorer), never a cartesian product;
+    the top-5 window partitions by query."""
+    plan = _plan(spark, "sim_knn_mutual_stats")
+    assert "CartesianProduct" not in plan, plan
+    assert (
+        plan.count("BroadcastNestedLoopJoin") + plan.count("BroadcastHashJoin") >= 1
+    ), plan
+    assert "windowspecdefinition(query_id#" in plan, plan
+
+
+def test_dsir_broadcast_lm_take_ordered(spark):
+    """curation_dsir_importance: the 512-row LM ratio table must
+    broadcast to the token stream (the corpus is never shuffled by
+    bucket) and the top-20 must plan as TakeOrderedAndProject."""
+    plan = _plan(spark, "curation_dsir_importance")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan

@@ -8190,3 +8190,348 @@ def test_centroid_drift_matches_bruteforce(spark):
         for r in REGISTRY["embed_centroid_drift"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Round-7 replica pins: oracle-independent brute-force recomputations of the
+# nine round-7 additions (formula authored twice = Spark plan + oracle SQL;
+# these pins are the third, independent implementation that catches a
+# shared-formula bug invisible to cross-engine parity)
+# ---------------------------------------------------------------------------
+
+
+def _md5_bucket(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:4], 16)
+
+
+def test_split_temporal_holdout_matches_bruteforce(spark):
+    """split_temporal_holdout: per-user (ts, event_id) order recomputed in
+    plain Python; n_train = max(1, 4*cnt//5); per (split, event_type)
+    event and user counts exactly."""
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("events", ["user_id", "event_id", "ts", "event_type"])
+    by_user = defaultdict(list)
+    for uid, eid, ts, et in rows:
+        by_user[uid].append((ts, eid, et))
+    n_events = defaultdict(int)
+    users = defaultdict(set)
+    for uid, evs in by_user.items():
+        evs.sort()
+        n_train = max(1, (4 * len(evs)) // 5)
+        for i, (_, _, et) in enumerate(evs, start=1):
+            split = "train" if i <= n_train else "eval"
+            n_events[(split, et)] += 1
+            users[(split, et)].add(uid)
+    expect = {
+        k: (n_events[k], len(users[k])) for k in n_events
+    }
+    got = {
+        (r.split, r.event_type): (r.n_events, r.n_users)
+        for r in REGISTRY["split_temporal_holdout"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    # every user keeps at least one train event
+    train_users = set().union(
+        *[users[k] for k in users if k[0] == "train"]
+    )
+    assert train_users == set(by_user)
+
+
+def test_watermark_lateness_matches_bruteforce(spark):
+    """events_watermark_lateness: per-user running event-time max in
+    arrival (event_id) order recomputed in plain Python; exact integer
+    microsecond lateness and ppm via //."""
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("events", ["user_id", "event_id", "epoch_us(ts) AS us"])
+    by_user = defaultdict(list)
+    for uid, eid, us in rows:
+        by_user[uid].append((eid, us))
+    lates = []
+    for evs in by_user.values():
+        evs.sort()
+        run = None
+        for _, us in evs:
+            run = us if run is None else max(run, us)
+            lates.append(run - us)
+    n = len(lates)
+    expect = {}
+    for d in (0, 300, 900, 3600):
+        nl = sum(1 for x in lates if x > d * 1_000_000)
+        expect[d] = (nl, (1_000_000 * nl) // n)
+    got = {
+        r.delay_sec: (r.n_late, r.late_ppm)
+        for r in REGISTRY["events_watermark_lateness"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_ab_test_proportions_matches_bruteforce(spark):
+    """stats_ab_test_proportions: md5 variant assignment, per-user
+    conversion, and the z² integer formula recomputed with Python
+    arbitrary-precision ints — the 128-bit arithmetic the engines do in
+    DECIMAL(38,0)/HUGEINT is replicated exactly, floor division and
+    all."""
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("events", ["user_id", "event_type"])
+    conv = defaultdict(int)
+    for uid, et in rows:
+        conv[uid] |= et == "purchase"
+    n = [0, 0]
+    c = [0, 0]
+    for uid, cv in conv.items():
+        v = _md5_bucket(f"ab:{uid}") % 2
+        n[v] += 1
+        c[v] += cv
+    num = 1_000_000 * (c[0] * n[1] - c[1] * n[0]) ** 2 * (n[0] + n[1])
+    den = n[0] * n[1] * (c[0] + c[1]) * (n[0] + n[1] - c[0] - c[1])
+    z2 = num // den if den else 0
+    sig = den > 0 and num >= 3841459 * den
+    r = REGISTRY["stats_ab_test_proportions"].fn(spark, SF_SMOKE).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert (r.n_a, r.conv_a, r.n_b, r.conv_b) == (n[0], c[0], n[1], c[1])
+    assert r.conv_a_ppm == (1_000_000 * c[0]) // n[0]
+    assert r.conv_b_ppm == (1_000_000 * c[1]) // n[1]
+    assert r.z2_e6 == z2
+    assert r.significant == sig
+
+
+def test_quality_calibration_bins_matches_bruteforce(spark):
+    """quality_calibration_bins: stopword score, bin, and ppm rates
+    recomputed in plain Python integer arithmetic."""
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    stop = {"the", "a", "of", "and", "to", "in", "is", "it"}
+    rows = _smoke_table("documents", ["text", "lang"])
+    bins = defaultdict(lambda: [0, 0])
+    for text, lang in rows:
+        toks = text.lower().strip().split()
+        score = (100 * sum(1 for t in toks if t in stop)) // len(toks) if toks else 0
+        b = min(score // 2, 9)
+        bins[b][0] += 1
+        bins[b][1] += lang == "en"
+    tdocs = sum(v[0] for v in bins.values())
+    ten = sum(v[1] for v in bins.values())
+    overall = (1_000_000 * ten) // tdocs
+    expect = {
+        b: (nd, ne, (1_000_000 * ne) // nd, abs((1_000_000 * ne) // nd - overall))
+        for b, (nd, ne) in bins.items()
+    }
+    got = {
+        r.bin: (r.n_docs, r.n_en, r.en_rate_ppm, r.gap_ppm)
+        for r in REGISTRY["quality_calibration_bins"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_hazard_churn_matches_bruteforce(spark):
+    """events_hazard_churn: lifetime weeks and the suffix-sum life table
+    recomputed in plain Python."""
+    from collections import Counter, defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("events", ["user_id", "epoch_us(ts) AS us"])
+    span = defaultdict(lambda: [None, None])
+    for uid, us in rows:
+        s = span[uid]
+        s[0] = us if s[0] is None else min(s[0], us)
+        s[1] = us if s[1] is None else max(s[1], us)
+    weeks = Counter((mx - mn) // 604_800_000_000 for mn, mx in span.values())
+    expect = {}
+    at_risk = 0
+    for w in sorted(weeks, reverse=True):
+        at_risk += weeks[w]
+        expect[w] = (weeks[w], at_risk, (1_000_000 * weeks[w]) // at_risk)
+    got = {
+        r.week: (r.n_churned, r.n_at_risk, r.hazard_ppm)
+        for r in REGISTRY["events_hazard_churn"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_quota_waterfill_matches_bruteforce(spark):
+    """corpus_quota_waterfill: the waterline search, floor division, and
+    largest-remainder top-up recomputed in plain Python; asserts the
+    budget closes EXACTLY (sum of quotas == budget) and every quota is
+    demand-bounded."""
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("documents", ["source", "n_chars"])
+    demand = defaultdict(int)
+    for src, nc in rows:
+        demand[src] += nc
+    items = sorted(demand.items(), key=lambda kv: (kv[1], kv[0]))
+    s = len(items)
+    total = sum(demand.values())
+    budget = (3 * total) // 5
+    cum = 0
+    kstar, lam = None, None
+    for k, (_, d) in enumerate(items, start=1):
+        if cum + d * (s - k + 1) >= budget:
+            kstar = k
+            lam = (budget - cum) // (s - k + 1)
+            break
+        cum += d
+    quota = {src: min(d, lam) if lam is not None else d for src, d in items}
+    capped = {src for src, d in items if lam is not None and d > lam}
+    leftover = budget - sum(quota.values())
+    for src in sorted(capped, key=lambda x: (-demand[x], x))[:leftover]:
+        quota[src] += 1
+    assert sum(quota.values()) == budget
+    assert all(quota[src] <= demand[src] for src in quota)
+    got = {
+        r.source: (r.demand_chars, r.quota_chars, r.capped)
+        for r in REGISTRY["corpus_quota_waterfill"].fn(spark, SF_SMOKE).collect()
+    }
+    expect = {src: (demand[src], quota[src], src in capped) for src in demand}
+    assert got == expect
+
+
+def test_negative_sampling_matches_bruteforce(spark):
+    """rec_negative_sampling: shelves, probes, anti-join, and md5 ranking
+    recomputed with hashlib; also asserts no sampled negative was ever
+    actually purchased (the no-false-negative guarantee)."""
+    import hashlib
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    parts = [p for (p,) in _smoke_table("part", ["p_partkey"])]
+    custs = [c for (c,) in _smoke_table("customer", ["c_custkey"])]
+    # seen pairs need the orders x lineitem join; do it in duckdb directly
+    import duckdb
+
+    from tests.conftest import SF_SMOKE as _SF
+
+    con = duckdb.connect()
+    seen = set(
+        con.sql(
+            f"""SELECT DISTINCT o_custkey, l_partkey
+            FROM read_parquet('{_SF}/orders.parquet') o
+            JOIN read_parquet('{_SF}/lineitem.parquet') l
+              ON l.l_orderkey = o.o_orderkey"""
+        ).fetchall()
+    )
+    con.close()
+    shelves = {}
+    for p in parts:
+        sh = _md5_bucket(f"shelf:{p}") % 64
+        h = hashlib.md5(str(p).encode()).hexdigest()
+        if sh not in shelves or (h, p) < shelves[sh]:
+            shelves[sh] = (h, p)
+    expect = set()
+    for c in custs:
+        cands = set()
+        for slot in range(8):
+            sh = _md5_bucket(f"neg:{c}:{slot}") % 64
+            if sh in shelves:
+                cands.add(shelves[sh][1])
+        cands = [p for p in cands if (c, p) not in seen]
+        ranked = sorted(cands, key=lambda p: (_md5_bucket(f"rank:{c}:{p}"), p))
+        for rank, p in enumerate(ranked[:3], start=1):
+            expect.add((c, p, rank))
+    got = {
+        (r.c_custkey, r.p_partkey, r.rank)
+        for r in REGISTRY["rec_negative_sampling"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert not {(c, p) for c, p, _ in got} & seen
+
+
+def test_knn_mutual_stats_matches_bruteforce(spark):
+    """sim_knn_mutual_stats: numpy all-pairs cosine over the 25% sample,
+    rounded + id-tie-broken top-5, mutual join, degree histogram."""
+    import numpy as np
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = [(vid, v) for vid, _, v in _smoke_embeddings() if vid % 4 == 0]
+    vecs = {vid: np.asarray(v, dtype=np.float64) for vid, v in rows}
+    norms = {vid: float(np.sqrt(v @ v)) for vid, v in vecs.items()}
+    top5 = {}
+    for q in vecs:
+        scored = sorted(
+            (-round(float(vecs[q] @ vecs[c]) / (norms[q] * norms[c]), 6), c)
+            for c in vecs
+            if c != q
+        )
+        top5[q] = {c for _, c in scored[:5]}
+    deg = Counter()
+    for q in vecs:
+        deg[q] = sum(1 for c in top5[q] if q in top5[c])
+    expect = Counter(deg.values())
+    got = {
+        r.mutual_degree: r.n_nodes
+        for r in REGISTRY["sim_knn_mutual_stats"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == dict(expect)
+
+
+def test_dsir_importance_matches_bruteforce(spark):
+    """curation_dsir_importance: hashed-unigram LMs and log importance
+    ratios recomputed with hashlib/math; top-20 identity and rounded
+    weights exactly."""
+    import math
+    from collections import Counter, defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("documents", ["doc_id", "lang", "text"])
+    cs = Counter()
+    ct = Counter()
+    doc_buckets = {}
+    langs = {}
+    for doc_id, lang, text in rows:
+        toks = [t for t in text.lower().strip().split() if t]
+        bs = [_md5_bucket(f"dsir:{t}") % 512 for t in toks]
+        doc_buckets[doc_id] = bs
+        langs[doc_id] = lang
+        for b in bs:
+            cs[b] += 1
+            if lang == "en":
+                ct[b] += 1
+    ns = sum(cs.values())
+    nt = sum(ct.values())
+    ratio = {
+        b: math.log((ct[b] + 1.0) / (nt + 512.0))
+        - math.log((cs[b] + 1.0) / (ns + 512.0))
+        for b in cs
+    }
+    w = {
+        doc_id: round(sum(ratio[b] for b in bs), 6)
+        for doc_id, bs in doc_buckets.items()
+        if bs
+    }
+    top = sorted(w.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    expect = [(doc_id, langs[doc_id], lw) for doc_id, lw in top]
+    got = [
+        (r.doc_id, r.lang, r.logw)
+        for r in REGISTRY["curation_dsir_importance"].fn(spark, SF_SMOKE).collect()
+    ]
+    assert got == expect
