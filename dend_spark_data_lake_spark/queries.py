@@ -14258,6 +14258,394 @@ def curation_dsir_importance(spark, sf_dir):
     )
 
 
+@_q(
+    "orders_cohort_ltv",
+    """
+    WITH o AS (
+      SELECT o_custkey,
+             year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), c AS (
+      SELECT o_custkey, min(ym) AS cohort_ym FROM o GROUP BY o_custkey
+    ), sz AS (
+      SELECT cohort_ym, CAST(count(*) AS BIGINT) AS n_customers
+      FROM c GROUP BY cohort_ym
+    ), rev AS (
+      SELECT c.cohort_ym, o.ym - c.cohort_ym AS age_months,
+             CAST(sum(o.cents) AS BIGINT) AS rev_cents
+      FROM o JOIN c USING (o_custkey)
+      GROUP BY c.cohort_ym, o.ym - c.cohort_ym
+    ), cum AS (
+      SELECT cohort_ym, age_months, rev_cents,
+             CAST(sum(rev_cents) OVER (PARTITION BY cohort_ym ORDER BY age_months
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_rev_cents
+      FROM rev
+    )
+    SELECT concat(CAST(cohort_ym // 12 AS VARCHAR), '-',
+                  lpad(CAST(cohort_ym % 12 + 1 AS VARCHAR), 2, '0')) AS cohort,
+           CAST(age_months AS INT) AS age_months, n_customers,
+           rev_cents, cum_rev_cents,
+           CAST(cum_rev_cents // n_customers AS BIGINT) AS ltv_cents_per_cust
+    FROM cum JOIN sz USING (cohort_ym)
+    ORDER BY cohort, age_months
+    """,
+)
+def orders_cohort_ltv(spark, sf_dir):
+    """Cohort LTV curves: customers are cohorted by first-order month and
+    each cohort's cumulative revenue per customer is tracked by months
+    since acquisition — the curve that answers "how much is a new
+    customer worth after k months" (cohort_retention reports activity;
+    this reports money). Month arithmetic is pure integers (ym = y*12+m),
+    revenue folds in exact cents, and LTV-per-customer is floor division
+    — no float anywhere.
+
+    Scale: one customer-keyed aggregate (cohort), a broadcast-joinable
+    cohort-size table, a combinable (cohort, age) aggregate, and the
+    cumulative window runs on that bounded months x months grid — never
+    the order table."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = o.groupBy("o_custkey").agg(F.min("ym").alias("cohort_ym"))
+    sz = c.groupBy("cohort_ym").agg(F.count("*").cast("long").alias("n_customers"))
+    rev = (
+        o.join(c, "o_custkey")
+        .groupBy("cohort_ym", (F.col("ym") - F.col("cohort_ym")).alias("age_months"))
+        .agg(F.sum("cents").cast("long").alias("rev_cents"))
+    )
+    # bounded: the cumulative runs on the (cohort month x age) grid
+    w = Window.partitionBy("cohort_ym").orderBy("age_months").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = rev.withColumn("cum_rev_cents", F.sum("rev_cents").over(w).cast("long"))
+    return (
+        cum.join(F.broadcast(sz), "cohort_ym")
+        .select(
+            F.concat(
+                F.expr("CAST(cohort_ym DIV 12 AS STRING)"),
+                F.lit("-"),
+                F.lpad((F.col("cohort_ym") % 12 + 1).cast("string"), 2, "0"),
+            ).alias("cohort"),
+            F.col("age_months").cast("int").alias("age_months"),
+            "n_customers",
+            "rev_cents",
+            "cum_rev_cents",
+            F.expr("CAST(cum_rev_cents DIV n_customers AS BIGINT)").alias(
+                "ltv_cents_per_cust"
+            ),
+        )
+        .orderBy("cohort", "age_months")
+    )
+
+
+@_q(
+    "sample_neyman_allocation",
+    """
+    WITH s AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS s1,
+             CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS s2
+      FROM documents GROUP BY lang
+    ), v AS (
+      SELECT lang, n, CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1
+               AS varnum
+      FROM s
+    ), r AS (
+      SELECT lang, n, varnum,
+             CAST(floor(sqrt(CAST(varnum AS DOUBLE))) AS HUGEINT) AS y0
+      FROM v
+    ), w AS (
+      SELECT lang, n,
+             CAST(CASE WHEN (y0 + 1) * (y0 + 1) <= varnum THEN y0 + 1
+                       WHEN y0 * y0 > varnum THEN y0 - 1
+                       ELSE y0 END AS BIGINT) AS w_sigma
+      FROM r
+    ), t AS (
+      SELECT lang, n, w_sigma,
+             sum(w_sigma) OVER () AS tw,
+             CAST((1000 * w_sigma) // sum(w_sigma) OVER () AS BIGINT) AS base,
+             (1000 * w_sigma) % sum(w_sigma) OVER () AS rem
+      FROM w
+    ), l AS (
+      SELECT *, 1000 - sum(base) OVER () AS leftover,
+             row_number() OVER (ORDER BY rem DESC, lang) AS rk
+      FROM t
+    )
+    SELECT lang, n AS n_docs, w_sigma,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc
+    FROM l ORDER BY lang
+    """,
+)
+def sample_neyman_allocation(spark, sf_dir):
+    """Neyman-optimal stratified sample allocation: a budget of 1000
+    documents is split across language strata proportionally to N_h·σ_h
+    (minimum-variance allocation for a stratified mean estimate of
+    n_chars). Entirely exact integer arithmetic: N_h·σ_h == isqrt(N·Σx² −
+    (Σx)²) (the variance numerator is N²σ², so its integer square root IS
+    N·σ scaled), computed with a floor(sqrt(double)) estimate corrected
+    to the true integer root by exact comparison — bit-reproducible even
+    past 2^53 where naive floor(sqrt) goes off by one. Largest-remainder
+    rounding closes the budget exactly (Σ alloc == 1000, pin-asserted).
+
+    Scale: one combinable per-stratum aggregate (count/sum/sum-of-squares
+    — 128-bit via DECIMAL(38,0)/HUGEINT so the squares never overflow);
+    every window runs on the |strata|-row grid."""
+    d = _t(spark, sf_dir, "documents")
+    dec = "DECIMAL(38,0)"
+    s = d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("s1"),
+        F.sum(F.expr(f"CAST(n_chars AS {dec}) * n_chars")).alias("s2"),
+    )
+    v = s.selectExpr(
+        "lang",
+        "n",
+        f"CAST(n AS {dec}) * s2 - CAST(s1 AS {dec}) * s1 AS varnum",
+    )
+    r = v.selectExpr(
+        "*", f"CAST(FLOOR(SQRT(CAST(varnum AS DOUBLE))) AS {dec}) AS y0"
+    )
+    w = r.selectExpr(
+        "lang",
+        "n",
+        """CAST(CASE WHEN (y0 + 1) * (y0 + 1) <= varnum THEN y0 + 1
+                     WHEN y0 * y0 > varnum THEN y0 - 1
+                     ELSE y0 END AS BIGINT) AS w_sigma""",
+    )
+    # bounded: allocation windows run on the |strata|-row grid
+    wall = Window.partitionBy()
+    t = w.select(
+        "lang",
+        "n",
+        "w_sigma",
+        F.sum("w_sigma").over(wall).alias("tw"),
+    ).selectExpr(
+        "*",
+        "CAST((1000 * w_sigma) DIV tw AS BIGINT) AS base",
+        "(1000 * w_sigma) % tw AS rem",
+    )
+    l = t.withColumn("leftover", F.lit(1000) - F.sum("base").over(wall)).withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.col("rem").desc(), "lang"))
+    )
+    return l.select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        "w_sigma",
+        (F.col("base") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
+        .cast("long")
+        .alias("alloc"),
+    ).orderBy("lang")
+
+
+@_q(
+    "sql_group_by_all",
+    """
+    WITH g AS (
+      SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY ALL
+    )
+    SELECT o_orderstatus, o_orderpriority, n, rev_cents,
+           rev_cents // n AS avg_cents,
+           avg_cents - 25000000 AS avg_vs_25k_cents
+    FROM g ORDER BY ALL
+    """,
+)
+def sql_group_by_all(spark, sf_dir):
+    """Modern SQL sugar surface: GROUP BY ALL (grouping keys inferred
+    from the non-aggregate select list), lateral column aliases (the
+    outer select derives avg_cents from rev_cents/n and then chains
+    avg_vs_25k_cents off avg_cents in the same projection), and ORDER BY
+    ALL — Spark 3.4+/4.x and DuckDB implement all three independently, so
+    the oracle certifies the sugar desugars to the same relational plan.
+    (Spark does not yet allow lateral aliases AS GROUP BY ALL keys, hence
+    the two-level shape — documented engine seam.) Money folds in exact
+    integer cents; avg is floor division.
+
+    Scale: sugar over a plain combinable aggregate — one shuffle on the
+    two inferred keys."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        WITH g AS (
+          SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+          FROM orders GROUP BY ALL
+        )
+        SELECT o_orderstatus, o_orderpriority, n, rev_cents,
+               rev_cents DIV n AS avg_cents,
+               avg_cents - 25000000 AS avg_vs_25k_cents
+        FROM g ORDER BY ALL
+        """
+    )
+
+
+@_q(
+    "etl_affected_partitions",
+    """
+    WITH e AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END AS is_batch
+      FROM events
+    )
+    SELECT day,
+           CAST(sum(1 - is_batch) AS BIGINT) AS n_base,
+           CAST(sum(is_batch) AS BIGINT) AS n_batch,
+           sum(is_batch) > 0 AS recompute
+    FROM e GROUP BY day ORDER BY day
+    """,
+)
+def etl_affected_partitions(spark, sf_dir):
+    """Incremental-recompute planner for a day-partitioned aggregate
+    table: given a late-arriving batch (event_id % 10 == 0 simulates
+    today's CDC delta), report per day-partition how many base rows and
+    batch rows land there and flag exactly the partitions that must be
+    rewritten (recompute = the batch touched the day). This is the
+    decision input for dynamic partition overwrite (sources/io.py
+    write-partitioned path): rewrite flagged days only, skip the rest —
+    the difference between an O(delta) and O(history) nightly job.
+
+    Scale: one scan, one combinable conditional aggregate keyed by day;
+    output is bounded by the calendar."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        F.col("ts").cast("date").alias("day"),
+        (F.col("event_id") % 10 == 0).cast("int").alias("is_batch"),
+    )
+    return (
+        e.groupBy("day")
+        .agg(
+            F.sum(1 - F.col("is_batch")).cast("long").alias("n_base"),
+            F.sum("is_batch").cast("long").alias("n_batch"),
+        )
+        .withColumn("recompute", F.col("n_batch") > 0)
+        .orderBy("day")
+    )
+
+
+@_q(
+    "events_lookalike_rank",
+    """
+    WITH p AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+             CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+      FROM events GROUP BY user_id
+    ), proto AS (
+      SELECT sum(n_view) AS pv, sum(n_click) AS pc,
+             sum(n_signup) AS ps, sum(n_error) AS pe
+      FROM p WHERE n_purchase > 0
+    ), scored AS (
+      SELECT user_id, n_view, n_click, n_signup, n_error,
+             round((n_view * pv + n_click * pc + n_signup * ps + n_error * pe)
+               / (sqrt(CAST(n_view * n_view + n_click * n_click
+                            + n_signup * n_signup + n_error * n_error AS DOUBLE))
+                * sqrt(CAST(pv * pv + pc * pc + ps * ps + pe * pe AS DOUBLE))),
+               6) AS cos_proto
+      FROM p, proto
+      WHERE n_purchase = 0
+        AND n_view + n_click + n_signup + n_error > 0
+    )
+    SELECT user_id, n_view, n_click, n_signup, n_error, cos_proto,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY cos_proto DESC, user_id) AS rank
+          FROM scored) z
+    WHERE rank <= 20 ORDER BY rank
+    """,
+)
+def events_lookalike_rank(spark, sf_dir):
+    """Lookalike-audience ranking: non-purchasers scored by the cosine
+    between their integer behavioral profile (view/click/signup/error
+    counts) and the purchaser PROTOTYPE — the elementwise SUM of all
+    purchasers' profiles (cosine is scale-invariant, so summing instead
+    of averaging avoids the division entirely, the centroid-drift trick).
+    Top 20 most purchase-like non-purchasers = the retargeting audience.
+    Zero-profile users (purchase-only histories) are excluded — their
+    cosine is undefined. Dot products are exact integers; one rounded
+    float per user.
+
+    Scale: one user-keyed combinable aggregate; the prototype is a 1-row
+    broadcast; the top-20 plans as TakeOrderedAndProject (per-partition
+    heaps, no global sort)."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.groupBy("user_id").agg(
+        *[
+            F.sum((F.col("event_type") == t).cast("long"))
+            .cast("long")
+            .alias(f"n_{t}")
+            for t in ("view", "click", "signup", "error", "purchase")
+        ]
+    )
+    proto = p.filter(F.col("n_purchase") > 0).agg(
+        F.sum("n_view").alias("pv"),
+        F.sum("n_click").alias("pc"),
+        F.sum("n_signup").alias("ps"),
+        F.sum("n_error").alias("pe"),
+    )
+    scored = (
+        p.filter(
+            (F.col("n_purchase") == 0)
+            & (
+                F.col("n_view") + F.col("n_click") + F.col("n_signup")
+                + F.col("n_error")
+                > 0
+            )
+        )
+        .crossJoin(F.broadcast(proto))
+        .select(
+            "user_id",
+            "n_view",
+            "n_click",
+            "n_signup",
+            "n_error",
+            F.round(
+                (
+                    F.col("n_view") * F.col("pv")
+                    + F.col("n_click") * F.col("pc")
+                    + F.col("n_signup") * F.col("ps")
+                    + F.col("n_error") * F.col("pe")
+                )
+                / (
+                    F.sqrt(
+                        (
+                            F.col("n_view") * F.col("n_view")
+                            + F.col("n_click") * F.col("n_click")
+                            + F.col("n_signup") * F.col("n_signup")
+                            + F.col("n_error") * F.col("n_error")
+                        ).cast("double")
+                    )
+                    * F.sqrt(
+                        (
+                            F.col("pv") * F.col("pv")
+                            + F.col("pc") * F.col("pc")
+                            + F.col("ps") * F.col("ps")
+                            + F.col("pe") * F.col("pe")
+                        ).cast("double")
+                    )
+                ),
+                6,
+            ).alias("cos_proto"),
+        )
+    )
+    # top-20 via orderBy+limit (TakeOrderedAndProject: per-partition heaps,
+    # no global sort); the rank window then runs on the bounded 20-row result
+    top = scored.orderBy(F.col("cos_proto").desc(), "user_id").limit(20)
+    w = Window.orderBy(F.col("cos_proto").desc(), "user_id")
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).orderBy(
+        "rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -14522,6 +14910,11 @@ _GRADE_NEXT: list[str] = [
     "rec_negative_sampling",
     "sim_knn_mutual_stats",
     "curation_dsir_importance",
+    "orders_cohort_ltv",
+    "sample_neyman_allocation",
+    "sql_group_by_all",
+    "etl_affected_partitions",
+    "events_lookalike_rank",
     # r02-only certificates remaining after the round-7 promotion (21)
     "text_bigram_counts",
     "join_cross",

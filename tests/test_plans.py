@@ -1352,3 +1352,54 @@ def test_dsir_broadcast_lm_take_ordered(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_cohort_ltv_grid_window_broadcast_size(spark):
+    """orders_cohort_ltv: the cumulative window partitions by cohort (the
+    bounded month grid) and the cohort-size table arrives by broadcast."""
+    import re as _re
+
+    plan = _plan(spark, "orders_cohort_ltv")
+    assert "BroadcastHashJoin" in plan, plan
+    for s in _re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "cohort_ym" in s, (s, plan)
+
+
+def test_neyman_single_scan_grid_windows(spark):
+    """sample_neyman_allocation: one documents scan, combinable stratum
+    aggregate (128-bit sums), every window on the strata grid (no window
+    may reference doc-level columns)."""
+    import re as _re
+
+    plan = _plan(spark, "sample_neyman_allocation")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "partial_sum" in plan, plan
+    for s in _re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "n_chars" not in s and "doc_id" not in s, (s, plan)
+
+
+def test_group_by_all_plain_combinable_agg(spark):
+    """sql_group_by_all: the sugar must desugar to one combinable
+    aggregate — single scan, partial aggregation, no window, no join."""
+    plan = _plan(spark, "sql_group_by_all")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "windowspecdefinition" not in plan and "Join" not in plan, plan
+
+
+def test_affected_partitions_single_scan_no_join(spark):
+    """etl_affected_partitions: one events scan, one combinable
+    conditional aggregate — no join, no window."""
+    plan = _plan(spark, "etl_affected_partitions")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "partial_sum" in plan, plan
+    assert "Join" not in plan and "windowspecdefinition" not in plan, plan
+
+
+def test_lookalike_take_ordered_broadcast_proto(spark):
+    """events_lookalike_rank: the prototype is a 1-row broadcast; the
+    top-20 plans as TakeOrderedAndProject (the rank window then runs on
+    the bounded 20-row result)."""
+    plan = _plan(spark, "events_lookalike_rank")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan

@@ -8535,3 +8535,153 @@ def test_dsir_importance_matches_bruteforce(spark):
         for r in REGISTRY["curation_dsir_importance"].fn(spark, SF_SMOKE).collect()
     ]
     assert got == expect
+
+
+def test_cohort_ltv_matches_bruteforce(spark):
+    """orders_cohort_ltv: month integers, exact cents, cumulative sums,
+    and floor-division LTV recomputed in plain Python."""
+    import math
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table(
+        "orders",
+        [
+            "o_custkey",
+            "year(o_orderdate) * 12 + month(o_orderdate) AS ym",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+        ],
+    )
+    cohort = {}
+    for ck, ym, _ in rows:
+        cohort[ck] = min(cohort.get(ck, ym), ym)
+    size = defaultdict(int)
+    for ck in cohort:
+        size[cohort[ck]] += 1
+    rev = defaultdict(int)
+    for ck, ym, cents in rows:
+        rev[(cohort[ck], ym - cohort[ck])] += cents
+    expect = {}
+    by_cohort = defaultdict(list)
+    for (cym, age), cents in rev.items():
+        by_cohort[cym].append((age, cents))
+    for cym, ages in by_cohort.items():
+        cum = 0
+        label = f"{cym // 12}-{cym % 12 + 1:02d}"
+        for age, cents in sorted(ages):
+            cum += cents
+            expect[(label, age)] = (size[cym], cents, cum, cum // size[cym])
+    got = {
+        (r.cohort, r.age_months): (
+            r.n_customers,
+            r.rev_cents,
+            r.cum_rev_cents,
+            r.ltv_cents_per_cust,
+        )
+        for r in REGISTRY["orders_cohort_ltv"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_neyman_allocation_matches_bruteforce(spark):
+    """sample_neyman_allocation: math.isqrt of the exact variance
+    numerator (the true integer N·σ) and largest-remainder rounding
+    recomputed in plain Python; asserts the budget closes exactly."""
+    import math
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("documents", ["lang", "n_chars"])
+    agg = defaultdict(lambda: [0, 0, 0])
+    for lang, nc in rows:
+        a = agg[lang]
+        a[0] += 1
+        a[1] += nc
+        a[2] += nc * nc
+    w = {lang: math.isqrt(a[0] * a[2] - a[1] * a[1]) for lang, a in agg.items()}
+    tw = sum(w.values())
+    base = {lang: (1000 * v) // tw for lang, v in w.items()}
+    rem = {lang: (1000 * v) % tw for lang, v in w.items()}
+    leftover = 1000 - sum(base.values())
+    for lang in sorted(rem, key=lambda x: (-rem[x], x))[:leftover]:
+        base[lang] += 1
+    assert sum(base.values()) == 1000
+    got = {
+        r.lang: (r.n_docs, r.w_sigma, r.alloc)
+        for r in REGISTRY["sample_neyman_allocation"].fn(spark, SF_SMOKE).collect()
+    }
+    expect = {lang: (agg[lang][0], w[lang], base[lang]) for lang in agg}
+    assert got == expect
+
+
+def test_affected_partitions_matches_bruteforce(spark):
+    """etl_affected_partitions: per-day base/batch split recomputed in
+    plain Python; the recompute set is exactly the days the batch
+    touches."""
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("events", ["event_id", "CAST(ts AS DATE) AS day"])
+    counts = defaultdict(lambda: [0, 0])
+    for eid, day in rows:
+        counts[day][eid % 10 == 0] += 1
+    expect = {
+        day: (nb, nba, nba > 0) for day, (nb, nba) in counts.items()
+    }
+    got = {
+        r.day: (r.n_base, r.n_batch, r.recompute)
+        for r in REGISTRY["etl_affected_partitions"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_lookalike_rank_matches_bruteforce(spark):
+    """events_lookalike_rank: integer behavioral profiles, the summed
+    purchaser prototype, and the rounded cosine ranking recomputed in
+    plain Python/math."""
+    import math
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("events", ["user_id", "event_type"])
+    prof = defaultdict(lambda: defaultdict(int))
+    for uid, et in rows:
+        prof[uid][et] += 1
+    dims = ("view", "click", "signup", "error")
+    proto = [0, 0, 0, 0]
+    for uid, p in prof.items():
+        if p["purchase"] > 0:
+            for i, d in enumerate(dims):
+                proto[i] += p[d]
+    pn = math.sqrt(sum(x * x for x in proto))
+    scored = []
+    for uid, p in prof.items():
+        if p["purchase"] > 0:
+            continue
+        v = [p[d] for d in dims]
+        if sum(v) == 0:
+            continue
+        cos = round(
+            sum(a * b for a, b in zip(v, proto))
+            / (math.sqrt(sum(a * a for a in v)) * pn),
+            6,
+        )
+        scored.append((-cos, uid, v))
+    scored.sort()
+    expect = [
+        (uid, *v, -negcos, rank)
+        for rank, (negcos, uid, v) in enumerate(scored[:20], start=1)
+    ]
+    got = [
+        (r.user_id, r.n_view, r.n_click, r.n_signup, r.n_error, r.cos_proto, r.rank)
+        for r in REGISTRY["events_lookalike_rank"].fn(spark, SF_SMOKE).collect()
+    ]
+    assert got == expect
