@@ -86,6 +86,11 @@ SECONDARY = [
     # round-6 flagships (token-budget curation; incremental CC maintenance)
     "curation_token_budget",
     "dedup_cc_incremental",
+    # round-7 flagships (DSIR selection; deterministic negative sampling;
+    # mutual-kNN graph health)
+    "curation_dsir_importance",
+    "rec_negative_sampling",
+    "sim_knn_mutual_stats",
 ]
 
 

@@ -14646,6 +14646,291 @@ def events_lookalike_rank(spark, sf_dir):
     )
 
 
+@_q(
+    "dq_partition_checksums",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(concat('0x', substr(md5(
+             'chk1:' || doc_id || ':' || n_chars || ':' || md5(text)
+           ), 1, 4)) AS BIGINT)) AS BIGINT) AS checksum_a,
+           CAST(sum(CAST(concat('0x', substr(md5(
+             'chk2:' || doc_id || ':' || n_chars || ':' || md5(text)
+           ), 1, 4)) AS BIGINT)) AS BIGINT) AS checksum_b
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def dq_partition_checksums(spark, sf_dir):
+    """Order-independent per-partition content checksums: each row folds
+    to two independently-salted md5 integers and the partition fingerprint
+    is their SUM — so replicas, re-writes, and cross-engine copies of a
+    lang partition can be compared with a |partitions|-row equality check
+    instead of a row-level anti-join (the cheap half of dq_snapshot_diff;
+    run THIS first and only row-diff partitions whose checksums moved).
+    Additive folding makes the checksum shuffle-order-proof and
+    mergeable: shard checksums sum to the partition checksum.
+
+    Scale: one scan, one combinable aggregate — the checksum is a
+    map-side partial sum like any other."""
+    d = _t(spark, sf_dir, "documents")
+
+    def fold(salt):
+        return F.sum(
+            SAMP.hash_bucket_int(
+                F.concat(
+                    F.lit(salt + ":"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("n_chars").cast("string"),
+                    F.lit(":"),
+                    F.md5(F.col("text")),
+                )
+            )
+        ).cast("long")
+
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            fold("chk1").alias("checksum_a"),
+            fold("chk2").alias("checksum_b"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_q(
+    "corpus_anneal_schedule",
+    """
+    WITH n AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+    ), r2 AS (
+      SELECT lang, n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS y0
+      FROM n
+    ), s2 AS (
+      SELECT lang, n_docs,
+             CASE WHEN (y0 + 1) * (y0 + 1) <= n_docs THEN y0 + 1
+                  WHEN y0 * y0 > n_docs THEN y0 - 1 ELSE y0 END AS rt2
+      FROM r2
+    ), s4 AS (
+      SELECT lang, n_docs, rt2,
+             CAST(floor(sqrt(CAST(rt2 AS DOUBLE))) AS BIGINT) AS z0
+      FROM s2
+    ), w AS (
+      SELECT lang, n_docs, rt2,
+             CASE WHEN (z0 + 1) * (z0 + 1) <= rt2 THEN z0 + 1
+                  WHEN z0 * z0 > rt2 THEN z0 - 1 ELSE z0 END AS rt4
+      FROM s4
+    ), sched AS (
+      SELECT e.epoch, w.lang, w.n_docs,
+             CASE e.t WHEN 4 THEN rt4 WHEN 2 THEN rt2 ELSE n_docs END AS weight
+      FROM w CROSS JOIN (VALUES (1, 4), (2, 2), (3, 1)) AS e(epoch, t)
+    ), t AS (
+      SELECT epoch, lang, n_docs, weight,
+             CAST((1000 * weight) // sum(weight) OVER (PARTITION BY epoch)
+                  AS BIGINT) AS base,
+             (1000 * weight) % sum(weight) OVER (PARTITION BY epoch) AS rem
+      FROM sched
+    ), l AS (
+      SELECT *, 1000 - sum(base) OVER (PARTITION BY epoch) AS leftover,
+             row_number() OVER (PARTITION BY epoch ORDER BY rem DESC, lang) AS rk
+      FROM t
+    )
+    SELECT CAST(epoch AS INT) AS epoch, lang, n_docs,
+           CAST(weight AS BIGINT) AS weight,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc
+    FROM l ORDER BY epoch, lang
+    """,
+)
+def corpus_anneal_schedule(spark, sf_dir):
+    """Temperature-annealed mixture schedule: per-epoch language sampling
+    budgets (1000 docs/epoch) with temperature T falling 4 -> 2 -> 1
+    across epochs — start near-uniform (upweight low-resource languages),
+    finish proportional to the natural distribution, the standard
+    multilingual curriculum. T is restricted to powers of two ON PURPOSE:
+    n^(1/4) = isqrt(isqrt(n)) and n^(1/2) = isqrt(n) are EXACT integer
+    roots (floor-sqrt with the 128-bit-comparison correction), so the
+    whole schedule — weights, floor shares, largest-remainder top-ups —
+    is integer arithmetic with zero pow()/exp() cross-engine float risk,
+    and every epoch's allocation closes to exactly 1000 (pin-asserted).
+
+    Scale: one combinable per-lang count; the epoch grid is a 3-row
+    broadcast; every window partitions by epoch over the |langs| grid."""
+    d = _t(spark, sf_dir, "documents")
+    n = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+
+    def isqrt(col_expr, out):
+        return (
+            f"CAST(CASE WHEN (__y0_{out} + 1) * (__y0_{out} + 1) <= {col_expr}"
+            f" THEN __y0_{out} + 1"
+            f" WHEN __y0_{out} * __y0_{out} > {col_expr} THEN __y0_{out} - 1"
+            f" ELSE __y0_{out} END AS BIGINT) AS {out}"
+        )
+
+    w = (
+        n.selectExpr(
+            "*",
+            "CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT) AS __y0_rt2",
+        )
+        .selectExpr("lang", "n_docs", isqrt("n_docs", "rt2"))
+        .selectExpr(
+            "*", "CAST(FLOOR(SQRT(CAST(rt2 AS DOUBLE))) AS BIGINT) AS __y0_rt4"
+        )
+        .selectExpr("lang", "n_docs", "rt2", isqrt("rt2", "rt4"))
+    )
+    epochs = spark.createDataFrame([(1, 4), (2, 2), (3, 1)], "epoch int, t int")
+    sched = w.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "lang",
+        "n_docs",
+        F.when(F.col("t") == 4, F.col("rt4"))
+        .when(F.col("t") == 2, F.col("rt2"))
+        .otherwise(F.col("n_docs"))
+        .alias("weight"),
+    )
+    # bounded: allocation windows run per epoch over the |langs| grid
+    we = Window.partitionBy("epoch")
+    t = sched.select(
+        "epoch",
+        "lang",
+        "n_docs",
+        "weight",
+        F.sum("weight").over(we).alias("tw"),
+    ).selectExpr(
+        "*",
+        "CAST((1000 * weight) DIV tw AS BIGINT) AS base",
+        "(1000 * weight) % tw AS rem",
+    )
+    l = t.withColumn("leftover", F.lit(1000) - F.sum("base").over(we)).withColumn(
+        "rk",
+        F.row_number().over(we.orderBy(F.col("rem").desc(), "lang")),
+    )
+    return l.select(
+        F.col("epoch").cast("int").alias("epoch"),
+        "lang",
+        "n_docs",
+        F.col("weight").cast("long").alias("weight"),
+        (F.col("base") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
+        .cast("long")
+        .alias("alloc"),
+    ).orderBy("epoch", "lang")
+
+
+@_q(
+    "dedup_canonical_failover",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             md5(array_to_string(string_split(lower(trim(text)), ' ')[1:5], ' '))
+               AS ck,
+             doc_id % 7 = 0 AS deleted,
+             md5('can:' || doc_id) AS h
+      FROM documents
+    ), g AS (
+      SELECT ck,
+             CAST(min(doc_id) AS BIGINT) AS cluster_id,
+             CAST(count(*) AS BIGINT) AS n_members,
+             CAST(sum(CASE WHEN deleted THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_deleted,
+             arg_min(doc_id, h) AS canonical_before,
+             arg_min(doc_id, h) FILTER (WHERE NOT deleted) AS canonical_after
+      FROM m GROUP BY ck
+    )
+    SELECT cluster_id, n_members, n_deleted, canonical_before, canonical_after,
+           (canonical_before % 7 = 0 AND canonical_after IS NOT NULL)
+             AS failover
+    FROM g WHERE n_members >= 2 ORDER BY cluster_id
+    """,
+)
+def dedup_canonical_failover(spark, sf_dir):
+    """Canonical-representative failover under deletion (the
+    right-to-be-forgotten path through a deduplicated corpus): documents
+    cluster by the md5 of their first-5-token prefix (the
+    dedup_prefix_fingerprint rule), the canonical member is the md5-min
+    doc, and when a deletion batch (doc_id % 7 == 0) removes a canonical,
+    the next md5-min SURVIVOR takes over — computed in the same single
+    aggregate via a FILTERed arg_min, no second pass. Clusters whose
+    members are all deleted surface canonical_after = NULL (the cluster
+    disappears downstream). Without this operator, deleting a canonical
+    silently orphans every reference to its cluster.
+
+    Scale: one scan, one combinable cluster-keyed aggregate; the deletion
+    set never joins — it is a pure function of the id evaluated
+    scan-side."""
+    d = _t(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        F.md5(F.array_join(F.slice(TX.tokens(F.col("text")), 1, 5), " ")).alias(
+            "ck"
+        ),
+        (F.col("doc_id") % 7 == 0).alias("deleted"),
+        F.md5(F.concat(F.lit("can:"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    g = m.groupBy("ck").agg(
+        F.min("doc_id").cast("long").alias("cluster_id"),
+        F.count("*").cast("long").alias("n_members"),
+        F.sum(F.col("deleted").cast("long")).cast("long").alias("n_deleted"),
+        F.expr("min_by(doc_id, h)").alias("canonical_before"),
+        F.expr("min_by(doc_id, h) FILTER (WHERE NOT deleted)").alias(
+            "canonical_after"
+        ),
+    )
+    return (
+        g.filter(F.col("n_members") >= 2)
+        .select(
+            "cluster_id",
+            "n_members",
+            "n_deleted",
+            "canonical_before",
+            "canonical_after",
+            (
+                (F.col("canonical_before") % 7 == 0)
+                & F.col("canonical_after").isNotNull()
+            ).alias("failover"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+@_q(
+    "sql_filtered_aggregates",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE n_chars >= 200) AS BIGINT) AS n_long,
+           CAST(coalesce(sum(n_chars) FILTER (WHERE n_chars >= 200), 0)
+                AS BIGINT) AS chars_long,
+           CAST(count(DISTINCT source) FILTER (WHERE n_chars >= 200) AS BIGINT)
+             AS n_long_sources
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def sql_filtered_aggregates(spark, sf_dir):
+    """FILTER-clause aggregates (SQL:2003 T612): per-group conditional
+    counts/sums/count-distincts expressed as `agg(...) FILTER (WHERE p)`
+    instead of the sum(CASE WHEN ...) folklore — both engines implement
+    the clause natively and this certifies identical semantics, including
+    the NULL-vs-0 seam (a filtered SUM over an empty group is NULL,
+    coalesced explicitly on both sides; a filtered COUNT is 0).
+
+    Scale: desugars to the same one combinable aggregate as the CASE
+    form — single scan, one shuffle on lang."""
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(
+        """
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) FILTER (WHERE n_chars >= 200) AS BIGINT) AS n_long,
+               CAST(coalesce(sum(n_chars) FILTER (WHERE n_chars >= 200), 0)
+                    AS BIGINT) AS chars_long,
+               CAST(count(DISTINCT source) FILTER (WHERE n_chars >= 200)
+                    AS BIGINT) AS n_long_sources
+        FROM documents GROUP BY lang ORDER BY lang
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -14915,6 +15200,10 @@ _GRADE_NEXT: list[str] = [
     "sql_group_by_all",
     "etl_affected_partitions",
     "events_lookalike_rank",
+    "dq_partition_checksums",
+    "corpus_anneal_schedule",
+    "dedup_canonical_failover",
+    "sql_filtered_aggregates",
     # r02-only certificates remaining after the round-7 promotion (21)
     "text_bigram_counts",
     "join_cross",

@@ -1403,3 +1403,43 @@ def test_lookalike_take_ordered_broadcast_proto(spark):
     plan = _plan(spark, "events_lookalike_rank")
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_partition_checksums_single_scan_combinable(spark):
+    """dq_partition_checksums: one scan, map-side partial sums, no join,
+    no window — the checksum must fold like any other aggregate."""
+    plan = _plan(spark, "dq_partition_checksums")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "partial_sum" in plan, plan
+    assert "Join" not in plan and "windowspecdefinition" not in plan, plan
+
+
+def test_anneal_schedule_epoch_windows_broadcast_epochs(spark):
+    """corpus_anneal_schedule: every allocation window partitions by
+    epoch (the bounded grid); the 3-row epoch table broadcasts."""
+    import re as _re
+
+    plan = _plan(spark, "corpus_anneal_schedule")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for s in specs:
+        assert "epoch" in s, (s, plan)
+
+
+def test_canonical_failover_single_scan_no_join(spark):
+    """dedup_canonical_failover: one scan, one combinable cluster-keyed
+    aggregate — the deletion set is scan-side, never a join."""
+    plan = _plan(spark, "dedup_canonical_failover")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan and "windowspecdefinition" not in plan, plan
+
+
+def test_filtered_aggregates_single_scan_no_window(spark):
+    """sql_filtered_aggregates: FILTER-clause aggregates desugar to one
+    scan with partial aggregation (the distinct adds an expand, not a
+    second scan) and no window."""
+    plan = _plan(spark, "sql_filtered_aggregates")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan

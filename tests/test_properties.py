@@ -8685,3 +8685,126 @@ def test_lookalike_rank_matches_bruteforce(spark):
         for r in REGISTRY["events_lookalike_rank"].fn(spark, SF_SMOKE).collect()
     ]
     assert got == expect
+
+
+def test_partition_checksums_match_bruteforce(spark):
+    """dq_partition_checksums: the two salted additive md5 folds
+    recomputed with hashlib; also asserts mergeability (shard checksums
+    sum to the partition checksum) on an arbitrary row split."""
+    import hashlib
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("documents", ["lang", "doc_id", "n_chars", "text"])
+    acc = defaultdict(lambda: [0, 0, 0])
+    for lang, doc_id, n_chars, text in rows:
+        th = hashlib.md5(text.encode()).hexdigest()
+        key = f"{doc_id}:{n_chars}:{th}"
+        a = acc[lang]
+        a[0] += 1
+        a[1] += _md5_bucket(f"chk1:{key}")
+        a[2] += _md5_bucket(f"chk2:{key}")
+    expect = {lang: tuple(v) for lang, v in acc.items()}
+    got = {
+        r.lang: (r.n_rows, r.checksum_a, r.checksum_b)
+        for r in REGISTRY["dq_partition_checksums"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    # mergeability: fold halves independently, sums must agree
+    lang0 = rows[0][0]
+    half = [r for i, r in enumerate(rows) if r[0] == lang0 and i % 2 == 0]
+    other = [r for i, r in enumerate(rows) if r[0] == lang0 and i % 2 == 1]
+
+    def fold(rs):
+        return sum(
+            _md5_bucket(
+                f"chk1:{d}:{n}:{hashlib.md5(t.encode()).hexdigest()}"
+            )
+            for _, d, n, t in rs
+        )
+
+    assert fold(half) + fold(other) == expect[lang0][1]
+
+
+def test_anneal_schedule_matches_bruteforce(spark):
+    """corpus_anneal_schedule: math.isqrt roots, per-epoch largest
+    remainder, and exact 1000-budget closure per epoch recomputed in
+    plain Python."""
+    import math
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    langs = Counter(lang for (lang,) in _smoke_table("documents", ["lang"]))
+    expect = {}
+    for epoch, t in ((1, 4), (2, 2), (3, 1)):
+        w = {}
+        for lang, n in langs.items():
+            w[lang] = (
+                n if t == 1 else math.isqrt(n) if t == 2 else math.isqrt(math.isqrt(n))
+            )
+        tw = sum(w.values())
+        base = {lang: (1000 * v) // tw for lang, v in w.items()}
+        rem = {lang: (1000 * v) % tw for lang, v in w.items()}
+        leftover = 1000 - sum(base.values())
+        for lang in sorted(rem, key=lambda x: (-rem[x], x))[:leftover]:
+            base[lang] += 1
+        assert sum(base.values()) == 1000
+        for lang in langs:
+            expect[(epoch, lang)] = (langs[lang], w[lang], base[lang])
+    got = {
+        (r.epoch, r.lang): (r.n_docs, r.weight, r.alloc)
+        for r in REGISTRY["corpus_anneal_schedule"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_canonical_failover_matches_bruteforce(spark):
+    """dedup_canonical_failover: prefix clusters, md5-min canonicals
+    before/after the deletion batch, and the failover flag recomputed
+    with hashlib; also asserts the failover semantics (a surviving
+    canonical never changes)."""
+    import hashlib
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("documents", ["doc_id", "text"])
+    clusters = defaultdict(list)
+    for doc_id, text in rows:
+        toks = text.lower().strip().split()
+        ck = hashlib.md5(" ".join(toks[:5]).encode()).hexdigest()
+        clusters[ck].append(doc_id)
+    expect = {}
+    for members in clusters.values():
+        if len(members) < 2:
+            continue
+        h = {d: hashlib.md5(f"can:{d}".encode()).hexdigest() for d in members}
+        before = min(members, key=lambda d: h[d])
+        survivors = [d for d in members if d % 7 != 0]
+        after = min(survivors, key=lambda d: h[d]) if survivors else None
+        cid = min(members)
+        expect[cid] = (
+            len(members),
+            sum(1 for d in members if d % 7 == 0),
+            before,
+            after,
+            before % 7 == 0 and after is not None,
+        )
+        if before % 7 != 0:
+            assert after == before  # surviving canonical never changes
+    got = {
+        r.cluster_id: (
+            r.n_members,
+            r.n_deleted,
+            r.canonical_before,
+            r.canonical_after,
+            r.failover,
+        )
+        for r in REGISTRY["dedup_canonical_failover"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
