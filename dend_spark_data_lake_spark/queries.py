@@ -14943,6 +14943,256 @@ def sql_filtered_aggregates(spark, sf_dir):
     )
 
 
+@_q(
+    "dq_primary_key_audit",
+    """
+    SELECT 'region' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT r_regionkey) AS BIGINT) AS n_keys FROM region
+    UNION ALL SELECT 'nation', count(*), count(DISTINCT n_nationkey) FROM nation
+    UNION ALL SELECT 'customer', count(*), count(DISTINCT c_custkey) FROM customer
+    UNION ALL SELECT 'supplier', count(*), count(DISTINCT s_suppkey) FROM supplier
+    UNION ALL SELECT 'part', count(*), count(DISTINCT p_partkey) FROM part
+    UNION ALL SELECT 'orders', count(*), count(DISTINCT o_orderkey) FROM orders
+    UNION ALL SELECT 'lineitem', count(*),
+           count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
+    UNION ALL SELECT 'events', count(*), count(DISTINCT event_id) FROM events
+    UNION ALL SELECT 'documents', count(*), count(DISTINCT doc_id) FROM documents
+    UNION ALL SELECT 'embeddings', count(*), count(DISTINCT vec_id)
+           FROM embeddings
+    """,
+)
+def dq_primary_key_audit(spark, sf_dir):
+    """Whole-lake primary-key audit in one report: every table's declared
+    key (single or composite — lineitem's is (l_orderkey, l_linenumber))
+    checked as n_rows vs n_distinct_keys; any gap is silent upstream
+    duplication that corrupts every downstream join fanout. This is the
+    first page of a data contract, and the one dq_referential_orphans
+    assumes has already passed.
+
+    Scale: one combinable aggregate per table (count-distinct expands
+    map-side), unioned into a 10-row report; tables scan once each and
+    never join. No ORDER BY: the report row order is the fixed UNION
+    order on both engines."""
+    parts = []
+    keys = [
+        ("region", ["r_regionkey"]),
+        ("nation", ["n_nationkey"]),
+        ("customer", ["c_custkey"]),
+        ("supplier", ["s_suppkey"]),
+        ("part", ["p_partkey"]),
+        ("orders", ["o_orderkey"]),
+        ("lineitem", ["l_orderkey", "l_linenumber"]),
+        ("events", ["event_id"]),
+        ("documents", ["doc_id"]),
+        ("embeddings", ["vec_id"]),
+    ]
+    for tname, kcols in keys:
+        t = _t(spark, sf_dir, tname)
+        parts.append(
+            t.agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.countDistinct(*[F.col(c) for c in kcols])
+                .cast("long")
+                .alias("n_keys"),
+            ).select(F.lit(tname).alias("table_name"), "n_rows", "n_keys")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@_q(
+    "embed_sim_histogram",
+    """
+    WITH p AS (
+      SELECT a.embedding AS av, b.embedding AS bv
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    ), c AS (
+      SELECT round(
+               list_sum(list_transform(range(1, len(av)+1),
+                 i -> CAST(av[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, len(av)+1),
+                 i -> CAST(av[i] AS DOUBLE) * CAST(av[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, len(bv)+1),
+                 i -> CAST(bv[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE))))),
+             6) AS cos
+      FROM p
+    )
+    SELECT CAST(least(floor(cos * 10), 9) AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM c GROUP BY 1 ORDER BY bucket
+    """,
+)
+def embed_sim_histogram(spark, sf_dir):
+    """Embedding-space anisotropy check: the distribution of cosine
+    similarity over deterministic pseudo-random pairs (consecutive ids —
+    id assignment is unrelated to geometry, so adjacent pairs sample the
+    pair distribution without any RNG). A healthy space is a bell well
+    below 1; mass piling into the top buckets means collapse/anisotropy
+    (every vector similar to every other) and cosine-based retrieval,
+    dedup thresholds, and hard-negative mining all silently degrade.
+    Histogram bucket = floor(cos*10) clamped into [-10, 9].
+
+    Scale: one self-join on a shifted key (co-keyed shuffle, no
+    broadcast needed, never all-pairs), one combinable 20-bucket
+    aggregate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(
+        (F.col("vec_id") + 1).alias("jid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("av"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("jid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("bv"),
+    )
+    dot = F.aggregate(
+        F.zip_with("av", "bv", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.zip_with("av", "av", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.zip_with("bv", "bv", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    c = a.join(b, "jid").select(F.round(dot / (na * nb), 6).alias("cos"))
+    return (
+        c.select(
+            F.least(F.floor(F.col("cos") * 10), F.lit(9)).cast("int").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .orderBy("bucket")
+    )
+
+
+_INTERARRIVAL_LADDER_S = [1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024]
+
+
+def _interarrival_case_sql() -> str:
+    """CASE ladder over gap microseconds -> least upper power-of-2 seconds
+    bucket; generated from _INTERARRIVAL_LADDER_S so the Spark expression
+    and the DuckDB oracle cannot drift."""
+    branches = " ".join(
+        f"WHEN gap_us < {s * 1_000_000} THEN {s}" for s in _INTERARRIVAL_LADDER_S
+    )
+    return f"CASE {branches} ELSE 9223372036854775807 END"
+
+
+@_q(
+    "events_interarrival_stats",
+    f"""
+    WITH g AS (
+      SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ), b AS (
+      SELECT CAST({_interarrival_case_sql()} AS BIGINT) AS bucket_s
+      FROM g WHERE gap_us IS NOT NULL
+    )
+    SELECT bucket_s, CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST((1000000 * count(*)) //
+                (sum(count(*)) OVER ()) AS BIGINT) AS pct_ppm
+    FROM b GROUP BY bucket_s ORDER BY bucket_s
+    """,
+)
+def events_interarrival_stats(spark, sf_dir):
+    """Inter-arrival time distribution per user (the workload model under
+    session-gap choices and rate limits): per-user consecutive event gaps
+    in exact integer microseconds, folded into a power-of-2 seconds
+    ladder (least upper bound; the unbounded tail is the int64 max
+    sentinel). Both the Spark CASE ladder and the oracle are generated
+    from the same constant so they cannot drift. Read BEFORE picking the
+    sessionization gap (events_sessionization uses 30 min) — the ladder
+    shows where the natural gap valley actually sits.
+
+    Scale: one user-keyed lag window (partitioned), one combinable
+    <= 12-row aggregate; the share window runs on that bucket grid."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select((us - F.lag(us).over(w)).alias("gap_us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    b = g.selectExpr(f"CAST({_interarrival_case_sql()} AS BIGINT) AS bucket_s")
+    # bounded: the share window runs over the <= 12-row bucket grid
+    wall = Window.partitionBy()
+    return (
+        b.groupBy("bucket_s")
+        .agg(F.count("*").cast("long").alias("n_gaps"))
+        .withColumn("__tot", F.sum("n_gaps").over(wall))
+        .selectExpr(
+            "bucket_s",
+            "n_gaps",
+            "CAST((1000000 * n_gaps) DIV __tot AS BIGINT) AS pct_ppm",
+        )
+        .orderBy("bucket_s")
+    )
+
+
+@_q(
+    "events_trending_decay",
+    """
+    WITH r AS (SELECT max(CAST(ts AS DATE)) AS ref FROM events),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(1 AS BIGINT) << greatest(
+               0, 30 - (date_diff('day', CAST(ts AS DATE), ref) // 7)
+             )) AS BIGINT) AS decay_score
+      FROM events, r GROUP BY event_type
+    )
+    SELECT event_type, n_events, decay_score, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY decay_score DESC, event_type)
+            AS rank FROM s) z
+    ORDER BY rank
+    """,
+)
+def events_trending_decay(spark, sf_dir):
+    """Exponentially-decayed trending ranking: each event contributes
+    2^(30 − age_weeks) to its type's score (half-life = one week,
+    anchored at the corpus' max event date), so recent activity dominates
+    without a cutoff — the freshness-weighted popularity every trending
+    feed uses. The weights are EXACT dyadic integers (bit-shift, clamped
+    at age 30 weeks), so the score is pure 64-bit integer arithmetic —
+    no exp()/pow() float risk, bit-identical cross-engine.
+
+    Scale: the reference date is a 1-row broadcast; the score is one
+    combinable integer aggregate; ranking is a |types|-row window."""
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.agg(F.max(F.col("ts").cast("date")).alias("ref"))
+    s = (
+        ev.crossJoin(F.broadcast(ref))
+        .select(
+            "event_type",
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), greatest(0, 30 - "
+                "(datediff(ref, CAST(ts AS DATE)) DIV 7)))"
+            ).alias("w"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("w").cast("long").alias("decay_score"),
+        )
+    )
+    # bounded: ranking runs over the |event types|-row aggregate
+    w = Window.orderBy(F.col("decay_score").desc(), "event_type")
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("event_type", "n_events", "decay_score", "rank")
+        .orderBy("rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -15216,6 +15466,10 @@ _GRADE_NEXT: list[str] = [
     "corpus_anneal_schedule",
     "dedup_canonical_failover",
     "sql_filtered_aggregates",
+    "dq_primary_key_audit",
+    "embed_sim_histogram",
+    "events_interarrival_stats",
+    "events_trending_decay",
     # r02-only certificates remaining after the round-7 promotion (21)
     "text_bigram_counts",
     "join_cross",

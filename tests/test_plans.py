@@ -1443,3 +1443,48 @@ def test_filtered_aggregates_single_scan_no_window(spark):
     assert plan.count("FileScan parquet") == 1, plan
     assert "windowspecdefinition" not in plan, plan
     assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_pk_audit_one_scan_per_table_no_join(spark):
+    """dq_primary_key_audit: ten tables scan once each into a unioned
+    report — no join anywhere."""
+    plan = _plan(spark, "dq_primary_key_audit")
+    assert plan.count("FileScan parquet") == 10, plan
+    assert "Join" not in plan, plan
+
+
+def test_sim_histogram_keyed_join_no_allpairs(spark):
+    """embed_sim_histogram: the consecutive-id pairing must be a keyed
+    equi-join (broadcast or co-keyed), never a cartesian/all-pairs."""
+    plan = _plan(spark, "embed_sim_histogram")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    ), plan
+
+
+def test_interarrival_lag_window_partitions_by_user(spark):
+    """events_interarrival_stats: the lag window partitions by user; the
+    only other window is the share fold on the bounded bucket grid."""
+    import re as _re
+
+    plan = _plan(spark, "events_interarrival_stats")
+    assert plan.count("FileScan parquet") == 1, plan
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert any("user_id" in s for s in specs), (specs, plan)
+    for s in specs:
+        assert "gap_us" not in s and "event_id" not in s or "user_id" in s, (
+            s,
+            plan,
+        )
+
+
+def test_trending_decay_broadcast_ref_combinable(spark):
+    """events_trending_decay: the reference date is a 1-row broadcast and
+    the decay score folds map-side."""
+    plan = _plan(spark, "events_trending_decay")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "partial_sum" in plan, plan

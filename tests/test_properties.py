@@ -8808,3 +8808,89 @@ def test_canonical_failover_matches_bruteforce(spark):
         for r in REGISTRY["dedup_canonical_failover"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_sim_histogram_matches_bruteforce(spark):
+    """embed_sim_histogram: consecutive-id pair cosines and the clamped
+    decile bucketing recomputed with numpy."""
+    import math
+    import numpy as np
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    vecs = {vid: np.asarray(v, dtype=np.float64) for vid, _, v in _smoke_embeddings()}
+    hist = Counter()
+    for vid, v in vecs.items():
+        w = vecs.get(vid + 1)
+        if w is None:
+            continue
+        cos = round(float(v @ w) / (math.sqrt(v @ v) * math.sqrt(w @ w)), 6)
+        hist[min(math.floor(cos * 10), 9)] += 1
+    got = {
+        r.bucket: r.n_pairs
+        for r in REGISTRY["embed_sim_histogram"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == dict(hist)
+
+
+def test_interarrival_stats_match_bruteforce(spark):
+    """events_interarrival_stats: per-user gaps and the power-of-2 ladder
+    recomputed in plain Python from the same constant."""
+    from collections import Counter, defaultdict
+
+    from dend_spark_data_lake_spark.queries import (
+        REGISTRY,
+        _INTERARRIVAL_LADDER_S,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("events", ["user_id", "event_id", "epoch_us(ts) AS us"])
+    by_user = defaultdict(list)
+    for uid, eid, us in rows:
+        by_user[uid].append((us, eid))
+    hist = Counter()
+    for evs in by_user.values():
+        evs.sort()
+        for (a, _), (b, _) in zip(evs, evs[1:]):
+            gap = b - a
+            bucket = next(
+                (s for s in _INTERARRIVAL_LADDER_S if gap < s * 1_000_000),
+                9223372036854775807,
+            )
+            hist[bucket] += 1
+    tot = sum(hist.values())
+    expect = {b: (n, (1_000_000 * n) // tot) for b, n in hist.items()}
+    got = {
+        r.bucket_s: (r.n_gaps, r.pct_ppm)
+        for r in REGISTRY["events_interarrival_stats"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_trending_decay_matches_bruteforce(spark):
+    """events_trending_decay: dyadic decay weights (bit shifts) and the
+    ranking recomputed in plain Python integer arithmetic."""
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("events", ["event_type", "CAST(ts AS DATE) AS d"])
+    ref = max(d for _, d in rows)
+    agg = defaultdict(lambda: [0, 0])
+    for et, d in rows:
+        age_weeks = (ref - d).days // 7
+        agg[et][0] += 1
+        agg[et][1] += 1 << max(0, 30 - age_weeks)
+    ranked = sorted(agg.items(), key=lambda kv: (-kv[1][1], kv[0]))
+    expect = [
+        (et, n, score, rank)
+        for rank, (et, (n, score)) in enumerate(ranked, start=1)
+    ]
+    got = [
+        (r.event_type, r.n_events, r.decay_score, r.rank)
+        for r in REGISTRY["events_trending_decay"].fn(spark, SF_SMOKE).collect()
+    ]
+    assert got == expect

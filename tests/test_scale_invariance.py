@@ -41,6 +41,14 @@ SCALE_QUERIES = [
     # round-6 additions whose docstrings make multi-stage shape claims
     "curation_token_budget",
     "dedup_cc_incremental",
+    # round-7 additions: the broadcast-LM selection and the shelf-probe
+    # sampler must keep their broadcast/anti-join shapes at any partition
+    # setting (sim_knn_mutual_stats is excluded: its builder materializes
+    # a measured persist, which the cache-clearing fixture would re-run
+    # twice at sf0.1 for no shape information — its shape is covered by
+    # the test_plans lock)
+    "curation_dsir_importance",
+    "rec_negative_sampling",
 ]
 
 # operators whose COUNT defines the scale shape of a plan: join
