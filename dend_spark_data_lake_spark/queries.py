@@ -15193,6 +15193,162 @@ def events_trending_decay(spark, sf_dir):
     )
 
 
+@_q(
+    "sample_inverse_propensity_weights",
+    """
+    WITH s AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_before,
+             CAST(sum(CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_after
+      FROM documents GROUP BY lang
+    ), t AS (
+      SELECT lang, n_before, n_after,
+             sum(n_before) OVER () AS tb, sum(n_after) OVER () AS ta
+      FROM s
+    )
+    SELECT lang, n_before, n_after,
+           CASE WHEN n_after > 0
+                THEN CAST((1000000 * n_before) // n_after AS BIGINT) END
+             AS ipw_ppm,
+           CAST((1000000 * n_before) // tb AS BIGINT) AS share_before_ppm,
+           CAST((1000000 * n_after) // ta AS BIGINT) AS share_after_ppm,
+           CAST(abs((1000000 * n_after) // ta - (1000000 * n_before) // tb)
+                AS BIGINT) AS drift_ppm
+    FROM t ORDER BY lang
+    """,
+)
+def sample_inverse_propensity_weights(spark, sf_dir):
+    """Inverse-propensity reweighting audit for a filtered corpus: after
+    a selection gate (here the length gate n_chars >= 150), each
+    surviving document should carry weight n_before/n_after of its
+    stratum so downstream statistics remain unbiased for the original
+    population — this emits those weights in exact ppm plus the mixture
+    drift the gate introduced (share before vs after, the number that
+    says WHICH languages the gate quietly suppressed). A stratum the gate
+    empties has no valid weight and surfaces NULL rather than a fake
+    value.
+
+    Scale: one combinable per-stratum conditional aggregate; the totals
+    window runs on the |strata|-row grid."""
+    d = _t(spark, sf_dir, "documents")
+    s = d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_before"),
+        F.sum((F.col("n_chars") >= 150).cast("long")).cast("long").alias("n_after"),
+    )
+    # bounded: totals run on the |strata|-row grid
+    wall = Window.partitionBy()
+    t = s.select(
+        "lang",
+        "n_before",
+        "n_after",
+        F.sum("n_before").over(wall).alias("tb"),
+        F.sum("n_after").over(wall).alias("ta"),
+    )
+    return t.selectExpr(
+        "lang",
+        "n_before",
+        "n_after",
+        """CASE WHEN n_after > 0
+                THEN CAST((1000000 * n_before) DIV n_after AS BIGINT) END
+           AS ipw_ppm""",
+        "CAST((1000000 * n_before) DIV tb AS BIGINT) AS share_before_ppm",
+        "CAST((1000000 * n_after) DIV ta AS BIGINT) AS share_after_ppm",
+        """CAST(abs((1000000 * n_after) DIV ta - (1000000 * n_before) DIV tb)
+                AS BIGINT) AS drift_ppm""",
+    ).orderBy("lang")
+
+
+@_q(
+    "text_vocab_growth_heaps",
+    """
+    WITH mx AS (
+      SELECT (max(doc_id) // 64) + 1 AS wd FROM documents
+    ), tok AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_filter(
+               string_split(lower(trim(text)), ' '), t -> t <> ''))) AS t
+      FROM documents
+    ), firsts AS (
+      SELECT t, min(doc_id) AS first_doc FROM tok GROUP BY t
+    ), newg AS (
+      SELECT first_doc // wd AS bucket, CAST(count(*) AS BIGINT) AS n_new_tokens
+      FROM firsts, mx GROUP BY 1
+    ), tokg AS (
+      SELECT doc_id // wd AS bucket,
+             CAST(sum(len(list_filter(string_split(lower(trim(text)), ' '),
+                                      t -> t <> ''))) AS BIGINT) AS n_tokens
+      FROM documents, mx GROUP BY 1
+    ), g AS (
+      SELECT tokg.bucket,
+             coalesce(n_new_tokens, 0) AS n_new_tokens, n_tokens
+      FROM tokg LEFT JOIN newg ON newg.bucket = tokg.bucket
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, n_new_tokens,
+           CAST(sum(n_new_tokens) OVER (ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_vocab,
+           CAST(sum(n_tokens) OVER (ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_tokens
+    FROM g ORDER BY bucket
+    """,
+)
+def text_vocab_growth_heaps(spark, sf_dir):
+    """Heaps'-law vocabulary growth table: cumulative distinct vocabulary
+    vs cumulative tokens at <= 65 corpus checkpoints — the measurement
+    that predicts vocabulary size (and so tokenizer/embedding-table
+    sizing) at 100 TB from a prefix. The trick that makes "running
+    distinct" distributable: a token joins the vocabulary exactly at its
+    FIRST document (min(doc_id) per distinct token — one combinable
+    aggregate), so cumulative vocab is just a cumsum of first-occurrence
+    counts over the checkpoint grid, never a distinct-over-growing-prefix
+    scan. The checkpoint width adapts ((max_id DIV 64) + 1) so the grid
+    stays <= 65 rows at ANY corpus size.
+
+    Scale: token explode -> one min-aggregate keyed by token (the only
+    big shuffle); everything after lives on the bounded checkpoint
+    grid."""
+    d = _t(spark, sf_dir, "documents")
+    mx = d.agg(F.expr("(max(doc_id) DIV 64) + 1").alias("wd"))
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.filter(TX.tokens(F.col("text")), lambda t: t != ""))
+        ).alias("t"),
+    )
+    firsts = toks.groupBy("t").agg(F.min("doc_id").alias("first_doc"))
+    newg = (
+        firsts.crossJoin(F.broadcast(mx))
+        .groupBy(F.expr("first_doc DIV wd").alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n_new_tokens"))
+    )
+    tokg = (
+        d.select(
+            "doc_id",
+            F.size(F.filter(TX.tokens(F.col("text")), lambda t: t != "")).alias(
+                "__nt"
+            ),
+        )
+        .crossJoin(F.broadcast(mx))
+        .groupBy(F.expr("doc_id DIV wd").alias("bucket"))
+        .agg(F.sum("__nt").cast("long").alias("n_tokens"))
+    )
+    g = tokg.join(newg, "bucket", "left").select(
+        "bucket",
+        F.coalesce("n_new_tokens", F.lit(0)).cast("long").alias("n_new_tokens"),
+        "n_tokens",
+    )
+    # bounded: the cumulative runs on the <= 65-row checkpoint grid
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return g.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_new_tokens",
+        F.sum("n_new_tokens").over(w).cast("long").alias("cum_vocab"),
+        F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+    ).orderBy("bucket")
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -15470,6 +15626,8 @@ _GRADE_NEXT: list[str] = [
     "embed_sim_histogram",
     "events_interarrival_stats",
     "events_trending_decay",
+    "sample_inverse_propensity_weights",
+    "text_vocab_growth_heaps",
     # r02-only certificates remaining after the round-7 promotion (21)
     "text_bigram_counts",
     "join_cross",

@@ -1488,3 +1488,28 @@ def test_trending_decay_broadcast_ref_combinable(spark):
     plan = _plan(spark, "events_trending_decay")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
     assert "partial_sum" in plan, plan
+
+
+def test_ipw_single_scan_grid_windows(spark):
+    """sample_inverse_propensity_weights: one scan, combinable stratum
+    aggregate, totals windows on the strata grid only."""
+    import re as _re
+
+    plan = _plan(spark, "sample_inverse_propensity_weights")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "partial_sum" in plan or "partial_count" in plan, plan
+    for s in _re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "n_chars" not in s and "doc_id" not in s, (s, plan)
+
+
+def test_vocab_growth_one_token_shuffle_grid_cumsum(spark):
+    """text_vocab_growth_heaps: the only corpus-sized shuffle is the
+    token min-aggregate; the checkpoint width broadcasts; the cumulative
+    windows order by the bounded bucket grid, never doc_id or tokens."""
+    import re as _re
+
+    plan = _plan(spark, "text_vocab_growth_heaps")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "partial_min" in plan, plan
+    for s in _re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "doc_id" not in s and "first_doc" not in s, (s, plan)

@@ -8894,3 +8894,82 @@ def test_trending_decay_matches_bruteforce(spark):
         for r in REGISTRY["events_trending_decay"].fn(spark, SF_SMOKE).collect()
     ]
     assert got == expect
+
+
+def test_ipw_matches_bruteforce(spark):
+    """sample_inverse_propensity_weights: gate counts, ppm weights, and
+    mixture drift recomputed in plain Python; empty-stratum weights are
+    NULL, and reweighting a surviving stratum recovers its original
+    count."""
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("documents", ["lang", "n_chars"])
+    agg = defaultdict(lambda: [0, 0])
+    for lang, nc in rows:
+        agg[lang][0] += 1
+        agg[lang][1] += nc >= 150
+    tb = sum(a[0] for a in agg.values())
+    ta = sum(a[1] for a in agg.values())
+    expect = {}
+    for lang, (nb, na) in agg.items():
+        ipw = (1_000_000 * nb) // na if na > 0 else None
+        sb = (1_000_000 * nb) // tb
+        sa = (1_000_000 * na) // ta
+        expect[lang] = (nb, na, ipw, sb, sa, abs(sa - sb))
+        if na > 0:
+            # reweighting sanity: na * (nb/na) ~ nb at ppm resolution
+            assert abs(na * ipw - 1_000_000 * nb) < 1_000_000
+    got = {
+        r.lang: (
+            r.n_before,
+            r.n_after,
+            r.ipw_ppm,
+            r.share_before_ppm,
+            r.share_after_ppm,
+            r.drift_ppm,
+        )
+        for r in REGISTRY["sample_inverse_propensity_weights"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    assert got == expect
+
+
+def test_vocab_growth_matches_bruteforce(spark):
+    """text_vocab_growth_heaps: first-occurrence vocabulary accounting
+    and the checkpoint cumsums recomputed in plain Python; the final
+    cum_vocab must equal the corpus' true distinct-token count (the
+    first-occurrence trick is exact, not an estimate)."""
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("documents", ["doc_id", "text"])
+    wd = max(d for d, _ in rows) // 64 + 1
+    first = {}
+    ntok = defaultdict(int)
+    for doc_id, text in sorted(rows):
+        toks = [t for t in text.lower().strip().split() if t]
+        ntok[doc_id // wd] += len(toks)
+        for t in set(toks):
+            if t not in first or doc_id < first[t]:
+                first[t] = doc_id
+    new = defaultdict(int)
+    for t, d in first.items():
+        new[d // wd] += 1
+    expect = []
+    cv = ct = 0
+    for b in sorted(ntok):
+        cv += new.get(b, 0)
+        ct += ntok[b]
+        expect.append((b, new.get(b, 0), cv, ct))
+    got = [
+        (r.bucket, r.n_new_tokens, r.cum_vocab, r.cum_tokens)
+        for r in REGISTRY["text_vocab_growth_heaps"].fn(spark, SF_SMOKE).collect()
+    ]
+    assert got == expect
+    assert got[-1][2] == len(first)  # exact total vocabulary
