@@ -14151,19 +14151,25 @@ def sim_knn_mutual_stats(spark, sf_dir):
     mutual join and degree count are keyed shuffles on node id."""
     emb = _t(spark, sf_dir, "embeddings")
     s = emb.filter(F.col("vec_id") % 4 == 0)
-    from pyspark import StorageLevel
-
-    top5 = (
-        SIM.cosine_topk(s, s, k=5)
-        .select("query_id", "neighbor_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # score the sample's all-pairs via the blocked-GEMM applyInPandas
+    # scorer (one BLAS matmul per tile) with threshold = -1 (keep every
+    # pair); the interpreted zip_with/aggregate per-pair path measured
+    # 6.3-8.5s at sf0.1 vs ~1s for this form. Each unordered pair arrives
+    # once (a < b), so both orientations are unioned before ranking.
+    pairs = SIM.embedding_near_pairs(s, threshold=-1.0, n_blocks=4)
+    both = pairs.selectExpr(
+        "vec_a AS query_id", "vec_b AS neighbor_id", "cosine"
+    ).unionByName(
+        pairs.selectExpr("vec_b AS query_id", "vec_a AS neighbor_id", "cosine")
     )
-    # materialize before the 3-way reuse (self-join both sides + degree
-    # join): the scorer subtree is the expensive part and lazy persist
-    # leaves the self-join branches racing a cold cache. Measured at
-    # sf0.1: no persist 6.3-8.5s, lazy persist 4.4-4.7s, materialized
-    # 1.2-2.0s end-to-end. The count is a bounded driver scalar.
-    top5.count()
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    top5 = (
+        both.withColumn("__rn", F.row_number().over(wk))
+        .filter(F.col("__rn") <= 5)
+        .select("query_id", "neighbor_id")
+    )
     t1 = top5.alias("t1")
     t2 = top5.alias("t2")
     mutual = t1.join(

@@ -1332,15 +1332,14 @@ def test_negative_sampling_broadcast_shelves_keyed_antijoin(spark):
         assert "c_custkey" in s, (s, plan)
 
 
-def test_knn_mutual_broadcasts_sample_no_cartesian(spark):
-    """sim_knn_mutual_stats: the sample block must arrive by broadcast
-    (the deliberate bounded-sample scorer), never a cartesian product;
-    the top-5 window partitions by query."""
+def test_knn_mutual_gemm_tiles_no_cartesian(spark):
+    """sim_knn_mutual_stats: the pair scorer must be the blocked-GEMM
+    applyInPandas tiles (FlatMapGroupsInPandas), never a cartesian or
+    per-pair expression cross join; the top-5 window partitions by
+    query."""
     plan = _plan(spark, "sim_knn_mutual_stats")
     assert "CartesianProduct" not in plan, plan
-    assert (
-        plan.count("BroadcastNestedLoopJoin") + plan.count("BroadcastHashJoin") >= 1
-    ), plan
+    assert "FlatMapGroupsInPandas" in plan, plan
     assert "windowspecdefinition(query_id#" in plan, plan
 
 
