@@ -15355,6 +15355,117 @@ def text_vocab_growth_heaps(spark, sf_dir):
     ).orderBy("bucket")
 
 
+@_q(
+    "parts_abc_classification",
+    """
+    WITH r AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(10000 * l_extendedprice * (1 - l_discount))
+                           AS BIGINT)) AS BIGINT) AS rev_e4
+      FROM lineitem GROUP BY l_partkey
+    ), c AS (
+      SELECT l_partkey, rev_e4,
+             sum(rev_e4) OVER (ORDER BY rev_e4 DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(rev_e4) OVER () AS total
+      FROM r
+    ), k AS (
+      SELECT CASE WHEN cum * 100 <= 80 * total THEN 'A'
+                  WHEN cum * 100 <= 95 * total THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             rev_e4
+      FROM c
+    )
+    SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(rev_e4) AS BIGINT) AS revenue_e4
+    FROM k GROUP BY abc_class ORDER BY abc_class
+    """,
+)
+def parts_abc_classification(spark, sf_dir):
+    """ABC / Pareto inventory classification: parts ranked by exact
+    integer-e4 revenue, class A = the prefix holding the first 80% of
+    cumulative revenue (inclusive), B = to 95%, C = the tail — the
+    classic 80/15/5 working-capital split. The oracle's global ordered
+    cumsum is exactly what must NOT be planned at 100 TB (one task sorts
+    every part); the engine instead runs the global cumulative through
+    the range-partition + pid-window + broadcast-offset rewrite
+    (operators/percentiles.py global_cumulative_counts) keyed on a
+    (-revenue, partkey) struct so the DESC order rides the ascending
+    machinery — no unpartitioned part-level window (plan-locked).
+
+    Scale: one combinable per-part aggregate, the distributed cumulative
+    (the only unpartitioned window is over the ~32-row offset table),
+    then a 3-row rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(10000 * F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("long")
+        )
+        .cast("long")
+        .alias("rev_e4")
+    )
+    ordered = r.withColumn(
+        "__ord", F.struct((-F.col("rev_e4")).alias("a"), F.col("l_partkey").alias("b"))
+    )
+    c = PCT.global_cumulative_counts(ordered, "__ord", "rev_e4")
+    return (
+        c.select(
+            F.when(F.col("__cw") * 100 <= 80 * F.col("__t"), F.lit("A"))
+            .when(F.col("__cw") * 100 <= 95 * F.col("__t"), F.lit("B"))
+            .otherwise(F.lit("C"))
+            .alias("abc_class"),
+            "rev_e4",
+        )
+        .groupBy("abc_class")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("rev_e4").cast("long").alias("revenue_e4"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+@_q(
+    "text_langid_confusion",
+    """
+    WITH p AS (
+      SELECT lang AS actual_lang,
+             CASE WHEN len(string_split(lower(trim(text)), ' ')) = 0 THEN 'unk'
+                  WHEN 100 * len(list_filter(string_split(lower(trim(text)), ' '),
+                        t -> t IN ('the','a','of','and','to','in','is','it')))
+                       >= 5 * len(string_split(lower(trim(text)), ' '))
+                  THEN 'en' ELSE 'unk' END AS pred_lang
+      FROM documents
+    )
+    SELECT pred_lang, actual_lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM p GROUP BY pred_lang, actual_lang ORDER BY pred_lang, actual_lang
+    """,
+)
+def text_langid_confusion(spark, sf_dir):
+    """Confusion matrix for the n-gram/stopword language-ID heuristic
+    (functions/text.py langid_heuristic) against the labeled lang column:
+    (predicted, actual) document counts — the evaluation table behind any
+    langid-gated curation rule (quality_calibration_bins reports the
+    score's calibration; this reports the DECISION's error structure:
+    en-recall sits on the ('en','en') cell, false accepts on
+    ('en', not-en)). The decision boundary is integer arithmetic
+    (hits*100 >= tokens*5), so the matrix is exact.
+
+    Scale: scan-side prediction, one combinable aggregate to the
+    <= |langs|+1 x |langs| grid."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.col("lang").alias("actual_lang"),
+            TX.langid_heuristic(F.col("text")).alias("pred_lang"),
+        )
+        .groupBy("pred_lang", "actual_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("pred_lang", "actual_lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -15634,6 +15745,8 @@ _GRADE_NEXT: list[str] = [
     "events_trending_decay",
     "sample_inverse_propensity_weights",
     "text_vocab_growth_heaps",
+    "parts_abc_classification",
+    "text_langid_confusion",
     # r02-only certificates remaining after the round-7 promotion (21)
     "text_bigram_counts",
     "join_cross",

@@ -1512,3 +1512,26 @@ def test_vocab_growth_one_token_shuffle_grid_cumsum(spark):
     assert "partial_min" in plan, plan
     for s in _re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "doc_id" not in s and "first_doc" not in s, (s, plan)
+
+
+def test_abc_classification_pid_cumulative_no_global_sort(spark):
+    """parts_abc_classification: the revenue cumulative must run through
+    the pid-window rewrite; any window ordering by the (-rev, part)
+    struct must be pid-partitioned; no global sort of the part relation
+    before the rollup."""
+    import re as _re
+
+    plan = _plan(spark, "parts_abc_classification")
+    assert "windowspecdefinition(__pid#" in plan, plan
+    for s in _re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        if "__ord" in s:
+            assert "__pid" in s, (s, plan)
+
+
+def test_langid_confusion_single_scan_combinable(spark):
+    """text_langid_confusion: scan-side prediction, one combinable
+    aggregate, no join, no window."""
+    plan = _plan(spark, "text_langid_confusion")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "partial_count" in plan, plan
+    assert "Join" not in plan and "windowspecdefinition" not in plan, plan

@@ -8382,23 +8382,8 @@ def test_quota_waterfill_matches_bruteforce(spark):
     demand = defaultdict(int)
     for src, nc in rows:
         demand[src] += nc
-    items = sorted(demand.items(), key=lambda kv: (kv[1], kv[0]))
-    s = len(items)
-    total = sum(demand.values())
-    budget = (3 * total) // 5
-    cum = 0
-    kstar, lam = None, None
-    for k, (_, d) in enumerate(items, start=1):
-        if cum + d * (s - k + 1) >= budget:
-            kstar = k
-            lam = (budget - cum) // (s - k + 1)
-            break
-        cum += d
-    quota = {src: min(d, lam) if lam is not None else d for src, d in items}
-    capped = {src for src, d in items if lam is not None and d > lam}
-    leftover = budget - sum(quota.values())
-    for src in sorted(capped, key=lambda x: (-demand[x], x))[:leftover]:
-        quota[src] += 1
+    budget = (3 * sum(demand.values())) // 5
+    quota, capped = _waterfill(dict(demand), budget)
     assert sum(quota.values()) == budget
     assert all(quota[src] <= demand[src] for src in quota)
     got = {
@@ -8973,3 +8958,151 @@ def test_vocab_growth_matches_bruteforce(spark):
     ]
     assert got == expect
     assert got[-1][2] == len(first)  # exact total vocabulary
+
+
+def _waterfill(demand: dict, budget: int):
+    """Reference water-filling replica shared by the fixture pin and the
+    hypothesis property below: returns (quota, capped) with exact budget
+    closure via the floor waterline + largest-remainder top-up."""
+    items = sorted(demand.items(), key=lambda kv: (kv[1], kv[0]))
+    s = len(items)
+    cum = 0
+    lam = None
+    for k, (_, d) in enumerate(items, start=1):
+        if cum + d * (s - k + 1) >= budget:
+            lam = (budget - cum) // (s - k + 1)
+            break
+        cum += d
+    quota = {src: min(d, lam) if lam is not None else d for src, d in items}
+    capped = {src for src, d in items if lam is not None and d > lam}
+    leftover = budget - sum(quota.values())
+    for src in sorted(capped, key=lambda x: (-demand[x], x))[:leftover]:
+        quota[src] += 1
+    return quota, capped
+
+
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcdef", min_size=1, max_size=3),
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=0, max_value=50_000),
+)
+def test_waterfill_properties(demand, budget):
+    """Water-filling invariants on ANY input: quotas never exceed
+    demand; the budget closes exactly when affordable (else everything
+    is granted); max-min fairness — every capped source's quota is
+    within 1 of every other capped source and >= any uncapped quota."""
+    quota, capped = _waterfill(demand, budget)
+    total = sum(demand.values())
+    assert all(0 <= quota[s] <= demand[s] for s in demand)
+    if budget <= total:
+        assert sum(quota.values()) == budget
+    else:
+        assert quota == demand
+    for s in capped:
+        for t in demand:
+            if t in capped:
+                assert abs(quota[s] - quota[t]) <= 1
+            else:
+                assert quota[s] >= quota[t] - 1
+
+
+def _largest_remainder(weights: dict, k: int):
+    """Reference largest-remainder rounding replica (Neyman / anneal
+    allocation): floor shares + one unit to the largest remainders in
+    (remainder desc, key) order."""
+    tw = sum(weights.values())
+    if tw == 0:
+        return {key: 0 for key in weights}
+    base = {key: (k * w) // tw for key, w in weights.items()}
+    rem = {key: (k * w) % tw for key, w in weights.items()}
+    leftover = k - sum(base.values())
+    for key in sorted(rem, key=lambda x: (-rem[x], x))[:leftover]:
+        base[key] += 1
+    return base
+
+
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcdef", min_size=1, max_size=3),
+        st.integers(min_value=0, max_value=100_000),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=0, max_value=5_000),
+)
+def test_largest_remainder_properties(weights, k):
+    """Largest-remainder invariants on ANY input: the budget closes
+    exactly (when any weight is positive), every allocation is within
+    one unit of its exact proportional share, and zero-weight strata get
+    exactly zero."""
+    alloc = _largest_remainder(weights, k)
+    tw = sum(weights.values())
+    if tw == 0:
+        assert all(v == 0 for v in alloc.values())
+        return
+    assert sum(alloc.values()) == k
+    for key, w in weights.items():
+        exact = k * w / tw
+        assert exact - 1 < alloc[key] < exact + 1
+        if w == 0:
+            assert alloc[key] == 0
+
+
+def test_abc_classification_matches_bruteforce(spark):
+    """parts_abc_classification: exact e4 revenue, the DESC ordered
+    cumulative, and the 80/95 class boundaries recomputed in plain
+    Python."""
+    import math
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table(
+        "lineitem",
+        ["l_partkey", "CAST(round(10000 * l_extendedprice * (1 - l_discount)) AS BIGINT) AS e4"],
+    )
+    rev = defaultdict(int)
+    for pk, e4 in rows:
+        rev[pk] += e4
+    total = sum(rev.values())
+    cum = 0
+    agg = defaultdict(lambda: [0, 0])
+    for pk, r in sorted(rev.items(), key=lambda kv: (-kv[1], kv[0])):
+        cum += r
+        cls = "A" if cum * 100 <= 80 * total else "B" if cum * 100 <= 95 * total else "C"
+        agg[cls][0] += 1
+        agg[cls][1] += r
+    expect = {c: tuple(v) for c, v in agg.items()}
+    got = {
+        r.abc_class: (r.n_parts, r.revenue_e4)
+        for r in REGISTRY["parts_abc_classification"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_langid_confusion_matches_bruteforce(spark):
+    """text_langid_confusion: the integer decision boundary recomputed in
+    plain Python per document."""
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    stop = {"the", "a", "of", "and", "to", "in", "is", "it"}
+    rows = _smoke_table("documents", ["text", "lang"])
+    mat = Counter()
+    for text, lang in rows:
+        toks = text.lower().strip().split()
+        hits = sum(1 for t in toks if t in stop)
+        pred = "en" if toks and 100 * hits >= 5 * len(toks) else "unk"
+        mat[(pred, lang)] += 1
+    got = {
+        (r.pred_lang, r.actual_lang): r.n_docs
+        for r in REGISTRY["text_langid_confusion"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == dict(mat)
