@@ -14281,7 +14281,7 @@ def curation_dsir_importance(spark, sf_dir):
     """
     WITH o AS (
       SELECT o_custkey,
-             year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+             year(o_orderdate) * 12 + month(o_orderdate) - 1 AS ym,
              CAST(round(o_totalprice * 100) AS BIGINT) AS cents
       FROM orders
     ), c AS (
@@ -14323,9 +14323,12 @@ def orders_cohort_ltv(spark, sf_dir):
     cohort-size table, a combinable (cohort, age) aggregate, and the
     cumulative window runs on that bounded months x months grid — never
     the order table."""
+    # ym is ZERO-BASED in the month (y*12 + m-1): with a 1-based month,
+    # December of year y lands on y*12+12 and DIV/MOD 12 would mislabel it
+    # as January of year y+1
     o = _t(spark, sf_dir, "orders").select(
         "o_custkey",
-        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("ym"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
     c = o.groupBy("o_custkey").agg(F.min("ym").alias("cohort_ym"))

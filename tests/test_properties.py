@@ -8535,7 +8535,7 @@ def test_cohort_ltv_matches_bruteforce(spark):
         "orders",
         [
             "o_custkey",
-            "year(o_orderdate) * 12 + month(o_orderdate) AS ym",
+            "year(o_orderdate) * 12 + month(o_orderdate) - 1 AS ym",
             "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
         ],
     )
