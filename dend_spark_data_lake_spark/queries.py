@@ -15469,6 +15469,99 @@ def text_langid_confusion(spark, sf_dir):
     )
 
 
+@_q(
+    "sql_named_window_clause",
+    """
+    SELECT o_custkey, o_orderkey, rn, running_cents FROM (
+      SELECT o_custkey, o_orderkey,
+             CAST(row_number() OVER w AS INT) AS rn,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+                  AS BIGINT) AS running_cents
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ) z WHERE rn <= 3 ORDER BY o_custkey, rn
+    """,
+)
+def sql_named_window_clause(spark, sf_dir):
+    """Named WINDOW clause (SQL:2003 T611): one window definition shared
+    by a ranking and a running aggregate — both engines bind `OVER w` to
+    the same (customer, order-date) spec, certifying that the named form
+    desugars identically to inline OVER specs (the sharing is also what
+    lets Catalyst compute both functions in ONE Window operator instead
+    of two). The order key is made unique (date, orderkey) so the
+    running sum's default RANGE frame equals ROWS — no peer-row
+    ambiguity cross-engine. Money folds in exact integer cents.
+
+    Scale: a single customer-partitioned window (one shuffle); the
+    rn <= 3 prune happens after the window — WindowGroupLimit cannot arm
+    here because the operator also computes the running sum (Catalyst
+    only derives group limits for rank-only windows), the honest cost of
+    sharing one spec."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, rn, running_cents FROM (
+          SELECT o_custkey, o_orderkey,
+                 CAST(row_number() OVER w AS INT) AS rn,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+                      AS BIGINT) AS running_cents
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ) z WHERE rn <= 3 ORDER BY o_custkey, rn
+        """
+    )
+
+
+@_q(
+    "lake_partition_size_gini",
+    """
+    WITH m AS (
+      SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS sz
+      FROM documents GROUP BY lang, source
+    ), r AS (
+      SELECT sz, row_number() OVER (ORDER BY sz, lang, source) AS i,
+             count(*) OVER () AS n, sum(sz) OVER () AS t
+      FROM m
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_partitions,
+           CAST(max(t) AS BIGINT) AS total_chars,
+           CAST((1000000 * (2 * sum(i * sz) - (max(n) + 1) * max(t)))
+                // (max(n) * max(t)) AS BIGINT) AS gini_ppm
+    FROM r
+    """,
+)
+def lake_partition_size_gini(spark, sf_dir):
+    """Partition-size inequality (Gini coefficient) over the
+    (lang, source) partition manifest — the single-number skew indicator
+    for storage layout: 0 = perfectly even partitions, large values mean
+    a few partitions dominate and stragglers/compaction follow
+    (profile_key_skew reports the offending keys; this is the headline
+    metric that says whether to look). Computed by the exact sorted-rank
+    formula G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) entirely in integer
+    ppm — no float.
+
+    Scale: one combinable manifest aggregate; rank and totals run on the
+    bounded |lang x source| grid; the output is one row."""
+    d = _t(spark, sf_dir, "documents")
+    m = d.groupBy("lang", "source").agg(F.sum("n_chars").cast("long").alias("sz"))
+    # bounded: ranking/totals run on the partition-manifest grid
+    wall = Window.partitionBy()
+    r = m.select(
+        "sz",
+        F.row_number().over(Window.orderBy("sz", "lang", "source")).alias("i"),
+        F.count("*").over(wall).alias("n"),
+        F.sum("sz").over(wall).alias("t"),
+    )
+    return r.agg(
+        F.max("n").cast("long").alias("n_partitions"),
+        F.max("t").cast("long").alias("total_chars"),
+        F.expr(
+            """CAST((1000000 * (2 * sum(i * sz) - (max(n) + 1) * max(t)))
+                    DIV (max(n) * max(t)) AS BIGINT)"""
+        ).alias("gini_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -15750,6 +15843,8 @@ _GRADE_NEXT: list[str] = [
     "text_vocab_growth_heaps",
     "parts_abc_classification",
     "text_langid_confusion",
+    "sql_named_window_clause",
+    "lake_partition_size_gini",
     # r02-only certificates remaining after the round-7 promotion (21)
     "text_bigram_counts",
     "join_cross",

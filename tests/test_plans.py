@@ -1535,3 +1535,29 @@ def test_langid_confusion_single_scan_combinable(spark):
     assert plan.count("FileScan parquet") == 1, plan
     assert "partial_count" in plan, plan
     assert "Join" not in plan and "windowspecdefinition" not in plan, plan
+
+
+def test_named_window_single_operator(spark):
+    """sql_named_window_clause: the shared named window must compile to
+    ONE Window operator computing both functions (sharing the spec is
+    what buys this; two inline specs could plan two operators)."""
+    plan = _plan(spark, "sql_named_window_clause")
+    # both functions in one Window operator: row_number and sum appear in
+    # the same Window line
+    win_lines = [
+        line for line in plan.splitlines() if "row_number()" in line and "sum(" in line
+    ]
+    assert win_lines, plan
+    assert "windowspecdefinition(o_custkey#" in plan, plan
+
+
+def test_partition_gini_grid_windows_single_scan(spark):
+    """lake_partition_size_gini: one scan, combinable manifest aggregate,
+    rank/total windows on the bounded manifest grid only."""
+    import re as _re
+
+    plan = _plan(spark, "lake_partition_size_gini")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "partial_sum" in plan, plan
+    for s in _re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "n_chars" not in s and "doc_id" not in s, (s, plan)

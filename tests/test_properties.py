@@ -9106,3 +9106,26 @@ def test_langid_confusion_matches_bruteforce(spark):
         for r in REGISTRY["text_langid_confusion"].fn(spark, SF_SMOKE).collect()
     }
     assert got == dict(mat)
+
+
+def test_partition_gini_matches_bruteforce(spark):
+    """lake_partition_size_gini: the sorted-rank Gini formula recomputed
+    in plain Python integers; also sanity-pins the metric's range."""
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("documents", ["lang", "source", "n_chars"])
+    sz = defaultdict(int)
+    for lang, src, nc in rows:
+        sz[(lang, src)] += nc
+    xs = [v for _, v in sorted(sz.items(), key=lambda kv: (kv[1], kv[0]))]
+    n, t = len(xs), sum(xs)
+    gini = (1_000_000 * (2 * sum(i * x for i, x in enumerate(xs, 1)) - (n + 1) * t)) // (
+        n * t
+    )
+    assert 0 <= gini < 1_000_000
+    r = REGISTRY["lake_partition_size_gini"].fn(spark, SF_SMOKE).collect()
+    assert len(r) == 1
+    assert (r[0].n_partitions, r[0].total_chars, r[0].gini_ppm) == (n, t, gini)
