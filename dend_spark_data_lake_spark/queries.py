@@ -15562,6 +15562,405 @@ def lake_partition_size_gini(spark, sf_dir):
     )
 
 
+def _floordiv_cols(df, num: str, den: str, out: str) -> DataFrame:
+    """Exact ``floor(num / den)`` for DECIMAL(38,0) columns with den >= 0
+    (den = 0 yields 0), emitted as a BIGINT column ``out``.
+
+    Spark decimal division rounds HALF_UP at derived scale while the
+    DuckDB oracles' ``//`` floors, so the estimated quotient is corrected
+    to the true floor with exact decimal comparisons (the estimate is
+    provably within 1 of the floor) — the same idiom
+    stats_ab_test_proportions uses inline."""
+    dec = "DECIMAL(38,0)"
+    est = (
+        f"CAST(FLOOR({num} / CASE WHEN {den} = 0 THEN CAST(1 AS {dec}) "
+        f"ELSE {den} END) AS {dec})"
+    )
+    return (
+        df.selectExpr("*", f"{est} AS __fd_est")
+        .selectExpr(
+            "*",
+            f"""CAST(CASE WHEN {den} = 0 THEN 0
+                     WHEN (__fd_est + 1) * {den} <= {num} THEN __fd_est + 1
+                     WHEN __fd_est * {den} > {num} THEN __fd_est - 1
+                     ELSE __fd_est END AS BIGINT) AS {out}""",
+        )
+        .drop("__fd_est")
+    )
+
+
+@_q(
+    "stats_ks_two_sample",
+    """
+    WITH f AS (
+      SELECT CAST(round(100 * o_totalprice) AS BIGINT) AS v,
+             o_orderpriority AS pri
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), g AS (
+      SELECT v,
+             CAST(sum(CASE WHEN pri = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN pri = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM f GROUP BY v
+    ), c AS (
+      SELECT sum(na) OVER (ORDER BY v) AS ca, sum(nb) OVER (ORDER BY v) AS cb,
+             sum(na) OVER () AS ta, sum(nb) OVER () AS tb
+      FROM g
+    )
+    SELECT CAST(max(ta) AS BIGINT) AS n_a, CAST(max(tb) AS BIGINT) AS n_b,
+           CAST((1000000 * max(abs(ca * tb - cb * ta)))
+                // (max(ta) * max(tb)) AS BIGINT) AS ks_ppm
+    FROM c
+    """,
+)
+def stats_ks_two_sample(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov distance between the order-value
+    distributions of '1-URGENT' and '5-LOW' orders, reported in exact
+    integer ppm: D = max over the pooled value grid of
+    |F_a(v) - F_b(v)| = max|c_a·t_b - c_b·t_a| / (t_a·t_b), evaluated
+    entirely in integer arithmetic (the sup of a step-function
+    difference is attained at a pooled data point, so the distinct-value
+    grid is sufficient). The house drift test next to PSI
+    (profile_psi_event_types): PSI needs binning choices, KS does not.
+
+    Scale: one combinable per-distinct-value aggregate, then BOTH
+    cumulative distributions ride the range-partition + pid-window +
+    broadcast-offset rewrite (operators/percentiles.py
+    global_cumulative_counts, called once per sample over the shared
+    grid) — no unpartitioned window over the value grid, which is
+    unbounded (cent-exact prices). Final reduction is a single
+    combinable max. The oracle's global ordered window is exactly what
+    this plan avoids. 128-bit products (DECIMAL(38,0) / HUGEINT)
+    because c·t cross terms overflow int64 at cluster row counts."""
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    grid = o.groupBy(
+        F.round(100 * F.col("o_totalprice")).cast("long").alias("v")
+    ).agg(
+        F.sum((F.col("o_orderpriority") == "1-URGENT").cast("long"))
+        .cast("long")
+        .alias("na_v"),
+        F.sum((F.col("o_orderpriority") == "5-LOW").cast("long"))
+        .cast("long")
+        .alias("nb_v"),
+    )
+    c1 = PCT.global_cumulative_counts(grid, "v", "na_v", cum_name="c_a", total_name="t_a")
+    c2 = PCT.global_cumulative_counts(c1, "v", "nb_v", cum_name="c_b", total_name="t_b")
+    dec = "DECIMAL(38,0)"
+    s = c2.selectExpr(
+        "t_a",
+        "t_b",
+        f"""abs(CAST(c_a AS {dec}) * CAST(t_b AS {dec})
+                - CAST(c_b AS {dec}) * CAST(t_a AS {dec})) AS __d""",
+    ).agg(
+        F.max("t_a").cast("long").alias("n_a"),
+        F.max("t_b").cast("long").alias("n_b"),
+        F.max("__d").alias("__dmax"),
+    )
+    s = s.selectExpr(
+        "n_a",
+        "n_b",
+        f"CAST(1000000 AS {dec}) * __dmax AS __num",
+        f"CAST(n_a AS {dec}) * CAST(n_b AS {dec}) AS __den",
+    )
+    return _floordiv_cols(s, "__num", "__den", "ks_ppm").select(
+        "n_a", "n_b", "ks_ppm"
+    )
+
+
+@_q(
+    "stats_mann_whitney_u",
+    """
+    WITH f AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v, l_returnflag AS fl
+      FROM lineitem WHERE l_returnflag IN ('R', 'A')
+    ), g AS (
+      SELECT v,
+             CAST(sum(CASE WHEN fl = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS na_v,
+             CAST(sum(CASE WHEN fl = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS nb_v,
+             CAST(count(*) AS BIGINT) AS n_v
+      FROM f GROUP BY v
+    ), c AS (
+      SELECT na_v, nb_v, n_v,
+             sum(n_v) OVER (ORDER BY v) AS c_all
+      FROM g
+    ), s AS (
+      SELECT CAST(sum(na_v) AS BIGINT) AS n_a,
+             CAST(sum(nb_v) AS BIGINT) AS n_b,
+             CAST(sum(na_v * (2 * c_all - n_v + 1)) AS BIGINT) AS r_a_x2,
+             CAST(sum(n_v * n_v * n_v - n_v) AS BIGINT) AS tie_cubes
+      FROM c
+    ), t AS (
+      SELECT n_a, n_b, tie_cubes,
+             CAST(r_a_x2 - n_a * (n_a + 1) AS BIGINT) AS u_a_x2,
+             CAST(n_a + n_b AS HUGEINT) AS nn
+      FROM s
+    ), z AS (
+      SELECT n_a, n_b, u_a_x2, tie_cubes,
+             CAST(1000000 AS HUGEINT) * 3
+               * (CAST(u_a_x2 AS HUGEINT) - CAST(n_a AS HUGEINT) * n_b)
+               * (CAST(u_a_x2 AS HUGEINT) - CAST(n_a AS HUGEINT) * n_b)
+               * nn * (nn - 1) AS num,
+             CAST(n_a AS HUGEINT) * n_b
+               * ((nn + 1) * nn * (nn - 1) - tie_cubes) AS den
+      FROM t
+    )
+    SELECT n_a, n_b, u_a_x2, tie_cubes,
+           CAST(CASE WHEN den = 0 THEN 0 ELSE num // den END AS BIGINT) AS z2_e6,
+           (den > 0 AND num >= CAST(3841459 AS HUGEINT) * den) AS significant
+    FROM z
+    """,
+)
+def stats_mann_whitney_u(spark, sf_dir):
+    """Mann-Whitney U rank-sum test ('R' vs 'A' returnflag over line-item
+    quantity) WITHOUT a global sort: ranks are recovered from per-
+    distinct-value counts — a tied block of n rows ending at pooled
+    cumulative position c has average rank (2c - n + 1)/2, so the rank
+    sum R_a (doubled to stay integer) is a plain weighted sum over the
+    value grid. Reports U_a (x2), the tie-correction term Σ(t³-t), and
+    the tie-corrected z² in exact integer micro-units
+      z² = 3·(U_a·2 - n_a·n_b)²·N(N-1) / (n_a·n_b·((N+1)N(N-1) - Σ(t³-t)))
+    evaluated in 128-bit integers (DECIMAL(38,0) / HUGEINT), with
+    `significant` the exact comparison z² ≥ 3.841459 (χ²₍₁₎ 95%) — no
+    float enters the statistic, mirroring stats_ab_test_proportions.
+
+    Scale: one combinable per-distinct-value aggregate; the pooled
+    cumulative rides global_cumulative_counts (range-partition +
+    pid-window + broadcast offsets — no unpartitioned window over the
+    grid); the final reduction is one combinable sum. At extreme N
+    (≳1e10 rows per side) the z² cross terms exceed DECIMAL(38,0) —
+    the exact-integer report is for the regime where it is exact, and
+    the U/tie/count columns it always reports stay in range far past
+    that."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag").isin("R", "A"))
+    grid = li.groupBy(F.col("l_quantity").cast("long").alias("v")).agg(
+        F.sum((F.col("l_returnflag") == "R").cast("long")).cast("long").alias("na_v"),
+        F.sum((F.col("l_returnflag") == "A").cast("long")).cast("long").alias("nb_v"),
+        F.count("*").cast("long").alias("n_v"),
+    )
+    c = PCT.global_cumulative_counts(grid, "v", "n_v", cum_name="c_all", total_name="n_tot")
+    s = c.agg(
+        F.sum("na_v").cast("long").alias("n_a"),
+        F.sum("nb_v").cast("long").alias("n_b"),
+        F.sum(F.col("na_v") * (2 * F.col("c_all") - F.col("n_v") + 1))
+        .cast("long")
+        .alias("r_a_x2"),
+        F.sum(F.col("n_v") * F.col("n_v") * F.col("n_v") - F.col("n_v"))
+        .cast("long")
+        .alias("tie_cubes"),
+    )
+    dec = "DECIMAL(38,0)"
+    t = s.selectExpr(
+        "n_a",
+        "n_b",
+        "tie_cubes",
+        "CAST(r_a_x2 - n_a * (n_a + 1) AS BIGINT) AS u_a_x2",
+    ).selectExpr(
+        "*",
+        f"""(CAST(1000000 AS {dec}) * 3
+             * (CAST(u_a_x2 AS {dec}) - CAST(n_a AS {dec}) * CAST(n_b AS {dec}))
+             * (CAST(u_a_x2 AS {dec}) - CAST(n_a AS {dec}) * CAST(n_b AS {dec}))
+             * CAST(n_a + n_b AS {dec}) * CAST(n_a + n_b - 1 AS {dec})) AS __num""",
+        f"""(CAST(n_a AS {dec}) * CAST(n_b AS {dec})
+             * (CAST(n_a + n_b + 1 AS {dec}) * CAST(n_a + n_b AS {dec})
+                  * CAST(n_a + n_b - 1 AS {dec})
+                - CAST(tie_cubes AS {dec}))) AS __den""",
+    )
+    return _floordiv_cols(t, "__num", "__den", "z2_e6").selectExpr(
+        "n_a",
+        "n_b",
+        "u_a_x2",
+        "tie_cubes",
+        "z2_e6",
+        f"(__den > 0 AND __num >= CAST(3841459 AS {dec}) * __den) AS significant",
+    )
+
+
+@_q(
+    "stats_chi2_independence",
+    """
+    WITH o AS (
+      SELECT event_type, CAST(isodow(ts) AS INT) AS dow,
+             CAST(count(*) AS BIGINT) AS o_count
+      FROM events GROUP BY event_type, dow
+    ), m AS (
+      SELECT event_type, dow, o_count,
+             sum(o_count) OVER (PARTITION BY event_type) AS r_tot,
+             sum(o_count) OVER (PARTITION BY dow) AS c_tot,
+             sum(o_count) OVER () AS n_tot
+      FROM o
+    )
+    SELECT event_type, dow, o_count,
+           CAST((1000000 * r_tot * c_tot) // n_tot AS BIGINT) AS exp_e6,
+           CAST((1000000 * (o_count * n_tot - r_tot * c_tot)
+                         * (o_count * n_tot - r_tot * c_tot))
+                // (n_tot * r_tot * c_tot) AS BIGINT) AS chi_e6
+    FROM m ORDER BY event_type, dow
+    """,
+)
+def stats_chi2_independence(spark, sf_dir):
+    """Chi-square test of independence between event type and ISO
+    weekday, reported per contingency cell in exact integer micro-units:
+    expected count E = r·c/N and the cell contribution
+    (O - E)²/E = (O·N - r·c)² / (N·r·c), both floor-scaled by 1e6 and
+    evaluated in 128-bit integers — no float enters the table, so every
+    cell is bit-reproducible and the χ² total/dof are one trivial
+    reader-side sum away.
+
+    Scale: ONE data-sized combinable aggregate (the contingency
+    counts); everything after runs on the bounded |event_type| x 7 grid
+    — the marginals are windows over that tiny grid, not over data.
+    Cross terms O·N and r·c overflow int64 at cluster scale, hence
+    DECIMAL(38,0)/HUGEINT throughout (same posture as
+    stats_ab_test_proportions)."""
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", iso_weekday(F.col("ts")).cast("int").alias("dow")
+    ).agg(F.count("*").cast("long").alias("o_count"))
+    # bounded: the contingency grid is |event_type| x 7 rows
+    m = obs.select(
+        "event_type",
+        "dow",
+        "o_count",
+        F.sum("o_count").over(Window.partitionBy("event_type")).alias("r_tot"),
+        F.sum("o_count").over(Window.partitionBy("dow")).alias("c_tot"),
+        F.sum("o_count").over(Window.partitionBy()).alias("n_tot"),
+    )
+    dec = "DECIMAL(38,0)"
+    m = m.selectExpr(
+        "event_type",
+        "dow",
+        "o_count",
+        f"CAST(1000000 AS {dec}) * CAST(r_tot AS {dec}) * CAST(c_tot AS {dec}) AS __enum",
+        f"CAST(n_tot AS {dec}) AS __eden",
+        f"""(CAST(1000000 AS {dec})
+             * (CAST(o_count AS {dec}) * CAST(n_tot AS {dec})
+                - CAST(r_tot AS {dec}) * CAST(c_tot AS {dec}))
+             * (CAST(o_count AS {dec}) * CAST(n_tot AS {dec})
+                - CAST(r_tot AS {dec}) * CAST(c_tot AS {dec}))) AS __cnum""",
+        f"""(CAST(n_tot AS {dec}) * CAST(r_tot AS {dec})
+             * CAST(c_tot AS {dec})) AS __cden""",
+    )
+    m = _floordiv_cols(m, "__enum", "__eden", "exp_e6")
+    m = _floordiv_cols(m, "__cnum", "__cden", "chi_e6")
+    return m.select("event_type", "dow", "o_count", "exp_e6", "chi_e6").orderBy(
+        "event_type", "dow"
+    )
+
+
+@_q(
+    "stats_stump_split_gini",
+    """
+    WITH g AS (
+      SELECT CAST(round(100 * l_discount) AS BIGINT) AS thr_e2,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+               AS pos_v,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS BIGINT)
+               AS neg_v
+      FROM lineitem GROUP BY thr_e2
+    ), c AS (
+      SELECT thr_e2,
+             sum(pos_v) OVER (ORDER BY thr_e2) AS pos_l,
+             sum(neg_v) OVER (ORDER BY thr_e2) AS neg_l,
+             sum(pos_v) OVER () AS pos_t,
+             sum(neg_v) OVER () AS neg_t
+      FROM g
+    ), k AS (
+      SELECT thr_e2,
+             pos_l, neg_l,
+             pos_l + neg_l AS n_left,
+             (pos_t + neg_t) - (pos_l + neg_l) AS n_right,
+             pos_t - pos_l AS pos_r, neg_t - neg_l AS neg_r,
+             pos_t + neg_t AS nn, pos_t, neg_t
+      FROM c
+      WHERE (pos_t + neg_t) - (pos_l + neg_l) > 0
+    )
+    SELECT thr_e2,
+           CAST(n_left AS BIGINT) AS n_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           CAST(pos_l AS BIGINT) AS pos_left,
+           CAST((1000000 * ((n_left * n_left - pos_l * pos_l - neg_l * neg_l) * n_right
+                            + (n_right * n_right - pos_r * pos_r - neg_r * neg_r) * n_left))
+                // (nn * n_left * n_right) AS BIGINT) AS split_gini_e6,
+           CAST((1000000 * (nn * nn - pos_t * pos_t - neg_t * neg_t))
+                // (nn * nn) AS BIGINT) AS parent_gini_e6
+    FROM k ORDER BY thr_e2
+    """,
+)
+def stats_stump_split_gini(spark, sf_dir):
+    """Decision-stump split finding — the inner loop of distributed
+    tree/GBDT training: for every candidate threshold t on the discount
+    grid, the weighted Gini impurity of the split (x ≤ t | x > t)
+    against the 'R'-returnflag label, in exact integer micro-units via
+    the identity  1 - p² - q² = (n² - pos² - neg²)/n²  so the weighted
+    impurity is (n_L²-pos_L²-neg_L²)·n_R + (n_R²-pos_R²-neg_R²)·n_L
+    over N·n_L·n_R — 128-bit integer floor-scaled, no float. The parent
+    impurity rides along so the gain is a reader-side subtraction; the
+    argmin is deliberately NOT taken engine-side (near-tie argmin over
+    doubles is not cross-engine reproducible; the exact table is).
+
+    Scale: one combinable per-threshold aggregate over the data, then
+    left-cumulative label counts via global_cumulative_counts (the
+    threshold grid is value-quantized but treated as unbounded — same
+    rewrite, no unpartitioned grid window); each candidate's statistics
+    come from the cumulative row alone, the classic histogram-based
+    split finder (XGBoost/LightGBM style) expressed relationally."""
+    li = _t(spark, sf_dir, "lineitem")
+    pos = F.col("l_returnflag") == "R"
+    grid = li.groupBy(
+        F.round(100 * F.col("l_discount")).cast("long").alias("thr_e2")
+    ).agg(
+        F.sum(pos.cast("long")).cast("long").alias("pos_v"),
+        F.sum((~pos).cast("long")).cast("long").alias("neg_v"),
+    )
+    g1 = PCT.global_cumulative_counts(
+        grid, "thr_e2", "pos_v", cum_name="pos_l", total_name="pos_t"
+    )
+    g2 = PCT.global_cumulative_counts(
+        g1, "thr_e2", "neg_v", cum_name="neg_l", total_name="neg_t"
+    )
+    dec = "DECIMAL(38,0)"
+    k = (
+        g2.selectExpr(
+            "thr_e2",
+            "pos_l",
+            "neg_l",
+            "pos_t",
+            "neg_t",
+            "CAST(pos_l + neg_l AS BIGINT) AS n_left",
+            "CAST((pos_t + neg_t) - (pos_l + neg_l) AS BIGINT) AS n_right",
+        )
+        .where(F.col("n_right") > 0)
+        .selectExpr(
+            "thr_e2",
+            "n_left",
+            "n_right",
+            "CAST(pos_l AS BIGINT) AS pos_left",
+            f"""(CAST(1000000 AS {dec})
+                 * ((CAST(n_left AS {dec}) * n_left
+                     - CAST(pos_l AS {dec}) * pos_l
+                     - CAST(neg_l AS {dec}) * neg_l) * CAST(n_right AS {dec})
+                    + (CAST(n_right AS {dec}) * n_right
+                       - CAST(pos_t - pos_l AS {dec}) * (pos_t - pos_l)
+                       - CAST(neg_t - neg_l AS {dec}) * (neg_t - neg_l))
+                      * CAST(n_left AS {dec}))) AS __snum""",
+            f"""(CAST(pos_t + neg_t AS {dec}) * CAST(n_left AS {dec})
+                 * CAST(n_right AS {dec})) AS __sden""",
+            f"""(CAST(1000000 AS {dec})
+                 * (CAST(pos_t + neg_t AS {dec}) * (pos_t + neg_t)
+                    - CAST(pos_t AS {dec}) * pos_t
+                    - CAST(neg_t AS {dec}) * neg_t)) AS __pnum""",
+            f"""(CAST(pos_t + neg_t AS {dec})
+                 * CAST(pos_t + neg_t AS {dec})) AS __pden""",
+        )
+    )
+    k = _floordiv_cols(k, "__snum", "__sden", "split_gini_e6")
+    k = _floordiv_cols(k, "__pnum", "__pden", "parent_gini_e6")
+    return k.select(
+        "thr_e2", "n_left", "n_right", "pos_left", "split_gini_e6", "parent_gini_e6"
+    ).orderBy("thr_e2")
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -15845,6 +16244,10 @@ _GRADE_NEXT: list[str] = [
     "text_langid_confusion",
     "sql_named_window_clause",
     "lake_partition_size_gini",
+    "stats_ks_two_sample",
+    "stats_mann_whitney_u",
+    "stats_chi2_independence",
+    "stats_stump_split_gini",
     # r02-only certificates remaining after the round-7 promotion (21)
     "text_bigram_counts",
     "join_cross",

@@ -1561,3 +1561,57 @@ def test_partition_gini_grid_windows_single_scan(spark):
     assert "partial_sum" in plan, plan
     for s in _re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "n_chars" not in s and "doc_id" not in s, (s, plan)
+
+
+def test_ks_two_sample_pid_cumulative_no_global_sort(spark):
+    """stats_ks_two_sample: both sample CDFs must ride the pid-window
+    rewrite — every window touching the value grid is pid-partitioned;
+    the final reduction is a combinable max."""
+    import re as _re
+
+    plan = _plan(spark, "stats_ks_two_sample")
+    assert "windowspecdefinition(__pid#" in plan, plan
+    for s in _re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        if "v#" in s:
+            assert "__pid" in s, (s, plan)
+    assert "partial_max" in plan, plan
+
+
+def test_mann_whitney_pid_cumulative_no_global_sort(spark):
+    """stats_mann_whitney_u: the pooled rank cumulative must be
+    pid-partitioned (no unpartitioned window over the value grid); the
+    statistic reduces via a combinable sum."""
+    import re as _re
+
+    plan = _plan(spark, "stats_mann_whitney_u")
+    assert "windowspecdefinition(__pid#" in plan, plan
+    for s in _re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        if "v#" in s:
+            assert "__pid" in s, (s, plan)
+    assert "partial_sum" in plan, plan
+
+
+def test_chi2_independence_single_scan_combinable(spark):
+    """stats_chi2_independence: one events scan, a combinable contingency
+    aggregate; marginal windows run on the aggregated grid (no raw
+    event column inside any window spec)."""
+    import re as _re
+
+    plan = _plan(spark, "stats_chi2_independence")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "partial_count" in plan, plan
+    for s in _re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "ts#" not in s and "user_id" not in s, (s, plan)
+
+
+def test_stump_split_pid_cumulative_no_global_sort(spark):
+    """stats_stump_split_gini: both label cumulatives over the threshold
+    grid must be pid-partitioned — the histogram-based split finder
+    never globally sorts."""
+    import re as _re
+
+    plan = _plan(spark, "stats_stump_split_gini")
+    assert "windowspecdefinition(__pid#" in plan, plan
+    for s in _re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        if "thr_e2#" in s:
+            assert "__pid" in s, (s, plan)

@@ -9129,3 +9129,154 @@ def test_partition_gini_matches_bruteforce(spark):
     r = REGISTRY["lake_partition_size_gini"].fn(spark, SF_SMOKE).collect()
     assert len(r) == 1
     assert (r[0].n_partitions, r[0].total_chars, r[0].gini_ppm) == (n, t, gini)
+
+
+def test_ks_two_sample_matches_bruteforce(spark):
+    """stats_ks_two_sample: the KS sup-distance in integer ppm recomputed
+    in plain Python over the pooled cent-value grid."""
+    import math
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("orders", ["o_orderpriority", "o_totalprice"])
+    na = defaultdict(int)
+    nb = defaultdict(int)
+    for pri, price in rows:
+        v = math.floor(100 * price + 0.5)  # Spark HALF_UP for positives
+        if pri == "1-URGENT":
+            na[v] += 1
+        elif pri == "5-LOW":
+            nb[v] += 1
+    ta, tb = sum(na.values()), sum(nb.values())
+    ca = cb = dmax = 0
+    for v in sorted(set(na) | set(nb)):
+        ca += na.get(v, 0)
+        cb += nb.get(v, 0)
+        dmax = max(dmax, abs(ca * tb - cb * ta))
+    r = REGISTRY["stats_ks_two_sample"].fn(spark, SF_SMOKE).collect()
+    assert len(r) == 1
+    assert (r[0].n_a, r[0].n_b, r[0].ks_ppm) == (
+        ta,
+        tb,
+        (1_000_000 * dmax) // (ta * tb),
+    )
+
+
+def test_mann_whitney_u_matches_bruteforce(spark):
+    """stats_mann_whitney_u: U, ties, and the exact-integer z² recomputed
+    independently via classic MIDRANKS over the pooled sorted sample (the
+    engine derives ranks from grid cumulatives — different route, same
+    statistic)."""
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table(
+        "lineitem",
+        ["l_returnflag", "CAST(l_quantity AS BIGINT)"],
+    )
+    sample = [(v, fl) for fl, v in rows if fl in ("R", "A")]
+    pooled = sorted(v for v, _ in sample)
+    # midrank (x2 to stay integer) of each distinct value
+    rank_x2, i = {}, 0
+    for v, t in sorted(Counter(pooled).items()):
+        rank_x2[v] = 2 * i + t + 1  # positions i+1 .. i+t, avg doubled
+        i += t
+    n_a = sum(1 for _, fl in sample if fl == "R")
+    n_b = len(sample) - n_a
+    r_a_x2 = sum(rank_x2[v] for v, fl in sample if fl == "R")
+    u_a_x2 = r_a_x2 - n_a * (n_a + 1)
+    ties = Counter(pooled)
+    tie_cubes = sum(t**3 - t for t in ties.values())
+    nn = n_a + n_b
+    num = 1_000_000 * 3 * (u_a_x2 - n_a * n_b) ** 2 * nn * (nn - 1)
+    den = n_a * n_b * ((nn + 1) * nn * (nn - 1) - tie_cubes)
+    r = REGISTRY["stats_mann_whitney_u"].fn(spark, SF_SMOKE).collect()
+    assert len(r) == 1
+    assert (r[0].n_a, r[0].n_b, r[0].u_a_x2, r[0].tie_cubes) == (
+        n_a,
+        n_b,
+        u_a_x2,
+        tie_cubes,
+    )
+    assert r[0].z2_e6 == (0 if den == 0 else num // den)
+    assert r[0].significant == (den > 0 and num >= 3841459 * den)
+
+
+def test_chi2_independence_matches_bruteforce(spark):
+    """stats_chi2_independence: every contingency cell's exact-integer
+    expected count and χ² contribution recomputed in plain Python."""
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("events", ["event_type", "ts"])
+    obs = Counter((et, ts.isoweekday()) for et, ts in rows)
+    r_tot = Counter()
+    c_tot = Counter()
+    for (et, dw), o in obs.items():
+        r_tot[et] += o
+        c_tot[dw] += o
+    n = sum(obs.values())
+    expect = {
+        (et, dw): (
+            o,
+            (1_000_000 * r_tot[et] * c_tot[dw]) // n,
+            (1_000_000 * (o * n - r_tot[et] * c_tot[dw]) ** 2)
+            // (n * r_tot[et] * c_tot[dw]),
+        )
+        for (et, dw), o in obs.items()
+    }
+    got = {
+        (r.event_type, r.dow): (r.o_count, r.exp_e6, r.chi_e6)
+        for r in REGISTRY["stats_chi2_independence"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_stump_split_gini_matches_bruteforce(spark):
+    """stats_stump_split_gini: per-threshold weighted Gini impurity in
+    exact micro-units recomputed by direct (non-cumulative) partitioning
+    of the label counts at each threshold."""
+    import math
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("lineitem", ["l_returnflag", "l_discount"])
+    data = [
+        (math.floor(100 * d + 0.5), 1 if fl == "R" else 0) for fl, d in rows
+    ]
+    pos_t = sum(p for _, p in data)
+    neg_t = len(data) - pos_t
+    nn = pos_t + neg_t
+    expect = {}
+    for thr in sorted({t for t, _ in data}):
+        pos_l = sum(p for t, p in data if t <= thr)
+        n_l = sum(1 for t, _ in data if t <= thr)
+        neg_l = n_l - pos_l
+        n_r = nn - n_l
+        if n_r == 0:
+            continue
+        pos_r, neg_r = pos_t - pos_l, neg_t - neg_l
+        num = 1_000_000 * (
+            (n_l * n_l - pos_l * pos_l - neg_l * neg_l) * n_r
+            + (n_r * n_r - pos_r * pos_r - neg_r * neg_r) * n_l
+        )
+        expect[thr] = (
+            n_l,
+            n_r,
+            pos_l,
+            num // (nn * n_l * n_r),
+            (1_000_000 * (nn * nn - pos_t * pos_t - neg_t * neg_t)) // (nn * nn),
+        )
+    got = {
+        r.thr_e2: (r.n_left, r.n_right, r.pos_left, r.split_gini_e6, r.parent_gini_e6)
+        for r in REGISTRY["stats_stump_split_gini"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
