@@ -217,3 +217,43 @@ def grid_percentiles(
     ]
     out = [F.min("__t").cast("long").alias(total_name), *aggs]
     return cum.groupBy(*keys).agg(*out) if keys else cum.agg(*out)
+
+
+def global_running_max(
+    grid: DataFrame,
+    value_col: str,
+    agg_col: str,
+    n_parts: int = 32,
+    cum_name: str = "__cmax",
+    inclusive: bool = True,
+) -> DataFrame:
+    """Distributed GLOBAL running maximum of ``agg_col`` over ``grid``
+    ordered by ``value_col`` — the max-monoid sibling of
+    global_cumulative_counts, same rewrite (range-partition, pid-keyed
+    local window, broadcast per-partition prefix offsets; the only
+    unpartitioned window runs over the bounded ~n_parts-row offset
+    table), so the value domain may be unbounded.
+
+    ``inclusive=False`` yields the strict-prefix maximum (max over rows
+    ordered BEFORE this one; NULL for the global first row) — the form
+    skyline/frontier tests need. The grid must be deterministic under
+    re-evaluation (same contract as global_cumulative_counts).
+    """
+    p = grid.repartitionByRange(n_parts, value_col).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
+    )
+    local = p.withColumn("__lmx", F.max(agg_col).over(w_local))
+    sizes = p.groupBy("__pid").agg(F.max(agg_col).alias("__pmx"))
+    # bounded: one row per range partition
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = sizes.select("__pid", F.max("__pmx").over(w_off).alias("__off"))
+    return (
+        local.join(F.broadcast(offs), "__pid")
+        .withColumn(cum_name, F.greatest("__lmx", "__off"))
+        .drop("__pid", "__lmx", "__off")
+    )

@@ -15961,6 +15961,224 @@ def stats_stump_split_gini(spark, sf_dir):
     ).orderBy("thr_e2")
 
 
+@_q(
+    "curation_pareto_frontier",
+    r"""
+    WITH d AS (
+      SELECT doc_id, n_chars AS x,
+             len(list_distinct(list_filter(
+                 string_split_regex(lower(trim(text)), '\s+'),
+                 t -> t <> ''))) AS y
+      FROM documents
+    )
+    SELECT doc_id, CAST(x AS BIGINT) AS n_chars, CAST(y AS BIGINT) AS n_types
+    FROM d a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM d b
+      WHERE b.x >= a.x AND b.y >= a.y AND (b.x > a.x OR b.y > a.y)
+    )
+    ORDER BY doc_id
+    """,
+)
+def curation_pareto_frontier(spark, sf_dir):
+    """2-D Pareto frontier (skyline) over documents: the docs not
+    dominated on (n_chars, distinct-token count) — the multi-objective
+    selection primitive behind "keep the longest AND most lexically
+    diverse" curation rules, where a single weighted score would bake in
+    an arbitrary trade-off. The oracle is the O(n²) NOT-EXISTS dominance
+    definition; the engine's plan is the sort-based skyline identity:
+    a doc is on the frontier iff y equals its x-slice maximum M(x) and
+    strictly exceeds the suffix maximum S(x) = max{M(x') : x' > x}
+    (equal points are mutually non-dominating and all kept).
+
+    Scale: one combinable per-distinct-x max, the suffix maximum via
+    global_running_max (the DESC cummax rides the ascending pid-window
+    machinery on -x, exclusive frame — no unpartitioned window over the
+    x grid), then one x-keyed join back — nothing quadratic anywhere."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").alias("x"),
+        F.size(
+            F.array_distinct(F.filter(TX.tokens(F.col("text")), lambda t: t != ""))
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    gx = d.groupBy("x").agg(F.max("y").alias("my"))
+    # suffix max over x: exclusive running max on the negated key
+    sx = PCT.global_running_max(
+        gx.withColumn("__negx", -F.col("x")),
+        "__negx",
+        "my",
+        cum_name="sfx",
+        inclusive=False,
+    ).select("x", "my", "sfx")
+    return (
+        d.join(sx, "x")
+        .where((F.col("y") == F.col("my")) & (F.col("sfx").isNull() | (F.col("y") > F.col("sfx"))))
+        .select("doc_id", F.col("x").cast("long").alias("n_chars"), F.col("y").alias("n_types"))
+        .orderBy("doc_id")
+    )
+
+
+@_q(
+    "events_weekly_stickiness",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), byweek AS (
+      SELECT CAST(weekofyear(d) AS INT) AS iso_week,
+             CAST(count(*) AS BIGINT) AS user_days,
+             CAST(count(DISTINCT d) AS BIGINT) AS n_days,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      FROM pairs GROUP BY iso_week
+    )
+    SELECT iso_week, n_days, user_days, wau,
+           CAST((1000000 * user_days) // (n_days * wau) AS BIGINT)
+             AS stickiness_ppm
+    FROM byweek ORDER BY iso_week
+    """,
+)
+def events_weekly_stickiness(spark, sf_dir):
+    """DAU/WAU stickiness per ISO week — the engagement ratio product
+    teams watch: average daily actives over weekly actives, in exact
+    integer ppm (avg DAU = user_days/n_days, so the ratio is
+    user_days/(n_days·wau) — no float). Both engines' weekofyear are
+    ISO-8601; the fixture month starts on a Monday so no ISO-year seam
+    is exercised (documented, not hidden).
+
+    Scale: ONE data-sized shuffle — the distinct (user, day) pair
+    dedup, map-side combinable; DAU, WAU, and day counts all derive
+    from that pair set in a single per-week aggregate (the two
+    count-distincts expand on the |pairs|-sized relation, not raw
+    events)."""
+    ev = _t(spark, sf_dir, "events")
+    pairs = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    byweek = pairs.groupBy(
+        F.weekofyear("d").cast("int").alias("iso_week")
+    ).agg(
+        F.count("*").cast("long").alias("user_days"),
+        F.countDistinct("d").cast("long").alias("n_days"),
+        F.countDistinct("user_id").cast("long").alias("wau"),
+    )
+    return byweek.selectExpr(
+        "iso_week",
+        "n_days",
+        "user_days",
+        "wau",
+        "CAST((1000000 * user_days) DIV (n_days * wau) AS BIGINT) AS stickiness_ppm",
+    ).orderBy("iso_week")
+
+
+@_q(
+    "events_time_to_convert",
+    """
+    WITH fv AS (
+      SELECT user_id, min(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), fp AS (
+      SELECT e.user_id,
+             min(epoch_us(e.ts) - epoch_us(fv.first_view)) AS delta_us
+      FROM events e JOIN fv ON e.user_id = fv.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= fv.first_view
+      GROUP BY e.user_id
+    )
+    SELECT CAST(delta_us // 3600000000 AS BIGINT) AS hours_to_convert,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM fp GROUP BY hours_to_convert ORDER BY hours_to_convert
+    """,
+)
+def events_time_to_convert(spark, sf_dir):
+    """Funnel latency distribution: hours between a user's FIRST view
+    and their first purchase at-or-after it, as an exact integer-hour
+    histogram — the time-dimension companion of
+    funnel_view_click_purchase (which counts who converts; this measures
+    how long conversion takes). Microsecond deltas floor-bucket to
+    hours; all arithmetic on non-negative integers, so Spark's
+    truncating DIV and the oracle's flooring // agree by construction.
+
+    Scale: two user-keyed combinable aggregates and one user-keyed join
+    between them (co-partitioned on the same key — a single shuffle
+    family), then a bounded histogram aggregate; no window, no
+    data-sized driver state."""
+    ev = _t(spark, sf_dir, "events")
+    fv = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .where(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.unix_micros("ts") - F.unix_micros("first_view")
+            ).alias("delta_us")
+        )
+    )
+    return (
+        fp.selectExpr(
+            "CAST(delta_us DIV 3600000000 AS BIGINT) AS hours_to_convert"
+        )
+        .groupBy("hours_to_convert")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy("hours_to_convert")
+    )
+
+
+@_q(
+    "agg_bitmap_distinct",
+    """
+    WITH words AS (
+      SELECT event_type, user_id // 63 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT)) AS bits
+      FROM events GROUP BY event_type, word
+    ), bm AS (
+      SELECT event_type,
+             CAST(sum(bit_count(bits)) AS BIGINT) AS n_distinct_bitmap
+      FROM words GROUP BY event_type
+    ), direct AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_direct
+      FROM events GROUP BY event_type
+    )
+    SELECT bm.event_type, n_distinct_bitmap, n_distinct_direct
+    FROM bm JOIN direct ON bm.event_type = direct.event_type
+    ORDER BY bm.event_type
+    """,
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct users per event type via dense-ID bitmaps — the
+    roaring-bitmap idea expressed relationally: user_id packs into
+    (word = id div 63, bit = id mod 63) and distinct-counting becomes a
+    map-side-combinable bit_or per word plus a popcount sum (63 bits per
+    word keeps every value positive — no sign-bit seam between engines'
+    two's-complement popcounts). The direct count-distinct rides along
+    as a second column, so the result itself certifies the identity.
+
+    Scale: THE reason this exists — count(DISTINCT) shuffles every
+    distinct (type, user) row, while the bitmap shuffles at most
+    |users|/63 words per type, each pre-OR-ed map-side; for dense ID
+    spaces that is a ~63x shuffle-volume cut with exact results (sparse
+    IDs first pass through ids_global_stable's dense-rank assignment)."""
+    ev = _t(spark, sf_dir, "events")
+    words = ev.groupBy(
+        "event_type", F.expr("user_id DIV 63").alias("word")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT)))"
+        ).alias("bits")
+    )
+    bm = words.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("n_distinct_bitmap")
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_distinct_direct")
+    )
+    return bm.join(direct, "event_type").orderBy("event_type")
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -16248,6 +16466,10 @@ _GRADE_NEXT: list[str] = [
     "stats_mann_whitney_u",
     "stats_chi2_independence",
     "stats_stump_split_gini",
+    "curation_pareto_frontier",
+    "events_weekly_stickiness",
+    "events_time_to_convert",
+    "agg_bitmap_distinct",
     # r02-only certificates remaining after the round-7 promotion (21)
     "text_bigram_counts",
     "join_cross",

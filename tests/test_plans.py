@@ -1615,3 +1615,49 @@ def test_stump_split_pid_cumulative_no_global_sort(spark):
     for s in _re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         if "thr_e2#" in s:
             assert "__pid" in s, (s, plan)
+
+
+def test_pareto_frontier_pid_suffix_max_no_quadratic(spark):
+    """curation_pareto_frontier: the suffix maximum must be
+    pid-partitioned (no unpartitioned window over the x grid) and the
+    plan must contain nothing quadratic — the skyline is sort-based,
+    not nested-loop."""
+    import re as _re
+
+    plan = _plan(spark, "curation_pareto_frontier")
+    assert "windowspecdefinition(__pid#" in plan, plan
+    for s in _re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        if "__negx#" in s:
+            assert "__pid" in s, (s, plan)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial_max" in plan, plan
+
+
+def test_weekly_stickiness_single_scan_no_window(spark):
+    """events_weekly_stickiness: one events scan, the pair dedup and
+    week rollup are combinable aggregates — no join, no window."""
+    plan = _plan(spark, "events_weekly_stickiness")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "partial_count" in plan, plan
+    assert "Join" not in plan and "windowspecdefinition" not in plan, plan
+
+
+def test_time_to_convert_keyed_join_no_window(spark):
+    """events_time_to_convert: user-keyed combinable min-aggregates and
+    an equi-join — no window, nothing quadratic."""
+    plan = _plan(spark, "events_time_to_convert")
+    assert "partial_min" in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bitmap_distinct_partial_bitor(spark):
+    """agg_bitmap_distinct: the word bitmaps must pre-OR map-side
+    (partial_bit_or) — that partial combine IS the shuffle-volume win
+    the operator exists for; popcount sums are partial too."""
+    plan = _plan(spark, "agg_bitmap_distinct")
+    assert "partial_bit_or" in plan, plan
+    assert "partial_sum" in plan, plan
+    assert "windowspecdefinition" not in plan, plan

@@ -9280,3 +9280,109 @@ def test_stump_split_gini_matches_bruteforce(spark):
         for r in REGISTRY["stats_stump_split_gini"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    """curation_pareto_frontier: the engine's sort-based skyline vs the
+    O(n²) dominance definition recomputed directly in Python."""
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("documents", ["doc_id", "n_chars", "text"])
+    pts = [
+        (did, nc, len(set(txt.strip().lower().split())))
+        for did, nc, txt in rows
+    ]
+    expect = {
+        (did, x, y)
+        for did, x, y in pts
+        if not any(
+            bx >= x and by >= y and (bx > x or by > y) for _, bx, by in pts
+        )
+    }
+    got = {
+        (r.doc_id, r.n_chars, r.n_types)
+        for r in REGISTRY["curation_pareto_frontier"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_weekly_stickiness_matches_bruteforce(spark):
+    """events_weekly_stickiness: DAU/WAU ppm arithmetic recomputed from
+    raw (user, day) pairs in plain Python."""
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("events", ["user_id", "ts"])
+    pairs = {(u, ts.date()) for u, ts in rows}
+    byweek = defaultdict(lambda: [0, set(), set()])
+    for u, d in pairs:
+        wk = d.isocalendar()[1]
+        byweek[wk][0] += 1
+        byweek[wk][1].add(d)
+        byweek[wk][2].add(u)
+    expect = {
+        wk: (
+            len(days),
+            ud,
+            len(users),
+            (1_000_000 * ud) // (len(days) * len(users)),
+        )
+        for wk, (ud, days, users) in byweek.items()
+    }
+    got = {
+        r.iso_week: (r.n_days, r.user_days, r.wau, r.stickiness_ppm)
+        for r in REGISTRY["events_weekly_stickiness"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_time_to_convert_matches_bruteforce(spark):
+    """events_time_to_convert: first-view → first-subsequent-purchase
+    deltas recomputed per user with exact microsecond timedeltas."""
+    from collections import Counter, defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("events", ["user_id", "event_type", "ts"])
+    views = defaultdict(list)
+    purchases = defaultdict(list)
+    for u, et, ts in rows:
+        if et == "view":
+            views[u].append(ts)
+        elif et == "purchase":
+            purchases[u].append(ts)
+    hist = Counter()
+    for u, vs in views.items():
+        fv = min(vs)
+        after = [p for p in purchases.get(u, []) if p >= fv]
+        if after:
+            td = min(after) - fv
+            delta_us = (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+            hist[delta_us // 3_600_000_000] += 1
+    got = {
+        r.hours_to_convert: r.n_users
+        for r in REGISTRY["events_time_to_convert"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == dict(hist)
+
+
+def test_bitmap_distinct_matches_bruteforce(spark):
+    """agg_bitmap_distinct: both the bitmap count and the direct count
+    must equal the true set-based distinct per event type."""
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("events", ["event_type", "user_id"])
+    users = defaultdict(set)
+    for et, u in rows:
+        users[et].add(u)
+    expect = {et: len(s) for et, s in users.items()}
+    out = REGISTRY["agg_bitmap_distinct"].fn(spark, SF_SMOKE).collect()
+    assert {r.event_type: r.n_distinct_bitmap for r in out} == expect
+    assert {r.event_type: r.n_distinct_direct for r in out} == expect
