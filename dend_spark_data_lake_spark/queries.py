@@ -16179,6 +16179,369 @@ def agg_bitmap_distinct(spark, sf_dir):
     return bm.join(direct, "event_type").orderBy("event_type")
 
 
+@_q(
+    "stats_theil_sen_slope",
+    """
+    WITH yearly AS (
+      SELECT c_nationkey AS nk, CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(sum(CAST(round(100 * o_totalprice) AS BIGINT)) AS BIGINT)
+               AS rev_e2
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY nk, yr
+    ), pairs AS (
+      -- explicit floor division: DuckDB's integer // truncates toward
+      -- zero, so negative slopes go through the pmod identity instead
+      SELECT a.nk,
+             ((b.rev_e2 - a.rev_e2)
+              - (((b.rev_e2 - a.rev_e2) % (b.yr - a.yr)) + (b.yr - a.yr))
+                 % (b.yr - a.yr))
+             // (b.yr - a.yr) AS slope_e2
+      FROM yearly a JOIN yearly b ON a.nk = b.nk AND a.yr < b.yr
+    ), ranked AS (
+      SELECT nk, slope_e2,
+             row_number() OVER (PARTITION BY nk ORDER BY slope_e2) AS rn,
+             count(*) OVER (PARTITION BY nk) AS cnt
+      FROM pairs
+    ), med AS (
+      SELECT nk, CAST(max(cnt) AS BIGINT) AS n_pairs,
+             CAST(max(CASE WHEN rn = (cnt + 1) // 2 THEN slope_e2 END) AS BIGINT)
+               AS median_slope_e2
+      FROM ranked GROUP BY nk
+    )
+    SELECT n_name, n_pairs, median_slope_e2
+    FROM med JOIN nation ON nk = n_nationkey
+    ORDER BY n_name
+    """,
+)
+def stats_theil_sen_slope(spark, sf_dir):
+    """Theil-Sen robust trend estimate of yearly revenue per nation: the
+    median of all pairwise slopes (rev_j - rev_i)/(yr_j - yr_i) — the
+    standard outlier-resistant alternative to OLS (one anomalous year
+    cannot move it). Slopes floor to exact integer cents/year (the
+    oracle's // floors negatives; the engine uses the pmod identity
+    (a - pmod(a,b)) DIV b so truncation never disagrees), and the median
+    is the explicit rank-(n+1)/2 element so both engines select the
+    same order statistic.
+
+    Scale: the pairwise self-join runs on the |nations| x |years|
+    AGGREGATE (bounded by the key and calendar domains, never by row
+    count) after one combinable data-sized aggregate; ranking windows
+    partition by nation over ≤ C(years,2) rows per group."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    yearly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+        )
+        .agg(
+            F.sum(F.round(100 * F.col("o_totalprice")).cast("long"))
+            .cast("long")
+            .alias("rev_e2")
+        )
+    )
+    a = yearly.alias("a")
+    b = yearly.alias("b")
+    pairs = a.join(
+        b, (F.col("a.nk") == F.col("b.nk")) & (F.col("a.yr") < F.col("b.yr"))
+    ).selectExpr(
+        "a.nk AS nk",
+        """((b.rev_e2 - a.rev_e2) - pmod(b.rev_e2 - a.rev_e2, b.yr - a.yr))
+           DIV (b.yr - a.yr) AS slope_e2""",
+    )
+    w = Window.partitionBy("nk").orderBy("slope_e2")
+    ranked = pairs.select(
+        "nk",
+        "slope_e2",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("nk")).alias("cnt"),
+    )
+    med = ranked.groupBy("nk").agg(
+        F.max("cnt").cast("long").alias("n_pairs"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(cnt + 1) DIV 2"), F.col("slope_e2")
+            ).otherwise(None)
+        )
+        .cast("long")
+        .alias("median_slope_e2"),
+    )
+    return (
+        med.join(F.broadcast(n), med.nk == n.n_nationkey)
+        .select("n_name", "n_pairs", "median_slope_e2")
+        .orderBy("n_name")
+    )
+
+
+@_q(
+    "stats_runs_test",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY d
+    ), ranked AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt, d) AS rn,
+             count(*) OVER () AS n
+      FROM daily
+    ), med AS (
+      SELECT max(CASE WHEN rn = (n + 1) // 2 THEN cnt END) AS m FROM ranked
+    ), seq AS (
+      SELECT d, cnt > (SELECT m FROM med) AS s
+      FROM daily WHERE cnt <> (SELECT m FROM med)
+    ), runs AS (
+      SELECT s, lag(s) OVER (ORDER BY d) AS prev FROM seq
+    ), agg AS (
+      SELECT CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+             CAST(sum(CASE WHEN s THEN 0 ELSE 1 END) AS BIGINT) AS n_below,
+             CAST(1 + sum(CASE WHEN prev IS NOT NULL AND s <> prev
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+      FROM runs
+    ), z AS (
+      SELECT n_above, n_below, n_runs,
+             CAST(1000000 AS HUGEINT)
+               * ((CAST(n_runs AS HUGEINT) - 1) * (n_above + n_below)
+                  - 2 * CAST(n_above AS HUGEINT) * n_below)
+               * ((CAST(n_runs AS HUGEINT) - 1) * (n_above + n_below)
+                  - 2 * CAST(n_above AS HUGEINT) * n_below)
+               * (CAST(n_above AS HUGEINT) + n_below - 1) AS num,
+             2 * CAST(n_above AS HUGEINT) * n_below
+               * (2 * CAST(n_above AS HUGEINT) * n_below - n_above - n_below)
+               AS den
+      FROM agg
+    )
+    SELECT n_above, n_below, n_runs,
+           CAST(CASE WHEN den = 0 THEN 0 ELSE num // den END AS BIGINT) AS z2_e6,
+           (den > 0 AND num >= CAST(3841459 AS HUGEINT) * den) AS significant
+    FROM z
+    """,
+)
+def stats_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test for randomness of the daily order-count
+    sequence around its median (trend/autocorrelation smoke alarm for a
+    metrics series): ties with the median drop (standard treatment),
+    R = number of sign runs, and the z² statistic
+      z² = ((R-1)·N - 2·n₁·n₂)²·(N-1) / (2·n₁·n₂·(2·n₁·n₂ - N))
+    reports in exact 128-bit integer micro-units with the exact χ²₍₁₎
+    significance comparison — the stats_ab_test_proportions idiom.
+
+    Scale: one combinable per-day aggregate; the median rank, the lag,
+    and the run count all operate on the bounded calendar-day grid
+    (~2.4k rows here, 36.5k rows per century — never row-scaled), the
+    same bounded-grid precedent as ref_time_table / lake gini."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    # bounded: ranking + lag run on the calendar-day grid
+    ranked = daily.select(
+        "cnt",
+        F.row_number().over(Window.orderBy("cnt", "d")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    med = ranked.agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("cnt"))
+        ).alias("m")
+    )
+    seq = (
+        daily.crossJoin(F.broadcast(med))
+        .where(F.col("cnt") != F.col("m"))
+        .select("d", (F.col("cnt") > F.col("m")).alias("s"))
+    )
+    runs = seq.select("s", F.lag("s").over(Window.orderBy("d")).alias("prev"))
+    agg = runs.agg(
+        F.sum(F.col("s").cast("long")).cast("long").alias("n_above"),
+        F.sum((~F.col("s")).cast("long")).cast("long").alias("n_below"),
+        (
+            1
+            + F.sum(
+                (F.col("prev").isNotNull() & (F.col("s") != F.col("prev"))).cast(
+                    "long"
+                )
+            )
+        )
+        .cast("long")
+        .alias("n_runs"),
+    )
+    dec = "DECIMAL(38,0)"
+    z = agg.selectExpr(
+        "n_above",
+        "n_below",
+        "n_runs",
+        f"""(CAST(1000000 AS {dec})
+             * ((CAST(n_runs AS {dec}) - 1) * CAST(n_above + n_below AS {dec})
+                - 2 * CAST(n_above AS {dec}) * CAST(n_below AS {dec}))
+             * ((CAST(n_runs AS {dec}) - 1) * CAST(n_above + n_below AS {dec})
+                - 2 * CAST(n_above AS {dec}) * CAST(n_below AS {dec}))
+             * CAST(n_above + n_below - 1 AS {dec})) AS __num""",
+        f"""(2 * CAST(n_above AS {dec}) * CAST(n_below AS {dec})
+             * (2 * CAST(n_above AS {dec}) * CAST(n_below AS {dec})
+                - CAST(n_above + n_below AS {dec}))) AS __den""",
+    )
+    return _floordiv_cols(z, "__num", "__den", "z2_e6").selectExpr(
+        "n_above",
+        "n_below",
+        "n_runs",
+        "z2_e6",
+        f"(__den > 0 AND __num >= CAST(3841459 AS {dec}) * __den) AS significant",
+    )
+
+
+@_q(
+    "corpus_tail_index_hill",
+    """
+    WITH d AS (
+      SELECT CAST(n_chars AS BIGINT) AS x FROM documents WHERE n_chars > 0
+    ), nrow AS (
+      SELECT count(*) AS n_docs FROM d
+    ), t AS (
+      SELECT x, row_number() OVER (ORDER BY x DESC) AS rn,
+             least(100, (SELECT n_docs FROM nrow) // 5) AS k
+      FROM d
+    ), xk AS (
+      SELECT max(CASE WHEN rn = k + 1 THEN x END) AS x_tail_min,
+             max(k) AS k
+      FROM t WHERE rn <= k + 1
+    ), s AS (
+      SELECT max(xk.k) AS k, max(xk.x_tail_min) AS x_tail_min,
+             sum(ln(CAST(t.x AS DOUBLE) / xk.x_tail_min)) AS lsum
+      FROM t, xk WHERE t.rn <= xk.k
+    )
+    SELECT CAST(k AS BIGINT) AS k, CAST(x_tail_min AS BIGINT) AS x_tail_min,
+           CASE WHEN lsum > 0 THEN round(k / lsum, 6) END AS alpha_r6
+    FROM s
+    """,
+)
+def corpus_tail_index_hill(spark, sf_dir):
+    """Hill estimator of the document-length power-law tail index:
+    α = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the k largest lengths (k adapts as
+    min(100, n/5)) — the standard heavy-tail diagnostic that tells a
+    corpus engineer whether giant documents are exponential-rare or
+    power-law-common (packing, truncation, and shard-balance policies
+    all hinge on it). α is irrational, so rounding at 6 digits cannot
+    sit on a half-boundary; everything else is exact integers.
+
+    Scale: the ONLY data-sized operation is a top-(101) selection,
+    which Spark plans as TakeOrderedAndProject (per-partition heaps +
+    a 101-row merge — no global sort); ranking and the log-sum run on
+    the bounded 101-row slice. Boundary ties are value-equal, so the
+    selected multiset is deterministic even though row identity is
+    not."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("n_chars") > 0)
+        .select(F.col("n_chars").cast("long").alias("x"))
+    )
+    nrow = d.agg(F.count("*").alias("n_docs"))
+    top = d.orderBy(F.desc("x")).limit(101)
+    # bounded: ranking over the 101-row slice
+    t = (
+        top.select("x", F.row_number().over(Window.orderBy(F.desc("x"))).alias("rn"))
+        .crossJoin(F.broadcast(nrow))
+        .selectExpr("x", "rn", "least(100L, n_docs DIV 5) AS k")
+    )
+    xk = (
+        t.where(F.col("rn") == F.col("k") + 1)
+        .select(F.col("x").alias("x_tail_min"), "k")
+    )
+    s = (
+        t.crossJoin(F.broadcast(xk.select("x_tail_min")))
+        .where(F.col("rn") <= F.col("k"))
+        .agg(
+            F.max("k").cast("long").alias("k"),
+            F.max("x_tail_min").cast("long").alias("x_tail_min"),
+            F.sum(
+                F.log(F.col("x").cast("double") / F.col("x_tail_min"))
+            ).alias("lsum"),
+        )
+    )
+    return s.selectExpr(
+        "k",
+        "x_tail_min",
+        "CASE WHEN lsum > 0 THEN round(k / lsum, 6) END AS alpha_r6",
+    )
+
+
+@_q(
+    "embed_intra_label_diversity",
+    """
+    WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+    q AS (
+      SELECT label, vec_id, i,
+             CAST(round(embedding[i] * 1048576) AS BIGINT) AS qv
+      FROM embeddings CROSS JOIN dims
+    ), self AS (
+      SELECT label, vec_id, sum(qv * qv) AS sq FROM q GROUP BY label, vec_id
+    ), comp AS (
+      SELECT label, i, sum(qv) AS s FROM q GROUP BY label, i
+    ), pl AS (
+      SELECT label, sum(s * s) AS s2 FROM comp GROUP BY label
+    ), tl AS (
+      SELECT label, count(*) AS n, sum(sq) AS tsum FROM self GROUP BY label
+    )
+    SELECT tl.label, CAST(n AS BIGINT) AS n_vecs,
+           CAST(tsum // n AS BIGINT) AS avg_self_q,
+           -- explicit floor: integer // truncates and s2 - tsum may be
+           -- negative (anticorrelated vectors), so pmod-floor it
+           CAST(((s2 - tsum)
+                 - (((s2 - tsum) % (n * (n - 1))) + n * (n - 1)) % (n * (n - 1)))
+                // (n * (n - 1)) AS BIGINT) AS avg_pair_dot_q
+    FROM tl JOIN pl ON tl.label = pl.label
+    WHERE n > 1
+    ORDER BY tl.label
+    """,
+)
+def embed_intra_label_diversity(spark, sf_dir):
+    """Average pairwise similarity INSIDE each embedding label in O(n)
+    via the centroid identity  Σᵢ≠ⱼ qᵢ·qⱼ = ‖Σq‖² − Σ‖q‖²  — the
+    mode-collapse / cluster-tightness monitor that naive pairwise
+    evaluation makes quadratic and this identity makes one aggregate.
+    Components integer-quantize at 2^20 (power-of-two scale keeps the
+    float multiply exact, the embed_centroid_drift convention), so both
+    the self-dot average and the pairwise-dot average are exact floored
+    integers in 2^-40 units — FP summation order can never flip a bit.
+
+    Scale: one posexplode + combinable (label, dim) component sums and
+    one combinable per-vector aggregate; the identity removes the n²
+    pair join entirely. Negative sums floor via the oracle's // and the
+    engine's pmod identity, so truncation never disagrees."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.select(
+        "label",
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(round(x * 1048576) AS BIGINT))"
+        ).alias("qv"),
+    )
+    per_vec = q.select(
+        "label",
+        F.expr("aggregate(qv, 0L, (acc, v) -> acc + v * v)").alias("sq"),
+    )
+    comp = (
+        q.select("label", F.posexplode("qv").alias("i", "v"))
+        .groupBy("label", "i")
+        .agg(F.sum("v").alias("s"))
+    )
+    pl = comp.groupBy("label").agg(F.sum(F.col("s") * F.col("s")).alias("s2"))
+    tl = per_vec.groupBy("label").agg(
+        F.count("*").alias("n"), F.sum("sq").alias("tsum")
+    )
+    return (
+        tl.join(pl, "label")
+        .where(F.col("n") > 1)
+        .selectExpr(
+            "label",
+            "CAST(n AS BIGINT) AS n_vecs",
+            "CAST((tsum - pmod(tsum, n)) DIV n AS BIGINT) AS avg_self_q",
+            """CAST(((s2 - tsum) - pmod(s2 - tsum, n * (n - 1)))
+                    DIV (n * (n - 1)) AS BIGINT) AS avg_pair_dot_q""",
+        )
+        .orderBy("label")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -16470,6 +16833,10 @@ _GRADE_NEXT: list[str] = [
     "events_weekly_stickiness",
     "events_time_to_convert",
     "agg_bitmap_distinct",
+    "stats_theil_sen_slope",
+    "stats_runs_test",
+    "corpus_tail_index_hill",
+    "embed_intra_label_diversity",
     # r02-only certificates remaining after the round-7 promotion (21)
     "text_bigram_counts",
     "join_cross",

@@ -1661,3 +1661,48 @@ def test_bitmap_distinct_partial_bitor(spark):
     assert "partial_bit_or" in plan, plan
     assert "partial_sum" in plan, plan
     assert "windowspecdefinition" not in plan, plan
+
+
+def test_theil_sen_bounded_pair_join(spark):
+    """stats_theil_sen_slope: the pairwise join must run on the
+    aggregated (nation, year) grid — partial_sum proves the data-sized
+    aggregate combines map-side; ranking windows are nation-partitioned."""
+    import re as _re
+
+    plan = _plan(spark, "stats_theil_sen_slope")
+    assert "partial_sum" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    for s in _re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "nk#" in s, (s, plan)
+
+
+def test_runs_test_bounded_grid_windows(spark):
+    """stats_runs_test: ranking/lag windows run on the per-day aggregate
+    only (no raw orders column in any spec); the day rollup combines
+    map-side."""
+    import re as _re
+
+    plan = _plan(spark, "stats_runs_test")
+    assert "partial_count" in plan, plan
+    for s in _re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "o_orderkey" not in s and "o_custkey" not in s, (s, plan)
+
+
+def test_hill_take_ordered_no_global_sort(spark):
+    """corpus_tail_index_hill: the top-101 selection must plan as
+    TakeOrderedAndProject (per-partition heaps, no full sort); the
+    ranking window runs on the bounded slice after the limit."""
+    plan = _plan(spark, "corpus_tail_index_hill")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "GlobalLimit" not in plan or "TakeOrderedAndProject" in plan, plan
+
+
+def test_intra_label_diversity_no_pair_join(spark):
+    """embed_intra_label_diversity: the centroid identity must remove
+    the quadratic pair join — combinable sums only, no window, nothing
+    quadratic, and the only join is the label-keyed recombination."""
+    plan = _plan(spark, "embed_intra_label_diversity")
+    assert "partial_sum" in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -9386,3 +9386,133 @@ def test_bitmap_distinct_matches_bruteforce(spark):
     out = REGISTRY["agg_bitmap_distinct"].fn(spark, SF_SMOKE).collect()
     assert {r.event_type: r.n_distinct_bitmap for r in out} == expect
     assert {r.event_type: r.n_distinct_direct for r in out} == expect
+
+
+def test_theil_sen_matches_bruteforce(spark):
+    """stats_theil_sen_slope: all pairwise floor-slopes and the exact
+    rank-median recomputed in plain Python (Python // IS floor, so this
+    independently checks the engine's pmod identity AND the oracle's
+    explicit floor rewrite on negative slopes)."""
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    import math
+
+    orders = _smoke_table("orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+    cust = dict(_smoke_table("customer", ["c_custkey", "c_nationkey"]))
+    nation = dict(_smoke_table("nation", ["n_nationkey", "n_name"]))
+    yearly = defaultdict(int)
+    for ck, od, tp in orders:
+        yearly[(cust[ck], od.year)] += math.floor(100 * tp + 0.5)
+    by_nk = defaultdict(dict)
+    for (nk, yr), rev in yearly.items():
+        by_nk[nk][yr] = rev
+    expect = {}
+    for nk, years in by_nk.items():
+        ys = sorted(years)
+        slopes = sorted(
+            (years[y2] - years[y1]) // (y2 - y1)
+            for i, y1 in enumerate(ys)
+            for y2 in ys[i + 1 :]
+        )
+        if slopes:
+            expect[nation[nk]] = (len(slopes), slopes[(len(slopes) + 1) // 2 - 1])
+    got = {
+        r.n_name: (r.n_pairs, r.median_slope_e2)
+        for r in REGISTRY["stats_theil_sen_slope"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert any(v[1] < 0 for v in expect.values()), "floor seam unexercised"
+
+
+def test_runs_test_matches_bruteforce(spark):
+    """stats_runs_test: median, run count, and the exact-integer z²
+    recomputed directly from the daily sequence in plain Python."""
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("orders", ["CAST(o_orderdate AS DATE)"])
+    daily = Counter(d for (d,) in rows)
+    counts = sorted(daily.values())
+    med = counts[(len(counts) + 1) // 2 - 1]
+    seq = [daily[d] > med for d in sorted(daily) if daily[d] != med]
+    n1 = sum(seq)
+    n2 = len(seq) - n1
+    runs = 1 + sum(1 for a, b in zip(seq, seq[1:]) if a != b)
+    nn = n1 + n2
+    num = 1_000_000 * ((runs - 1) * nn - 2 * n1 * n2) ** 2 * (nn - 1)
+    den = 2 * n1 * n2 * (2 * n1 * n2 - nn)
+    r = REGISTRY["stats_runs_test"].fn(spark, SF_SMOKE).collect()
+    assert len(r) == 1
+    assert (r[0].n_above, r[0].n_below, r[0].n_runs) == (n1, n2, runs)
+    assert r[0].z2_e6 == (0 if den == 0 else num // den)
+    assert r[0].significant == (den > 0 and num >= 3841459 * den)
+
+
+def test_hill_tail_index_matches_bruteforce(spark):
+    """corpus_tail_index_hill: the adaptive k, the tail boundary, and α
+    recomputed from the sorted lengths in plain Python."""
+    import math
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("documents", ["n_chars"])
+    xs = sorted((nc for (nc,) in rows if nc > 0), reverse=True)
+    k = min(100, len(xs) // 5)
+    xk1 = xs[k]
+    lsum = sum(math.log(x / xk1) for x in xs[:k])
+    r = REGISTRY["corpus_tail_index_hill"].fn(spark, SF_SMOKE).collect()
+    assert len(r) == 1
+    assert (r[0].k, r[0].x_tail_min) == (k, xk1)
+    if lsum > 0:
+        assert abs(r[0].alpha_r6 - k / lsum) < 2e-6
+    else:
+        assert r[0].alpha_r6 is None
+
+
+def test_intra_label_diversity_matches_bruteforce(spark):
+    """embed_intra_label_diversity: the centroid identity's output must
+    equal the LITERAL O(n²) pairwise-dot average, computed directly —
+    the identity itself is what this pin certifies."""
+    import math
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("embeddings", ["label", "embedding"])
+
+    def q(x):
+        # HALF_UP away from zero (Spark/DuckDB round): at the 2^20 scale
+        # float32 components land on exact .5 boundaries ~1.5% of the
+        # time, so a floor(v+0.5) replica diverges on negative components
+        v = float(x) * 1048576
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+    by_label = defaultdict(list)
+    for lab, emb in rows:
+        by_label[lab].append([q(x) for x in emb])
+    expect = {}
+    for lab, vecs in sorted(by_label.items()):
+        n = len(vecs)
+        if n <= 1:
+            continue
+        selfs = [sum(c * c for c in v) for v in vecs]
+        pair = sum(
+            sum(a * b for a, b in zip(vecs[i], vecs[j]))
+            for i in range(n)
+            for j in range(n)
+            if i != j
+        )
+        expect[lab] = (n, sum(selfs) // n, pair // (n * (n - 1)))
+    got = {
+        r.label: (r.n_vecs, r.avg_self_q, r.avg_pair_dot_q)
+        for r in REGISTRY["embed_intra_label_diversity"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert any(v[2] < 0 for v in expect.values()), "negative-dot floor seam unexercised"
