@@ -16542,6 +16542,274 @@ def embed_intra_label_diversity(spark, sf_dir):
     )
 
 
+@_q(
+    "sql_pivot_unpivot_roundtrip",
+    """
+    SELECT CAST(isodow(ts) AS INT) AS dow, event_type,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY dow, event_type
+    ORDER BY dow, event_type
+    """,
+)
+def sql_pivot_unpivot_roundtrip(spark, sf_dir):
+    """SQL:2016 PIVOT / UNPIVOT surface demo, self-certifying by
+    ROUND-TRIP: the long (dow, event_type, n) aggregate pivots into a
+    wide per-type-column matrix via the SQL PIVOT clause, then UNPIVOTs
+    back to long via the SQL UNPIVOT clause — and the oracle is the
+    plain GROUP BY the round trip must reproduce exactly, so any
+    asymmetry between the two clauses (NULL handling, column naming,
+    dropped combinations) surfaces as a hash mismatch. UNPIVOT's
+    default NULL exclusion means absent (dow, type) combinations drop
+    on the way back, matching GROUP BY's behavior of never inventing
+    empty groups.
+
+    Scale: the pivot matrix is the bounded 7 x |event_type| grid — the
+    PIVOT aggregate itself is one combinable data-sized count; the
+    clause pair is surface being certified, not a plan strategy. Spark
+    requires the pivot column list to be literal (5 types, stable
+    fixture domain); a drifting domain would use the two-pass
+    collect-distinct idiom instead."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_src")
+    return spark.sql(
+        """
+        WITH long AS (
+          SELECT CAST(weekday(ts) + 1 AS INT) AS dow, event_type
+          FROM events_src
+        ), wide AS (
+          SELECT * FROM long
+          PIVOT (count(*) FOR event_type IN (
+            'click' AS click, 'error' AS error, 'purchase' AS purchase,
+            'signup' AS signup, 'view' AS view
+          ))
+        )
+        SELECT dow, event_type, CAST(n_events AS BIGINT) AS n_events
+        FROM wide
+        UNPIVOT (n_events FOR event_type IN (
+          click, error, purchase, signup, view
+        ))
+        ORDER BY dow, event_type
+        """
+    )
+
+
+@_q(
+    "stats_cohens_kappa",
+    """
+    WITH r AS (
+      SELECT CASE WHEN len(string_split(lower(trim(text)), ' ')) > 0
+                   AND 100 * len(list_filter(string_split(lower(trim(text)), ' '),
+                         t -> t IN ('the','a','of','and','to','in','is','it')))
+                       >= 5 * len(string_split(lower(trim(text)), ' '))
+                  THEN 1 ELSE 0 END AS ra,
+             CASE WHEN len(trim(text)) > 0
+                   AND 6 * len(string_split(lower(trim(text)), ' '))
+                       >= len(trim(text))
+                  THEN 1 ELSE 0 END AS rb
+      FROM documents
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+             CAST(sum(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+             CAST(sum(ra) AS BIGINT) AS r1, CAST(sum(rb) AS BIGINT) AS c1
+      FROM r
+    ), k AS (
+      SELECT n, n11, n00, r1, c1,
+             CAST(1000000 AS HUGEINT)
+               * (CAST(n AS HUGEINT) * (n11 + n00)
+                  - CAST(r1 AS HUGEINT) * c1
+                  - CAST(n - r1 AS HUGEINT) * (n - c1)) AS num,
+             CAST(n AS HUGEINT) * n
+               - CAST(r1 AS HUGEINT) * c1
+               - CAST(n - r1 AS HUGEINT) * (n - c1) AS den
+      FROM s
+    )
+    -- κ ∈ [-1, 1], so shifting the numerator by 2e6·den makes it
+    -- non-negative and HUGEINT's truncating // becomes a true floor
+    SELECT n, n11, n00, r1, c1,
+           CAST(CASE WHEN den = 0 THEN 0
+                     ELSE (num + 2000000 * den) // den - 2000000
+                END AS BIGINT) AS kappa_e6
+    FROM k
+    """,
+)
+def stats_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa agreement between two independent weak labelers of
+    'is English' — the stopword-ratio rater and a mean-word-length
+    rater (chars ≤ 6·tokens) — the standard IAA statistic behind every
+    weak-supervision ensemble: how much the raters agree BEYOND chance.
+      κ = (N·(n₀₀+n₁₁) − r₁c₁ − r₀c₀) / (N² − r₁c₁ − r₀c₀)
+    in exact 128-bit integer micro-units; κ can be negative
+    (worse-than-chance), so the floor is sign-explicit on both sides
+    (DuckDB's HUGEINT // truncates — the oracle uses the ceiling
+    rewrite for negative numerators).
+
+    Scale: both raters evaluate scan-side; ONE combinable aggregate
+    produces the whole 2x2 table; the statistic is one-row arithmetic."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.lower(F.trim(F.col("text"))), " "))
+    stop_hits = F.size(
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), " "),
+            lambda t: t.isin("the", "a", "of", "and", "to", "in", "is", "it"),
+        )
+    )
+    ra = ((toks > 0) & (100 * stop_hits >= 5 * toks)).cast("int")
+    rb = (
+        (F.length(F.trim(F.col("text"))) > 0)
+        & (6 * toks >= F.length(F.trim(F.col("text"))))
+    ).cast("int")
+    s = d.select(ra.alias("ra"), rb.alias("rb")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(((F.col("ra") == 1) & (F.col("rb") == 1)).cast("long"))
+        .cast("long")
+        .alias("n11"),
+        F.sum(((F.col("ra") == 0) & (F.col("rb") == 0)).cast("long"))
+        .cast("long")
+        .alias("n00"),
+        F.sum("ra").cast("long").alias("r1"),
+        F.sum("rb").cast("long").alias("c1"),
+    )
+    dec = "DECIMAL(38,0)"
+    k = s.selectExpr(
+        "n",
+        "n11",
+        "n00",
+        "r1",
+        "c1",
+        f"""(CAST(1000000 AS {dec})
+             * (CAST(n AS {dec}) * CAST(n11 + n00 AS {dec})
+                - CAST(r1 AS {dec}) * CAST(c1 AS {dec})
+                - CAST(n - r1 AS {dec}) * CAST(n - c1 AS {dec}))) AS __num""",
+        f"""(CAST(n AS {dec}) * CAST(n AS {dec})
+             - CAST(r1 AS {dec}) * CAST(c1 AS {dec})
+             - CAST(n - r1 AS {dec}) * CAST(n - c1 AS {dec})) AS __den""",
+    )
+    # κ ∈ [-1, 1] may be negative; _floordiv_cols wants a non-negative
+    # numerator, so shift by 2e6·den, floor, and shift back
+    k = k.selectExpr(
+        "*", f"(__num + CAST(2000000 AS {dec}) * __den) AS __snum"
+    )
+    return _floordiv_cols(k, "__snum", "__den", "__sq").selectExpr(
+        "n",
+        "n11",
+        "n00",
+        "r1",
+        "c1",
+        "CAST(CASE WHEN __den = 0 THEN 0 ELSE __sq - 2000000 END AS BIGINT)"
+        " AS kappa_e6",
+    )
+
+
+@_q(
+    "events_sequence_motifs",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), m AS (
+      SELECT e1 || '>' || e2 || '>' || e3 AS motif,
+             CAST(count(*) AS BIGINT) AS n_occurrences,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      GROUP BY motif
+    )
+    SELECT motif, n_occurrences, n_users
+    FROM m ORDER BY n_occurrences DESC, motif LIMIT 20
+    """,
+)
+def events_sequence_motifs(spark, sf_dir):
+    """Top event TRIGRAM motifs — the sequence patterns behind funnel
+    design and next-event models, one step beyond
+    events_type_transitions' bigram matrix: per user in (ts, event_id)
+    order, every consecutive (e₁ → e₂ → e₃) window, globally ranked by
+    occurrence count with a lexicographic tie-break so the top-20 cut
+    is deterministic.
+
+    Scale: ONE user-partitioned window (the natural sessionization
+    key — no unpartitioned ordering anywhere), one combinable motif
+    aggregate over the bounded |types|³ domain, and a top-k the engine
+    plans as TakeOrderedAndProject."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    m = (
+        seq.where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .groupBy(
+            F.concat_ws(">", "e1", "e2", "e3").alias("motif")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+    return m.orderBy(F.desc("n_occurrences"), "motif").limit(20)
+
+
+@_q(
+    "orders_otif_rate",
+    """
+    WITH per_order AS (
+      SELECT o.o_orderkey, o.o_orderpriority,
+             bool_and(l.l_shipdate <= o.o_orderdate + INTERVAL 60 DAY) AS otif
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN otif THEN 1 ELSE 0 END) AS BIGINT) AS n_otif,
+           CAST((1000000 * sum(CASE WHEN otif THEN 1 ELSE 0 END)) // count(*)
+                AS BIGINT) AS otif_ppm
+    FROM per_order GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def orders_otif_rate(spark, sf_dir):
+    """OTIF (on-time-in-full) rate per order priority — the supply-chain
+    SLA headline: an order counts only if EVERY line item shipped within
+    60 days of the order date (bool_and over the order's lines), rated
+    in exact integer ppm. Orders without line items are out of scope by
+    the inner join (no vacuous-truth rows).
+
+    Scale: one order-keyed combinable bool_and aggregate over the join
+    (the natural co-partitioning key on both sides), then a bounded
+    per-priority rollup — no window, nothing quadratic."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.bool_and(
+                F.col("l_shipdate")
+                <= F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+            ).alias("otif")
+        )
+    )
+    return (
+        per_order.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("otif").cast("long")).cast("long").alias("n_otif"),
+        )
+        .selectExpr(
+            "o_orderpriority",
+            "n_orders",
+            "n_otif",
+            "CAST((1000000 * n_otif) DIV n_orders AS BIGINT) AS otif_ppm",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -16837,6 +17105,10 @@ _GRADE_NEXT: list[str] = [
     "stats_runs_test",
     "corpus_tail_index_hill",
     "embed_intra_label_diversity",
+    "sql_pivot_unpivot_roundtrip",
+    "stats_cohens_kappa",
+    "events_sequence_motifs",
+    "orders_otif_rate",
     # r02-only certificates remaining after the round-7 promotion (21)
     "text_bigram_counts",
     "join_cross",

@@ -1706,3 +1706,44 @@ def test_intra_label_diversity_no_pair_join(spark):
     assert "windowspecdefinition" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pivot_unpivot_combinable_single_scan(spark):
+    """sql_pivot_unpivot_roundtrip: the PIVOT aggregate must combine
+    map-side (partial_pivotfirst) over a single scan; UNPIVOT expands
+    the bounded wide grid (Expand), never raw data."""
+    plan = _plan(spark, "sql_pivot_unpivot_roundtrip")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "partial_pivotfirst" in plan, plan
+    assert "Expand" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_cohens_kappa_single_scan_no_join(spark):
+    """stats_cohens_kappa: both raters evaluate scan-side into ONE
+    combinable aggregate — no join, no window, one scan."""
+    plan = _plan(spark, "stats_cohens_kappa")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "partial_count" in plan, plan
+    assert "Join" not in plan and "windowspecdefinition" not in plan, plan
+
+
+def test_sequence_motifs_user_window_topk(spark):
+    """events_sequence_motifs: the only window is user-partitioned (the
+    sessionization key); the top-20 plans as TakeOrderedAndProject."""
+    import re as _re
+
+    plan = _plan(spark, "events_sequence_motifs")
+    for s in _re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "user_id#" in s, (s, plan)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_otif_rate_keyed_join_combinable(spark):
+    """orders_otif_rate: order-keyed join + combinable conjunction
+    aggregate; no window, nothing quadratic."""
+    plan = _plan(spark, "orders_otif_rate")
+    assert "partial_sum" in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

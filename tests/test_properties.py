@@ -9516,3 +9516,103 @@ def test_intra_label_diversity_matches_bruteforce(spark):
     }
     assert got == expect
     assert any(v[2] < 0 for v in expect.values()), "negative-dot floor seam unexercised"
+
+
+def test_cohens_kappa_matches_bruteforce(spark):
+    """stats_cohens_kappa: both raters, the 2x2 table, and the exact
+    shifted-floor κ recomputed in plain Python (the fixture κ is
+    negative, so the floor-of-negative seam is live)."""
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("documents", ["text"])
+    stop = {"the", "a", "of", "and", "to", "in", "is", "it"}
+    n = n11 = n00 = r1 = c1 = 0
+    for (txt,) in rows:
+        t = txt.strip()
+        toks = t.lower().split(" ")
+        ra = 1 if len(toks) > 0 and 100 * sum(1 for w in toks if w in stop) >= 5 * len(toks) else 0
+        rb = 1 if len(t) > 0 and 6 * len(toks) >= len(t) else 0
+        n += 1
+        n11 += ra & rb
+        n00 += (1 - ra) & (1 - rb)
+        r1 += ra
+        c1 += rb
+    num = 1_000_000 * (n * (n11 + n00) - r1 * c1 - (n - r1) * (n - c1))
+    den = n * n - r1 * c1 - (n - r1) * (n - c1)
+    kappa = 0 if den == 0 else num // den  # Python // IS floor
+    r = REGISTRY["stats_cohens_kappa"].fn(spark, SF_SMOKE).collect()
+    assert len(r) == 1
+    assert (r[0].n, r[0].n11, r[0].n00, r[0].r1, r[0].c1, r[0].kappa_e6) == (
+        n,
+        n11,
+        n00,
+        r1,
+        c1,
+        kappa,
+    )
+    assert kappa < 0, "negative-kappa floor seam unexercised"
+
+
+def test_sequence_motifs_matches_bruteforce(spark):
+    """events_sequence_motifs: trigram extraction in (ts, event_id)
+    order and the deterministic top-20 cut recomputed in Python."""
+    from collections import Counter, defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("events", ["user_id", "event_type", "ts", "event_id"])
+    by_user = defaultdict(list)
+    for u, et, ts, eid in rows:
+        by_user[u].append((ts, eid, et))
+    occ = Counter()
+    users = defaultdict(set)
+    for u, evs in by_user.items():
+        seq = [et for _, _, et in sorted(evs)]
+        for i in range(len(seq) - 2):
+            m = f"{seq[i]}>{seq[i+1]}>{seq[i+2]}"
+            occ[m] += 1
+            users[m].add(u)
+    top = sorted(occ, key=lambda m: (-occ[m], m))[:20]
+    expect = [(m, occ[m], len(users[m])) for m in top]
+    got = [
+        (r.motif, r.n_occurrences, r.n_users)
+        for r in REGISTRY["events_sequence_motifs"].fn(spark, SF_SMOKE).collect()
+    ]
+    assert got == expect
+
+
+def test_otif_rate_matches_bruteforce(spark):
+    """orders_otif_rate: the all-lines-on-time conjunction and ppm rate
+    recomputed per order in Python with exact timedeltas."""
+    import datetime
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    orders = {
+        ok: (pri, od)
+        for ok, pri, od in _smoke_table(
+            "orders", ["o_orderkey", "o_orderpriority", "o_orderdate"]
+        )
+    }
+    lines = defaultdict(list)
+    for ok, sd in _smoke_table("lineitem", ["l_orderkey", "l_shipdate"]):
+        lines[ok].append(sd)
+    per_pri = defaultdict(lambda: [0, 0])
+    for ok, sds in lines.items():
+        pri, od = orders[ok]
+        otif = all(sd <= od + datetime.timedelta(days=60) for sd in sds)
+        per_pri[pri][0] += 1
+        per_pri[pri][1] += int(otif)
+    expect = {
+        pri: (tot, ot, (1_000_000 * ot) // tot)
+        for pri, (tot, ot) in per_pri.items()
+    }
+    got = {
+        r.o_orderpriority: (r.n_orders, r.n_otif, r.otif_ppm)
+        for r in REGISTRY["orders_otif_rate"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
