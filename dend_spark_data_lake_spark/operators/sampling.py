@@ -274,3 +274,15 @@ def poisson1_sql(key_expr: str) -> str:
         f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(POISSON1_THRESHOLDS)
     )
     return f"CAST(CASE {whens} ELSE {len(POISSON1_THRESHOLDS)} END AS BIGINT)"
+
+
+def hash_rank_int(key: str | Column, salt: str = "") -> Column:
+    """A fine-grained deterministic rank: the first 15 hex digits of the
+    md5 as a 60-bit non-negative integer — for exact order-statistic
+    selection where the 16-bit ``hash_bucket_int`` grid is too coarse to
+    break per-row ties. DuckDB replicates it as
+    ``CAST(concat('0x', substr(md5(salt || k), 1, 15)) AS BIGINT)``."""
+    c = key if isinstance(key, Column) else F.col(key)
+    if salt:
+        c = F.concat(F.lit(salt), c.cast("string"))
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")

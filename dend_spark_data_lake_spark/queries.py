@@ -16810,6 +16810,182 @@ def orders_otif_rate(spark, sf_dir):
     )
 
 
+@_q(
+    "sample_class_balanced",
+    """
+    WITH h AS (
+      SELECT lang, n_chars, doc_id,
+             CAST(concat('0x', substr(md5('bal:' || doc_id), 1, 15)) AS BIGINT)
+               AS hv
+      FROM documents
+    ), k AS (
+      SELECT min(cnt) AS k
+      FROM (SELECT count(*) AS cnt FROM h GROUP BY lang)
+    ), r AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+      FROM h
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM r, k WHERE rn <= k.k
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def sample_class_balanced(spark, sf_dir):
+    """Class-balanced downsampling: every language keeps exactly
+    k = min-class-size documents, selected as the k smallest
+    deterministic md5 ranks (reproducible run-to-run, resumable) — the
+    standard class-rebalance before training a classifier. The oracle
+    sorts each class wholesale; the ENGINE performs an exact distributed
+    k-th order-statistic selection instead: bucket the 60-bit rank by
+    its top 16 bits, cumulate per-class counts over that bounded
+    65536-prefix grid, keep everything below the boundary prefix
+    outright, and row_number ONLY the ~n/65536 slice inside the boundary
+    prefix — no per-class sort of the data ever happens, so one giant
+    class cannot serialize onto one task. The per-class char sum
+    certifies the exact selected SET, not just its size.
+
+    Scale: one combinable (class, prefix) aggregate; cumulative over the
+    bounded prefix grid; a broadcast boundary join; one window over the
+    boundary slice (65536x smaller than the class). The two-level scheme
+    is how distributed exact selection (Spark's RangePartitioner
+    sampling aside) stays deterministic."""
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        "n_chars",
+        "doc_id",
+        SAMP.hash_rank_int(F.col("doc_id"), salt="bal:").alias("hv"),
+    )
+    d = d.withColumn("pfx", F.expr("hv DIV 17592186044416"))  # top 16 of 60 bits
+    grid = d.groupBy("lang", "pfx").agg(F.count("*").cast("long").alias("cnt"))
+    sizes = grid.groupBy("lang").agg(F.sum("cnt").cast("long").alias("n_class"))
+    kmin = sizes.agg(F.min("n_class").cast("long").alias("k"))
+    # bounded: cumulative over the per-class 65536-prefix grid
+    wg = Window.partitionBy("lang").orderBy("pfx")
+    cgrid = grid.select(
+        "lang",
+        "pfx",
+        "cnt",
+        F.sum("cnt").over(wg.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    ).crossJoin(F.broadcast(kmin))
+    boundary = (
+        cgrid.where(F.col("cum") >= F.col("k"))
+        .groupBy("lang")
+        .agg(F.min("pfx").alias("bpfx"))
+        .join(cgrid, "lang")
+        .where(F.col("pfx") == F.col("bpfx"))
+        .select(
+            "lang",
+            "bpfx",
+            (F.col("cum") - F.col("cnt")).alias("cum_before"),
+            (F.col("k") - (F.col("cum") - F.col("cnt"))).alias("r_in_slice"),
+        )
+    )
+    joined = d.join(F.broadcast(boundary), "lang")
+    kept_low = joined.where(F.col("pfx") < F.col("bpfx"))
+    # the slice is ~1/65536 of the class; the ONLY row-ordered window
+    ws = Window.partitionBy("lang").orderBy("hv", "doc_id")
+    kept_slice = (
+        joined.where(F.col("pfx") == F.col("bpfx"))
+        .withColumn("rn", F.row_number().over(ws))
+        .where(F.col("rn") <= F.col("r_in_slice"))
+        .drop("rn")
+    )
+    kept = kept_low.unionByName(kept_slice)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_q(
+    "corpus_filter_waterfall",
+    r"""
+    WITH f AS (
+      SELECT
+        CASE WHEN trim(text) <> '' THEN 1 ELSE 0 END AS g1,
+        CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END AS g2,
+        CASE WHEN len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                  t -> t <> '')) >= 20
+             THEN 1 ELSE 0 END AS g3,
+        CASE WHEN len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                  t -> t <> ''))
+                  <= len(list_distinct(list_filter(
+                        string_split_regex(trim(lower(text)), '\s+'),
+                        t -> t <> ''))) * 2
+             THEN 1 ELSE 0 END AS g4
+      FROM documents
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(g1) AS BIGINT) AS p1,
+             CAST(sum(g2) AS BIGINT) AS p2,
+             CAST(sum(g3) AS BIGINT) AS p3,
+             CAST(sum(g4) AS BIGINT) AS p4,
+             CAST(sum(g1 * g2) AS BIGINT) AS c2,
+             CAST(sum(g1 * g2 * g3) AS BIGINT) AS c3,
+             CAST(sum(g1 * g2 * g3 * g4) AS BIGINT) AS c4
+      FROM f
+    )
+    SELECT u.stage, u.gate, u.n_pass_alone, u.n_pass_cumulative
+    FROM s, LATERAL (
+      VALUES (1, 'nonempty',       p1, p1),
+             (2, 'min_chars_100',  p2, c2),
+             (3, 'min_tokens_20',  p3, c3),
+             (4, 'repetition_2x',  p4, c4)
+    ) AS u(stage, gate, n_pass_alone, n_pass_cumulative)
+    ORDER BY u.stage
+    """,
+)
+def corpus_filter_waterfall(spark, sf_dir):
+    """Curation-gate attrition waterfall: for each quality gate in
+    pipeline order (non-empty → ≥100 chars → ≥20 tokens → type/token
+    repetition bound), how many docs pass it ALONE and how many survive
+    the CUMULATIVE conjunction — the first diagnostic a pipeline owner
+    reads when a corpus shrinks unexpectedly, separating "this gate is
+    strict" from "this gate is redundant given the earlier ones".
+
+    Scale: every gate evaluates scan-side into ONE combinable aggregate
+    (the waterfall is sums of flag products — no per-gate passes over
+    the data, no join); the 4-row presentation unpivots from the single
+    aggregate row via a VALUES lateral."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(TX.tokens(F.col("text")), lambda t: t != "")
+    g1 = (F.trim(F.col("text")) != "").cast("long")
+    g2 = (F.col("n_chars") >= 100).cast("long")
+    g3 = (F.size(toks) >= 20).cast("long")
+    g4 = (F.size(toks) <= F.size(F.array_distinct(toks)) * 2).cast("long")
+    s = d.select(
+        g1.alias("g1"), g2.alias("g2"), g3.alias("g3"), g4.alias("g4")
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("g1").cast("long").alias("p1"),
+        F.sum("g2").cast("long").alias("p2"),
+        F.sum("g3").cast("long").alias("p3"),
+        F.sum("g4").cast("long").alias("p4"),
+        F.sum(F.col("g1") * F.col("g2")).cast("long").alias("c2"),
+        F.sum(F.col("g1") * F.col("g2") * F.col("g3")).cast("long").alias("c3"),
+        F.sum(F.col("g1") * F.col("g2") * F.col("g3") * F.col("g4"))
+        .cast("long")
+        .alias("c4"),
+    )
+    return s.selectExpr(
+        """inline(array(
+             named_struct('stage', 1, 'gate', 'nonempty',
+                          'n_pass_alone', p1, 'n_pass_cumulative', p1),
+             named_struct('stage', 2, 'gate', 'min_chars_100',
+                          'n_pass_alone', p2, 'n_pass_cumulative', c2),
+             named_struct('stage', 3, 'gate', 'min_tokens_20',
+                          'n_pass_alone', p3, 'n_pass_cumulative', c3),
+             named_struct('stage', 4, 'gate', 'repetition_2x',
+                          'n_pass_alone', p4, 'n_pass_cumulative', c4)))"""
+    ).orderBy("stage")
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -17109,6 +17285,8 @@ _GRADE_NEXT: list[str] = [
     "stats_cohens_kappa",
     "events_sequence_motifs",
     "orders_otif_rate",
+    "sample_class_balanced",
+    "corpus_filter_waterfall",
     # r02-only certificates remaining after the round-7 promotion (21)
     "text_bigram_counts",
     "join_cross",

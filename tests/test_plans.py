@@ -1747,3 +1747,30 @@ def test_otif_rate_keyed_join_combinable(spark):
     assert "windowspecdefinition" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_class_balanced_no_class_sort(spark):
+    """sample_class_balanced: every window is class-partitioned (the
+    prefix-grid cumulative and the boundary-slice row_number — never an
+    unpartitioned or non-class window); the boundary join broadcasts;
+    the grid aggregate combines map-side."""
+    import re as _re
+
+    plan = _plan(spark, "sample_class_balanced")
+    assert "partial_count" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for s in specs:
+        assert "lang#" in s, (s, plan)
+
+
+def test_filter_waterfall_single_scan_one_agg(spark):
+    """corpus_filter_waterfall: all gates evaluate scan-side into ONE
+    combinable aggregate — single scan, no join, no window; the 4-row
+    unpivot generates from the aggregate row."""
+    plan = _plan(spark, "corpus_filter_waterfall")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "partial_sum" in plan, plan
+    assert "Join" not in plan and "windowspecdefinition" not in plan, plan
+    assert "Generate" in plan, plan

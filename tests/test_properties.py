@@ -9616,3 +9616,65 @@ def test_otif_rate_matches_bruteforce(spark):
         for r in REGISTRY["orders_otif_rate"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_class_balanced_matches_bruteforce(spark):
+    """sample_class_balanced: the engine's two-level prefix selection
+    must pick EXACTLY the k smallest md5 ranks per class — recomputed by
+    whole-class sorting in Python (count AND char-sum compared)."""
+    import hashlib
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("documents", ["lang", "n_chars", "doc_id"])
+    by_lang = defaultdict(list)
+    for lang, nc, did in rows:
+        hv = int(hashlib.md5(f"bal:{did}".encode()).hexdigest()[:15], 16)
+        by_lang[lang].append((hv, did, nc))
+    k = min(len(v) for v in by_lang.values())
+    expect = {}
+    for lang, v in by_lang.items():
+        kept = sorted(v)[:k]
+        expect[lang] = (k, sum(nc for _, _, nc in kept))
+    got = {
+        r.lang: (r.n_kept, r.sum_chars)
+        for r in REGISTRY["sample_class_balanced"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_filter_waterfall_matches_bruteforce(spark):
+    """corpus_filter_waterfall: all four gates and both the standalone
+    and cumulative pass counts recomputed per document in Python."""
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("documents", ["text", "n_chars"])
+    p = [0, 0, 0, 0]
+    c = [0, 0, 0, 0]
+    for txt, nc in rows:
+        toks = txt.strip().lower().split()
+        g = [
+            txt.strip() != "",
+            nc >= 100,
+            len(toks) >= 20,
+            len(toks) <= len(set(toks)) * 2,
+        ]
+        cum = True
+        for i, gi in enumerate(g):
+            p[i] += gi
+            cum = cum and gi
+            c[i] += cum
+    expect = {
+        (1, "nonempty"): (p[0], c[0]),
+        (2, "min_chars_100"): (p[1], c[1]),
+        (3, "min_tokens_20"): (p[2], c[2]),
+        (4, "repetition_2x"): (p[3], c[3]),
+    }
+    got = {
+        (r.stage, r.gate): (r.n_pass_alone, r.n_pass_cumulative)
+        for r in REGISTRY["corpus_filter_waterfall"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
