@@ -16986,6 +16986,240 @@ def corpus_filter_waterfall(spark, sf_dir):
     ).orderBy("stage")
 
 
+@_q(
+    "customers_revenue_gini",
+    """
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(100 * o_totalprice) AS BIGINT)) AS BIGINT)
+               AS v
+      FROM orders GROUP BY o_custkey
+    ), grid AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS c FROM rev GROUP BY v
+    ), cum AS (
+      SELECT v, c, sum(c) OVER (ORDER BY v) AS e FROM grid
+    ), s AS (
+      -- s2 = 2*Σ i·x_i via the tie-block identity, kept doubled so the
+      -- arithmetic never leaves the integers
+      SELECT CAST(sum(c) AS HUGEINT) AS n,
+             sum(CAST(v AS HUGEINT) * c) AS t,
+             sum(CAST(v AS HUGEINT)
+                 * (2 * c * CAST(e AS HUGEINT) - c * (c - 1))) AS s2
+      FROM cum
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(t AS BIGINT) AS total_rev_e2,
+           CAST((1000000 * (s2 - (n + 1) * t)) // (n * t) AS BIGINT)
+             AS gini_ppm
+    FROM s
+    """,
+)
+def customers_revenue_gini(spark, sf_dir):
+    """Revenue-concentration Gini across CUSTOMERS — the data-sized
+    sibling of lake_partition_size_gini's bounded-manifest version: the
+    rank domain here is every customer, so the sorted-rank formula's
+    Σ i·xᵢ is recovered from the distinct-VALUE grid instead of a global
+    sort — a tie block of c customers at value v ending at cumulative
+    position e contributes v·(c·e − c(c−1)/2) exactly. Integer ppm,
+    no float.
+
+    Scale: one combinable per-customer aggregate, one combinable
+    per-value grid aggregate, the cumulative via
+    global_cumulative_counts (pid-window rewrite — no unpartitioned
+    window over the value grid, which is unbounded cent-exact revenue),
+    then a single combinable reduction. 128-bit products for the
+    rank-weighted sums."""
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(100 * F.col("o_totalprice")).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    grid = rev.groupBy("v").agg(F.count("*").cast("long").alias("c"))
+    cum = PCT.global_cumulative_counts(grid, "v", "c", cum_name="e", total_name="n")
+    dec = "DECIMAL(38,0)"
+    s = cum.selectExpr(
+        "n",
+        f"CAST(v AS {dec}) * CAST(c AS {dec}) AS __vc",
+        f"""CAST(v AS {dec})
+            * (2 * CAST(c AS {dec}) * CAST(e AS {dec})
+               - CAST(c AS {dec}) * CAST(c - 1 AS {dec})) AS __vs2""",
+    ).agg(
+        F.max("n").alias("__n"),
+        F.sum("__vc").alias("__t"),
+        F.sum("__vs2").alias("__s2"),
+    )
+    s = s.selectExpr(
+        "CAST(__n AS BIGINT) AS n_customers",
+        "CAST(__t AS BIGINT) AS total_rev_e2",
+        f"""(CAST(1000000 AS {dec})
+             * (__s2 - (CAST(__n AS {dec}) + 1) * __t)) AS __num""",
+        f"CAST(__n AS {dec}) * __t AS __den",
+    )
+    return _floordiv_cols(s, "__num", "__den", "gini_ppm").select(
+        "n_customers", "total_rev_e2", "gini_ppm"
+    )
+
+
+@_q(
+    "stats_autocorr_lag1",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+      FROM orders GROUP BY d
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(x) AS BIGINT) AS s
+      FROM daily
+    ), lagged AS (
+      SELECT x, lead(x) OVER (ORDER BY d) AS x_next FROM daily
+    ), sums AS (
+      SELECT
+        CAST(sum(CASE WHEN x_next IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_pairs,
+        sum(CASE WHEN x_next IS NOT NULL
+                 THEN (CAST((SELECT m FROM tot) AS HUGEINT) * x
+                       - (SELECT s FROM tot))
+                      * (CAST((SELECT m FROM tot) AS HUGEINT) * x_next
+                         - (SELECT s FROM tot))
+                 ELSE 0 END) AS num,
+        sum((CAST((SELECT m FROM tot) AS HUGEINT) * x - (SELECT s FROM tot))
+            * (CAST((SELECT m FROM tot) AS HUGEINT) * x - (SELECT s FROM tot)))
+          AS den
+      FROM lagged
+    )
+    SELECT (SELECT m FROM tot) AS n_days, n_pairs,
+           CAST(CASE WHEN den = 0 THEN 0
+                     ELSE (1000000 * num + 2000000 * den) // den - 2000000
+                END AS BIGINT) AS r1_e6
+    FROM sums
+    """,
+)
+def stats_autocorr_lag1(spark, sf_dir):
+    """Lag-1 autocorrelation of the daily order-count series — the
+    quantitative companion of stats_runs_test (the runs test says
+    "non-random", the autocorrelation says how sticky): classic sample
+    ACF with the full-series variance denominator, made exact by
+    clearing the rational mean — multiply every deviation by m so
+    (m·x_t − S) is an integer, then
+      r₁ = Σ(m·x_t − S)(m·x_{t+1} − S) / Σ(m·x_t − S)²
+    in exact 128-bit micro-units; r₁ ∈ [−1, 1] may be negative, so the
+    floor shifts by +2e6·den (truncation-proof on both engines).
+    Consecutive PRESENT days pair up (the handful of calendar gaps do
+    not fabricate zero days; documented choice).
+
+    Scale: one combinable per-day aggregate; the lead and the sums run
+    on the bounded calendar-day grid; the totals broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("m"), F.sum("x").cast("long").alias("s")
+    )
+    # bounded: lead over the calendar-day grid
+    lagged = daily.select(
+        "x", F.lead("x").over(Window.orderBy("d")).alias("x_next")
+    ).crossJoin(F.broadcast(tot))
+    dec = "DECIMAL(38,0)"
+    sums = lagged.selectExpr(
+        "m",
+        "CASE WHEN x_next IS NOT NULL THEN 1 ELSE 0 END AS __p",
+        f"""CASE WHEN x_next IS NOT NULL
+             THEN (CAST(m AS {dec}) * x - CAST(s AS {dec}))
+                  * (CAST(m AS {dec}) * x_next - CAST(s AS {dec}))
+             ELSE CAST(0 AS {dec}) END AS __nterm""",
+        f"""(CAST(m AS {dec}) * x - CAST(s AS {dec}))
+            * (CAST(m AS {dec}) * x - CAST(s AS {dec})) AS __dterm""",
+    ).agg(
+        F.max("m").cast("long").alias("n_days"),
+        F.sum("__p").cast("long").alias("n_pairs"),
+        F.sum("__nterm").alias("__numraw"),
+        F.sum("__dterm").alias("__den"),
+    )
+    sums = sums.selectExpr(
+        "n_days",
+        "n_pairs",
+        f"(CAST(1000000 AS {dec}) * __numraw + CAST(2000000 AS {dec}) * __den)"
+        " AS __num",
+        "__den",
+    )
+    return _floordiv_cols(sums, "__num", "__den", "__sq").selectExpr(
+        "n_days",
+        "n_pairs",
+        "CAST(CASE WHEN __den = 0 THEN 0 ELSE __sq - 2000000 END AS BIGINT)"
+        " AS r1_e6",
+    )
+
+
+@_q(
+    "customers_segment_transitions",
+    """
+    WITH yearly AS (
+      SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(sum(CAST(round(100 * o_totalprice) AS BIGINT)) AS BIGINT)
+               AS spend_e2
+      FROM orders GROUP BY o_custkey, yr
+    ), seg AS (
+      SELECT o_custkey, yr,
+             CASE WHEN spend_e2 >= 20000000 THEN 'high'
+                  WHEN spend_e2 >= 5000000 THEN 'mid'
+                  ELSE 'low' END AS seg
+      FROM yearly
+    ), tr AS (
+      SELECT seg AS seg_from,
+             lead(seg) OVER w AS seg_to,
+             yr, lead(yr) OVER w AS yr_next
+      FROM seg
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY yr)
+    )
+    SELECT seg_from, seg_to, CAST(count(*) AS BIGINT) AS n_customers
+    FROM tr WHERE yr_next = yr + 1
+    GROUP BY seg_from, seg_to ORDER BY seg_from, seg_to
+    """,
+)
+def customers_segment_transitions(spark, sf_dir):
+    """Year-over-year customer value-segment migration matrix
+    (low/mid/high spend bands at fixed 50k/200k thresholds): how many
+    customers move between bands across CONSECUTIVE calendar years —
+    the retention/upsell dynamics table behind LTV planning, the
+    longitudinal complement of the static customer_rfm_segments
+    snapshot. Skipped years do not pair (yr_next = yr+1 filter), so a
+    lapsed customer never fabricates a transition.
+
+    Scale: one combinable (customer, year) aggregate, ONE
+    customer-partitioned window over each customer's ≤ |years| rows,
+    and a bounded 3x3 rollup."""
+    o = _t(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        "o_custkey", F.year("o_orderdate").cast("int").alias("yr")
+    ).agg(
+        F.sum(F.round(100 * F.col("o_totalprice")).cast("long"))
+        .cast("long")
+        .alias("spend_e2")
+    )
+    seg = yearly.select(
+        "o_custkey",
+        "yr",
+        F.when(F.col("spend_e2") >= 20000000, "high")
+        .when(F.col("spend_e2") >= 5000000, "mid")
+        .otherwise("low")
+        .alias("seg"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("yr")
+    tr = seg.select(
+        F.col("seg").alias("seg_from"),
+        F.lead("seg").over(w).alias("seg_to"),
+        "yr",
+        F.lead("yr").over(w).alias("yr_next"),
+    )
+    return (
+        tr.where(F.col("yr_next") == F.col("yr") + 1)
+        .groupBy("seg_from", "seg_to")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .orderBy("seg_from", "seg_to")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -17287,6 +17521,9 @@ _GRADE_NEXT: list[str] = [
     "orders_otif_rate",
     "sample_class_balanced",
     "corpus_filter_waterfall",
+    "customers_revenue_gini",
+    "stats_autocorr_lag1",
+    "customers_segment_transitions",
     # r02-only certificates remaining after the round-7 promotion (21)
     "text_bigram_counts",
     "join_cross",

@@ -1774,3 +1774,43 @@ def test_filter_waterfall_single_scan_one_agg(spark):
     assert "partial_sum" in plan, plan
     assert "Join" not in plan and "windowspecdefinition" not in plan, plan
     assert "Generate" in plan, plan
+
+
+def test_customers_gini_pid_cumulative(spark):
+    """customers_revenue_gini: the value-grid cumulative must ride the
+    pid-window rewrite (revenue grid is unbounded — no unpartitioned
+    window over it); both aggregates combine map-side."""
+    import re as _re
+
+    plan = _plan(spark, "customers_revenue_gini")
+    assert "windowspecdefinition(__pid#" in plan, plan
+    for s in _re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        if "v#" in s:
+            assert "__pid" in s, (s, plan)
+    assert "partial_sum" in plan, plan
+
+
+def test_autocorr_bounded_grid_lead(spark):
+    """stats_autocorr_lag1: the lead window runs on the per-day
+    aggregate only (no raw order column in any spec); totals broadcast."""
+    import re as _re
+
+    plan = _plan(spark, "stats_autocorr_lag1")
+    assert "partial_count" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    for s in _re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "o_custkey" not in s and "o_orderkey" not in s, (s, plan)
+
+
+def test_segment_transitions_customer_window(spark):
+    """customers_segment_transitions: the only window partitions by
+    customer (each partition ≤ |years| rows); the yearly aggregate
+    combines map-side; the rollup is bounded."""
+    import re as _re
+
+    plan = _plan(spark, "customers_segment_transitions")
+    assert "partial_sum" in plan, plan
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for s in specs:
+        assert "o_custkey#" in s, (s, plan)

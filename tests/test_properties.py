@@ -9678,3 +9678,78 @@ def test_filter_waterfall_matches_bruteforce(spark):
         for r in REGISTRY["corpus_filter_waterfall"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_customers_gini_matches_bruteforce(spark):
+    """customers_revenue_gini: the sorted-rank Gini recomputed by
+    literally sorting every customer's revenue in Python — certifying
+    the tie-block identity the engine uses instead of a global sort."""
+    import math
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("orders", ["o_custkey", "o_totalprice"])
+    rev = defaultdict(int)
+    for ck, tp in rows:
+        rev[ck] += math.floor(100 * tp + 0.5)
+    xs = sorted(rev.values())
+    n, t = len(xs), sum(xs)
+    s2 = 2 * sum(i * x for i, x in enumerate(xs, 1))
+    gini = (1_000_000 * (s2 - (n + 1) * t)) // (n * t)
+    r = REGISTRY["customers_revenue_gini"].fn(spark, SF_SMOKE).collect()
+    assert len(r) == 1
+    assert (r[0].n_customers, r[0].total_rev_e2, r[0].gini_ppm) == (n, t, gini)
+
+
+def test_autocorr_lag1_matches_bruteforce(spark):
+    """stats_autocorr_lag1: the mean-cleared integer ACF recomputed
+    directly from the daily sequence in Python."""
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("orders", ["CAST(o_orderdate AS DATE)"])
+    daily = Counter(d for (d,) in rows)
+    xs = [daily[d] for d in sorted(daily)]
+    m, s = len(xs), sum(xs)
+    num = sum((m * a - s) * (m * b - s) for a, b in zip(xs, xs[1:]))
+    den = sum((m * a - s) ** 2 for a in xs)
+    r1 = 0 if den == 0 else (1_000_000 * num + 2_000_000 * den) // den - 2_000_000
+    r = REGISTRY["stats_autocorr_lag1"].fn(spark, SF_SMOKE).collect()
+    assert len(r) == 1
+    assert (r[0].n_days, r[0].n_pairs, r[0].r1_e6) == (m, m - 1, r1)
+
+
+def test_segment_transitions_matches_bruteforce(spark):
+    """customers_segment_transitions: per-customer yearly banding and
+    consecutive-year pairing recomputed in Python."""
+    import math
+    from collections import Counter, defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+    spend = defaultdict(int)
+    for ck, od, tp in rows:
+        spend[(ck, od.year)] += math.floor(100 * tp + 0.5)
+
+    def band(v):
+        return "high" if v >= 20_000_000 else "mid" if v >= 5_000_000 else "low"
+
+    by_cust = defaultdict(dict)
+    for (ck, yr), v in spend.items():
+        by_cust[ck][yr] = band(v)
+    trans = Counter()
+    for ck, years in by_cust.items():
+        for yr in sorted(years):
+            if yr + 1 in years:
+                trans[(years[yr], years[yr + 1])] += 1
+    got = {
+        (r.seg_from, r.seg_to): r.n_customers
+        for r in REGISTRY["customers_segment_transitions"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == dict(trans)
