@@ -25,10 +25,10 @@ from pyspark.sql import functions as F
 def global_cumulative_counts(
     grid: DataFrame,
     value_col: str,
-    weight_col: str,
+    weight_col: str | Sequence[str],
     n_parts: int = 32,
-    cum_name: str = "__cw",
-    total_name: str = "__t",
+    cum_name: str | Sequence[str] = "__cw",
+    total_name: str | Sequence[str] = "__t",
     assume_deterministic: bool = True,
 ) -> DataFrame:
     """Distributed GLOBAL cumulative weights over a (value, weight) grid
@@ -45,6 +45,15 @@ def global_cumulative_counts(
     ``total_name`` (grand total) — exactly what an unpartitioned
     ``sum(w) OVER (ORDER BY value)`` + full-frame total would produce.
 
+    ``weight_col`` / ``cum_name`` / ``total_name`` also accept matched
+    SEQUENCES to cumulate several weights in ONE pass (one repartition,
+    one pid window). Multi-weight callers (two-sample CDFs, left/right
+    label counts) MUST use this instead of chaining two calls: nesting
+    one pid-window output inside another's range-repartition defeats
+    Spark's exchange reuse, and the offsets/join branches can then
+    re-evaluate the inner plan with DIFFERENT pid assignments — caught
+    at sf0.1 as a nondeterministic KS statistic (round 7).
+
     ``grid`` must be DETERMINISTIC under re-evaluation (ADVICE r5): the
     partitioned frame is evaluated twice — once for the offsets branch,
     once for the final join — and the global ranks rely on the
@@ -54,35 +63,59 @@ def global_cumulative_counts(
     UDF, pass ``assume_deterministic=False`` to pin one evaluation via
     ``localCheckpoint`` (eager, materializes the grid) before fan-out.
     """
+    weights = [weight_col] if isinstance(weight_col, str) else list(weight_col)
+    cums = [cum_name] if isinstance(cum_name, str) else list(cum_name)
+    totals = [total_name] if isinstance(total_name, str) else list(total_name)
+    assert len(weights) == len(cums) == len(totals), "mismatched weight naming"
     p = grid.repartitionByRange(n_parts, value_col).withColumn(
         "__pid", F.spark_partition_id()
     )
     w_local = Window.partitionBy("__pid").orderBy(value_col)
-    local = p.withColumn(
-        "__lcw",
-        F.sum(weight_col).over(w_local.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    local = p
+    for i, w in enumerate(weights):
+        local = local.withColumn(
+            f"__lcw{i}",
+            F.sum(w).over(w_local.rowsBetween(Window.unboundedPreceding, 0)),
+        )
     if not assume_deterministic:
         local = local.localCheckpoint()
-    sizes = local.groupBy("__pid").agg(F.sum(weight_col).cast("long").alias("__pn"))
+    sizes = local.groupBy("__pid").agg(
+        *[F.sum(w).cast("long").alias(f"__pn{i}") for i, w in enumerate(weights)]
+    )
     w_off = Window.orderBy("__pid")  # bounded: one row per range partition
     offs = sizes.select(
         "__pid",
-        F.coalesce(
-            F.sum("__pn").over(w_off.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("__off"),
-        F.sum("__pn")
-        .over(w_off.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-        .cast("long")
-        .alias(total_name),
+        *[
+            c
+            for i in range(len(weights))
+            for c in (
+                F.coalesce(
+                    F.sum(f"__pn{i}").over(
+                        w_off.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias(f"__off{i}"),
+                F.sum(f"__pn{i}")
+                .over(
+                    w_off.rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                )
+                .cast("long")
+                .alias(totals[i]),
+            )
+        ],
     )
-    return (
-        local.join(F.broadcast(offs), "__pid")
-        .withColumn(cum_name, (F.col("__off") + F.col("__lcw")).cast("long"))
-        .drop("__pid", "__lcw", "__off")
+    out = local.join(F.broadcast(offs), "__pid")
+    for i, cn in enumerate(cums):
+        out = out.withColumn(
+            cn, (F.col(f"__off{i}") + F.col(f"__lcw{i}")).cast("long")
+        )
+    return out.drop(
+        "__pid", *[f"__lcw{i}" for i in range(len(weights))],
+        *[f"__off{i}" for i in range(len(weights))],
     )
 
 

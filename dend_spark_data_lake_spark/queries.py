@@ -15644,8 +15644,16 @@ def stats_ks_two_sample(spark, sf_dir):
         .cast("long")
         .alias("nb_v"),
     )
-    c1 = PCT.global_cumulative_counts(grid, "v", "na_v", cum_name="c_a", total_name="t_a")
-    c2 = PCT.global_cumulative_counts(c1, "v", "nb_v", cum_name="c_b", total_name="t_b")
+    # ONE multi-weight pass: chaining two cumulative calls nests
+    # pid-window plans and re-evaluates them inconsistently (the
+    # nondeterministic-KS bug this fixed in round 7)
+    c2 = PCT.global_cumulative_counts(
+        grid,
+        "v",
+        ["na_v", "nb_v"],
+        cum_name=["c_a", "c_b"],
+        total_name=["t_a", "t_b"],
+    )
     dec = "DECIMAL(38,0)"
     s = c2.selectExpr(
         "t_a",
@@ -15913,11 +15921,14 @@ def stats_stump_split_gini(spark, sf_dir):
         F.sum(pos.cast("long")).cast("long").alias("pos_v"),
         F.sum((~pos).cast("long")).cast("long").alias("neg_v"),
     )
-    g1 = PCT.global_cumulative_counts(
-        grid, "thr_e2", "pos_v", cum_name="pos_l", total_name="pos_t"
-    )
+    # ONE multi-weight pass (see stats_ks_two_sample: chained calls nest
+    # pid-window plans nondeterministically)
     g2 = PCT.global_cumulative_counts(
-        g1, "thr_e2", "neg_v", cum_name="neg_l", total_name="neg_t"
+        grid,
+        "thr_e2",
+        ["pos_v", "neg_v"],
+        cum_name=["pos_l", "neg_l"],
+        total_name=["pos_t", "neg_t"],
     )
     dec = "DECIMAL(38,0)"
     k = (

@@ -231,3 +231,40 @@ def test_global_cumulative_counts_nondeterministic_weights(spark):
         assert r["__cw"] > prev
         prev = r["__cw"]
     assert prev == totals.pop()
+
+
+def test_global_cumulative_multi_weight_matches_python(spark):
+    """Multi-weight global_cumulative_counts: both cumulatives and both
+    totals must match a plain-Python prefix sum on a grid wide enough to
+    span many range partitions. Chained single-weight calls are the
+    KNOWN-BROKEN alternative (nested pid-window plans re-evaluate with
+    different pid assignments — the round-7 nondeterministic-KS bug);
+    this pins the one-pass replacement."""
+    from pyspark.sql import functions as F
+
+    from dend_spark_data_lake_spark.operators.percentiles import (
+        global_cumulative_counts,
+    )
+
+    df = spark.range(5000).select(
+        F.col("id").cast("long").alias("v"),
+        (F.pmod(F.col("id") * 37, F.lit(11)) + 1).cast("long").alias("wa"),
+        (F.pmod(F.col("id") * 101, F.lit(7)) + 1).cast("long").alias("wb"),
+    )
+    out = {
+        r["v"]: (r["ca"], r["cb"], r["ta"], r["tb"])
+        for r in global_cumulative_counts(
+            df,
+            "v",
+            ["wa", "wb"],
+            cum_name=["ca", "cb"],
+            total_name=["ta", "tb"],
+        ).collect()
+    }
+    ca = cb = 0
+    ta = sum((v * 37 % 11) + 1 for v in range(5000))
+    tb = sum((v * 101 % 7) + 1 for v in range(5000))
+    for v in range(5000):
+        ca += (v * 37 % 11) + 1
+        cb += (v * 101 % 7) + 1
+        assert out[v] == (ca, cb, ta, tb), (v, out[v], (ca, cb, ta, tb))
