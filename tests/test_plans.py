@@ -1827,3 +1827,36 @@ def test_spearman_pid_rank_grids(spark):
     for s in _re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "__pid" in s, (s, plan)
     assert "partial_sum" in plan, plan
+
+
+def test_cusum_bounded_grid_walk(spark):
+    """stats_cusum_changepoint: the cumulative walk's only window runs
+    on the per-day aggregate (no raw order column in any spec); the
+    daily count combines map-side; the totals broadcast."""
+    import re as _re
+
+    plan = _plan(spark, "stats_cusum_changepoint")
+    assert "partial_count" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    for s in _re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "o_custkey" not in s and "o_orderkey" not in s, (s, plan)
+
+
+def test_poisson_dispersion_two_aggs_no_window_no_join(spark):
+    """stats_poisson_dispersion: one events scan into two combinable
+    aggregates — no window, no join anywhere in the plan."""
+    plan = _plan(spark, "stats_poisson_dispersion")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "partial_count" in plan, plan
+    assert "Join" not in plan and "windowspecdefinition" not in plan, plan
+
+
+def test_simpson_diversity_two_aggs_no_window_no_join(spark):
+    """corpus_simpson_diversity: one documents scan into two combinable
+    aggregates over the bounded source×lang grid — no window, no join;
+    the scan prunes to (source, lang)."""
+    plan = _plan(spark, "corpus_simpson_diversity")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "partial_count" in plan, plan
+    assert "Join" not in plan and "windowspecdefinition" not in plan, plan
+    assert "text#" not in plan.split("ReadSchema")[-1], plan

@@ -9797,3 +9797,90 @@ def test_spearman_rho_matches_bruteforce(spark):
         assert abs(r[0].rho_r6 - num / math.sqrt(d1 * d2)) < 2e-6
     # midrank sums are an invariant of the construction
     assert sx == n * (n + 1) and sy == n * (n + 1)
+
+
+def test_cusum_changepoint_matches_bruteforce(spark):
+    """stats_cusum_changepoint: the mean-cleared integer CUSUM walk,
+    its peak, and the earliest-date argmax recomputed in Python."""
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("orders", ["CAST(o_orderdate AS DATE)"])
+    daily = Counter(d for (d,) in rows)
+    days = sorted(daily)
+    m, s = len(days), sum(daily.values())
+    cu, best = 0, None
+    for d in days:
+        cu += m * daily[d] - s
+        a = abs(cu)
+        if best is None or a > best[0]:
+            best = (a, d)
+    assert cu == 0  # the walk closes by construction
+    peak, cp = best
+    r = REGISTRY["stats_cusum_changepoint"].fn(spark, SF_SMOKE).collect()
+    assert len(r) == 1
+    assert (r[0].n_days, r[0].cp_date, r[0].peak_abs, r[0].peak_ppm) == (
+        m,
+        cp,
+        peak,
+        (1_000_000 * peak) // (m * s),
+    )
+
+
+def test_poisson_dispersion_matches_bruteforce(spark):
+    """stats_poisson_dispersion: D = (nΣx²−(Σx)²)/((n−1)Σx) per event
+    type recomputed from the raw events in Python."""
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("events", ["event_type", "CAST(ts AS DATE)"])
+    daily = Counter(rows)
+    expect = {}
+    for et in {t for t, _ in daily}:
+        xs = [c for (t, _), c in daily.items() if t == et]
+        n, sx, sxx = len(xs), sum(xs), sum(x * x for x in xs)
+        disp = 0
+        if n > 1 and sx > 0:
+            disp = (1_000_000 * (n * sxx - sx * sx)) // ((n - 1) * sx)
+        expect[et] = (n, (1_000_000 * sx) // n, disp)
+    got = {
+        r.event_type: (r.n_days, r.mean_ppm, r.disp_ppm)
+        for r in REGISTRY["stats_poisson_dispersion"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    # the fixture's traffic is genuinely clumped for at least one type
+    assert any(d > 1_000_000 for _, _, d in expect.values())
+
+
+def test_simpson_diversity_matches_bruteforce(spark):
+    """corpus_simpson_diversity: the without-replacement collision
+    probability and its complement recomputed per source in Python."""
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("documents", ["source", "lang"])
+    cell = Counter(rows)
+    expect = {}
+    for src in {s for s, _ in cell}:
+        cs = [c for (s, _), c in cell.items() if s == src]
+        n, pairs = sum(cs), sum(c * (c - 1) for c in cs)
+        simpson = (
+            (1_000_000 * pairs) // (n * (n - 1)) if n > 1 else 1_000_000
+        )
+        gini = (
+            (1_000_000 * (n * (n - 1) - pairs)) // (n * (n - 1))
+            if n > 1
+            else 0
+        )
+        expect[src] = (n, len(cs), simpson, gini)
+    got = {
+        r.source: (r.n_docs, r.n_langs, r.simpson_ppm, r.gini_simpson_ppm)
+        for r in REGISTRY["corpus_simpson_diversity"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
