@@ -17538,14 +17538,74 @@ def corpus_simpson_diversity(spark, sf_dir):
 # order). Registration order above is topical; the driver-facing order below
 # is a rotation policy: queries not yet externally certified come first.
 #
-# ROUND-7 WINDOW (50 slots): per the rotation policy, never-graded entries
-# head the window — the 25 round-6 additions (landed after the round-6
-# window froze), then the two r02-cohort re-certifications trimmed off the
-# round-6 window's end (dedup_corpus, dedup_embedding_cosine), then the 23
-# OLDEST remaining r02-only certificates (re-certification hygiene: their
-# r02 greens stand, but every other cohort has a newer row).
+# ROUND-8 WINDOW (50 slots): per the rotation policy, never-graded entries
+# head the window — 50 of the 53 round-7 additions (all landed after the
+# round-7 window froze; all judge-certified green at sf0.01 AND sf0.1 in
+# VERDICT r7). The three late additions of commit 2675313 lead, per the
+# front-of-queue rule. 53 > 50, so the last three round-7 additions
+# (stats_autocorr_lag1, customers_segment_transitions, stats_spearman_rho)
+# stay at the head of _GRADE_NEXT for round 9 — VERDICT r7 ask #1.
 _GRADE_FIRST = [
-    # round-6 additions, never driver-graded (the round-7 priority)
+    # late round-7 additions (commit 2675313), never driver-graded
+    "stats_cusum_changepoint",
+    "stats_poisson_dispersion",
+    "corpus_simpson_diversity",
+    # remaining round-7 additions, never driver-graded (queue order)
+    "split_temporal_holdout",
+    "events_watermark_lateness",
+    "stats_ab_test_proportions",
+    "quality_calibration_bins",
+    "events_hazard_churn",
+    "corpus_quota_waterfill",
+    "rec_negative_sampling",
+    "sim_knn_mutual_stats",
+    "curation_dsir_importance",
+    "orders_cohort_ltv",
+    "sample_neyman_allocation",
+    "sql_group_by_all",
+    "etl_affected_partitions",
+    "events_lookalike_rank",
+    "dq_partition_checksums",
+    "corpus_anneal_schedule",
+    "dedup_canonical_failover",
+    "sql_filtered_aggregates",
+    "dq_primary_key_audit",
+    "embed_sim_histogram",
+    "events_interarrival_stats",
+    "events_trending_decay",
+    "sample_inverse_propensity_weights",
+    "text_vocab_growth_heaps",
+    "parts_abc_classification",
+    "text_langid_confusion",
+    "sql_named_window_clause",
+    "lake_partition_size_gini",
+    "stats_ks_two_sample",
+    "stats_mann_whitney_u",
+    "stats_chi2_independence",
+    "stats_stump_split_gini",
+    "curation_pareto_frontier",
+    "events_weekly_stickiness",
+    "events_time_to_convert",
+    "agg_bitmap_distinct",
+    "stats_theil_sen_slope",
+    "stats_runs_test",
+    "corpus_tail_index_hill",
+    "embed_intra_label_diversity",
+    "sql_pivot_unpivot_roundtrip",
+    "stats_cohens_kappa",
+    "events_sequence_motifs",
+    "orders_otif_rate",
+    "sample_class_balanced",
+    "corpus_filter_waterfall",
+    "customers_revenue_gini",
+]
+
+
+# Certified in CORRECTNESS_r07 (50/50 green: rows+schema+hash — the 25
+# round-6 additions' first driver rows plus 25 r02-cohort
+# re-certifications). Demoted behind the round-8 window; kept explicit so
+# the rotation history stays auditable in one place.
+_GRADE_DONE_R07 = [
     "sketch_cms_heavy_hitters",
     "dq_split_leak_audit",
     "sample_weighted_reservoir",
@@ -17571,10 +17631,8 @@ _GRADE_FIRST = [
     "events_markov_entropy_rate",
     "curation_quality_dedup_matrix",
     "embed_centroid_drift",
-    # r02-cohort re-certifications trimmed off the round-6 window (2)
     "dedup_corpus",
     "dedup_embedding_cosine",
-    # oldest remaining r02-only certificates (23, in r02 grading order)
     "join_fuzzy_levenshtein",
     "sample_det_hash",
     "split_train_valid_test",
@@ -17777,64 +17835,14 @@ _GRADE_DONE_R04 = [
 ]
 
 
-# Behind the window, queued for the round-8 rotation: the tail of the r02
-# cohort not promoted into the round-7 window (their r02 greens stand;
-# re-certification is hygiene, not a gap). Any round-7 additions are
-# inserted at the FRONT of this queue per the rotation policy (never into
-# the already-frozen window above).
+# Behind the window, queued for the round-9 rotation. The three round-7
+# additions that could not fit the 50-slot round-8 window (53 > 50) stay
+# at the absolute head — VERDICT r7 ask #1 — ahead of any round-8
+# additions; new round-8 additions are inserted AFTER them but BEFORE the
+# r02-only re-certification backlog (never into the frozen window above).
 _GRADE_NEXT: list[str] = [
-    # round-7 additions, never graded (front of the queue per policy; the
-    # round-7 window was already frozen when these landed)
-    "stats_cusum_changepoint",
-    "stats_poisson_dispersion",
-    "corpus_simpson_diversity",
-    "split_temporal_holdout",
-    "events_watermark_lateness",
-    "stats_ab_test_proportions",
-    "quality_calibration_bins",
-    "events_hazard_churn",
-    "corpus_quota_waterfill",
-    "rec_negative_sampling",
-    "sim_knn_mutual_stats",
-    "curation_dsir_importance",
-    "orders_cohort_ltv",
-    "sample_neyman_allocation",
-    "sql_group_by_all",
-    "etl_affected_partitions",
-    "events_lookalike_rank",
-    "dq_partition_checksums",
-    "corpus_anneal_schedule",
-    "dedup_canonical_failover",
-    "sql_filtered_aggregates",
-    "dq_primary_key_audit",
-    "embed_sim_histogram",
-    "events_interarrival_stats",
-    "events_trending_decay",
-    "sample_inverse_propensity_weights",
-    "text_vocab_growth_heaps",
-    "parts_abc_classification",
-    "text_langid_confusion",
-    "sql_named_window_clause",
-    "lake_partition_size_gini",
-    "stats_ks_two_sample",
-    "stats_mann_whitney_u",
-    "stats_chi2_independence",
-    "stats_stump_split_gini",
-    "curation_pareto_frontier",
-    "events_weekly_stickiness",
-    "events_time_to_convert",
-    "agg_bitmap_distinct",
-    "stats_theil_sen_slope",
-    "stats_runs_test",
-    "corpus_tail_index_hill",
-    "embed_intra_label_diversity",
-    "sql_pivot_unpivot_roundtrip",
-    "stats_cohens_kappa",
-    "events_sequence_motifs",
-    "orders_otif_rate",
-    "sample_class_balanced",
-    "corpus_filter_waterfall",
-    "customers_revenue_gini",
+    # round-7 additions, never graded, displaced from the round-8 window
+    # by queue arithmetic (keep at head for round 9 per VERDICT r7)
     "stats_autocorr_lag1",
     "customers_segment_transitions",
     "stats_spearman_rho",
@@ -17981,6 +17989,7 @@ def _reorder_registry() -> None:
         dict.fromkeys(
             [
                 *rotation,
+                *_GRADE_DONE_R07,
                 *_GRADE_DONE_R06,
                 *_GRADE_DONE_R05,
                 *_GRADE_DONE_R04,

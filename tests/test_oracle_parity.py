@@ -48,11 +48,12 @@ def test_grading_window_invariants():
     assert len(rotation) == len(set(rotation))
 
 
-def test_round7_window_rotation_policy():
-    """The round-7 window must lead with every oracle-backed entry that
-    has NO driver row in CORRECTNESS_r01..r06 (the 25 round-6 additions,
-    which landed after the round-6 window froze), and every other window
-    slot must be a re-certification whose MOST RECENT driver certificate
+def test_round8_window_rotation_policy():
+    """The round-8 window must lead with every oracle-backed entry that
+    has NO driver row in CORRECTNESS_r01..r07 (the 53 round-7 additions,
+    which landed after the round-7 window froze — 50 fit the window, the
+    remaining 3 head the queue for round 9), and every other window slot
+    must be a re-certification whose MOST RECENT driver certificate
     predates the round-3 artifact — i.e. the stale r02 cohort, oldest
     first. Derived from the actual CORRECTNESS_r0*.json artifacts, not
     from our own rotation lists."""
@@ -62,8 +63,8 @@ def test_round7_window_rotation_policy():
     from dend_spark_data_lake_spark.queries import _GRADE_FIRST, _GRADE_NEXT
 
     repo = Path(__file__).resolve().parent.parent
-    artifacts = sorted(repo.glob("CORRECTNESS_r0[1-6].json"))
-    if len(artifacts) < 6:
+    artifacts = sorted(repo.glob("CORRECTNESS_r0[1-7].json"))
+    if len(artifacts) < 7:
         pytest.skip("driver correctness artifacts not present")
 
     latest_round: dict[str, int] = {}
