@@ -221,12 +221,22 @@ def main() -> None:
             )
             tiled.repartition(32).write.mode("overwrite").parquet(docs_path)
         sf1["generate_sec"] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
-        for name in ("pipeline_curation", "dedup_corpus"):
-            fn = Q.REGISTRY[name].fn
-            t0 = time.perf_counter()
-            fn(spark, scratch).write.format("noop").mode("overwrite").save()
-            sf1[name] = round(time.perf_counter() - t0, 3)
+        # min-of-n like the headline gate (VERDICT r7 ask #4: the driver's
+        # single-shot sf1 reading swung 2.4x between contended and idle
+        # runs — the min is the machine-independent number worth recording)
+        sf1_samples: dict[str, list[float]] = {}
+        for _ in range(n_runs):
+            spark.catalog.clearCache()
+            for name in ("pipeline_curation", "dedup_corpus"):
+                fn = Q.REGISTRY[name].fn
+                t0 = time.perf_counter()
+                fn(spark, scratch).write.format("noop").mode("overwrite").save()
+                sf1_samples.setdefault(name, []).append(
+                    time.perf_counter() - t0
+                )
+        for name, xs in sf1_samples.items():
+            sf1[name] = round(min(xs), 3)
+            sf1[name + "_median"] = round(median(xs), 3)
 
     # Two lines, detail FIRST: the driver's tail capture truncated the r3
     # artifact because the enlarged single-line JSON (medians + mins +
@@ -246,15 +256,20 @@ def main() -> None:
             }
         )
     )
+    # Primary gate number = min-of-n (VERDICT r7 ask #4): BENCH_r07's
+    # driver median read 25% above two same-day idle runs of identical
+    # code — contention noise the min filters out. The median rides along
+    # as total_median so the r1-r7 series stays directly comparable.
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
-                "value": total,
+                "metric": "headline_queries_total_wall_min",
+                "value": total_min,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
                 "total_min": total_min,
+                "total_median": total,
             }
         )
     )

@@ -22,6 +22,53 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _nondeterministic_lineage(df: DataFrame) -> list[str]:
+    """Best-effort scan of ``df``'s analyzed plan for nondeterminism:
+    expressions Catalyst marks nondeterministic (rand/uuid/
+    monotonically_increasing_id/nondeterministic UDFs) and Sample nodes
+    (seeded, but partition-layout-sensitive under re-evaluation).
+    Returns offender descriptions, empty when the lineage is safe.
+
+    The pid-window rewrite evaluates its input TWICE (offsets branch +
+    final join) and relies on both evaluations agreeing row-for-row —
+    the round-7 chained-window bug was exactly a violation of this, so
+    the invariant is enforced structurally here rather than documented
+    per call site. Introspection failures return [] (never block a
+    caller on a py4j API drift)."""
+    try:
+        bad: list[str] = []
+
+        def walk(p) -> None:
+            exprs = p.expressions()
+            for i in range(exprs.size()):
+                e = exprs.apply(i)
+                if not e.deterministic():
+                    bad.append(e.sql())
+            if p.nodeName() == "Sample":
+                bad.append("Sample (partition-layout-sensitive)")
+            ch = p.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i))
+
+        walk(df._jdf.queryExecution().analyzed())
+        return bad
+    except Exception:  # pragma: no cover - py4j API drift safety valve
+        return []
+
+
+def _require_deterministic(df: DataFrame, caller: str) -> None:
+    bad = _nondeterministic_lineage(df)
+    if bad:
+        raise ValueError(
+            f"{caller}: input lineage is nondeterministic under "
+            f"re-evaluation ({', '.join(sorted(set(bad))[:5])}); the "
+            "pid-window rewrite evaluates it twice and the two "
+            "evaluations must agree row-for-row. Pass "
+            "assume_deterministic=False to pin one evaluation via "
+            "localCheckpoint, or derive the grid deterministically."
+        )
+
+
 def global_cumulative_counts(
     grid: DataFrame,
     value_col: str,
@@ -67,6 +114,8 @@ def global_cumulative_counts(
     cums = [cum_name] if isinstance(cum_name, str) else list(cum_name)
     totals = [total_name] if isinstance(total_name, str) else list(total_name)
     assert len(weights) == len(cums) == len(totals), "mismatched weight naming"
+    if assume_deterministic:
+        _require_deterministic(grid, "global_cumulative_counts")
     p = grid.repartitionByRange(n_parts, value_col).withColumn(
         "__pid", F.spark_partition_id()
     )
@@ -158,6 +207,8 @@ def distributed_ntile(
     """
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if assume_deterministic:
+        _require_deterministic(df, "distributed_ntile")
     part = df.repartitionByRange(n_parts, *order_cols).withColumn(
         "__pid", F.spark_partition_id()
     )
@@ -270,8 +321,10 @@ def global_running_max(
     ``inclusive=False`` yields the strict-prefix maximum (max over rows
     ordered BEFORE this one; NULL for the global first row) — the form
     skyline/frontier tests need. The grid must be deterministic under
-    re-evaluation (same contract as global_cumulative_counts).
+    re-evaluation (same contract as global_cumulative_counts; enforced
+    by the same structural lineage check).
     """
+    _require_deterministic(grid, "global_running_max")
     p = grid.repartitionByRange(n_parts, value_col).withColumn(
         "__pid", F.spark_partition_id()
     )

@@ -268,3 +268,48 @@ def test_global_cumulative_multi_weight_matches_python(spark):
         ca += (v * 37 % 11) + 1
         cb += (v * 101 % 7) + 1
         assert out[v] == (ca, cb, ta, tb), (v, out[v], (ca, cb, ta, tb))
+
+
+def test_nondeterministic_lineage_raises_structurally(spark):
+    """VERDICT r7 ask #6: the determinism contract of the pid-window
+    rewrite is enforced IN the helpers, not just documented — a caller
+    whose grid lineage contains rand()/sample()/a nondeterministic UDF
+    must fail fast with guidance instead of shipping a silently
+    nondeterministic statistic (the round-7 chained-window bug class).
+    assume_deterministic=False remains the sanctioned escape hatch
+    (pinned via localCheckpoint; covered by the two tests above)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dend_spark_data_lake_spark.operators.percentiles import (
+        distributed_ntile,
+        global_cumulative_counts,
+        global_running_max,
+    )
+
+    rand_grid = spark.range(50).select(
+        F.col("id").cast("long").alias("v"),
+        (F.floor(F.rand() * 5) + 1).cast("long").alias("w"),
+    )
+    with pytest.raises(ValueError, match="nondeterministic"):
+        global_cumulative_counts(rand_grid, "v", "w")
+    with pytest.raises(ValueError, match="nondeterministic"):
+        distributed_ntile(rand_grid, 4, ["w", "v"])
+    with pytest.raises(ValueError, match="nondeterministic"):
+        global_running_max(rand_grid, "v", "w")
+
+    sampled = (
+        spark.range(200)
+        .sample(0.5, seed=7)
+        .select(F.col("id").alias("v"), F.lit(1).cast("long").alias("w"))
+    )
+    with pytest.raises(ValueError, match="nondeterministic"):
+        global_cumulative_counts(sampled, "v", "w")
+
+    # deterministic lineage passes through the check untouched
+    det = spark.range(50).select(
+        F.col("id").cast("long").alias("v"),
+        (F.pmod(F.col("id"), F.lit(3)) + 1).cast("long").alias("w"),
+    )
+    rows = global_cumulative_counts(det, "v", "w").collect()
+    assert len(rows) == 50
