@@ -128,6 +128,17 @@ def global_cumulative_counts(
         )
     if not assume_deterministic:
         local = local.localCheckpoint()
+    # Persist the pid-assigned frame so the offsets branch and the final
+    # join consume ONE materialization. Without it the two branches hold
+    # structurally different range exchanges whenever the grid carries
+    # columns beyond the cumulated weights (column pruning narrows the
+    # offsets branch), exchange reuse does NOT fire, and each branch
+    # re-samples its own RangePartitioner boundaries — pids then disagree
+    # and the global offsets are garbage (observed: ±1% rank-sum drift at
+    # a 15k-value grid; the round-7 multi-weight rewrite fixed one shape
+    # of this, persist kills the class). Eviction is safe: recompute
+    # replays the SAME RDD lineage, so boundaries are reproduced.
+    local = local.persist()
     sizes = local.groupBy("__pid").agg(
         *[F.sum(w).cast("long").alias(f"__pn{i}") for i, w in enumerate(weights)]
     )
@@ -216,6 +227,10 @@ def distributed_ntile(
     local = part.withColumn("__lr", F.row_number().over(w_local).cast("long"))
     if not assume_deterministic:
         local = local.localCheckpoint()
+    # single materialization for both branches — see the persist note in
+    # global_cumulative_counts (pruning-asymmetric branches defeat
+    # exchange reuse and re-sample range boundaries independently)
+    local = local.persist()
     sizes = local.groupBy("__pid").agg(F.count("*").cast("long").alias("__cnt"))
     w_off = Window.orderBy("__pid")  # bounded: one row per range partition
     offs = sizes.select(
@@ -328,6 +343,10 @@ def global_running_max(
     p = grid.repartitionByRange(n_parts, value_col).withColumn(
         "__pid", F.spark_partition_id()
     )
+    # single materialization for both branches — see the persist note in
+    # global_cumulative_counts (here the local-max branch and the sizes
+    # branch both re-evaluate the range exchange)
+    p = p.persist()
     w_local = (
         Window.partitionBy("__pid")
         .orderBy(value_col)

@@ -17530,6 +17530,566 @@ def corpus_simpson_diversity(spark, sf_dir):
     ).orderBy("source")
 
 
+@_q(
+    "stats_kruskal_wallis",
+    """
+    WITH f AS (
+      SELECT CAST(round(100 * o_totalprice) AS BIGINT) AS v,
+             o_orderpriority AS pri
+      FROM orders
+    ), g AS (
+      SELECT v, pri, CAST(count(*) AS BIGINT) AS n_gv FROM f GROUP BY v, pri
+    ), gv AS (
+      SELECT v, CAST(sum(n_gv) AS BIGINT) AS n_v FROM g GROUP BY v
+    ), c AS (
+      SELECT v, n_v, sum(n_v) OVER (ORDER BY v) AS c_all FROM gv
+    ), r AS (
+      SELECT g.pri, CAST(sum(g.n_gv) AS BIGINT) AS n_g,
+             CAST(sum(g.n_gv * (2 * c.c_all - c.n_v + 1)) AS BIGINT) AS r_x2
+      FROM g JOIN c USING (v) GROUP BY g.pri
+    ), t AS (
+      SELECT CAST(sum(CAST(n_v AS HUGEINT) * n_v * n_v - n_v) AS BIGINT)
+               AS tie_cubes,
+             CAST(sum(n_v) AS BIGINT) AS n_total
+      FROM c
+    ), d AS (
+      SELECT r.*, t.n_total, t.tie_cubes,
+             CAST(t.n_total AS HUGEINT) * t.n_total * t.n_total
+               - t.n_total - t.tie_cubes AS dd
+      FROM r, t
+    )
+    SELECT pri, n_g, r_x2,
+           CAST((1000000 * CAST(r_x2 AS HUGEINT)) // (2 * n_g) AS BIGINT)
+             AS rmean_e6,
+           CAST((CAST(1000000 AS HUGEINT) * 3 * (n_total - 1)
+                 * CAST(r_x2 AS HUGEINT) * r_x2)
+                // (CAST(n_g AS HUGEINT) * dd) AS BIGINT) AS contrib_e6,
+           CAST((CAST(1000000 AS HUGEINT) * 3 * (n_total - 1)
+                 * CAST(n_total AS HUGEINT) * (n_total + 1) * (n_total + 1))
+                // dd AS BIGINT) AS base_e6,
+           n_total, tie_cubes
+    FROM d ORDER BY pri
+    """,
+)
+def stats_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis k-group rank test (do the five order priorities
+    draw from the same total-price distribution?) WITHOUT a global sort
+    — the k-group extension of stats_mann_whitney_u: tied MIDRANKS are
+    recovered from the pooled distinct-cents grid cumulative, so the
+    per-group rank sum R_g (doubled to stay integer) is a weighted sum
+    over the grid. The tie-corrected statistic decomposes as
+      H' = Σ_g contrib_g − base,  contrib_g = 3(N−1)·R_g_x2² / (n_g·D),
+      base = 3(N−1)·N(N+1)² / D,  D = N³−N−Σ(t³−t),
+    and each term is emitted as an exact floored micro-unit integer
+    (128-bit DECIMAL(38,0)/HUGEINT); the ≤k-term reader-side sum is
+    deliberate — near-tie float assembly is not cross-engine
+    reproducible (same design as stats_chi2_independence's reader-side
+    χ² total). Compare H' to χ²₍₄₎ 95% = 9.488.
+
+    Scale: one combinable (value, priority) aggregate, one combinable
+    value rollup, the pooled cumulative rides global_cumulative_counts
+    (range-partition + pid-window + broadcast offsets — no unpartitioned
+    window over the data-sized cents grid), then a 5-row stack. At
+    extreme N (≳1e9 rows) the contrib cross terms exceed DECIMAL(38,0);
+    the exact-integer report targets the regime where it is exact, and
+    the n_g/R_g/tie columns stay in range far past that."""
+    o = _t(spark, sf_dir, "orders")
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    grid = o.groupBy(
+        F.expr("CAST(round(100 * o_totalprice) AS BIGINT)").alias("v")
+    ).agg(
+        F.count("*").cast("long").alias("n_v"),
+        *[
+            F.sum((F.col("o_orderpriority") == p).cast("long"))
+            .cast("long")
+            .alias(f"n{i}")
+            for i, p in enumerate(pris)
+        ],
+    )
+    c = PCT.global_cumulative_counts(
+        grid, "v", "n_v", cum_name="c_all", total_name="n_tot"
+    )
+    s = c.agg(
+        F.max("n_tot").cast("long").alias("n_total"),
+        F.sum(
+            F.expr("CAST(n_v AS DECIMAL(38,0)) * n_v * n_v - n_v")
+        ).cast("long").alias("tie_cubes"),
+        *[
+            a
+            for i in range(len(pris))
+            for a in (
+                F.sum(f"n{i}").cast("long").alias(f"ng{i}"),
+                F.sum(F.col(f"n{i}") * (2 * F.col("c_all") - F.col("n_v") + 1))
+                .cast("long")
+                .alias(f"r{i}"),
+            )
+        ],
+    )
+    stack_args = ", ".join(
+        f"'{p}', ng{i}, r{i}" for i, p in enumerate(pris)
+    )
+    dec = "DECIMAL(38,0)"
+    long_form = s.selectExpr(
+        "n_total",
+        "tie_cubes",
+        f"stack({len(pris)}, {stack_args}) AS (pri, n_g, r_x2)",
+    ).selectExpr(
+        "*",
+        f"""(CAST(n_total AS {dec}) * n_total * n_total - n_total
+             - tie_cubes) AS __dd""",
+        f"CAST(1000000 AS {dec}) * r_x2 AS __mnum",
+        f"CAST(2 AS {dec}) * n_g AS __mden",
+        f"""(CAST(1000000 AS {dec}) * 3 * (n_total - 1)
+             * CAST(r_x2 AS {dec}) * r_x2) AS __cnum""",
+    )
+    long_form = long_form.selectExpr(
+        "*",
+        f"(CAST(n_g AS {dec}) * __dd) AS __cden",
+        f"""(CAST(1000000 AS {dec}) * 3 * (n_total - 1)
+             * CAST(n_total AS {dec}) * (n_total + 1) * (n_total + 1))
+            AS __bnum""",
+    )
+    out = _floordiv_cols(long_form, "__mnum", "__mden", "rmean_e6")
+    out = _floordiv_cols(out, "__cnum", "__cden", "contrib_e6")
+    out = _floordiv_cols(out, "__bnum", "__dd", "base_e6")
+    return out.select(
+        "pri", "n_g", "r_x2", "rmean_e6", "contrib_e6", "base_e6",
+        "n_total", "tie_cubes",
+    ).orderBy("pri")
+
+
+@_q(
+    "stats_wilson_ci",
+    """
+    WITH s AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(*) FILTER (WHERE n_chars >= 200) AS BIGINT) AS n_pass
+      FROM documents GROUP BY lang
+    ), a AS (
+      SELECT lang, n_docs, n_pass,
+             CAST(3841600 AS HUGEINT) * n_docs
+               * (CAST(3841600 AS HUGEINT) * n_docs
+                  + 4000000 * CAST(n_pass AS HUGEINT) * (n_docs - n_pass))
+               AS rad
+      FROM s
+    ), r AS (
+      SELECT *, CAST(floor(sqrt(CAST(rad AS DOUBLE))) AS HUGEINT) AS y0
+      FROM a
+    ), q AS (
+      SELECT lang, n_docs, n_pass, rad,
+             CASE WHEN (y0 + 1) * (y0 + 1) <= rad THEN y0 + 1
+                  WHEN y0 * y0 > rad THEN y0 - 1
+                  ELSE y0 END AS rt
+      FROM r
+    )
+    SELECT lang, n_docs, n_pass,
+           CAST((1000000 * CAST(n_pass AS HUGEINT)) // n_docs AS BIGINT)
+             AS p_ppm,
+           CAST((1000000 * ((2000000 * CAST(n_pass AS HUGEINT) + 3841600)
+                            * n_docs - rt))
+                // (2 * CAST(n_docs AS HUGEINT)
+                    * (1000000 * CAST(n_docs AS HUGEINT) + 3841600))
+                AS BIGINT) AS wilson_low_ppm,
+           CAST((1000000 * ((2000000 * CAST(n_pass AS HUGEINT) + 3841600)
+                            * n_docs + rt))
+                // (2 * CAST(n_docs AS HUGEINT)
+                    * (1000000 * CAST(n_docs AS HUGEINT) + 3841600))
+                AS BIGINT) AS wilson_high_ppm
+    FROM q ORDER BY lang
+    """,
+)
+def stats_wilson_ci(spark, sf_dir):
+    """Wilson score 95% confidence interval for each language's
+    quality-pass rate (n_chars >= 200) — the proportion CI that behaves
+    at the boundaries (never leaves [0,1], sane at small n) where the
+    Wald interval fails, i.e. the number a dataset card should print
+    next to every pass-rate. Exact integer pipeline: with z = 1.96
+    (z²·1e6 = 3841600 exactly, since 196² = 38416) the bound
+      (2s + z² ± √(z⁴ + 4z²·s(n−s)/n)) / (2(n + z²))
+    scales by n·1e6 to integer numerators with ONE integer square root
+    (floor-sqrt corrected by exact 128-bit comparison, the Neyman
+    idiom); both bounds and p̂ are exact floored ppm. Complements
+    stats_bootstrap_ci (distribution-free, any statistic) with the
+    closed-form binomial case.
+
+    Scale: one combinable conditional aggregate to the |langs| grid;
+    all arithmetic on that bounded grid — no window, no join, single
+    scan. The radicand reaches DECIMAL(38,0) limits only past ~1e12
+    docs per stratum; the counts it also reports stay exact beyond."""
+    d = _t(spark, sf_dir, "documents")
+    dec = "DECIMAL(38,0)"
+    s = d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("n_chars") >= 200).cast("long")).cast("long").alias("n_pass"),
+    )
+    a = s.selectExpr(
+        "*",
+        f"""(CAST(3841600 AS {dec}) * n_docs
+             * (CAST(3841600 AS {dec}) * n_docs
+                + CAST(4000000 AS {dec}) * n_pass * (n_docs - n_pass)))
+            AS __rad""",
+    ).selectExpr(
+        "*",
+        f"CAST(FLOOR(SQRT(CAST(__rad AS DOUBLE))) AS {dec}) AS __y0",
+    ).selectExpr(
+        "lang",
+        "n_docs",
+        "n_pass",
+        "__rad",
+        f"""CAST(CASE WHEN (__y0 + 1) * (__y0 + 1) <= __rad THEN __y0 + 1
+                 WHEN __y0 * __y0 > __rad THEN __y0 - 1
+                 ELSE __y0 END AS {dec}) AS __rt""",
+    )
+    a = a.selectExpr(
+        "*",
+        f"CAST(1000000 AS {dec}) * n_pass AS __pnum",
+        f"CAST(n_docs AS {dec}) AS __pden",
+        f"""(CAST(1000000 AS {dec})
+             * ((CAST(2000000 AS {dec}) * n_pass + 3841600) * n_docs - __rt))
+            AS __lnum""",
+        f"""(CAST(1000000 AS {dec})
+             * ((CAST(2000000 AS {dec}) * n_pass + 3841600) * n_docs + __rt))
+            AS __hnum""",
+        f"""(CAST(2 AS {dec}) * n_docs
+             * (CAST(1000000 AS {dec}) * n_docs + 3841600)) AS __den""",
+    )
+    a = _floordiv_cols(a, "__pnum", "__pden", "p_ppm")
+    a = _floordiv_cols(a, "__lnum", "__den", "wilson_low_ppm")
+    a = _floordiv_cols(a, "__hnum", "__den", "wilson_high_ppm")
+    return a.select(
+        "lang", "n_docs", "n_pass", "p_ppm", "wilson_low_ppm", "wilson_high_ppm"
+    ).orderBy("lang")
+
+
+@_q(
+    "dq_tukey_outliers",
+    """
+    WITH c0 AS (
+      SELECT c_mktsegment AS seg,
+             CAST(round(100 * c_acctbal) AS BIGINT) AS v
+      FROM customer
+    ), g AS (
+      SELECT seg, v, CAST(count(*) AS BIGINT) AS n_v FROM c0 GROUP BY seg, v
+    ), cw AS (
+      SELECT seg, v, n_v,
+             sum(n_v) OVER (PARTITION BY seg ORDER BY v) AS cw,
+             sum(n_v) OVER (PARTITION BY seg) AS t
+      FROM g
+    ), q AS (
+      SELECT seg, CAST(max(t) AS BIGINT) AS n_customers,
+             CAST(min(CASE WHEN 4 * cw >= t THEN v END) AS BIGINT) AS q1_cents,
+             CAST(min(CASE WHEN 4 * cw >= 3 * t THEN v END) AS BIGINT)
+               AS q3_cents
+      FROM cw GROUP BY seg
+    )
+    SELECT q.seg AS c_mktsegment, q.n_customers, q.q1_cents, q.q3_cents,
+           CAST(count(*) FILTER (
+             WHERE 2 * c0.v < 5 * q.q1_cents - 3 * q.q3_cents) AS BIGINT)
+             AS n_low,
+           CAST(count(*) FILTER (
+             WHERE 2 * c0.v > 5 * q.q3_cents - 3 * q.q1_cents) AS BIGINT)
+             AS n_high
+    FROM c0 JOIN q ON c0.seg = q.seg
+    GROUP BY q.seg, q.n_customers, q.q1_cents, q.q3_cents
+    ORDER BY c_mktsegment
+    """,
+)
+def dq_tukey_outliers(spark, sf_dir):
+    """Tukey-fence outlier screen per market segment: exact Q1/Q3 of
+    account-balance cents (percentile_disc semantics over the counting
+    grid — smallest value whose cumulative weight crosses the rank) and
+    the count of customers beyond the 1.5·IQR fences on each side. The
+    fences are kept in DOUBLED integer cents (low×2 = 5·Q1 − 3·Q3,
+    high×2 = 5·Q3 − 3·Q1) so the half-cent 1.5·IQR never becomes a
+    float; balances are negative-capable and every comparison is exact
+    integer. Completes the robust-outlier family (z-score, MAD,
+    winsorize, trimmed mean) with the boxplot rule every DQ dashboard
+    draws.
+
+    Scale: the quartiles ride grid_percentiles' keyed path (per-segment
+    grid aggregate + segment-PARTITIONED cumulative window — never an
+    unpartitioned window); the 5-row fence table broadcasts back onto
+    the dimension scan for one combinable conditional count."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.expr("CAST(round(100 * c_acctbal) AS BIGINT)").alias("v"),
+    )
+    q = PCT.grid_percentiles(
+        cust,
+        ["seg"],
+        "v",
+        [(1, 4, "q1_cents"), (3, 4, "q3_cents")],
+        total_name="n_customers",
+    )
+    return (
+        cust.join(F.broadcast(q), "seg")
+        .groupBy("seg", "n_customers", "q1_cents", "q3_cents")
+        .agg(
+            F.sum(
+                (2 * F.col("v") < 5 * F.col("q1_cents") - 3 * F.col("q3_cents"))
+                .cast("long")
+            )
+            .cast("long")
+            .alias("n_low"),
+            F.sum(
+                (2 * F.col("v") > 5 * F.col("q3_cents") - 3 * F.col("q1_cents"))
+                .cast("long")
+            )
+            .cast("long")
+            .alias("n_high"),
+        )
+        .select(
+            F.col("seg").alias("c_mktsegment"),
+            "n_customers",
+            "q1_cents",
+            "q3_cents",
+            "n_low",
+            "n_high",
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@_q(
+    "tokenize_bpe_pair_counts",
+    r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      FROM documents
+    ), v AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY w
+    ), p AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+                                   i -> substring(w, i, 2))) AS pair,
+             f
+      FROM v
+    )
+    SELECT pair, CAST(sum(f) AS BIGINT) AS n
+    FROM p GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 30
+    """,
+)
+def tokenize_bpe_pair_counts(spark, sf_dir):
+    """The BPE-training inner loop, one iteration: corpus-frequency-
+    weighted counts of ADJACENT SYMBOL PAIRS inside words, top-30 with a
+    lexicographic tie-break — the table whose argmax becomes the next
+    merge rule (Sennrich et al. 2016). The crucial scale move is the
+    classic BPE one: pair counting runs over the VOCABULARY (distinct
+    words × their corpus frequency), never over corpus tokens — the
+    token stream is touched exactly once to build the word-frequency
+    table, and every subsequent merge iteration would re-scan only the
+    bounded vocabulary. Position-enumerated pairs count multiplicity
+    within a word ('aaa' contributes 'aa' twice), as real BPE does.
+
+    Scale: one data-sized token explode → combinable word-frequency
+    aggregate (the only corpus shuffle); the pair explode fans out the
+    bounded vocab ~word-length×; top-30 plans as TakeOrderedAndProject
+    (per-partition heaps, no global sort)."""
+    d = _t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    return (
+        vocab.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1),"
+                    " i -> substring(w, i, 2))"
+                )
+            ).alias("pair"),
+            "f",
+        )
+        .groupBy("pair")
+        .agg(F.sum("f").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(30)
+    )
+
+
+@_q(
+    "events_audience_overlap",
+    """
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), sz AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+      FROM ut GROUP BY event_type
+    ), inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY type_a, type_b
+    )
+    SELECT i.type_a, i.type_b, sa.n_users AS n_a, sb.n_users AS n_b,
+           i.n_both,
+           CAST((1000000 * CAST(i.n_both AS HUGEINT))
+                // (sa.n_users + sb.n_users - i.n_both) AS BIGINT)
+             AS jaccard_ppm
+    FROM inter i
+    JOIN sz sa ON sa.event_type = i.type_a
+    JOIN sz sb ON sb.event_type = i.type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def events_audience_overlap(spark, sf_dir):
+    """Audience-overlap matrix: exact user-set Jaccard for every pair of
+    event types (do clickers also purchase? is 'error' its own
+    population?) — the audience-segmentation twin of
+    profile_source_overlap's vocabulary Jaccard. Intersections come from
+    a USER-KEYED self-join of the distinct (user, type) pair set with
+    type_a < type_b, so each user contributes at most
+    |their types choose 2| ≤ 21 rows — never a types×types cross join
+    against the event stream; Jaccard is exact floored ppm via
+    |A∪B| = |A|+|B|−|A∩B|.
+
+    Scale: ONE data-sized shuffle (the distinct pair set, map-side
+    combinable), a co-keyed self-join on user_id, and a bounded
+    |types|²-row rollup joined to the broadcast |types|-row size table."""
+    ev = _t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    sz = ut.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    a = ut.select(F.col("user_id"), F.col("event_type").alias("type_a"))
+    b = ut.select(F.col("user_id"), F.col("event_type").alias("type_b"))
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    dec = "DECIMAL(38,0)"
+    out = (
+        inter.join(
+            F.broadcast(sz.withColumnRenamed("event_type", "type_a")
+                        .withColumnRenamed("n_users", "n_a")),
+            "type_a",
+        )
+        .join(
+            F.broadcast(sz.withColumnRenamed("event_type", "type_b")
+                        .withColumnRenamed("n_users", "n_b")),
+            "type_b",
+        )
+        .selectExpr(
+            "type_a", "type_b", "n_a", "n_b", "n_both",
+            f"CAST(1000000 AS {dec}) * n_both AS __num",
+            f"CAST(n_a + n_b - n_both AS {dec}) AS __den",
+        )
+    )
+    return _floordiv_cols(out, "__num", "__den", "jaccard_ppm").select(
+        "type_a", "type_b", "n_a", "n_b", "n_both", "jaccard_ppm"
+    ).orderBy("type_a", "type_b")
+
+
+@_q(
+    "sample_systematic",
+    """
+    WITH r AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (
+               ORDER BY CAST(concat('0x', substr(md5('sys'
+                 || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id
+             ) AS pos
+      FROM documents
+    ), st AS (
+      SELECT 1 + (CAST(concat('0x', substr(md5('sysstart'), 1, 15))
+                       AS BIGINT) % 20) AS start
+    ), s AS (
+      SELECT r.* FROM r, st WHERE (r.pos - st.start) % 20 = 0
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_selected,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+           CAST(sum(n_chars) AS BIGINT) AS char_sum
+    FROM s GROUP BY lang ORDER BY lang
+    """,
+)
+def sample_systematic(spark, sf_dir):
+    """Systematic (interval) sampling — the survey-design classic: sort
+    by a deterministic md5 rank, take every 20th element starting at an
+    md5-derived offset. One draw fixes the whole sample; under the hash
+    order it behaves like simple random sampling but guarantees exact
+    1/20 spacing (no clumps, no gaps — the property quota/stratified
+    draws don't give). The engine never globally sorts: the md5-rank
+    position comes from the pid-window + broadcast-offset rewrite
+    (exactly ids_global_stable's machinery over the 60-bit
+    hash_rank_int key), and the modulo selection is a scan-side filter
+    on that position. Per-language id/char checksums certify the EXACT
+    selected set, not just its size; positions below the start offset
+    can never satisfy the pmod test because start ≤ interval.
+
+    Scale: one range exchange + in-partition window (the only
+    unpartitioned window is the ~32-row offset table); selection and
+    the summary are combinable aggregates."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        SAMP.hash_rank_int("doc_id", salt="sys").alias("__rk"),
+        F.lit(1).cast("long").alias("__one"),
+    ).select(
+        "doc_id", "lang", "n_chars",
+        F.struct("__rk", "doc_id").alias("__key"), "__one",
+    )
+    c = PCT.global_cumulative_counts(base, "__key", "__one")
+    start = (
+        "1 + (CAST(conv(substring(md5('sysstart'), 1, 15), 16, 10)"
+        " AS BIGINT) % 20)"
+    )
+    return (
+        c.select("lang", "n_chars", "doc_id", F.col("__cw").alias("pos"))
+        .filter(F.expr(f"pmod(pos - ({start}), 20) = 0"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_selected"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+            F.sum("n_chars").cast("long").alias("char_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_q(
+    "sql_distinct_on_rewrite",
+    """
+    SELECT DISTINCT ON (o_custkey)
+           o_custkey, o_orderkey, o_orderdate, o_orderstatus
+    FROM orders
+    ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC
+    """,
+)
+def sql_distinct_on_rewrite(spark, sf_dir):
+    """DISTINCT ON — the Postgres/DuckDB "first row per key under an
+    ORDER BY" shorthand Spark does not ship — certified against its
+    canonical Spark rewrite: row_number() over (PARTITION BY key
+    ORDER BY ...) = 1. The oracle runs the REAL `DISTINCT ON` clause, so
+    this is a two-MECHANISM certification (native clause vs window
+    rewrite), the same migration-guide pattern as
+    sql_sole_supplier_rewrite: a user porting DISTINCT ON queries to
+    this engine gets the proven-equivalent plan. Tie-break includes the
+    unique o_orderkey so "latest order per customer" is total.
+
+    Scale: one customer-keyed window after a hash exchange; Catalyst
+    plans the rank-1 filter as WindowGroupLimit (per-partition top-1
+    pruning BEFORE the shuffle), so the exchange carries at most one
+    row per (partition, customer)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -17846,6 +18406,15 @@ _GRADE_NEXT: list[str] = [
     "stats_autocorr_lag1",
     "customers_segment_transitions",
     "stats_spearman_rho",
+    # round-8 additions, never graded (behind the displaced trio, ahead
+    # of the re-certification backlog per the rotation policy)
+    "stats_kruskal_wallis",
+    "stats_wilson_ci",
+    "dq_tukey_outliers",
+    "tokenize_bpe_pair_counts",
+    "events_audience_overlap",
+    "sample_systematic",
+    "sql_distinct_on_rewrite",
     # r02-only certificates remaining after the round-7 promotion (21)
     "text_bigram_counts",
     "join_cross",

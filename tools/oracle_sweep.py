@@ -27,11 +27,16 @@ from dend_spark_data_lake_spark.queries import REGISTRY  # noqa: E402
 
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])  # optional query-name filter for dev loops
+    unknown = only - set(REGISTRY)
+    assert not unknown, f"unknown query names: {sorted(unknown)}"
     spark = get_spark(app_name="oracle-sweep")
     con = duckdb_connection(sf)
     fails, n_ok, n_rows_only = [], 0, 0
     t0 = time.time()
     for name, spec in REGISTRY.items():
+        if only and name not in only:
+            continue
         try:
             if spec.oracle is None:
                 assert spec.fn(spark, sf).count() >= 0
