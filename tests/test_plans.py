@@ -1860,3 +1860,81 @@ def test_simpson_diversity_two_aggs_no_window_no_join(spark):
     assert "partial_count" in plan, plan
     assert "Join" not in plan and "windowspecdefinition" not in plan, plan
     assert "text#" not in plan.split("ReadSchema")[-1], plan
+
+
+def test_kruskal_wallis_pid_window_only(spark):
+    """stats_kruskal_wallis: the pooled cents-grid cumulative must ride
+    the pid-window rewrite; no unpartitioned window may order by the
+    data-sized value grid, and nothing may go cartesian."""
+    import re as _re
+
+    plan = _plan(spark, "stats_kruskal_wallis")
+    assert "windowspecdefinition(__pid#" in plan, plan
+    bad = _re.findall(r"windowspecdefinition\(v#\d+L? ASC", plan)
+    assert not bad, (bad, plan)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_wilson_ci_single_scan_no_window_no_join(spark):
+    """stats_wilson_ci: one combinable aggregate on one documents scan;
+    the bounded-grid arithmetic must introduce no window and no join."""
+    plan = _plan(spark, "stats_wilson_ci")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_tukey_fences_broadcast_back(spark):
+    """dq_tukey_outliers: the quartile window must partition by segment
+    (never unpartitioned), and the 5-row fence table must broadcast onto
+    the counting scan."""
+    import re as _re
+
+    plan = _plan(spark, "dq_tukey_outliers")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "windowspecdefinition(seg#" in plan, plan
+    # every window spec carries the segment partition key
+    specs = _re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    assert specs and all("seg#" in s for s in specs), specs
+
+
+def test_bpe_pair_counts_heap_topk(spark):
+    """tokenize_bpe_pair_counts: the top-30 must plan as
+    TakeOrderedAndProject (per-partition heaps), never a global Sort,
+    and both aggregates must map-side combine."""
+    plan = _plan(spark, "tokenize_bpe_pair_counts")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_count" in plan and "partial_sum" in plan, plan
+
+
+def test_audience_overlap_cokeyed_join(spark):
+    """events_audience_overlap: the intersection must come from a
+    user-keyed equi-join (hash or sort-merge), never a nested-loop or
+    cartesian pairing of the type sets; the size table broadcasts."""
+    plan = _plan(spark, "events_audience_overlap")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_systematic_sample_pid_window_only(spark):
+    """sample_systematic: the global position must be the pid-window
+    rewrite over the md5-rank struct; no unpartitioned window may order
+    by the rank key."""
+    import re as _re
+
+    plan = _plan(spark, "sample_systematic")
+    assert "windowspecdefinition(__pid#" in plan, plan
+    bad = _re.findall(r"windowspecdefinition\(__key#\d+ ASC", plan)
+    assert not bad, (bad, plan)
+
+
+def test_distinct_on_rewrite_window_group_limit(spark):
+    """sql_distinct_on_rewrite: the rank-1 filter must plan as
+    WindowGroupLimit so per-customer pruning happens before the
+    exchange."""
+    plan = _plan(spark, "sql_distinct_on_rewrite")
+    assert "WindowGroupLimit" in plan, plan
+    assert "windowspecdefinition(o_custkey#" in plan, plan

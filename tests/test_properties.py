@@ -9884,3 +9884,224 @@ def test_simpson_diversity_matches_bruteforce(spark):
         for r in REGISTRY["corpus_simpson_diversity"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_kruskal_wallis_matches_bruteforce(spark):
+    """stats_kruskal_wallis: pooled midranks, per-priority doubled rank
+    sums, and the floored micro-unit H' decomposition recomputed from
+    the raw orders in Python. Also asserts the rank-sum closure
+    invariant Σ_g R_g_x2 = N(N+1)."""
+    from collections import Counter, defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table(
+        "orders", ["CAST(round(100 * o_totalprice) AS BIGINT)", "o_orderpriority"]
+    )
+    cnt = Counter(v for v, _ in rows)
+    cum, mid = 0, {}
+    for v in sorted(cnt):
+        cum += cnt[v]
+        mid[v] = 2 * cum - cnt[v] + 1
+    r_x2, n_g = defaultdict(int), Counter(p for _, p in rows)
+    for v, p in rows:
+        r_x2[p] += mid[v]
+    n = len(rows)
+    tie = sum(c * c * c - c for c in cnt.values())
+    dd = n * n * n - n - tie
+    assert sum(r_x2.values()) == n * (n + 1)
+    got = {
+        r.pri: (
+            r.n_g, r.r_x2, r.rmean_e6, r.contrib_e6, r.base_e6,
+            r.n_total, r.tie_cubes,
+        )
+        for r in REGISTRY["stats_kruskal_wallis"].fn(spark, SF_SMOKE).collect()
+    }
+    base = (1_000_000 * 3 * (n - 1) * n * (n + 1) * (n + 1)) // dd
+    expect = {
+        p: (
+            n_g[p],
+            r_x2[p],
+            (1_000_000 * r_x2[p]) // (2 * n_g[p]),
+            (1_000_000 * 3 * (n - 1) * r_x2[p] * r_x2[p]) // (n_g[p] * dd),
+            base,
+            n,
+            tie,
+        )
+        for p in n_g
+    }
+    assert got == expect
+
+
+def test_wilson_ci_matches_bruteforce(spark):
+    """stats_wilson_ci: both Wilson bounds recomputed per language with
+    Python's exact math.isqrt and integer floors (z²·1e6 = 3841600)."""
+    import math
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("documents", ["lang", "n_chars"])
+    n = Counter(lang for lang, _ in rows)
+    s = Counter(lang for lang, nc in rows if nc >= 200)
+    U = 3841600
+    expect = {}
+    for lang in n:
+        nn, ss = n[lang], s[lang]
+        rt = math.isqrt(U * nn * (U * nn + 4_000_000 * ss * (nn - ss)))
+        den = 2 * nn * (1_000_000 * nn + U)
+        expect[lang] = (
+            nn,
+            ss,
+            (1_000_000 * ss) // nn,
+            (1_000_000 * ((2_000_000 * ss + U) * nn - rt)) // den,
+            (1_000_000 * ((2_000_000 * ss + U) * nn + rt)) // den,
+        )
+    got = {
+        r.lang: (r.n_docs, r.n_pass, r.p_ppm, r.wilson_low_ppm, r.wilson_high_ppm)
+        for r in REGISTRY["stats_wilson_ci"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    for lang, (_, _, p, lo, hi) in expect.items():
+        assert 0 <= lo <= p <= hi <= 1_000_000
+
+
+def test_tukey_outliers_matches_bruteforce(spark):
+    """dq_tukey_outliers: percentile_disc quartiles from a plain sorted
+    list, doubled-integer fences, and the per-side counts — negatives
+    included."""
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table(
+        "customer", ["c_mktsegment", "CAST(round(100 * c_acctbal) AS BIGINT)"]
+    )
+    by_seg = defaultdict(list)
+    for seg, v in rows:
+        by_seg[seg].append(v)
+    expect = {}
+    for seg, vs in by_seg.items():
+        vs.sort()
+        t = len(vs)
+
+        def pdisc(num, den):
+            for i, v in enumerate(vs, start=1):
+                if den * i >= num * t:
+                    return v
+            raise AssertionError("unreachable")
+
+        q1, q3 = pdisc(1, 4), pdisc(3, 4)
+        low_x2, high_x2 = 5 * q1 - 3 * q3, 5 * q3 - 3 * q1
+        expect[seg] = (
+            t, q1, q3,
+            sum(1 for v in vs if 2 * v < low_x2),
+            sum(1 for v in vs if 2 * v > high_x2),
+        )
+    got = {
+        r.c_mktsegment: (r.n_customers, r.q1_cents, r.q3_cents, r.n_low, r.n_high)
+        for r in REGISTRY["dq_tukey_outliers"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_bpe_pair_counts_matches_bruteforce(spark):
+    """tokenize_bpe_pair_counts: word-frequency-weighted adjacent char
+    pairs with within-word multiplicity, top-30 with the lexicographic
+    tie-break, recomputed in Python."""
+    import re
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("documents", ["text"])
+    vocab = Counter()
+    for (text,) in rows:
+        vocab.update(re.split(r"\s+", text.strip().lower()))
+    pairs = Counter()
+    for w, f in vocab.items():
+        for i in range(len(w) - 1):
+            pairs[w[i : i + 2]] += f
+    expect = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    got = [
+        (r.pair, r.n)
+        for r in REGISTRY["tokenize_bpe_pair_counts"].fn(spark, SF_SMOKE).collect()
+    ]
+    assert got == expect
+    # the fixture's synthetic vocabulary has no within-word repeated
+    # pair, so pin the multiplicity semantics directly: the engine's
+    # position-enumerated pair expression must count 'aaa' -> 'aa' TWICE
+    # (real BPE counts positions, not distinct pairs per word)
+    [(pairs_of_aaa,)] = spark.sql(
+        "SELECT transform(sequence(1, length('aaa') - 1),"
+        " i -> substring('aaa', i, 2))"
+    ).collect()
+    assert list(pairs_of_aaa) == ["aa", "aa"]
+
+
+def test_audience_overlap_matches_bruteforce(spark):
+    """events_audience_overlap: user-set Jaccard per type pair from raw
+    Python sets with the exact floored-ppm union formula."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("events", ["user_id", "event_type"])
+    users = defaultdict(set)
+    for uid, et in rows:
+        users[et].add(uid)
+    expect = {}
+    for ta, tb in combinations(sorted(users), 2):
+        inter = len(users[ta] & users[tb])
+        if inter:
+            expect[(ta, tb)] = (
+                len(users[ta]),
+                len(users[tb]),
+                inter,
+                (1_000_000 * inter)
+                // (len(users[ta]) + len(users[tb]) - inter),
+            )
+    got = {
+        (r.type_a, r.type_b): (r.n_a, r.n_b, r.n_both, r.jaccard_ppm)
+        for r in REGISTRY["events_audience_overlap"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_systematic_sample_matches_bruteforce(spark):
+    """sample_systematic: the md5-rank order, start offset, every-20th
+    selection, and the per-language id/char checksums recomputed with
+    hashlib — certifying the EXACT selected set. Also asserts the
+    selection-size invariant floor((N − start)/20) + 1."""
+    import hashlib
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    def h15(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = _smoke_table("documents", ["doc_id", "lang", "n_chars"])
+    ranked = sorted(rows, key=lambda r: (h15(f"sys{r[0]}"), r[0]))
+    start = 1 + h15("sysstart") % 20
+    sel = [r for pos, r in enumerate(ranked, start=1)
+           if (pos - start) % 20 == 0]
+    assert len(sel) == (len(ranked) - start) // 20 + 1
+    expect = defaultdict(lambda: [0, 0, 0])
+    for doc_id, lang, n_chars in sel:
+        e = expect[lang]
+        e[0] += 1
+        e[1] += doc_id
+        e[2] += n_chars
+    got = {
+        r.lang: [r.n_selected, r.id_checksum, r.char_sum]
+        for r in REGISTRY["sample_systematic"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == dict(expect)
