@@ -18090,6 +18090,381 @@ def sql_distinct_on_rewrite(spark, sf_dir):
     )
 
 
+@_q(
+    "embed_pq_distortion",
+    """
+    WITH x AS (
+      SELECT vec_id, (i - 1) // 8 AS s, (i - 1) % 8 AS d,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1024) AS BIGINT) AS q
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
+    ), cb AS (
+      SELECT s, j, d,
+             CAST(concat('0x', substr(md5('pq' || s || '-' || j || '-' || d),
+                                      1, 15)) AS BIGINT) % 2049 - 1024 AS c
+      FROM range(0, 8) t1(s), range(0, 8) t2(j), range(0, 8) t3(d)
+    ), dist AS (
+      SELECT x.vec_id, x.s, cb.j,
+             CAST(sum((x.q - cb.c) * (x.q - cb.c)) AS BIGINT) AS d2
+      FROM x JOIN cb ON cb.s = x.s AND cb.d = x.d
+      GROUP BY x.vec_id, x.s, cb.j
+    ), best AS (
+      SELECT vec_id, s, min(struct_pack(d2 := d2, j := j)) AS b
+      FROM dist GROUP BY vec_id, s
+    )
+    SELECT CAST(s AS INT) AS subspace,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(b.d2) AS BIGINT) AS sum_distortion,
+           CAST(count(DISTINCT b.j) AS BIGINT) AS n_codes_used
+    FROM best GROUP BY s ORDER BY subspace
+    """,
+)
+def embed_pq_distortion(spark, sf_dir):
+    """Product-quantization assignment + distortion audit: the 64-dim
+    embeddings split into 8 subspaces of 8 dims; each sub-vector snaps
+    to the nearest of 8 md5-derived integer centroids (a deterministic
+    stand-in for the per-subspace k-means codebook — compose with
+    kmeans_clusters to train a real one); reports per-subspace total
+    squared distortion and codebook utilization (dead codes = wasted
+    bits, the PQ health signal). Everything is exact integer: components
+    quantize by floor(x·1024) — a power-of-two scale, so the double
+    multiply is exact and floor is bit-identical cross-engine (no
+    rounding seam) — centroids are integers in [−1024, 1024], distances
+    are integer sums of squares, and the argmin tie-breaks on the
+    centroid id via a struct min.
+
+    Scale: posexplode → broadcast codebook join (512 rows) → one
+    combinable (vec, subspace, centroid) aggregate (the 8× fan-out is on
+    the exploded stream, map-side combinable, never a pairwise join) →
+    struct-min per (vec, subspace) → bounded 8-row rollup."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("pos", "val"),
+    ).selectExpr(
+        "vec_id",
+        "CAST(pos / 8 AS INT) AS s",
+        "pos % 8 AS d",
+        "CAST(floor(CAST(val AS DOUBLE) * 1024) AS BIGINT) AS q",
+    )
+    cb = (
+        spark.range(512)
+        .selectExpr(
+            "CAST(id / 64 AS INT) AS s",
+            "CAST((id / 8) % 8 AS INT) AS j",
+            "CAST(id % 8 AS INT) AS d",
+        )
+        .selectExpr(
+            "s",
+            "j",
+            "d",
+            "CAST(conv(substring(md5(concat('pq', CAST(s AS STRING), '-',"
+            " CAST(j AS STRING), '-', CAST(d AS STRING))), 1, 15), 16, 10)"
+            " AS BIGINT) % 2049 - 1024 AS c",
+        )
+    )
+    dist = (
+        x.join(F.broadcast(cb), ["s", "d"])
+        .groupBy("vec_id", "s", "j")
+        .agg(
+            F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c")))
+            .cast("long")
+            .alias("d2")
+        )
+    )
+    best = dist.groupBy("vec_id", "s").agg(
+        F.min(F.struct("d2", "j")).alias("b")
+    )
+    return (
+        best.groupBy(F.col("s").cast("int").alias("subspace"))
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.sum("b.d2").cast("long").alias("sum_distortion"),
+            F.countDistinct("b.j").cast("long").alias("n_codes_used"),
+        )
+        .orderBy("subspace")
+    )
+
+
+@_q(
+    "stats_benjamini_hochberg",
+    """
+    WITH u AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), arm AS (
+      SELECT DISTINCT user_id,
+             CAST(concat('0x', substr(md5('bh' || CAST(user_id AS VARCHAR)),
+                                      1, 15)) AS BIGINT) % 2 AS g
+      FROM events
+    ), nn AS (
+      SELECT CAST(count(*) FILTER (WHERE g = 0) AS BIGINT) AS n_a,
+             CAST(count(*) FILTER (WHERE g = 1) AS BIGINT) AS n_b
+      FROM arm
+    ), conv AS (
+      SELECT u.event_type,
+             CAST(count(*) FILTER (WHERE a.g = 0) AS BIGINT) AS c_a,
+             CAST(count(*) FILTER (WHERE a.g = 1) AS BIGINT) AS c_b
+      FROM u JOIN arm a USING (user_id) GROUP BY u.event_type
+    ), z AS (
+      SELECT c.event_type, nn.n_a, nn.n_b, c.c_a, c.c_b,
+             CAST(CASE WHEN (c.c_a + c.c_b) = 0
+                         OR (c.c_a + c.c_b) = (nn.n_a + nn.n_b) THEN 0
+                  ELSE (1000000 * (CAST(c.c_a AS HUGEINT) * nn.n_b
+                                   - CAST(c.c_b AS HUGEINT) * nn.n_a)
+                                * (CAST(c.c_a AS HUGEINT) * nn.n_b
+                                   - CAST(c.c_b AS HUGEINT) * nn.n_a)
+                                * (nn.n_a + nn.n_b))
+                       // (CAST(nn.n_a AS HUGEINT) * nn.n_b
+                           * (c.c_a + c.c_b)
+                           * (nn.n_a + nn.n_b - c.c_a - c.c_b))
+                  END AS BIGINT) AS z2_e6
+      FROM conv c, nn
+    ), p AS (
+      SELECT *,
+             CASE WHEN z2_e6 >= 10827566 THEN 1000
+                  WHEN z2_e6 >= 7879439 THEN 5000
+                  WHEN z2_e6 >= 6634897 THEN 10000
+                  WHEN z2_e6 >= 5023886 THEN 25000
+                  WHEN z2_e6 >= 3841459 THEN 50000
+                  WHEN z2_e6 >= 2705543 THEN 100000
+                  ELSE 1000000 END AS p_ppm,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM z
+    ), r AS (
+      SELECT *, CAST(row_number() OVER (ORDER BY p_ppm, event_type)
+                     AS BIGINT) AS rk
+      FROM p
+    ), k AS (
+      SELECT *, max(CASE WHEN p_ppm * m <= rk * 50000 THEN rk END)
+                  OVER () AS k_max
+      FROM r
+    )
+    SELECT event_type, n_a, n_b, c_a, c_b, z2_e6,
+           CAST(p_ppm AS BIGINT) AS p_ppm, rk,
+           coalesce(rk <= k_max, FALSE) AS bh_rejected
+    FROM k ORDER BY event_type
+    """,
+)
+def stats_benjamini_hochberg(spark, sf_dir):
+    """Benjamini-Hochberg FDR control over a FAMILY of A/B tests — the
+    multiple-testing step every metrics platform needs once it runs one
+    test per event type (at α=5% and 7 types, ~1 in 3 null experiments
+    shows a 'significant' type by chance). Per type: a pooled
+    two-proportion z² on the md5-split user arms (user converted on type
+    t = has ≥1 such event), exact in 128-bit micro-units exactly as
+    stats_ab_test_proportions. p-values are DISCRETIZED onto the χ²₍₁₎
+    critical-value ladder (both engines compare z² against the same
+    integer micro-unit constants — no CDF evaluation, no float), then
+    the BH step-up runs in integers: reject ranks ≤ k_max where
+    k_max = max{k : p₍ₖ₎·m ≤ k·α}, ties broken lexicographically.
+
+    Scale: one distinct (user, type) shuffle + a user-keyed arm join
+    (the arm is a hash of the key itself); everything after lives on the
+    bounded |types|-row grid — the only unpartitioned windows (rank,
+    k_max) order ≤ |types| rows by design."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.select("user_id", "event_type").distinct()
+    arm = ev.select("user_id").distinct().select(
+        "user_id",
+        (SAMP.hash_rank_int("user_id", salt="bh") % 2).alias("g"),
+    )
+    nn = arm.agg(
+        F.sum((F.col("g") == 0).cast("long")).cast("long").alias("n_a"),
+        F.sum((F.col("g") == 1).cast("long")).cast("long").alias("n_b"),
+    )
+    conv = (
+        u.join(arm, "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("g") == 0).cast("long")).cast("long").alias("c_a"),
+            F.sum((F.col("g") == 1).cast("long")).cast("long").alias("c_b"),
+        )
+    )
+    dec = "DECIMAL(38,0)"
+    z = conv.crossJoin(F.broadcast(nn)).selectExpr(
+        "event_type",
+        "n_a",
+        "n_b",
+        "c_a",
+        "c_b",
+        f"""(CAST(1000000 AS {dec})
+             * (CAST(c_a AS {dec}) * n_b - CAST(c_b AS {dec}) * n_a)
+             * (CAST(c_a AS {dec}) * n_b - CAST(c_b AS {dec}) * n_a)
+             * (CAST(n_a AS {dec}) + n_b)) AS __num""",
+    )
+    z = z.selectExpr(
+        "*",
+        f"""(CAST(n_a AS {dec}) * n_b * (c_a + c_b)
+             * (CAST(n_a AS {dec}) + n_b - c_a - c_b)) AS __den""",
+    )
+    z = _floordiv_cols(z, "__num", "__den", "z2_e6")
+    p = z.selectExpr(
+        "event_type",
+        "n_a",
+        "n_b",
+        "c_a",
+        "c_b",
+        "z2_e6",
+        """CAST(CASE WHEN z2_e6 >= 10827566 THEN 1000
+                WHEN z2_e6 >= 7879439 THEN 5000
+                WHEN z2_e6 >= 6634897 THEN 10000
+                WHEN z2_e6 >= 5023886 THEN 25000
+                WHEN z2_e6 >= 3841459 THEN 50000
+                WHEN z2_e6 >= 2705543 THEN 100000
+                ELSE 1000000 END AS BIGINT) AS p_ppm""",
+    )
+    # bounded: |event types| rows from here on
+    w_all = Window.orderBy("p_ppm", "event_type")
+    full = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    p = p.withColumn("m", F.count("*").over(Window.partitionBy()).cast("long"))
+    p = p.withColumn("rk", F.row_number().over(w_all).cast("long"))
+    p = p.withColumn(
+        "k_max",
+        F.max(
+            F.when(F.col("p_ppm") * F.col("m") <= F.col("rk") * 50000, F.col("rk"))
+        ).over(Window.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )),
+    )
+    return p.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "c_a",
+        "c_b",
+        "z2_e6",
+        "p_ppm",
+        "rk",
+        F.coalesce(F.col("rk") <= F.col("k_max"), F.lit(False)).alias(
+            "bh_rejected"
+        ),
+    ).orderBy("event_type")
+
+
+@_q(
+    "sim_ivf_probe_curve",
+    """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM e
+    ), c AS (
+      SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 100 = 0
+    ), asg AS (
+      SELECT vec_id AS neighbor_id, cid FROM (
+        SELECT n.vec_id, c.cid,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm),
+                                6) DESC, c.cid) AS rn
+        FROM n CROSS JOIN c)
+      WHERE rn = 1
+    ), pr AS (
+      SELECT n.vec_id AS query_id, c.cid,
+             row_number() OVER (PARTITION BY n.vec_id
+               ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm),
+                              6) DESC, c.cid) AS rn
+      FROM n CROSS JOIN c WHERE n.vec_id < 10
+    ), np AS (SELECT unnest([1, 2, 4]) AS n_probe),
+    ivf AS (
+      SELECT n_probe, query_id, neighbor_id FROM (
+        SELECT s.n_probe, s.query_id, s.neighbor_id,
+               row_number() OVER (PARTITION BY s.n_probe, s.query_id
+                                  ORDER BY s.cosine DESC, s.neighbor_id)
+                 AS rank
+        FROM (
+          SELECT np.n_probe, pr.query_id, a.neighbor_id,
+                 round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6)
+                   AS cosine
+          FROM np JOIN pr ON pr.rn <= np.n_probe
+          JOIN asg a ON a.cid = pr.cid
+          JOIN n q ON q.vec_id = pr.query_id
+          JOIN n x ON x.vec_id = a.neighbor_id
+          WHERE a.neighbor_id <> pr.query_id) s)
+      WHERE rank <= 5
+    ), exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm),
+                                6) DESC, x.vec_id) AS rank
+        FROM n q JOIN n x ON x.vec_id <> q.vec_id
+        WHERE q.vec_id < 10)
+      WHERE rank <= 5
+    )
+    SELECT np.n_probe,
+           CAST((SELECT count(DISTINCT query_id) FROM exact) AS BIGINT)
+             AS n_queries,
+           CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(count(i.neighbor_id) * 1000000
+                // (SELECT count(*) FROM exact) AS BIGINT) AS recall_ppm
+    FROM np
+    LEFT JOIN exact e ON TRUE
+    LEFT JOIN ivf i ON i.n_probe = np.n_probe
+                   AND i.query_id = e.query_id
+                   AND i.neighbor_id = e.neighbor_id
+    GROUP BY np.n_probe ORDER BY np.n_probe
+    """,
+)
+def sim_ivf_probe_curve(spark, sf_dir):
+    """The IVF tuning curve: recall@5 against the exact top-5 as a
+    function of n_probe ∈ {1, 2, 4} — the measurement that decides the
+    latency/recall trade-off before anyone flips n_probe in production
+    (sim_ivf_recall_eval is one point of this curve; the curve shows
+    where it saturates). Recall is monotone non-decreasing in n_probe BY
+    CONSTRUCTION (more probes = superset candidate sets) — pin-asserted.
+    Ground truth stays on the capped query slice (vec_id < 10), the
+    standard at-scale eval posture: the expensive side is the exact
+    baseline, not the index.
+
+    Scale: the three probe settings REUSE one centroid table and one
+    inverted file; per setting the scoring is an equi-join on centroid
+    id + per-bucket top-k (never corpus × queries); the eval is a
+    (query, neighbor)-keyed left join and a 3-row rollup."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    exact = SIM.cosine_topk(emb, queries_df, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    parts = []
+    for np_ in (1, 2, 4):
+        parts.append(
+            SIM.ivf_topk(
+                emb, queries_df, k=5, centroid_mod=100, n_probe=np_
+            ).select(
+                F.lit(np_).cast("long").alias("n_probe"),
+                "query_id",
+                F.col("neighbor_id").alias("ivf_neighbor"),
+            )
+        )
+    ivf = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    probes_dim = spark.range(1).selectExpr(
+        "explode(array(1L, 2L, 4L)) AS n_probe"
+    )
+    graded = probes_dim.crossJoin(exact).alias("g").join(
+        ivf.alias("i"),
+        (F.col("g.n_probe") == F.col("i.n_probe"))
+        & (F.col("g.query_id") == F.col("i.query_id"))
+        & (F.col("g.neighbor_id") == F.col("i.ivf_neighbor")),
+        "left",
+    )
+    return (
+        graded.groupBy(F.col("g.n_probe").alias("n_probe"))
+        .agg(
+            F.countDistinct("g.query_id").cast("long").alias("n_queries"),
+            F.count("i.ivf_neighbor").cast("long").alias("n_hits"),
+            F.expr(
+                "CAST(count(i.ivf_neighbor) * 1000000"
+                " DIV count(g.neighbor_id) AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("n_probe")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -18415,6 +18790,9 @@ _GRADE_NEXT: list[str] = [
     "events_audience_overlap",
     "sample_systematic",
     "sql_distinct_on_rewrite",
+    "embed_pq_distortion",
+    "stats_benjamini_hochberg",
+    "sim_ivf_probe_curve",
     # r02-only certificates remaining after the round-7 promotion (21)
     "text_bigram_counts",
     "join_cross",

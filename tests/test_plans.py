@@ -1938,3 +1938,44 @@ def test_distinct_on_rewrite_window_group_limit(spark):
     plan = _plan(spark, "sql_distinct_on_rewrite")
     assert "WindowGroupLimit" in plan, plan
     assert "windowspecdefinition(o_custkey#" in plan, plan
+
+
+def test_pq_distortion_broadcast_codebook_no_pairs(spark):
+    """embed_pq_distortion: the 512-row codebook must broadcast onto the
+    exploded component stream; the distance aggregate must map-side
+    combine; nothing may plan as a nested-loop/cartesian pairing."""
+    plan = _plan(spark, "embed_pq_distortion")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_benjamini_hochberg_bounded_windows_only(spark):
+    """stats_benjamini_hochberg: the only unpartitioned windows (rank,
+    k_max) must run AFTER the per-type aggregate — no window spec may
+    reference user_id; the arm join stays user-keyed."""
+    import re as _re
+
+    plan = _plan(spark, "stats_benjamini_hochberg")
+    bad = _re.findall(r"windowspecdefinition\([^)]*user_id#[^)]*\)", plan)
+    assert not bad, (bad, plan)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ivf_probe_curve_equijoin_buckets(spark):
+    """sim_ivf_probe_curve: candidate scoring must be an equi-join on
+    the centroid id (the inverted file) for every probe setting — three
+    cid-keyed joins, never an unkeyed corpus x corpus pairing. The
+    BroadcastNestedLoopJoin Cross nodes in this plan are the certified
+    bounded broadcasts (capped query slice x centroid table / corpus
+    scan) from cosine_topk/ivf_topk; CartesianProduct (shuffled
+    unbounded pairing) stays forbidden."""
+    import re as _re
+
+    plan = _plan(spark, "sim_ivf_probe_curve")
+    assert "CartesianProduct" not in plan, plan
+    cid_joins = _re.findall(
+        r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \[cid#", plan
+    )
+    assert len(cid_joins) >= 3, (cid_joins, plan)

@@ -10105,3 +10105,174 @@ def test_systematic_sample_matches_bruteforce(spark):
         for r in REGISTRY["sample_systematic"].fn(spark, SF_SMOKE).collect()
     }
     assert got == dict(expect)
+
+
+def test_pq_distortion_matches_bruteforce(spark):
+    """embed_pq_distortion: codebook derivation (md5 % 2049 − 1024),
+    floor(x·1024) quantization, argmin with centroid-id tie-break, and
+    the per-subspace rollup recomputed in plain Python/hashlib."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    def h15(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    cb = {
+        (s, j, d): h15(f"pq{s}-{j}-{d}") % 2049 - 1024
+        for s in range(8)
+        for j in range(8)
+        for d in range(8)
+    }
+    rows = _smoke_table("embeddings", ["vec_id", "embedding"])
+    agg = defaultdict(lambda: [0, 0, set()])
+    for vec_id, emb in rows:
+        q = [math.floor(float(x) * 1024) for x in emb]
+        for s in range(8):
+            best = min(
+                (
+                    sum(
+                        (q[s * 8 + d] - cb[(s, j, d)]) ** 2
+                        for d in range(8)
+                    ),
+                    j,
+                )
+                for j in range(8)
+            )
+            a = agg[s]
+            a[0] += 1
+            a[1] += best[0]
+            a[2].add(best[1])
+    expect = {s: (a[0], a[1], len(a[2])) for s, a in agg.items()}
+    got = {
+        r.subspace: (r.n_vectors, r.sum_distortion, r.n_codes_used)
+        for r in REGISTRY["embed_pq_distortion"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_benjamini_hochberg_matches_bruteforce(spark):
+    """stats_benjamini_hochberg: arms, per-type conversion counts, the
+    exact micro-unit z², the critical-value p-ladder, and the integer
+    BH step-up recomputed in Python."""
+    import hashlib
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    def h15(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = _smoke_table("events", ["user_id", "event_type"])
+    users = {uid for uid, _ in rows}
+    arm = {uid: h15(f"bh{uid}") % 2 for uid in users}
+    n_a = sum(1 for g in arm.values() if g == 0)
+    n_b = len(users) - n_a
+    conv = defaultdict(set)
+    for uid, et in rows:
+        conv[et].add(uid)
+    ladder = [
+        (10827566, 1000), (7879439, 5000), (6634897, 10000),
+        (5023886, 25000), (3841459, 50000), (2705543, 100000),
+    ]
+    stats = {}
+    for et, us in conv.items():
+        c_a = sum(1 for u in us if arm[u] == 0)
+        c_b = len(us) - c_a
+        c, n = c_a + c_b, n_a + n_b
+        z2 = 0
+        if 0 < c < n:
+            z2 = (1_000_000 * (c_a * n_b - c_b * n_a) ** 2 * n) // (
+                n_a * n_b * c * (n - c)
+            )
+        p = next((pp for thr, pp in ladder if z2 >= thr), 1_000_000)
+        stats[et] = (c_a, c_b, z2, p)
+    m = len(stats)
+    ranked = sorted(stats.items(), key=lambda kv: (kv[1][3], kv[0]))
+    k_max = max(
+        (rk for rk, (_, (_, _, _, p)) in enumerate(ranked, 1)
+         if p * m <= rk * 50000),
+        default=0,
+    )
+    expect = {}
+    for rk, (et, (c_a, c_b, z2, p)) in enumerate(ranked, 1):
+        expect[et] = (n_a, n_b, c_a, c_b, z2, p, rk, rk <= k_max)
+    got = {
+        r.event_type: (
+            r.n_a, r.n_b, r.c_a, r.c_b, r.z2_e6, r.p_ppm, r.rk, r.bh_rejected
+        )
+        for r in REGISTRY["stats_benjamini_hochberg"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_ivf_probe_curve_matches_bruteforce(spark):
+    """sim_ivf_probe_curve: the full IVF pipeline (centroids,
+    assignments, probes, per-bucket top-5) and recall vs the exact top-5
+    recomputed in numpy at each probe count; recall must be monotone
+    non-decreasing in n_probe (superset candidate sets)."""
+    import numpy as np
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("embeddings", ["vec_id", "embedding"])
+    ids = np.array([r[0] for r in rows])
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    nrm = np.sqrt((X * X).sum(axis=1))
+
+    def cos(i, j):
+        return round(float(X[i] @ X[j] / (nrm[i] * nrm[j])), 6)
+
+    idx = {v: i for i, v in enumerate(ids)}
+    cents = sorted(v for v in ids if v % 100 == 0)
+    # assignments: nearest centroid, tie by centroid id
+    assign = {}
+    for v in ids:
+        best = max(((cos(idx[v], idx[c]), -c) for c in cents))
+        assign[v] = -best[1]
+    buckets = {}
+    for v, c in assign.items():
+        buckets.setdefault(c, []).append(v)
+    qids = sorted(v for v in ids if v < 10)
+    exact = {}
+    for q in qids:
+        scored = sorted(
+            ((cos(idx[q], idx[x]), -x) for x in ids if x != q), reverse=True
+        )[:5]
+        exact[q] = {-s[1] for s in scored}
+    n_pairs = sum(len(s) for s in exact.values())
+    prev = -1
+    for np_probe in (1, 2, 4):
+        hits = 0
+        for q in qids:
+            probes = sorted(
+                ((cos(idx[q], idx[c]), -c) for c in cents), reverse=True
+            )[:np_probe]
+            cand = [
+                x
+                for _, negc in probes
+                for x in buckets.get(-negc, [])
+                if x != q
+            ]
+            topk = sorted(((cos(idx[q], idx[x]), -x) for x in cand),
+                          reverse=True)[:5]
+            hits += len({-t[1] for t in topk} & exact[q])
+        got = [
+            r
+            for r in REGISTRY["sim_ivf_probe_curve"].fn(spark, SF_SMOKE).collect()
+            if r.n_probe == np_probe
+        ]
+        assert len(got) == 1
+        r = got[0]
+        assert (r.n_queries, r.n_hits, r.recall_ppm) == (
+            len(qids),
+            hits,
+            (hits * 1_000_000) // n_pairs,
+        )
+        assert r.recall_ppm >= prev  # monotone in n_probe
+        prev = r.recall_ppm
