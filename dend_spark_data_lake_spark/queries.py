@@ -18465,6 +18465,223 @@ def sim_ivf_probe_curve(spark, sf_dir):
     )
 
 
+@_q(
+    "orders_backlog_aging",
+    """
+    WITH ref AS (
+      SELECT max(CAST(o_orderdate AS DATE)) AS ref_d FROM orders
+    ), open_o AS (
+      SELECT o_orderkey, o_totalprice,
+             date_diff('day', CAST(o_orderdate AS DATE),
+                       (SELECT ref_d FROM ref)) AS age
+      FROM orders WHERE o_orderstatus <> 'F'
+    ), b AS (
+      SELECT CASE WHEN age <= 30 THEN '0-30'
+                  WHEN age <= 60 THEN '31-60'
+                  WHEN age <= 90 THEN '61-90'
+                  ELSE '90+' END AS age_bucket,
+             o_totalprice
+      FROM open_o
+    )
+    SELECT age_bucket, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(100 * o_totalprice) AS BIGINT)) AS BIGINT)
+             AS open_cents
+    FROM b GROUP BY age_bucket ORDER BY age_bucket
+    """,
+)
+def orders_backlog_aging(spark, sf_dir):
+    """Open-order aging report — the accounts-receivable 'aging buckets'
+    classic: non-fulfilled orders bucketed by days outstanding at the
+    corpus reference date (the max order date, so the report is
+    reproducible on a static snapshot), with exact integer-cents value
+    per bucket. The day arithmetic is pure integer date_diff and the
+    buckets are inclusive integer boundaries — no float anywhere.
+    Completes the order-lifecycle family (open backlog sweep-line, gap
+    cadence, OTIF) with the finance-facing rollup.
+
+    Scale: 1-row reference-date broadcast + one combinable conditional
+    aggregate on the filtered scan (status predicate pushes to parquet);
+    4-row output, no window, no data-sized join."""
+    o = _t(spark, sf_dir, "orders")
+    ref = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("ref_d"))
+    return (
+        o.filter(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(ref))
+        .selectExpr(
+            "datediff(ref_d, CAST(o_orderdate AS DATE)) AS age",
+            "CAST(round(100 * o_totalprice) AS BIGINT) AS cents",
+        )
+        .selectExpr(
+            """CASE WHEN age <= 30 THEN '0-30'
+                    WHEN age <= 60 THEN '31-60'
+                    WHEN age <= 90 THEN '61-90'
+                    ELSE '90+' END AS age_bucket""",
+            "cents",
+        )
+        .groupBy("age_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("open_cents"),
+        )
+        .orderBy("age_bucket")
+    )
+
+
+@_q(
+    "stats_kendall_tau",
+    """
+    WITH g AS (
+      SELECT n_nationkey AS nk,
+             CAST(sum(CAST(round(100 * o_totalprice) AS BIGINT)) AS BIGINT)
+               AS rev,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+      GROUP BY nk
+    ), p AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(count(*) FILTER (WHERE (a.rev - b.rev) * (a.n_orders - b.n_orders) > 0)
+                  AS BIGINT) AS concordant,
+             CAST(count(*) FILTER (WHERE (a.rev - b.rev) * (a.n_orders - b.n_orders) < 0)
+                  AS BIGINT) AS discordant,
+             CAST(count(*) FILTER (WHERE a.rev = b.rev AND a.n_orders <> b.n_orders)
+                  AS BIGINT) AS ties_x_only,
+             CAST(count(*) FILTER (WHERE a.n_orders = b.n_orders AND a.rev <> b.rev)
+                  AS BIGINT) AS ties_y_only
+      FROM g a JOIN g b ON a.nk < b.nk
+    ), t AS (
+      SELECT *,
+             CAST(n_pairs - ties_x_only AS HUGEINT)
+               * (n_pairs - ties_y_only) AS den2
+      FROM p
+    ), r AS (
+      SELECT *, CAST(floor(sqrt(CAST(den2 AS DOUBLE))) AS HUGEINT) AS y0
+      FROM t
+    )
+    SELECT n_pairs, concordant, discordant, ties_x_only, ties_y_only,
+           CAST(CASE WHEN den2 = 0 THEN 0 ELSE
+             (1000000 * (CAST(concordant AS HUGEINT) - discordant)
+              + 2000000 * CAST(CASE WHEN (y0+1)*(y0+1) <= den2 THEN y0+1
+                                    WHEN y0*y0 > den2 THEN y0-1
+                                    ELSE y0 END AS HUGEINT))
+             // (CASE WHEN (y0+1)*(y0+1) <= den2 THEN y0+1
+                      WHEN y0*y0 > den2 THEN y0-1
+                      ELSE y0 END) - 2000000 END AS BIGINT) AS tau_b_e6
+    FROM r
+    """,
+)
+def stats_kendall_tau(spark, sf_dir):
+    """Kendall τ-b rank correlation between per-nation revenue and order
+    count — the concordance statistic that, unlike Spearman, reads
+    directly as P(concordant) − P(discordant) and is robust to any
+    monotone transform. The pairwise comparison runs on the BOUNDED
+    |nations|-row aggregate (25×24/2 pairs), the stats_theil_sen_slope
+    posture — never on raw rows. τ-b = (C−D)/√((n₀−tx)(n₀−ty)) involves
+    one irrational square root; the engine emits
+    floor(1e6·(C−D+2·rt)/rt) − 2e6 — algebraically floor(1e6·(C−D)/rt)
+    shifted by +2·rt to keep the division non-negative for negative
+    C−D (the stats_cohens_kappa floor-shift idiom), with rt the
+    corrected integer isqrt of the exact denominator square. C, D, and
+    both tie counts are exact integers and are reported raw.
+
+    Scale: customer/nation broadcast into the orders scan, one
+    combinable per-nation aggregate, then a bounded-grid pairwise join
+    and a 1-row reduction."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    g = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_nationkey").alias("nk"))
+        .agg(
+            F.sum(F.expr("CAST(round(100 * o_totalprice) AS BIGINT)"))
+            .cast("long")
+            .alias("rev"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+    )
+    a = g.select(
+        F.col("nk").alias("nk_a"),
+        F.col("rev").alias("rev_a"),
+        F.col("n_orders").alias("no_a"),
+    )
+    b = g.select(
+        F.col("nk").alias("nk_b"),
+        F.col("rev").alias("rev_b"),
+        F.col("n_orders").alias("no_b"),
+    )
+    p = (
+        a.join(F.broadcast(b), F.col("nk_a") < F.col("nk_b"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(
+                (
+                    (F.col("rev_a") - F.col("rev_b"))
+                    * (F.col("no_a") - F.col("no_b"))
+                    > 0
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("concordant"),
+            F.sum(
+                (
+                    (F.col("rev_a") - F.col("rev_b"))
+                    * (F.col("no_a") - F.col("no_b"))
+                    < 0
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("discordant"),
+            F.sum(
+                (
+                    (F.col("rev_a") == F.col("rev_b"))
+                    & (F.col("no_a") != F.col("no_b"))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("ties_x_only"),
+            F.sum(
+                (
+                    (F.col("no_a") == F.col("no_b"))
+                    & (F.col("rev_a") != F.col("rev_b"))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("ties_y_only"),
+        )
+    )
+    dec = "DECIMAL(38,0)"
+    t = p.selectExpr(
+        "*",
+        f"""(CAST(n_pairs - ties_x_only AS {dec})
+             * (n_pairs - ties_y_only)) AS __den2""",
+    ).selectExpr(
+        "*",
+        f"CAST(FLOOR(SQRT(CAST(__den2 AS DOUBLE))) AS {dec}) AS __y0",
+    ).selectExpr(
+        "*",
+        f"""CAST(CASE WHEN (__y0 + 1) * (__y0 + 1) <= __den2 THEN __y0 + 1
+                 WHEN __y0 * __y0 > __den2 THEN __y0 - 1
+                 ELSE __y0 END AS {dec}) AS __rt""",
+    )
+    t = t.selectExpr(
+        "*",
+        f"""(CAST(1000000 AS {dec}) * (concordant - discordant)
+             + CAST(2000000 AS {dec}) * __rt) AS __num""",
+    )
+    return _floordiv_cols(t, "__num", "__rt", "__shifted").selectExpr(
+        "n_pairs",
+        "concordant",
+        "discordant",
+        "ties_x_only",
+        "ties_y_only",
+        """CAST(CASE WHEN __rt = 0 THEN 0
+                ELSE __shifted - 2000000 END AS BIGINT) AS tau_b_e6""",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -18793,6 +19010,8 @@ _GRADE_NEXT: list[str] = [
     "embed_pq_distortion",
     "stats_benjamini_hochberg",
     "sim_ivf_probe_curve",
+    "orders_backlog_aging",
+    "stats_kendall_tau",
     # r02-only certificates remaining after the round-7 promotion (21)
     "text_bigram_counts",
     "join_cross",

@@ -1979,3 +1979,24 @@ def test_ivf_probe_curve_equijoin_buckets(spark):
         r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \[cid#", plan
     )
     assert len(cid_joins) >= 3, (cid_joins, plan)
+
+
+def test_backlog_aging_pushdown_and_broadcast(spark):
+    """orders_backlog_aging: the status predicate must push to the
+    parquet scan, the 1-row reference date must broadcast, and the
+    rollup must map-side combine — no window, no data-sized join."""
+    plan = _plan(spark, "orders_backlog_aging")
+    assert _pushed_nonempty(plan) >= 1, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "partial_count" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_kendall_tau_bounded_pairwise_only(spark):
+    """stats_kendall_tau: the pairwise comparison must run on the
+    bounded per-nation aggregate (broadcast inequality join), with the
+    dims broadcast into the orders scan — never a raw-row pairing."""
+    plan = _plan(spark, "stats_kendall_tau")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan

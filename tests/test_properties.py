@@ -10276,3 +10276,82 @@ def test_ivf_probe_curve_matches_bruteforce(spark):
         )
         assert r.recall_ppm >= prev  # monotone in n_probe
         prev = r.recall_ppm
+
+
+def test_backlog_aging_matches_bruteforce(spark):
+    """orders_backlog_aging: reference date, integer day ages, inclusive
+    bucket boundaries, and exact cents totals recomputed in Python."""
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table(
+        "orders",
+        [
+            "CAST(o_orderdate AS DATE)",
+            "o_orderstatus",
+            "CAST(round(100 * o_totalprice) AS BIGINT)",
+        ],
+    )
+    ref = max(d for d, _, _ in rows)
+    agg = defaultdict(lambda: [0, 0])
+    for d, st, cents in rows:
+        if st == "F":
+            continue
+        age = (ref - d).days
+        b = "0-30" if age <= 30 else "31-60" if age <= 60 else \
+            "61-90" if age <= 90 else "90+"
+        agg[b][0] += 1
+        agg[b][1] += cents
+    got = {
+        r.age_bucket: [r.n_orders, r.open_cents]
+        for r in REGISTRY["orders_backlog_aging"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == {b: list(v) for b, v in agg.items()}
+
+
+def test_kendall_tau_matches_bruteforce(spark):
+    """stats_kendall_tau: concordant/discordant/tie pair counts over
+    the per-nation aggregate and the shifted-floor τ-b recomputed in
+    Python with math.isqrt; |τ-b| ≤ 1 asserted."""
+    import math
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    orders = _smoke_table(
+        "orders", ["o_custkey", "CAST(round(100 * o_totalprice) AS BIGINT)"]
+    )
+    cust = dict(_smoke_table("customer", ["c_custkey", "c_nationkey"]))
+    per_nation = defaultdict(lambda: [0, 0])
+    for ck, cents in orders:
+        nk = cust[ck]
+        per_nation[nk][0] += cents
+        per_nation[nk][1] += 1
+    pts = [tuple(v) for _, v in sorted(per_nation.items())]
+    C = D = tx = ty = n_pairs = 0
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            n_pairs += 1
+            dx = pts[i][0] - pts[j][0]
+            dy = pts[i][1] - pts[j][1]
+            if dx * dy > 0:
+                C += 1
+            elif dx * dy < 0:
+                D += 1
+            elif dx == 0 and dy != 0:
+                tx += 1
+            elif dy == 0 and dx != 0:
+                ty += 1
+    den2 = (n_pairs - tx) * (n_pairs - ty)
+    rt = math.isqrt(den2)
+    tau = 0 if rt == 0 else (1_000_000 * (C - D) + 2_000_000 * rt) // rt - 2_000_000
+    r = REGISTRY["stats_kendall_tau"].fn(spark, SF_SMOKE).collect()
+    assert len(r) == 1
+    assert (
+        r[0].n_pairs, r[0].concordant, r[0].discordant,
+        r[0].ties_x_only, r[0].ties_y_only, r[0].tau_b_e6,
+    ) == (n_pairs, C, D, tx, ty, tau)
+    assert -1_000_000 <= tau <= 1_000_000
