@@ -18682,6 +18682,86 @@ def stats_kendall_tau(spark, sf_dir):
     )
 
 
+def _rate_ladder_case(cast_ty: str, lo: int = -6, hi: int = 13) -> str:
+    """Generated power-of-2 events-per-day ladder (shared constant for
+    the engine and the DuckDB oracle, the events_interarrival_stats
+    idiom): bucket k means rate ∈ [2^k, 2^(k+1)) events/day, decided by
+    the exact cross-multiplication n·86_400_000_000 ≥ 2^k·span_µs (the
+    products exceed BIGINT, hence the 128-bit cast)."""
+    nd = f"CAST(n_events AS {cast_ty}) * 86400000000"
+    arms = [f"WHEN span_us = 0 THEN {hi + 1}"]
+    for k in range(hi, lo - 1, -1):
+        arms.append(
+            # k < 0: n·86.4e9 ≥ 2^k·span  ⟺  n·86.4e9·2^(−k) ≥ span —
+            # multiply the left side instead of dividing (stays exact)
+            f"WHEN {nd} * {2 ** (-k)} >= CAST(span_us AS {cast_ty}) THEN {k}"
+            if k < 0
+            else f"WHEN {nd} >= CAST({2 ** k} AS {cast_ty}) * span_us THEN {k}"
+        )
+    return "CASE " + " ".join(arms) + f" ELSE {lo - 1} END"
+
+
+@_q(
+    "events_user_rate_ladder",
+    f"""
+    WITH u AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(date_diff('microseconds', min(ts), max(ts)) AS BIGINT)
+               AS span_us
+      FROM events GROUP BY user_id
+    ), b AS (
+      SELECT user_id, n_events,
+             CAST({_rate_ladder_case('HUGEINT')} AS INT) AS rate_k
+      FROM u
+    )
+    SELECT rate_k, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n_events) AS BIGINT) AS n_events_total,
+           CAST(min(n_events) AS BIGINT) AS min_events,
+           CAST(max(n_events) AS BIGINT) AS max_events
+    FROM b GROUP BY rate_k ORDER BY rate_k
+    """,
+)
+def events_user_rate_ladder(spark, sf_dir):
+    """Per-user sustained-rate distribution on a power-of-2
+    events-per-day ladder — the measure-first input to any bot/abuse
+    rate gate (pick the cut where the human mass ends, THEN flip the
+    gate on; same posture as curation_quality_dedup_matrix). Bucket k
+    holds users whose rate over their own active span lies in
+    [2^k, 2^(k+1)) events/day, decided entirely by the exact
+    cross-multiplication n·86_400_000_000 ≥ 2^k·span_µs in 128-bit
+    integers (the per-day products exceed BIGINT) — no division, no
+    float; fractional 2^k for k<0 rides an exact ·2^20/2^20 scaling.
+    Zero-span users (all events in one microsecond — the scripted-replay
+    signature) get the sentinel top bucket. The CASE ladder is generated
+    from ONE constant for both engines. Pairs with
+    stats_poisson_dispersion (bursty HOW) and events_interarrival_stats
+    (gap structure): this one says WHO sustains what.
+
+    Scale: one combinable per-user aggregate, scan-side bucketing, and
+    a bounded ≤21-row rollup — no window, no join, single scan."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        (
+            F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+        ).cast("long").alias("span_us"),
+    )
+    b = u.selectExpr(
+        "n_events",
+        f"CAST({_rate_ladder_case('DECIMAL(38,0)')} AS INT) AS rate_k",
+    )
+    return (
+        b.groupBy("rate_k")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("n_events").cast("long").alias("n_events_total"),
+            F.min("n_events").cast("long").alias("min_events"),
+            F.max("n_events").cast("long").alias("max_events"),
+        )
+        .orderBy("rate_k")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -19012,6 +19092,7 @@ _GRADE_NEXT: list[str] = [
     "sim_ivf_probe_curve",
     "orders_backlog_aging",
     "stats_kendall_tau",
+    "events_user_rate_ladder",
     # r02-only certificates remaining after the round-7 promotion (21)
     "text_bigram_counts",
     "join_cross",

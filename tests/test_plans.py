@@ -2000,3 +2000,14 @@ def test_kendall_tau_bounded_pairwise_only(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "CartesianProduct" not in plan, plan
     assert "windowspecdefinition" not in plan, plan
+
+
+def test_user_rate_ladder_single_scan(spark):
+    """events_user_rate_ladder: one events scan, combinable per-user
+    aggregate, scan-side bucketing, bounded rollup — no window, no
+    join."""
+    plan = _plan(spark, "events_user_rate_ladder")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "partial_count" in plan, plan

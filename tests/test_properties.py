@@ -10355,3 +10355,48 @@ def test_kendall_tau_matches_bruteforce(spark):
         r[0].ties_x_only, r[0].ties_y_only, r[0].tau_b_e6,
     ) == (n_pairs, C, D, tx, ty, tau)
     assert -1_000_000 <= tau <= 1_000_000
+
+
+def test_user_rate_ladder_matches_bruteforce(spark):
+    """events_user_rate_ladder: per-user exact-microsecond spans, the
+    power-of-2 cross-multiplied bucket rule (incl. the k<0 multiply-not-
+    divide arm and the zero-span sentinel), and the rollup recomputed in
+    Python. The fixture must populate >= 2 buckets so the ladder is not
+    vacuous."""
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("events", ["user_id", "epoch_us(ts)"])
+    per_user = defaultdict(list)
+    for uid, us in rows:
+        per_user[uid].append(us)
+
+    def bucket(n, span):
+        if span == 0:
+            return 14
+        nd = n * 86_400_000_000
+        for k in range(13, -7, -1):
+            if k >= 0:
+                ok = nd >= (2 ** k) * span
+            else:
+                ok = nd * (2 ** (-k)) >= span
+            if ok:
+                return k
+        return -7
+
+    agg = defaultdict(lambda: [0, 0, None, None])
+    for uid, ts in per_user.items():
+        n, span = len(ts), max(ts) - min(ts)
+        a = agg[bucket(n, span)]
+        a[0] += 1
+        a[1] += n
+        a[2] = n if a[2] is None else min(a[2], n)
+        a[3] = n if a[3] is None else max(a[3], n)
+    got = {
+        r.rate_k: [r.n_users, r.n_events_total, r.min_events, r.max_events]
+        for r in REGISTRY["events_user_rate_ladder"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == {k: list(v) for k, v in agg.items()}
+    assert len(agg) >= 2, agg
