@@ -49,6 +49,14 @@ SCALE_QUERIES = [
     # the test_plans lock)
     "curation_dsir_importance",
     "rec_negative_sampling",
+    # round-8 additions: the pid-window machinery consumers whose
+    # persist-backed two-branch plan must keep its shape at any
+    # partition setting (the round-8 boundary-divergence fix lives
+    # exactly here), and the PQ fan-out whose codebook must stay
+    # broadcast
+    "stats_kruskal_wallis",
+    "sample_systematic",
+    "embed_pq_distortion",
 ]
 
 # operators whose COUNT defines the scale shape of a plan: join
