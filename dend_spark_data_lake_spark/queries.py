@@ -18762,6 +18762,184 @@ def events_user_rate_ladder(spark, sf_dir):
     )
 
 
+@_q(
+    "pipeline_eval_protocol",
+    r"""
+    WITH base AS (
+      SELECT doc_id, n_chars,
+             md5(array_to_string(
+               string_split_regex(trim(lower(text)), '\s+')[1:8], ' '))
+               AS fp,
+             row_number() OVER (
+               ORDER BY CAST(concat('0x', substr(md5('sys'
+                 || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id
+             ) AS pos
+      FROM documents
+    ), st AS (
+      SELECT 1 + (CAST(concat('0x', substr(md5('sysstart'), 1, 15))
+                       AS BIGINT) % 20) AS start
+    ), sp AS (
+      SELECT base.*, CASE WHEN (pos - st.start) % 20 = 0
+                          THEN 'eval' ELSE 'train' END AS split
+      FROM base, st
+    ), leak_fp AS (
+      SELECT fp FROM (SELECT DISTINCT fp, split FROM sp)
+      GROUP BY fp HAVING count(*) = 2
+    ), leaks AS (
+      SELECT sp.split, CAST(count(*) AS BIGINT) AS leak_docs
+      FROM sp JOIN leak_fp USING (fp) GROUP BY sp.split
+    ), s AS (
+      SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(*) FILTER (WHERE n_chars >= 200) AS BIGINT) AS n_pass
+      FROM sp GROUP BY split
+    ), a AS (
+      SELECT split, n_docs, n_pass,
+             CAST(3841600 AS HUGEINT) * n_docs
+               * (CAST(3841600 AS HUGEINT) * n_docs
+                  + 4000000 * CAST(n_pass AS HUGEINT) * (n_docs - n_pass))
+               AS rad
+      FROM s
+    ), r AS (
+      SELECT *, CAST(floor(sqrt(CAST(rad AS DOUBLE))) AS HUGEINT) AS y0
+      FROM a
+    ), q AS (
+      SELECT split, n_docs, n_pass, rad,
+             CASE WHEN (y0 + 1) * (y0 + 1) <= rad THEN y0 + 1
+                  WHEN y0 * y0 > rad THEN y0 - 1
+                  ELSE y0 END AS rt
+      FROM r
+    )
+    SELECT q.split, q.n_docs, q.n_pass,
+           CAST((1000000 * CAST(n_pass AS HUGEINT)) // n_docs AS BIGINT)
+             AS p_ppm,
+           CAST((1000000 * ((2000000 * CAST(n_pass AS HUGEINT) + 3841600)
+                            * n_docs - rt))
+                // (2 * CAST(n_docs AS HUGEINT)
+                    * (1000000 * CAST(n_docs AS HUGEINT) + 3841600))
+                AS BIGINT) AS wilson_low_ppm,
+           CAST((1000000 * ((2000000 * CAST(n_pass AS HUGEINT) + 3841600)
+                            * n_docs + rt))
+                // (2 * CAST(n_docs AS HUGEINT)
+                    * (1000000 * CAST(n_docs AS HUGEINT) + 3841600))
+                AS BIGINT) AS wilson_high_ppm,
+           coalesce(leaks.leak_docs, 0) AS leak_docs
+    FROM q LEFT JOIN leaks ON leaks.split = q.split
+    ORDER BY q.split
+    """,
+)
+def pipeline_eval_protocol(spark, sf_dir):
+    """Round-8 flagship composite — the 'carve an eval set and report
+    it' protocol in ONE dataflow: (1) systematic every-20th split on the
+    distributed md5 rank (sample_systematic's machinery — exact 5%
+    spacing, reproducible forever); (2) per-split quality pass-rate with
+    Wilson 95% bounds (stats_wilson_ci's exact-integer formula — the
+    number an eval card must print, since a 5% eval slice has real
+    binomial width); (3) a prefix-fingerprint LEAK AUDIT counting docs
+    whose first-8-token fingerprint appears in BOTH splits
+    (dedup_prefix_fingerprint's detector — the cheap pre-check before
+    the full near-dup split-leak matrix). Everything exact integer; one
+    2-row report.
+
+    Scale: one scan computes fingerprint + hash rank (text dropped
+    before any shuffle); the global position is the pid-window rewrite;
+    the leak audit is one distinct (fp, split) aggregate + an fp-keyed
+    join; the stats are combinable conditional aggregates on the 2-row
+    grid."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "n_chars",
+        F.md5(
+            F.array_join(
+                F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 8),
+                " ",
+            ).cast("binary")
+        ).alias("fp"),
+        SAMP.hash_rank_int("doc_id", salt="sys").alias("__rk"),
+        F.lit(1).cast("long").alias("__one"),
+    ).select(
+        "doc_id", "n_chars", "fp",
+        F.struct("__rk", "doc_id").alias("__key"), "__one",
+    )
+    c = PCT.global_cumulative_counts(base, "__key", "__one")
+    start = (
+        "1 + (CAST(conv(substring(md5('sysstart'), 1, 15), 16, 10)"
+        " AS BIGINT) % 20)"
+    )
+    sp = c.selectExpr(
+        "doc_id",
+        "n_chars",
+        "fp",
+        f"""CASE WHEN pmod(__cw - ({start}), 20) = 0
+                 THEN 'eval' ELSE 'train' END AS split""",
+    )
+    leak_fp = (
+        sp.select("fp", "split")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count("*").alias("__ns"))
+        .filter(F.col("__ns") == 2)
+        .select("fp")
+    )
+    leaks = (
+        sp.join(F.broadcast(leak_fp), "fp")
+        .groupBy("split")
+        .agg(F.count("*").cast("long").alias("leak_docs"))
+    )
+    s = sp.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("n_chars") >= 200).cast("long")).cast("long").alias("n_pass"),
+    )
+    dec = "DECIMAL(38,0)"
+    a = s.selectExpr(
+        "*",
+        f"""(CAST(3841600 AS {dec}) * n_docs
+             * (CAST(3841600 AS {dec}) * n_docs
+                + CAST(4000000 AS {dec}) * n_pass * (n_docs - n_pass)))
+            AS __rad""",
+    ).selectExpr(
+        "*",
+        f"CAST(FLOOR(SQRT(CAST(__rad AS DOUBLE))) AS {dec}) AS __y0",
+    ).selectExpr(
+        "split",
+        "n_docs",
+        "n_pass",
+        f"""CAST(CASE WHEN (__y0 + 1) * (__y0 + 1) <= __rad THEN __y0 + 1
+                 WHEN __y0 * __y0 > __rad THEN __y0 - 1
+                 ELSE __y0 END AS {dec}) AS __rt""",
+    ).selectExpr(
+        "*",
+        f"CAST(1000000 AS {dec}) * n_pass AS __pnum",
+        f"CAST(n_docs AS {dec}) AS __pden",
+        f"""(CAST(1000000 AS {dec})
+             * ((CAST(2000000 AS {dec}) * n_pass + 3841600) * n_docs - __rt))
+            AS __lnum""",
+        f"""(CAST(1000000 AS {dec})
+             * ((CAST(2000000 AS {dec}) * n_pass + 3841600) * n_docs + __rt))
+            AS __hnum""",
+        f"""(CAST(2 AS {dec}) * n_docs
+             * (CAST(1000000 AS {dec}) * n_docs + 3841600)) AS __den""",
+    )
+    a = _floordiv_cols(a, "__pnum", "__pden", "p_ppm")
+    a = _floordiv_cols(a, "__lnum", "__den", "wilson_low_ppm")
+    a = _floordiv_cols(a, "__hnum", "__den", "wilson_high_ppm")
+    return (
+        a.join(F.broadcast(leaks), "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            "n_pass",
+            "p_ppm",
+            "wilson_low_ppm",
+            "wilson_high_ppm",
+            F.coalesce(F.col("leak_docs"), F.lit(0).cast("long")).alias(
+                "leak_docs"
+            ),
+        )
+        .orderBy("split")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -19093,6 +19271,7 @@ _GRADE_NEXT: list[str] = [
     "orders_backlog_aging",
     "stats_kendall_tau",
     "events_user_rate_ladder",
+    "pipeline_eval_protocol",
     # r02-only certificates remaining after the round-7 promotion (21)
     "text_bigram_counts",
     "join_cross",

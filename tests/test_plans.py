@@ -2011,3 +2011,21 @@ def test_user_rate_ladder_single_scan(spark):
     assert "windowspecdefinition" not in plan, plan
     assert "Join" not in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_eval_protocol_pid_window_and_text_pruned(spark):
+    """pipeline_eval_protocol: the split position must be the pid-window
+    rewrite (no unpartitioned window over the rank key), the leak
+    fingerprint set must broadcast, and the text column must be dropped
+    before any exchange (only the 32-byte fingerprint shuffles)."""
+    import re as _re
+
+    plan = _plan(spark, "pipeline_eval_protocol")
+    assert "windowspecdefinition(__pid#" in plan, plan
+    bad = _re.findall(r"windowspecdefinition\(__key#\d+ ASC", plan)
+    assert not bad, (bad, plan)
+    assert "BroadcastHashJoin" in plan, plan
+    # no Exchange line may carry the raw text column
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line

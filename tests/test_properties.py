@@ -10400,3 +10400,61 @@ def test_user_rate_ladder_matches_bruteforce(spark):
     }
     assert got == {k: list(v) for k, v in agg.items()}
     assert len(agg) >= 2, agg
+
+
+def test_eval_protocol_matches_bruteforce(spark):
+    """pipeline_eval_protocol: the systematic split, per-split Wilson
+    bounds, and the cross-split fingerprint leak counts recomputed in
+    Python end to end; split sizes must sum to the corpus and the eval
+    fraction must be exactly the systematic size."""
+    import hashlib
+    import math
+    import re
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    def h15(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = _smoke_table("documents", ["doc_id", "n_chars", "text"])
+    ranked = sorted(rows, key=lambda r: (h15(f"sys{r[0]}"), r[0]))
+    start = 1 + h15("sysstart") % 20
+    split_of, fp_of = {}, {}
+    for pos, (doc_id, n_chars, text) in enumerate(ranked, start=1):
+        split_of[doc_id] = "eval" if (pos - start) % 20 == 0 else "train"
+        prefix = " ".join(re.split(r"\s+", text.strip().lower())[:8])
+        fp_of[doc_id] = hashlib.md5(prefix.encode()).hexdigest()
+    fp_splits = {}
+    for doc_id, fp in fp_of.items():
+        fp_splits.setdefault(fp, set()).add(split_of[doc_id])
+    leak = {"eval": 0, "train": 0}
+    for doc_id, fp in fp_of.items():
+        if len(fp_splits[fp]) == 2:
+            leak[split_of[doc_id]] += 1
+    U = 3841600
+    expect = {}
+    for split in ("eval", "train"):
+        docs = [d for d, s in split_of.items() if s == split]
+        nc = {d: c for d, c, _ in rows}
+        nn = len(docs)
+        ss = sum(1 for d in docs if nc[d] >= 200)
+        rt = math.isqrt(U * nn * (U * nn + 4_000_000 * ss * (nn - ss)))
+        den = 2 * nn * (1_000_000 * nn + U)
+        expect[split] = (
+            nn, ss,
+            (1_000_000 * ss) // nn,
+            (1_000_000 * ((2_000_000 * ss + U) * nn - rt)) // den,
+            (1_000_000 * ((2_000_000 * ss + U) * nn + rt)) // den,
+            leak[split],
+        )
+    assert expect["eval"][0] == (len(rows) - start) // 20 + 1
+    assert expect["eval"][0] + expect["train"][0] == len(rows)
+    got = {
+        r.split: (
+            r.n_docs, r.n_pass, r.p_ppm,
+            r.wilson_low_ppm, r.wilson_high_ppm, r.leak_docs,
+        )
+        for r in REGISTRY["pipeline_eval_protocol"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
