@@ -18940,6 +18940,40 @@ def pipeline_eval_protocol(spark, sf_dir):
     )
 
 
+@_q(
+    "sql_limit_offset",
+    """
+    SELECT o_orderkey,
+           CAST(round(100 * o_totalprice) AS BIGINT) AS cents
+    FROM orders
+    ORDER BY cents DESC, o_orderkey
+    LIMIT 10 OFFSET 20
+    """,
+)
+def sql_limit_offset(spark, sf_dir):
+    """ANSI pagination: ORDER BY ... LIMIT 10 OFFSET 20 (rows 21-30 of
+    the price leaderboard), certified cross-engine — OFFSET landed in
+    Spark 3.4 and completes the sort/limit/top-k surface with the
+    keyset-pagination building block. The sort key carries the unique
+    order key so the page boundary is total (an OFFSET on a non-total
+    order is nondeterministic in ANY engine — the reason to certify the
+    tie-broken form).
+
+    Scale: plans as TakeOrderedAndProject with limit = offset + n
+    (per-partition top-30 heaps, no global sort); the offset is applied
+    at the final collect boundary."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_lo")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(round(100 * o_totalprice) AS BIGINT) AS cents
+        FROM orders_lo
+        ORDER BY cents DESC, o_orderkey
+        LIMIT 10 OFFSET 20
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -19272,6 +19306,7 @@ _GRADE_NEXT: list[str] = [
     "stats_kendall_tau",
     "events_user_rate_ladder",
     "pipeline_eval_protocol",
+    "sql_limit_offset",
     # r02-only certificates remaining after the round-7 promotion (21)
     "text_bigram_counts",
     "join_cross",

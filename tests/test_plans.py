@@ -2029,3 +2029,10 @@ def test_eval_protocol_pid_window_and_text_pruned(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text#" not in line, line
+
+
+def test_limit_offset_heap_topk(spark):
+    """sql_limit_offset: pagination must plan as TakeOrderedAndProject
+    (per-partition heaps sized offset+limit), never a global Sort."""
+    plan = _plan(spark, "sql_limit_offset")
+    assert "TakeOrderedAndProject" in plan, plan
