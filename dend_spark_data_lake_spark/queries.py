@@ -18974,6 +18974,152 @@ def sql_limit_offset(spark, sf_dir):
     )
 
 
+@_q(
+    "stats_randomization_test",
+    """
+    WITH f AS (
+      SELECT o_orderkey,
+             CAST(round(100 * o_totalprice) AS BIGINT) AS cents,
+             (o_orderpriority = '1-URGENT') AS is_u
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), obs AS (
+      SELECT CAST(sum(CASE WHEN is_u THEN cents ELSE 0 END) AS BIGINT) AS s_u,
+             CAST(sum(CASE WHEN is_u THEN 0 ELSE cents END) AS BIGINT) AS s_l,
+             CAST(count(*) FILTER (WHERE is_u) AS BIGINT) AS n_u,
+             CAST(count(*) FILTER (WHERE NOT is_u) AS BIGINT) AS n_l
+      FROM f
+    ), b AS (SELECT unnest(range(1, 33)) AS bi),
+    perm AS (
+      SELECT b.bi,
+             CAST(sum(CASE WHEN g THEN cents ELSE 0 END) AS BIGINT) AS s_u,
+             CAST(sum(CASE WHEN g THEN 0 ELSE cents END) AS BIGINT) AS s_l,
+             CAST(count(*) FILTER (WHERE g) AS BIGINT) AS n_u,
+             CAST(count(*) FILTER (WHERE NOT g) AS BIGINT) AS n_l
+      FROM b, LATERAL (
+        SELECT cents,
+               (CAST(concat('0x', substr(md5('perm' || CAST(bi AS VARCHAR)
+                  || ':' || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                % 2 = 0) AS g
+        FROM f) t
+      GROUP BY b.bi
+    ), d AS (
+      SELECT (SELECT abs(CAST(s_u AS HUGEINT) * n_l
+                         - CAST(s_l AS HUGEINT) * n_u) FROM obs) AS d_obs,
+             (SELECT CAST(n_u AS HUGEINT) * n_l FROM obs) AS w_obs,
+             abs(CAST(p.s_u AS HUGEINT) * p.n_l
+                 - CAST(p.s_l AS HUGEINT) * p.n_u) AS d_b,
+             CAST(p.n_u AS HUGEINT) * p.n_l AS w_b
+      FROM perm p
+    )
+    SELECT CAST(32 AS BIGINT) AS n_perms,
+           (SELECT n_u FROM obs) AS n_urgent,
+           (SELECT n_l FROM obs) AS n_low,
+           (SELECT s_u FROM obs) AS sum_urgent_cents,
+           (SELECT s_l FROM obs) AS sum_low_cents,
+           CAST(count(*) FILTER (WHERE d_b * w_obs >= d_obs * w_b)
+                AS BIGINT) AS n_extreme,
+           CAST((1000000 * (CAST(count(*) FILTER
+                  (WHERE d_b * w_obs >= d_obs * w_b) AS HUGEINT) + 1))
+                // 33 AS BIGINT) AS p_ppm
+    FROM d
+    """,
+)
+def stats_randomization_test(spark, sf_dir):
+    """Distribution-free significance by re-randomization (the Fisher
+    permutation idea, md5-derandomized exactly like
+    stats_bootstrap_ci): does mean order value differ between URGENT
+    and LOW? The observed statistic is the cross-multiplied mean gap
+    |S_u·n_l − S_l·n_u|; each of B=32 re-randomizations reassigns every
+    order's label by md5(perm{b}:{key}) % 2 and recomputes it. Because
+    hash arms resample group SIZES too, extremeness is compared on the
+    common scale by exact cross-multiplication
+    (D_b·n_u·n_l ≥ D_obs·n_u(b)·n_l(b)) — no division, no float;
+    p = (n_extreme + 1)/(B + 1) in floored ppm (the add-one convention,
+    so p is never an impossible 0). The sibling of stats_bootstrap_ci
+    (CI ↔ test) and the assumption-free cross-check of
+    stats_mann_whitney_u / stats_ab_test_proportions.
+
+    Scale: the 32 re-randomizations fan out the filtered scan 32× as a
+    single combinable aggregate keyed by the permutation index (the
+    bootstrap posture — no shuffle grows with B beyond the 32-row
+    grid); the observed row broadcasts; the p-value is one bounded
+    reduction."""
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    f = o.select(
+        "o_orderkey",
+        F.expr("CAST(round(100 * o_totalprice) AS BIGINT)").alias("cents"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("is_u"),
+    )
+    obs = f.agg(
+        F.sum(F.when(F.col("is_u"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("s_u"),
+        F.sum(F.when(F.col("is_u"), 0).otherwise(F.col("cents")))
+        .cast("long")
+        .alias("s_l"),
+        F.sum(F.col("is_u").cast("long")).cast("long").alias("n_u"),
+        F.sum((~F.col("is_u")).cast("long")).cast("long").alias("n_l"),
+    )
+    bdim = spark.range(1, 33).selectExpr("CAST(id AS INT) AS bi")
+    perm = (
+        f.crossJoin(F.broadcast(bdim))
+        .selectExpr(
+            "bi",
+            "cents",
+            """(CAST(conv(substring(md5(concat('perm', CAST(bi AS STRING),
+                ':', CAST(o_orderkey AS STRING))), 1, 15), 16, 10) AS BIGINT)
+                % 2 = 0) AS g""",
+        )
+        .groupBy("bi")
+        .agg(
+            F.sum(F.when(F.col("g"), F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("ps_u"),
+            F.sum(F.when(F.col("g"), 0).otherwise(F.col("cents")))
+            .cast("long")
+            .alias("ps_l"),
+            F.sum(F.col("g").cast("long")).cast("long").alias("pn_u"),
+            F.sum((~F.col("g")).cast("long")).cast("long").alias("pn_l"),
+        )
+    )
+    dec = "DECIMAL(38,0)"
+    d = perm.crossJoin(F.broadcast(obs)).selectExpr(
+        "n_u",
+        "n_l",
+        "s_u",
+        "s_l",
+        f"""abs(CAST(s_u AS {dec}) * n_l - CAST(s_l AS {dec}) * n_u)
+            AS __d_obs""",
+        f"(CAST(n_u AS {dec}) * n_l) AS __w_obs",
+        f"""abs(CAST(ps_u AS {dec}) * pn_l - CAST(ps_l AS {dec}) * pn_u)
+            AS __d_b""",
+        f"(CAST(pn_u AS {dec}) * pn_l) AS __w_b",
+    )
+    out = d.agg(
+        F.max("n_u").alias("n_urgent"),
+        F.max("n_l").alias("n_low"),
+        F.max("s_u").alias("sum_urgent_cents"),
+        F.max("s_l").alias("sum_low_cents"),
+        F.sum(
+            (F.expr("__d_b * __w_obs") >= F.expr("__d_obs * __w_b")).cast("long")
+        )
+        .cast("long")
+        .alias("n_extreme"),
+    )
+    return out.selectExpr(
+        "CAST(32 AS BIGINT) AS n_perms",
+        "n_urgent",
+        "n_low",
+        "sum_urgent_cents",
+        "sum_low_cents",
+        "n_extreme",
+        f"""CAST((CAST(1000000 AS {dec}) * (n_extreme + 1)) DIV 33
+                 AS BIGINT) AS p_ppm""",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -19307,6 +19453,7 @@ _GRADE_NEXT: list[str] = [
     "events_user_rate_ladder",
     "pipeline_eval_protocol",
     "sql_limit_offset",
+    "stats_randomization_test",
     # r02-only certificates remaining after the round-7 promotion (21)
     "text_bigram_counts",
     "join_cross",

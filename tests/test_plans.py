@@ -2036,3 +2036,15 @@ def test_limit_offset_heap_topk(spark):
     (per-partition heaps sized offset+limit), never a global Sort."""
     plan = _plan(spark, "sql_limit_offset")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_randomization_test_combinable_fanout(spark):
+    """stats_randomization_test: the 32 re-randomizations must be a
+    broadcast fan-out of the filtered scan feeding ONE combinable
+    aggregate keyed by the permutation index — no window, no
+    data-sized shuffle beyond the 32-row grid, predicate pushed."""
+    plan = _plan(spark, "stats_randomization_test")
+    assert "windowspecdefinition" not in plan, plan
+    assert "partial_sum" in plan, plan
+    assert _pushed_nonempty(plan) >= 1, plan
+    assert "CartesianProduct" not in plan, plan

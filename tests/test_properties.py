@@ -10458,3 +10458,55 @@ def test_eval_protocol_matches_bruteforce(spark):
         for r in REGISTRY["pipeline_eval_protocol"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_randomization_test_matches_bruteforce(spark):
+    """stats_randomization_test: the observed cross-multiplied gap, all
+    32 md5 re-randomizations, the common-scale extremeness comparison,
+    and the add-one ppm p-value recomputed in Python."""
+    import hashlib
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    def h15(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = _smoke_table(
+        "orders",
+        [
+            "o_orderkey",
+            "CAST(round(100 * o_totalprice) AS BIGINT)",
+            "o_orderpriority",
+        ],
+    )
+    f = [(k, c, p == "1-URGENT") for k, c, p in rows
+         if p in ("1-URGENT", "5-LOW")]
+    s_u = sum(c for _, c, u in f if u)
+    s_l = sum(c for _, c, u in f if not u)
+    n_u = sum(1 for *_, u in f if u)
+    n_l = len(f) - n_u
+    d_obs, w_obs = abs(s_u * n_l - s_l * n_u), n_u * n_l
+    n_extreme = 0
+    for bi in range(1, 33):
+        ps_u = ps_l = pn_u = pn_l = 0
+        for k, c, _ in f:
+            if h15(f"perm{bi}:{k}") % 2 == 0:
+                ps_u += c
+                pn_u += 1
+            else:
+                ps_l += c
+                pn_l += 1
+        d_b, w_b = abs(ps_u * pn_l - ps_l * pn_u), pn_u * pn_l
+        if d_b * w_obs >= d_obs * w_b:
+            n_extreme += 1
+    r = REGISTRY["stats_randomization_test"].fn(spark, SF_SMOKE).collect()
+    assert len(r) == 1
+    assert (
+        r[0].n_perms, r[0].n_urgent, r[0].n_low,
+        r[0].sum_urgent_cents, r[0].sum_low_cents,
+        r[0].n_extreme, r[0].p_ppm,
+    ) == (32, n_u, n_l, s_u, s_l, n_extreme,
+          (1_000_000 * (n_extreme + 1)) // 33)
+    # null labels on null data: p must never be an impossible zero
+    assert r[0].p_ppm >= 30303
