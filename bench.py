@@ -91,6 +91,11 @@ SECONDARY = [
     "curation_dsir_importance",
     "rec_negative_sampling",
     "sim_knn_mutual_stats",
+    # round-8 flagships (eval-carve protocol; the Kruskal-Wallis grid
+    # cumulative — the heaviest consumer of the persist-fixed pid-window
+    # machinery, benched so a perf regression there is visible)
+    "pipeline_eval_protocol",
+    "stats_kruskal_wallis",
 ]
 
 
