@@ -19120,6 +19120,268 @@ def stats_randomization_test(spark, sf_dir):
     )
 
 
+@_q(
+    "events_cusum_per_type",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY event_type, d
+    ), tot AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(x) AS BIGINT) AS s
+      FROM daily GROUP BY event_type
+    ), c AS (
+      SELECT daily.event_type, d,
+             sum(CAST(tot.m AS HUGEINT) * x - tot.s)
+               OVER (PARTITION BY daily.event_type ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cu,
+             tot.m, tot.s
+      FROM daily JOIN tot USING (event_type)
+    ), peak AS (
+      SELECT event_type, m, s, d, abs(cu) AS a,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(cu) DESC, d) AS rn
+      FROM c
+    )
+    SELECT event_type, CAST(m AS BIGINT) AS n_days, d AS cp_date,
+           CAST(a AS BIGINT) AS peak_abs,
+           CAST((1000000 * CAST(a AS HUGEINT))
+                // (CAST(m AS HUGEINT) * s) AS BIGINT) AS peak_ppm
+    FROM peak WHERE rn = 1 ORDER BY event_type
+    """,
+)
+def events_cusum_per_type(spark, sf_dir):
+    """Keyed CUSUM changepoint monitoring — stats_cusum_changepoint
+    generalized to one monitor per event type, the shape a production
+    metrics platform actually runs (every metric gets its own
+    level-shift detector). Per type, the mean-cleared integer walk
+    C_t = Σ(m·x_t − S) peaks where that type's daily level shifted;
+    peak_ppm normalizes by m·S so detectors compare across types of
+    different volume. All exact 128-bit integers, earliest-date argmax
+    tie-break.
+
+    Scale: one combinable (type, day) aggregate; the per-type totals
+    join on the bounded type grid; the cumulative walk and argmax are
+    PARTITIONED windows over each type's O(days) grid — nothing
+    unpartitioned, nothing data-sized in a window."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count("*").cast("long").alias("x"))
+    tot = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    dec = "DECIMAL(38,0)"
+    w_walk = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = (
+        daily.join(F.broadcast(tot), "event_type")
+        .withColumn("dev", F.expr(f"CAST(m AS {dec}) * x - s"))
+        .withColumn("cu", F.sum("dev").over(w_walk))
+    )
+    w_peak = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cu")).desc(), F.col("d")
+    )
+    peak = c.withColumn("rn", F.row_number().over(w_peak)).filter(
+        F.col("rn") == 1
+    )
+    out = peak.selectExpr(
+        "event_type",
+        "CAST(m AS BIGINT) AS n_days",
+        "d AS cp_date",
+        "CAST(abs(cu) AS BIGINT) AS peak_abs",
+        f"CAST(1000000 AS {dec}) * abs(cu) AS __num",
+        f"(CAST(m AS {dec}) * s) AS __den",
+    )
+    return _floordiv_cols(out, "__num", "__den", "peak_ppm").select(
+        "event_type", "n_days", "cp_date", "peak_abs", "peak_ppm"
+    ).orderBy("event_type")
+
+
+@_q(
+    "events_attribution_window_curve",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, event_id,
+             epoch_us(ts) AS us,
+             max(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_view_us
+      FROM events
+    ), p AS (
+      SELECT us - last_view_us AS delta_us
+      FROM seq WHERE event_type = 'purchase'
+    ), w AS (
+      SELECT unnest([3600, 21600, 86400, 259200]) AS window_s
+    )
+    SELECT w.window_s,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchases,
+           CAST(count(*) FILTER (WHERE p.delta_us IS NOT NULL
+                  AND p.delta_us <= CAST(w.window_s AS BIGINT) * 1000000)
+                AS BIGINT) AS n_attributed,
+           CAST((1000000 * CAST(count(*) FILTER (WHERE p.delta_us IS NOT NULL
+                  AND p.delta_us <= CAST(w.window_s AS BIGINT) * 1000000)
+                  AS HUGEINT))
+                // greatest((SELECT count(*) FROM p), 1) AS BIGINT)
+             AS attributed_ppm
+    FROM w LEFT JOIN p ON TRUE
+    GROUP BY w.window_s ORDER BY w.window_s
+    """,
+)
+def events_attribution_window_curve(spark, sf_dir):
+    """The attribution-window tuning curve: what fraction of purchases
+    has a SAME-USER view within {1h, 6h, 24h, 72h} before it — measured
+    BEFORE anyone hard-codes an attribution window into revenue
+    reporting (attribution_linear_credit assumes one; this is the
+    evidence for choosing it; monotone non-decreasing in the window by
+    construction, pin-asserted). The preceding-view time rides ONE
+    user-partitioned conditional running max in deterministic
+    (ts, event_id) ROWS order — never a purchases×views join — and
+    deltas are exact integer microseconds against exact integer window
+    edges.
+
+    Scale: one user-keyed window shuffle; the 4-point curve is a
+    conditional aggregate against a broadcast window dimension."""
+    ev = _t(spark, sf_dir, "events")
+    w_seq = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seq = ev.withColumn(
+        "last_view_us",
+        F.max(
+            F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+        ).over(w_seq),
+    )
+    p = seq.filter(F.col("event_type") == "purchase").select(
+        (F.unix_micros("ts") - F.col("last_view_us")).alias("delta_us")
+    )
+    wdim = spark.range(1).selectExpr(
+        "explode(array(3600, 21600, 86400, 259200)) AS window_s"
+    )
+    dec = "DECIMAL(38,0)"
+    out = (
+        p.crossJoin(F.broadcast(wdim))
+        .groupBy("window_s")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum(
+                (
+                    F.col("delta_us").isNotNull()
+                    & (
+                        F.col("delta_us")
+                        <= F.col("window_s").cast("long") * 1000000
+                    )
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_attributed"),
+        )
+        .selectExpr(
+            "window_s",
+            "n_purchases",
+            "n_attributed",
+            f"CAST(1000000 AS {dec}) * n_attributed AS __num",
+            f"CAST(greatest(n_purchases, 1) AS {dec}) AS __den",
+        )
+    )
+    return _floordiv_cols(out, "__num", "__den", "attributed_ppm").select(
+        "window_s", "n_purchases", "n_attributed", "attributed_ppm"
+    ).orderBy("window_s")
+
+
+@_q(
+    "orders_repeat_rate",
+    """
+    WITH per_c AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(100 * o_totalprice) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ), j AS (
+      SELECT c_mktsegment AS seg, n_orders, cents
+      FROM per_c JOIN customer ON c_custkey = o_custkey
+    )
+    SELECT seg AS c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(count(*) FILTER (WHERE n_orders >= 2) AS BIGINT)
+             AS n_repeat,
+           CAST((1000000 * CAST(count(*) FILTER (WHERE n_orders >= 2)
+                  AS HUGEINT)) // count(*) AS BIGINT) AS repeat_ppm,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents,
+           CAST(sum(CASE WHEN n_orders >= 2 THEN cents ELSE 0 END)
+                AS BIGINT) AS repeat_revenue_cents,
+           CAST((1000000 * CAST(sum(CASE WHEN n_orders >= 2 THEN cents
+                                         ELSE 0 END) AS HUGEINT))
+                // greatest(sum(cents), 1) AS BIGINT)
+             AS repeat_revenue_ppm
+    FROM j GROUP BY seg ORDER BY c_mktsegment
+    """,
+)
+def orders_repeat_rate(spark, sf_dir):
+    """Repeat-customer rate and repeat-revenue concentration per market
+    segment — the retention headline every commerce dashboard leads
+    with (companion of customer_ltv_deciles and cohort_retention: this
+    is the one-line version executives read). Exact floored-ppm shares
+    from exact integer cents; the greatest(·,1) guard makes empty
+    segments emit 0 instead of dividing by zero.
+
+    Scale: one combinable per-customer aggregate (the only data-sized
+    shuffle), the customer dimension broadcast onto it, then a bounded
+    per-segment rollup."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    per_c = o.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.expr("CAST(round(100 * o_totalprice) AS BIGINT)"))
+        .cast("long")
+        .alias("cents"),
+    )
+    dec = "DECIMAL(38,0)"
+    j = per_c.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        per_c.o_custkey == F.col("c_custkey"),
+    )
+    out = (
+        j.groupBy(F.col("c_mktsegment"))
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum((F.col("n_orders") >= 2).cast("long"))
+            .cast("long")
+            .alias("n_repeat"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+            F.sum(F.when(F.col("n_orders") >= 2, F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("repeat_revenue_cents"),
+        )
+        .selectExpr(
+            "*",
+            f"CAST(1000000 AS {dec}) * n_repeat AS __rnum",
+            f"CAST(n_customers AS {dec}) AS __rden",
+            f"CAST(1000000 AS {dec}) * repeat_revenue_cents AS __vnum",
+            f"CAST(greatest(revenue_cents, 1) AS {dec}) AS __vden",
+        )
+    )
+    out = _floordiv_cols(out, "__rnum", "__rden", "repeat_ppm")
+    out = _floordiv_cols(out, "__vnum", "__vden", "repeat_revenue_ppm")
+    return out.select(
+        "c_mktsegment",
+        "n_customers",
+        "n_repeat",
+        "repeat_ppm",
+        "revenue_cents",
+        "repeat_revenue_cents",
+        "repeat_revenue_ppm",
+    ).orderBy("c_mktsegment")
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -19454,6 +19716,9 @@ _GRADE_NEXT: list[str] = [
     "pipeline_eval_protocol",
     "sql_limit_offset",
     "stats_randomization_test",
+    "events_cusum_per_type",
+    "events_attribution_window_curve",
+    "orders_repeat_rate",
     # r02-only certificates remaining after the round-7 promotion (21)
     "text_bigram_counts",
     "join_cross",

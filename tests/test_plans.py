@@ -2048,3 +2048,35 @@ def test_randomization_test_combinable_fanout(spark):
     assert "partial_sum" in plan, plan
     assert _pushed_nonempty(plan) >= 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_cusum_per_type_partitioned_walks(spark):
+    """events_cusum_per_type: every window spec must partition by
+    event_type — the walk and the argmax are keyed, never global."""
+    import re as _re
+
+    plan = _plan(spark, "events_cusum_per_type")
+    specs = _re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    assert specs and all("event_type#" in s for s in specs), specs
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_attribution_curve_single_user_window(spark):
+    """events_attribution_window_curve: the preceding-view time must be
+    ONE user-partitioned running window (never a purchases x views
+    join); the 4-point dimension broadcasts."""
+    import re as _re
+
+    plan = _plan(spark, "events_attribution_window_curve")
+    specs = _re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    assert specs and all("user_id#" in s for s in specs), specs
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_repeat_rate_broadcast_dim(spark):
+    """orders_repeat_rate: the customer dimension must broadcast onto
+    the per-customer aggregate; one data-sized shuffle only."""
+    plan = _plan(spark, "orders_repeat_rate")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "windowspecdefinition" not in plan, plan

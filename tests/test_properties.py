@@ -10510,3 +10510,117 @@ def test_randomization_test_matches_bruteforce(spark):
           (1_000_000 * (n_extreme + 1)) // 33)
     # null labels on null data: p must never be an impossible zero
     assert r[0].p_ppm >= 30303
+
+
+def test_cusum_per_type_matches_bruteforce(spark):
+    """events_cusum_per_type: each type's mean-cleared integer walk,
+    peak, and earliest-date argmax recomputed in Python (the keyed
+    generalization of the stats_cusum_changepoint pin); every walk must
+    close at 0."""
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("events", ["event_type", "CAST(ts AS DATE)"])
+    daily = Counter(rows)
+    expect = {}
+    for et in {t for t, _ in daily}:
+        days = sorted(d for (t, d) in daily if t == et)
+        m = len(days)
+        s = sum(daily[(et, d)] for d in days)
+        cu, best = 0, None
+        for d in days:
+            cu += m * daily[(et, d)] - s
+            a = abs(cu)
+            if best is None or a > best[0]:
+                best = (a, d)
+        assert cu == 0
+        expect[et] = (m, best[1], best[0], (1_000_000 * best[0]) // (m * s))
+    got = {
+        r.event_type: (r.n_days, r.cp_date, r.peak_abs, r.peak_ppm)
+        for r in REGISTRY["events_cusum_per_type"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_attribution_window_curve_matches_bruteforce(spark):
+    """events_attribution_window_curve: the running last-view time in
+    (ts, event_id) order, microsecond deltas, and the 4-point curve
+    recomputed in Python; the curve must be monotone non-decreasing in
+    the window and must attribute at least one purchase somewhere."""
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table(
+        "events", ["user_id", "event_type", "event_id", "epoch_us(ts)"]
+    )
+    per_user = defaultdict(list)
+    for uid, et, eid, us in rows:
+        per_user[uid].append((us, eid, et))
+    deltas = []
+    for uid, evs in per_user.items():
+        evs.sort()
+        last_view = None
+        for us, _, et in evs:
+            if et == "view":
+                last_view = us
+            elif et == "purchase":
+                deltas.append(None if last_view is None else us - last_view)
+    n_p = len(deltas)
+    got = {
+        r.window_s: (r.n_purchases, r.n_attributed, r.attributed_ppm)
+        for r in REGISTRY["events_attribution_window_curve"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    prev = -1
+    for w in (3600, 21600, 86400, 259200):
+        attr = sum(1 for d in deltas if d is not None and d <= w * 1_000_000)
+        assert got[w] == (n_p, attr, (1_000_000 * attr) // max(n_p, 1))
+        assert got[w][1] >= prev
+        prev = got[w][1]
+    assert prev > 0  # the fixture attributes something at 72h
+
+
+def test_repeat_rate_matches_bruteforce(spark):
+    """orders_repeat_rate: per-customer order counts/cents and both
+    floored-ppm shares recomputed per segment in Python."""
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    orders = _smoke_table(
+        "orders", ["o_custkey", "CAST(round(100 * o_totalprice) AS BIGINT)"]
+    )
+    seg = dict(_smoke_table("customer", ["c_custkey", "c_mktsegment"]))
+    per_c = defaultdict(lambda: [0, 0])
+    for ck, cents in orders:
+        per_c[ck][0] += 1
+        per_c[ck][1] += cents
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for ck, (n, cents) in per_c.items():
+        a = agg[seg[ck]]
+        a[0] += 1
+        a[2] += cents
+        if n >= 2:
+            a[1] += 1
+            a[3] += cents
+    expect = {
+        s: (
+            n_c, n_r, (1_000_000 * n_r) // n_c,
+            rev, rrev, (1_000_000 * rrev) // max(rev, 1),
+        )
+        for s, (n_c, n_r, rev, rrev) in agg.items()
+    }
+    got = {
+        r.c_mktsegment: (
+            r.n_customers, r.n_repeat, r.repeat_ppm,
+            r.revenue_cents, r.repeat_revenue_cents, r.repeat_revenue_ppm,
+        )
+        for r in REGISTRY["orders_repeat_rate"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
