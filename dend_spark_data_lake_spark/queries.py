@@ -19382,6 +19382,66 @@ def orders_repeat_rate(spark, sf_dir):
     ).orderBy("c_mktsegment")
 
 
+@_q(
+    "embed_dims_profile",
+    """
+    WITH x AS (
+      SELECT (i - 1) AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1024) AS BIGINT) AS q
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
+    )
+    SELECT CAST(dim AS INT) AS dim, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(q) AS BIGINT) AS sum_q,
+           CAST(sum(CAST(q AS HUGEINT) * q) AS BIGINT) AS sumsq_q,
+           CAST(count(*) * sum(CAST(q AS HUGEINT) * q)
+                - CAST(sum(q) AS HUGEINT) * sum(q) AS BIGINT) AS var_num
+    FROM x GROUP BY dim ORDER BY dim
+    """,
+)
+def embed_dims_profile(spark, sf_dir):
+    """Per-dimension embedding health profile — the 'dead/degenerate
+    dimension' diagnostic read before PCA, quantization, or truncation
+    (a dimension with tiny variance carries no information and wastes
+    index bits; one with a huge mean offset breaks cosine geometry).
+    Components quantize by floor(x·1024) (power-of-two scale — exact
+    double multiply, bit-identical floor cross-engine), and the profile
+    is exact integers: sum, sum of squares, and the variance NUMERATOR
+    n·Σq²−(Σq)² (always ≥ 0); means/variances are left as exact
+    sum+count per the engine's averages convention since the mean is
+    negative-capable. Feeds embed_pq_distortion (which dims deserve
+    codebook bits) and sim_truncated_dim_recall (which prefix to keep).
+
+    Scale: one posexplode + ONE combinable 64-group aggregate — no
+    window, no join; var_num exceeds BIGINT only past ~1e9 vectors (the
+    raw sums it also reports stay exact far beyond)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dec = "DECIMAL(38,0)"
+    x = emb.select(
+        F.posexplode(F.col("embedding")).alias("dim", "val")
+    ).selectExpr(
+        "dim",
+        "CAST(floor(CAST(val AS DOUBLE) * 1024) AS BIGINT) AS q",
+    )
+    return (
+        x.groupBy(F.col("dim").cast("int").alias("dim"))
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum("q").cast("long").alias("sum_q"),
+            F.sum(F.expr(f"CAST(q AS {dec}) * q")).cast("long").alias("sumsq_q"),
+        )
+        .selectExpr(
+            "dim",
+            "n_vecs",
+            "sum_q",
+            "sumsq_q",
+            f"""CAST(CAST(n_vecs AS {dec}) * sumsq_q
+                     - CAST(sum_q AS {dec}) * sum_q AS BIGINT) AS var_num""",
+        )
+        .orderBy("dim")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -19719,6 +19779,7 @@ _GRADE_NEXT: list[str] = [
     "events_cusum_per_type",
     "events_attribution_window_curve",
     "orders_repeat_rate",
+    "embed_dims_profile",
     # r02-only certificates remaining after the round-7 promotion (21)
     "text_bigram_counts",
     "join_cross",

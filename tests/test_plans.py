@@ -2080,3 +2080,13 @@ def test_repeat_rate_broadcast_dim(spark):
     plan = _plan(spark, "orders_repeat_rate")
     assert "BroadcastHashJoin" in plan, plan
     assert "windowspecdefinition" not in plan, plan
+
+
+def test_dims_profile_single_aggregate(spark):
+    """embed_dims_profile: posexplode into ONE combinable 64-group
+    aggregate — no window, no join."""
+    plan = _plan(spark, "embed_dims_profile")
+    assert "Generate" in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "partial_count" in plan, plan

@@ -10624,3 +10624,33 @@ def test_repeat_rate_matches_bruteforce(spark):
         for r in REGISTRY["orders_repeat_rate"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_embed_dims_profile_matches_bruteforce(spark):
+    """embed_dims_profile: floor(x·1024) quantization and the exact
+    per-dimension sums / variance numerator recomputed in Python;
+    var_num ≥ 0 always (it is n times a sum of squared deviations)."""
+    import math
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("embeddings", ["embedding"])
+    agg = defaultdict(lambda: [0, 0, 0])
+    for (emb,) in rows:
+        for d, x in enumerate(emb):
+            q = math.floor(float(x) * 1024)
+            a = agg[d]
+            a[0] += 1
+            a[1] += q
+            a[2] += q * q
+    expect = {
+        d: (n, s, ss, n * ss - s * s) for d, (n, s, ss) in agg.items()
+    }
+    got = {
+        r.dim: (r.n_vecs, r.sum_q, r.sumsq_q, r.var_num)
+        for r in REGISTRY["embed_dims_profile"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert all(v[3] >= 0 for v in expect.values())
