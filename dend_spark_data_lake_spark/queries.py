@@ -19442,6 +19442,163 @@ def embed_dims_profile(spark, sf_dir):
     )
 
 
+@_q(
+    "stats_sign_test",
+    """
+    WITH per AS (
+      SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS y,
+             CAST(sum(CAST(round(100 * o_totalprice) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+      GROUP BY o_custkey, y
+    ), pairs AS (
+      SELECT a.o_custkey, a.cents AS c95, b.cents AS c96
+      FROM per a JOIN per b
+        ON a.o_custkey = b.o_custkey AND a.y = 1995 AND b.y = 1996
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(count(*) FILTER (WHERE c96 > c95) AS BIGINT) AS n_up,
+             CAST(count(*) FILTER (WHERE c96 < c95) AS BIGINT) AS n_down,
+             CAST(count(*) FILTER (WHERE c96 = c95) AS BIGINT) AS n_tie
+      FROM pairs
+    )
+    SELECT n_pairs, n_up, n_down, n_tie,
+           CAST(CASE WHEN n_up + n_down = 0 THEN 0
+                ELSE (1000000 * CAST(n_up - n_down AS HUGEINT)
+                              * (n_up - n_down))
+                     // (n_up + n_down) END AS BIGINT) AS z2_e6,
+           (n_up + n_down > 0
+            AND 1000000 * CAST(n_up - n_down AS HUGEINT) * (n_up - n_down)
+                >= CAST(3841459 AS HUGEINT) * (n_up + n_down)) AS significant
+    FROM s
+    """,
+)
+def stats_sign_test(spark, sf_dir):
+    """Paired sign test — did per-customer spend move between 1995 and
+    1996? The assumption-free paired test (no symmetry, no
+    distribution): among customers active in BOTH years, count spend
+    increases vs decreases (exact-cents ties dropped, the standard
+    convention) and test S⁺ against Binomial(n, ½) via the
+    normal-approximation z² = (S⁺−S⁻)²/(S⁺+S⁻) in exact integer
+    micro-units with the exact χ²₍₁₎-95% comparison — the same
+    no-float-in-the-statistic posture as the A/B, Mann-Whitney, and
+    runs tests. Completes the paired branch of the inference battery
+    (the others are all two-independent-sample or one-sample).
+
+    Scale: one combinable (customer, year) aggregate, a customer-keyed
+    self-join of the two year slices, and a 1-row reduction; the year
+    predicate pushes to the scan."""
+    o = _t(spark, sf_dir, "orders").where(
+        F.expr("year(o_orderdate) IN (1995, 1996)")
+    )
+    per = o.groupBy(
+        "o_custkey", F.expr("CAST(year(o_orderdate) AS INT)").alias("y")
+    ).agg(
+        F.sum(F.expr("CAST(round(100 * o_totalprice) AS BIGINT)"))
+        .cast("long")
+        .alias("cents")
+    )
+    a = per.filter(F.col("y") == 1995).select(
+        "o_custkey", F.col("cents").alias("c95")
+    )
+    b = per.filter(F.col("y") == 1996).select(
+        "o_custkey", F.col("cents").alias("c96")
+    )
+    dec = "DECIMAL(38,0)"
+    s = (
+        a.join(b, "o_custkey")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum((F.col("c96") > F.col("c95")).cast("long"))
+            .cast("long")
+            .alias("n_up"),
+            F.sum((F.col("c96") < F.col("c95")).cast("long"))
+            .cast("long")
+            .alias("n_down"),
+            F.sum((F.col("c96") == F.col("c95")).cast("long"))
+            .cast("long")
+            .alias("n_tie"),
+        )
+    )
+    return s.selectExpr(
+        "n_pairs",
+        "n_up",
+        "n_down",
+        "n_tie",
+        f"""CAST(CASE WHEN n_up + n_down = 0 THEN 0
+             ELSE (CAST(1000000 AS {dec}) * (n_up - n_down) * (n_up - n_down))
+                  DIV (n_up + n_down) END AS BIGINT) AS z2_e6""",
+        f"""(n_up + n_down > 0
+             AND CAST(1000000 AS {dec}) * (n_up - n_down) * (n_up - n_down)
+                 >= CAST(3841459 AS {dec}) * (n_up + n_down)) AS significant""",
+    )
+
+
+@_q(
+    "ts_wma_daily",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(100 * o_totalprice) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY d
+    ), off AS (SELECT unnest(range(0, 7)) AS k),
+    w AS (
+      SELECT daily.d, CAST(daily.cents AS BIGINT) AS cents,
+             CAST(sum((7 - off.k) * d2.cents) AS BIGINT) AS wma_num,
+             CAST(sum(7 - off.k) AS BIGINT) AS wma_den
+      FROM daily
+      JOIN off ON TRUE
+      JOIN daily d2 ON d2.d = daily.d - CAST(off.k AS INT)
+      GROUP BY daily.d, daily.cents
+    )
+    SELECT d, cents, wma_num, wma_den
+    FROM w WHERE wma_den = 28 ORDER BY d
+    """,
+)
+def ts_wma_daily(spark, sf_dir):
+    """Triangular weighted moving average of daily revenue — the
+    lag-aware smoother between the plain rolling mean and the EWMA
+    (weights 7..1 over the trailing week make the smoother track turns
+    a flat window lags on). Emitted as the EXACT integer fraction
+    (wma_num / wma_den = Σwᵢ·xᵢ / 28) per the engine's
+    averages-are-rational convention; only fully-populated windows
+    (all 7 calendar days present) are reported, so a calendar gap can
+    never silently shrink a denominator — the same gap honesty as
+    ts_gapfill's explicit spine.
+
+    Scale: one combinable per-day aggregate, then a bounded 7-row
+    offset broadcast joined against the DAY GRID (never raw rows) —
+    the d-7 self-join posture of ts_seasonal_backtest; the WHERE on the
+    exact weight total is the full-window filter."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.expr("CAST(round(100 * o_totalprice) AS BIGINT)"))
+        .cast("long")
+        .alias("cents")
+    )
+    off = spark.range(7).selectExpr("CAST(id AS INT) AS k")
+    d2 = daily.select(
+        F.col("d").alias("d2"), F.col("cents").alias("cents2")
+    )
+    w = (
+        daily.crossJoin(F.broadcast(off))
+        .join(d2, F.expr("d2 = date_sub(d, k)"))
+        .groupBy("d", "cents")
+        .agg(
+            F.sum((7 - F.col("k")).cast("long") * F.col("cents2"))
+            .cast("long")
+            .alias("wma_num"),
+            F.sum((7 - F.col("k")).cast("long")).cast("long").alias("wma_den"),
+        )
+    )
+    return (
+        w.filter(F.col("wma_den") == 28)
+        .select("d", "cents", "wma_num", "wma_den")
+        .orderBy("d")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -19780,6 +19937,8 @@ _GRADE_NEXT: list[str] = [
     "events_attribution_window_curve",
     "orders_repeat_rate",
     "embed_dims_profile",
+    "stats_sign_test",
+    "ts_wma_daily",
     # r02-only certificates remaining after the round-7 promotion (21)
     "text_bigram_counts",
     "join_cross",

@@ -2090,3 +2090,24 @@ def test_dims_profile_single_aggregate(spark):
     assert "windowspecdefinition" not in plan, plan
     assert "Join" not in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_sign_test_pushdown_keyed_join(spark):
+    """stats_sign_test: the year predicate must push to the scan and
+    the pairing must be a customer-keyed equi-join — no window, nothing
+    cartesian."""
+    plan = _plan(spark, "stats_sign_test")
+    assert _pushed_nonempty(plan) >= 1, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_wma_grid_join_only(spark):
+    """ts_wma_daily: the smoother must join the bounded DAY GRID to
+    itself (with the 7-row offset broadcast), never raw orders; exactly
+    one parquet scan feeds both grid sides via reuse or re-aggregation —
+    no window over raw rows."""
+    plan = _plan(spark, "ts_wma_daily")
+    assert "windowspecdefinition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan

@@ -10654,3 +10654,77 @@ def test_embed_dims_profile_matches_bruteforce(spark):
     }
     assert got == expect
     assert all(v[3] >= 0 for v in expect.values())
+
+
+def test_sign_test_matches_bruteforce(spark):
+    """stats_sign_test: paired per-customer year spends, tie handling,
+    and the exact micro-unit z² recomputed in Python; the fixture must
+    produce a non-degenerate pair set with at least one move in each
+    direction."""
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table(
+        "orders",
+        [
+            "o_custkey",
+            "year(o_orderdate)",
+            "CAST(round(100 * o_totalprice) AS BIGINT)",
+        ],
+    )
+    per = defaultdict(int)
+    for ck, y, cents in rows:
+        if y in (1995, 1996):
+            per[(ck, y)] += cents
+    custs = {ck for ck, y in per if y == 1995} & {
+        ck for ck, y in per if y == 1996
+    }
+    up = sum(1 for ck in custs if per[(ck, 1996)] > per[(ck, 1995)])
+    down = sum(1 for ck in custs if per[(ck, 1996)] < per[(ck, 1995)])
+    tie = len(custs) - up - down
+    m = up + down
+    z2 = 0 if m == 0 else (1_000_000 * (up - down) * (up - down)) // m
+    r = REGISTRY["stats_sign_test"].fn(spark, SF_SMOKE).collect()
+    assert len(r) == 1
+    assert (
+        r[0].n_pairs, r[0].n_up, r[0].n_down, r[0].n_tie,
+        r[0].z2_e6, r[0].significant,
+    ) == (len(custs), up, down, tie, z2,
+          m > 0 and 1_000_000 * (up - down) ** 2 >= 3841459 * m)
+    assert up > 0 and down > 0
+
+
+def test_wma_daily_matches_bruteforce(spark):
+    """ts_wma_daily: triangular weights over the trailing calendar week
+    and the full-window filter recomputed in Python; every reported
+    fraction must satisfy den == 28 and num == Σ(7-k)·x(d-k)."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table(
+        "orders",
+        ["CAST(o_orderdate AS DATE)", "CAST(round(100 * o_totalprice) AS BIGINT)"],
+    )
+    daily = defaultdict(int)
+    for d, cents in rows:
+        daily[d] += cents
+    expect = {}
+    for d in daily:
+        vals = [daily.get(d - timedelta(days=k)) for k in range(7)]
+        if all(v is not None for v in vals):
+            expect[d] = (
+                daily[d],
+                sum((7 - k) * v for k, v in enumerate(vals)),
+                28,
+            )
+    got = {
+        r.d: (r.cents, r.wma_num, r.wma_den)
+        for r in REGISTRY["ts_wma_daily"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert len(expect) > 0
