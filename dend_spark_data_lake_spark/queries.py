@@ -19599,6 +19599,72 @@ def ts_wma_daily(spark, sf_dir):
     )
 
 
+@_q(
+    "dq_id_continuity",
+    """
+    WITH f AS (
+      SELECT o_orderkey AS id FROM orders WHERE o_orderstatus = 'F'
+    ), r AS (
+      SELECT id, id - row_number() OVER (ORDER BY id) AS island
+      FROM f
+    ), isl AS (
+      SELECT island, CAST(count(*) AS BIGINT) AS run_len FROM r
+      GROUP BY island
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM f) AS n_rows,
+           (SELECT CAST(min(id) AS BIGINT) FROM f) AS id_min,
+           (SELECT CAST(max(id) AS BIGINT) FROM f) AS id_max,
+           (SELECT CAST(max(id) - min(id) + 1 - count(*) AS BIGINT) FROM f)
+             AS n_missing,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(max(run_len) AS BIGINT) AS largest_island
+    FROM isl
+    """,
+)
+def dq_id_continuity(spark, sf_dir):
+    """Id-space continuity audit of a filtered subset (the fulfilled
+    orders): span vs row count gives the hole mass, and the classic
+    id − rank island key counts CONTIGUOUS RUNS — the fragmentation
+    number that prices a deletion pass (each island is one contiguous
+    range a rewrite/compaction touches; dq_primary_key_audit says ids
+    are unique, this says how they are laid out). The global dense rank
+    is the pid-window + broadcast-offset rewrite (ids_global_stable's
+    machinery), so no unpartitioned window ever orders the data-sized
+    id column; islands and the largest run are combinable aggregates on
+    the island key.
+
+    Scale: one range exchange + in-partition window, one combinable
+    island aggregate, a 1-row report; the status predicate pushes to
+    parquet."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    base = o.select(
+        F.col("o_orderkey").alias("id"),
+        F.lit(1).cast("long").alias("__one"),
+    )
+    c = PCT.global_cumulative_counts(base, "id", "__one")
+    isl = (
+        c.select((F.col("id") - F.col("__cw")).alias("island"))
+        .groupBy("island")
+        .agg(F.count("*").cast("long").alias("run_len"))
+    )
+    stats = base.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("id").cast("long").alias("id_min"),
+        F.max("id").cast("long").alias("id_max"),
+        (F.max("id") - F.min("id") + 1 - F.count("*"))
+        .cast("long")
+        .alias("n_missing"),
+    )
+    agg = isl.agg(
+        F.count("*").cast("long").alias("n_islands"),
+        F.max("run_len").cast("long").alias("largest_island"),
+    )
+    return stats.crossJoin(F.broadcast(agg)).select(
+        "n_rows", "id_min", "id_max", "n_missing", "n_islands",
+        "largest_island",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -19939,6 +20005,7 @@ _GRADE_NEXT: list[str] = [
     "embed_dims_profile",
     "stats_sign_test",
     "ts_wma_daily",
+    "dq_id_continuity",
     # r02-only certificates remaining after the round-7 promotion (21)
     "text_bigram_counts",
     "join_cross",

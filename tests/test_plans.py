@@ -2111,3 +2111,16 @@ def test_wma_grid_join_only(spark):
     assert "windowspecdefinition" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_id_continuity_pid_window_only(spark):
+    """dq_id_continuity: the dense rank must be the pid-window rewrite
+    (no unpartitioned window over the id column) and the status
+    predicate must push to the scan."""
+    import re as _re
+
+    plan = _plan(spark, "dq_id_continuity")
+    assert "windowspecdefinition(__pid#" in plan, plan
+    bad = _re.findall(r"windowspecdefinition\(id#\d+L? ASC", plan)
+    assert not bad, (bad, plan)
+    assert _pushed_nonempty(plan) >= 1, plan

@@ -10728,3 +10728,31 @@ def test_wma_daily_matches_bruteforce(spark):
     }
     assert got == expect
     assert len(expect) > 0
+
+
+def test_id_continuity_matches_bruteforce(spark):
+    """dq_id_continuity: the id − rank island decomposition of the
+    fulfilled-order id space recomputed in Python; islands must
+    partition the rows and the audit must be non-degenerate (the status
+    filter genuinely fragments the id space)."""
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table(
+        "orders", ["o_orderkey", "o_orderstatus"]
+    )
+    ids = sorted(k for k, st in rows if st == "F")
+    islands = Counter(i - rank for rank, i in enumerate(ids, start=1))
+    r = REGISTRY["dq_id_continuity"].fn(spark, SF_SMOKE).collect()
+    assert len(r) == 1
+    assert (
+        r[0].n_rows, r[0].id_min, r[0].id_max, r[0].n_missing,
+        r[0].n_islands, r[0].largest_island,
+    ) == (
+        len(ids), ids[0], ids[-1], ids[-1] - ids[0] + 1 - len(ids),
+        len(islands), max(islands.values()),
+    )
+    assert sum(islands.values()) == len(ids)
+    assert len(islands) > 1  # the filter fragments the space
