@@ -19665,6 +19665,139 @@ def dq_id_continuity(spark, sf_dir):
     )
 
 
+@_q(
+    "corpus_source_hapax_share",
+    r"""
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      FROM documents
+    ), df AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY w
+    ), s AS (
+      SELECT t.source,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(*) FILTER (WHERE df.n = 1) AS BIGINT) AS n_hapax
+      FROM toks t JOIN df ON df.w = t.w
+      GROUP BY t.source
+    )
+    SELECT source, n_tokens, n_hapax,
+           CAST((1000000 * CAST(n_hapax AS HUGEINT)) // n_tokens AS BIGINT)
+             AS hapax_share_ppm
+    FROM s ORDER BY source
+    """,
+)
+def corpus_source_hapax_share(spark, sf_dir):
+    """Per-source share of corpus-hapax tokens — the crawl-junk
+    attribution signal: a source whose token stream is disproportionally
+    made of words NOBODY else (nor itself) repeats is shipping noise
+    (boilerplate ids, OCR garbage, random strings), and that is the
+    source a cleaning pass should visit first. Complements the
+    corpus-level frequency spectrum (vocab_freq_spectrum says HOW MUCH
+    hapax mass exists; this says WHO contributes it) and the per-doc
+    TTR/hapax ratios (text_ttr_hapax is doc-local; hapax here is
+    corpus-global). Exact floored ppm.
+
+    Scale: one token explode feeding a combinable document-frequency
+    aggregate (the corpus shuffle), then the hapax flag joins back
+    token-keyed onto the same stream — both sides keyed by the token,
+    co-partitionable; the rollup is a bounded |sources|-row aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+    )
+    df = toks.groupBy("w").agg(F.count("*").cast("long").alias("n"))
+    dec = "DECIMAL(38,0)"
+    s = (
+        toks.join(df, "w")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum((F.col("n") == 1).cast("long")).cast("long").alias("n_hapax"),
+        )
+        .selectExpr(
+            "source",
+            "n_tokens",
+            "n_hapax",
+            f"CAST(1000000 AS {dec}) * n_hapax AS __num",
+            f"CAST(n_tokens AS {dec}) AS __den",
+        )
+    )
+    return _floordiv_cols(s, "__num", "__den", "hapax_share_ppm").select(
+        "source", "n_tokens", "n_hapax", "hapax_share_ppm"
+    ).orderBy("source")
+
+
+@_q(
+    "text_word_length_profile",
+    r"""
+    WITH toks AS (
+      SELECT length(unnest(string_split_regex(trim(lower(text)), '\s+')))
+               AS wl
+      FROM documents
+    ), g AS (
+      SELECT CAST(wl AS INT) AS word_len, CAST(count(*) AS BIGINT) AS n
+      FROM toks GROUP BY wl
+    ), c AS (
+      SELECT word_len, n,
+             sum(n) OVER (ORDER BY word_len) AS cw,
+             sum(n) OVER () AS t
+      FROM g
+    )
+    SELECT word_len, n,
+           CAST((1000000 * CAST(n AS HUGEINT)) // t AS BIGINT) AS share_ppm,
+           (2 * cw >= t AND 2 * (cw - n) < t) AS is_median_len,
+           (20 * cw >= 19 * t AND 20 * (cw - n) < 19 * t) AS is_p95_len
+    FROM c ORDER BY word_len
+    """,
+)
+def text_word_length_profile(spark, sf_dir):
+    """Word-length distribution of the corpus token stream with exact
+    median / p95 marker flags — the tokenizer-calibration input (max
+    word length bounds the BPE merge depth per word; the p95 decides
+    the pre-tokenizer's long-token split threshold; pairs with
+    tokenizer_fertility_by_lang which measures AFTER tokenization, this
+    measures BEFORE). The percentile flags mark the percentile_disc
+    bucket by exact rank straddling (den·cw crosses num·t inside this
+    bucket) — no percentile value is ever computed in float, and the
+    whole profile is the bounded word-length grid.
+
+    Scale: one token explode → combinable length counts; the cumulative
+    window runs over the bounded ≤~40-row length grid (longest word in
+    any natural corpus is tiny) — unpartitioned by design and safe, the
+    documented bounded-grid exception."""
+    d = _t(spark, sf_dir, "documents")
+    g = (
+        d.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
+        )
+        .select(F.length("w").cast("int").alias("word_len"))
+        .groupBy("word_len")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    # bounded: the distinct word-length grid (≤ longest word, ~dozens)
+    w_cum = Window.orderBy("word_len").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dec = "DECIMAL(38,0)"
+    c = g.withColumn("cw", F.sum("n").over(w_cum)).withColumn(
+        "t", F.sum("n").over(Window.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+    )
+    out = c.selectExpr(
+        "word_len",
+        "n",
+        f"CAST(1000000 AS {dec}) * n AS __num",
+        f"CAST(t AS {dec}) AS __den",
+        "(2 * cw >= t AND 2 * (cw - n) < t) AS is_median_len",
+        "(20 * cw >= 19 * t AND 20 * (cw - n) < 19 * t) AS is_p95_len",
+    )
+    return _floordiv_cols(out, "__num", "__den", "share_ppm").select(
+        "word_len", "n", "share_ppm", "is_median_len", "is_p95_len"
+    ).orderBy("word_len")
+
+
 # ---------------------------------------------------------------------------
 # Registry grading order
 # ---------------------------------------------------------------------------
@@ -20006,6 +20139,8 @@ _GRADE_NEXT: list[str] = [
     "stats_sign_test",
     "ts_wma_daily",
     "dq_id_continuity",
+    "corpus_source_hapax_share",
+    "text_word_length_profile",
     # r02-only certificates remaining after the round-7 promotion (21)
     "text_bigram_counts",
     "join_cross",

@@ -2124,3 +2124,25 @@ def test_id_continuity_pid_window_only(spark):
     bad = _re.findall(r"windowspecdefinition\(id#\d+L? ASC", plan)
     assert not bad, (bad, plan)
     assert _pushed_nonempty(plan) >= 1, plan
+
+
+def test_source_hapax_token_keyed_join(spark):
+    """corpus_source_hapax_share: the hapax flag must join back
+    token-keyed (SMJ/SHJ/BHJ on the token), never a nested-loop; both
+    aggregates map-side combine."""
+    plan = _plan(spark, "corpus_source_hapax_share")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_word_length_profile_bounded_grid_window(spark):
+    """text_word_length_profile: the only window runs over the bounded
+    word-length grid AFTER the combinable aggregate — no window spec
+    may reference the raw token column."""
+    import re as _re
+
+    plan = _plan(spark, "text_word_length_profile")
+    bad = _re.findall(r"windowspecdefinition\([^)]*\bw#[^)]*\)", plan)
+    assert not bad, (bad, plan)
+    assert "partial_count" in plan, plan

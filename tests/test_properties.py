@@ -10756,3 +10756,72 @@ def test_id_continuity_matches_bruteforce(spark):
     )
     assert sum(islands.values()) == len(ids)
     assert len(islands) > 1  # the filter fragments the space
+
+
+def test_source_hapax_share_matches_bruteforce(spark):
+    """corpus_source_hapax_share: corpus-global document-frequency,
+    per-source hapax attribution, and the floored ppm share recomputed
+    in Python; hapax totals must reconcile with the corpus spectrum."""
+    import re
+    from collections import Counter, defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("documents", ["source", "text"])
+    toks = []
+    for src, text in rows:
+        for w in re.split(r"\s+", text.strip().lower()):
+            toks.append((src, w))
+    df = Counter(w for _, w in toks)
+    agg = defaultdict(lambda: [0, 0])
+    for src, w in toks:
+        agg[src][0] += 1
+        if df[w] == 1:
+            agg[src][1] += 1
+    expect = {
+        s: (n, h, (1_000_000 * h) // n) for s, (n, h) in agg.items()
+    }
+    got = {
+        r.source: (r.n_tokens, r.n_hapax, r.hapax_share_ppm)
+        for r in REGISTRY["corpus_source_hapax_share"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert sum(h for _, h, _ in expect.values()) == sum(
+        1 for c in df.values() if c == 1
+    )
+
+
+def test_word_length_profile_matches_bruteforce(spark):
+    """text_word_length_profile: length counts, ppm shares, and the
+    exact rank-straddle median/p95 flags recomputed in Python; exactly
+    one bucket carries each flag."""
+    import re
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("documents", ["text"])
+    cnt = Counter()
+    for (text,) in rows:
+        for w in re.split(r"\s+", text.strip().lower()):
+            cnt[len(w)] += 1
+    t = sum(cnt.values())
+    expect, cw = {}, 0
+    for wl in sorted(cnt):
+        n = cnt[wl]
+        cw += n
+        expect[wl] = (
+            n,
+            (1_000_000 * n) // t,
+            2 * cw >= t and 2 * (cw - n) < t,
+            20 * cw >= 19 * t and 20 * (cw - n) < 19 * t,
+        )
+    got = {
+        r.word_len: (r.n, r.share_ppm, r.is_median_len, r.is_p95_len)
+        for r in REGISTRY["text_word_length_profile"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert sum(1 for v in expect.values() if v[2]) == 1
+    assert sum(1 for v in expect.values() if v[3]) == 1
