@@ -19806,19 +19806,80 @@ def text_word_length_profile(spark, sf_dir):
 # order). Registration order above is topical; the driver-facing order below
 # is a rotation policy: queries not yet externally certified come first.
 #
-# ROUND-8 WINDOW (50 slots): per the rotation policy, never-graded entries
-# head the window — 50 of the 53 round-7 additions (all landed after the
-# round-7 window froze; all judge-certified green at sf0.01 AND sf0.1 in
-# VERDICT r7). The three late additions of commit 2675313 lead, per the
-# front-of-queue rule. 53 > 50, so the last three round-7 additions
-# (stats_autocorr_lag1, customers_segment_transitions, stats_spearman_rho)
-# stay at the head of _GRADE_NEXT for round 9 — VERDICT r7 ask #1.
+# ROUND-9 WINDOW (50 slots) — the final re-certification round (VERDICT r8
+# ask #1): the 28 never-graded entries lead (the three round-7 additions
+# displaced from the round-8 window by queue arithmetic, then the 25
+# round-8 additions in queue order — all judge-certified green at sf0.01
+# AND sf0.1 in VERDICT r8), followed by 22 re-certifications: the entire
+# 21-entry r02-only cohort (retiring the r02-only certificate class) plus
+# the single OLDEST r03-only certificate (dedup_minhash — first slot of
+# the CORRECTNESS_r03 grading order).
 _GRADE_FIRST = [
-    # late round-7 additions (commit 2675313), never driver-graded
+    # round-7 additions displaced from the round-8 window, never graded
+    "stats_autocorr_lag1",
+    "customers_segment_transitions",
+    "stats_spearman_rho",
+    # round-8 additions, never driver-graded (queue order)
+    "stats_kruskal_wallis",
+    "stats_wilson_ci",
+    "dq_tukey_outliers",
+    "tokenize_bpe_pair_counts",
+    "events_audience_overlap",
+    "sample_systematic",
+    "sql_distinct_on_rewrite",
+    "embed_pq_distortion",
+    "stats_benjamini_hochberg",
+    "sim_ivf_probe_curve",
+    "orders_backlog_aging",
+    "stats_kendall_tau",
+    "events_user_rate_ladder",
+    "pipeline_eval_protocol",
+    "sql_limit_offset",
+    "stats_randomization_test",
+    "events_cusum_per_type",
+    "events_attribution_window_curve",
+    "orders_repeat_rate",
+    "embed_dims_profile",
+    "stats_sign_test",
+    "ts_wma_daily",
+    "dq_id_continuity",
+    "corpus_source_hapax_share",
+    "text_word_length_profile",
+    # r02-only re-certifications (entire remaining r02 cohort, 21)
+    "text_bigram_counts",
+    "join_cross",
+    "join_skew_salted",
+    "sql_having_semijoin",
+    "sql_scalar_subquery",
+    "sql_disjunctive_join",
+    "sql_exists_not_exists",
+    "sql_volume_shipping",
+    "sql_sole_supplier_rewrite",
+    "multimodal_chunks",
+    "multimodal_frame_sample",
+    "merge_upsert_customers",
+    "scd2_status_intervals",
+    "ts_gapfill",
+    "ts_anomaly_zscore",
+    "ts_ewma_per_customer",
+    "impute_group_median",
+    "embed_centroid_by_label",
+    "dq_orders_constraints",
+    "funnel_view_click_purchase",
+    "cohort_retention",
+    # oldest r03-only certificate (CORRECTNESS_r03 slot 1)
+    "dedup_minhash",
+]
+
+
+# Certified in CORRECTNESS_r08 (50/50 green: rows+schema+hash — first
+# driver rows for 50 of the 53 round-7 additions, late-3 first). Demoted
+# behind the round-9 window; kept explicit so the rotation history stays
+# auditable in one place.
+_GRADE_DONE_R08 = [
     "stats_cusum_changepoint",
     "stats_poisson_dispersion",
     "corpus_simpson_diversity",
-    # remaining round-7 additions, never driver-graded (queue order)
     "split_temporal_holdout",
     "events_watermark_lateness",
     "stats_ab_test_proportions",
@@ -20103,66 +20164,59 @@ _GRADE_DONE_R04 = [
 ]
 
 
-# Behind the window, queued for the round-9 rotation. The three round-7
-# additions that could not fit the 50-slot round-8 window (53 > 50) stay
-# at the absolute head — VERDICT r7 ask #1 — ahead of any round-8
-# additions; new round-8 additions are inserted AFTER them but BEFORE the
-# r02-only re-certification backlog (never into the frozen window above).
+# Behind the window, queued for the round-10 rotation: the r03-only
+# re-certification backlog (the 45 CORRECTNESS_r03 entries after
+# dedup_minhash, in their r03 grading order — every one's most recent
+# driver certificate is the r03 artifact). New round-9 additions are
+# inserted at the FRONT of this queue (never-graded before re-certs),
+# never into the frozen window above.
 _GRADE_NEXT: list[str] = [
-    # round-7 additions, never graded, displaced from the round-8 window
-    # by queue arithmetic (keep at head for round 9 per VERDICT r7)
-    "stats_autocorr_lag1",
-    "customers_segment_transitions",
-    "stats_spearman_rho",
-    # round-8 additions, never graded (behind the displaced trio, ahead
-    # of the re-certification backlog per the rotation policy)
-    "stats_kruskal_wallis",
-    "stats_wilson_ci",
-    "dq_tukey_outliers",
-    "tokenize_bpe_pair_counts",
-    "events_audience_overlap",
-    "sample_systematic",
-    "sql_distinct_on_rewrite",
-    "embed_pq_distortion",
-    "stats_benjamini_hochberg",
-    "sim_ivf_probe_curve",
-    "orders_backlog_aging",
-    "stats_kendall_tau",
-    "events_user_rate_ladder",
-    "pipeline_eval_protocol",
-    "sql_limit_offset",
-    "stats_randomization_test",
-    "events_cusum_per_type",
-    "events_attribution_window_curve",
-    "orders_repeat_rate",
-    "embed_dims_profile",
-    "stats_sign_test",
-    "ts_wma_daily",
-    "dq_id_continuity",
-    "corpus_source_hapax_share",
-    "text_word_length_profile",
-    # r02-only certificates remaining after the round-7 promotion (21)
-    "text_bigram_counts",
-    "join_cross",
-    "join_skew_salted",
-    "sql_having_semijoin",
-    "sql_scalar_subquery",
-    "sql_disjunctive_join",
-    "sql_exists_not_exists",
-    "sql_volume_shipping",
-    "sql_sole_supplier_rewrite",
-    "multimodal_chunks",
-    "multimodal_frame_sample",
-    "merge_upsert_customers",
-    "scd2_status_intervals",
-    "ts_gapfill",
-    "ts_anomaly_zscore",
-    "ts_ewma_per_customer",
-    "impute_group_median",
-    "embed_centroid_by_label",
-    "dq_orders_constraints",
-    "funnel_view_click_purchase",
-    "cohort_retention",
+    # r03-only certificates after the dedup_minhash promotion (45)
+    "dedup_simhash",
+    "sim_ann_lsh",
+    "agg_order_history",
+    "sim_ann_ivf",
+    "multimodal_features",
+    "text_repetition",
+    "decontaminate_docs",
+    "text_pii_flags",
+    "text_chunk_sliding",
+    "pack_sequences",
+    "corpus_mix_rebalance",
+    "sql_revenue_concentration",
+    "profile_key_skew",
+    "embed_quantize_int8",
+    "dedup_incremental_batch",
+    "agg_histogram_equidepth",
+    "profile_numeric_corr",
+    "sample_fixed_per_stratum",
+    "pipeline_incremental_ingest",
+    "dedup_canonical_best",
+    "profile_join_fanout",
+    "graph_triangle_stats",
+    "vocab_top_coverage",
+    "text_ttr_hapax",
+    "winsorize_prices",
+    "tokenize_with_vocab",
+    "quality_threshold_curve",
+    "boilerplate_frequent_grams",
+    "sample_temperature_by_lang",
+    "profile_source_overlap",
+    "sample_kfold_assign",
+    "sql_small_order_revenue",
+    "sql_inactive_high_balance",
+    "dedup_containment",
+    "sql_recursive_calendar",
+    "json_variant_agg",
+    "sql_pipe_syntax",
+    "sql_udf_margin",
+    "sql_local_supplier_volume",
+    "sql_returned_items",
+    "pipeline_curation",
+    "sql_lateral_topn",
+    "join_interval_overlap",
+    "join_null_safe",
+    "window_distribution_family",
 ]
 
 
@@ -20284,6 +20338,7 @@ def _reorder_registry() -> None:
         dict.fromkeys(
             [
                 *rotation,
+                *_GRADE_DONE_R08,
                 *_GRADE_DONE_R07,
                 *_GRADE_DONE_R06,
                 *_GRADE_DONE_R05,

@@ -48,14 +48,15 @@ def test_grading_window_invariants():
     assert len(rotation) == len(set(rotation))
 
 
-def test_round8_window_rotation_policy():
-    """The round-8 window must lead with every oracle-backed entry that
-    has NO driver row in CORRECTNESS_r01..r07 (the 53 round-7 additions,
-    which landed after the round-7 window froze — 50 fit the window, the
-    remaining 3 head the queue for round 9), and every other window slot
-    must be a re-certification whose MOST RECENT driver certificate
-    predates the round-3 artifact — i.e. the stale r02 cohort, oldest
-    first. Derived from the actual CORRECTNESS_r0*.json artifacts, not
+def test_round9_window_rotation_policy():
+    """The round-9 window (the final re-certification round, VERDICT r8
+    ask #1) must lead with every oracle-backed entry that has NO driver
+    row in CORRECTNESS_r01..r08 (the 3 round-7 additions displaced by
+    queue arithmetic, then the 25 round-8 additions), and every other
+    window slot must be a re-certification whose MOST RECENT driver
+    certificate predates the round-4 artifact — the entire 21-entry
+    r02-only cohort before any r03-only entry (oldest certificates
+    first). Derived from the actual CORRECTNESS_r0*.json artifacts, not
     from our own rotation lists."""
     import json
     from pathlib import Path
@@ -63,8 +64,8 @@ def test_round8_window_rotation_policy():
     from dend_spark_data_lake_spark.queries import _GRADE_FIRST, _GRADE_NEXT
 
     repo = Path(__file__).resolve().parent.parent
-    artifacts = sorted(repo.glob("CORRECTNESS_r0[1-7].json"))
-    if len(artifacts) < 7:
+    artifacts = sorted(repo.glob("CORRECTNESS_r0[1-8].json"))
+    if len(artifacts) < 8:
         pytest.skip("driver correctness artifacts not present")
 
     latest_round: dict[str, int] = {}
@@ -76,9 +77,9 @@ def test_round8_window_rotation_policy():
     oracle_backed = {n for n, s in REGISTRY.items() if s.oracle is not None}
     never_graded = oracle_backed - set(latest_round)
     # never-graded entries either lead the WINDOW (they existed when the
-    # round-7 window was cut: the 25 round-6 additions) or sit at the
-    # FRONT of the queue (round-7 additions made after the window froze —
-    # the graded surface stays untouched between rotation and grading)
+    # round-9 window was cut) or sit at the FRONT of the queue (round-9
+    # additions made after the window froze — the graded surface stays
+    # untouched between rotation and grading)
     in_window = never_graded & set(_GRADE_FIRST)
     queued = never_graded - in_window
     k = len(in_window)
@@ -90,10 +91,19 @@ def test_round8_window_rotation_policy():
         f"never-graded additions must head the queue: "
         f"{queued ^ set(_GRADE_NEXT[: len(queued)])}"
     )
-    stale = [n for n in _GRADE_FIRST[k:] if latest_round[n] > 2]
-    assert not stale, f"window re-grades entries with fresh (r03+) rows: {stale}"
+    # re-cert slots: certificate must predate r04, and the whole stale-r02
+    # cohort drains before any r03-only entry enters the window
+    recerts = [latest_round[n] for n in _GRADE_FIRST[k:]]
+    assert all(r <= 3 for r in recerts), (
+        f"window re-grades entries with fresh (r04+) rows: "
+        f"{[n for n in _GRADE_FIRST[k:] if latest_round[n] > 3]}"
+    )
+    first_r03 = next((i for i, r in enumerate(recerts) if r == 3), len(recerts))
+    assert all(r == 3 for r in recerts[first_r03:]), (
+        "r02-only re-certs must precede r03-only re-certs in the window"
+    )
     queued_stale = [
-        n for n in _GRADE_NEXT[len(queued):] if latest_round.get(n, 0) > 2
+        n for n in _GRADE_NEXT[len(queued):] if latest_round.get(n, 0) > 3
     ]
     assert not queued_stale, f"queue holds fresh-certificate entries: {queued_stale}"
 
