@@ -96,6 +96,9 @@ SECONDARY = [
     # machinery, benched so a perf regression there is visible)
     "pipeline_eval_protocol",
     "stats_kruskal_wallis",
+    # round-9 flagship (IVF + trained-PQ ADC serving; the end-to-end ANN
+    # path — benched so codebook-training cost regressions are visible)
+    "pipeline_ann_serving",
 ]
 
 

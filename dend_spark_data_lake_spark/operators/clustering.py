@@ -127,6 +127,148 @@ def _assign_q(vectors: DataFrame, centroids: list[list[int]]) -> DataFrame:
     return vectors.withColumn("cluster", F.array_min(dists)["i"])
 
 
+def _assign_pq(
+    subs: DataFrame, codebook: list[list[list[int]]]
+) -> DataFrame:
+    """Integer-exact nearest-code assignment for product quantization:
+    ``subs`` carries one row per (vector, subspace) with the quantized
+    sub-vector ``sub``; ``codebook[s][j]`` is code j of subspace s. The
+    whole m x k x sub_dim codebook enters the plan as ONE nested array
+    literal indexed by the row's subspace id (``element_at``), so the
+    assignment is a pure projection — no join, no shuffle — and every
+    distance is a BIGINT sum of BIGINT squares (ties broken by lower code
+    index via struct ordering), bit-reproducible on any engine."""
+    cb_lit = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(int(x)).cast("long") for x in c])
+                    for c in per_s
+                ]
+            )
+            for per_s in codebook
+        ]
+    )
+    dists = F.transform(
+        F.element_at(cb_lit, F.col("s") + 1),
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("sub"), c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            i.alias("i"),
+        ),
+    )
+    best = F.array_min(dists)
+    return subs.withColumn("code", best["i"]).withColumn("d2", best["d"])
+
+
+def pq_train_quantized(
+    vectors: DataFrame,
+    m: int = 8,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1024,
+) -> tuple[DataFrame, list[list[list[int]]]]:
+    """Train a product-quantization codebook: ``m`` independent k-means
+    runs, one per subspace of ``dim/m`` consecutive components, executed
+    as ONE grouped dataflow (every per-iteration job covers all m
+    subspaces — the subspace id is just another group key, not a loop).
+    Closes the documented stand-in in embed_pq_distortion (md5-derived
+    codebook) with a codebook actually fitted to the corpus.
+
+    Same exactness contract as ``kmeans_lloyd_quantized``: components
+    quantize to ``floor(x*scale + 0.5)`` integers, distances and centroid
+    sums are BIGINT-exact, new centroids are ``floor(S/n)``, empty codes
+    keep their previous centroid, and the assignment argmin tie-breaks on
+    the code index — so the full training trajectory replays exactly in
+    ANSI SQL (the ``embed_pq_codebook_train`` DuckDB oracle).
+
+    Returns ``(assignments, codebook)``: assignments is the MATERIALIZED
+    persisted (id, s, code, d2) frame (caller may ``unpersist()``);
+    codebook is the trained ``[m][k][dim/m]`` integer list — k*dim ints,
+    driver-bounded regardless of corpus size.
+
+    Scale posture: the data-sized relation is the exploded (vector,
+    subspace) stream, m rows per vector; each iteration touches it once
+    with a literal-indexed projection (no join) and one combinable
+    (s, code, pos)-keyed aggregate of m*k*sub_dim groups. Driver state is
+    the k*dim-int codebook per iteration — never data-sized."""
+    vecs = vectors.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(
+                x.cast("double") * F.lit(float(scale)) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("xq"),
+    )
+    seed_rows = vecs.orderBy("id").limit(k).select("xq").collect()
+    assert len(seed_rows) == k, f"need >= {k} vectors to seed the codebook"
+    dim = len(seed_rows[0].xq)
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    sd = dim // m
+    subs = (
+        vecs.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).cast("int").alias("s"),
+                            F.slice("xq", s * sd + 1, sd).alias("sub"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("e"),
+        )
+        .select("id", "e.s", "e.sub")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    codebook = [
+        [[int(v) for v in r.xq[s * sd : (s + 1) * sd]] for r in seed_rows]
+        for s in range(m)
+    ]
+    for _ in range(iters):
+        assigned = _assign_pq(subs, codebook)
+        new_rows = (
+            assigned.select("s", "code", F.posexplode("sub").alias("pos", "v"))
+            .groupBy("s", "code", "pos")
+            .agg(
+                F.floor(F.sum("v").cast("double") / F.count("*"))
+                .cast("long")
+                .alias("c")
+            )
+            .groupBy("s", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select("s", "code", F.col("pc.c").alias("centroid"))
+            .collect()
+        )
+        upd = {(r.s, r.code): [int(v) for v in r.centroid] for r in new_rows}
+        # empty codes keep their previous centroid
+        codebook = [
+            [upd.get((s, j), codebook[s][j]) for j in range(k)]
+            for s in range(m)
+        ]
+
+    # materialize the final assignment BEFORE releasing the persisted
+    # sub-vector stream (see kmeans_lloyd) — (id, s, code, d2) is four
+    # narrow columns, far smaller than the sub-vectors it replaces
+    out = (
+        _assign_pq(subs, codebook)
+        .select("id", "s", "code", "d2")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    out.count()
+    subs.unpersist()
+    return out, codebook
+
+
 def kmeans_lloyd_quantized(
     vectors: DataFrame,
     k: int = 8,

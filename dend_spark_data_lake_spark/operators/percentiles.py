@@ -12,6 +12,15 @@ Scale posture: the grid aggregate is map-side combinable; the window runs
 over the per-key grid (days, token lengths, 2-decimal cents — all bounded
 domains). For genuinely continuous domains the drop-in swap is
 ``approx_percentile`` over the raw rows; the call sites document that.
+
+Cache lifetime (ADVICE r8): global_cumulative_counts / distributed_ntile /
+global_running_max each ``persist()`` their range-partitioned frame — the
+determinism fix — and CANNOT unpersist it themselves (the returned frame is
+lazy; the caller's action happens after this function returns). The cached
+relation lives until session end or ``spark.catalog.clearCache()``. Grids
+here are distinct-value-domain-sized (not row-sized), so one leak is small,
+but long multi-query sessions should clear between queries the way
+``tools/oracle_sweep.py`` does.
 """
 
 from __future__ import annotations
@@ -325,6 +334,7 @@ def global_running_max(
     n_parts: int = 32,
     cum_name: str = "__cmax",
     inclusive: bool = True,
+    assume_deterministic: bool = True,
 ) -> DataFrame:
     """Distributed GLOBAL running maximum of ``agg_col`` over ``grid``
     ordered by ``value_col`` — the max-monoid sibling of
@@ -337,12 +347,18 @@ def global_running_max(
     ordered BEFORE this one; NULL for the global first row) — the form
     skyline/frontier tests need. The grid must be deterministic under
     re-evaluation (same contract as global_cumulative_counts; enforced
-    by the same structural lineage check).
+    by the same structural lineage check) — for a legitimately
+    nondeterministic grid pass ``assume_deterministic=False`` to pin one
+    evaluation via an eager ``localCheckpoint`` (ADVICE r8: this helper
+    previously advertised that escape hatch without offering it).
     """
-    _require_deterministic(grid, "global_running_max")
+    if assume_deterministic:
+        _require_deterministic(grid, "global_running_max")
     p = grid.repartitionByRange(n_parts, value_col).withColumn(
         "__pid", F.spark_partition_id()
     )
+    if not assume_deterministic:
+        p = p.localCheckpoint()
     # single materialization for both branches — see the persist note in
     # global_cumulative_counts (here the local-max branch and the sizes
     # branch both re-evaluate the range exchange)

@@ -18186,6 +18186,383 @@ def embed_pq_distortion(spark, sf_dir):
     )
 
 
+# --- product-quantization training + ANN serving composite ----------------
+# Shared by the oracle builders AND the query bodies (the oracle replays
+# whatever these say — a change must reach both or they silently desync,
+# the kmeans_clusters lesson). scale=1024 keeps per-subspace distances in
+# comfortable BIGINT range; iters=2 is certification-sufficient (the
+# oracle replays the identical trajectory, so more iterations add cost,
+# not certification strength).
+PQ_M = 8
+PQ_K = 8
+PQ_ITERS = 2
+PQ_SCALE = 1024
+PQ_DIM = 64  # embeddings.embedding is 64-dim at every SF (TESTDATA.md)
+ANN_CENTROID_MOD = 100
+ANN_QUERY_CAP = 10
+ANN_TOPK = 5
+
+
+def _pq_train_ctes(
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    scale: int = PQ_SCALE,
+    dim: int = PQ_DIM,
+) -> tuple[list[str], str, str]:
+    """Unrolled grouped-Lloyd PQ training for DuckDB: the exact replay of
+    operators/clustering.py::pq_train_quantized (same quantization, same
+    seeds-by-vec_id, same floor(S/n) centroid update, same tie-breaks),
+    with the subspace id as an extra group key in every block. Returns
+    (cte_blocks, final_distance_cte, final_codebook_cte) so the training
+    chain can be shared by the codebook query and the serving composite."""
+    sd = dim // m
+    blocks = [
+        f"""x AS (
+      SELECT vec_id, CAST((i - 1) // {sd} AS INT) AS s,
+             CAST((i - 1) % {sd} AS INT) AS d,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * {scale} + 0.5)
+                  AS BIGINT) AS v
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
+    ), seeds AS (
+      SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+    ), c0 AS (
+      SELECT x.s, sd.j, x.d, x.v AS c
+      FROM seeds sd JOIN x ON x.vec_id = sd.vec_id
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        blocks.append(
+            f"""pd{i} AS (
+      SELECT x.vec_id, x.s, c.j, sum((x.v - c.c) * (x.v - c.c)) AS dist
+      FROM x JOIN c{i - 1} c ON c.s = x.s AND c.d = x.d
+      GROUP BY x.vec_id, x.s, c.j
+    ), pa{i} AS (
+      SELECT vec_id, s, j FROM (
+        SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j)
+                 AS rn
+        FROM pd{i}) WHERE rn = 1
+    ), pn{i} AS (
+      SELECT a.s, a.j, x.d,
+             CAST(floor(CAST(sum(x.v) AS DOUBLE) / count(*)) AS BIGINT) AS cs
+      FROM pa{i} a JOIN x ON x.vec_id = a.vec_id AND x.s = a.s
+      GROUP BY a.s, a.j, x.d
+    ), c{i} AS (
+      SELECT p.s, p.j, p.d, coalesce(n.cs, p.c) AS c
+      FROM c{i - 1} p LEFT JOIN pn{i} n
+        ON n.s = p.s AND n.j = p.j AND n.d = p.d
+    )"""
+        )
+    fin = iters + 1
+    blocks.append(
+        f"""pd{fin} AS (
+      SELECT x.vec_id, x.s, c.j, sum((x.v - c.c) * (x.v - c.c)) AS dist
+      FROM x JOIN c{iters} c ON c.s = x.s AND c.d = x.d
+      GROUP BY x.vec_id, x.s, c.j
+    )"""
+    )
+    return blocks, f"pd{fin}", f"c{iters}"
+
+
+def _pq_train_oracle_sql() -> str:
+    blocks, pd_fin, _ = _pq_train_ctes()
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + f""",
+    b AS (
+      SELECT vec_id, s, min(struct_pack(d2 := dist, j := j)) AS b
+      FROM {pd_fin} GROUP BY vec_id, s
+    )
+    SELECT CAST(s AS INT) AS subspace,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(b.d2) AS BIGINT) AS sum_distortion,
+           CAST(count(DISTINCT b.j) AS BIGINT) AS n_codes_used
+    FROM b GROUP BY s ORDER BY subspace"""
+    )
+
+
+@_q("embed_pq_codebook_train", _pq_train_oracle_sql())
+def embed_pq_codebook_train(spark, sf_dir):
+    """TRAINED product-quantization codebook — closes embed_pq_distortion's
+    documented md5 stand-in (VERDICT r8 ask #4a) by fitting the per-
+    subspace codebook to the corpus with grouped quantized Lloyd
+    iterations (operators/clustering.py::pq_train_quantized, the
+    kmeans_clusters machinery generalized with the subspace id as a group
+    key). All-integer state (floor(x*1024 + 0.5) components, BIGINT
+    distances, floor(S/n) centroid updates, code-index tie-breaks), so
+    the full training trajectory replays exactly in the unrolled DuckDB
+    oracle — an iterative algorithm with a value-level certificate, like
+    kmeans_clusters. Reports the same per-subspace health rollup as the
+    stand-in (distortion + codebook utilization); the replica pin
+    additionally asserts trained distortion beats the md5 stand-in's on
+    every subspace (the reason to train at all).
+
+    Scale: each iteration is one literal-indexed projection over the
+    (vector, subspace) stream (the m*k*8 codebook rides in the plan — no
+    join) plus one combinable m*k*8-group aggregate; driver state is the
+    512-int codebook, never data-sized; final output is an 8-row rollup."""
+    from .operators.clustering import pq_train_quantized
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codes, _cb = pq_train_quantized(
+        emb, m=PQ_M, k=PQ_K, iters=PQ_ITERS, scale=PQ_SCALE
+    )
+    return (
+        codes.groupBy(F.col("s").cast("int").alias("subspace"))
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.sum("d2").cast("long").alias("sum_distortion"),
+            F.countDistinct("code").cast("long").alias("n_codes_used"),
+        )
+        .orderBy("subspace")
+    )
+
+
+def _ann_serving_oracle_sql() -> str:
+    blocks, pd_fin, c_fin = _pq_train_ctes()
+    mod, qcap, kk = ANN_CENTROID_MOD, ANN_QUERY_CAP, ANN_TOPK
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + f""",
+    af AS (
+      SELECT vec_id, s, j FROM (
+        SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j)
+                 AS rn
+        FROM {pd_fin}) WHERE rn = 1
+    ), cx AS (
+      SELECT vec_id AS cid, s, d, v FROM x WHERE vec_id % {mod} = 0
+    ), ad AS (
+      SELECT x.vec_id, cx.cid, sum((x.v - cx.v) * (x.v - cx.v)) AS dist
+      FROM x JOIN cx ON cx.s = x.s AND cx.d = x.d
+      GROUP BY x.vec_id, cx.cid
+    ), asg AS (
+      SELECT vec_id AS neighbor_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid)
+                 AS rn
+        FROM ad) WHERE rn = 1
+    ), pr AS (
+      SELECT vec_id AS query_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      FROM ad WHERE vec_id < {qcap}
+    ), np AS (SELECT unnest([1, 2, 4]) AS n_probe),
+    cand AS (
+      SELECT np.n_probe, pr.query_id, a.neighbor_id
+      FROM np JOIN pr ON pr.rn <= np.n_probe
+      JOIN asg a ON a.cid = pr.cid
+      WHERE a.neighbor_id <> pr.query_id
+    ), adc AS (
+      SELECT c.n_probe, c.query_id, c.neighbor_id,
+             sum((q2.v - cb.c) * (q2.v - cb.c)) AS adc_d2
+      FROM cand c
+      JOIN af nc ON nc.vec_id = c.neighbor_id
+      JOIN x q2 ON q2.vec_id = c.query_id AND q2.s = nc.s
+      JOIN {c_fin} cb ON cb.s = nc.s AND cb.j = nc.j AND cb.d = q2.d
+      GROUP BY c.n_probe, c.query_id, c.neighbor_id
+    ), srv AS (
+      SELECT n_probe, query_id, neighbor_id FROM (
+        SELECT n_probe, query_id, neighbor_id,
+               row_number() OVER (PARTITION BY n_probe, query_id
+                                  ORDER BY adc_d2, neighbor_id) AS rk
+        FROM adc) WHERE rk <= {kk}
+    ), exd AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             sum((a.v - b.v) * (a.v - b.v)) AS dist
+      FROM x a JOIN x b ON b.s = a.s AND b.d = a.d AND b.vec_id <> a.vec_id
+      WHERE a.vec_id < {qcap}
+      GROUP BY a.vec_id, b.vec_id
+    ), exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist, neighbor_id) AS rk
+        FROM exd) WHERE rk <= {kk}
+    ), tot AS (
+      SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM exact
+    ), hits AS (
+      SELECT s.n_probe, CAST(count(*) AS BIGINT) AS h
+      FROM srv s JOIN exact e
+        ON e.query_id = s.query_id AND e.neighbor_id = s.neighbor_id
+      GROUP BY s.n_probe
+    ), cost AS (
+      SELECT n_probe, CAST(count(*) AS BIGINT) AS c FROM cand GROUP BY n_probe
+    )
+    SELECT np.n_probe, tot.n_queries,
+           CAST(coalesce(cost.c, 0) AS BIGINT) AS n_scored,
+           CAST(coalesce(hits.h, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(coalesce(hits.h, 0) * 1000000
+                         // nullif(tot.n_pairs, 0), 0) AS BIGINT)
+             AS recall_ppm
+    FROM np CROSS JOIN tot
+    LEFT JOIN hits ON hits.n_probe = np.n_probe
+    LEFT JOIN cost ON cost.n_probe = np.n_probe
+    ORDER BY np.n_probe"""
+    )
+
+
+@_q("pipeline_ann_serving", _ann_serving_oracle_sql())
+def pipeline_ann_serving(spark, sf_dir):
+    """End-to-end ANN serving flagship (VERDICT r8 ask #4b): IVF index
+    build -> PQ compression with the TRAINED codebook -> asymmetric-
+    distance (ADC) candidate scoring -> recall-vs-cost curve. The whole
+    path is integer-exact: vectors quantize to floor(x*1024 + 0.5), the
+    coarse quantizer assigns by BIGINT squared L2 to the deterministic
+    centroid set (vec_id % 100 — the ivf_centroids selection rule), PQ
+    codes come from pq_train_quantized, ADC scores a candidate by
+    sum_s ||q_s - codebook[s][code_s(x)]||^2 against the query's RAW
+    sub-vectors (the classic IVFADC scan), and ground truth is the exact
+    integer-L2 top-5 — so recall isolates index+quantization loss, with
+    no float anywhere and no metric mismatch. Output: per n_probe in
+    {1, 2, 4}, candidates scored (the serving cost) and recall@5 — the
+    curve that prices a probe setting before production. The rollup is
+    grid-preserving (probe dim LEFT JOIN counts, coalesced to 0), so an
+    empty query slice yields the 3-row grid on both engines — the
+    empty-driver asymmetry ADVICE r8 flagged on sim_ivf_probe_curve is
+    structurally absent here.
+
+    Scale: codebook training is driver-bounded (512 ints); the inverted
+    file is one broadcast-centroid projection + per-vector window over
+    |centroids| candidate rows; candidate generation is an equi-join on
+    cid (never corpus x queries); ADC joins ride on neighbor_id/(s, code)
+    with the codebook and capped query sub-vectors broadcast; the exact
+    baseline pairs the corpus only against the 10-query broadcast slice."""
+    from .operators.clustering import pq_train_quantized
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codes, cb = pq_train_quantized(
+        emb, m=PQ_M, k=PQ_K, iters=PQ_ITERS, scale=PQ_SCALE
+    )
+    sd = len(cb[0][0])
+
+    def _l2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda p, q: (p - q) * (p - q)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    xq = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(
+                x.cast("double") * F.lit(float(PQ_SCALE)) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("xq"),
+    )
+    cent = xq.filter(F.col("vec_id") % ANN_CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("xq").alias("cq")
+    )
+    ad = xq.join(F.broadcast(cent)).withColumn(
+        "dist", _l2(F.col("xq"), F.col("cq"))
+    )
+    w_asg = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    asg = (
+        ad.withColumn("rn", F.row_number().over(w_asg))
+        .filter(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("neighbor_id"), "cid")
+    )
+    pr = (
+        ad.filter(F.col("vec_id") < ANN_QUERY_CAP)
+        .withColumn("rn", F.row_number().over(w_asg))
+        .select(F.col("vec_id").alias("query_id"), "cid", "rn")
+    )
+    probes_dim = spark.range(1).selectExpr(
+        "explode(array(1L, 2L, 4L)) AS n_probe"
+    )
+    cand = (
+        probes_dim.join(F.broadcast(pr), F.col("rn") <= F.col("n_probe"))
+        .join(asg, "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("n_probe", "query_id", "neighbor_id")
+    )
+    qsubs = (
+        xq.filter(F.col("vec_id") < ANN_QUERY_CAP)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).cast("int").alias("s"),
+                            F.slice("xq", s * sd + 1, sd).alias("qsub"),
+                        )
+                        for s in range(PQ_M)
+                    ]
+                )
+            ).alias("e"),
+        )
+        .select("query_id", "e.s", "e.qsub")
+    )
+    cbdf = spark.createDataFrame(
+        [(s, j, cb[s][j]) for s in range(PQ_M) for j in range(PQ_K)],
+        "s int, code int, cvec array<long>",
+    )
+    adc = (
+        cand.join(
+            codes.select(F.col("id").alias("neighbor_id"), "s", "code"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qsubs), ["query_id", "s"])
+        .join(F.broadcast(cbdf), ["s", "code"])
+        .withColumn("part", _l2(F.col("qsub"), F.col("cvec")))
+        .groupBy("n_probe", "query_id", "neighbor_id")
+        .agg(F.sum("part").cast("long").alias("adc_d2"))
+    )
+    w_srv = Window.partitionBy("n_probe", "query_id").orderBy(
+        "adc_d2", "neighbor_id"
+    )
+    srv = (
+        adc.withColumn("rk", F.row_number().over(w_srv))
+        .filter(F.col("rk") <= ANN_TOPK)
+        .select("n_probe", "query_id", "neighbor_id")
+    )
+    qx = xq.filter(F.col("vec_id") < ANN_QUERY_CAP).select(
+        F.col("vec_id").alias("query_id"), F.col("xq").alias("qv")
+    )
+    w_ex = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+    exact = (
+        xq.crossJoin(F.broadcast(qx))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("dist", _l2(F.col("xq"), F.col("qv")))
+        .withColumn("rk", F.row_number().over(w_ex))
+        .filter(F.col("rk") <= ANN_TOPK)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    tot = exact.agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        F.count("*").cast("long").alias("n_pairs"),
+    )
+    hits = (
+        srv.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("n_probe")
+        .agg(F.count("*").cast("long").alias("h"))
+    )
+    cost = cand.groupBy("n_probe").agg(F.count("*").cast("long").alias("c"))
+    return (
+        probes_dim.crossJoin(F.broadcast(tot))
+        .join(hits, "n_probe", "left")
+        .join(cost, "n_probe", "left")
+        .selectExpr(
+            "n_probe",
+            "n_queries",
+            "CAST(coalesce(c, 0) AS BIGINT) AS n_scored",
+            "CAST(coalesce(h, 0) AS BIGINT) AS n_hits",
+            "CAST(coalesce(coalesce(h, 0) * 1000000"
+            " DIV nullif(n_pairs, 0), 0) AS BIGINT) AS recall_ppm",
+        )
+        .orderBy("n_probe")
+    )
+
+
 @_q(
     "stats_benjamini_hochberg",
     """
@@ -20171,6 +20548,9 @@ _GRADE_DONE_R04 = [
 # inserted at the FRONT of this queue (never-graded before re-certs),
 # never into the frozen window above.
 _GRADE_NEXT: list[str] = [
+    # round-9 additions, never driver-graded (queue order)
+    "embed_pq_codebook_train",
+    "pipeline_ann_serving",
     # r03-only certificates after the dedup_minhash promotion (45)
     "dedup_simhash",
     "sim_ann_lsh",

@@ -313,3 +313,34 @@ def test_nondeterministic_lineage_raises_structurally(spark):
     )
     rows = global_cumulative_counts(det, "v", "w").collect()
     assert len(rows) == 50
+
+
+def test_global_running_max_nondeterministic_input_checkpointed(spark):
+    """ADVICE r8: global_running_max previously ADVERTISED the
+    assume_deterministic=False escape hatch in its fail-fast message
+    without offering the parameter. With the flag, a rand()-derived
+    aggregate column must still satisfy the running-max invariants
+    (monotone non-decreasing in value order, each prefix max equals the
+    true max of the pinned evaluation's prefix) because one evaluation
+    is checkpointed before the two-branch fan-out."""
+    from pyspark.sql import functions as F
+
+    from dend_spark_data_lake_spark.operators.percentiles import (
+        global_running_max,
+    )
+
+    df = spark.range(300).select(
+        F.col("id").cast("long").alias("v"),
+        F.floor(F.rand(seed=None) * 1000).cast("long").alias("a"),
+    )
+    out = sorted(
+        global_running_max(
+            df, "v", "a", n_parts=8, assume_deterministic=False
+        ).collect(),
+        key=lambda r: r["v"],
+    )
+    assert len(out) == 300
+    running = None
+    for r in out:
+        running = r["a"] if running is None else max(running, r["a"])
+        assert r["__cmax"] == running, (r["v"], r["__cmax"], running)

@@ -2146,3 +2146,27 @@ def test_word_length_profile_bounded_grid_window(spark):
     bad = _re.findall(r"windowspecdefinition\([^)]*\bw#[^)]*\)", plan)
     assert not bad, (bad, plan)
     assert "partial_count" in plan, plan
+
+
+def test_pq_codebook_train_no_join_assignment(spark):
+    """embed_pq_codebook_train: the trained assignment must be a pure
+    literal-indexed projection — the m*k*8 codebook rides in the plan,
+    so the final rollup reads the persisted (id, s, code, d2) frame and
+    aggregates with map-side combine; no join of any kind, no window."""
+    plan = _plan(spark, "embed_pq_codebook_train")
+    assert "Join" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    assert "partial_count" in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+
+
+def test_ann_serving_equijoin_candidates_no_cartesian(spark):
+    """pipeline_ann_serving: candidate generation must ride the inverted
+    file (equi-join on cid), ADC scoring on (neighbor_id)/(s, code) with
+    the codebook and capped query slices broadcast. The
+    BroadcastNestedLoopJoin nodes are the certified bounded broadcasts
+    (probe dim x capped pr; corpus x 10-query slice; 1-row totals);
+    CartesianProduct (shuffled unbounded pairing) stays forbidden."""
+    plan = _plan(spark, "pipeline_ann_serving")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -10825,3 +10825,182 @@ def test_word_length_profile_matches_bruteforce(spark):
     assert got == expect
     assert sum(1 for v in expect.values() if v[2]) == 1
     assert sum(1 for v in expect.values() if v[3]) == 1
+
+
+def _pq_train_replica(rows, m=8, k=8, iters=2, scale=1024):
+    """Plain-Python replay of operators/clustering.py::pq_train_quantized:
+    floor(x*scale + 0.5) quantization (the formula as written — floor of
+    the shifted value, identical on all three engines including negative
+    components), seeds = first k vectors by vec_id, BIGINT distances with
+    code-index tie-break, floor(double(S)/n) centroid updates, empty codes
+    keeping their previous centroid. Returns (codebook, assign) where
+    assign maps (vec_id, s) -> (code, d2) under the FINAL codebook."""
+    import math
+
+    q = {
+        vid: [math.floor(float(x) * scale + 0.5) for x in emb]
+        for vid, emb in rows
+    }
+    sd = len(next(iter(q.values()))) // m
+    seeds = [q[vid] for vid in sorted(q)[:k]]
+    cb = [[seeds[j][s * sd : (s + 1) * sd] for j in range(k)] for s in range(m)]
+
+    def nearest(sub, per_s):
+        return min(
+            (sum((a - b) ** 2 for a, b in zip(sub, c)), j)
+            for j, c in enumerate(per_s)
+        )
+
+    for _ in range(iters):
+        sums = {}
+        for vid, xq in q.items():
+            for s in range(m):
+                sub = xq[s * sd : (s + 1) * sd]
+                _, j = nearest(sub, cb[s])
+                acc = sums.setdefault((s, j), [0, [0] * sd])
+                acc[0] += 1
+                for d in range(sd):
+                    acc[1][d] += sub[d]
+        cb = [
+            [
+                [
+                    math.floor(float(sums[(s, j)][1][d]) / sums[(s, j)][0])
+                    for d in range(sd)
+                ]
+                if (s, j) in sums
+                else cb[s][j]
+                for j in range(k)
+            ]
+            for s in range(m)
+        ]
+    assign = {}
+    for vid, xq in q.items():
+        for s in range(m):
+            d2, j = nearest(xq[s * sd : (s + 1) * sd], cb[s])
+            assign[(vid, s)] = (j, d2)
+    return cb, assign
+
+
+def test_pq_codebook_train_matches_bruteforce(spark):
+    """embed_pq_codebook_train: the full grouped-Lloyd training
+    trajectory (seeds, two assignment/update rounds, final rollup)
+    recomputed in plain Python — and the trained codebook must beat the
+    embed_pq_distortion md5 stand-in's distortion on EVERY subspace (the
+    reason to train at all; the stand-in quantizes floor(x*1024) vs the
+    trainer's floor(x*1024 + 0.5), a <=1-per-component difference dwarfed
+    by the fitted-vs-random gap)."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("embeddings", ["vec_id", "embedding"])
+    _, assign = _pq_train_replica(rows)
+    agg = defaultdict(lambda: [0, 0, set()])
+    for (vid, s), (j, d2) in assign.items():
+        a = agg[s]
+        a[0] += 1
+        a[1] += d2
+        a[2].add(j)
+    expect = {s: (a[0], a[1], len(a[2])) for s, a in agg.items()}
+    got = {
+        r.subspace: (r.n_vectors, r.sum_distortion, r.n_codes_used)
+        for r in REGISTRY["embed_pq_codebook_train"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+    def h15(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    standin = defaultdict(int)
+    for vid, emb in rows:
+        xq = [math.floor(float(x) * 1024) for x in emb]
+        for s in range(8):
+            standin[s] += min(
+                sum(
+                    (xq[s * 8 + d] - (h15(f"pq{s}-{j}-{d}") % 2049 - 1024))
+                    ** 2
+                    for d in range(8)
+                )
+                for j in range(8)
+            )
+    for s in range(8):
+        assert expect[s][1] < standin[s], (s, expect[s][1], standin[s])
+
+
+def test_ann_serving_matches_bruteforce(spark):
+    """pipeline_ann_serving: coarse IVF assignment (vec_id % 100
+    centroids), probe expansion, trained-codebook ADC scoring, served
+    top-5, exact integer-L2 ground truth, and the recall/cost rollup —
+    the whole serving path recomputed in plain Python."""
+    import math
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("embeddings", ["vec_id", "embedding"])
+    cb, assign = _pq_train_replica(rows)
+    q = {
+        vid: [math.floor(float(x) * 1024 + 0.5) for x in emb]
+        for vid, emb in rows
+    }
+    cents = {vid: xq for vid, xq in q.items() if vid % 100 == 0}
+
+    def l2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    coarse = {}  # vid -> sorted [(dist, cid), ...]
+    for vid, xq in q.items():
+        coarse[vid] = sorted((l2(xq, c), cid) for cid, c in cents.items())
+    asg = {vid: ds[0][1] for vid, ds in coarse.items()}
+    inv = defaultdict(set)
+    for vid, cid in asg.items():
+        inv[cid].add(vid)
+
+    queries = sorted(v for v in q if v < 10)
+    exact = {
+        qv: set(
+            n
+            for _, n in sorted(
+                (l2(q[qv], q[n]), n) for n in q if n != qv
+            )[:5]
+        )
+        for qv in queries
+    }
+    n_pairs = sum(len(v) for v in exact.values())
+
+    expect = {}
+    for n_probe in (1, 2, 4):
+        n_scored, n_hits = 0, 0
+        for qv in queries:
+            cand = set()
+            for _, cid in coarse[qv][:n_probe]:
+                cand |= inv[cid]
+            cand.discard(qv)
+            n_scored += len(cand)
+            scored = []
+            for n in cand:
+                adc = sum(
+                    l2(
+                        q[qv][s * 8 : (s + 1) * 8],
+                        cb[s][assign[(n, s)][0]],
+                    )
+                    for s in range(8)
+                )
+                scored.append((adc, n))
+            served = set(n for _, n in sorted(scored)[:5])
+            n_hits += len(served & exact[qv])
+        expect[n_probe] = (
+            len(queries),
+            n_scored,
+            n_hits,
+            n_hits * 1_000_000 // n_pairs,
+        )
+    got = {
+        r.n_probe: (r.n_queries, r.n_scored, r.n_hits, r.recall_ppm)
+        for r in REGISTRY["pipeline_ann_serving"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect

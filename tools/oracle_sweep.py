@@ -51,6 +51,12 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 - report and continue the sweep
             fails.append(name)
             print(f"ERR {name}: {str(e)[:200]}", flush=True)
+        finally:
+            # helpers that persist() for determinism (pid-window machinery,
+            # pq_train_quantized) cannot unpersist their own lazy output;
+            # without this a 347-query session accumulates every cached
+            # relation until session end (ADVICE r8)
+            spark.catalog.clearCache()
     print(
         f"DONE sf={sf} ok={n_ok} rows_only={n_rows_only} "
         f"fails={len(fails)} in {time.time() - t0:.0f}s"
