@@ -386,6 +386,9 @@ def shingle_contamination(
         )
         .dropDuplicates()
     )
+    # bounded: |e_sh| = distinct shingles of the EVAL set, which is small
+    # by construction (benchmarks are MBs, corpora are TBs); an eval set
+    # approaching executor memory needs a shuffled join instead
     return (
         c_sh.join(F.broadcast(e_sh), "sh")
         .groupBy("id")
