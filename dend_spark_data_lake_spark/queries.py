@@ -18221,62 +18221,73 @@ def _pq_train_ctes(
     iters: int = PQ_ITERS,
     scale: int = PQ_SCALE,
     dim: int = PQ_DIM,
+    prefix: str = "",
+    x_body: str | None = None,
 ) -> tuple[list[str], str, str]:
     """Unrolled grouped-Lloyd PQ training for DuckDB: the exact replay of
     operators/clustering.py::pq_train_quantized (same quantization, same
     seeds-by-vec_id, same floor(S/n) centroid update, same tie-breaks),
     with the subspace id as an extra group key in every block. Returns
     (cte_blocks, final_distance_cte, final_codebook_cte) so the training
-    chain can be shared by the codebook query and the serving composite."""
+    chain can be shared by the codebook query and the serving composite.
+
+    ``prefix`` namespaces every CTE so two chains can ride one WITH list
+    (the residual-gain query trains direct AND residual codebooks);
+    ``x_body`` overrides the component source — any SELECT producing
+    (vec_id, s, d, v) — e.g. coarse-quantizer residuals. The default is
+    the floor(x*scale + 0.5) quantization of ``embeddings``."""
     sd = dim // m
-    blocks = [
-        f"""x AS (
-      SELECT vec_id, CAST((i - 1) // {sd} AS INT) AS s,
+    xn = f"{prefix}x"
+    if x_body is None:
+        x_body = f"""SELECT vec_id, CAST((i - 1) // {sd} AS INT) AS s,
              CAST((i - 1) % {sd} AS INT) AS d,
              CAST(floor(CAST(embedding[i] AS DOUBLE) * {scale} + 0.5)
                   AS BIGINT) AS v
       FROM embeddings,
-           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
-    ), seeds AS (
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t"""
+    blocks = [
+        f"""{xn} AS (
+      {x_body}
+    ), {prefix}seeds AS (
       SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j
       FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
-    ), c0 AS (
+    ), {prefix}c0 AS (
       SELECT x.s, sd.j, x.d, x.v AS c
-      FROM seeds sd JOIN x ON x.vec_id = sd.vec_id
+      FROM {prefix}seeds sd JOIN {xn} x ON x.vec_id = sd.vec_id
     )"""
     ]
     for i in range(1, iters + 1):
         blocks.append(
-            f"""pd{i} AS (
+            f"""{prefix}pd{i} AS (
       SELECT x.vec_id, x.s, c.j, sum((x.v - c.c) * (x.v - c.c)) AS dist
-      FROM x JOIN c{i - 1} c ON c.s = x.s AND c.d = x.d
+      FROM {xn} x JOIN {prefix}c{i - 1} c ON c.s = x.s AND c.d = x.d
       GROUP BY x.vec_id, x.s, c.j
-    ), pa{i} AS (
+    ), {prefix}pa{i} AS (
       SELECT vec_id, s, j FROM (
         SELECT vec_id, s, j,
                row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j)
                  AS rn
-        FROM pd{i}) WHERE rn = 1
-    ), pn{i} AS (
+        FROM {prefix}pd{i}) WHERE rn = 1
+    ), {prefix}pn{i} AS (
       SELECT a.s, a.j, x.d,
              CAST(floor(CAST(sum(x.v) AS DOUBLE) / count(*)) AS BIGINT) AS cs
-      FROM pa{i} a JOIN x ON x.vec_id = a.vec_id AND x.s = a.s
+      FROM {prefix}pa{i} a JOIN {xn} x ON x.vec_id = a.vec_id AND x.s = a.s
       GROUP BY a.s, a.j, x.d
-    ), c{i} AS (
+    ), {prefix}c{i} AS (
       SELECT p.s, p.j, p.d, coalesce(n.cs, p.c) AS c
-      FROM c{i - 1} p LEFT JOIN pn{i} n
+      FROM {prefix}c{i - 1} p LEFT JOIN {prefix}pn{i} n
         ON n.s = p.s AND n.j = p.j AND n.d = p.d
     )"""
         )
     fin = iters + 1
     blocks.append(
-        f"""pd{fin} AS (
+        f"""{prefix}pd{fin} AS (
       SELECT x.vec_id, x.s, c.j, sum((x.v - c.c) * (x.v - c.c)) AS dist
-      FROM x JOIN c{iters} c ON c.s = x.s AND c.d = x.d
+      FROM {xn} x JOIN {prefix}c{iters} c ON c.s = x.s AND c.d = x.d
       GROUP BY x.vec_id, x.s, c.j
     )"""
     )
-    return blocks, f"pd{fin}", f"c{iters}"
+    return blocks, f"{prefix}pd{fin}", f"{prefix}c{iters}"
 
 
 def _pq_train_oracle_sql() -> str:
@@ -18572,6 +18583,135 @@ def pipeline_ann_serving(spark, sf_dir):
             " DIV nullif(n_pairs, 0), 0) AS BIGINT) AS recall_ppm",
         )
         .orderBy("n_probe")
+    )
+
+
+def _pq_residual_oracle_sql() -> str:
+    blocks_d, pd_d, _ = _pq_train_ctes()
+    coarse = f"""cx AS (
+      SELECT vec_id AS cid, s, d, v FROM x WHERE vec_id % {ANN_CENTROID_MOD} = 0
+    ), ad AS (
+      SELECT x.vec_id, cx.cid, sum((x.v - cx.v) * (x.v - cx.v)) AS dist
+      FROM x JOIN cx ON cx.s = x.s AND cx.d = x.d
+      GROUP BY x.vec_id, cx.cid
+    ), asg AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid)
+                 AS rn
+        FROM ad) WHERE rn = 1
+    )"""
+    rx_body = f"""SELECT x.vec_id, x.s, x.d, x.v - cx.v AS v
+      FROM x JOIN asg a ON a.vec_id = x.vec_id
+      JOIN cx ON cx.cid = a.cid AND cx.s = x.s AND cx.d = x.d"""
+    blocks_r, pd_r, _ = _pq_train_ctes(prefix="r", x_body=rx_body)
+    return (
+        "WITH "
+        + ",\n    ".join([*blocks_d, coarse, *blocks_r])
+        + f""",
+    db AS (
+      SELECT vec_id, s, min(struct_pack(d2 := dist, j := j)) AS b
+      FROM {pd_d} GROUP BY vec_id, s
+    ), rb AS (
+      SELECT vec_id, s, min(struct_pack(d2 := dist, j := j)) AS b
+      FROM {pd_r} GROUP BY vec_id, s
+    )
+    SELECT CAST(d.s AS INT) AS subspace,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(d.b.d2) AS BIGINT) AS direct_d2,
+           CAST(sum(r.b.d2) AS BIGINT) AS residual_d2,
+           CAST(sum(d.b.d2) - sum(r.b.d2) AS BIGINT) AS d2_delta
+    FROM db d JOIN rb r ON r.vec_id = d.vec_id AND r.s = d.s
+    GROUP BY d.s ORDER BY subspace"""
+    )
+
+
+@_q("embed_pq_residual_gain", _pq_residual_oracle_sql())
+def embed_pq_residual_gain(spark, sf_dir):
+    """Residual-PQ vs direct-PQ distortion — the measure-first encoding
+    decision for the IVFADC layout (Jegou et al. 2011 encode the
+    residual x − coarse_centroid(x) because a coarse quantizer that
+    captures cluster structure leaves residuals with a fraction of the
+    raw energy; when it does NOT — few centroids, unclustered corpus —
+    residuals carry MORE energy and residual encoding actively hurts,
+    which is exactly what this corpus shows: d2_delta < 0 on every
+    subspace. Run the query, read the sign, then pick the encoding).
+    Trains BOTH codebooks with pq_train_quantized — the residual run
+    feeds the integer residual components through the identity
+    quantization scale=1 (floor(v + 0.5) = v for integers), so the one
+    operator covers both encodings without a second code path — and
+    reports the per-subspace exact BIGINT distortion pair plus the
+    signed integer delta. No ratio column: a signed floor-division seam
+    (Spark DIV truncates, DuckDB HUGEINT // differs from Python //)
+    buys nothing the exact delta doesn't already say.
+
+    Scale: the coarse residual pass is one broadcast-centroid projection
+    + a per-vector window over ≤|centroids| rows (the IVF assignment
+    shape); each training is the embed_pq_codebook_train dataflow
+    (literal-indexed assignment, m·k·8-group combinable updates, 512-int
+    driver state); the output is the 8-row subspace grid."""
+    from .operators.clustering import pq_train_quantized
+
+    emb = _t(spark, sf_dir, "embeddings")
+    direct_codes, _cb = pq_train_quantized(
+        emb, m=PQ_M, k=PQ_K, iters=PQ_ITERS, scale=PQ_SCALE
+    )
+
+    def _l2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda p, q: (p - q) * (p - q)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    xq = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(
+                x.cast("double") * F.lit(float(PQ_SCALE)) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("xq"),
+    )
+    cent = xq.filter(F.col("vec_id") % ANN_CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("xq").alias("cq")
+    )
+    w_asg = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    res = (
+        xq.join(F.broadcast(cent))
+        .withColumn("dist", _l2(F.col("xq"), F.col("cq")))
+        .withColumn("rn", F.row_number().over(w_asg))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.transform(
+                F.zip_with(F.col("xq"), F.col("cq"), lambda a, b: a - b),
+                lambda v: v.cast("double"),
+            ).alias("residual"),
+        )
+    )
+    res_codes, _rcb = pq_train_quantized(
+        res, m=PQ_M, k=PQ_K, iters=PQ_ITERS, vec_col="residual", scale=1
+    )
+    d_agg = direct_codes.groupBy("s").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.sum("d2").cast("long").alias("direct_d2"),
+    )
+    r_agg = res_codes.groupBy("s").agg(
+        F.sum("d2").cast("long").alias("residual_d2")
+    )
+    return (
+        d_agg.join(r_agg, "s")
+        .select(
+            F.col("s").cast("int").alias("subspace"),
+            "n_vectors",
+            "direct_d2",
+            "residual_d2",
+            (F.col("direct_d2") - F.col("residual_d2"))
+            .cast("long")
+            .alias("d2_delta"),
+        )
+        .orderBy("subspace")
     )
 
 
@@ -20563,6 +20703,7 @@ _GRADE_NEXT: list[str] = [
     # round-9 additions, never driver-graded (queue order)
     "embed_pq_codebook_train",
     "pipeline_ann_serving",
+    "embed_pq_residual_gain",
     # r03-only certificates after the dedup_minhash promotion (45)
     "dedup_simhash",
     "sim_ann_lsh",

@@ -2170,3 +2170,22 @@ def test_ann_serving_equijoin_candidates_no_cartesian(spark):
     plan = _plan(spark, "pipeline_ann_serving")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pq_residual_gain_coarse_broadcast_no_cartesian(spark):
+    """embed_pq_residual_gain: the coarse residual pass must broadcast
+    the centroid slice (bounded |corpus|/100 rows) and window per-vector;
+    both trainings stay literal-indexed projections, so the final 8-row
+    comparison reads two persisted assignment frames — no
+    CartesianProduct anywhere, and every window spec is vec_id-keyed."""
+    import re as _re
+
+    plan = _plan(spark, "embed_pq_residual_gain")
+    assert "CartesianProduct" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    bad = [
+        w
+        for w in _re.findall(r"windowspecdefinition\([^)]*\)", plan)
+        if "vec_id#" not in w
+    ]
+    assert not bad, (bad, plan)

@@ -11004,3 +11004,51 @@ def test_ann_serving_matches_bruteforce(spark):
         for r in REGISTRY["pipeline_ann_serving"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_pq_residual_gain_matches_bruteforce(spark):
+    """embed_pq_residual_gain: coarse assignment, integer residuals, BOTH
+    training trajectories (direct at scale=1024, residual at the scale=1
+    identity), and the per-subspace comparison recomputed in plain
+    Python. Also pins the corpus's honest verdict: on these unclustered
+    synthetic embeddings the 5-centroid coarse quantizer captures no
+    structure, so residual encoding LOSES on every subspace (d2_delta
+    < 0) — the sign the measure-first docstring tells a user to read."""
+    import math
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("embeddings", ["vec_id", "embedding"])
+    _, d_assign = _pq_train_replica(rows)
+    q = {
+        vid: [math.floor(float(x) * 1024 + 0.5) for x in emb]
+        for vid, emb in rows
+    }
+    cents = {vid: xq for vid, xq in q.items() if vid % 100 == 0}
+
+    def l2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    res_rows = []
+    for vid, xq in q.items():
+        _, cid = min((l2(xq, c), cid) for cid, c in cents.items())
+        res_rows.append((vid, [a - b for a, b in zip(xq, cents[cid])]))
+    _, r_assign = _pq_train_replica(res_rows, scale=1)
+
+    agg = defaultdict(lambda: [0, 0, 0])
+    for (vid, s), (_, d2) in d_assign.items():
+        agg[s][0] += 1
+        agg[s][1] += d2
+    for (vid, s), (_, d2) in r_assign.items():
+        agg[s][2] += d2
+    expect = {
+        s: (a[0], a[1], a[2], a[1] - a[2]) for s, a in agg.items()
+    }
+    got = {
+        r.subspace: (r.n_vectors, r.direct_d2, r.residual_d2, r.d2_delta)
+        for r in REGISTRY["embed_pq_residual_gain"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert all(v[3] < 0 for v in expect.values())
