@@ -18213,6 +18213,8 @@ PQ_DIM = 64  # embeddings.embedding is 64-dim at every SF (TESTDATA.md)
 ANN_CENTROID_MOD = 100
 ANN_QUERY_CAP = 10
 ANN_TOPK = 5
+ANN_RERANK_PROBE = 2  # the knee of sim_ivf_probe_curve / serving curve
+ANN_SHORTLIST = 10  # ADC shortlist size handed to the exact re-ranker
 
 
 def _pq_train_ctes(
@@ -18712,6 +18714,268 @@ def embed_pq_residual_gain(spark, sf_dir):
             .alias("d2_delta"),
         )
         .orderBy("subspace")
+    )
+
+
+def _ann_rerank_oracle_sql() -> str:
+    blocks, pd_fin, c_fin = _pq_train_ctes()
+    mod, qcap, kk = ANN_CENTROID_MOD, ANN_QUERY_CAP, ANN_TOPK
+    probe, shortlist = ANN_RERANK_PROBE, ANN_SHORTLIST
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + f""",
+    af AS (
+      SELECT vec_id, s, j FROM (
+        SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j)
+                 AS rn
+        FROM {pd_fin}) WHERE rn = 1
+    ), cx AS (
+      SELECT vec_id AS cid, s, d, v FROM x WHERE vec_id % {mod} = 0
+    ), ad AS (
+      SELECT x.vec_id, cx.cid, sum((x.v - cx.v) * (x.v - cx.v)) AS dist
+      FROM x JOIN cx ON cx.s = x.s AND cx.d = x.d
+      GROUP BY x.vec_id, cx.cid
+    ), asg AS (
+      SELECT vec_id AS neighbor_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid)
+                 AS rn
+        FROM ad) WHERE rn = 1
+    ), pr AS (
+      SELECT vec_id AS query_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      FROM ad WHERE vec_id < {qcap}
+    ), cand AS (
+      SELECT pr.query_id, a.neighbor_id
+      FROM pr JOIN asg a ON a.cid = pr.cid
+      WHERE pr.rn <= {probe} AND a.neighbor_id <> pr.query_id
+    ), adc AS (
+      SELECT c.query_id, c.neighbor_id,
+             sum((q2.v - cb.c) * (q2.v - cb.c)) AS adc_d2
+      FROM cand c
+      JOIN af nc ON nc.vec_id = c.neighbor_id
+      JOIN x q2 ON q2.vec_id = c.query_id AND q2.s = nc.s
+      JOIN {c_fin} cb ON cb.s = nc.s AND cb.j = nc.j AND cb.d = q2.d
+      GROUP BY c.query_id, c.neighbor_id
+    ), short AS (
+      SELECT query_id, neighbor_id, rk FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_d2, neighbor_id) AS rk
+        FROM adc) WHERE rk <= {shortlist}
+    ), exd AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             sum((a.v - b.v) * (a.v - b.v)) AS dist
+      FROM x a JOIN x b ON b.s = a.s AND b.d = a.d AND b.vec_id <> a.vec_id
+      WHERE a.vec_id < {qcap}
+      GROUP BY a.vec_id, b.vec_id
+    ), exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist, neighbor_id) AS rk
+        FROM exd) WHERE rk <= {kk}
+    ), rr5 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT s.query_id, s.neighbor_id,
+               row_number() OVER (PARTITION BY s.query_id
+                                  ORDER BY e.dist, s.neighbor_id) AS rk2
+        FROM short s JOIN exd e
+          ON e.query_id = s.query_id AND e.neighbor_id = s.neighbor_id
+      ) WHERE rk2 <= {kk}
+    ), tot AS (
+      SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM exact
+    ), h_adc AS (
+      SELECT CAST(count(*) AS BIGINT) AS h
+      FROM short s JOIN exact e
+        ON e.query_id = s.query_id AND e.neighbor_id = s.neighbor_id
+      WHERE s.rk <= {kk}
+    ), h_rr AS (
+      SELECT CAST(count(*) AS BIGINT) AS h
+      FROM rr5 s JOIN exact e
+        ON e.query_id = s.query_id AND e.neighbor_id = s.neighbor_id
+    ), costs AS (SELECT CAST(count(*) AS BIGINT) AS c FROM short),
+    stages AS (SELECT unnest(['adc', 'reranked']) AS stage)
+    SELECT st.stage, tot.n_queries,
+           CAST(CASE WHEN st.stage = 'reranked' THEN costs.c
+                     ELSE 0 END AS BIGINT) AS n_exact_scored,
+           CAST(CASE WHEN st.stage = 'adc' THEN h_adc.h
+                     ELSE h_rr.h END AS BIGINT) AS n_hits,
+           CAST(coalesce((CASE WHEN st.stage = 'adc' THEN h_adc.h
+                               ELSE h_rr.h END) * 1000000
+                         // nullif(tot.n_pairs, 0), 0) AS BIGINT)
+             AS recall_ppm
+    FROM stages st CROSS JOIN tot CROSS JOIN costs
+    CROSS JOIN h_adc CROSS JOIN h_rr
+    ORDER BY st.stage"""
+    )
+
+
+@_q("pipeline_ann_rerank", _ann_rerank_oracle_sql())
+def pipeline_ann_rerank(spark, sf_dir):
+    """Two-stage retrieval — the production completion of
+    pipeline_ann_serving: the compressed index proposes (IVF n_probe=2 ->
+    ADC top-{ANN_SHORTLIST} shortlist), exact distances dispose (re-rank
+    the shortlist by true integer L2, keep top-5). Reports both stages
+    against the same exact ground truth: 'adc' = the shortlist's ADC-
+    ordered top-5 (zero extra exact distance computations), 'reranked' =
+    the exact-ordered top-5 (|shortlist| extra exact computations — the
+    stage-2 cost). Re-ranked recall provably dominates: every ground-
+    truth member inside the shortlist sorts ahead of every non-member
+    under the exact order (a non-member with smaller true distance would
+    itself be corpus top-5), so re-ranking recovers ALL recall the
+    shortlist retains — the gap that remains is pure stage-1 (IVF+ADC
+    candidate) loss. The pin asserts this dominance; the grid-preserving
+    1-row aggregates keep both engines at 2 rows even with no queries.
+
+    Scale: stage 1 is pipeline_ann_serving's shape (broadcast centroids,
+    cid equi-join, codebook-broadcast ADC); stage 2 touches ONLY
+    |queries| x |shortlist| rows joined against the broadcast query
+    slice — the exact scan the two-stage design exists to avoid doing
+    corpus-wide."""
+    from .operators.clustering import pq_train_quantized
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codes, cb = pq_train_quantized(
+        emb, m=PQ_M, k=PQ_K, iters=PQ_ITERS, scale=PQ_SCALE
+    )
+    sd = len(cb[0][0])
+
+    def _l2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda p, q: (p - q) * (p - q)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    xq = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(
+                x.cast("double") * F.lit(float(PQ_SCALE)) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("xq"),
+    )
+    cent = xq.filter(F.col("vec_id") % ANN_CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("xq").alias("cq")
+    )
+    ad = xq.join(F.broadcast(cent)).withColumn(
+        "dist", _l2(F.col("xq"), F.col("cq"))
+    )
+    w_asg = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    asg = (
+        ad.withColumn("rn", F.row_number().over(w_asg))
+        .filter(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("neighbor_id"), "cid")
+    )
+    pr = (
+        ad.filter(F.col("vec_id") < ANN_QUERY_CAP)
+        .withColumn("rn", F.row_number().over(w_asg))
+        .filter(F.col("rn") <= ANN_RERANK_PROBE)
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    cand = (
+        F.broadcast(pr)
+        .join(asg, "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    qsubs = (
+        xq.filter(F.col("vec_id") < ANN_QUERY_CAP)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).cast("int").alias("s"),
+                            F.slice("xq", s * sd + 1, sd).alias("qsub"),
+                        )
+                        for s in range(PQ_M)
+                    ]
+                )
+            ).alias("e"),
+        )
+        .select("query_id", "e.s", "e.qsub")
+    )
+    cbdf = spark.createDataFrame(
+        [(s, j, cb[s][j]) for s in range(PQ_M) for j in range(PQ_K)],
+        "s int, code int, cvec array<long>",
+    )
+    adc = (
+        cand.join(
+            codes.select(F.col("id").alias("neighbor_id"), "s", "code"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qsubs), ["query_id", "s"])
+        .join(F.broadcast(cbdf), ["s", "code"])
+        .withColumn("part", _l2(F.col("qsub"), F.col("cvec")))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("part").cast("long").alias("adc_d2"))
+    )
+    w_srv = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    short = (
+        adc.withColumn("rk", F.row_number().over(w_srv))
+        .filter(F.col("rk") <= ANN_SHORTLIST)
+        .select("query_id", "neighbor_id", "rk")
+    )
+    qx = xq.filter(F.col("vec_id") < ANN_QUERY_CAP).select(
+        F.col("vec_id").alias("query_id"), F.col("xq").alias("qv")
+    )
+    exd = (
+        xq.crossJoin(F.broadcast(qx))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("dist", _l2(F.col("xq"), F.col("qv")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "dist")
+    )
+    w_ex = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    exact = (
+        exd.withColumn("rk", F.row_number().over(w_ex))
+        .filter(F.col("rk") <= ANN_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    rr5 = (
+        F.broadcast(short)
+        .join(exd, ["query_id", "neighbor_id"])
+        .withColumn("rk2", F.row_number().over(w_ex))
+        .filter(F.col("rk2") <= ANN_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    tot = exact.agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        F.count("*").cast("long").alias("n_pairs"),
+    )
+    h_adc = (
+        short.filter(F.col("rk") <= ANN_TOPK)
+        .join(exact, ["query_id", "neighbor_id"])
+        .agg(F.count("*").cast("long").alias("h_adc"))
+    )
+    h_rr = rr5.join(exact, ["query_id", "neighbor_id"]).agg(
+        F.count("*").cast("long").alias("h_rr")
+    )
+    costs = short.agg(F.count("*").cast("long").alias("c"))
+    stages = spark.range(1).selectExpr(
+        "explode(array('adc', 'reranked')) AS stage"
+    )
+    return (
+        stages.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(costs))
+        .crossJoin(F.broadcast(h_adc))
+        .crossJoin(F.broadcast(h_rr))
+        .selectExpr(
+            "stage",
+            "n_queries",
+            "CAST(IF(stage = 'reranked', c, 0) AS BIGINT) AS n_exact_scored",
+            "CAST(IF(stage = 'adc', h_adc, h_rr) AS BIGINT) AS n_hits",
+            "CAST(coalesce(IF(stage = 'adc', h_adc, h_rr) * 1000000"
+            " DIV nullif(n_pairs, 0), 0) AS BIGINT) AS recall_ppm",
+        )
+        .orderBy("stage")
     )
 
 
@@ -20704,6 +20968,7 @@ _GRADE_NEXT: list[str] = [
     "embed_pq_codebook_train",
     "pipeline_ann_serving",
     "embed_pq_residual_gain",
+    "pipeline_ann_rerank",
     # r03-only certificates after the dedup_minhash promotion (45)
     "dedup_simhash",
     "sim_ann_lsh",

@@ -2189,3 +2189,15 @@ def test_pq_residual_gain_coarse_broadcast_no_cartesian(spark):
         if "vec_id#" not in w
     ]
     assert not bad, (bad, plan)
+
+
+def test_ann_rerank_stage2_broadcast_shortlist(spark):
+    """pipeline_ann_rerank: stage 2 must join the BROADCAST shortlist
+    (|queries| x |shortlist| rows) against the exact-distance frame —
+    never a second corpus-wide pairing; candidate generation stays a cid
+    equi-join; CartesianProduct forbidden (the BNLJ nodes are the
+    certified bounded broadcasts: centroid slice, 10-query slice, 1-row
+    totals, 2-row stage grid)."""
+    plan = _plan(spark, "pipeline_ann_rerank")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

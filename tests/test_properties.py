@@ -11052,3 +11052,77 @@ def test_pq_residual_gain_matches_bruteforce(spark):
     }
     assert got == expect
     assert all(v[3] < 0 for v in expect.values())
+
+
+def test_ann_rerank_matches_bruteforce(spark):
+    """pipeline_ann_rerank: stage-1 shortlist (IVF n_probe=2 -> ADC
+    top-10), stage-2 exact re-rank, both stages' hits against the exact
+    top-5 ground truth, recomputed in plain Python — plus the dominance
+    law the docstring proves: re-ranked recall equals the shortlist's
+    full retained recall (every ground-truth member in the shortlist
+    sorts first under the exact order), so reranked >= adc always."""
+    import math
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("embeddings", ["vec_id", "embedding"])
+    cb, assign = _pq_train_replica(rows)
+    q = {
+        vid: [math.floor(float(x) * 1024 + 0.5) for x in emb]
+        for vid, emb in rows
+    }
+    cents = {vid: xq for vid, xq in q.items() if vid % 100 == 0}
+
+    def l2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    coarse = {
+        vid: sorted((l2(xq, c), cid) for cid, c in cents.items())
+        for vid, xq in q.items()
+    }
+    inv = defaultdict(set)
+    for vid, ds in coarse.items():
+        inv[ds[0][1]].add(vid)
+
+    queries = sorted(v for v in q if v < 10)
+    exact = {
+        qv: set(
+            n for _, n in sorted((l2(q[qv], q[n]), n) for n in q if n != qv)[:5]
+        )
+        for qv in queries
+    }
+    n_pairs = sum(len(v) for v in exact.values())
+
+    n_short, h_adc, h_rr = 0, 0, 0
+    for qv in queries:
+        cand = set()
+        for _, cid in coarse[qv][:2]:
+            cand |= inv[cid]
+        cand.discard(qv)
+        scored = sorted(
+            (
+                sum(
+                    l2(q[qv][s * 8 : (s + 1) * 8], cb[s][assign[(n, s)][0]])
+                    for s in range(8)
+                ),
+                n,
+            )
+            for n in cand
+        )
+        short = [n for _, n in scored[:10]]
+        n_short += len(short)
+        h_adc += len(set(short[:5]) & exact[qv])
+        rr = sorted(short, key=lambda n: (l2(q[qv], q[n]), n))[:5]
+        h_rr += len(set(rr) & exact[qv])
+    expect = {
+        "adc": (len(queries), 0, h_adc, h_adc * 1_000_000 // n_pairs),
+        "reranked": (len(queries), n_short, h_rr, h_rr * 1_000_000 // n_pairs),
+    }
+    got = {
+        r.stage: (r.n_queries, r.n_exact_scored, r.n_hits, r.recall_ppm)
+        for r in REGISTRY["pipeline_ann_rerank"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert expect["reranked"][2] >= expect["adc"][2]
