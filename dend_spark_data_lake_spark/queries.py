@@ -17923,6 +17923,135 @@ def tokenize_bpe_pair_counts(spark, sf_dir):
     )
 
 
+BPE_MERGES = 3
+
+
+def _bpe_merge_oracle_sql(t: int = BPE_MERGES) -> str:
+    blocks = [
+        r"""toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      FROM documents
+    ), v0 AS (
+      SELECT regexp_replace(w, '(.)', '<\1>', 'g') AS w,
+             CAST(count(*) AS BIGINT) AS f
+      FROM toks WHERE regexp_matches(w, '^[a-z]+$') GROUP BY 1
+    )"""
+    ]
+    for i in range(1, t + 1):
+        blocks.append(
+            f"""s{i} AS (
+      SELECT w, f, string_split(substring(w, 2, length(w) - 2), '><') AS s
+      FROM v{i - 1}
+    ), g{i} AS (
+      SELECT t.s[u.idx] AS l, t.s[u.idx + 1] AS r,
+             CAST(sum(t.f) AS BIGINT) AS n
+      FROM s{i} t, LATERAL (SELECT unnest(range(1, len(t.s))) AS idx) u
+      GROUP BY 1, 2
+    ), m{i} AS (
+      SELECT l, r, n FROM g{i} ORDER BY n DESC, l, r LIMIT 1
+    ), v{i} AS (
+      SELECT replace(t.w, '<' || m.l || '><' || m.r || '>',
+                     '<' || m.l || m.r || '>') AS w, t.f
+      FROM v{i - 1} t CROSS JOIN m{i} m
+    )"""
+        )
+    finals = "\n    UNION ALL ".join(
+        f"""SELECT CAST({i} AS INT) AS merge_step, l AS left_sym,
+           r AS right_sym, n AS pair_n FROM m{i}"""
+        for i in range(1, t + 1)
+    )
+    return (
+        "WITH " + ",\n    ".join(blocks) + "\n    " + finals
+        + "\n    ORDER BY merge_step"
+    )
+
+
+@_q("tokenize_bpe_merge_trajectory", _bpe_merge_oracle_sql())
+def tokenize_bpe_merge_trajectory(spark, sf_dir):
+    """BPE TRAINING, not just its inner loop: three full merge
+    iterations (count frequency-weighted adjacent symbol pairs over the
+    vocabulary -> take the argmax pair, lexicographic tie-break -> apply
+    the merge to every word -> recount), emitting the learned merge
+    table — the artifact a tokenizer ships. Completes
+    tokenize_bpe_pair_counts the way embed_pq_codebook_train completed
+    embed_pq_distortion: the one-step table becomes the trained
+    trajectory, replayed exactly by an unrolled DuckDB oracle (the
+    third iterative-algorithm family with a full value certificate,
+    after the numeric kmeans/PQ ones — this one on text). Words ride as
+    '<sym><sym>...' delimited strings (vocabulary restricted to
+    ^[a-z]+$ so the delimiters cannot collide), and a merge is ONE
+    non-overlapping left-to-right replace() — verified to have
+    identical greedy semantics in Spark, DuckDB, and Python ('aaa' +
+    merge(a,a) -> 'aa','a'), which IS the BPE application rule.
+
+    Scale: the corpus token stream is touched once (the word-frequency
+    aggregate); every iteration after that scans only the bounded
+    VOCABULARY — one pair explode (~word-length x vocab), one
+    combinable pair count, one TakeOrdered(1) argmax. Driver state is
+    the single winning pair per iteration (the kmeans-trajectory
+    bound); merges apply as literal replaces, no join."""
+    d = _t(spark, sf_dir, "documents")
+    v = (
+        d.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
+        )
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("f"))
+        .select(F.regexp_replace("w", "(.)", "<$1>").alias("w"), "f")
+    )
+    out = None
+    for step in range(1, BPE_MERGES + 1):
+        pc = (
+            v.select(
+                F.split(
+                    F.expr("substring(w, 2, length(w) - 2)"), "><"
+                ).alias("s"),
+                "f",
+            )
+            .filter(F.size("s") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1), i ->"
+                        " struct(element_at(s, i) AS l,"
+                        " element_at(s, i + 1) AS r))"
+                    )
+                ).alias("p"),
+                "f",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("f").cast("long").alias("n"))
+        )
+        m = (
+            pc.orderBy(F.desc("n"), "l", "r")
+            .limit(1)
+            .select(
+                F.lit(step).cast("int").alias("merge_step"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.col("n").alias("pair_n"),
+            )
+        )
+        rows = m.collect()
+        if not rows:
+            break
+        out = m if out is None else out.unionByName(m)
+        l, r = rows[0].left_sym, rows[0].right_sym
+        v = v.select(
+            F.replace(
+                F.col("w"), F.lit(f"<{l}><{r}>"), F.lit(f"<{l}{r}>")
+            ).alias("w"),
+            "f",
+        )
+    if out is None:
+        return spark.createDataFrame(
+            [], "merge_step int, left_sym string, right_sym string,"
+            " pair_n long"
+        )
+    return out.orderBy("merge_step")
+
+
 @_q(
     "events_audience_overlap",
     """
@@ -20969,6 +21098,7 @@ _GRADE_NEXT: list[str] = [
     "pipeline_ann_serving",
     "embed_pq_residual_gain",
     "pipeline_ann_rerank",
+    "tokenize_bpe_merge_trajectory",
     # r03-only certificates after the dedup_minhash promotion (45)
     "dedup_simhash",
     "sim_ann_lsh",

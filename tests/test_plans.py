@@ -2201,3 +2201,15 @@ def test_ann_rerank_stage2_broadcast_shortlist(spark):
     plan = _plan(spark, "pipeline_ann_rerank")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bpe_merge_trajectory_vocab_scans_only(spark):
+    """tokenize_bpe_merge_trajectory: after the one corpus token explode
+    per branch, every merge iteration must be vocabulary-side — the
+    argmaxes plan as TakeOrderedAndProject (per-partition heap, never a
+    global sort), merges are literal replaces (no join anywhere in the
+    plan), and the pair count map-side combines."""
+    plan = _plan(spark, "tokenize_bpe_merge_trajectory")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan, plan
+    assert "partial_sum" in plan, plan

@@ -11126,3 +11126,48 @@ def test_ann_rerank_matches_bruteforce(spark):
     }
     assert got == expect
     assert expect["reranked"][2] >= expect["adc"][2]
+
+
+def test_bpe_merge_trajectory_matches_bruteforce(spark):
+    """tokenize_bpe_merge_trajectory: the full three-merge training run
+    (vocabulary build, delimited-symbol representation, pair counts with
+    within-word multiplicity, argmax with lexicographic tie-break, the
+    greedy left-to-right merge application) recomputed in plain Python
+    str.replace — the same non-overlapping semantics all three engines
+    were verified to share."""
+    import re
+    from collections import Counter, defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("documents", ["text"])
+    vocab = Counter()
+    for (text,) in rows:
+        for w in re.split(r"\s+", text.strip().lower()):
+            if re.fullmatch(r"[a-z]+", w):
+                vocab[w] += 1
+    v = {"".join(f"<{c}>" for c in w): f for w, f in vocab.items()}
+
+    expect = []
+    for step in range(1, 4):
+        pc = defaultdict(int)
+        for w, f in v.items():
+            syms = w[1:-1].split("><")
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        (l, r), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((step, l, r, n))
+        v = {
+            w.replace(f"<{l}><{r}>", f"<{l}{r}>"): f for w, f in v.items()
+        }
+    got = [
+        (r.merge_step, r.left_sym, r.right_sym, r.pair_n)
+        for r in REGISTRY["tokenize_bpe_merge_trajectory"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    ]
+    assert got == expect
+    assert len(expect) == 3
