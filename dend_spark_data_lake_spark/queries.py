@@ -17926,7 +17926,13 @@ def tokenize_bpe_pair_counts(spark, sf_dir):
 BPE_MERGES = 3
 
 
-def _bpe_merge_oracle_sql(t: int = BPE_MERGES) -> str:
+def _bpe_merge_ctes(t: int = BPE_MERGES, split_last: bool = False) -> list[str]:
+    """Unrolled BPE-training chain for DuckDB (shared by the trajectory
+    and compression oracles): v0 = the delimited-word vocabulary, then
+    per iteration s{i} (symbol split) -> g{i} (pair counts) -> m{i}
+    (argmax merge) -> v{i} (merge applied). ``split_last`` appends
+    s{t+1}, the symbol split of the final vocabulary, for rollups over
+    the trained state."""
     blocks = [
         r"""toks AS (
       SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
@@ -17955,13 +17961,24 @@ def _bpe_merge_oracle_sql(t: int = BPE_MERGES) -> str:
       FROM v{i - 1} t CROSS JOIN m{i} m
     )"""
         )
+    if split_last:
+        blocks.append(
+            f"""s{t + 1} AS (
+      SELECT w, f, string_split(substring(w, 2, length(w) - 2), '><') AS s
+      FROM v{t}
+    )"""
+        )
+    return blocks
+
+
+def _bpe_merge_oracle_sql(t: int = BPE_MERGES) -> str:
     finals = "\n    UNION ALL ".join(
         f"""SELECT CAST({i} AS INT) AS merge_step, l AS left_sym,
            r AS right_sym, n AS pair_n FROM m{i}"""
         for i in range(1, t + 1)
     )
     return (
-        "WITH " + ",\n    ".join(blocks) + "\n    " + finals
+        "WITH " + ",\n    ".join(_bpe_merge_ctes(t)) + "\n    " + finals
         + "\n    ORDER BY merge_step"
     )
 
@@ -18050,6 +18067,114 @@ def tokenize_bpe_merge_trajectory(spark, sf_dir):
             " pair_n long"
         )
     return out.orderBy("merge_step")
+
+
+def _bpe_compression_oracle_sql(t: int = BPE_MERGES) -> str:
+    blocks = _bpe_merge_ctes(t, split_last=True)
+    rollups = []
+    for i in range(t + 1):
+        rollups.append(
+            f"""r{i} AS (
+      SELECT CAST({i} AS INT) AS stage,
+             CAST(count(DISTINCT u.sym) AS BIGINT) AS n_distinct_symbols,
+             CAST(sum(t.f) AS BIGINT) AS corpus_symbols
+      FROM s{i + 1} t, LATERAL (SELECT unnest(t.s) AS sym) u
+    )"""
+        )
+    finals = "\n    UNION ALL ".join(f"SELECT * FROM r{i}" for i in range(t + 1))
+    return (
+        "WITH " + ",\n    ".join([*blocks, *rollups]) + "\n    " + finals
+        + "\n    ORDER BY stage"
+    )
+
+
+@_q("tokenize_bpe_compression", _bpe_compression_oracle_sql())
+def tokenize_bpe_compression(spark, sf_dir):
+    """The PAYOFF measurement for tokenize_bpe_merge_trajectory: after
+    each learned merge, how many symbols does the corpus cost (the
+    number a token budget is written in) and how many distinct symbols
+    does the model table carry (the embedding-matrix rows)? Stage 0 is
+    the character baseline; stage i applies the first i trained merges.
+    corpus_symbols is exact (Σ corpus-frequency × word symbol count) and
+    strictly decreasing; the per-step drop is the number of merge
+    APPLICATIONS, which undershoots the step's counted pair_n exactly
+    when occurrences overlap ('aaa' counts 2, merges 1) — the pin
+    asserts drop ≤ pair_n per step, the subtlety that separates counting
+    from applying in every real BPE implementation.
+
+    Scale: the trajectory's posture (corpus scanned once per branch,
+    then vocabulary-sized work); each stage rollup is one symbol explode
+    of the bounded vocab + one combinable aggregate; output is the
+    (merges+1)-row stage grid."""
+    d = _t(spark, sf_dir, "documents")
+    v = (
+        d.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
+        )
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("f"))
+        .select(F.regexp_replace("w", "(.)", "<$1>").alias("w"), "f")
+    )
+
+    def _rollup(vdf, stage):
+        return (
+            vdf.select(
+                F.explode(
+                    F.split(
+                        F.expr("substring(w, 2, length(w) - 2)"), "><"
+                    )
+                ).alias("sym"),
+                "f",
+            )
+            .agg(
+                F.countDistinct("sym").cast("long").alias(
+                    "n_distinct_symbols"
+                ),
+                F.sum("f").cast("long").alias("corpus_symbols"),
+            )
+            .select(
+                F.lit(stage).cast("int").alias("stage"),
+                "n_distinct_symbols",
+                "corpus_symbols",
+            )
+        )
+
+    out = _rollup(v, 0)
+    for step in range(1, BPE_MERGES + 1):
+        pc = (
+            v.select(
+                F.split(
+                    F.expr("substring(w, 2, length(w) - 2)"), "><"
+                ).alias("s"),
+                "f",
+            )
+            .filter(F.size("s") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1), i ->"
+                        " struct(element_at(s, i) AS l,"
+                        " element_at(s, i + 1) AS r))"
+                    )
+                ).alias("p"),
+                "f",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("f").cast("long").alias("n"))
+        )
+        rows = pc.orderBy(F.desc("n"), "l", "r").limit(1).collect()
+        if not rows:
+            break
+        l, r = rows[0].l, rows[0].r
+        v = v.select(
+            F.replace(
+                F.col("w"), F.lit(f"<{l}><{r}>"), F.lit(f"<{l}{r}>")
+            ).alias("w"),
+            "f",
+        )
+        out = out.unionByName(_rollup(v, step))
+    return out.orderBy("stage")
 
 
 @_q(
@@ -21099,6 +21224,7 @@ _GRADE_NEXT: list[str] = [
     "embed_pq_residual_gain",
     "pipeline_ann_rerank",
     "tokenize_bpe_merge_trajectory",
+    "tokenize_bpe_compression",
     # r03-only certificates after the dedup_minhash promotion (45)
     "dedup_simhash",
     "sim_ann_lsh",

@@ -2213,3 +2213,12 @@ def test_bpe_merge_trajectory_vocab_scans_only(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "Join" not in plan, plan
     assert "partial_sum" in plan, plan
+
+
+def test_bpe_compression_vocab_rollups_no_join(spark):
+    """tokenize_bpe_compression: same posture as the trajectory — every
+    stage rollup is a vocabulary-side explode + combinable aggregate,
+    merges are literal replaces; no join anywhere in the plan."""
+    plan = _plan(spark, "tokenize_bpe_compression")
+    assert "Join" not in plan, plan
+    assert "partial_count" in plan, plan

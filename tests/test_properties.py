@@ -11171,3 +11171,55 @@ def test_bpe_merge_trajectory_matches_bruteforce(spark):
     ]
     assert got == expect
     assert len(expect) == 3
+
+
+def test_bpe_compression_matches_bruteforce(spark):
+    """tokenize_bpe_compression: the per-stage symbol rollups recomputed
+    in plain Python over the same training replay — plus the two laws:
+    corpus_symbols strictly decreases, and each step's drop is at most
+    the step's counted pair frequency (applications never exceed counts;
+    they fall short exactly on overlapping occurrences)."""
+    import re
+    from collections import Counter, defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("documents", ["text"])
+    vocab = Counter()
+    for (text,) in rows:
+        for w in re.split(r"\s+", text.strip().lower()):
+            if re.fullmatch(r"[a-z]+", w):
+                vocab[w] += 1
+    v = {"".join(f"<{c}>" for c in w): f for w, f in vocab.items()}
+
+    def rollup(vd):
+        syms, tot = set(), 0
+        for w, f in vd.items():
+            ss = w[1:-1].split("><")
+            syms.update(ss)
+            tot += f * len(ss)
+        return len(syms), tot
+
+    expect = {0: rollup(v)}
+    pair_ns = {}
+    for step in range(1, 4):
+        pc = defaultdict(int)
+        for w, f in v.items():
+            ss = w[1:-1].split("><")
+            for a, b in zip(ss, ss[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        (l, r), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        pair_ns[step] = n
+        v = {w.replace(f"<{l}><{r}>", f"<{l}{r}>"): f for w, f in v.items()}
+        expect[step] = rollup(v)
+    got = {
+        r.stage: (r.n_distinct_symbols, r.corpus_symbols)
+        for r in REGISTRY["tokenize_bpe_compression"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    for step in range(1, 4):
+        drop = expect[step - 1][1] - expect[step][1]
+        assert 0 < drop <= pair_ns[step], (step, drop, pair_ns[step])
