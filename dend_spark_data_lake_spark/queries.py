@@ -19233,6 +19233,74 @@ def pipeline_ann_rerank(spark, sf_dir):
     )
 
 
+PQ_TRADEOFF_MS = (4, 8, 16)
+
+
+def _pq_bits_tradeoff_oracle_sql() -> str:
+    all_blocks, finals = [], []
+    for m in PQ_TRADEOFF_MS:
+        pfx = f"q{m}"
+        blocks, pd_fin, _ = _pq_train_ctes(m=m, prefix=pfx)
+        all_blocks.extend(blocks)
+        finals.append(
+            f"""SELECT CAST({m} AS INT) AS n_subspaces,
+           CAST({m * 3} AS INT) AS bits_per_vector,
+           CAST(sum(b.d2) AS BIGINT) AS total_d2,
+           CAST(count(DISTINCT struct_pack(s := s, j := b.j)) AS BIGINT)
+             AS n_codes_used
+    FROM (
+      SELECT vec_id, s, min(struct_pack(d2 := dist, j := j)) AS b
+      FROM {pd_fin} GROUP BY vec_id, s
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(all_blocks)
+        + "\n    "
+        + "\n    UNION ALL ".join(finals)
+        + "\n    ORDER BY n_subspaces"
+    )
+
+
+@_q("embed_pq_bits_tradeoff", _pq_bits_tradeoff_oracle_sql())
+def embed_pq_bits_tradeoff(spark, sf_dir):
+    """The PQ rate-distortion curve — the sizing decision the rest of
+    the family presupposes: train codebooks at m ∈ {4, 8, 16} subspaces
+    (k=8 codes each, so 3m bits per compressed vector: 12, 24, 48) and
+    report each configuration's exact BIGINT total distortion plus
+    codebook utilization. More subspaces = shorter sub-vectors per code
+    = monotonically LOWER distortion at linearly more bits; where the
+    curve flattens is the budget to ship. All three trainings are the
+    embed_pq_codebook_train trajectory at a different m, replayed
+    exactly by three prefixed oracle chains in one WITH list.
+
+    Scale: per configuration, the exploded stream is m rows per vector
+    and each iteration is one literal-indexed projection + one
+    combinable m·k·(64/m)-group aggregate — the TOTAL work across the
+    curve is 3 trainings over streams of 4+8+16 rows/vector; driver
+    state is three codebooks (k·64 ints each); output is the 3-row
+    configuration grid."""
+    from .operators.clustering import pq_train_quantized
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = None
+    for m in PQ_TRADEOFF_MS:
+        codes, _cb = pq_train_quantized(
+            emb, m=m, k=PQ_K, iters=PQ_ITERS, scale=PQ_SCALE
+        )
+        r = codes.agg(
+            F.sum("d2").cast("long").alias("total_d2"),
+            F.countDistinct("s", "code").cast("long").alias("n_codes_used"),
+        ).select(
+            F.lit(m).cast("int").alias("n_subspaces"),
+            F.lit(m * 3).cast("int").alias("bits_per_vector"),
+            "total_d2",
+            "n_codes_used",
+        )
+        out = r if out is None else out.unionByName(r)
+    return out.orderBy("n_subspaces")
+
+
 @_q(
     "stats_benjamini_hochberg",
     """
@@ -21225,6 +21293,7 @@ _GRADE_NEXT: list[str] = [
     "pipeline_ann_rerank",
     "tokenize_bpe_merge_trajectory",
     "tokenize_bpe_compression",
+    "embed_pq_bits_tradeoff",
     # r03-only certificates after the dedup_minhash promotion (45)
     "dedup_simhash",
     "sim_ann_lsh",

@@ -2222,3 +2222,12 @@ def test_bpe_compression_vocab_rollups_no_join(spark):
     plan = _plan(spark, "tokenize_bpe_compression")
     assert "Join" not in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_pq_bits_tradeoff_no_join_three_trainings(spark):
+    """embed_pq_bits_tradeoff: three literal-indexed trainings, three
+    persisted assignment reads, three 1-row aggregates, one union —
+    no join of any kind in the final plan."""
+    plan = _plan(spark, "embed_pq_bits_tradeoff")
+    assert "Join" not in plan, plan
+    assert plan.count("InMemoryTableScan") >= 3, plan

@@ -11223,3 +11223,28 @@ def test_bpe_compression_matches_bruteforce(spark):
     for step in range(1, 4):
         drop = expect[step - 1][1] - expect[step][1]
         assert 0 < drop <= pair_ns[step], (step, drop, pair_ns[step])
+
+
+def test_pq_bits_tradeoff_matches_bruteforce(spark):
+    """embed_pq_bits_tradeoff: all three training trajectories (m = 4,
+    8, 16) recomputed in plain Python via the shared replica — plus the
+    curve's reason to exist on this fixture: total distortion strictly
+    decreases as bits increase."""
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("embeddings", ["vec_id", "embedding"])
+    expect = {}
+    for m in (4, 8, 16):
+        _, assign = _pq_train_replica(rows, m=m)
+        tot = sum(d2 for _, d2 in assign.values())
+        used = {(s, j) for (_, s), (j, _) in assign.items()}
+        expect[m] = (m * 3, tot, len(used))
+    got = {
+        r.n_subspaces: (r.bits_per_vector, r.total_d2, r.n_codes_used)
+        for r in REGISTRY["embed_pq_bits_tradeoff"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert expect[4][1] > expect[8][1] > expect[16][1]

@@ -57,6 +57,14 @@ SCALE_QUERIES = [
     "stats_kruskal_wallis",
     "sample_systematic",
     "embed_pq_distortion",
+    # round-9 additions: the ANN serving composite's candidate/ADC joins
+    # must keep their broadcast/equi shapes, and the BPE trajectory must
+    # stay join-free, at any partition setting. Both builders run driver
+    # collects (trained codebook / merge argmaxes) whose results must be
+    # IDENTICAL under both forcings for the shapes to even compare —
+    # the tier exercises that determinism for free.
+    "pipeline_ann_serving",
+    "tokenize_bpe_merge_trajectory",
 ]
 
 # operators whose COUNT defines the scale shape of a plan: join
