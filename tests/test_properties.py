@@ -11248,3 +11248,46 @@ def test_pq_bits_tradeoff_matches_bruteforce(spark):
     }
     assert got == expect
     assert expect[4][1] > expect[8][1] > expect[16][1]
+
+
+def test_ann_grid_preserved_on_empty_query_slice(spark, tmp_path):
+    """pipeline_ann_serving / pipeline_ann_rerank docstring claim, made
+    executable: on a corpus whose vec_ids all exceed the query cap (so
+    the query slice is EMPTY), both engines must still emit the full
+    probe/stage grid with zero counts — the grid-preserving LEFT JOIN /
+    1-row-aggregate shape that the deferred sim_ivf_probe_curve rewrite
+    (ADVICE r8) will adopt. Cross-engine compared on the same synthetic
+    parquet, not just row-counted."""
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.oracle_utils import compare
+
+    rows = [
+        (
+            100 + i,
+            [((100 + i) * 31 + d * 7) % 97 / 50.0 - 0.9 for d in range(64)],
+            i % 3,
+        )
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    for name, n_rows in (
+        ("pipeline_ann_serving", 3),
+        ("pipeline_ann_rerank", 2),
+    ):
+        spec = REGISTRY[name]
+        out = spec.fn(spark, str(tmp_path))
+        got = out.collect()
+        assert len(got) == n_rows, (name, got)
+        assert all(r.n_hits == 0 and r.recall_ppm == 0 for r in got), got
+        problems = compare(spec.fn(spark, str(tmp_path)), con, spec.oracle)
+        assert not problems, (name, problems)
