@@ -19302,6 +19302,134 @@ def embed_pq_bits_tradeoff(spark, sf_dir):
 
 
 @_q(
+    "ann_index_maintenance",
+    f"""
+    WITH x AS (
+      SELECT vec_id, CAST((i - 1) // 8 AS INT) AS s,
+             CAST((i - 1) % 8 AS INT) AS d,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1024 + 0.5)
+                  AS BIGINT) AS v
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
+    ), cx AS (
+      SELECT vec_id AS cid, s, d, v FROM x WHERE vec_id % 100 = 0
+    ), ad AS (
+      SELECT x.vec_id, cx.cid, sum((x.v - cx.v) * (x.v - cx.v)) AS dist
+      FROM x JOIN cx ON cx.s = x.s AND cx.d = x.d
+      GROUP BY x.vec_id, cx.cid
+    ), asg AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid)
+                 AS rn
+        FROM ad) WHERE rn = 1
+    ), lists AS (
+      SELECT cid,
+             CAST(sum(CASE WHEN vec_id % 10 < 8 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_built,
+             CAST(sum(CASE WHEN vec_id % 10 >= 8 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_upserts
+      FROM asg GROUP BY cid
+    ), tot AS (
+      SELECT CAST(sum(n_built + n_upserts) AS BIGINT) AS t,
+             CAST(count(*) AS BIGINT) AS nl
+      FROM lists
+    )
+    SELECT l.cid, l.n_built, l.n_upserts,
+           CAST(l.n_built + l.n_upserts AS BIGINT) AS n_after,
+           CAST((1000000 * (l.n_built + l.n_upserts)) // tot.t AS BIGINT)
+             AS share_ppm,
+           ((l.n_built + l.n_upserts) * tot.nl > 2 * tot.t) AS is_hot
+    FROM lists l CROSS JOIN tot
+    ORDER BY l.cid
+    """,
+)
+def ann_index_maintenance(spark, sf_dir):
+    """IVF index MAINTENANCE — the upsert path pipeline_ann_serving's
+    build presupposes stays healthy: the already-shipped index keeps its
+    FROZEN centroid set (vec_id % 100 over the built corpus; the upsert
+    batch vec_id % 10 >= 8 is assigned into existing inverted lists,
+    never retrained — the production invariant that makes upserts O(1)
+    per vector). Reports per-list built/upsert/after sizes, exact
+    floored ppm share, and the retrain trigger: ``is_hot`` marks a list
+    over 2x the mean via integer cross-multiplication
+    (n_after * n_lists > 2 * total) — hot lists are where probe-1 recall
+    collapses and scan cost concentrates, so any true flag is the
+    re-cluster signal. Completes the incremental-maintenance family
+    (dedup_incremental_batch, dedup_cc_incremental,
+    pipeline_incremental_ingest) on the ANN side.
+
+    Scale: one broadcast-centroid projection + per-vector window over
+    <=|centroids| rows (the IVF assignment shape), one combinable
+    per-list conditional aggregate; totals ride ONE unpartitioned window
+    over the bounded |centroids|-row grid (the documented bounded-grid
+    exception — chosen over a 1-row crossJoin, which would recompute the
+    corpus assignment for the second consumer branch). The batch-vs-built
+    split is a scan-side predicate — the corpus is assigned once."""
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def _l2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda p, q: (p - q) * (p - q)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    xq = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(
+                x.cast("double") * F.lit(float(PQ_SCALE)) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("xq"),
+    )
+    cent = xq.filter(F.col("vec_id") % ANN_CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("xq").alias("cq")
+    )
+    w_asg = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    lists = (
+        xq.join(F.broadcast(cent))
+        .withColumn("dist", _l2(F.col("xq"), F.col("cq")))
+        .withColumn("rn", F.row_number().over(w_asg))
+        .filter(F.col("rn") == 1)
+        .groupBy("cid")
+        .agg(
+            F.sum(F.when(F.col("vec_id") % 10 < 8, 1).otherwise(0))
+            .cast("long")
+            .alias("n_built"),
+            F.sum(F.when(F.col("vec_id") % 10 >= 8, 1).otherwise(0))
+            .cast("long")
+            .alias("n_upserts"),
+        )
+    )
+    # totals via ONE unpartitioned window over the bounded |centroids|
+    # grid (the documented bounded-grid exception) — a 1-row aggregate
+    # crossJoined back would recompute the whole corpus-assignment
+    # subtree for the second consumer branch
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        lists.withColumn(
+            "t",
+            F.sum(F.col("n_built") + F.col("n_upserts")).over(w_all).cast("long"),
+        )
+        .withColumn("nl", F.count(F.lit(1)).over(w_all).cast("long"))
+        .selectExpr(
+            "cid",
+            "n_built",
+            "n_upserts",
+            "CAST(n_built + n_upserts AS BIGINT) AS n_after",
+            "CAST((1000000 * (n_built + n_upserts)) DIV t AS BIGINT)"
+            " AS share_ppm",
+            "((n_built + n_upserts) * nl > 2 * t) AS is_hot",
+        )
+        .orderBy("cid")
+    )
+
+
+@_q(
     "stats_benjamini_hochberg",
     """
     WITH u AS (
@@ -21294,6 +21422,7 @@ _GRADE_NEXT: list[str] = [
     "tokenize_bpe_merge_trajectory",
     "tokenize_bpe_compression",
     "embed_pq_bits_tradeoff",
+    "ann_index_maintenance",
     # r03-only certificates after the dedup_minhash promotion (45)
     "dedup_simhash",
     "sim_ann_lsh",

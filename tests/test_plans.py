@@ -2231,3 +2231,15 @@ def test_pq_bits_tradeoff_no_join_three_trainings(spark):
     plan = _plan(spark, "embed_pq_bits_tradeoff")
     assert "Join" not in plan, plan
     assert plan.count("InMemoryTableScan") >= 3, plan
+
+
+def test_ann_index_maintenance_broadcast_centroids(spark):
+    """ann_index_maintenance: the corpus must be read once with the
+    centroid slice broadcast onto it (BNLJ over the bounded slice is the
+    certified IVF-assignment shape); the per-list aggregate map-side
+    combines; the split predicate is scan-side — no second corpus scan,
+    no CartesianProduct."""
+    plan = _plan(spark, "ann_index_maintenance")
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_sum" in plan, plan
+    assert plan.count("Scan parquet") <= 2, plan

@@ -11291,3 +11291,49 @@ def test_ann_grid_preserved_on_empty_query_slice(spark, tmp_path):
         assert all(r.n_hits == 0 and r.recall_ppm == 0 for r in got), got
         problems = compare(spec.fn(spark, str(tmp_path)), con, spec.oracle)
         assert not problems, (name, problems)
+
+
+def test_ann_index_maintenance_matches_bruteforce(spark):
+    """ann_index_maintenance: coarse assignment of the full corpus to
+    the frozen centroid set, the built-vs-upsert split, per-list ppm
+    shares, and the integer-cross-multiplied hot-list trigger recomputed
+    in plain Python — plus the closure law (lists partition the corpus:
+    Σ n_after = |corpus|)."""
+    import math
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("embeddings", ["vec_id", "embedding"])
+    q = {
+        vid: [math.floor(float(x) * 1024 + 0.5) for x in emb]
+        for vid, emb in rows
+    }
+    cents = {vid: xq for vid, xq in q.items() if vid % 100 == 0}
+
+    def l2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    lists = defaultdict(lambda: [0, 0])
+    for vid, xq in q.items():
+        _, cid = min((l2(xq, c), cid) for cid, c in cents.items())
+        lists[cid][0 if vid % 10 < 8 else 1] += 1
+    t = sum(b + u for b, u in lists.values())
+    nl = len(lists)
+    expect = {
+        cid: (
+            b,
+            u,
+            b + u,
+            1_000_000 * (b + u) // t,
+            (b + u) * nl > 2 * t,
+        )
+        for cid, (b, u) in lists.items()
+    }
+    got = {
+        r.cid: (r.n_built, r.n_upserts, r.n_after, r.share_ppm, r.is_hot)
+        for r in REGISTRY["ann_index_maintenance"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert sum(v[2] for v in expect.values()) == len(rows)
