@@ -136,3 +136,83 @@ def pow2_bucket_sql(expr: str, buckets: list[int] | None = None) -> str:
     ladder = buckets or POW2_BUCKETS
     whens = " ".join(f"WHEN {expr} <= {b} THEN {b}" for b in ladder[:-1])
     return f"CAST(CASE {whens} ELSE {ladder[-1]} END AS BIGINT)"
+
+
+def bpe_train(
+    vocab: DataFrame, merges: int = 3
+) -> tuple[DataFrame | None, list[DataFrame]]:
+    """Train ``merges`` BPE merge rules over a ``(w, f)`` word-frequency
+    vocabulary (Sennrich et al. 2016): per iteration, count corpus-
+    frequency-weighted adjacent symbol pairs, take the argmax pair
+    (count desc, then lexicographic), and apply it to every word as ONE
+    greedy left-to-right ``replace()``. Words ride as ``'<sym><sym>'``
+    delimited strings — callers must restrict the vocabulary to
+    ``^[a-z]+$`` so the delimiters cannot collide — and the replace
+    semantics (non-overlapping, left-to-right) are identical in Spark,
+    DuckDB, and Python, which IS the BPE application rule.
+
+    Returns ``(merge_table, stages)``: merge_table is the learned
+    ``(merge_step, left_sym, right_sym, pair_n)`` frame (None when the
+    vocabulary never yields an adjacent pair), stages is
+    ``[v0, v1, ..]`` — the delimited vocabulary after 0, 1, .. merges —
+    for payoff rollups.
+
+    Scale posture: the iterative loop collects exactly ONE winning
+    (pair, count) row per merge — the kmeans/PQ trajectory driver
+    bound — and every iteration scans only the bounded VOCABULARY (pair
+    explode + combinable count + TakeOrdered(1) argmax); the merge is a
+    literal replace, no join. The corpus token stream is the CALLER's
+    one scan that built ``vocab``.
+
+    Reference parity: no tokenizer training exists in the reference
+    (mahdi-hosseini/dend_spark_data_lake); driver-mandated extension
+    surface (SURVEY.md §2.6, tokenization family).
+    """
+    v = vocab.select(F.regexp_replace("w", "(.)", "<$1>").alias("w"), "f")
+    stages = [v]
+    merge_table = None
+    for step in range(1, merges + 1):
+        pc = (
+            v.select(
+                F.split(
+                    F.expr("substring(w, 2, length(w) - 2)"), "><"
+                ).alias("s"),
+                "f",
+            )
+            .filter(F.size("s") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1), i ->"
+                        " struct(element_at(s, i) AS l,"
+                        " element_at(s, i + 1) AS r))"
+                    )
+                ).alias("p"),
+                "f",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("f").cast("long").alias("n"))
+        )
+        m = (
+            pc.orderBy(F.desc("n"), "l", "r")
+            .limit(1)
+            .select(
+                F.lit(step).cast("int").alias("merge_step"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.col("n").alias("pair_n"),
+            )
+        )
+        rows = m.collect()
+        if not rows:
+            break
+        merge_table = m if merge_table is None else merge_table.unionByName(m)
+        l, r = rows[0].left_sym, rows[0].right_sym
+        v = v.select(
+            F.replace(
+                F.col("w"), F.lit(f"<{l}><{r}>"), F.lit(f"<{l}{r}>")
+            ).alias("w"),
+            "f",
+        )
+        stages.append(v)
+    return merge_table, stages

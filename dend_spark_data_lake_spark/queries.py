@@ -17988,7 +17988,8 @@ def tokenize_bpe_merge_trajectory(spark, sf_dir):
     """BPE TRAINING, not just its inner loop: three full merge
     iterations (count frequency-weighted adjacent symbol pairs over the
     vocabulary -> take the argmax pair, lexicographic tie-break -> apply
-    the merge to every word -> recount), emitting the learned merge
+    the merge to every word -> recount; the loop lives in
+    operators/packing.py::bpe_train), emitting the learned merge
     table — the artifact a tokenizer ships. Completes
     tokenize_bpe_pair_counts the way embed_pq_codebook_train completed
     embed_pq_distortion: the one-step table becomes the trained
@@ -18007,6 +18008,8 @@ def tokenize_bpe_merge_trajectory(spark, sf_dir):
     combinable pair count, one TakeOrdered(1) argmax. Driver state is
     the single winning pair per iteration (the kmeans-trajectory
     bound); merges apply as literal replaces, no join."""
+    from .operators.packing import bpe_train
+
     d = _t(spark, sf_dir, "documents")
     v = (
         d.select(
@@ -18015,58 +18018,14 @@ def tokenize_bpe_merge_trajectory(spark, sf_dir):
         .filter(F.col("w").rlike("^[a-z]+$"))
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("f"))
-        .select(F.regexp_replace("w", "(.)", "<$1>").alias("w"), "f")
     )
-    out = None
-    for step in range(1, BPE_MERGES + 1):
-        pc = (
-            v.select(
-                F.split(
-                    F.expr("substring(w, 2, length(w) - 2)"), "><"
-                ).alias("s"),
-                "f",
-            )
-            .filter(F.size("s") >= 2)
-            .select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(s) - 1), i ->"
-                        " struct(element_at(s, i) AS l,"
-                        " element_at(s, i + 1) AS r))"
-                    )
-                ).alias("p"),
-                "f",
-            )
-            .groupBy("p.l", "p.r")
-            .agg(F.sum("f").cast("long").alias("n"))
-        )
-        m = (
-            pc.orderBy(F.desc("n"), "l", "r")
-            .limit(1)
-            .select(
-                F.lit(step).cast("int").alias("merge_step"),
-                F.col("l").alias("left_sym"),
-                F.col("r").alias("right_sym"),
-                F.col("n").alias("pair_n"),
-            )
-        )
-        rows = m.collect()
-        if not rows:
-            break
-        out = m if out is None else out.unionByName(m)
-        l, r = rows[0].left_sym, rows[0].right_sym
-        v = v.select(
-            F.replace(
-                F.col("w"), F.lit(f"<{l}><{r}>"), F.lit(f"<{l}{r}>")
-            ).alias("w"),
-            "f",
-        )
-    if out is None:
+    merge_table, _stages = bpe_train(v, merges=BPE_MERGES)
+    if merge_table is None:
         return spark.createDataFrame(
             [], "merge_step int, left_sym string, right_sym string,"
             " pair_n long"
         )
-    return out.orderBy("merge_step")
+    return merge_table.orderBy("merge_step")
 
 
 def _bpe_compression_oracle_sql(t: int = BPE_MERGES) -> str:
@@ -18094,7 +18053,8 @@ def tokenize_bpe_compression(spark, sf_dir):
     each learned merge, how many symbols does the corpus cost (the
     number a token budget is written in) and how many distinct symbols
     does the model table carry (the embedding-matrix rows)? Stage 0 is
-    the character baseline; stage i applies the first i trained merges.
+    the character baseline; stage i applies the first i merges trained
+    by operators/packing.py::bpe_train (the shared trajectory).
     corpus_symbols is exact (Σ corpus-frequency × word symbol count) and
     strictly decreasing; the per-step drop is the number of merge
     APPLICATIONS, which undershoots the step's counted pair_n exactly
@@ -18106,6 +18066,8 @@ def tokenize_bpe_compression(spark, sf_dir):
     then vocabulary-sized work); each stage rollup is one symbol explode
     of the bounded vocab + one combinable aggregate; output is the
     (merges+1)-row stage grid."""
+    from .operators.packing import bpe_train
+
     d = _t(spark, sf_dir, "documents")
     v = (
         d.select(
@@ -18114,7 +18076,6 @@ def tokenize_bpe_compression(spark, sf_dir):
         .filter(F.col("w").rlike("^[a-z]+$"))
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("f"))
-        .select(F.regexp_replace("w", "(.)", "<$1>").alias("w"), "f")
     )
 
     def _rollup(vdf, stage):
@@ -18140,40 +18101,11 @@ def tokenize_bpe_compression(spark, sf_dir):
             )
         )
 
-    out = _rollup(v, 0)
-    for step in range(1, BPE_MERGES + 1):
-        pc = (
-            v.select(
-                F.split(
-                    F.expr("substring(w, 2, length(w) - 2)"), "><"
-                ).alias("s"),
-                "f",
-            )
-            .filter(F.size("s") >= 2)
-            .select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(s) - 1), i ->"
-                        " struct(element_at(s, i) AS l,"
-                        " element_at(s, i + 1) AS r))"
-                    )
-                ).alias("p"),
-                "f",
-            )
-            .groupBy("p.l", "p.r")
-            .agg(F.sum("f").cast("long").alias("n"))
-        )
-        rows = pc.orderBy(F.desc("n"), "l", "r").limit(1).collect()
-        if not rows:
-            break
-        l, r = rows[0].l, rows[0].r
-        v = v.select(
-            F.replace(
-                F.col("w"), F.lit(f"<{l}><{r}>"), F.lit(f"<{l}{r}>")
-            ).alias("w"),
-            "f",
-        )
-        out = out.unionByName(_rollup(v, step))
+    _mt, stages = bpe_train(v, merges=BPE_MERGES)
+    out = None
+    for stage, vdf in enumerate(stages):
+        r = _rollup(vdf, stage)
+        out = r if out is None else out.unionByName(r)
     return out.orderBy("stage")
 
 

@@ -50,3 +50,29 @@ def test_pack_stats_fill_never_exceeds_budget_except_oversize(spark):
     # pack except possibly the last of each shard is > half full
     assert all(r["tokens_used"] <= budget for r in stats)
     assert all(r["n_docs"] >= 1 for r in stats)
+
+
+def test_bpe_train_no_pairs_returns_none(spark):
+    """bpe_train on a vocabulary of single-character words (no adjacent
+    pairs anywhere) must return (None, [v0]) — the edge the registry
+    queries' empty-schema fallback guards."""
+    from dend_spark_data_lake_spark.operators.packing import bpe_train
+
+    v = spark.createDataFrame([("a", 3), ("b", 2)], "w string, f long")
+    mt, stages = bpe_train(v, merges=3)
+    assert mt is None
+    assert len(stages) == 1
+    assert {(r.w, r.f) for r in stages[0].collect()} == {("<a>", 3), ("<b>", 2)}
+
+
+def test_bpe_train_overlap_is_greedy_left_to_right(spark):
+    """The BPE application rule on overlapping occurrences: 'aaa' with
+    merge (a,a) becomes ('aa','a') — one application, not two — because
+    the merge is a single non-overlapping left-to-right replace."""
+    from dend_spark_data_lake_spark.operators.packing import bpe_train
+
+    v = spark.createDataFrame([("aaa", 5)], "w string, f long")
+    mt, stages = bpe_train(v, merges=1)
+    [m] = mt.collect()
+    assert (m.left_sym, m.right_sym, m.pair_n) == ("a", "a", 10)
+    assert [r.w for r in stages[1].collect()] == ["<aa><a>"]
