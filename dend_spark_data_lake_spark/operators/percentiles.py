@@ -146,8 +146,11 @@ def global_cumulative_counts(
     # and the global offsets are garbage (observed: ±1% rank-sum drift at
     # a 15k-value grid; the round-7 multi-weight rewrite fixed one shape
     # of this, persist kills the class). Eviction is safe: recompute
-    # replays the SAME RDD lineage, so boundaries are reproduced.
-    local = local.persist()
+    # replays the SAME RDD lineage, so boundaries are reproduced. A
+    # localCheckpoint (escape-hatch path) already IS a materialization,
+    # so persisting on top would just store a second copy.
+    if assume_deterministic:
+        local = local.persist()
     sizes = local.groupBy("__pid").agg(
         *[F.sum(w).cast("long").alias(f"__pn{i}") for i, w in enumerate(weights)]
     )
@@ -238,8 +241,10 @@ def distributed_ntile(
         local = local.localCheckpoint()
     # single materialization for both branches — see the persist note in
     # global_cumulative_counts (pruning-asymmetric branches defeat
-    # exchange reuse and re-sample range boundaries independently)
-    local = local.persist()
+    # exchange reuse and re-sample range boundaries independently;
+    # a localCheckpoint already materializes, so don't double-cache)
+    if assume_deterministic:
+        local = local.persist()
     sizes = local.groupBy("__pid").agg(F.count("*").cast("long").alias("__cnt"))
     w_off = Window.orderBy("__pid")  # bounded: one row per range partition
     offs = sizes.select(
@@ -361,8 +366,10 @@ def global_running_max(
         p = p.localCheckpoint()
     # single materialization for both branches — see the persist note in
     # global_cumulative_counts (here the local-max branch and the sizes
-    # branch both re-evaluate the range exchange)
-    p = p.persist()
+    # branch both re-evaluate the range exchange; a localCheckpoint
+    # already materializes, so don't double-cache)
+    if assume_deterministic:
+        p = p.persist()
     w_local = (
         Window.partitionBy("__pid")
         .orderBy(value_col)

@@ -17956,9 +17956,10 @@ def _bpe_merge_ctes(t: int = BPE_MERGES, split_last: bool = False) -> list[str]:
     ), m{i} AS (
       SELECT l, r, n FROM g{i} ORDER BY n DESC, l, r LIMIT 1
     ), v{i} AS (
-      SELECT replace(t.w, '<' || m.l || '><' || m.r || '>',
-                     '<' || m.l || m.r || '>') AS w, t.f
-      FROM v{i - 1} t CROSS JOIN m{i} m
+      SELECT CASE WHEN m.l IS NULL THEN t.w
+                  ELSE replace(t.w, '<' || m.l || '><' || m.r || '>',
+                               '<' || m.l || m.r || '>') END AS w, t.f
+      FROM v{i - 1} t LEFT JOIN m{i} m ON TRUE
     )"""
         )
     if split_last:
@@ -18103,7 +18104,11 @@ def tokenize_bpe_compression(spark, sf_dir):
 
     _mt, stages = bpe_train(v, merges=BPE_MERGES)
     out = None
-    for stage, vdf in enumerate(stages):
+    for stage in range(BPE_MERGES + 1):
+        # a dried-up stage (training stopped early) repeats the prior
+        # vocabulary — the oracle's LEFT JOIN carry-forward does the
+        # same, so the 4-row stage grid is preserved on both engines
+        vdf = stages[min(stage, len(stages) - 1)]
         r = _rollup(vdf, stage)
         out = r if out is None else out.unionByName(r)
     return out.orderBy("stage")
@@ -18403,6 +18408,86 @@ ANN_RERANK_PROBE = 2  # the knee of sim_ivf_probe_curve / serving curve
 ANN_SHORTLIST = 10  # ADC shortlist size handed to the exact re-ranker
 
 
+def _ann_l2(a, b):
+    """BIGINT squared L2 between two long-array columns — one
+    whole-stage-codegen aggregate(zip_with(...)), the family's shared
+    distance (no float anywhere)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda p, q: (p - q) * (p - q)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _ann_quantize(emb):
+    """(vec_id, xq): the family's shared integer quantization,
+    floor(x * PQ_SCALE + 0.5) per component — identical formula in the
+    oracles (_pq_train_ctes) and the replica pins."""
+    return emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(
+                x.cast("double") * F.lit(float(PQ_SCALE)) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("xq"),
+    )
+
+
+def _ann_centroids(xq):
+    """(cid, cq): the frozen coarse-quantizer slice
+    (vec_id % ANN_CENTROID_MOD — the ivf_centroids selection rule);
+    bounded |corpus|/mod rows, always broadcast by callers."""
+    return xq.filter(F.col("vec_id") % ANN_CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("xq").alias("cq")
+    )
+
+
+def _ann_query_subs(xq, sd):
+    """(query_id, s, qsub): the capped query slice exploded into
+    per-subspace RAW sub-vectors — the asymmetric half of ADC."""
+    return (
+        xq.filter(F.col("vec_id") < ANN_QUERY_CAP)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).cast("int").alias("s"),
+                            F.slice("xq", s * sd + 1, sd).alias("qsub"),
+                        )
+                        for s in range(PQ_M)
+                    ]
+                )
+            ).alias("e"),
+        )
+        .select("query_id", "e.s", "e.qsub")
+    )
+
+
+def _ann_adc(spark, cand, codes, cb, qsubs, keys):
+    """ADC-score every candidate: join its PQ codes, the broadcast
+    trained codebook, and the broadcast query sub-vectors, sum the
+    per-subspace ||q_s - codebook[s][code_s]||^2 partials grouped by
+    ``keys`` — the classic IVFADC scan, shared by serving and rerank."""
+    cbdf = spark.createDataFrame(
+        [(s, j, cb[s][j]) for s in range(PQ_M) for j in range(PQ_K)],
+        "s int, code int, cvec array<long>",
+    )
+    return (
+        cand.join(
+            codes.select(F.col("id").alias("neighbor_id"), "s", "code"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qsubs), ["query_id", "s"])
+        .join(F.broadcast(cbdf), ["s", "code"])
+        .withColumn("part", _ann_l2(F.col("qsub"), F.col("cvec")))
+        .groupBy(*keys)
+        .agg(F.sum("part").cast("long").alias("adc_d2"))
+    )
+
+
 def _pq_train_ctes(
     m: int = PQ_M,
     k: int = PQ_K,
@@ -18653,27 +18738,10 @@ def pipeline_ann_serving(spark, sf_dir):
     )
     sd = len(cb[0][0])
 
-    def _l2(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda p, q: (p - q) * (p - q)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-
-    xq = emb.select(
-        "vec_id",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.floor(
-                x.cast("double") * F.lit(float(PQ_SCALE)) + F.lit(0.5)
-            ).cast("long"),
-        ).alias("xq"),
-    )
-    cent = xq.filter(F.col("vec_id") % ANN_CENTROID_MOD == 0).select(
-        F.col("vec_id").alias("cid"), F.col("xq").alias("cq")
-    )
+    xq = _ann_quantize(emb)
+    cent = _ann_centroids(xq)
     ad = xq.join(F.broadcast(cent)).withColumn(
-        "dist", _l2(F.col("xq"), F.col("cq"))
+        "dist", _ann_l2(F.col("xq"), F.col("cq"))
     )
     w_asg = Window.partitionBy("vec_id").orderBy("dist", "cid")
     asg = (
@@ -18695,38 +18763,10 @@ def pipeline_ann_serving(spark, sf_dir):
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("n_probe", "query_id", "neighbor_id")
     )
-    qsubs = (
-        xq.filter(F.col("vec_id") < ANN_QUERY_CAP)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(s).cast("int").alias("s"),
-                            F.slice("xq", s * sd + 1, sd).alias("qsub"),
-                        )
-                        for s in range(PQ_M)
-                    ]
-                )
-            ).alias("e"),
-        )
-        .select("query_id", "e.s", "e.qsub")
-    )
-    cbdf = spark.createDataFrame(
-        [(s, j, cb[s][j]) for s in range(PQ_M) for j in range(PQ_K)],
-        "s int, code int, cvec array<long>",
-    )
-    adc = (
-        cand.join(
-            codes.select(F.col("id").alias("neighbor_id"), "s", "code"),
-            "neighbor_id",
-        )
-        .join(F.broadcast(qsubs), ["query_id", "s"])
-        .join(F.broadcast(cbdf), ["s", "code"])
-        .withColumn("part", _l2(F.col("qsub"), F.col("cvec")))
-        .groupBy("n_probe", "query_id", "neighbor_id")
-        .agg(F.sum("part").cast("long").alias("adc_d2"))
+    qsubs = _ann_query_subs(xq, sd)
+    adc = _ann_adc(
+        spark, cand, codes, cb, qsubs,
+        ["n_probe", "query_id", "neighbor_id"],
     )
     w_srv = Window.partitionBy("n_probe", "query_id").orderBy(
         "adc_d2", "neighbor_id"
@@ -18743,7 +18783,7 @@ def pipeline_ann_serving(spark, sf_dir):
     exact = (
         xq.crossJoin(F.broadcast(qx))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("dist", _l2(F.col("xq"), F.col("qv")))
+        .withColumn("dist", _ann_l2(F.col("xq"), F.col("qv")))
         .withColumn("rk", F.row_number().over(w_ex))
         .filter(F.col("rk") <= ANN_TOPK)
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
@@ -18845,29 +18885,12 @@ def embed_pq_residual_gain(spark, sf_dir):
         emb, m=PQ_M, k=PQ_K, iters=PQ_ITERS, scale=PQ_SCALE
     )
 
-    def _l2(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda p, q: (p - q) * (p - q)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-
-    xq = emb.select(
-        "vec_id",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.floor(
-                x.cast("double") * F.lit(float(PQ_SCALE)) + F.lit(0.5)
-            ).cast("long"),
-        ).alias("xq"),
-    )
-    cent = xq.filter(F.col("vec_id") % ANN_CENTROID_MOD == 0).select(
-        F.col("vec_id").alias("cid"), F.col("xq").alias("cq")
-    )
+    xq = _ann_quantize(emb)
+    cent = _ann_centroids(xq)
     w_asg = Window.partitionBy("vec_id").orderBy("dist", "cid")
     res = (
         xq.join(F.broadcast(cent))
-        .withColumn("dist", _l2(F.col("xq"), F.col("cq")))
+        .withColumn("dist", _ann_l2(F.col("xq"), F.col("cq")))
         .withColumn("rn", F.row_number().over(w_asg))
         .filter(F.col("rn") == 1)
         .select(
@@ -19031,27 +19054,10 @@ def pipeline_ann_rerank(spark, sf_dir):
     )
     sd = len(cb[0][0])
 
-    def _l2(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda p, q: (p - q) * (p - q)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-
-    xq = emb.select(
-        "vec_id",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.floor(
-                x.cast("double") * F.lit(float(PQ_SCALE)) + F.lit(0.5)
-            ).cast("long"),
-        ).alias("xq"),
-    )
-    cent = xq.filter(F.col("vec_id") % ANN_CENTROID_MOD == 0).select(
-        F.col("vec_id").alias("cid"), F.col("xq").alias("cq")
-    )
+    xq = _ann_quantize(emb)
+    cent = _ann_centroids(xq)
     ad = xq.join(F.broadcast(cent)).withColumn(
-        "dist", _l2(F.col("xq"), F.col("cq"))
+        "dist", _ann_l2(F.col("xq"), F.col("cq"))
     )
     w_asg = Window.partitionBy("vec_id").orderBy("dist", "cid")
     asg = (
@@ -19071,38 +19077,9 @@ def pipeline_ann_rerank(spark, sf_dir):
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
     )
-    qsubs = (
-        xq.filter(F.col("vec_id") < ANN_QUERY_CAP)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(s).cast("int").alias("s"),
-                            F.slice("xq", s * sd + 1, sd).alias("qsub"),
-                        )
-                        for s in range(PQ_M)
-                    ]
-                )
-            ).alias("e"),
-        )
-        .select("query_id", "e.s", "e.qsub")
-    )
-    cbdf = spark.createDataFrame(
-        [(s, j, cb[s][j]) for s in range(PQ_M) for j in range(PQ_K)],
-        "s int, code int, cvec array<long>",
-    )
-    adc = (
-        cand.join(
-            codes.select(F.col("id").alias("neighbor_id"), "s", "code"),
-            "neighbor_id",
-        )
-        .join(F.broadcast(qsubs), ["query_id", "s"])
-        .join(F.broadcast(cbdf), ["s", "code"])
-        .withColumn("part", _l2(F.col("qsub"), F.col("cvec")))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("part").cast("long").alias("adc_d2"))
+    qsubs = _ann_query_subs(xq, sd)
+    adc = _ann_adc(
+        spark, cand, codes, cb, qsubs, ["query_id", "neighbor_id"]
     )
     w_srv = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
     short = (
@@ -19116,7 +19093,7 @@ def pipeline_ann_rerank(spark, sf_dir):
     exd = (
         xq.crossJoin(F.broadcast(qx))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("dist", _l2(F.col("xq"), F.col("qv")))
+        .withColumn("dist", _ann_l2(F.col("xq"), F.col("qv")))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "dist")
     )
     w_ex = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
@@ -19239,12 +19216,13 @@ def embed_pq_bits_tradeoff(spark, sf_dir):
     WITH x AS (
       SELECT vec_id, CAST((i - 1) // 8 AS INT) AS s,
              CAST((i - 1) % 8 AS INT) AS d,
-             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1024 + 0.5)
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * {PQ_SCALE} + 0.5)
                   AS BIGINT) AS v
       FROM embeddings,
            LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
     ), cx AS (
-      SELECT vec_id AS cid, s, d, v FROM x WHERE vec_id % 100 = 0
+      SELECT vec_id AS cid, s, d, v
+      FROM x WHERE vec_id % {ANN_CENTROID_MOD} = 0
     ), ad AS (
       SELECT x.vec_id, cx.cid, sum((x.v - cx.v) * (x.v - cx.v)) AS dist
       FROM x JOIN cx ON cx.s = x.s AND cx.d = x.d
@@ -19300,29 +19278,12 @@ def ann_index_maintenance(spark, sf_dir):
     split is a scan-side predicate — the corpus is assigned once."""
     emb = _t(spark, sf_dir, "embeddings")
 
-    def _l2(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda p, q: (p - q) * (p - q)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-
-    xq = emb.select(
-        "vec_id",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.floor(
-                x.cast("double") * F.lit(float(PQ_SCALE)) + F.lit(0.5)
-            ).cast("long"),
-        ).alias("xq"),
-    )
-    cent = xq.filter(F.col("vec_id") % ANN_CENTROID_MOD == 0).select(
-        F.col("vec_id").alias("cid"), F.col("xq").alias("cq")
-    )
+    xq = _ann_quantize(emb)
+    cent = _ann_centroids(xq)
     w_asg = Window.partitionBy("vec_id").orderBy("dist", "cid")
     lists = (
         xq.join(F.broadcast(cent))
-        .withColumn("dist", _l2(F.col("xq"), F.col("cq")))
+        .withColumn("dist", _ann_l2(F.col("xq"), F.col("cq")))
         .withColumn("rn", F.row_number().over(w_asg))
         .filter(F.col("rn") == 1)
         .groupBy("cid")

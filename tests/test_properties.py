@@ -11337,3 +11337,44 @@ def test_ann_index_maintenance_matches_bruteforce(spark):
     }
     assert got == expect
     assert sum(v[2] for v in expect.values()) == len(rows)
+
+
+def test_bpe_grid_preserved_when_training_dries_up(spark, tmp_path):
+    """BPE dry-out parity, made executable (found by the round-9 code
+    review): on a corpus whose vocabulary exhausts its merges early
+    (single word 'ab' — one merge, then no pairs), the compression
+    query must still emit the full 4-row stage grid with the dried-up
+    stages repeating the prior vocabulary, on BOTH engines (the
+    oracle's LEFT JOIN carry-forward vs bpe_train's early break + stage
+    padding); the trajectory must emit exactly the 1 applied merge on
+    both (its oracle unions empty m-CTEs away)."""
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.oracle_utils import compare
+
+    df = spark.createDataFrame(
+        [(1, "ab AB ab!", "en", 9, "s1")],
+        "doc_id long, text string, lang string, n_chars int, source string",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    comp = REGISTRY["tokenize_bpe_compression"]
+    rows = comp.fn(spark, str(tmp_path)).collect()
+    # 'ab AB ab!' lowers to vocab {'ab': 2} ('ab!' fails ^[a-z]+$):
+    # stage 0 = <a><b> (2 symbols, corpus cost 4), one merge -> <ab>,
+    # stages 2 and 3 repeat stage 1
+    assert [
+        (r.stage, r.n_distinct_symbols, r.corpus_symbols) for r in rows
+    ] == [(0, 2, 4), (1, 1, 2), (2, 1, 2), (3, 1, 2)]
+    assert not compare(comp.fn(spark, str(tmp_path)), con, comp.oracle)
+    traj = REGISTRY["tokenize_bpe_merge_trajectory"]
+    got = traj.fn(spark, str(tmp_path)).collect()
+    assert [
+        (r.merge_step, r.left_sym, r.right_sym, r.pair_n) for r in got
+    ] == [(1, "a", "b", 2)]
+    assert not compare(traj.fn(spark, str(tmp_path)), con, traj.oracle)
