@@ -120,3 +120,31 @@ def test_pca_power_topvec_matches_integer_replica(spark):
     # dominant axis is dim 1 and it hits the scale exactly
     assert abs(got[1]) == scale
     assert all(abs(got[j]) < scale // 4 for j in (0, 2, 3))
+
+
+def test_pq_train_codebook_invariant_under_partition_forcing(spark):
+    """The trained PQ codebook must be VALUE-identical under extreme
+    shuffle-partition settings — the determinism property every
+    cross-engine certificate in the family stands on (the scale tier
+    proves plan-shape invariance; this proves the trajectory itself).
+    Seeds come from a TakeOrdered, assignments from literal projections,
+    updates from exact integer aggregation — none may depend on
+    partitioning."""
+    from dend_spark_data_lake_spark.operators.clustering import (
+        pq_train_quantized,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    key = "spark.sql.shuffle.partitions"
+    orig = spark.conf.get(key)
+    books = {}
+    try:
+        for parts in ("3", "64"):
+            spark.conf.set(key, parts)
+            codes, cb = pq_train_quantized(emb, m=4, k=8, iters=2)
+            books[parts] = cb
+            codes.unpersist()
+    finally:
+        spark.conf.set(key, orig)
+    assert books["3"] == books["64"]

@@ -76,3 +76,38 @@ def test_bpe_train_overlap_is_greedy_left_to_right(spark):
     [m] = mt.collect()
     assert (m.left_sym, m.right_sym, m.pair_n) == ("a", "a", 10)
     assert [r.w for r in stages[1].collect()] == ["<aa><a>"]
+
+
+def test_bpe_train_merge_table_invariant_under_partition_forcing(spark):
+    """The learned BPE merge table must be VALUE-identical under extreme
+    shuffle-partition settings: pair counts are exact integer aggregates
+    and the argmax tie-break (count desc, then lexicographic) is total,
+    so no partitioning may change which pair wins."""
+    from dend_spark_data_lake_spark.operators.packing import bpe_train
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    v = (
+        d.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
+        )
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    key = "spark.sql.shuffle.partitions"
+    orig = spark.conf.get(key)
+    tables = {}
+    try:
+        for parts in ("3", "64"):
+            spark.conf.set(key, parts)
+            mt, _ = bpe_train(v, merges=3)
+            tables[parts] = [
+                (r.merge_step, r.left_sym, r.right_sym, r.pair_n)
+                for r in mt.orderBy("merge_step").collect()
+            ]
+    finally:
+        spark.conf.set(key, orig)
+    assert tables["3"] == tables["64"]
+    assert len(tables["3"]) == 3
