@@ -20942,20 +20942,78 @@ def text_word_length_profile(spark, sf_dir):
 # order). Registration order above is topical; the driver-facing order below
 # is a rotation policy: queries not yet externally certified come first.
 #
-# ROUND-9 WINDOW (50 slots) — the final re-certification round (VERDICT r8
-# ask #1): the 28 never-graded entries lead (the three round-7 additions
-# displaced from the round-8 window by queue arithmetic, then the 25
-# round-8 additions in queue order — all judge-certified green at sf0.01
-# AND sf0.1 in VERDICT r8), followed by 22 re-certifications: the entire
-# 21-entry r02-only cohort (retiring the r02-only certificate class) plus
-# the single OLDEST r03-only certificate (dedup_minhash — first slot of
-# the CORRECTNESS_r03 grading order).
+# ROUND-10 WINDOW (50 slots) — VERDICT r9 ask #1: the 8 never-graded
+# round-9 additions lead (in their _GRADE_NEXT queue order — all
+# judge-certified green at sf0.01 AND sf0.1 in VERDICT r9), followed by
+# the first 42 of the 45-entry r03-only re-certification backlog in their
+# CORRECTNESS_r03 grading order (every one's most recent driver
+# certificate is the r03 artifact). The remaining 3 r03-only entries
+# close the backlog in the round-11 window.
 _GRADE_FIRST = [
-    # round-7 additions displaced from the round-8 window, never graded
+    # round-9 additions, never driver-graded (queue order)
+    "embed_pq_codebook_train",
+    "pipeline_ann_serving",
+    "embed_pq_residual_gain",
+    "pipeline_ann_rerank",
+    "tokenize_bpe_merge_trajectory",
+    "tokenize_bpe_compression",
+    "embed_pq_bits_tradeoff",
+    "ann_index_maintenance",
+    # r03-only re-certifications (first 42 of 45, CORRECTNESS_r03 order)
+    "dedup_simhash",
+    "sim_ann_lsh",
+    "agg_order_history",
+    "sim_ann_ivf",
+    "multimodal_features",
+    "text_repetition",
+    "decontaminate_docs",
+    "text_pii_flags",
+    "text_chunk_sliding",
+    "pack_sequences",
+    "corpus_mix_rebalance",
+    "sql_revenue_concentration",
+    "profile_key_skew",
+    "embed_quantize_int8",
+    "dedup_incremental_batch",
+    "agg_histogram_equidepth",
+    "profile_numeric_corr",
+    "sample_fixed_per_stratum",
+    "pipeline_incremental_ingest",
+    "dedup_canonical_best",
+    "profile_join_fanout",
+    "graph_triangle_stats",
+    "vocab_top_coverage",
+    "text_ttr_hapax",
+    "winsorize_prices",
+    "tokenize_with_vocab",
+    "quality_threshold_curve",
+    "boilerplate_frequent_grams",
+    "sample_temperature_by_lang",
+    "profile_source_overlap",
+    "sample_kfold_assign",
+    "sql_small_order_revenue",
+    "sql_inactive_high_balance",
+    "dedup_containment",
+    "sql_recursive_calendar",
+    "json_variant_agg",
+    "sql_pipe_syntax",
+    "sql_udf_margin",
+    "sql_local_supplier_volume",
+    "sql_returned_items",
+    "pipeline_curation",
+    "sql_lateral_topn",
+]
+
+
+# Certified in CORRECTNESS_r09 (50/50 green: rows+schema+hash — first
+# driver rows for the 28 round-7/8 additions, plus the entire 21-entry
+# r02-only cohort and the oldest r03-only certificate re-certified).
+# Demoted behind the round-10 window; kept explicit so the rotation
+# history stays auditable in one place.
+_GRADE_DONE_R09 = [
     "stats_autocorr_lag1",
     "customers_segment_transitions",
     "stats_spearman_rho",
-    # round-8 additions, never driver-graded (queue order)
     "stats_kruskal_wallis",
     "stats_wilson_ci",
     "dq_tukey_outliers",
@@ -20981,7 +21039,6 @@ _GRADE_FIRST = [
     "dq_id_continuity",
     "corpus_source_hapax_share",
     "text_word_length_profile",
-    # r02-only re-certifications (entire remaining r02 cohort, 21)
     "text_bigram_counts",
     "join_cross",
     "join_skew_salted",
@@ -21003,7 +21060,6 @@ _GRADE_FIRST = [
     "dq_orders_constraints",
     "funnel_view_click_purchase",
     "cohort_retention",
-    # oldest r03-only certificate (CORRECTNESS_r03 slot 1)
     "dedup_minhash",
 ]
 
@@ -21300,65 +21356,13 @@ _GRADE_DONE_R04 = [
 ]
 
 
-# Behind the window, queued for the round-10 rotation: the r03-only
-# re-certification backlog (the 45 CORRECTNESS_r03 entries after
-# dedup_minhash, in their r03 grading order — every one's most recent
-# driver certificate is the r03 artifact). New round-9 additions are
-# inserted at the FRONT of this queue (never-graded before re-certs),
-# never into the frozen window above.
+# Behind the window, queued for the round-11 rotation: the last 3 entries
+# of the r03-only re-certification backlog (window arithmetic — the
+# round-10 window holds 8 never-graded + 42 re-certs). New round-10
+# additions are inserted at the FRONT of this queue (never-graded before
+# re-certs), never into the frozen window above.
 _GRADE_NEXT: list[str] = [
-    # round-9 additions, never driver-graded (queue order)
-    "embed_pq_codebook_train",
-    "pipeline_ann_serving",
-    "embed_pq_residual_gain",
-    "pipeline_ann_rerank",
-    "tokenize_bpe_merge_trajectory",
-    "tokenize_bpe_compression",
-    "embed_pq_bits_tradeoff",
-    "ann_index_maintenance",
-    # r03-only certificates after the dedup_minhash promotion (45)
-    "dedup_simhash",
-    "sim_ann_lsh",
-    "agg_order_history",
-    "sim_ann_ivf",
-    "multimodal_features",
-    "text_repetition",
-    "decontaminate_docs",
-    "text_pii_flags",
-    "text_chunk_sliding",
-    "pack_sequences",
-    "corpus_mix_rebalance",
-    "sql_revenue_concentration",
-    "profile_key_skew",
-    "embed_quantize_int8",
-    "dedup_incremental_batch",
-    "agg_histogram_equidepth",
-    "profile_numeric_corr",
-    "sample_fixed_per_stratum",
-    "pipeline_incremental_ingest",
-    "dedup_canonical_best",
-    "profile_join_fanout",
-    "graph_triangle_stats",
-    "vocab_top_coverage",
-    "text_ttr_hapax",
-    "winsorize_prices",
-    "tokenize_with_vocab",
-    "quality_threshold_curve",
-    "boilerplate_frequent_grams",
-    "sample_temperature_by_lang",
-    "profile_source_overlap",
-    "sample_kfold_assign",
-    "sql_small_order_revenue",
-    "sql_inactive_high_balance",
-    "dedup_containment",
-    "sql_recursive_calendar",
-    "json_variant_agg",
-    "sql_pipe_syntax",
-    "sql_udf_margin",
-    "sql_local_supplier_volume",
-    "sql_returned_items",
-    "pipeline_curation",
-    "sql_lateral_topn",
+    # r03-only certificates left after the round-10 promotion (3)
     "join_interval_overlap",
     "join_null_safe",
     "window_distribution_family",
@@ -21483,6 +21487,7 @@ def _reorder_registry() -> None:
         dict.fromkeys(
             [
                 *rotation,
+                *_GRADE_DONE_R09,
                 *_GRADE_DONE_R08,
                 *_GRADE_DONE_R07,
                 *_GRADE_DONE_R06,

@@ -48,14 +48,13 @@ def test_grading_window_invariants():
     assert len(rotation) == len(set(rotation))
 
 
-def test_round9_window_rotation_policy():
-    """The round-9 window (the final re-certification round, VERDICT r8
-    ask #1) must lead with every oracle-backed entry that has NO driver
-    row in CORRECTNESS_r01..r08 (the 3 round-7 additions displaced by
-    queue arithmetic, then the 25 round-8 additions), and every other
-    window slot must be a re-certification whose MOST RECENT driver
-    certificate predates the round-4 artifact — the entire 21-entry
-    r02-only cohort before any r03-only entry (oldest certificates
+def test_round10_window_rotation_policy():
+    """The round-10 window (VERDICT r9 ask #1) must lead with every
+    oracle-backed entry that has NO driver row in CORRECTNESS_r01..r09
+    (the 8 round-9 additions), and every other window slot must be a
+    re-certification whose MOST RECENT driver certificate predates the
+    round-4 artifact — the r02-only cohort retired in r09, so the 42
+    re-cert slots all come from the r03-only backlog (oldest certificates
     first). Derived from the actual CORRECTNESS_r0*.json artifacts, not
     from our own rotation lists."""
     import json
@@ -64,8 +63,8 @@ def test_round9_window_rotation_policy():
     from dend_spark_data_lake_spark.queries import _GRADE_FIRST, _GRADE_NEXT
 
     repo = Path(__file__).resolve().parent.parent
-    artifacts = sorted(repo.glob("CORRECTNESS_r0[1-8].json"))
-    if len(artifacts) < 8:
+    artifacts = sorted(repo.glob("CORRECTNESS_r0[1-9].json"))
+    if len(artifacts) < 9:
         pytest.skip("driver correctness artifacts not present")
 
     latest_round: dict[str, int] = {}
