@@ -99,6 +99,9 @@ SECONDARY = [
     # round-9 flagship (IVF + trained-PQ ADC serving; the end-to-end ANN
     # path — benched so codebook-training cost regressions are visible)
     "pipeline_ann_serving",
+    # round-10 flagship (trained-BPE corpus encode + per-lang fertility;
+    # benched so merge-training and encode-join cost stay visible)
+    "pipeline_bpe_encode",
 ]
 
 

@@ -2243,3 +2243,28 @@ def test_ann_index_maintenance_broadcast_centroids(spark):
     assert "CartesianProduct" not in plan, plan
     assert "partial_sum" in plan, plan
     assert plan.count("Scan parquet") <= 2, plan
+
+
+def test_bpe_encode_word_equijoin_no_python(spark):
+    """pipeline_bpe_encode: the encode must be ONE word-keyed EQUI-join
+    of the (lang, word) frequency table against the trained final
+    vocabulary — never a cartesian pairing, never Python row-at-a-time
+    in the hot path — with the per-language report map-side combining
+    and the trained merges folded into the plan as literal replaces (no
+    per-merge join). The join strategy is deliberately left to Catalyst
+    size estimates (broadcast at test SF, shuffle join once the
+    vocabulary outgrows the threshold — the query sets no broadcast
+    hint), so the lock accepts any hash/merge EQUI-join on the word."""
+    import re as _re
+
+    plan = _plan(spark, "pipeline_bpe_encode")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    word_joins = _re.findall(
+        r"(?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[w#", plan
+    )
+    assert word_joins, plan
+    assert "partial_sum" in plan, plan
+    # the trained merges ride as folded literal replaces, not joins
+    assert "replace(" in plan, plan

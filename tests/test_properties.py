@@ -11225,6 +11225,86 @@ def test_bpe_compression_matches_bruteforce(spark):
         assert 0 < drop <= pair_ns[step], (step, drop, pair_ns[step])
 
 
+def test_bpe_encode_matches_bruteforce(spark):
+    """pipeline_bpe_encode: the full train-then-encode serving path
+    recomputed in plain Python — the three-merge training replay, the
+    final-vocabulary word -> symbol-count map, and every per-language
+    rollup column — plus the two laws that make the report meaningful:
+    compression_ppm ≤ 1e6 per language (merges only shrink), and the
+    cross-query closure Σ_lang bpe_symbols == the final-stage
+    corpus_symbols that tokenize_bpe_compression reports (encoding the
+    corpus with the trained table costs exactly what the trained
+    vocabulary says it costs)."""
+    import re
+    from collections import Counter, defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("documents", ["lang", "text"])
+    lw = Counter()
+    for lang, text in rows:
+        for w in re.split(r"\s+", text.strip().lower()):
+            if re.fullmatch(r"[a-z]+", w):
+                lw[(lang, w)] += 1
+    vocab = Counter()
+    for (_, w), f in lw.items():
+        vocab[w] += f
+    v = {"".join(f"<{c}>" for c in w): f for w, f in vocab.items()}
+    for _step in range(1, 4):
+        pc = defaultdict(int)
+        for w, f in v.items():
+            syms = w[1:-1].split("><")
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        (l, r), _n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        v = {w.replace(f"<{l}><{r}>", f"<{l}{r}>"): f for w, f in v.items()}
+    n_sym = {
+        w.replace("<", "").replace(">", ""): len(w[1:-1].split("><"))
+        for w in v
+    }
+
+    stats = defaultdict(lambda: [0, 0, 0, 0])  # nw_distinct, nw, chars, syms
+    for (lang, w), f in lw.items():
+        s = stats[lang]
+        s[0] += 1
+        s[1] += f
+        s[2] += f * len(w)
+        s[3] += f * n_sym[w]
+    expect = {
+        lang: (
+            s[0],
+            s[1],
+            s[2],
+            s[3],
+            1_000_000 * s[3] // s[1],
+            1_000_000 * s[3] // s[2],
+        )
+        for lang, s in stats.items()
+    }
+    got = {
+        r.lang: (
+            r.n_distinct_words,
+            r.n_words,
+            r.word_chars,
+            r.bpe_symbols,
+            r.fertility_ppm,
+            r.compression_ppm,
+        )
+        for r in REGISTRY["pipeline_bpe_encode"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert all(vals[5] <= 1_000_000 for vals in expect.values())
+    # closure vs the trained vocabulary's own cost accounting
+    total_syms = sum(f * n_sym[w] for (_, w), f in lw.items())
+    assert sum(vals[3] for vals in expect.values()) == total_syms
+    assert total_syms == sum(
+        f * len(w[1:-1].split("><")) for w, f in v.items()
+    )
+
+
 def test_pq_bits_tradeoff_matches_bruteforce(spark):
     """embed_pq_bits_tradeoff: all three training trajectories (m = 4,
     8, 16) recomputed in plain Python via the shared replica — plus the
@@ -11255,9 +11335,9 @@ def test_ann_grid_preserved_on_empty_query_slice(spark, tmp_path):
     executable: on a corpus whose vec_ids all exceed the query cap (so
     the query slice is EMPTY), both engines must still emit the full
     probe/stage grid with zero counts — the grid-preserving LEFT JOIN /
-    1-row-aggregate shape that the deferred sim_ivf_probe_curve rewrite
-    (ADVICE r8) will adopt. Cross-engine compared on the same synthetic
-    parquet, not just row-counted."""
+    1-row-aggregate shape that sim_ivf_probe_curve adopted once it left
+    the frozen grading window (ADVICE r8, applied round 10). Cross-engine
+    compared on the same synthetic parquet, not just row-counted."""
     import duckdb
 
     from dend_spark_data_lake_spark.queries import REGISTRY
@@ -11283,6 +11363,7 @@ def test_ann_grid_preserved_on_empty_query_slice(spark, tmp_path):
     for name, n_rows in (
         ("pipeline_ann_serving", 3),
         ("pipeline_ann_rerank", 2),
+        ("sim_ivf_probe_curve", 3),
     ):
         spec = REGISTRY[name]
         out = spec.fn(spark, str(tmp_path))
@@ -11291,6 +11372,49 @@ def test_ann_grid_preserved_on_empty_query_slice(spark, tmp_path):
         assert all(r.n_hits == 0 and r.recall_ppm == 0 for r in got), got
         problems = compare(spec.fn(spark, str(tmp_path)), con, spec.oracle)
         assert not problems, (name, problems)
+
+
+def test_attribution_grid_preserved_on_zero_purchases(spark, tmp_path):
+    """events_attribution_window_curve grid preservation (the other half
+    of the deferred ADVICE r8 fix): on an events table with ZERO purchase
+    rows, both engines must still emit the full 4-row window grid with
+    n_purchases = n_attributed = attributed_ppm = 0 — the 1-row
+    conditional-aggregate + stack shape never drops grid rows."""
+    import datetime
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.oracle_utils import compare
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            i % 7,
+            "view" if i % 2 == 0 else "click",
+            base + datetime.timedelta(minutes=i),
+        )
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    spec = REGISTRY["events_attribution_window_curve"]
+    got = spec.fn(spark, str(tmp_path)).collect()
+    assert [r.window_s for r in got] == [3600, 21600, 86400, 259200], got
+    assert all(
+        r.n_purchases == 0 and r.n_attributed == 0 and r.attributed_ppm == 0
+        for r in got
+    ), got
+    problems = compare(spec.fn(spark, str(tmp_path)), con, spec.oracle)
+    assert not problems, problems
 
 
 def test_ann_index_maintenance_matches_bruteforce(spark):

@@ -65,6 +65,14 @@ SCALE_QUERIES = [
     # the tier exercises that determinism for free.
     "pipeline_ann_serving",
     "tokenize_bpe_merge_trajectory",
+    # round-10 addition: the BPE serving composite — the trained-merge
+    # literal replaces and the word-keyed encode equi-join must keep
+    # their shapes at any partition setting (the join STRATEGY may flip
+    # broadcast<->shuffle with size estimates, which the shape counter
+    # tolerates only if it doesn't — so the tier pins the vocabulary
+    # estimate staying under the threshold at bench SF; a flip would
+    # surface as a shape diff and deserves a look, not a silent pass)
+    "pipeline_bpe_encode",
 ]
 
 # operators whose COUNT defines the scale shape of a plan: join
