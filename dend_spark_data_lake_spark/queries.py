@@ -17932,17 +17932,24 @@ def tokenize_bpe_pair_counts(spark, sf_dir):
 BPE_MERGES = 3
 
 
-def _bpe_merge_ctes(t: int = BPE_MERGES, split_last: bool = False) -> list[str]:
-    """Unrolled BPE-training chain for DuckDB (shared by the trajectory
-    and compression oracles): v0 = the delimited-word vocabulary, then
-    per iteration s{i} (symbol split) -> g{i} (pair counts) -> m{i}
-    (argmax merge) -> v{i} (merge applied). ``split_last`` appends
-    s{t+1}, the symbol split of the final vocabulary, for rollups over
-    the trained state."""
+def _bpe_merge_ctes(
+    t: int = BPE_MERGES, split_last: bool = False, v0_where: str = ""
+) -> list[str]:
+    """Unrolled BPE-training chain for DuckDB (shared by the trajectory,
+    compression, encode, and OOV-audit oracles): v0 = the delimited-word
+    vocabulary, then per iteration s{i} (symbol split) -> g{i} (pair
+    counts) -> m{i} (argmax merge) -> v{i} (merge applied).
+    ``split_last`` appends s{t+1}, the symbol split of the final
+    vocabulary, for rollups over the trained state. ``v0_where``
+    restricts the TRAINING corpus (e.g. ``" WHERE doc_id % 10 < 8"`` for
+    the frozen-tokenizer audit); the default keeps the emitted SQL
+    byte-identical to the certified full-corpus chain."""
     blocks = [
         r"""toks AS (
       SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
-      FROM documents
+      FROM documents"""
+        + v0_where
+        + r"""
     ), v0 AS (
       SELECT regexp_replace(w, '(.)', '<\1>', 'g') AS w,
              CAST(count(*) AS BIGINT) AS f
@@ -18234,6 +18241,154 @@ def pipeline_bpe_encode(spark, sf_dir):
         "bpe_symbols",
         "fertility_ppm",
         "compression_ppm",
+    ).orderBy("lang")
+
+
+def _bpe_oov_oracle_sql(t: int = BPE_MERGES) -> str:
+    blocks = _bpe_merge_ctes(t, v0_where=" WHERE doc_id % 10 < 8")
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + f""",
+    enc AS (
+      SELECT replace(replace(w, '<', ''), '>', '') AS word,
+             CAST(len(string_split(substring(w, 2, length(w) - 2), '><'))
+                  AS BIGINT) AS n_sym
+      FROM v{t}
+    ), blw AS (
+      SELECT lang, w AS word, CAST(count(*) AS BIGINT) AS f
+      FROM (
+        SELECT lang,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        FROM documents WHERE doc_id % 10 >= 8)
+      WHERE regexp_matches(w, '^[a-z]+$')
+      GROUP BY 1, 2
+    )
+    SELECT b.lang,
+           CAST(sum(b.f) AS BIGINT) AS n_words,
+           CAST(count(*) AS BIGINT) AS n_distinct_words,
+           CAST(sum(CASE WHEN e.n_sym IS NULL THEN b.f ELSE 0 END)
+                AS BIGINT) AS n_oov_words,
+           CAST(count(*) FILTER (WHERE e.n_sym IS NULL) AS BIGINT)
+             AS n_oov_distinct,
+           CAST(sum(b.f * coalesce(e.n_sym, length(b.word))) AS BIGINT)
+             AS bpe_symbols,
+           CAST(sum(CASE WHEN e.n_sym IS NULL THEN b.f * length(b.word)
+                         ELSE 0 END) AS BIGINT) AS oov_char_symbols,
+           CAST((1000000 * CAST(sum(CASE WHEN e.n_sym IS NULL THEN b.f
+                                         ELSE 0 END) AS HUGEINT))
+                // sum(b.f) AS BIGINT) AS oov_ppm,
+           CAST((1000000 * CAST(sum(b.f * coalesce(e.n_sym,
+                                                   length(b.word)))
+                                AS HUGEINT))
+                // sum(b.f) AS BIGINT) AS fertility_ppm
+    FROM blw b LEFT JOIN enc e ON e.word = b.word
+    GROUP BY b.lang ORDER BY b.lang"""
+    )
+
+
+@_q("tokenize_bpe_oov_audit", _bpe_oov_oracle_sql())
+def tokenize_bpe_oov_audit(spark, sf_dir):
+    """FROZEN-tokenizer drift audit — ann_index_maintenance's question
+    asked of the BPE family: the merge table is trained once on the
+    standing corpus (doc_id % 10 < 8) and FROZEN; the arriving batch
+    (doc_id % 10 >= 8, the incremental-ingest convention) is then
+    encoded with it, and per language the audit reports what serving a
+    stale tokenizer on fresh data actually costs: OOV mass (words the
+    frozen vocabulary has never seen — they fall back to character
+    encoding, the worst-case symbol cost) and realized fertility
+    including that fallback. oov_ppm rising across batches is the
+    retrain trigger for a tokenizer, exactly as the hot-list share is
+    for an IVF index. Encoding is the pipeline_bpe_encode shape — the
+    batch's (lang, word) frequencies LEFT-joined against the frozen
+    final vocabulary, OOV rows taking coalesce(n_sym, length(word)) —
+    and every ratio is an exact floored ppm.
+
+    Scale: train-side and batch-side each scan the corpus once (the
+    doc_id % 10 predicate pushes to parquet); training is the certified
+    driver-bounded trajectory with its merges folded as literal
+    replaces; the encode LEFT-join keys on the word with NO broadcast
+    hint (Catalyst sizes it); the audit is one combinable |langs|-group
+    conditional aggregate."""
+    from .operators.packing import bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    v = (
+        d.filter(F.col("doc_id") % 10 < 8)
+        .select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
+        )
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    _mt, stages = bpe_train(v, merges=BPE_MERGES)
+    enc = stages[-1].select(
+        F.translate("w", "<>", "").alias("w"),
+        F.size(F.split(F.expr("substring(w, 2, length(w) - 2)"), "><"))
+        .cast("long")
+        .alias("n_sym"),
+    )
+    blw = (
+        d.filter(F.col("doc_id") % 10 >= 8)
+        .select(
+            "lang",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("lang", "w")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    dec = "DECIMAL(38,0)"
+    rolled = (
+        blw.join(enc, "w", "left")
+        .groupBy("lang")
+        .agg(
+            F.sum("f").cast("long").alias("n_words"),
+            F.count("*").cast("long").alias("n_distinct_words"),
+            F.sum(
+                F.when(F.col("n_sym").isNull(), F.col("f")).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_oov_words"),
+            F.count(F.when(F.col("n_sym").isNull(), 1))
+            .cast("long")
+            .alias("n_oov_distinct"),
+            F.sum(
+                F.col("f")
+                * F.coalesce(F.col("n_sym"), F.length("w").cast("long"))
+            )
+            .cast("long")
+            .alias("bpe_symbols"),
+            F.sum(
+                F.when(
+                    F.col("n_sym").isNull(),
+                    F.col("f") * F.length("w").cast("long"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("oov_char_symbols"),
+        )
+        .selectExpr(
+            "*",
+            f"CAST(1000000 AS {dec}) * n_oov_words AS __onum",
+            f"CAST(n_words AS {dec}) AS __oden",
+            f"CAST(1000000 AS {dec}) * bpe_symbols AS __fnum",
+            f"CAST(n_words AS {dec}) AS __fden",
+        )
+    )
+    rolled = _floordiv_cols(rolled, "__onum", "__oden", "oov_ppm")
+    rolled = _floordiv_cols(rolled, "__fnum", "__fden", "fertility_ppm")
+    return rolled.select(
+        "lang",
+        "n_words",
+        "n_distinct_words",
+        "n_oov_words",
+        "n_oov_distinct",
+        "bpe_symbols",
+        "oov_char_symbols",
+        "oov_ppm",
+        "fertility_ppm",
     ).orderBy("lang")
 
 
@@ -21515,6 +21670,7 @@ _GRADE_DONE_R04 = [
 _GRADE_NEXT: list[str] = [
     # round-10 additions, never driver-graded (queue order)
     "pipeline_bpe_encode",
+    "tokenize_bpe_oov_audit",
     # r03-only certificates left after the round-10 promotion (3)
     "join_interval_overlap",
     "join_null_safe",

@@ -2268,3 +2268,25 @@ def test_bpe_encode_word_equijoin_no_python(spark):
     assert "partial_sum" in plan, plan
     # the trained merges ride as folded literal replaces, not joins
     assert "replace(" in plan, plan
+
+
+def test_bpe_oov_audit_left_join_pushdown(spark):
+    """tokenize_bpe_oov_audit: both corpus scans must push their
+    doc_id % 10 slice predicate down (train side < 8, batch side >= 8
+    reach the scans as data filters), the frozen-vocabulary encode must
+    be a word-keyed EQUI-join (strategy left to Catalyst sizes), the
+    trained merges must ride as folded literal replaces, and the audit
+    aggregate must map-side combine — no cartesian, no Python."""
+    import re as _re
+
+    plan = _plan(spark, "tokenize_bpe_oov_audit")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    word_joins = _re.findall(
+        r"(?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[w#", plan
+    )
+    assert word_joins, plan
+    assert "partial_sum" in plan, plan
+    assert "replace(" in plan, plan
+    assert plan.count("(doc_id#") >= 2, plan

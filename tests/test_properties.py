@@ -11250,21 +11250,7 @@ def test_bpe_encode_matches_bruteforce(spark):
     vocab = Counter()
     for (_, w), f in lw.items():
         vocab[w] += f
-    v = {"".join(f"<{c}>" for c in w): f for w, f in vocab.items()}
-    for _step in range(1, 4):
-        pc = defaultdict(int)
-        for w, f in v.items():
-            syms = w[1:-1].split("><")
-            for a, b in zip(syms, syms[1:]):
-                pc[(a, b)] += f
-        if not pc:
-            break
-        (l, r), _n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
-        v = {w.replace(f"<{l}><{r}>", f"<{l}{r}>"): f for w, f in v.items()}
-    n_sym = {
-        w.replace("<", "").replace(">", ""): len(w[1:-1].split("><"))
-        for w in v
-    }
+    n_sym = _bpe_train_replica(vocab)
 
     stats = defaultdict(lambda: [0, 0, 0, 0])  # nw_distinct, nw, chars, syms
     for (lang, w), f in lw.items():
@@ -11300,9 +11286,142 @@ def test_bpe_encode_matches_bruteforce(spark):
     # closure vs the trained vocabulary's own cost accounting
     total_syms = sum(f * n_sym[w] for (_, w), f in lw.items())
     assert sum(vals[3] for vals in expect.values()) == total_syms
-    assert total_syms == sum(
-        f * len(w[1:-1].split("><")) for w, f in v.items()
+    assert total_syms == sum(f * n_sym[w] for w, f in vocab.items())
+
+
+def _bpe_train_replica(vocab):
+    """Shared Python replica of operators/packing.py::bpe_train: three
+    merge iterations over a {word: freq} dict, returning the final
+    word -> trained-symbol-count map."""
+    from collections import defaultdict
+
+    v = {"".join(f"<{c}>" for c in w): f for w, f in vocab.items()}
+    for _step in range(1, 4):
+        pc = defaultdict(int)
+        for w, f in v.items():
+            syms = w[1:-1].split("><")
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        (l, r), _n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        v = {w.replace(f"<{l}><{r}>", f"<{l}{r}>"): f for w, f in v.items()}
+    return {
+        w.replace("<", "").replace(">", ""): len(w[1:-1].split("><"))
+        for w in v
+    }
+
+
+def test_bpe_oov_audit_matches_bruteforce(spark):
+    """tokenize_bpe_oov_audit: the frozen-tokenizer audit recomputed in
+    plain Python — vocabulary trained on doc_id % 10 < 8 only, the
+    arriving batch (doc_id % 10 >= 8) encoded with character fallback
+    for OOV words — plus the closure law bpe_symbols splits exactly into
+    the in-vocab trained cost and oov_char_symbols."""
+    import re
+    from collections import Counter, defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("documents", ["doc_id", "lang", "text"])
+    train_vocab = Counter()
+    batch_lw = Counter()
+    for doc_id, lang, text in rows:
+        for w in re.split(r"\s+", text.strip().lower()):
+            if not re.fullmatch(r"[a-z]+", w):
+                continue
+            if doc_id % 10 < 8:
+                train_vocab[w] += 1
+            else:
+                batch_lw[(lang, w)] += 1
+    n_sym = _bpe_train_replica(train_vocab)
+
+    stats = defaultdict(lambda: [0, 0, 0, 0, 0, 0])
+    for (lang, w), f in batch_lw.items():
+        s = stats[lang]
+        s[0] += f
+        s[1] += 1
+        if w not in n_sym:
+            s[2] += f
+            s[3] += 1
+            s[4] += f * len(w)
+            s[5] += f * len(w)
+        else:
+            s[4] += f * n_sym[w]
+    expect = {
+        lang: (
+            s[0],
+            s[1],
+            s[2],
+            s[3],
+            s[4],
+            s[5],
+            1_000_000 * s[2] // s[0],
+            1_000_000 * s[4] // s[0],
+        )
+        for lang, s in stats.items()
+    }
+    got = {
+        r.lang: (
+            r.n_words,
+            r.n_distinct_words,
+            r.n_oov_words,
+            r.n_oov_distinct,
+            r.bpe_symbols,
+            r.oov_char_symbols,
+            r.oov_ppm,
+            r.fertility_ppm,
+        )
+        for r in REGISTRY["tokenize_bpe_oov_audit"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    # closure: symbols = in-vocab trained cost + OOV char fallback
+    for lang, s in stats.items():
+        in_vocab_syms = sum(
+            f * n_sym[w]
+            for (lg, w), f in batch_lw.items()
+            if lg == lang and w in n_sym
+        )
+        assert expect[lang][4] == in_vocab_syms + expect[lang][5]
+
+
+def test_bpe_oov_audit_nonzero_oov_path(spark, tmp_path):
+    """The driver fixtures share one template vocabulary between the
+    train and batch slices, so the natural corpus exercises only the
+    OOV=0 branch; this synthetic corpus puts NOVEL words in the arriving
+    batch (doc_id % 10 >= 8) and pins the fallback path cross-engine:
+    nonzero n_oov_words, oov_char_symbols = the exact character mass of
+    the novel words, and both engines agree value-for-value."""
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.oracle_utils import compare
+
+    rows = []
+    for i in range(40):  # train slice: doc_id 0..39 -> % 10 < 8 for most
+        rows.append((i, "en", "alpha beta gamma alpha beta"))
+    rows.append((8, "en", "alpha beta"))  # ensure batch ids exist
+    rows.append((18, "en", "alpha novelword beta"))
+    rows.append((28, "en", "zzz alpha"))
+    rows.append((19, "fr", "beta unknownterm unknownterm"))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
     )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    spec = REGISTRY["tokenize_bpe_oov_audit"]
+    got = {r.lang: r for r in spec.fn(spark, str(tmp_path)).collect()}
+    assert got["en"].n_oov_words == 2, got  # novelword + zzz
+    assert got["en"].oov_char_symbols == len("novelword") + len("zzz")
+    assert got["fr"].n_oov_words == 2  # unknownterm twice
+    assert got["fr"].oov_char_symbols == 2 * len("unknownterm")
+    problems = compare(spec.fn(spark, str(tmp_path)), con, spec.oracle)
+    assert not problems, problems
 
 
 def test_pq_bits_tradeoff_matches_bruteforce(spark):
