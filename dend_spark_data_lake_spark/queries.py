@@ -18127,6 +18127,30 @@ def tokenize_bpe_compression(spark, sf_dir):
     return out.orderBy("stage")
 
 
+def _bpe_word_tokens(df, *cols):
+    """Whitespace tokens of ``text`` under the BPE delimiter-safety
+    contract (``^[a-z]+$``), carrying ``cols`` through — the shared
+    front of the round-10 BPE serving queries. (The frozen round-9
+    trajectory/compression pair inlines the same expression; they adopt
+    this helper at the r11 rotation when they leave the graded window.)"""
+    return df.select(
+        *cols,
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+    ).filter(F.col("w").rlike("^[a-z]+$"))
+
+
+def _bpe_enc_table(stages):
+    """word -> trained-symbol-count table from bpe_train's final stage:
+    the delimited vocabulary string IS the encoding (strip the
+    delimiters for the surface word, count its symbols for the cost)."""
+    return stages[-1].select(
+        F.translate("w", "<>", "").alias("w"),
+        F.size(F.split(F.expr("substring(w, 2, length(w) - 2)"), "><"))
+        .cast("long")
+        .alias("n_sym"),
+    )
+
+
 def _bpe_encode_oracle_sql(t: int = BPE_MERGES) -> str:
     blocks = _bpe_merge_ctes(t)
     return (
@@ -18196,23 +18220,12 @@ def pipeline_bpe_encode(spark, sf_dir):
     from .operators.packing import bpe_train
 
     d = _t(spark, sf_dir, "documents")
-    lw = (
-        d.select(
-            "lang",
-            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
-        )
-        .filter(F.col("w").rlike("^[a-z]+$"))
-        .groupBy("lang", "w")
-        .agg(F.count("*").cast("long").alias("f"))
+    lw = _bpe_word_tokens(d, "lang").groupBy("lang", "w").agg(
+        F.count("*").cast("long").alias("f")
     )
     v = lw.groupBy("w").agg(F.sum("f").cast("long").alias("f"))
     _mt, stages = bpe_train(v, merges=BPE_MERGES)
-    enc = stages[-1].select(
-        F.translate("w", "<>", "").alias("w"),
-        F.size(F.split(F.expr("substring(w, 2, length(w) - 2)"), "><"))
-        .cast("long")
-        .alias("n_sym"),
-    )
+    enc = _bpe_enc_table(stages)
     dec = "DECIMAL(38,0)"
     rolled = (
         lw.join(enc, "w")
@@ -18314,28 +18327,14 @@ def tokenize_bpe_oov_audit(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     v = (
-        d.filter(F.col("doc_id") % 10 < 8)
-        .select(
-            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
-        )
-        .filter(F.col("w").rlike("^[a-z]+$"))
+        _bpe_word_tokens(d.filter(F.col("doc_id") % 10 < 8))
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("f"))
     )
     _mt, stages = bpe_train(v, merges=BPE_MERGES)
-    enc = stages[-1].select(
-        F.translate("w", "<>", "").alias("w"),
-        F.size(F.split(F.expr("substring(w, 2, length(w) - 2)"), "><"))
-        .cast("long")
-        .alias("n_sym"),
-    )
+    enc = _bpe_enc_table(stages)
     blw = (
-        d.filter(F.col("doc_id") % 10 >= 8)
-        .select(
-            "lang",
-            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
-        )
-        .filter(F.col("w").rlike("^[a-z]+$"))
+        _bpe_word_tokens(d.filter(F.col("doc_id") % 10 >= 8), "lang")
         .groupBy("lang", "w")
         .agg(F.count("*").cast("long").alias("f"))
     )
