@@ -18391,6 +18391,162 @@ def tokenize_bpe_oov_audit(spark, sf_dir):
     ).orderBy("lang")
 
 
+def _bpe_budget_oracle_sql(t: int = BPE_MERGES) -> str:
+    blocks = _bpe_merge_ctes(t)
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + f""",
+    enc AS (
+      SELECT replace(replace(w, '<', ''), '>', '') AS word,
+             CAST(len(string_split(substring(w, 2, length(w) - 2), '><'))
+                  AS BIGINT) AS n_sym
+      FROM v{t}
+    ), dw AS (
+      SELECT doc_id, w AS word, CAST(count(*) AS BIGINT) AS f
+      FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        FROM documents)
+      WHERE regexp_matches(w, '^[a-z]+$')
+      GROUP BY 1, 2
+    ), dcost AS (
+      SELECT dw.doc_id, CAST(sum(dw.f * e.n_sym) AS BIGINT) AS cost
+      FROM dw JOIN enc e ON e.word = dw.word GROUP BY dw.doc_id
+    ), q AS (
+      SELECT doc_id, lang,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END
+                  AS BIGINT) AS tok,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                  t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
+                  AS BIGINT) AS nstop
+      FROM documents
+    ), base AS (
+      SELECT q.doc_id, q.lang,
+             CAST(CASE WHEN tok > 0 THEN (100 * nstop) // tok ELSE 0 END
+                  AS INT) AS score,
+             CAST(coalesce(d.cost, 0) AS BIGINT) AS cost
+      FROM q LEFT JOIN dcost d ON d.doc_id = q.doc_id
+    ), ordered AS (
+      SELECT lang, cost,
+             sum(cost) OVER (ORDER BY score DESC, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM base
+    ), tot AS (SELECT CAST((sum(cost) * 2) // 5 AS BIGINT) AS budget FROM base)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_selected,
+           CAST(sum(cost) AS BIGINT) AS symbols_selected
+    FROM ordered, tot WHERE cum <= budget GROUP BY lang ORDER BY lang"""
+    )
+
+
+@_q("curation_bpe_token_budget", _bpe_budget_oracle_sql())
+def curation_bpe_token_budget(spark, sf_dir):
+    """curation_token_budget PRICED BY THE TRAINED TOKENIZER: same
+    selection semantics (keep the highest-stopword-density documents by
+    (score desc, doc_id) until 40% of the corpus cost is spent), but a
+    document's cost is its TRAINED BPE symbol count — the number a
+    training run is actually billed in — not its whitespace token count.
+    This closes the loop the two operators left open: the whitespace
+    budget mis-prices exactly the documents whose words compress
+    worst/best under the learned merges, and the delta between the two
+    selections is the evidence for re-pricing a curation pass after
+    every tokenizer retrain. Per-document cost is the
+    pipeline_bpe_encode dataflow at (doc, word) grain (word-keyed
+    equi-join against the frozen final vocabulary; corpus-trained, so
+    no OOV term); documents with no in-contract words price at 0.
+
+    Scale: the corpus is scanned once per branch (per-doc cost, quality
+    stats); the doc-cost join keys on the word then aggregates to one
+    row per document; selection reuses the certified budget machinery —
+    one combinable agg to the ≤ 101-row score grid, cumulative + budget
+    over THAT bounded grid, whole buckets broadcast back, and ONLY the
+    single boundary bucket runs a doc-level cumulative via the
+    pid-window rewrite (operators/percentiles.py) — never an
+    unpartitioned window over corpus-sized rows."""
+    from .operators.packing import bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    v = _bpe_word_tokens(d).groupBy("w").agg(
+        F.count("*").cast("long").alias("f")
+    )
+    _mt, stages = bpe_train(v, merges=BPE_MERGES)
+    enc = _bpe_enc_table(stages)
+    dcost = (
+        _bpe_word_tokens(d, "doc_id")
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("long").alias("f"))
+        .join(enc, "w")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("f") * F.col("n_sym")).cast("long").alias("cost"))
+    )
+    q = TX.quality_columns(F.col("text"))
+    base = (
+        d.select(
+            "doc_id",
+            "lang",
+            q["n_tokens"].cast("long").alias("tok"),
+            q["n_stopwords"].cast("long").alias("nstop"),
+        )
+        .withColumn(
+            "score",
+            F.when(
+                F.col("tok") > 0, F.expr("CAST((100 * nstop) DIV tok AS INT)")
+            ).otherwise(F.lit(0)),
+        )
+        .join(dcost, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "score",
+            F.coalesce(F.col("cost"), F.lit(0).cast("long")).alias("cost"),
+        )
+    )
+    b = base.groupBy("score").agg(F.sum("cost").cast("long").alias("bcost"))
+    wb = Window.orderBy(F.col("score").desc())
+    # bounded: the score grid has at most 101 rows, so both windows below
+    # are O(grid), never O(corpus)
+    cumb = (
+        b.select(
+            "score",
+            "bcost",
+            F.sum("bcost")
+            .over(wb.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cum"),
+            F.sum("bcost").over(Window.partitionBy()).alias("total"),
+        )
+        .withColumn("budget", F.expr("CAST((total * 2) DIV 5 AS BIGINT)"))
+    )
+    full = cumb.filter(F.col("cum") <= F.col("budget")).select("score")
+    # Boundary bucket: inclusive <= on the exclusive bound, exactly as
+    # curation_token_budget — when full buckets exhaust the budget the
+    # next bucket still enters with __rem == 0 so its zero-cost head
+    # documents are kept (the oracle's inclusive cum <= budget).
+    bnd = cumb.filter(
+        (F.col("cum") > F.col("budget"))
+        & (F.col("cum") - F.col("bcost") <= F.col("budget"))
+    ).select(
+        "score",
+        (F.col("budget") - (F.col("cum") - F.col("bcost"))).alias("__rem"),
+    )
+    sel_full = base.join(F.broadcast(full), "score").select("lang", "cost")
+    inner = base.join(F.broadcast(bnd), "score")
+    inner_c = PCT.global_cumulative_counts(inner, "doc_id", "cost")
+    sel_bnd = inner_c.filter(F.col("__cw") <= F.col("__rem")).select(
+        "lang", "cost"
+    )
+    return (
+        sel_full.unionByName(sel_bnd)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_selected"),
+            F.sum("cost").cast("long").alias("symbols_selected"),
+        )
+        .orderBy("lang")
+    )
+
+
 @_q(
     "events_audience_overlap",
     """
@@ -21670,6 +21826,7 @@ _GRADE_NEXT: list[str] = [
     # round-10 additions, never driver-graded (queue order)
     "pipeline_bpe_encode",
     "tokenize_bpe_oov_audit",
+    "curation_bpe_token_budget",
     # r03-only certificates left after the round-10 promotion (3)
     "join_interval_overlap",
     "join_null_safe",

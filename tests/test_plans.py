@@ -2290,3 +2290,25 @@ def test_bpe_oov_audit_left_join_pushdown(spark):
     assert "partial_sum" in plan, plan
     assert "replace(" in plan, plan
     assert plan.count("(doc_id#") >= 2, plan
+
+
+def test_bpe_budget_no_unpartitioned_doc_window(spark):
+    """curation_bpe_token_budget: same machinery locks as
+    curation_token_budget plus the encode shape — the only doc-level
+    cumulative runs pid-partitioned (global_cumulative_counts);
+    unpartitioned windows may only order by the bounded score grid; the
+    per-document pricing is a word-keyed EQUI-join with the trained
+    merges folded as literal replaces; no cartesian, no Python."""
+    import re as _re
+
+    plan = _plan(spark, "curation_bpe_token_budget")
+    assert "windowspecdefinition(__pid#" in plan, plan
+    bad = _re.findall(r"windowspecdefinition\(doc_id#\d+ ASC", plan)
+    assert not bad, (bad, plan)
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    word_joins = _re.findall(
+        r"(?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[w#", plan
+    )
+    assert word_joins, plan
+    assert "replace(" in plan, plan

@@ -11386,6 +11386,69 @@ def test_bpe_oov_audit_matches_bruteforce(spark):
         assert expect[lang][4] == in_vocab_syms + expect[lang][5]
 
 
+def test_bpe_budget_matches_bruteforce(spark):
+    """curation_bpe_token_budget: the trained-tokenizer-priced selection
+    recomputed in plain Python — the training replay, per-document BPE
+    symbol cost (0 for documents with no in-contract words), the
+    stopword-density score, the (score desc, doc_id) greedy fill at 40%
+    of total cost — plus the budget law (selected cost never exceeds the
+    budget) and the closure that total corpus cost equals the encode
+    query's Σ_lang bpe_symbols (same full-corpus training)."""
+    import re
+    from collections import Counter, defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("documents", ["doc_id", "lang", "text"])
+    vocab = Counter()
+    words_by_doc = {}
+    for doc_id, _lang, text in rows:
+        ws = [
+            w
+            for w in re.split(r"\s+", text.strip().lower())
+            if re.fullmatch(r"[a-z]+", w)
+        ]
+        words_by_doc[doc_id] = ws
+        vocab.update(ws)
+    n_sym = _bpe_train_replica(vocab)
+
+    stop = {"the", "a", "of", "and", "to", "in", "is", "it"}
+    docs = []
+    for doc_id, lang, text in rows:
+        toks = re.split(r"\s+", text.strip().lower()) if text.strip() else []
+        tok = len(toks)
+        nstop = sum(1 for t in toks if t in stop)
+        score = (100 * nstop) // tok if tok > 0 else 0
+        cost = sum(n_sym[w] for w in words_by_doc[doc_id])
+        docs.append((doc_id, lang, score, cost))
+
+    total = sum(c for *_, c in docs)
+    budget = (total * 2) // 5
+    docs.sort(key=lambda r: (-r[2], r[0]))
+    expect = defaultdict(lambda: [0, 0])
+    cum = 0
+    selected_cost = 0
+    for _doc_id, lang, _score, cost in docs:
+        cum += cost
+        if cum > budget:
+            break
+        expect[lang][0] += 1
+        expect[lang][1] += cost
+        selected_cost += cost
+    got = {
+        r.lang: [r.n_selected, r.symbols_selected]
+        for r in REGISTRY["curation_bpe_token_budget"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    assert got == dict(expect)
+    assert selected_cost <= budget
+    # closure: the corpus' total trained cost is what the encode query bills
+    enc_rows = REGISTRY["pipeline_bpe_encode"].fn(spark, SF_SMOKE).collect()
+    assert total == sum(r.bpe_symbols for r in enc_rows)
+
+
 def test_bpe_oov_audit_nonzero_oov_path(spark, tmp_path):
     """The driver fixtures share one template vocabulary between the
     train and batch slices, so the natural corpus exercises only the
