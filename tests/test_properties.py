@@ -11449,6 +11449,133 @@ def test_bpe_budget_matches_bruteforce(spark):
     assert total == sum(r.bpe_symbols for r in enc_rows)
 
 
+def test_bpe_trajectory_tiebreak_cross_engine(spark, tmp_path):
+    """The BPE argmax tie-break (count desc, then LEXICOGRAPHIC (l, r))
+    on a corpus crafted to tie twice: step 1 ties (a,b) vs (c,d) at
+    count 3 (l-level tie), step 3 ties (x,y) vs (x,z) at count 2
+    (r-level tie under the same l). Both engines must learn the
+    identical merge table — the natural fixtures never hit an exact
+    tie, so this is the only executable check that Spark's orderBy and
+    DuckDB's ORDER BY break ties the same way on multi-engine string
+    comparison. Also pins the exact expected table, so a tie-break
+    regression is attributed, not just detected."""
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.oracle_utils import compare
+
+    df = spark.createDataFrame(
+        [(1, "en", "ab ab ab cd cd cd xy xy xz xz")],
+        "doc_id long, lang string, text string",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    spec = REGISTRY["tokenize_bpe_merge_trajectory"]
+    got = [
+        (r.merge_step, r.left_sym, r.right_sym, r.pair_n)
+        for r in spec.fn(spark, str(tmp_path)).collect()
+    ]
+    assert got == [(1, "a", "b", 3), (2, "c", "d", 3), (3, "x", "y", 2)]
+    problems = compare(spec.fn(spark, str(tmp_path)), con, spec.oracle)
+    assert not problems, problems
+
+
+def test_bpe_tiebreak_multichar_symbols_cross_engine(spark, tmp_path):
+    """Tie-break on MULTI-character symbols: after step 1 merges (a,b),
+    step 2 ties (ab,c) vs (ab,d) at count 2 — the left symbol is now the
+    two-character 'ab', so an engine that compared symbols length-first
+    (or by any non-codepoint collation) would diverge here while passing
+    every single-character tie. Both engines must pick (ab,c)."""
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.oracle_utils import compare
+
+    df = spark.createDataFrame(
+        [(1, "en", "abc abc abd abd")],
+        "doc_id long, lang string, text string",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    spec = REGISTRY["tokenize_bpe_merge_trajectory"]
+    got = [
+        (r.merge_step, r.left_sym, r.right_sym, r.pair_n)
+        for r in spec.fn(spark, str(tmp_path)).collect()
+    ]
+    assert got[:2] == [(1, "a", "b", 4), (2, "ab", "c", 2)], got
+    problems = compare(spec.fn(spark, str(tmp_path)), con, spec.oracle)
+    assert not problems, problems
+
+
+def test_bpe_serving_queries_on_degenerate_corpora(spark, tmp_path):
+    """The three round-10 BPE serving queries on the two corpora their
+    shared training chain treats specially: (a) a single-word corpus
+    whose training DRIES UP before the third merge ('aaaa' -> (a,a) ->
+    (aa,aa) -> no pairs), so the Spark side must encode with the
+    carried-forward final stage exactly as the oracle's LEFT-JOIN chain
+    does; (b) a corpus with NO in-contract words at all, where the
+    encode and OOV audits emit zero rows on both engines and the budget
+    query selects EVERY document at zero cost (total = budget = 0 and
+    the inclusive cum <= budget keeps all zero-cost rows). Cross-engine
+    compared per query, with the budget shape asserted explicitly."""
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.oracle_utils import compare
+
+    cases = {
+        "dry": [
+            (i, "en" if i % 2 == 0 else "fr", "aaaa aaaa") for i in range(20)
+        ],
+        "nowords": [
+            (i, "en" if i % 2 == 0 else "fr", "123 456 %%%") for i in range(10)
+        ],
+    }
+    for name, rows in cases.items():
+        path = tmp_path / name
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, text string"
+        )
+        df.coalesce(1).write.parquet(str(path / "documents.parquet"))
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{path}/documents.parquet/*.parquet')"
+        )
+        for qname in (
+            "pipeline_bpe_encode",
+            "tokenize_bpe_oov_audit",
+            "curation_bpe_token_budget",
+        ):
+            spec = REGISTRY[qname]
+            problems = compare(spec.fn(spark, str(path)), con, spec.oracle)
+            assert not problems, (name, qname, problems)
+        got = {
+            r.lang: (r.n_selected, r.symbols_selected)
+            for r in REGISTRY["curation_bpe_token_budget"]
+            .fn(spark, str(path))
+            .collect()
+        }
+        if name == "nowords":
+            # zero-cost corpus: budget 0 keeps every (free) document
+            assert got == {"en": (5, 0), "fr": (5, 0)}, got
+        else:
+            # dried training still prices: 'aaaa' costs 1 trained symbol,
+            # each doc holds 2 occurrences; 40% of 40 symbols = 16 -> the
+            # first 8 docs by (score, doc_id) fit
+            assert sum(n for n, _ in got.values()) == 8, got
+            assert sum(s for _, s in got.values()) == 16, got
+        con.close()
+
+
 def test_bpe_oov_audit_nonzero_oov_path(spark, tmp_path):
     """The driver fixtures share one template vocabulary between the
     train and batch slices, so the natural corpus exercises only the
