@@ -11449,6 +11449,61 @@ def test_bpe_budget_matches_bruteforce(spark):
     assert total == sum(r.bpe_symbols for r in enc_rows)
 
 
+def test_attribution_grid_with_unattributable_purchases(spark, tmp_path):
+    """events_attribution_window_curve's other degenerate branch: the
+    corpus HAS purchases but not a single same-user preceding view, so
+    every delta is NULL — the curve must report n_purchases > 0 with
+    n_attributed = attributed_ppm = 0 on all four grid rows, on both
+    engines (the conditional aggregate's NULL-condition -> 0 path and
+    the oracle's delta IS NOT NULL filter must agree)."""
+    import datetime
+
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.oracle_utils import compare
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    for i in range(30):
+        # views and purchases on DISJOINT users; views also come AFTER
+        # the user's purchases where users repeat, so no running max hits
+        rows.append(
+            (
+                i,
+                i % 5,
+                "purchase",
+                base + datetime.timedelta(minutes=i),
+            )
+        )
+        rows.append(
+            (
+                100 + i,
+                10 + i % 5,
+                "view",
+                base + datetime.timedelta(minutes=i),
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    spec = REGISTRY["events_attribution_window_curve"]
+    got = spec.fn(spark, str(tmp_path)).collect()
+    assert [r.window_s for r in got] == [3600, 21600, 86400, 259200], got
+    assert all(r.n_purchases == 30 for r in got), got
+    assert all(
+        r.n_attributed == 0 and r.attributed_ppm == 0 for r in got
+    ), got
+    problems = compare(spec.fn(spark, str(tmp_path)), con, spec.oracle)
+    assert not problems, problems
+
+
 def test_bpe_trajectory_tiebreak_cross_engine(spark, tmp_path):
     """The BPE argmax tie-break (count desc, then LEXICOGRAPHIC (l, r))
     on a corpus crafted to tie twice: step 1 ties (a,b) vs (c,d) at
