@@ -11449,6 +11449,47 @@ def test_bpe_budget_matches_bruteforce(spark):
     assert total == sum(r.bpe_symbols for r in enc_rows)
 
 
+def test_text_family_unicode_cross_engine(spark, tmp_path):
+    """The driver fixtures are ASCII, so the text family's
+    lower()/trim()/length()/split() paths have never been
+    parity-checked on unicode — a latent seam if the testdata ever
+    gains it. A corpus with umlauts, eszett case-folding (GRÖSSE),
+    CJK, and combining-accent latin must hash-match across engines for
+    the representative text queries (char-length semantics, unicode
+    lowercasing, and whitespace splitting all agree)."""
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.oracle_utils import compare
+
+    rows = [
+        (1, "de", "Straße GRÖSSE müde Äpfel der und", "web"),
+        (2, "zh", "你好 世界 数据 湖 的", "web"),
+        (3, "en", "Cafe CAFÉ naïve coöperate the a of", "books"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string, source string"
+    ).selectExpr(
+        "doc_id", "text", "lang", "source",
+        "CAST(length(text) AS LONG) AS n_chars",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    for name in (
+        "text_token_counts",
+        "tokenizer_fertility_by_lang",
+        "text_quality",
+        "text_normalize",
+    ):
+        spec = REGISTRY[name]
+        problems = compare(spec.fn(spark, str(tmp_path)), con, spec.oracle)
+        assert not problems, (name, problems)
+
+
 def test_attribution_grid_with_unattributable_purchases(spark, tmp_path):
     """events_attribution_window_curve's other degenerate branch: the
     corpus HAS purchases but not a single same-user preceding view, so
