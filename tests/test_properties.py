@@ -11490,6 +11490,52 @@ def test_text_family_unicode_cross_engine(spark, tmp_path):
         assert not problems, (name, problems)
 
 
+def test_text_family_null_and_blank_text_cross_engine(spark, tmp_path):
+    """NULL text, the empty string, and whitespace-only text never occur
+    in the driver fixtures, yet every text-family query has an implicit
+    stance on them (split(NULL) propagates NULL and explodes to zero
+    rows; trim('') drops; the BPE chain's regexp contract filters them).
+    Pin that both engines take the SAME stance across the text, BPE, and
+    curation representatives — including the whitespace-token subtlety
+    that splitting '   ' yields empty-string tokens, not nothing."""
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.oracle_utils import compare
+
+    rows = [
+        (1, "en", "the quick brown fox the", "web"),
+        (2, "en", None, "web"),
+        (3, "fr", "", "web"),
+        (4, "de", "   ", "books"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string, source string"
+    ).selectExpr(
+        "doc_id", "text", "lang", "source",
+        "CAST(coalesce(length(text), 0) AS LONG) AS n_chars",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    for name in (
+        "text_token_counts",
+        "tokenizer_fertility_by_lang",
+        "text_quality",
+        "text_normalize",
+        "pipeline_bpe_encode",
+        "tokenize_bpe_merge_trajectory",
+        "curation_token_budget",
+        "dedup_exact_docs",
+    ):
+        spec = REGISTRY[name]
+        problems = compare(spec.fn(spark, str(tmp_path)), con, spec.oracle)
+        assert not problems, (name, problems)
+
+
 def test_attribution_grid_with_unattributable_purchases(spark, tmp_path):
     """events_attribution_window_curve's other degenerate branch: the
     corpus HAS purchases but not a single same-user preceding view, so
