@@ -15582,7 +15582,16 @@ def _floordiv_cols(df, num: str, den: str, out: str) -> DataFrame:
     DuckDB oracles' ``//`` floors, so the estimated quotient is corrected
     to the true floor with exact decimal comparisons (the estimate is
     provably within 1 of the floor) — the same idiom
-    stats_ab_test_proportions uses inline."""
+    stats_ab_test_proportions uses inline.
+
+    Domain (probed, unit-tested in test_floordiv_cols_*): the quotient
+    must fit the BIGINT output (< 2^63 — the binding bound), and the
+    correction's ``(est + 1) * den`` comparison needs ``num + den``
+    inside DECIMAL(38,0) (< 10^38). Every consumer is a ppm/e6-scaled
+    ratio whose quotient is orders of magnitude below both bounds;
+    OUTSIDE the domain the helper fails LOUDLY (this engine runs ANSI
+    mode, so decimal/bigint overflow raises instead of silently
+    nulling) — it cannot return a wrong floor."""
     dec = "DECIMAL(38,0)"
     est = (
         f"CAST(FLOOR({num} / CASE WHEN {den} = 0 THEN CAST(1 AS {dec}) "

@@ -11449,6 +11449,61 @@ def test_bpe_budget_matches_bruteforce(spark):
     assert total == sum(r.bpe_symbols for r in enc_rows)
 
 
+def test_floordiv_cols_adversarial_values(spark):
+    """_floordiv_cols backs every ppm/e6 ratio in the registry; pin its
+    correction branches directly against Python integer floor division:
+    exact quotients, HALF_UP-estimate-too-high (x.9999995 rounds up at
+    Spark's derived scale 6 — the branch the helper exists for), the
+    half-boundary just above an integer, den = 0, and in-domain huge
+    values (quotient up to 10^31, numerators to 10^37)."""
+    from dend_spark_data_lake_spark.queries import _floordiv_cols
+
+    cases = [
+        (0, 1),
+        (1, 1),
+        (1, 3),
+        (2, 3),
+        (5, 0),
+        (3_999_999, 2_000_000),  # 1.9999995 -> HALF_UP estimate 2, floor 1
+        (4_000_001, 2_000_000),  # 2.0000005 -> floor 2
+        (2**63 - 1, 1),  # largest BIGINT-representable quotient
+        (10**37, 10**19),
+        (999_999_999_999, 1_000_000),
+        (10**36 + 1, 10**18),
+        (123456789012345678901234567, 987654321),
+        (10**37 - 1, 10**19 + 7),
+    ]
+    df = spark.createDataFrame(
+        [(str(n), str(d)) for n, d in cases], "n string, d string"
+    ).selectExpr(
+        "CAST(n AS DECIMAL(38,0)) AS n", "CAST(d AS DECIMAL(38,0)) AS d"
+    )
+    got = {(r.n, r.d): r.q for r in _floordiv_cols(df, "n", "d", "q").collect()}
+    for n, d in cases:
+        expect = 0 if d == 0 else n // d
+        assert got[(n, d)] == expect, (n, d, got[(n, d)], expect)
+
+
+def test_floordiv_cols_fails_loudly_outside_domain(spark):
+    """Outside the documented domain the helper must RAISE (ANSI decimal
+    or bigint overflow), never return a silently wrong floor: a quotient
+    beyond BIGINT, a quotient beyond DECIMAL(38,6)'s integral capacity,
+    and a numerator so close to the 38-digit cap that the correction's
+    (est+1)*den comparison overflows."""
+    import pytest
+
+    from dend_spark_data_lake_spark.queries import _floordiv_cols
+
+    for n, d in ((2**63, 1), (10**37, 3), (10**38 - 1, 10**7)):
+        df = spark.createDataFrame(
+            [(str(n), str(d))], "n string, d string"
+        ).selectExpr(
+            "CAST(n AS DECIMAL(38,0)) AS n", "CAST(d AS DECIMAL(38,0)) AS d"
+        )
+        with pytest.raises(Exception):
+            _floordiv_cols(df, "n", "d", "q").collect()
+
+
 def test_text_family_unicode_cross_engine(spark, tmp_path):
     """The driver fixtures are ASCII, so the text family's
     lower()/trim()/length()/split() paths have never been
