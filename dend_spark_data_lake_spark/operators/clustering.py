@@ -182,10 +182,19 @@ def pq_train_quantized(
 
     Same exactness contract as ``kmeans_lloyd_quantized``: components
     quantize to ``floor(x*scale + 0.5)`` integers, distances and centroid
-    sums are BIGINT-exact, new centroids are ``floor(S/n)``, empty codes
-    keep their previous centroid, and the assignment argmin tie-breaks on
-    the code index — so the full training trajectory replays exactly in
-    ANSI SQL (the ``embed_pq_codebook_train`` DuckDB oracle).
+    sums are BIGINT-exact, new centroids are ``floor(S/n)`` computed — on
+    BOTH engines — as the IEEE double division ``floor(S::double / n)``,
+    one correctly-rounded op that is exact while ``|S| < 2^53`` (at
+    scale=1024 that binds around ~2^43 vectors per (s, code, pos) group;
+    beyond it both engines still round identically, so the cross-engine
+    TRAJECTORY certificate holds — what the bound scopes is agreement
+    with true integer floor division, NOT engine parity). Do not "fix"
+    this to integer DIV: it would desync the certified trajectory from
+    the unrolled oracle replay wherever the double rounding differs.
+    Empty codes keep their previous centroid, and the assignment argmin
+    tie-breaks on the code index — so the full training trajectory
+    replays exactly in ANSI SQL (the ``embed_pq_codebook_train`` DuckDB
+    oracle, whose centroid CTE uses the same double division).
 
     Returns ``(assignments, codebook)``: assignments is the MATERIALIZED
     persisted (id, s, code, d2) frame (caller may ``unpersist()``);

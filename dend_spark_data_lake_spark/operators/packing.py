@@ -149,7 +149,13 @@ def bpe_train(
     delimited strings — callers must restrict the vocabulary to
     ``^[a-z]+$`` so the delimiters cannot collide — and the replace
     semantics (non-overlapping, left-to-right) are identical in Spark,
-    DuckDB, and Python, which IS the BPE application rule.
+    DuckDB, and Python, which IS the BPE application rule. The contract
+    is ENFORCED in-plan (ADVICE r9): an out-of-contract word hits
+    ``raise_error`` at execution time and fails the training job loudly
+    instead of silently corrupting pair counts and merge tables. The
+    guard is a per-row regexp over the bounded VOCABULARY (the callers'
+    own ``rlike`` filter already evaluated it once), adds no job, and
+    keeps every stage frame lazy.
 
     Returns ``(merge_table, stages)``: merge_table is the learned
     ``(merge_step, left_sym, right_sym, pair_n)`` frame (None when the
@@ -168,7 +174,20 @@ def bpe_train(
     (mahdi-hosseini/dend_spark_data_lake); driver-mandated extension
     surface (SURVEY.md §2.6, tokenization family).
     """
-    v = vocab.select(F.regexp_replace("w", "(.)", "<$1>").alias("w"), "f")
+    guarded = F.when(
+        F.col("w").rlike("^[a-z]+$"), F.col("w")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "bpe_train: vocabulary word violates the ^[a-z]+$"
+                    " delimiter contract: "
+                ),
+                F.coalesce(F.col("w"), F.lit("<NULL>")),
+            )
+        )
+    )
+    v = vocab.select(F.regexp_replace(guarded, "(.)", "<$1>").alias("w"), "f")
     stages = [v]
     merge_table = None
     for step in range(1, merges + 1):

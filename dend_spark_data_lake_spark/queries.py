@@ -28,6 +28,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .sources.io import read_table, register_views
 from .operators.cleaning import drop_empty_string_rows, drop_null_rows, sentinel_to_null
@@ -18034,13 +18035,8 @@ def tokenize_bpe_merge_trajectory(spark, sf_dir):
     from .operators.packing import bpe_train
 
     d = _t(spark, sf_dir, "documents")
-    v = (
-        d.select(
-            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
-        )
-        .filter(F.col("w").rlike("^[a-z]+$"))
-        .groupBy("w")
-        .agg(F.count("*").cast("long").alias("f"))
+    v = _bpe_word_tokens(d).groupBy("w").agg(
+        F.count("*").cast("long").alias("f")
     )
     merge_table, _stages = bpe_train(v, merges=BPE_MERGES)
     if merge_table is None:
@@ -18092,13 +18088,8 @@ def tokenize_bpe_compression(spark, sf_dir):
     from .operators.packing import bpe_train
 
     d = _t(spark, sf_dir, "documents")
-    v = (
-        d.select(
-            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
-        )
-        .filter(F.col("w").rlike("^[a-z]+$"))
-        .groupBy("w")
-        .agg(F.count("*").cast("long").alias("f"))
+    v = _bpe_word_tokens(d).groupBy("w").agg(
+        F.count("*").cast("long").alias("f")
     )
 
     def _rollup(vdf, stage):
@@ -18139,9 +18130,10 @@ def tokenize_bpe_compression(spark, sf_dir):
 def _bpe_word_tokens(df, *cols):
     """Whitespace tokens of ``text`` under the BPE delimiter-safety
     contract (``^[a-z]+$``), carrying ``cols`` through — the shared
-    front of the round-10 BPE serving queries. (The frozen round-9
-    trajectory/compression pair inlines the same expression; they adopt
-    this helper at the r11 rotation when they leave the graded window.)"""
+    front of the whole BPE family (the round-9 trajectory/compression
+    pair adopted it at the r11 rotation, as promised, once they left
+    the graded window; defined after its first callers, which is fine —
+    query functions resolve module names at call time, not import)."""
     return df.select(
         *cols,
         F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
@@ -19346,13 +19338,22 @@ def embed_pq_residual_gain(spark, sf_dir):
     res_codes, _rcb = pq_train_quantized(
         res, m=PQ_M, k=PQ_K, iters=PQ_ITERS, vec_col="residual", scale=1
     )
+    # cache lifetime (ADVICE r9): each training's data-sized codes frame
+    # is released as soon as its bounded (8-row) rollup is materialized —
+    # the tiny persisted rollup replaces it so the returned plan never
+    # recomputes a training, and a long session accumulates only
+    # grid-sized cache entries, never corpus-sized ones
     d_agg = direct_codes.groupBy("s").agg(
         F.count("*").cast("long").alias("n_vectors"),
         F.sum("d2").cast("long").alias("direct_d2"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    d_agg.count()
+    direct_codes.unpersist()
     r_agg = res_codes.groupBy("s").agg(
         F.sum("d2").cast("long").alias("residual_d2")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    r_agg.count()
+    res_codes.unpersist()
     return (
         d_agg.join(r_agg, "s")
         .select(
@@ -19639,6 +19640,11 @@ def embed_pq_bits_tradeoff(spark, sf_dir):
         codes, _cb = pq_train_quantized(
             emb, m=m, k=PQ_K, iters=PQ_ITERS, scale=PQ_SCALE
         )
+        # cache lifetime (ADVICE r9): materialize the 1-row configuration
+        # rollup, then release this training's data-sized codes frame —
+        # three trainings otherwise leave three corpus-sized cached
+        # relations live for the whole session; the persisted 1-row frame
+        # keeps the returned plan from recomputing the training
         r = codes.agg(
             F.sum("d2").cast("long").alias("total_d2"),
             F.countDistinct("s", "code").cast("long").alias("n_codes_used"),
@@ -19647,7 +19653,9 @@ def embed_pq_bits_tradeoff(spark, sf_dir):
             F.lit(m * 3).cast("int").alias("bits_per_vector"),
             "total_d2",
             "n_codes_used",
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        r.count()
+        codes.unpersist()
         out = r if out is None else out.unionByName(r)
     return out.orderBy("n_subspaces")
 
@@ -21412,15 +21420,79 @@ def text_word_length_profile(spark, sf_dir):
 # order). Registration order above is topical; the driver-facing order below
 # is a rotation policy: queries not yet externally certified come first.
 #
-# ROUND-10 WINDOW (50 slots) — VERDICT r9 ask #1: the 8 never-graded
-# round-9 additions lead (in their _GRADE_NEXT queue order — all
-# judge-certified green at sf0.01 AND sf0.1 in VERDICT r9), followed by
-# the first 42 of the 45-entry r03-only re-certification backlog in their
-# CORRECTNESS_r03 grading order (every one's most recent driver
-# certificate is the r03 artifact). The remaining 3 r03-only entries
-# close the backlog in the round-11 window.
+# ROUND-11 WINDOW (50 slots) — VERDICT r10 ask #1: the 6 queue-front
+# entries lead (the 3 never-graded round-10 additions in queue order,
+# then the last 3 r03-only re-certs that close that backlog — all 6
+# judge-certified green at sf0.01 AND sf0.1 in VERDICT r10), followed by
+# the first 44 of the 46-entry ORACLE-BACKED r04-cohort re-certification
+# backlog in CORRECTNESS_r04 grading order (oldest-certificate-first;
+# the 4 rows-only sketches are excluded from re-certification by design
+# — VERDICT r4 ask #5, enforced by test_grading_window_invariants). The
+# remaining 2 r04-cohort entries close the backlog in the round-12
+# window.
 _GRADE_FIRST = [
-    # round-9 additions, never driver-graded (queue order)
+    # round-10 additions, never driver-graded (queue order)
+    "pipeline_bpe_encode",
+    "tokenize_bpe_oov_audit",
+    "curation_bpe_token_budget",
+    # last 3 r03-only re-certifications (backlog closed)
+    "join_interval_overlap",
+    "join_null_safe",
+    "window_distribution_family",
+    # r04-cohort re-certifications (first 44 of 46 oracle-backed,
+    # CORRECTNESS_r04 order)
+    "kmeans_clusters",
+    "vocab_freq_spectrum",
+    "join_asof_forward",
+    "agg_mode_per_group",
+    "customer_rfm_segments",
+    "dedup_substring_spans",
+    "tokenizer_fertility_by_lang",
+    "sql_forecast_revenue",
+    "sql_ship_lateness_priority",
+    "sql_large_volume_customers",
+    "sql_discounted_revenue",
+    "quality_gopher_rules",
+    "feature_hash_bow",
+    "embed_threshold_curve",
+    "dedup_cluster_sizes",
+    "profile_column_stats",
+    "sql_top_supplier",
+    "text_commonness",
+    "sql_market_share",
+    "sql_promo_revenue",
+    "sql_product_profit",
+    "sql_waiting_orders",
+    "sql_sales_opportunity",
+    "sql_intersect_except_all",
+    "sql_revenue_share_window",
+    "window_gaps_islands",
+    "events_sessionization",
+    "ts_ohlc_hourly",
+    "orders_gap_stats",
+    "events_dow_hour_heatmap",
+    "events_type_transitions",
+    "text_cooccurrence_pmi",
+    "vocab_oov_rate",
+    "doc_entropy_unigram",
+    "embed_label_distance_matrix",
+    "corpus_upsample_fractional",
+    "market_basket_pairs",
+    "attribution_linear_credit",
+    "customer_ltv_deciles",
+    "window_percent_change",
+    "ts_lagged_correlation",
+    "dq_referential_orphans",
+    "graph_pagerank_nations",
+    "dedup_band_stats",
+]
+
+
+# Certified in CORRECTNESS_r10 (50/50 green: rows+schema+hash — first
+# driver rows for the 8 round-9 additions, plus the first 42 of the
+# r03-only re-cert backlog). Demoted behind the round-11 window; kept
+# explicit so the rotation history stays auditable in one place.
+_GRADE_DONE_R10 = [
     "embed_pq_codebook_train",
     "pipeline_ann_serving",
     "embed_pq_residual_gain",
@@ -21429,7 +21501,6 @@ _GRADE_FIRST = [
     "tokenize_bpe_compression",
     "embed_pq_bits_tradeoff",
     "ann_index_maintenance",
-    # r03-only re-certifications (first 42 of 45, CORRECTNESS_r03 order)
     "dedup_simhash",
     "sim_ann_lsh",
     "agg_order_history",
@@ -21826,20 +21897,17 @@ _GRADE_DONE_R04 = [
 ]
 
 
-# Behind the window, queued for the round-11 rotation: the last 3 entries
-# of the r03-only re-certification backlog (window arithmetic — the
-# round-10 window holds 8 never-graded + 42 re-certs). New round-10
-# additions are inserted at the FRONT of this queue (never-graded before
-# re-certs), never into the frozen window above.
+# Behind the window, queued for the round-12 rotation: the last 2
+# oracle-backed entries of the r04-cohort re-certification backlog
+# (window arithmetic — the round-11 window holds 6 queue-front entries +
+# 44 re-certs). New round-11 additions are inserted at the FRONT of this
+# queue (never-graded before re-certs), never into the frozen window
+# above.
 _GRADE_NEXT: list[str] = [
-    # round-10 additions, never driver-graded (queue order)
-    "pipeline_bpe_encode",
-    "tokenize_bpe_oov_audit",
-    "curation_bpe_token_budget",
-    # r03-only certificates left after the round-10 promotion (3)
-    "join_interval_overlap",
-    "join_null_safe",
-    "window_distribution_family",
+    # r04-cohort oracle-backed certificates left after the round-11
+    # promotion (2)
+    "sql_rollup_share_of_parent",
+    "dedup_prefix_fingerprint",
 ]
 
 
@@ -21961,6 +22029,7 @@ def _reorder_registry() -> None:
         dict.fromkeys(
             [
                 *rotation,
+                *_GRADE_DONE_R10,
                 *_GRADE_DONE_R09,
                 *_GRADE_DONE_R08,
                 *_GRADE_DONE_R07,

@@ -48,35 +48,49 @@ def test_grading_window_invariants():
     assert len(rotation) == len(set(rotation))
 
 
-def test_round10_window_rotation_policy():
-    """The round-10 window (VERDICT r9 ask #1) must lead with every
-    oracle-backed entry that has NO driver row in CORRECTNESS_r01..r09
-    (the 8 round-9 additions), and every other window slot must be a
-    re-certification whose MOST RECENT driver certificate predates the
-    round-4 artifact — the r02-only cohort retired in r09, so the 42
-    re-cert slots all come from the r03-only backlog (oldest certificates
-    first). Derived from the actual CORRECTNESS_r0*.json artifacts, not
-    from our own rotation lists."""
+def test_round11_window_rotation_policy():
+    """The round-11 window (VERDICT r10 ask #1) must lead with every
+    oracle-backed entry that has NO driver row in CORRECTNESS_r01..r10
+    (the 3 round-10 additions), then drain the last 3 r03-only re-certs,
+    then re-certify the r04 cohort oldest-certificate-first — so every
+    re-cert slot's MOST RECENT driver certificate is r04 or older and
+    the certificate rounds are non-decreasing across the window. Derived
+    from the actual CORRECTNESS_r*.json artifacts, not from our own
+    rotation lists. The glob and the round parse are two-digit-safe
+    (VERDICT r10 ask #2: the old ``r0[1-9]`` glob silently excluded
+    CORRECTNESS_r10.json) — guarded by asserting the r10 artifact is in
+    the enumeration."""
     import json
+    import re
     from pathlib import Path
 
     from dend_spark_data_lake_spark.queries import _GRADE_FIRST, _GRADE_NEXT
 
     repo = Path(__file__).resolve().parent.parent
-    artifacts = sorted(repo.glob("CORRECTNESS_r0[1-9].json"))
-    if len(artifacts) < 9:
+    artifacts = sorted(
+        repo.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.fullmatch(r"CORRECTNESS_r(\d+)", p.stem).group(1)),
+    )
+    if len(artifacts) < 10:
         pytest.skip("driver correctness artifacts not present")
+    rounds_seen = {
+        int(re.fullmatch(r"CORRECTNESS_r(\d+)", p.stem).group(1))
+        for p in artifacts
+    }
+    assert 10 in rounds_seen, (
+        "two-digit artifact missing from the enumeration — glob regression"
+    )
 
     latest_round: dict[str, int] = {}
     for p in artifacts:
-        rnd = int(p.stem[-1])
+        rnd = int(re.fullmatch(r"CORRECTNESS_r(\d+)", p.stem).group(1))
         for name in json.loads(p.read_text()):
             latest_round[name] = max(latest_round.get(name, 0), rnd)
 
     oracle_backed = {n for n, s in REGISTRY.items() if s.oracle is not None}
     never_graded = oracle_backed - set(latest_round)
     # never-graded entries either lead the WINDOW (they existed when the
-    # round-9 window was cut) or sit at the FRONT of the queue (round-9
+    # round-11 window was cut) or sit at the FRONT of the queue (round-11
     # additions made after the window froze — the graded surface stays
     # untouched between rotation and grading)
     in_window = never_graded & set(_GRADE_FIRST)
@@ -90,19 +104,18 @@ def test_round10_window_rotation_policy():
         f"never-graded additions must head the queue: "
         f"{queued ^ set(_GRADE_NEXT[: len(queued)])}"
     )
-    # re-cert slots: certificate must predate r04, and the whole stale-r02
-    # cohort drains before any r03-only entry enters the window
+    # re-cert slots: oldest certificates first (non-decreasing rounds),
+    # none fresher than the r04 cohort now being re-certified
     recerts = [latest_round[n] for n in _GRADE_FIRST[k:]]
-    assert all(r <= 3 for r in recerts), (
-        f"window re-grades entries with fresh (r04+) rows: "
-        f"{[n for n in _GRADE_FIRST[k:] if latest_round[n] > 3]}"
+    assert all(r <= 4 for r in recerts), (
+        f"window re-grades entries with fresh (r05+) rows: "
+        f"{[n for n in _GRADE_FIRST[k:] if latest_round[n] > 4]}"
     )
-    first_r03 = next((i for i, r in enumerate(recerts) if r == 3), len(recerts))
-    assert all(r == 3 for r in recerts[first_r03:]), (
-        "r02-only re-certs must precede r03-only re-certs in the window"
+    assert recerts == sorted(recerts), (
+        "window re-certs must run oldest-certificate-first"
     )
     queued_stale = [
-        n for n in _GRADE_NEXT[len(queued):] if latest_round.get(n, 0) > 3
+        n for n in _GRADE_NEXT[len(queued):] if latest_round.get(n, 0) > 4
     ]
     assert not queued_stale, f"queue holds fresh-certificate entries: {queued_stale}"
 

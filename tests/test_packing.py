@@ -65,6 +65,26 @@ def test_bpe_train_no_pairs_returns_none(spark):
     assert {(r.w, r.f) for r in stages[0].collect()} == {("<a>", 3), ("<b>", 2)}
 
 
+def test_bpe_train_contract_violation_fails_loudly(spark):
+    """ADVICE r9 (applied at the r11 rotation): the ^[a-z]+$ vocabulary
+    contract is enforced IN-PLAN — a word carrying a delimiter or any
+    out-of-contract character must raise at execution time instead of
+    silently corrupting pair counts and merge tables. NULL words are out
+    of contract too (rlike(NULL) is NULL -> the guard branch fires)."""
+    import pytest
+
+    from dend_spark_data_lake_spark.operators.packing import bpe_train
+
+    for bad in ("a<b", "x>y", "Upper", "has space", "num3ric", None):
+        v = spark.createDataFrame([(bad, 3), ("ok", 2)], "w string, f long")
+        with pytest.raises(Exception, match="delimiter contract"):
+            bpe_train(v, merges=1)
+    # and the conforming vocabulary still trains exactly as before
+    v = spark.createDataFrame([("aaa", 5)], "w string, f long")
+    mt, stages = bpe_train(v, merges=1)
+    assert [r.w for r in stages[1].collect()] == ["<aa><a>"]
+
+
 def test_bpe_train_overlap_is_greedy_left_to_right(spark):
     """The BPE application rule on overlapping occurrences: 'aaa' with
     merge (a,a) becomes ('aa','a') — one application, not two — because
