@@ -102,6 +102,10 @@ SECONDARY = [
     # round-10 flagship (trained-BPE corpus encode + per-lang fertility;
     # benched so merge-training and encode-join cost stay visible)
     "pipeline_bpe_encode",
+    # round-11 addition (the 5-merge rate-distortion curve — the longest
+    # BPE training trajectory in the registry; benched so per-merge
+    # trajectory cost regressions stay visible)
+    "tokenize_bpe_rate_distortion",
 ]
 
 

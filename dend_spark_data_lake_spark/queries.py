@@ -18548,6 +18548,141 @@ def curation_bpe_token_budget(spark, sf_dir):
     )
 
 
+BPE_RD_MERGES = 5
+BPE_RD_BUDGETS = (0, 1, 3, 5)
+
+
+def _bpe_rate_distortion_oracle_sql() -> str:
+    t = BPE_RD_MERGES
+    blocks = _bpe_merge_ctes(t, split_last=True)
+    rollups = [
+        f"""rb{b} AS (
+      SELECT CAST({b} AS INT) AS n_merges,
+             CAST(count(DISTINCT u.sym) AS BIGINT) AS n_distinct_symbols,
+             CAST(sum(t.f) AS BIGINT) AS corpus_symbols
+      FROM s{b + 1} t, LATERAL (SELECT unnest(t.s) AS sym) u
+    )"""
+        for b in BPE_RD_BUDGETS
+    ]
+    union = "\n      UNION ALL ".join(
+        f"SELECT * FROM rb{b}" for b in BPE_RD_BUDGETS
+    )
+    return (
+        "WITH "
+        + ",\n    ".join([*blocks, *rollups])
+        + f""",
+    curve AS (
+      {union}
+    ), base AS (SELECT corpus_symbols AS base_symbols FROM rb0)
+    SELECT c.n_merges, c.n_distinct_symbols, c.corpus_symbols,
+           CAST(b.base_symbols - c.corpus_symbols AS BIGINT)
+             AS saved_symbols,
+           CAST((1000000 * CAST(b.base_symbols - c.corpus_symbols
+                                AS HUGEINT))
+                // b.base_symbols AS BIGINT) AS saved_ppm,
+           CAST(CASE WHEN c.n_merges = 0 THEN 0
+                     ELSE (b.base_symbols - c.corpus_symbols) // c.n_merges
+                END AS BIGINT) AS saved_per_merge
+    FROM curve c CROSS JOIN base b
+    ORDER BY n_merges"""
+    )
+
+
+@_q("tokenize_bpe_rate_distortion", _bpe_rate_distortion_oracle_sql())
+def tokenize_bpe_rate_distortion(spark, sf_dir):
+    """The merge-budget RATE-DISTORTION curve for the BPE family
+    (VERDICT r10 ask #6) — embed_pq_bits_tradeoff's sizing question
+    asked of the tokenizer: at merge budgets {0, 1, 3, 5}, what does the
+    model table cost (n_distinct_symbols — the embedding-matrix rows,
+    the RATE) and what does the corpus cost (corpus_symbols — the
+    training bill, the DISTORTION), plus the exact savings vs the
+    character baseline (absolute, floored ppm, and per merge — where
+    saved_per_merge flattens is the budget to ship). The crucial
+    difference from the PQ curve, and the reason this query is cheaper
+    than its sibling: BPE training is GREEDY and PREFIX-NESTED — the
+    first i merges of a 5-merge run ARE the i-merge tokenizer — so ONE
+    training yields every budget's tokenizer, where the PQ curve needs
+    three independent trainings (a codebook at m=4 shares nothing with
+    m=8). The budget-3 row is therefore exactly
+    tokenize_bpe_compression's final stage (closure pinned), and the
+    budget-0 row is its character baseline.
+
+    Scale: one corpus token scan per rollup branch (the word-frequency
+    aggregate); training is the certified driver-bounded trajectory
+    (one winning pair per merge, merges folded as literal replaces — no
+    join anywhere in the plan); each budget's rollup is a vocabulary-
+    sized symbol explode + one combinable aggregate; the baseline
+    attaches via a window over the bounded 4-row budget grid, never a
+    data-sized relation. Dried-out training (fewer than 5 possible
+    merges) repeats the last vocabulary on both engines (Spark clamps
+    the stage index; the oracle's LEFT JOIN carry-forward emits the
+    same frame)."""
+    from .operators.packing import bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    v = _bpe_word_tokens(d).groupBy("w").agg(
+        F.count("*").cast("long").alias("f")
+    )
+    _mt, stages = bpe_train(v, merges=BPE_RD_MERGES)
+
+    def _rollup(vdf, b):
+        return (
+            vdf.select(
+                F.explode(
+                    F.split(
+                        F.expr("substring(w, 2, length(w) - 2)"), "><"
+                    )
+                ).alias("sym"),
+                "f",
+            )
+            .agg(
+                F.countDistinct("sym").cast("long").alias(
+                    "n_distinct_symbols"
+                ),
+                F.sum("f").cast("long").alias("corpus_symbols"),
+            )
+            .select(
+                F.lit(b).cast("int").alias("n_merges"),
+                "n_distinct_symbols",
+                "corpus_symbols",
+            )
+        )
+
+    curve = None
+    for b in BPE_RD_BUDGETS:
+        r = _rollup(stages[min(b, len(stages) - 1)], b)
+        curve = r if curve is None else curve.unionByName(r)
+    dec = "DECIMAL(38,0)"
+    # bounded: the budget grid has exactly len(BPE_RD_BUDGETS) = 4 rows,
+    # so the unpartitioned window below is O(grid), never O(corpus)
+    based = curve.withColumn(
+        "base_symbols",
+        F.max(
+            F.when(F.col("n_merges") == 0, F.col("corpus_symbols"))
+        ).over(Window.partitionBy()),
+    ).selectExpr(
+        "n_merges",
+        "n_distinct_symbols",
+        "corpus_symbols",
+        "CAST(base_symbols - corpus_symbols AS BIGINT) AS saved_symbols",
+        f"CAST(1000000 AS {dec}) * (base_symbols - corpus_symbols)"
+        " AS __num",
+        f"CAST(base_symbols AS {dec}) AS __den",
+        "CASE WHEN n_merges = 0 THEN CAST(0 AS BIGINT)"
+        " ELSE CAST((base_symbols - corpus_symbols) DIV n_merges AS BIGINT)"
+        " END AS saved_per_merge",
+    )
+    based = _floordiv_cols(based, "__num", "__den", "saved_ppm")
+    return based.select(
+        "n_merges",
+        "n_distinct_symbols",
+        "corpus_symbols",
+        "saved_symbols",
+        "saved_ppm",
+        "saved_per_merge",
+    ).orderBy("n_merges")
+
+
 @_q(
     "events_audience_overlap",
     """
@@ -21904,6 +22039,8 @@ _GRADE_DONE_R04 = [
 # queue (never-graded before re-certs), never into the frozen window
 # above.
 _GRADE_NEXT: list[str] = [
+    # round-11 additions, never driver-graded (queue order)
+    "tokenize_bpe_rate_distortion",
     # r04-cohort oracle-backed certificates left after the round-11
     # promotion (2)
     "sql_rollup_share_of_parent",

@@ -11289,6 +11289,101 @@ def test_bpe_encode_matches_bruteforce(spark):
     assert total_syms == sum(f * n_sym[w] for w, f in vocab.items())
 
 
+def test_bpe_rate_distortion_matches_bruteforce(spark):
+    """tokenize_bpe_rate_distortion: the full merge-budget grid
+    recomputed in plain Python via ONE 5-merge replay with prefix-stage
+    snapshots (the nested-prefix property the query rides — the first i
+    merges of a 5-merge run ARE the i-merge tokenizer), plus the curve
+    laws: corpus cost non-increasing in the budget, every saved_*
+    column exactly derived from the baseline, and the cross-query
+    closure that the budget-3 row equals tokenize_bpe_compression's
+    final stage."""
+    import re
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.queries import BPE_RD_BUDGETS, REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("documents", ["text"])
+    vocab = Counter()
+    for (text,) in rows:
+        for w in re.split(r"\s+", text.strip().lower()):
+            if re.fullmatch(r"[a-z]+", w):
+                vocab[w] += 1
+    stage = _bpe_stage_costs_replica(vocab, set(BPE_RD_BUDGETS))
+    base = stage[0][1]
+    expect = {
+        b: (
+            stage[b][0],
+            stage[b][1],
+            base - stage[b][1],
+            1_000_000 * (base - stage[b][1]) // base,
+            0 if b == 0 else (base - stage[b][1]) // b,
+        )
+        for b in BPE_RD_BUDGETS
+    }
+    got = {
+        r.n_merges: (
+            r.n_distinct_symbols,
+            r.corpus_symbols,
+            r.saved_symbols,
+            r.saved_ppm,
+            r.saved_per_merge,
+        )
+        for r in REGISTRY["tokenize_bpe_rate_distortion"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    assert got == expect
+    costs = [stage[b][1] for b in sorted(BPE_RD_BUDGETS)]
+    assert costs == sorted(costs, reverse=True)
+    comp = {
+        r.stage: (r.n_distinct_symbols, r.corpus_symbols)
+        for r in REGISTRY["tokenize_bpe_compression"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    assert comp[3] == (stage[3][0], stage[3][1])
+
+
+def _bpe_stage_costs_replica(vocab, budgets):
+    """(n_distinct_symbols, corpus_symbols) per merge budget, replaying
+    ONE greedy training to max(budgets) and snapshotting the prefix
+    stages — the same argmax (count desc, then lexicographic) and
+    non-overlapping left-to-right replace as _bpe_train_replica; a
+    dried-out step leaves the vocabulary unchanged so later snapshots
+    repeat it, exactly as both engines carry the last stage forward."""
+    from collections import defaultdict
+
+    v = {"".join(f"<{c}>" for c in w): f for w, f in vocab.items()}
+
+    def cost(vv):
+        syms, total = set(), 0
+        for w, f in vv.items():
+            s = w[1:-1].split("><")
+            syms.update(s)
+            total += f * len(s)
+        return len(syms), total
+
+    out = {}
+    if 0 in budgets:
+        out[0] = cost(v)
+    for step in range(1, max(budgets) + 1):
+        pc = defaultdict(int)
+        for w, f in v.items():
+            syms = w[1:-1].split("><")
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        if pc:
+            (l, r), _n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            v = {
+                w.replace(f"<{l}><{r}>", f"<{l}{r}>"): f for w, f in v.items()
+            }
+        if step in budgets:
+            out[step] = cost(v)
+    return out
+
+
 def _bpe_train_replica(vocab):
     """Shared Python replica of operators/packing.py::bpe_train: three
     merge iterations over a {word: freq} dict, returning the final
@@ -11751,6 +11846,11 @@ def test_bpe_serving_queries_on_degenerate_corpora(spark, tmp_path):
             "pipeline_bpe_encode",
             "tokenize_bpe_oov_audit",
             "curation_bpe_token_budget",
+            # round-11: the rate-distortion curve rides the same chain at
+            # t=5 — 'dry' exercises the stage-clamp / LEFT-JOIN
+            # carry-forward, 'nowords' the NULL-base (empty-aggregate)
+            # path on both engines
+            "tokenize_bpe_rate_distortion",
         ):
             spec = REGISTRY[qname]
             problems = compare(spec.fn(spark, str(path)), con, spec.oracle)
@@ -12008,3 +12108,26 @@ def test_bpe_grid_preserved_when_training_dries_up(spark, tmp_path):
         (r.merge_step, r.left_sym, r.right_sym, r.pair_n) for r in got
     ] == [(1, "a", "b", 2)]
     assert not compare(traj.fn(spark, str(tmp_path)), con, traj.oracle)
+    # round-11: the rate-distortion curve on the same dried corpus —
+    # budgets 1/3/5 all carry the one-merge stage forward; saved = 2 of
+    # the 4 baseline symbols (500000 ppm exactly), per-merge floors to
+    # 2/1, 2//3, 2//5
+    rd = REGISTRY["tokenize_bpe_rate_distortion"]
+    got_rd = rd.fn(spark, str(tmp_path)).collect()
+    assert [
+        (
+            r.n_merges,
+            r.n_distinct_symbols,
+            r.corpus_symbols,
+            r.saved_symbols,
+            r.saved_ppm,
+            r.saved_per_merge,
+        )
+        for r in got_rd
+    ] == [
+        (0, 2, 4, 0, 0, 0),
+        (1, 1, 2, 2, 500000, 2),
+        (3, 1, 2, 2, 500000, 0),
+        (5, 1, 2, 2, 500000, 0),
+    ]
+    assert not compare(rd.fn(spark, str(tmp_path)), con, rd.oracle)
