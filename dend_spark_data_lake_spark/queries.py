@@ -18607,21 +18607,30 @@ def tokenize_bpe_rate_distortion(spark, sf_dir):
     tokenize_bpe_compression's final stage (closure pinned), and the
     budget-0 row is its character baseline.
 
-    Scale: one corpus token scan per rollup branch (the word-frequency
-    aggregate); training is the certified driver-bounded trajectory
-    (one winning pair per merge, merges folded as literal replaces — no
-    join anywhere in the plan); each budget's rollup is a vocabulary-
-    sized symbol explode + one combinable aggregate; the baseline
-    attaches via a window over the bounded 4-row budget grid, never a
-    data-sized relation. Dried-out training (fewer than 5 possible
-    merges) repeats the last vocabulary on both engines (Spark clamps
-    the stage index; the oracle's LEFT JOIN carry-forward emits the
-    same frame)."""
+    Scale: the corpus token stream is scanned exactly ONCE — the
+    word-frequency vocabulary is persisted before training (the
+    kmeans/pq_train pattern: persist the derived input, release it once
+    the bounded result materializes), so all 5 pair-count iterations
+    and all 4 budget rollups ride the cached vocabulary instead of each
+    re-deriving it from the corpus (lazily, the 5-merge curve would
+    re-scan the corpus ~9×; at 100 TB that is the whole cost). Training
+    is the certified driver-bounded trajectory (one winning pair per
+    merge, merges folded as literal replaces — no join anywhere in the
+    plan); each budget's rollup is a vocabulary-sized symbol explode +
+    one combinable aggregate, materialized into the persisted 4-row
+    grid before the vocabulary cache is released; the baseline attaches
+    via a window over that bounded grid, never a data-sized relation.
+    Dried-out training (fewer than 5 possible merges) repeats the last
+    vocabulary on both engines (Spark clamps the stage index; the
+    oracle's LEFT JOIN carry-forward emits the same frame)."""
     from .operators.packing import bpe_train
 
     d = _t(spark, sf_dir, "documents")
-    v = _bpe_word_tokens(d).groupBy("w").agg(
-        F.count("*").cast("long").alias("f")
+    v = (
+        _bpe_word_tokens(d)
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("f"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     _mt, stages = bpe_train(v, merges=BPE_RD_MERGES)
 
@@ -18652,6 +18661,11 @@ def tokenize_bpe_rate_distortion(spark, sf_dir):
     for b in BPE_RD_BUDGETS:
         r = _rollup(stages[min(b, len(stages) - 1)], b)
         curve = r if curve is None else curve.unionByName(r)
+    # materialize the bounded 4-row budget grid, then release the
+    # vocabulary cache — the returned plan reads only the grid
+    curve = curve.persist(StorageLevel.MEMORY_AND_DISK)
+    curve.count()
+    v.unpersist()
     dec = "DECIMAL(38,0)"
     # bounded: the budget grid has exactly len(BPE_RD_BUDGETS) = 4 rows,
     # so the unpartitioned window below is O(grid), never O(corpus)

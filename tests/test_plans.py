@@ -2315,20 +2315,16 @@ def test_bpe_budget_no_unpartitioned_doc_window(spark):
 
 
 def test_bpe_rate_distortion_vocab_rollups_no_join(spark):
-    """tokenize_bpe_rate_distortion (round 11): the compression posture
-    across the whole merge-budget grid — every budget's rollup is a
-    vocabulary-side symbol explode + combinable aggregate, the ONE
-    5-merge training rides as folded literal replaces (no join anywhere
-    in the plan — the prefix-nested trajectory needs no per-budget
-    retraining), the character baseline attaches via a window over the
-    bounded 4-row budget grid (never a data-sized relation), and no
-    Python touches the plan. (No "replace(" assert: Catalyst collapses
-    the stage projections into the vocabulary aggregates'
-    resultExpressions, which executedPlan.toString prints as bare
-    output attrs — the no-Join assert IS the folded-merge lock, since
-    a non-folded merge table could only enter via a join.)"""
+    """tokenize_bpe_rate_distortion (round 11): no join anywhere in the
+    plan (the folded-merge lock — a non-folded merge table could only
+    enter via a join, and the prefix-nested trajectory needs no
+    per-budget retraining), no Python, and the returned plan reads the
+    MATERIALIZED bounded 4-row budget grid (InMemoryTableScan) rather
+    than re-deriving vocabulary rollups from the corpus — the persist
+    discipline that makes the curve a one-corpus-scan query; the
+    baseline attaches via a window over that bounded grid."""
     plan = _plan(spark, "tokenize_bpe_rate_distortion")
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
-    assert "partial_count" in plan, plan
-    assert "partial_sum" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    assert "Window" in plan, plan
