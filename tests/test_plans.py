@@ -2204,24 +2204,48 @@ def test_ann_rerank_stage2_broadcast_shortlist(spark):
 
 
 def test_bpe_merge_trajectory_vocab_scans_only(spark):
-    """tokenize_bpe_merge_trajectory: after the one corpus token explode
-    per branch, every merge iteration must be vocabulary-side — the
-    argmaxes plan as TakeOrderedAndProject (per-partition heap, never a
-    global sort), merges are literal replaces (no join anywhere in the
-    plan), and the pair count map-side combines."""
+    """tokenize_bpe_merge_trajectory: no join anywhere (merges are
+    literal replaces), no Python, and — since the r11 persist adoption —
+    the returned plan reads the MATERIALIZED ≤3-row merge table
+    (InMemoryTableScan) rather than re-running the training chain; the
+    per-iteration argmax heap shape is pinned at the operator level by
+    test_bpe_train_argmax_plans_as_heap."""
     plan = _plan(spark, "tokenize_bpe_merge_trajectory")
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_bpe_train_argmax_plans_as_heap(spark):
+    """operators/packing.py::bpe_train: each iteration's merge-rule
+    argmax must plan as TakeOrderedAndProject (per-partition heap,
+    never a global sort) over a map-side-combinable pair count, with
+    the merge applied as a literal replace (no join anywhere). Pinned
+    on the operator's own pre-materialization merge-table plan — the
+    registry queries now materialize their bounded outputs, so the
+    training shape is no longer visible in THEIR returned plans."""
+    from dend_spark_data_lake_spark.operators.packing import bpe_train
+
+    v = spark.createDataFrame(
+        [("abab", 4), ("ab", 3), ("ba", 2)], "w string, f long"
+    )
+    mt, _stages = bpe_train(v, merges=1)
+    plan = mt._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
     assert "Join" not in plan, plan
     assert "partial_sum" in plan, plan
 
 
 def test_bpe_compression_vocab_rollups_no_join(spark):
-    """tokenize_bpe_compression: same posture as the trajectory — every
-    stage rollup is a vocabulary-side explode + combinable aggregate,
-    merges are literal replaces; no join anywhere in the plan."""
+    """tokenize_bpe_compression: no join anywhere (merges are literal
+    replaces), no Python, and — since the r11 persist adoption — the
+    returned plan reads the MATERIALIZED bounded 4-row stage grid
+    (InMemoryTableScan) rather than re-deriving vocabulary rollups from
+    the corpus."""
     plan = _plan(spark, "tokenize_bpe_compression")
     assert "Join" not in plan, plan
-    assert "partial_count" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan
 
 
 def test_pq_bits_tradeoff_no_join_three_trainings(spark):
