@@ -12977,11 +12977,21 @@ def dedup_cc_incremental(spark, sf_dir):
     Scale: this is how a 100 TB dedup graph absorbs a daily batch — the
     old graph participates as one edge per vertex (its label), so
     iteration cost tracks the BATCH's pair count plus |V|, not the
-    accumulated corpus pair count."""
+    accumulated corpus pair count. The PPJoin pair generation (the
+    dominant cost) runs exactly ONCE: the pair set persists across the
+    old/new split (both CC calls otherwise re-derive it — two full
+    candidate-generation passes), and is released as soon as the second
+    CC's labels materialize (connected_components localCheckpoints its
+    output per round, so the returned plan reads checkpoint blocks and
+    nothing downstream can recompute the pairs)."""
     from .operators.graph import connected_components
 
     d = _t(spark, sf_dir, "documents")
-    pairs = SIM.ngram_jaccard_pairs(d, n=3, threshold=0.5).select("doc_a", "doc_b")
+    pairs = (
+        SIM.ngram_jaccard_pairs(d, n=3, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     new_a, new_b = (F.col("doc_a") % 5 == 0), (F.col("doc_b") % 5 == 0)
     old_pairs = pairs.filter(~new_a & ~new_b)
     new_pairs = pairs.filter(new_a | new_b)
@@ -12990,6 +13000,7 @@ def dedup_cc_incremental(spark, sf_dir):
         F.col("vertex").alias("doc_a"), F.col("component").alias("doc_b")
     )
     cc = connected_components(star.unionByName(new_pairs), "doc_a", "doc_b")
+    pairs.unpersist()
     sizes = cc.groupBy("component").agg(
         F.count("*").cast("long").alias("cluster_size")
     )
