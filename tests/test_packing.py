@@ -65,6 +65,41 @@ def test_bpe_train_no_pairs_returns_none(spark):
     assert {(r.w, r.f) for r in stages[0].collect()} == {("<a>", 3), ("<b>", 2)}
 
 
+def test_bpe_train_matches_replica_on_arbitrary_vocabs(spark):
+    """Hypothesis fuzz of the full 3-merge training against the shared
+    Python replica on arbitrary tiny-alphabet vocabularies — a 3-letter
+    alphabet makes argmax TIES (count desc, then lexicographic on l then
+    r) the COMMON case rather than a crafted edge, and multi-character
+    merged symbols re-enter later tie-breaks — and the final
+    word -> trained-symbol-count map must agree exactly on every
+    generated vocabulary (the fixtures and crafted tie tests sample this
+    space; the fuzz walks it)."""
+    from hypothesis import given, settings, strategies as st
+
+    from dend_spark_data_lake_spark.operators.packing import bpe_train
+    from tests.test_properties import _bpe_train_replica
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.dictionaries(
+            st.text(alphabet="abc", min_size=1, max_size=6),
+            st.integers(min_value=1, max_value=9),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def run(vocab):
+        v = spark.createDataFrame(list(vocab.items()), "w string, f long")
+        _mt, stages = bpe_train(v, merges=3)
+        got = {
+            r.w.replace("<", "").replace(">", ""): len(r.w[1:-1].split("><"))
+            for r in stages[-1].collect()
+        }
+        assert got == _bpe_train_replica(vocab)
+
+    run()
+
+
 def test_bpe_train_contract_violation_fails_loudly(spark):
     """ADVICE r9 (applied at the r11 rotation): the ^[a-z]+$ vocabulary
     contract is enforced IN-PLAN — a word carrying a delimiter or any
