@@ -21604,27 +21604,86 @@ def text_word_length_profile(spark, sf_dir):
 # order). Registration order above is topical; the driver-facing order below
 # is a rotation policy: queries not yet externally certified come first.
 #
-# ROUND-11 WINDOW (50 slots) — VERDICT r10 ask #1: the 6 queue-front
-# entries lead (the 3 never-graded round-10 additions in queue order,
-# then the last 3 r03-only re-certs that close that backlog — all 6
-# judge-certified green at sf0.01 AND sf0.1 in VERDICT r10), followed by
-# the first 44 of the 46-entry ORACLE-BACKED r04-cohort re-certification
-# backlog in CORRECTNESS_r04 grading order (oldest-certificate-first;
-# the 4 rows-only sketches are excluded from re-certification by design
-# — VERDICT r4 ask #5, enforced by test_grading_window_invariants). The
-# remaining 2 r04-cohort entries close the backlog in the round-12
+# ROUND-12 WINDOW (50 slots) — VERDICT r11 ask #2: the 3 queue-front
+# entries lead (the never-graded round-11 rate-distortion curve, then
+# the last 2 r04-cohort re-certs that CLOSE that backlog — all 3
+# judge-certified green at sf0.01 AND sf0.1 in VERDICT r11), followed
+# by the first 47 of the 50-entry r05-cohort re-certification backlog
+# in CORRECTNESS_r05 grading order (oldest-certificate-first; the 4
+# rows-only sketches stay excluded from re-certification by design —
+# VERDICT r4 ask #5, enforced by test_grading_window_invariants). The
+# remaining 3 r05-cohort entries close that backlog in the round-13
 # window.
 _GRADE_FIRST = [
-    # round-10 additions, never driver-graded (queue order)
+    # round-11 addition, never driver-graded
+    "tokenize_bpe_rate_distortion",
+    # last 2 r04-cohort re-certifications (backlog closed)
+    "sql_rollup_share_of_parent",
+    "dedup_prefix_fingerprint",
+    # r05-cohort re-certifications (first 47 of 50, CORRECTNESS_r05
+    # order)
+    "embed_pca_topvec",
+    "sql_min_price_supplier",
+    "sql_important_stock",
+    "sql_parts_supplier_relation",
+    "sql_excess_inventory_suppliers",
+    "ts_rolling_distinct_users",
+    "agg_weighted_median",
+    "dq_snapshot_diff",
+    "dedup_minhash_calibration",
+    "supplier_share_hhi",
+    "window_cumulative_distinct",
+    "profile_source_divergence",
+    "ts_anomaly_mad",
+    "pipeline_dedup_report",
+    "sim_ivf_recall_eval",
+    "window_nth_value",
+    "events_burst_detection",
+    "agg_geometric_mean",
+    "corpus_dataset_card",
+    "text_shingle_novelty",
+    "supplier_lead_time_percentiles",
+    "agg_boolean_family",
+    "window_time_range_frame",
+    "text_length_percentiles_by_lang",
+    "events_sessions_detail",
+    "join_asof_nearest",
+    "multimodal_chunk_dedup",
+    "agg_salted_twophase",
+    "agg_incremental_merge",
+    "sim_ivf_index_stats",
+    "profile_dup_source_matrix",
+    "events_adjacent_dedup",
+    "text_bigram_surprisal",
+    "join_point_in_time",
+    "profile_psi_event_types",
+    "intervals_merge_coverage",
+    "sql_grouping_flags",
+    "orders_open_backlog",
+    "sql_order_priority_check",
+    "agg_higher_moments",
+    "alloc_largest_remainder",
+    "topk_with_ties",
+    "pipeline_stream_hygiene",
+    "agg_linear_regression",
+    "text_zipf_fit",
+    "dq_benford_first_digit",
+    "sample_proportional_carve",
+]
+
+
+# Certified in CORRECTNESS_r11 (50/50 green: rows+schema+hash — first
+# driver rows for the 3 round-10 BPE-serving additions, the last 3
+# r03-only re-certs, and the first 44 r04-cohort re-certs). Demoted
+# behind the round-12 window; kept explicit so the rotation history
+# stays auditable in one place.
+_GRADE_DONE_R11 = [
     "pipeline_bpe_encode",
     "tokenize_bpe_oov_audit",
     "curation_bpe_token_budget",
-    # last 3 r03-only re-certifications (backlog closed)
     "join_interval_overlap",
     "join_null_safe",
     "window_distribution_family",
-    # r04-cohort re-certifications (first 44 of 46 oracle-backed,
-    # CORRECTNESS_r04 order)
     "kmeans_clusters",
     "vocab_freq_spectrum",
     "join_asof_forward",
@@ -22081,19 +22140,16 @@ _GRADE_DONE_R04 = [
 ]
 
 
-# Behind the window, queued for the round-12 rotation: the last 2
-# oracle-backed entries of the r04-cohort re-certification backlog
-# (window arithmetic — the round-11 window holds 6 queue-front entries +
-# 44 re-certs). New round-11 additions are inserted at the FRONT of this
-# queue (never-graded before re-certs), never into the frozen window
-# above.
+# Behind the window, queued for the round-13 rotation: the last 3
+# entries of the r05-cohort re-certification backlog (window arithmetic
+# — the round-12 window holds 3 queue-front entries + 47 re-certs).
+# New round-12 additions are inserted at the FRONT of this queue
+# (never-graded before re-certs), never into the frozen window above.
 _GRADE_NEXT: list[str] = [
-    # round-11 additions, never driver-graded (queue order)
-    "tokenize_bpe_rate_distortion",
-    # r04-cohort oracle-backed certificates left after the round-11
-    # promotion (2)
-    "sql_rollup_share_of_parent",
-    "dedup_prefix_fingerprint",
+    # r05-cohort certificates left after the round-12 promotion (3)
+    "embed_ood_maxcos",
+    "ts_seasonal_backtest",
+    "agg_trimmed_mean",
 ]
 
 
@@ -22215,6 +22271,7 @@ def _reorder_registry() -> None:
         dict.fromkeys(
             [
                 *rotation,
+                *_GRADE_DONE_R11,
                 *_GRADE_DONE_R10,
                 *_GRADE_DONE_R09,
                 *_GRADE_DONE_R08,

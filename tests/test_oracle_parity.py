@@ -48,18 +48,34 @@ def test_grading_window_invariants():
     assert len(rotation) == len(set(rotation))
 
 
-def test_round11_window_rotation_policy():
-    """The round-11 window (VERDICT r10 ask #1) must lead with every
-    oracle-backed entry that has NO driver row in CORRECTNESS_r01..r10
-    (the 3 round-10 additions), then drain the last 3 r03-only re-certs,
-    then re-certify the r04 cohort oldest-certificate-first — so every
-    re-cert slot's MOST RECENT driver certificate is r04 or older and
-    the certificate rounds are non-decreasing across the window. Derived
-    from the actual CORRECTNESS_r*.json artifacts, not from our own
-    rotation lists. The glob and the round parse are two-digit-safe
-    (VERDICT r10 ask #2: the old ``r0[1-9]`` glob silently excluded
-    CORRECTNESS_r10.json) — guarded by asserting the r10 artifact is in
-    the enumeration."""
+# The round whose grading window _GRADE_FIRST currently encodes, and the
+# oldest-cohort round it drains. Bump BOTH at each rotation. The policy
+# test below pins the WINDOW-CUT state: it must only read artifacts from
+# rounds BEFORE the window round, because the window's own certificate
+# (CORRECTNESS_r{WINDOW_ROUND}.json) lands mid-round and would otherwise
+# flip every entry's latest_round to the new round and contradict the
+# invariants the instant grading succeeds (the r11 defect — VERDICT r11
+# ask #1; the r10 defect was the converse, a glob that dropped two-digit
+# rounds entirely).
+WINDOW_ROUND = 12
+RECERT_COHORT = 5
+
+
+def test_round12_window_rotation_policy():
+    """The round-12 window (VERDICT r11 ask #2) must lead with every
+    oracle-backed entry that has NO driver row in rounds before the
+    window cut (the round-11 rate-distortion addition), then drain the
+    last 2 r04-only re-certs, then re-certify the r05 cohort
+    oldest-certificate-first — so every re-cert slot's MOST RECENT
+    pre-cut driver certificate is r05 or older and the certificate
+    rounds are non-decreasing across the window. Derived from the
+    actual CORRECTNESS_r*.json artifacts, not from our own rotation
+    lists — but ONLY artifacts with round < WINDOW_ROUND, so the test
+    stays green when this round's own certificate (and any later one)
+    lands on disk. Idempotence to grading is asserted structurally: the
+    enumeration's upper bound comes from WINDOW_ROUND, not from what
+    files exist. The glob and round parse stay two-digit-safe — guarded
+    by asserting the r10 and r11 artifacts are in the enumeration."""
     import json
     import re
     from pathlib import Path
@@ -68,7 +84,12 @@ def test_round11_window_rotation_policy():
 
     repo = Path(__file__).resolve().parent.parent
     artifacts = sorted(
-        repo.glob("CORRECTNESS_r*.json"),
+        (
+            p
+            for p in repo.glob("CORRECTNESS_r*.json")
+            if int(re.fullmatch(r"CORRECTNESS_r(\d+)", p.stem).group(1))
+            < WINDOW_ROUND
+        ),
         key=lambda p: int(re.fullmatch(r"CORRECTNESS_r(\d+)", p.stem).group(1)),
     )
     if len(artifacts) < 10:
@@ -77,8 +98,12 @@ def test_round11_window_rotation_policy():
         int(re.fullmatch(r"CORRECTNESS_r(\d+)", p.stem).group(1))
         for p in artifacts
     }
-    assert 10 in rounds_seen, (
-        "two-digit artifact missing from the enumeration — glob regression"
+    assert {10, 11} <= rounds_seen, (
+        "two-digit artifacts missing from the enumeration — glob regression"
+    )
+    assert max(rounds_seen) < WINDOW_ROUND, (
+        "artifact horizon breached — the window policy must pin the "
+        "window-cut state, not the post-grading state"
     )
 
     latest_round: dict[str, int] = {}
@@ -105,17 +130,20 @@ def test_round11_window_rotation_policy():
         f"{queued ^ set(_GRADE_NEXT[: len(queued)])}"
     )
     # re-cert slots: oldest certificates first (non-decreasing rounds),
-    # none fresher than the r04 cohort now being re-certified
+    # none fresher than the cohort now being re-certified
     recerts = [latest_round[n] for n in _GRADE_FIRST[k:]]
-    assert all(r <= 4 for r in recerts), (
-        f"window re-grades entries with fresh (r05+) rows: "
-        f"{[n for n in _GRADE_FIRST[k:] if latest_round[n] > 4]}"
+    assert all(r <= RECERT_COHORT for r in recerts), (
+        f"window re-grades entries with fresh (r{RECERT_COHORT + 1:02d}+) "
+        f"rows: "
+        f"{[n for n in _GRADE_FIRST[k:] if latest_round[n] > RECERT_COHORT]}"
     )
     assert recerts == sorted(recerts), (
         "window re-certs must run oldest-certificate-first"
     )
     queued_stale = [
-        n for n in _GRADE_NEXT[len(queued):] if latest_round.get(n, 0) > 4
+        n
+        for n in _GRADE_NEXT[len(queued):]
+        if latest_round.get(n, 0) > RECERT_COHORT
     ]
     assert not queued_stale, f"queue holds fresh-certificate entries: {queued_stale}"
 
