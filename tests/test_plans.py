@@ -2269,6 +2269,21 @@ def test_ann_index_maintenance_broadcast_centroids(spark):
     assert plan.count("Scan parquet") <= 2, plan
 
 
+def _frame_plan(spark, frames_fn) -> str:
+    """Plan of a pre-materialization frame builder: the r12 persist
+    adoption made the three BPE serving/audit queries return a
+    materialized bounded report (InMemoryTableScan), so their inner
+    encode shapes are pinned on the builders' lazy frames — same move
+    as test_bpe_train_argmax_plans_as_heap. The builder's persisted
+    caches are released before returning (planning never runs the
+    frame, but bpe_train's argmax collects do populate them)."""
+    out, caches = frames_fn(spark, SF_SMOKE)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for c in caches:
+        c.unpersist()
+    return plan
+
+
 def test_bpe_encode_word_equijoin_no_python(spark):
     """pipeline_bpe_encode: the encode must be ONE word-keyed EQUI-join
     of the (lang, word) frequency table against the trained final
@@ -2278,10 +2293,15 @@ def test_bpe_encode_word_equijoin_no_python(spark):
     per-merge join). The join strategy is deliberately left to Catalyst
     size estimates (broadcast at test SF, shuffle join once the
     vocabulary outgrows the threshold — the query sets no broadcast
-    hint), so the lock accepts any hash/merge EQUI-join on the word."""
+    hint), so the lock accepts any hash/merge EQUI-join on the word.
+    Pinned on the pre-materialization frame; the registered query's
+    returned plan must read the MATERIALIZED one-row-per-language
+    report (one-corpus-scan persist adoption, r12 rotation)."""
     import re as _re
 
-    plan = _plan(spark, "pipeline_bpe_encode")
+    from dend_spark_data_lake_spark.queries import _bpe_encode_frames
+
+    plan = _frame_plan(spark, _bpe_encode_frames)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
@@ -2292,18 +2312,27 @@ def test_bpe_encode_word_equijoin_no_python(spark):
     assert "partial_sum" in plan, plan
     # the trained merges ride as folded literal replaces, not joins
     assert "replace(" in plan, plan
+    # the (lang, word) frequency table is the persisted single scan
+    assert "InMemoryTableScan" in plan, plan
+    ret = _plan(spark, "pipeline_bpe_encode")
+    assert "InMemoryTableScan" in ret, ret
 
 
 def test_bpe_oov_audit_left_join_pushdown(spark):
-    """tokenize_bpe_oov_audit: both corpus scans must push their
-    doc_id % 10 slice predicate down (train side < 8, batch side >= 8
-    reach the scans as data filters), the frozen-vocabulary encode must
-    be a word-keyed EQUI-join (strategy left to Catalyst sizes), the
-    trained merges must ride as folded literal replaces, and the audit
-    aggregate must map-side combine — no cartesian, no Python."""
+    """tokenize_bpe_oov_audit: the batch-side corpus scan must push its
+    doc_id % 10 >= 8 slice predicate down to parquet (the train side's
+    < 8 filter now lives inside the persisted vocabulary's cached plan
+    — r12 persist adoption), the frozen-vocabulary encode must be a
+    word-keyed EQUI-join (strategy left to Catalyst sizes), the trained
+    merges must ride as folded literal replaces, and the audit
+    aggregate must map-side combine — no cartesian, no Python. Pinned
+    on the pre-materialization frame; the registered query's returned
+    plan must read the MATERIALIZED report."""
     import re as _re
 
-    plan = _plan(spark, "tokenize_bpe_oov_audit")
+    from dend_spark_data_lake_spark.queries import _bpe_oov_frames
+
+    plan = _frame_plan(spark, _bpe_oov_frames)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
@@ -2313,7 +2342,12 @@ def test_bpe_oov_audit_left_join_pushdown(spark):
     assert word_joins, plan
     assert "partial_sum" in plan, plan
     assert "replace(" in plan, plan
+    # batch slice filter reaches the scan (Filter node + PushedFilters)
     assert plan.count("(doc_id#") >= 2, plan
+    # the trained vocabulary rides the persisted single train-side scan
+    assert "InMemoryTableScan" in plan, plan
+    ret = _plan(spark, "tokenize_bpe_oov_audit")
+    assert "InMemoryTableScan" in ret, ret
 
 
 def test_bpe_budget_no_unpartitioned_doc_window(spark):
@@ -2322,10 +2356,14 @@ def test_bpe_budget_no_unpartitioned_doc_window(spark):
     cumulative runs pid-partitioned (global_cumulative_counts);
     unpartitioned windows may only order by the bounded score grid; the
     per-document pricing is a word-keyed EQUI-join with the trained
-    merges folded as literal replaces; no cartesian, no Python."""
+    merges folded as literal replaces; no cartesian, no Python. Pinned
+    on the pre-materialization frame; the registered query's returned
+    plan must read the MATERIALIZED report."""
     import re as _re
 
-    plan = _plan(spark, "curation_bpe_token_budget")
+    from dend_spark_data_lake_spark.queries import _bpe_budget_frames
+
+    plan = _frame_plan(spark, _bpe_budget_frames)
     assert "windowspecdefinition(__pid#" in plan, plan
     bad = _re.findall(r"windowspecdefinition\(doc_id#\d+ ASC", plan)
     assert not bad, (bad, plan)
@@ -2336,6 +2374,10 @@ def test_bpe_budget_no_unpartitioned_doc_window(spark):
     )
     assert word_joins, plan
     assert "replace(" in plan, plan
+    # the training vocabulary rides its persisted single scan
+    assert "InMemoryTableScan" in plan, plan
+    ret = _plan(spark, "curation_bpe_token_budget")
+    assert "InMemoryTableScan" in ret, ret
 
 
 def test_bpe_rate_distortion_vocab_rollups_no_join(spark):
