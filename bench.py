@@ -106,6 +106,10 @@ SECONDARY = [
     # BPE training trajectory in the registry; benched so per-merge
     # trajectory cost regressions stay visible)
     "tokenize_bpe_rate_distortion",
+    # round-12 addition (BPE-priced greedy packing — train + (doc, word)
+    # encode join + per-shard fold; benched so pricing-join and fold cost
+    # stay visible)
+    "pack_sequences_bpe",
 ]
 
 

@@ -18812,6 +18812,128 @@ def tokenize_bpe_rate_distortion(spark, sf_dir):
     ).orderBy("n_merges")
 
 
+#: context-window budget for BPE-priced packing, in TRAINED SYMBOLS —
+#: sized to the test corpus the way pack_sequences' 256-whitespace-token
+#: budget was (~56 tokens/doc -> ~4-5 docs per pack): documents average
+#: ~280 trained symbols under the 3-merge tokenizer, so 1024 packs ~3-4
+#: docs per window.
+BPE_PACK_BUDGET = 1024
+
+
+def _bpe_pack_oracle_sql(t: int = BPE_MERGES) -> str:
+    blocks = _bpe_merge_ctes(t)
+    return (
+        "WITH RECURSIVE "
+        + ",\n    ".join(blocks)
+        + f""",
+    enc AS (
+      SELECT replace(replace(w, '<', ''), '>', '') AS word,
+             CAST(len(string_split(substring(w, 2, length(w) - 2), '><'))
+                  AS BIGINT) AS n_sym
+      FROM v{t}
+    ), dw AS (
+      SELECT doc_id, w AS word, CAST(count(*) AS BIGINT) AS f
+      FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        FROM documents)
+      WHERE regexp_matches(w, '^[a-z]+$')
+      GROUP BY 1, 2
+    ), dcost AS (
+      SELECT dw.doc_id, CAST(sum(dw.f * e.n_sym) AS BIGINT) AS cost
+      FROM dw JOIN enc e ON e.word = dw.word GROUP BY dw.doc_id
+    ), docs AS (
+      SELECT d.doc_id, d.doc_id // 64 AS shard,
+             CAST(coalesce(c.cost, 0) AS BIGINT) AS w,
+             row_number() OVER (PARTITION BY d.doc_id // 64
+                                ORDER BY d.doc_id) AS rn
+      FROM documents d LEFT JOIN dcost c ON c.doc_id = d.doc_id
+    ), pack AS (
+      SELECT shard, rn, doc_id, w,
+             CAST(0 AS BIGINT) AS pack_id, w AS acc
+      FROM docs WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.rn, d.doc_id, d.w,
+             CASE WHEN p.acc + d.w <= {BPE_PACK_BUDGET} THEN p.pack_id
+                  ELSE p.pack_id + 1 END,
+             CASE WHEN p.acc + d.w <= {BPE_PACK_BUDGET} THEN p.acc + d.w
+                  ELSE d.w END
+      FROM pack p JOIN docs d ON d.shard = p.shard AND d.rn = p.rn + 1
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard, pack_id,
+           CAST(w AS BIGINT) AS weight
+    FROM pack"""
+    )
+
+
+@_q("pack_sequences_bpe", _bpe_pack_oracle_sql())
+def pack_sequences_bpe(spark, sf_dir):
+    """pack_sequences PRICED BY THE TRAINED TOKENIZER (VERDICT r11 ask
+    #5): the identical greedy context-window packing (concatenate
+    documents in id order, 64 docs per shard, open a new pack when the
+    running weight would exceed the budget — operators/packing.py::
+    greedy_pack, the certified single-shuffle fold), but a document's
+    weight is its TRAINED BPE symbol count — the unit a training run
+    actually bills — not its whitespace token count. This closes the
+    same loop for packing that curation_bpe_token_budget closed for
+    budget curation: whitespace-priced packs systematically over/under-
+    fill for exactly the documents whose words compress best/worst
+    under the learned merges, so every tokenizer retrain re-prices the
+    pack layout. Per-document cost is the certified encode dataflow at
+    (doc, word) grain (word-keyed equi-join of the per-(doc, word)
+    frequency table against the frozen final vocabulary; corpus-
+    trained, so no OOV term); documents with no in-contract words
+    weigh 0 and pack for free, exactly as the budget query prices them.
+    The closure law Σ weight = Σ_lang bpe_symbols of
+    pipeline_bpe_encode is pin-asserted (the same total read at (doc)
+    vs (lang) grain).
+
+    Scale: the training vocabulary persists BEFORE training, so the
+    first merge's argmax collect is the only training pass over the
+    token stream; it stays persisted for the returned plan's encode
+    branch (consumed there like embed_pq_codebook_train's kept codes
+    frame — the output is one row per DOCUMENT, corpus-sized, so the
+    bounded-report materialize-and-release move does not apply; the
+    sweep/session releases it). At action time the corpus is scanned
+    once per grain branch ((doc, word) cost; the doc spine), the cost
+    join keys on the word with NO broadcast hint (Catalyst sizes it),
+    and the packing itself is greedy_pack's ONE keyed exchange with the
+    sequential recurrence folded inside bounded per-shard arrays —
+    never a window over corpus-sized rows, never Python. The oracle
+    replays training, pricing, AND the fold as a recursive CTE, so
+    every (doc -> pack) assignment is value-checked cross-engine."""
+    from .operators.packing import bpe_train, greedy_pack
+
+    d = _t(spark, sf_dir, "documents")
+    v = (
+        _bpe_word_tokens(d)
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("f"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _mt, stages = bpe_train(v, merges=BPE_MERGES)
+    enc = _bpe_enc_table(stages)
+    dcost = (
+        _bpe_word_tokens(d, "doc_id")
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("long").alias("f"))
+        .join(enc, "w")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("f") * F.col("n_sym")).cast("long").alias("cost"))
+    )
+    priced = (
+        d.select("doc_id")
+        .join(dcost, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cost"), F.lit(0).cast("long")).alias("cost"),
+        )
+    )
+    return greedy_pack(
+        priced, "doc_id", "cost", budget=BPE_PACK_BUDGET, docs_per_shard=64
+    )
+
+
 @_q(
     "events_audience_overlap",
     """
@@ -22226,6 +22348,8 @@ _GRADE_DONE_R04 = [
 # New round-12 additions are inserted at the FRONT of this queue
 # (never-graded before re-certs), never into the frozen window above.
 _GRADE_NEXT: list[str] = [
+    # round-12 additions, never driver-graded (queue order)
+    "pack_sequences_bpe",
     # r05-cohort certificates left after the round-12 promotion (3)
     "embed_ood_maxcos",
     "ts_seasonal_backtest",

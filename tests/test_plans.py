@@ -2394,3 +2394,31 @@ def test_bpe_rate_distortion_vocab_rollups_no_join(spark):
     assert "BatchEvalPython" not in plan, plan
     assert "InMemoryTableScan" in plan, plan
     assert "Window" in plan, plan
+
+
+def test_bpe_pack_word_equijoin_windowless_fold(spark):
+    """pack_sequences_bpe (round 12): the per-document BPE pricing must
+    be a word-keyed EQUI-join against the trained vocabulary (strategy
+    left to Catalyst sizes) with the merges folded as literal replaces
+    and the vocabulary riding its persisted single scan
+    (InMemoryTableScan); the packing itself must stay greedy_pack's
+    windowless per-shard fold — NO Window node anywhere (the oracle's
+    row_number/recursion is replayed inside bounded per-shard arrays),
+    no cartesian, no Python. Scan budget: the doc spine + the
+    (doc, word) cost branch — a jump past 4 means training leaked its
+    per-merge corpus re-scans back into the returned plan."""
+    import re as _re
+
+    plan = _plan(spark, "pack_sequences_bpe")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Window" not in plan, plan
+    word_joins = _re.findall(
+        r"(?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[w#", plan
+    )
+    assert word_joins, plan
+    assert "replace(" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    assert "partial_sum" in plan, plan
+    assert plan.count("Scan parquet") <= 4, plan

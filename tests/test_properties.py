@@ -11544,6 +11544,73 @@ def test_bpe_budget_matches_bruteforce(spark):
     assert total == sum(r.bpe_symbols for r in enc_rows)
 
 
+def test_bpe_pack_matches_bruteforce(spark):
+    """pack_sequences_bpe: the trained-tokenizer-priced greedy packing
+    recomputed in plain Python — the training replay, the per-document
+    BPE symbol cost (0 for documents with no in-contract words), then
+    the exact greedy fold per 64-doc shard in doc_id order — every
+    (doc -> shard, pack, weight) assignment compared, plus the budget
+    law (no pack exceeds BPE_PACK_BUDGET unless it is a singleton
+    overweight document) and the closure that total packed weight
+    equals pipeline_bpe_encode's Σ_lang bpe_symbols (the same corpus
+    total read at (doc) vs (lang) grain)."""
+    import re
+    from collections import Counter, defaultdict
+
+    from dend_spark_data_lake_spark.queries import (
+        BPE_PACK_BUDGET,
+        REGISTRY,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("documents", ["doc_id", "lang", "text"])
+    vocab = Counter()
+    words_by_doc = {}
+    for doc_id, _lang, text in rows:
+        ws = [
+            w
+            for w in re.split(r"\s+", text.strip().lower())
+            if re.fullmatch(r"[a-z]+", w)
+        ]
+        words_by_doc[doc_id] = ws
+        vocab.update(ws)
+    n_sym = _bpe_train_replica(vocab)
+
+    cost = {
+        doc_id: sum(n_sym[w] for w in words_by_doc[doc_id])
+        for doc_id, _lang, _text in rows
+    }
+    by_shard = defaultdict(list)
+    for doc_id in sorted(cost):
+        by_shard[doc_id // 64].append(doc_id)
+    expect = {}
+    for shard, ids in by_shard.items():
+        pack, acc = -1, BPE_PACK_BUDGET + 1
+        for doc_id in ids:
+            w = cost[doc_id]
+            if acc + w <= BPE_PACK_BUDGET:
+                acc += w
+            else:
+                pack, acc = pack + 1, w
+            expect[doc_id] = (shard, pack, w)
+
+    got_rows = REGISTRY["pack_sequences_bpe"].fn(spark, SF_SMOKE).collect()
+    got = {r.doc_id: (r.shard, r.pack_id, r.weight) for r in got_rows}
+    assert got == expect
+
+    pack_totals = defaultdict(lambda: [0, 0])
+    for _doc, (shard, pack, w) in got.items():
+        pack_totals[(shard, pack)][0] += w
+        pack_totals[(shard, pack)][1] += 1
+    for (shard, pack), (tot, n) in pack_totals.items():
+        assert tot <= BPE_PACK_BUDGET or n == 1, (shard, pack, tot, n)
+
+    enc_rows = REGISTRY["pipeline_bpe_encode"].fn(spark, SF_SMOKE).collect()
+    assert sum(w for _s, _p, w in got.values()) == sum(
+        r.bpe_symbols for r in enc_rows
+    )
+
+
 def test_floordiv_cols_adversarial_values(spark):
     """_floordiv_cols backs every ppm/e6 ratio in the registry; pin its
     correction branches directly against Python integer floor division:
