@@ -18934,6 +18934,211 @@ def pack_sequences_bpe(spark, sf_dir):
     )
 
 
+#: context-window budget ladder for the packing waste curve — brackets
+#: BPE_PACK_BUDGET one power of two each way, plus the truncation-heavy
+#: 256 floor, so the curve shows both regimes (overweight singletons
+#:  below, padding waste above).
+PACK_CURVE_BUDGETS = (256, 512, 1024, 2048)
+
+
+def _pack_curve_oracle_sql(t: int = BPE_MERGES) -> str:
+    blocks = _bpe_merge_ctes(t)
+    packs = [
+        f"""pk{b} AS (
+      SELECT shard, rn, doc_id, w,
+             CAST(0 AS BIGINT) AS pack_id, w AS acc
+      FROM docs WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.rn, d.doc_id, d.w,
+             CASE WHEN p.acc + d.w <= {b} THEN p.pack_id
+                  ELSE p.pack_id + 1 END,
+             CASE WHEN p.acc + d.w <= {b} THEN p.acc + d.w
+                  ELSE d.w END
+      FROM pk{b} p JOIN docs d ON d.shard = p.shard AND d.rn = p.rn + 1
+    ), pt{b} AS (
+      SELECT shard, pack_id, CAST(sum(w) AS BIGINT) AS tot,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM pk{b} GROUP BY shard, pack_id
+    ), row{b} AS (
+      SELECT CAST({b} AS BIGINT) AS budget,
+             CAST(count(*) AS BIGINT) AS n_packs,
+             CAST(sum(n_docs) AS BIGINT) AS n_docs,
+             CAST(sum(tot) AS BIGINT) AS tokens_used,
+             CAST(sum(CASE WHEN tot > {b} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_overweight,
+             CAST(sum(greatest(0, {b} - tot)) AS BIGINT) AS waste_symbols,
+             CAST((1000000 * CAST(sum(tot) AS HUGEINT))
+                  // (count(*) * {b}) AS BIGINT) AS fill_ppm,
+             CAST((1000000 * CAST(sum(greatest(0, {b} - tot)) AS HUGEINT))
+                  // (count(*) * {b}) AS BIGINT) AS waste_ppm
+      FROM pt{b}
+    )"""
+        for b in PACK_CURVE_BUDGETS
+    ]
+    union = "\n      UNION ALL ".join(
+        f"SELECT * FROM row{b}" for b in PACK_CURVE_BUDGETS
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n    ".join(blocks)
+        + f""",
+    enc AS (
+      SELECT replace(replace(w, '<', ''), '>', '') AS word,
+             CAST(len(string_split(substring(w, 2, length(w) - 2), '><'))
+                  AS BIGINT) AS n_sym
+      FROM v{t}
+    ), dw AS (
+      SELECT doc_id, w AS word, CAST(count(*) AS BIGINT) AS f
+      FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        FROM documents)
+      WHERE regexp_matches(w, '^[a-z]+$')
+      GROUP BY 1, 2
+    ), dcost AS (
+      SELECT dw.doc_id, CAST(sum(dw.f * e.n_sym) AS BIGINT) AS cost
+      FROM dw JOIN enc e ON e.word = dw.word GROUP BY dw.doc_id
+    ), docs AS (
+      SELECT d.doc_id, d.doc_id // 64 AS shard,
+             CAST(coalesce(c.cost, 0) AS BIGINT) AS w,
+             row_number() OVER (PARTITION BY d.doc_id // 64
+                                ORDER BY d.doc_id) AS rn
+      FROM documents d LEFT JOIN dcost c ON c.doc_id = d.doc_id
+    ),
+    """
+        + ",\n    ".join(packs)
+        + f"""
+    SELECT * FROM (
+      {union}
+    ) ORDER BY budget"""
+    )
+
+
+@_q("pack_budget_curve", _pack_curve_oracle_sql())
+def pack_budget_curve(spark, sf_dir):
+    """The context-window SIZING curve for sequence packing —
+    tokenize_bpe_rate_distortion's question asked of the pack budget:
+    at budgets {256, 512, 1024, 2048} trained-BPE symbols, what does
+    greedy packing actually deliver? Per budget: pack count, docs and
+    symbols packed (constant across budgets — every document is always
+    assigned), overweight singleton packs (documents the budget cannot
+    hold — the truncation candidates), absolute padding waste
+    (Σ max(0, budget − pack fill); the compute a training run burns on
+    pad tokens), and exact floored fill/waste ppm of the allocated
+    budget. Where waste_ppm stops falling is the max-sequence-length to
+    ship — the number every training-efficiency postmortem asks for.
+    Pricing is the same certified encode dataflow as pack_sequences_bpe
+    (word equi-join against the frozen trained vocabulary, 0 for
+    documents with no in-contract words), and the budget-1024 row is
+    exactly pack_sequences_bpe's layout rolled up (closure pinned).
+
+    Scale: the training vocabulary persists before training (one
+    corpus scan populates it); the priced (doc, cost) frame is built
+    once and folded FOUR times — all four greedy_pack folds hash the
+    same frame by the same shard key with the same budget-independent
+    partial collect, so AQE's exchange reuse materializes ONE shuffle
+    stage and reads it four times (plan-locked: the executed plan's
+    four fold branches reference a single repeated ShuffleQueryStage
+    id): the corpus-sized side is shuffled once, not per budget; only
+    the bounded per-budget fold lambdas differ. Each fold reduces to
+    per-shard pack totals, then a 1-row combinable aggregate per
+    budget; the output is the bounded 4-row curve, materialized before
+    the vocabulary cache is released (the returned plan reads only the
+    grid). No window anywhere — the recurrence stays inside bounded
+    per-shard arrays; the oracle replays training, pricing, and all
+    four folds as recursive CTEs, value-checking every curve cell."""
+    out, caches = _pack_curve_frames(spark, sf_dir)
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    for c in caches:
+        c.unpersist()
+    return out.orderBy("budget")
+
+
+def _pack_curve_frames(spark, sf_dir):
+    """pack_budget_curve's dataflow, pre-materialization: returns the
+    lazy 4-row curve frame plus the persisted training-vocabulary
+    cache to release after materialization (see _bpe_encode_frames for
+    the split rationale)."""
+    from .operators.packing import bpe_train, greedy_pack
+
+    d = _t(spark, sf_dir, "documents")
+    v = (
+        _bpe_word_tokens(d)
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("f"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _mt, stages = bpe_train(v, merges=BPE_MERGES)
+    enc = _bpe_enc_table(stages)
+    dcost = (
+        _bpe_word_tokens(d, "doc_id")
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("long").alias("f"))
+        .join(enc, "w")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("f") * F.col("n_sym")).cast("long").alias("cost"))
+    )
+    priced = (
+        d.select("doc_id")
+        .join(dcost, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cost"), F.lit(0).cast("long")).alias("cost"),
+        )
+    )
+    dec = "DECIMAL(38,0)"
+    curve = None
+    for b in PACK_CURVE_BUDGETS:
+        pt = (
+            greedy_pack(priced, "doc_id", "cost", budget=b, docs_per_shard=64)
+            .groupBy("shard", "pack_id")
+            .agg(
+                F.sum("weight").cast("long").alias("tot"),
+                F.count("*").cast("long").alias("nd"),
+            )
+        )
+        row = (
+            pt.agg(
+                F.count("*").cast("long").alias("n_packs"),
+                F.sum("nd").cast("long").alias("n_docs"),
+                F.sum("tot").cast("long").alias("tokens_used"),
+                F.sum(F.when(F.col("tot") > b, 1).otherwise(0))
+                .cast("long")
+                .alias("n_overweight"),
+                F.sum(F.greatest(F.lit(0).cast("long"), F.lit(b) - F.col("tot")))
+                .cast("long")
+                .alias("waste_symbols"),
+            )
+            .selectExpr(
+                f"CAST({b} AS BIGINT) AS budget",
+                "n_packs",
+                "n_docs",
+                "tokens_used",
+                "n_overweight",
+                "waste_symbols",
+                f"CAST(1000000 AS {dec}) * tokens_used AS __fnum",
+                f"CAST(n_packs * {b} AS {dec}) AS __fden",
+                f"CAST(1000000 AS {dec}) * waste_symbols AS __wnum",
+                f"CAST(n_packs * {b} AS {dec}) AS __wden",
+            )
+        )
+        row = _floordiv_cols(row, "__fnum", "__fden", "fill_ppm")
+        row = _floordiv_cols(row, "__wnum", "__wden", "waste_ppm")
+        row = row.select(
+            "budget",
+            "n_packs",
+            "n_docs",
+            "tokens_used",
+            "n_overweight",
+            "waste_symbols",
+            "fill_ppm",
+            "waste_ppm",
+        )
+        curve = row if curve is None else curve.unionByName(row)
+    return curve, [v]
+
+
 @_q(
     "events_audience_overlap",
     """
@@ -22350,6 +22555,7 @@ _GRADE_DONE_R04 = [
 _GRADE_NEXT: list[str] = [
     # round-12 additions, never driver-graded (queue order)
     "pack_sequences_bpe",
+    "pack_budget_curve",
     # r05-cohort certificates left after the round-12 promotion (3)
     "embed_ood_maxcos",
     "ts_seasonal_backtest",

@@ -2422,3 +2422,41 @@ def test_bpe_pack_word_equijoin_windowless_fold(spark):
     assert "InMemoryTableScan" in plan, plan
     assert "partial_sum" in plan, plan
     assert plan.count("Scan parquet") <= 4, plan
+
+
+def test_pack_budget_curve_single_shared_shuffle(spark):
+    """pack_budget_curve (round 12): the four greedy folds hash the
+    SAME priced frame by the same shard key with a budget-independent
+    partial collect, so AQE must materialize ONE shuffle stage and read
+    it from every fold branch — the executed final plan's most-repeated
+    ShuffleQueryStage id must appear at least 4 times (one per budget).
+    Four distinct stage ids for the fold input means the corpus-sized
+    side re-shuffled per budget — the 100 TB regression this lock
+    exists for. Also: windowless (the recurrence stays inside bounded
+    per-shard arrays), word equi-join pricing, folded-merge replaces,
+    persisted-vocabulary InMemoryTableScan, no cartesian, no Python;
+    the registered query's returned plan reads the materialized 4-row
+    curve."""
+    import re as _re
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.queries import _pack_curve_frames
+
+    out, caches = _pack_curve_frames(spark, SF_SMOKE)
+    out.count()  # AQE stage reuse is only visible in the executed plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for c in caches:
+        c.unpersist()
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    word_joins = _re.findall(
+        r"(?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[w#", plan
+    )
+    assert word_joins, plan
+    assert "replace(" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    stage_refs = Counter(_re.findall(r"ShuffleQueryStage (\d+)", plan))
+    assert stage_refs and max(stage_refs.values()) >= 4, (stage_refs, plan)
+    ret = _plan(spark, "pack_budget_curve")
+    assert "InMemoryTableScan" in ret, ret

@@ -11611,6 +11611,105 @@ def test_bpe_pack_matches_bruteforce(spark):
     )
 
 
+def test_pack_budget_curve_matches_bruteforce(spark):
+    """pack_budget_curve: every curve cell recomputed in plain Python —
+    train, price, then the greedy fold at each of the four budgets with
+    exact pack-count / overweight / waste / floored-ppm accounting —
+    plus the monotonicity laws (n_packs and n_overweight non-increasing
+    in the budget; tokens_used and n_docs constant) and the closure
+    that the budget-1024 row is exactly pack_sequences_bpe's layout
+    rolled up."""
+    import re
+    from collections import Counter, defaultdict
+
+    from dend_spark_data_lake_spark.queries import (
+        BPE_PACK_BUDGET,
+        PACK_CURVE_BUDGETS,
+        REGISTRY,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("documents", ["doc_id", "lang", "text"])
+    vocab = Counter()
+    words_by_doc = {}
+    for doc_id, _lang, text in rows:
+        ws = [
+            w
+            for w in re.split(r"\s+", text.strip().lower())
+            if re.fullmatch(r"[a-z]+", w)
+        ]
+        words_by_doc[doc_id] = ws
+        vocab.update(ws)
+    n_sym = _bpe_train_replica(vocab)
+    cost = {
+        doc_id: sum(n_sym[w] for w in words_by_doc[doc_id])
+        for doc_id, _lang, _text in rows
+    }
+    by_shard = defaultdict(list)
+    for doc_id in sorted(cost):
+        by_shard[doc_id // 64].append(doc_id)
+
+    expect = {}
+    for budget in PACK_CURVE_BUDGETS:
+        totals = defaultdict(int)
+        ndocs = defaultdict(int)
+        for shard, ids in by_shard.items():
+            pack, acc = -1, budget + 1
+            for doc_id in ids:
+                w = cost[doc_id]
+                if acc + w <= budget:
+                    acc += w
+                else:
+                    pack, acc = pack + 1, w
+                totals[(shard, pack)] += w
+                ndocs[(shard, pack)] += 1
+        n_packs = len(totals)
+        tokens = sum(totals.values())
+        waste = sum(max(0, budget - t) for t in totals.values())
+        expect[budget] = (
+            n_packs,
+            sum(ndocs.values()),
+            tokens,
+            sum(1 for t in totals.values() if t > budget),
+            waste,
+            (1_000_000 * tokens) // (n_packs * budget),
+            (1_000_000 * waste) // (n_packs * budget),
+        )
+
+    got = {
+        r.budget: (
+            r.n_packs,
+            r.n_docs,
+            r.tokens_used,
+            r.n_overweight,
+            r.waste_symbols,
+            r.fill_ppm,
+            r.waste_ppm,
+        )
+        for r in REGISTRY["pack_budget_curve"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+    budgets = sorted(got)
+    for lo, hi in zip(budgets, budgets[1:]):
+        assert got[lo][0] >= got[hi][0], (lo, hi)  # n_packs non-increasing
+        assert got[lo][3] >= got[hi][3], (lo, hi)  # overweight non-increasing
+        assert got[lo][1] == got[hi][1]  # every doc always packed
+        assert got[lo][2] == got[hi][2]  # corpus cost budget-independent
+
+    # closure: the 1024 row IS pack_sequences_bpe's layout rolled up
+    pk = REGISTRY["pack_sequences_bpe"].fn(spark, SF_SMOKE).collect()
+    packs = defaultdict(int)
+    for r in pk:
+        packs[(r.shard, r.pack_id)] += r.weight
+    row = got[BPE_PACK_BUDGET]
+    assert row[0] == len(packs)
+    assert row[2] == sum(packs.values())
+    assert row[4] == sum(
+        max(0, BPE_PACK_BUDGET - t) for t in packs.values()
+    )
+
+
 def test_floordiv_cols_adversarial_values(spark):
     """_floordiv_cols backs every ppm/e6 ratio in the registry; pin its
     correction branches directly against Python integer floor division:
