@@ -32,6 +32,7 @@ def greedy_pack(
     weight_col: str | Column,
     budget: int,
     docs_per_shard: int = 64,
+    order_col: str | Column | None = None,
 ) -> DataFrame:
     """Assign each row to a ``(shard, pack_id)`` greedily in ``id_col``
     order: a row joins the current pack while the pack's running weight
@@ -47,17 +48,34 @@ def greedy_pack(
     (``id // docs_per_shard``) and the packing order. A string id would
     cast to NULL and silently vanish — hash it to a long first
     (``xxhash64``) if the corpus has no numeric key.
+
+    ``order_col`` (optional, NON-NULL NUMERIC when given) packs each
+    shard in ``(order_col, id_col)`` order instead of bare id order —
+    the APPEND hook: give standing documents order 0 and an arriving
+    batch order 1 and the batch fills the standing layout's tail
+    capacity without disturbing it (left-fold prefix property: the
+    standing prefix of the combined fold IS the standing-only fold).
+    Omitted, behavior is byte-identical to the pre-append operator.
     """
     w = weight_col if isinstance(weight_col, Column) else F.col(weight_col)
+    o = (
+        None
+        if order_col is None
+        else (order_col if isinstance(order_col, Column) else F.col(order_col))
+    )
     base = df.select(
         F.col(id_col).cast("long").alias("id"),
         w.cast("long").alias("w"),
         F.floor(F.col(id_col) / docs_per_shard).cast("long").alias("shard"),
+        *([] if o is None else [o.cast("long").alias("o")]),
     )
 
-    # Sorted (id, w) structs: array_sort orders by the leading field, so the
-    # fold visits documents in id order within the shard.
-    arr = F.array_sort(F.collect_list(F.struct(F.col("id"), F.col("w"))))
+    # Sorted (id, w) structs: array_sort orders by the leading field(s), so
+    # the fold visits documents in (order,) id order within the shard.
+    head = [] if o is None else [F.col("o")]
+    arr = F.array_sort(
+        F.collect_list(F.struct(*head, F.col("id"), F.col("w")))
+    )
 
     # Fold state: (current pack, its running weight, assignments so far).
     # acc starts above the budget so the first element always opens pack 0,

@@ -19140,6 +19140,82 @@ def _pack_curve_frames(spark, sf_dir):
 
 
 @_q(
+    "pack_sequences_append",
+    """
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, doc_id // 64 AS shard,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS w,
+             CASE WHEN doc_id % 10 >= 8 THEN 1 ELSE 0 END AS ob,
+             row_number() OVER (PARTITION BY doc_id // 64
+                                ORDER BY CASE WHEN doc_id % 10 >= 8
+                                              THEN 1 ELSE 0 END, doc_id)
+               AS rn
+      FROM documents
+    ), pack AS (
+      SELECT shard, rn, doc_id, w, ob,
+             CAST(0 AS BIGINT) AS pack_id, w AS acc
+      FROM docs WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.rn, d.doc_id, d.w, d.ob,
+             CASE WHEN p.acc + d.w <= 256 THEN p.pack_id
+                  ELSE p.pack_id + 1 END,
+             CASE WHEN p.acc + d.w <= 256 THEN p.acc + d.w ELSE d.w END
+      FROM pack p JOIN docs d ON d.shard = p.shard AND d.rn = p.rn + 1
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard, pack_id,
+           CAST(w AS BIGINT) AS weight, CAST(ob AS INT) AS is_batch
+    FROM pack
+    """,
+)
+def pack_sequences_append(spark, sf_dir):
+    """INCREMENTAL pack maintenance — dedup_incremental_batch's
+    question asked of the pack layout: the standing corpus
+    (doc_id % 10 < 8, the incremental-ingest convention) is already
+    packed and SHIPPED; the arriving batch (doc_id % 10 >= 8) must
+    append into that layout — fill each shard's tail pack to the 256
+    budget, then open new packs — WITHOUT repacking or reassigning a
+    single standing document, because a training run has already
+    consumed the standing epoch layout. Semantics ride greedy_pack's
+    new order hook (operators/packing.py): packing each shard in
+    (is_batch, doc_id) order makes the standing prefix of the combined
+    left-fold IDENTICAL to the standing-only fold (left-fold prefix
+    property — pin-asserted), so 'append' needs no second operator and
+    no carried pack-state handshake: the fold state at the end of the
+    standing prefix IS the handshake. A full repack (bare doc_id
+    order) would interleave batch ids between standing ids and shuffle
+    standing assignments — exactly what this query certifies does NOT
+    happen.
+
+    Scale: identical posture to pack_sequences — ONE keyed exchange
+    (groupBy shard) with the sequential recurrence folded inside
+    bounded per-shard arrays, weight computed scan-side, no window, no
+    join, no Python; at 100 TB the arriving batch only touches the
+    shards it lands in, and the standing layout is never rewritten.
+    The oracle replays the (is_batch, doc_id)-ordered fold as a
+    recursive CTE, value-checking every assignment including the
+    batch/standing boundary in every shard."""
+    from .operators.packing import greedy_pack
+
+    d = _t(spark, sf_dir, "documents")
+    packed = greedy_pack(
+        d,
+        "doc_id",
+        TX.token_count_ws("text"),
+        budget=256,
+        docs_per_shard=64,
+        order_col=(F.col("doc_id") % 10 >= 8).cast("long"),
+    )
+    return packed.select(
+        "doc_id",
+        "shard",
+        "pack_id",
+        "weight",
+        (F.col("doc_id") % 10 >= 8).cast("int").alias("is_batch"),
+    )
+
+
+@_q(
     "events_audience_overlap",
     """
     WITH ut AS (
@@ -22556,6 +22632,7 @@ _GRADE_NEXT: list[str] = [
     # round-12 additions, never driver-graded (queue order)
     "pack_sequences_bpe",
     "pack_budget_curve",
+    "pack_sequences_append",
     # r05-cohort certificates left after the round-12 promotion (3)
     "embed_ood_maxcos",
     "ts_seasonal_backtest",

@@ -2460,3 +2460,16 @@ def test_pack_budget_curve_single_shared_shuffle(spark):
     assert stage_refs and max(stage_refs.values()) >= 4, (stage_refs, plan)
     ret = _plan(spark, "pack_budget_curve")
     assert "InMemoryTableScan" in ret, ret
+
+
+def test_pack_append_single_shuffle_fold(spark):
+    """pack_sequences_append (round 12): the append must keep
+    pack_sequences' exact posture — ONE keyed exchange (groupBy shard)
+    with the (is_batch, doc_id)-ordered recurrence folded inside the
+    bounded per-shard arrays, weight and batch flag computed scan-side:
+    a Window, a Join, or a second Exchange means the incremental append
+    leaked a repack or a pack-state handshake into the plan."""
+    plan = _plan(spark, "pack_sequences_append")
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" not in plan and "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan

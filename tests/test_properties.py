@@ -11710,6 +11710,75 @@ def test_pack_budget_curve_matches_bruteforce(spark):
     )
 
 
+def test_pack_append_prefix_property_and_replica(spark):
+    """pack_sequences_append: (a) exact Python replica of the
+    (is_batch, doc_id)-ordered greedy fold; (b) the LEFT-FOLD PREFIX
+    LAW — every standing document's (shard, pack, weight) is identical
+    to the standing-only fold, i.e. appending the batch disturbs
+    nothing already shipped; (c) the semantics genuinely differ from a
+    full repack: whenever the bare-doc_id-order fold assigns any
+    standing document differently, the query must match the APPEND
+    fold, not the repack (at this corpus the two DO diverge — asserted,
+    so the test cannot silently degrade into checking nothing)."""
+    import re
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("documents", ["doc_id", "text"])
+    wt = {
+        doc_id: (len(re.split(r"\s+", text.strip())) if text.strip() else 0)
+        for doc_id, text in rows
+    }
+
+    def fold(ids_by_shard):
+        out = {}
+        for shard, ids in ids_by_shard.items():
+            pack, acc = -1, 256 + 1
+            for doc_id in ids:
+                w = wt[doc_id]
+                if acc + w <= 256:
+                    acc += w
+                else:
+                    pack, acc = pack + 1, w
+                out[doc_id] = (shard, pack, w)
+        return out
+
+    append_order = defaultdict(list)
+    repack_order = defaultdict(list)
+    standing_order = defaultdict(list)
+    for doc_id in sorted(wt):
+        shard = doc_id // 64
+        repack_order[shard].append(doc_id)
+        if doc_id % 10 >= 8:
+            continue
+        standing_order[shard].append(doc_id)
+    for shard, ids in repack_order.items():
+        append_order[shard] = sorted(ids, key=lambda i: (i % 10 >= 8, i))
+
+    expect = fold(append_order)
+    got = {
+        r.doc_id: (r.shard, r.pack_id, r.weight)
+        for r in REGISTRY["pack_sequences_append"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+    standing_only = fold(standing_order)
+    for doc_id, asg in standing_only.items():
+        assert got[doc_id] == asg, (doc_id, got[doc_id], asg)
+
+    repack = fold(repack_order)
+    diverged = [
+        doc_id
+        for doc_id in standing_only
+        if repack[doc_id] != standing_only[doc_id]
+    ]
+    assert diverged, "corpus too degenerate: repack == append everywhere"
+    for doc_id in diverged:
+        assert got[doc_id] != repack[doc_id]
+
+
 def test_floordiv_cols_adversarial_values(spark):
     """_floordiv_cols backs every ppm/e6 ratio in the registry; pin its
     correction branches directly against Python integer floor division:
