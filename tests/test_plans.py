@@ -2462,6 +2462,28 @@ def test_pack_budget_curve_single_shared_shuffle(spark):
     assert "InMemoryTableScan" in ret, ret
 
 
+def test_sim_filtered_topk_one_scoring_pass(spark):
+    """sim_filtered_topk (round 12): the 10-query batch must broadcast
+    onto ONE corpus scoring pass (BroadcastNestedLoopJoin over the
+    bounded batch — an unhinted cross join planning CartesianProduct is
+    the regression), the global and filtered ranks must both ride
+    query_id-PARTITIONED windows (never an unpartitioned corpus sort),
+    no Python, and the embeddings table is scanned at most twice (the
+    broadcast query slice + the corpus side) — a third scan means the
+    global rank re-scored the corpus instead of riding the same pass."""
+    import re as _re
+
+    plan = _plan(spark, "sim_filtered_topk")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    specs = _re.findall(r"windowspecdefinition\(query_id#\d+", plan)
+    assert specs, plan
+    bad = _re.findall(r"windowspecdefinition\((?:cosine|neighbor_id)#", plan)
+    assert not bad, (bad, plan)
+    assert plan.count("embeddings.parquet") <= 2, plan
+
+
 def test_pack_append_single_shuffle_fold(spark):
     """pack_sequences_append (round 12): the append must keep
     pack_sequences' exact posture — ONE keyed exchange (groupBy shard)

@@ -11779,6 +11779,70 @@ def test_pack_append_prefix_property_and_replica(spark):
         assert got[doc_id] != repack[doc_id]
 
 
+def test_sim_filtered_topk_replica_and_postfilter_law(spark):
+    """sim_filtered_topk: full Python replica (float64 dots, round-6
+    cosine, (cosine desc, id) tie-break) of both rankings; the law
+    rank_global >= rank_filtered on every row; non-vacuity — this
+    corpus must produce at least one winner with rank_global > 5 (a
+    neighbor post-filtering would have missed, the reason the query
+    exists); and the cross-query closure that every winner with
+    rank_global <= 5 appears in sim_cosine_topk's global top-5 with the
+    identical cosine and rank."""
+    import math
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("embeddings", ["vec_id", "label", "embedding"])
+    vecs = {r[0]: (r[1], [float(x) for x in r[2]]) for r in rows}
+    queries = {i: vecs[i] for i in vecs if i < 10}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(
+            sum(x * x for x in b)
+        )
+        return round(num / den, 6)
+
+    expect = {}
+    for qid, (qlabel, qv) in queries.items():
+        scored = [
+            (cos(qv, cv), nid, label)
+            for nid, (label, cv) in vecs.items()
+            if nid != qid
+        ]
+        ordered = sorted(scored, key=lambda t: (-t[0], t[1]))
+        grank = {nid: i + 1 for i, (_c, nid, _l) in enumerate(ordered)}
+        flt = [t for t in ordered if t[2] == qlabel]
+        for i, (c, nid, label) in enumerate(flt[:5]):
+            expect[(qid, nid)] = (label, c, i + 1, grank[nid])
+
+    got = {
+        (r.query_id, r.neighbor_id): (
+            r.label,
+            r.cosine,
+            r.rank_filtered,
+            r.rank_global,
+        )
+        for r in REGISTRY["sim_filtered_topk"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+    assert all(rg >= rf for (_l, _c, rf, rg) in got.values())
+    assert any(rg > 5 for (_l, _c, _rf, rg) in got.values()), (
+        "corpus too degenerate: post-filtering would lose nothing"
+    )
+
+    topk = {
+        (r.query_id, r.neighbor_id): (r.cosine, r.rank)
+        for r in REGISTRY["sim_cosine_topk"].fn(spark, SF_SMOKE).collect()
+    }
+    for (qid, nid), (_l, c, _rf, rg) in got.items():
+        if rg <= 5:
+            assert topk[(qid, nid)] == (c, rg)
+
+
 def test_floordiv_cols_adversarial_values(spark):
     """_floordiv_cols backs every ppm/e6 ratio in the registry; pin its
     correction branches directly against Python integer floor division:
