@@ -11826,6 +11826,84 @@ def dq_benford_first_digit(spark, sf_dir):
 
 
 @_q(
+    "dq_k_anonymity",
+    """
+    WITH q AS (
+      SELECT c_nationkey AS nat, c_mktsegment AS seg,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS balband
+      FROM customer
+    ), cls AS (
+      SELECT CAST(GROUPING(balband) + GROUPING(seg) AS INT) AS level,
+             CAST(count(*) AS BIGINT) AS k
+      FROM q
+      GROUP BY GROUPING SETS ((nat, seg, balband), (nat, seg), (nat))
+    )
+    SELECT level,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(k) AS BIGINT) AS n_rows,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(count(*) FILTER (WHERE k < 5) AS BIGINT) AS risk_classes,
+           CAST(coalesce(sum(k) FILTER (WHERE k < 5), 0) AS BIGINT)
+             AS risk_rows,
+           CAST((1000000 * CAST(coalesce(sum(k) FILTER (WHERE k < 5), 0)
+                                AS HUGEINT))
+                // sum(k) AS BIGINT) AS risk_ppm
+    FROM cls GROUP BY level ORDER BY level
+    """,
+)
+def dq_k_anonymity(spark, sf_dir):
+    """k-ANONYMITY generalization-lattice audit — the training-data
+    governance question dp_laplace_release left open: before releasing
+    (or training on) customer-joined data, how re-identifiable is each
+    row by its quasi-identifiers, and which attribute should be
+    generalized first? Quasi-identifier ladder: level 0 =
+    (nation, segment, acctbal-thousand band), level 1 drops the
+    balance band, level 2 keeps nation only. Per level it reports the
+    equivalence-class count, the smallest class (min_k — the classic
+    k-anonymity number), and the k < 5 RISK mass as classes, rows, and
+    exact floored ppm — where risk_ppm first reaches an acceptable
+    level is the generalization to ship. Lattice monotonicity (coarser
+    level ⇒ each class is a UNION of finer classes ⇒ min_k
+    non-decreasing, risk rows non-increasing, row total invariant) is
+    pin-asserted, not assumed. The balance band is
+    floor(acctbal / 1000): one correctly-rounded double divide then
+    floor, bit-identical cross-engine; nation and segment are never
+    NULL in this schema, so GROUPING() flags are the only NULL source.
+
+    Scale: the WHOLE lattice is ONE pass — GROUP BY GROUPING SETS
+    expands each row into its 3 lattice levels (Spark's Expand
+    operator, map-side combinable partial counts), one shuffle on the
+    grouping key, then a bounded 3-row rollup over class sizes; no
+    join, no window, no second scan. Generalizing further = adding a
+    grouping set, not adding a pass."""
+    register_views(spark, sf_dir, ["customer"])
+    return spark.sql(
+        """
+        WITH cls AS (
+          SELECT CAST(grouping(balband) + grouping(seg) AS INT) AS level,
+                 CAST(count(*) AS BIGINT) AS k
+          FROM (
+            SELECT c_nationkey AS nat, c_mktsegment AS seg,
+                   CAST(floor(c_acctbal / 1000) AS BIGINT) AS balband
+            FROM customer
+          )
+          GROUP BY GROUPING SETS ((nat, seg, balband), (nat, seg), (nat))
+        )
+        SELECT level,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(sum(k) AS BIGINT) AS n_rows,
+               CAST(min(k) AS BIGINT) AS min_k,
+               CAST(count(IF(k < 5, 1, NULL)) AS BIGINT) AS risk_classes,
+               CAST(coalesce(sum(IF(k < 5, k, NULL)), 0) AS BIGINT)
+                 AS risk_rows,
+               CAST(1000000 * coalesce(sum(IF(k < 5, k, NULL)), 0)
+                    DIV sum(k) AS BIGINT) AS risk_ppm
+        FROM cls GROUP BY level ORDER BY level
+        """
+    )
+
+
+@_q(
     "sample_proportional_carve",
     """
     WITH c AS (
@@ -22757,6 +22835,7 @@ _GRADE_NEXT: list[str] = [
     "pack_budget_curve",
     "pack_sequences_append",
     "sim_filtered_topk",
+    "dq_k_anonymity",
     # r05-cohort certificates left after the round-12 promotion (3)
     "embed_ood_maxcos",
     "ts_seasonal_backtest",

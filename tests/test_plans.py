@@ -2484,6 +2484,22 @@ def test_sim_filtered_topk_one_scoring_pass(spark):
     assert plan.count("embeddings.parquet") <= 2, plan
 
 
+def test_k_anonymity_lattice_single_expand_pass(spark):
+    """dq_k_anonymity (round 12): the whole generalization lattice must
+    be ONE pass — a single customer scan feeding Spark's Expand
+    operator (GROUPING SETS), map-side-combinable partial counts, one
+    grouping shuffle, then the bounded 3-row rollup. A Join, a Window,
+    or a second scan means a per-level recomputation leaked in —
+    the regression that turns an O(1)-pass lattice into O(levels)
+    corpus scans."""
+    plan = _plan(spark, "dq_k_anonymity")
+    assert "Expand" in plan, plan
+    assert plan.count("customer.parquet") == 1, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
 def test_pack_append_single_shuffle_fold(spark):
     """pack_sequences_append (round 12): the append must keep
     pack_sequences' exact posture — ONE keyed exchange (groupBy shard)

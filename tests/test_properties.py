@@ -11843,6 +11843,62 @@ def test_sim_filtered_topk_replica_and_postfilter_law(spark):
             assert topk[(qid, nid)] == (c, rg)
 
 
+def test_k_anonymity_lattice_replica_and_monotonicity(spark):
+    """dq_k_anonymity: exact Python replica of all three lattice levels
+    (equivalence classing on the quasi-identifier ladder, k < 5 risk
+    accounting, floored ppm), plus the lattice monotonicity laws the
+    docstring claims — coarser level ⇒ classes are unions of finer
+    classes ⇒ n_classes and risk_classes and risk_rows non-increasing,
+    min_k non-decreasing, n_rows invariant — asserted on the actual
+    output, not assumed."""
+    import math
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table(
+        "customer", ["c_nationkey", "c_mktsegment", "c_acctbal"]
+    )
+    expect = {}
+    for level in (0, 1, 2):
+        classes = Counter()
+        for nat, seg, bal in rows:
+            band = int(math.floor(bal / 1000))
+            key = {0: (nat, seg, band), 1: (nat, seg), 2: (nat,)}[level]
+            classes[key] += 1
+        ks = list(classes.values())
+        risk = [k for k in ks if k < 5]
+        expect[level] = (
+            len(ks),
+            sum(ks),
+            min(ks),
+            len(risk),
+            sum(risk),
+            (1_000_000 * sum(risk)) // sum(ks),
+        )
+
+    got = {
+        r.level: (
+            r.n_classes,
+            r.n_rows,
+            r.min_k,
+            r.risk_classes,
+            r.risk_rows,
+            r.risk_ppm,
+        )
+        for r in REGISTRY["dq_k_anonymity"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+    for lo, hi in ((0, 1), (1, 2)):
+        assert got[lo][0] >= got[hi][0]  # n_classes non-increasing
+        assert got[lo][1] == got[hi][1]  # row total invariant
+        assert got[lo][2] <= got[hi][2]  # min_k non-decreasing
+        assert got[lo][3] >= got[hi][3]  # risk_classes non-increasing
+        assert got[lo][4] >= got[hi][4]  # risk_rows non-increasing
+
+
 def test_floordiv_cols_adversarial_values(spark):
     """_floordiv_cols backs every ppm/e6 ratio in the registry; pin its
     correction branches directly against Python integer floor division:
