@@ -18207,6 +18207,43 @@ def _bpe_merge_ctes(
     return blocks
 
 
+def _bpe_enc_cte(t: int = BPE_MERGES) -> str:
+    """The trained word -> symbol-count CTE (the oracle rendering of
+    _bpe_enc_table), shared by the encode / OOV-audit / budget / pack /
+    curve oracles — ONE source so a fix to the pricing contract can
+    never leave two oracles disagreeing about the same certified
+    dataflow. Emitted text is byte-identical to the r10-certified
+    inline blocks it replaced."""
+    return f"""enc AS (
+      SELECT replace(replace(w, '<', ''), '>', '') AS word,
+             CAST(len(string_split(substring(w, 2, length(w) - 2), '><'))
+                  AS BIGINT) AS n_sym
+      FROM v{t}
+    )"""
+
+
+def _bpe_doc_cost_ctes(t: int = BPE_MERGES) -> str:
+    """enc + the (doc, word) frequency table + the per-document trained
+    symbol cost — the document-pricing chain shared by the budget /
+    pack / curve oracles (the oracle rendering of _bpe_priced_docs'
+    dcost branch). Byte-identical to the inline blocks it replaced."""
+    return (
+        _bpe_enc_cte(t)
+        + r""", dw AS (
+      SELECT doc_id, w AS word, CAST(count(*) AS BIGINT) AS f
+      FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        FROM documents)
+      WHERE regexp_matches(w, '^[a-z]+$')
+      GROUP BY 1, 2
+    ), dcost AS (
+      SELECT dw.doc_id, CAST(sum(dw.f * e.n_sym) AS BIGINT) AS cost
+      FROM dw JOIN enc e ON e.word = dw.word GROUP BY dw.doc_id
+    )"""
+    )
+
+
 def _bpe_merge_oracle_sql(t: int = BPE_MERGES) -> str:
     finals = "\n    UNION ALL ".join(
         f"""SELECT CAST({i} AS INT) AS merge_step, l AS left_sym,
@@ -18394,12 +18431,7 @@ def _bpe_encode_oracle_sql(t: int = BPE_MERGES) -> str:
         "WITH "
         + ",\n    ".join(blocks)
         + f""",
-    enc AS (
-      SELECT replace(replace(w, '<', ''), '>', '') AS word,
-             CAST(len(string_split(substring(w, 2, length(w) - 2), '><'))
-                  AS BIGINT) AS n_sym
-      FROM v{t}
-    ), lw AS (
+    {_bpe_enc_cte(t)}, lw AS (
       SELECT lang, w AS word, CAST(count(*) AS BIGINT) AS f
       FROM (
         SELECT lang,
@@ -18463,11 +18495,23 @@ def pipeline_bpe_encode(spark, sf_dir):
     shape stays plan-locked on the pre-materialization frame
     (tests/test_plans.py::test_bpe_encode_word_equijoin_no_python)."""
     out, caches = _bpe_encode_frames(spark, sf_dir)
+    return _materialize_report(out, caches, "lang")
+
+
+def _materialize_report(out, caches, order_col):
+    """Materialize a BOUNDED report frame and release its builder's
+    persisted caches — shared by every materialize-and-release adopter
+    so the load-bearing ordering is encoded ONCE: count() executes the
+    full plan WHILE the caches are warm, and only then are they
+    released (Spark uncache does not cascade, so a wrapper that
+    unpersists first recomputes the report from a cold vocabulary).
+    Returns the cached report with the final ordering applied — the
+    returned plan reads only the materialized rows."""
     out = out.persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
     for c in caches:
         c.unpersist()
-    return out.orderBy("lang")
+    return out.orderBy(order_col)
 
 
 def _bpe_encode_frames(spark, sf_dir):
@@ -18528,12 +18572,7 @@ def _bpe_oov_oracle_sql(t: int = BPE_MERGES) -> str:
         "WITH "
         + ",\n    ".join(blocks)
         + f""",
-    enc AS (
-      SELECT replace(replace(w, '<', ''), '>', '') AS word,
-             CAST(len(string_split(substring(w, 2, length(w) - 2), '><'))
-                  AS BIGINT) AS n_sym
-      FROM v{t}
-    ), blw AS (
+    {_bpe_enc_cte(t)}, blw AS (
       SELECT lang, w AS word, CAST(count(*) AS BIGINT) AS f
       FROM (
         SELECT lang,
@@ -18599,11 +18638,7 @@ def tokenize_bpe_oov_audit(spark, sf_dir):
     pre-materialization frame
     (tests/test_plans.py::test_bpe_oov_audit_left_join_pushdown)."""
     out, caches = _bpe_oov_frames(spark, sf_dir)
-    out = out.persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    for c in caches:
-        c.unpersist()
-    return out.orderBy("lang")
+    return _materialize_report(out, caches, "lang")
 
 
 def _bpe_oov_frames(spark, sf_dir):
@@ -18687,23 +18722,7 @@ def _bpe_budget_oracle_sql(t: int = BPE_MERGES) -> str:
         "WITH "
         + ",\n    ".join(blocks)
         + f""",
-    enc AS (
-      SELECT replace(replace(w, '<', ''), '>', '') AS word,
-             CAST(len(string_split(substring(w, 2, length(w) - 2), '><'))
-                  AS BIGINT) AS n_sym
-      FROM v{t}
-    ), dw AS (
-      SELECT doc_id, w AS word, CAST(count(*) AS BIGINT) AS f
-      FROM (
-        SELECT doc_id,
-               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
-        FROM documents)
-      WHERE regexp_matches(w, '^[a-z]+$')
-      GROUP BY 1, 2
-    ), dcost AS (
-      SELECT dw.doc_id, CAST(sum(dw.f * e.n_sym) AS BIGINT) AS cost
-      FROM dw JOIN enc e ON e.word = dw.word GROUP BY dw.doc_id
-    ), q AS (
+    {_bpe_doc_cost_ctes(t)}, q AS (
       SELECT doc_id, lang,
              CAST(CASE WHEN trim(text) = '' THEN 0
                   ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END
@@ -18767,11 +18786,7 @@ def curation_bpe_token_budget(spark, sf_dir):
     shapes plan-locked on the pre-materialization frame
     (tests/test_plans.py::test_bpe_budget_no_unpartitioned_doc_window)."""
     out, caches = _bpe_budget_frames(spark, sf_dir)
-    out = out.persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    for c in caches:
-        c.unpersist()
-    return out.orderBy("lang")
+    return _materialize_report(out, caches, "lang")
 
 
 def _bpe_budget_frames(spark, sf_dir):
@@ -19027,23 +19042,7 @@ def _bpe_pack_oracle_sql(t: int = BPE_MERGES) -> str:
         "WITH RECURSIVE "
         + ",\n    ".join(blocks)
         + f""",
-    enc AS (
-      SELECT replace(replace(w, '<', ''), '>', '') AS word,
-             CAST(len(string_split(substring(w, 2, length(w) - 2), '><'))
-                  AS BIGINT) AS n_sym
-      FROM v{t}
-    ), dw AS (
-      SELECT doc_id, w AS word, CAST(count(*) AS BIGINT) AS f
-      FROM (
-        SELECT doc_id,
-               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
-        FROM documents)
-      WHERE regexp_matches(w, '^[a-z]+$')
-      GROUP BY 1, 2
-    ), dcost AS (
-      SELECT dw.doc_id, CAST(sum(dw.f * e.n_sym) AS BIGINT) AS cost
-      FROM dw JOIN enc e ON e.word = dw.word GROUP BY dw.doc_id
-    ), docs AS (
+    {_bpe_doc_cost_ctes(t)}, docs AS (
       SELECT d.doc_id, d.doc_id // 64 AS shard,
              CAST(coalesce(c.cost, 0) AS BIGINT) AS w,
              row_number() OVER (PARTITION BY d.doc_id // 64
@@ -19103,7 +19102,27 @@ def pack_sequences_bpe(spark, sf_dir):
     never a window over corpus-sized rows, never Python. The oracle
     replays training, pricing, AND the fold as a recursive CTE, so
     every (doc -> pack) assignment is value-checked cross-engine."""
-    from .operators.packing import bpe_train, greedy_pack
+    from .operators.packing import greedy_pack
+
+    priced, _v = _bpe_priced_docs(spark, sf_dir)
+    return greedy_pack(
+        priced, "doc_id", "cost", budget=BPE_PACK_BUDGET, docs_per_shard=64
+    )
+
+
+def _bpe_priced_docs(spark, sf_dir):
+    """The shared BPE document-pricing dataflow of pack_sequences_bpe
+    and pack_budget_curve — ONE source so the pinned closure law
+    (the curve's 1024 row == pack_sequences_bpe rolled up) cannot be
+    broken by the two copies drifting: persist the word-frequency
+    vocabulary, train, then price every document as the word-keyed
+    equi-join of its (doc, word) frequencies against the frozen final
+    vocabulary (no-in-contract-words docs priced 0 via the doc spine
+    left join). Returns (priced, v): the (doc_id, cost) frame and the
+    persisted vocabulary the caller owns (release it after
+    materializing a bounded report; leave it for the session when the
+    output is corpus-sized — the pack_sequences_bpe posture)."""
+    from .operators.packing import bpe_train
 
     d = _t(spark, sf_dir, "documents")
     v = (
@@ -19130,9 +19149,7 @@ def pack_sequences_bpe(spark, sf_dir):
             F.coalesce(F.col("cost"), F.lit(0).cast("long")).alias("cost"),
         )
     )
-    return greedy_pack(
-        priced, "doc_id", "cost", budget=BPE_PACK_BUDGET, docs_per_shard=64
-    )
+    return priced, v
 
 
 #: context-window budget ladder for the packing waste curve — brackets
@@ -19183,23 +19200,7 @@ def _pack_curve_oracle_sql(t: int = BPE_MERGES) -> str:
         "WITH RECURSIVE "
         + ",\n    ".join(blocks)
         + f""",
-    enc AS (
-      SELECT replace(replace(w, '<', ''), '>', '') AS word,
-             CAST(len(string_split(substring(w, 2, length(w) - 2), '><'))
-                  AS BIGINT) AS n_sym
-      FROM v{t}
-    ), dw AS (
-      SELECT doc_id, w AS word, CAST(count(*) AS BIGINT) AS f
-      FROM (
-        SELECT doc_id,
-               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
-        FROM documents)
-      WHERE regexp_matches(w, '^[a-z]+$')
-      GROUP BY 1, 2
-    ), dcost AS (
-      SELECT dw.doc_id, CAST(sum(dw.f * e.n_sym) AS BIGINT) AS cost
-      FROM dw JOIN enc e ON e.word = dw.word GROUP BY dw.doc_id
-    ), docs AS (
+    {_bpe_doc_cost_ctes(t)}, docs AS (
       SELECT d.doc_id, d.doc_id // 64 AS shard,
              CAST(coalesce(c.cost, 0) AS BIGINT) AS w,
              row_number() OVER (PARTITION BY d.doc_id // 64
@@ -19249,11 +19250,7 @@ def pack_budget_curve(spark, sf_dir):
     per-shard arrays; the oracle replays training, pricing, and all
     four folds as recursive CTEs, value-checking every curve cell."""
     out, caches = _pack_curve_frames(spark, sf_dir)
-    out = out.persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    for c in caches:
-        c.unpersist()
-    return out.orderBy("budget")
+    return _materialize_report(out, caches, "budget")
 
 
 def _pack_curve_frames(spark, sf_dir):
@@ -19261,33 +19258,9 @@ def _pack_curve_frames(spark, sf_dir):
     lazy 4-row curve frame plus the persisted training-vocabulary
     cache to release after materialization (see _bpe_encode_frames for
     the split rationale)."""
-    from .operators.packing import bpe_train, greedy_pack
+    from .operators.packing import greedy_pack
 
-    d = _t(spark, sf_dir, "documents")
-    v = (
-        _bpe_word_tokens(d)
-        .groupBy("w")
-        .agg(F.count("*").cast("long").alias("f"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    _mt, stages = bpe_train(v, merges=BPE_MERGES)
-    enc = _bpe_enc_table(stages)
-    dcost = (
-        _bpe_word_tokens(d, "doc_id")
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").cast("long").alias("f"))
-        .join(enc, "w")
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("f") * F.col("n_sym")).cast("long").alias("cost"))
-    )
-    priced = (
-        d.select("doc_id")
-        .join(dcost, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("cost"), F.lit(0).cast("long")).alias("cost"),
-        )
-    )
+    priced, v = _bpe_priced_docs(spark, sf_dir)
     dec = "DECIMAL(38,0)"
     curve = None
     for b in PACK_CURVE_BUDGETS:

@@ -72,10 +72,12 @@ def test_round12_window_rotation_policy():
     actual CORRECTNESS_r*.json artifacts, not from our own rotation
     lists — but ONLY artifacts with round < WINDOW_ROUND, so the test
     stays green when this round's own certificate (and any later one)
-    lands on disk. Idempotence to grading is asserted structurally: the
-    enumeration's upper bound comes from WINDOW_ROUND, not from what
-    files exist. The glob and round parse stay two-digit-safe — guarded
-    by asserting the r10 and r11 artifacts are in the enumeration."""
+    lands on disk. Idempotence to grading is structural — the
+    enumeration's upper bound comes from WINDOW_ROUND in the filter
+    below, not from what files exist — so no runtime assert re-checks
+    it (one would be a tautology of the filter). The glob and round
+    parse stay two-digit-safe — guarded by asserting the r10 and r11
+    artifacts are in the enumeration."""
     import json
     import re
     from pathlib import Path
@@ -100,10 +102,6 @@ def test_round12_window_rotation_policy():
     }
     assert {10, 11} <= rounds_seen, (
         "two-digit artifacts missing from the enumeration — glob regression"
-    )
-    assert max(rounds_seen) < WINDOW_ROUND, (
-        "artifact horizon breached — the window policy must pin the "
-        "window-cut state, not the post-grading state"
     )
 
     latest_round: dict[str, int] = {}

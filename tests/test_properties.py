@@ -11768,6 +11768,10 @@ def test_pack_append_prefix_property_and_replica(spark):
     for doc_id, asg in standing_only.items():
         assert got[doc_id] == asg, (doc_id, got[doc_id], asg)
 
+    # non-vacuity: the full-repack fold must assign some standing doc
+    # differently on this corpus — otherwise the prefix law above would
+    # hold trivially and distinguish nothing (got != repack on these
+    # docs follows from got == standing_only ≠ repack, already asserted)
     repack = fold(repack_order)
     diverged = [
         doc_id
@@ -11775,8 +11779,6 @@ def test_pack_append_prefix_property_and_replica(spark):
         if repack[doc_id] != standing_only[doc_id]
     ]
     assert diverged, "corpus too degenerate: repack == append everywhere"
-    for doc_id in diverged:
-        assert got[doc_id] != repack[doc_id]
 
 
 def test_sim_filtered_topk_replica_and_postfilter_law(spark):
