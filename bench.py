@@ -161,6 +161,7 @@ def main() -> None:
     for _ in range(n_runs):
         # drop persisted relations from the previous pass — identical plans
         # would otherwise hit the cache and time a warm read, not the plan
+        Q.release_session_caches()
         spark.catalog.clearCache()
         for name in HEADLINE:
             fn = Q.REGISTRY[name].fn
@@ -185,6 +186,7 @@ def main() -> None:
     # bench wall matters more than median precision here), separate key so
     # the primary total stays round-over-round comparable
     sec_timings: dict[str, float] = {}
+    Q.release_session_caches()
     spark.catalog.clearCache()
     for name in SECONDARY:
         fn = Q.REGISTRY[name].fn
@@ -245,6 +247,7 @@ def main() -> None:
         # runs — the min is the machine-independent number worth recording)
         sf1_samples: dict[str, list[float]] = {}
         for _ in range(n_runs):
+            Q.release_session_caches()
             spark.catalog.clearCache()
             for name in ("pipeline_curation", "dedup_corpus"):
                 fn = Q.REGISTRY[name].fn

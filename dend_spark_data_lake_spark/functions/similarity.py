@@ -1211,11 +1211,15 @@ def ivf_assignments(
     vec_col: str = "embedding",
     centroid_mod: int = 100,
     round_digits: int = 6,
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """Build the inverted file: assign every corpus vector to its nearest
     deterministic centroid (corpus rows with ``id % centroid_mod == 0``).
 
-    Returns (cid, neighbor_id, nv) where ``nv`` is the double-cast vector
+    Returns (cid, neighbor_id, nv[, *carry_cols]) where ``nv`` is the
+    double-cast vector (``carry_cols`` rides metadata such as a tenant /
+    label column through the inverted file so a FILTERED search can
+    equi-join on it — ``ivf_filtered_topk``)
     — the shared assignment step of ``ivf_topk`` (probed search) and the
     index-health profile (``sim_ivf_index_stats``): a tuning run inspects
     bucket balance on exactly the relation the search will probe.
@@ -1236,7 +1240,11 @@ def ivf_assignments(
         F.sqrt(_dot(F.col("nv"), F.col("nv")))
         * F.sqrt(_dot(F.col("cv"), F.col("cv")))
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), dv(vec_col).alias("nv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        dv(vec_col).alias("nv"),
+        *[F.col(x) for x in carry_cols],
+    )
     w_assign = Window.partitionBy("neighbor_id").orderBy(
         F.col("__ccos").desc(), F.col("cid").asc()
     )
@@ -1245,7 +1253,7 @@ def ivf_assignments(
         .withColumn("__ccos", F.round(cos_to_cent, round_digits))
         .withColumn("__r", F.row_number().over(w_assign))
         .filter(F.col("__r") == 1)
-        .select("cid", "neighbor_id", "nv")
+        .select("cid", "neighbor_id", "nv", *carry_cols)
     )
 
 
@@ -1316,6 +1324,143 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w_top))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def filtered_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact PRE-filtered top-k: for each query vector, the k nearest
+    corpus vectors carrying the query's OWN label (search my collection /
+    tenant / language) — ``hard_negative_topk``'s complement (same-label
+    instead of different-label) and the exact ground truth the filtered
+    IVF tier (``ivf_filtered_topk``) measures its recall against.
+
+    Same plan shape as :func:`cosine_topk` — broadcast query block x one
+    corpus scan, JVM-side dot products, ranking on the ROUNDED cosine
+    with an id tie-break — with the label-equality predicate applied
+    BEFORE scoring so non-matching rows never pay the O(dim) dot
+    product. Returns (query_id, neighbor_id, label, cosine, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("__qlabel"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__cv"),
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        (F.col("neighbor_id") != F.col("query_id"))
+        & (F.col(label_col) == F.col("__qlabel"))
+    )
+    cos = _dot(F.col("__qv"), F.col("__cv")) / (
+        F.sqrt(_dot(F.col("__qv"), F.col("__qv")))
+        * F.sqrt(_dot(F.col("__cv"), F.col("__cv")))
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        label_col,
+        F.round(cos, round_digits).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", label_col, "cosine", "rank")
+    )
+
+
+def ivf_filtered_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    centroid_mod: int = 100,
+    n_probe: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """FILTERED vector search at the IVF tier: per-query top-k cosine
+    among inverted-file entries carrying the query's own label — the
+    vector-DB PRE-filter composed with the IVF probe. The label rides
+    the inverted file (``ivf_assignments(carry_cols=(label,))``), so
+    candidate generation is a (cid, label) EQUI-JOIN of the probe list
+    against the index: the filter prunes each probed bucket BEFORE any
+    O(dim) dot product, and the corpus is never cross-joined against
+    the query batch — the composition ``sim_filtered_topk``'s docstring
+    documents (intersect the filter with the probe lists), executable.
+
+    Recall < 1 by design twice over: the probe misses buckets (the IVF
+    approximation) and a selective filter can empty every probed bucket
+    — the reason production engines size n_probe UP under filters.
+    Scoring/ranking is the certified deterministic shape (double dots,
+    rounded cosine, (cosine desc, neighbor_id) tie-break), so the full
+    result carries an ANSI-SQL oracle like the rest of the IVF family.
+
+    Returns (query_id, neighbor_id, label, cosine, rank).
+    """
+    dv = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    cent = ivf_centroids(corpus, id_col, vec_col, centroid_mod)
+    assigned = ivf_assignments(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroid_mod=centroid_mod,
+        round_digits=round_digits,
+        carry_cols=(label_col,),
+    )
+    cos_to_cent = lambda v: _dot(v, F.col("cv")) / (  # noqa: E731
+        F.sqrt(_dot(v, v)) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col),
+        dv(vec_col).alias("qv"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("__ccos").desc(), F.col("cid").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("__ccos", F.round(cos_to_cent(F.col("qv")), round_digits))
+        .withColumn("__r", F.row_number().over(w_probe))
+        .filter(F.col("__r") <= n_probe)
+        .select("query_id", label_col, "qv", "cid")
+    )
+    cos = _dot(F.col("qv"), F.col("nv")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv")))
+        * F.sqrt(_dot(F.col("nv"), F.col("nv")))
+    )
+    scored = (
+        probes.join(assigned, ["cid", label_col])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            label_col,
+            F.round(cos, round_digits).alias("cosine"),
+        )
+    )
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_top).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", label_col, "cosine", "rank")
     )
 
 

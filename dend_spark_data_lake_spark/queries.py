@@ -1462,6 +1462,114 @@ def sim_filtered_topk(spark, sf_dir):
     )
 
 
+@_q(
+    "sim_ivf_filtered",
+    """
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM e
+    ), c AS (
+      SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 100 = 0
+    ), asg AS (
+      SELECT vec_id AS neighbor_id, label, cid FROM (
+        SELECT n.vec_id, n.label, c.cid,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm),
+                                6) DESC, c.cid) AS rn
+        FROM n CROSS JOIN c)
+      WHERE rn = 1
+    ), pr AS (
+      SELECT n.vec_id AS query_id, n.label AS qlabel, c.cid,
+             row_number() OVER (PARTITION BY n.vec_id
+               ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm),
+                              6) DESC, c.cid) AS rn
+      FROM n CROSS JOIN c WHERE n.vec_id < 10
+    ), ivf AS (
+      SELECT query_id, neighbor_id, label, cosine, rank FROM (
+        SELECT s.query_id, s.neighbor_id, s.label, s.cosine,
+               row_number() OVER (PARTITION BY s.query_id
+                                  ORDER BY s.cosine DESC, s.neighbor_id)
+                 AS rank
+        FROM (
+          SELECT pr.query_id, a.neighbor_id, a.label,
+                 round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6)
+                   AS cosine
+          FROM pr
+          JOIN asg a ON a.cid = pr.cid AND a.label = pr.qlabel
+          JOIN n q ON q.vec_id = pr.query_id
+          JOIN n x ON x.vec_id = a.neighbor_id
+          WHERE pr.rn <= 2 AND a.neighbor_id <> pr.query_id) s)
+      WHERE rank <= 5
+    ), exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm),
+                                6) DESC, x.vec_id) AS rank
+        FROM n q JOIN n x ON x.vec_id <> q.vec_id AND x.label = q.label
+        WHERE q.vec_id < 10)
+      WHERE rank <= 5
+    )
+    SELECT i.query_id, i.neighbor_id, i.label, i.cosine,
+           CAST(i.rank AS INT) AS rank,
+           (ex.neighbor_id IS NOT NULL) AS in_exact_top5
+    FROM ivf i LEFT JOIN exact ex
+      ON ex.query_id = i.query_id AND ex.neighbor_id = i.neighbor_id
+    ORDER BY i.query_id, i.rank
+    """,
+)
+def sim_ivf_filtered(spark, sf_dir):
+    """FILTERED vector search at the IVF tier (VERDICT r12 ask #3) —
+    sim_filtered_topk's documented composition made EXECUTABLE: each
+    query's top-5 within its own label, but candidates come from the
+    probed IVF buckets (n_probe = 2 over the family's shared
+    deterministic centroids / inverted file), never the whole corpus.
+    The label rides the inverted file itself
+    (similarity.py::ivf_assignments carry_cols), so candidate
+    generation is a (cid, label) EQUI-JOIN of the probe list against
+    the index — the filter intersects the probe lists BEFORE any
+    O(dim) dot product, the pre-filter posture a vector DB needs at
+    scale. Each IVF winner carries in_exact_top5 — whether it is also
+    in the EXACT pre-filtered top-5 (filtered_cosine_topk, the
+    sim_filtered_topk ground truth) — so filtered recall@5 is readable
+    directly off the result; misses come from the probe skipping the
+    bucket a true neighbor's vector was assigned to, the reason
+    engines raise n_probe under selective filters.
+
+    Scale: centroids are a bounded broadcast; the inverted file is ONE
+    corpus pass (the shared assignment the whole IVF family probes);
+    per-query work is the (cid, label) equi-join + a
+    query_id-partitioned top-k window — bounded by the probed buckets,
+    never corpus x queries. The exact baseline is the certified
+    broadcast-batch scoring pass (bounded 10-query slice — the at-scale
+    eval posture: the expensive side is the ground truth, not the
+    index). The hit flag is a (query_id, neighbor_id)-keyed LEFT join
+    of two <=50-row frames."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    ivf = SIM.ivf_filtered_topk(emb, q, k=5, centroid_mod=100, n_probe=2)
+    exact = SIM.filtered_cosine_topk(emb, q, k=5).select(
+        "query_id", "neighbor_id", F.lit(True).alias("__hit")
+    )
+    return (
+        ivf.join(exact, ["query_id", "neighbor_id"], "left")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "label",
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+            F.coalesce(F.col("__hit"), F.lit(False)).alias("in_exact_top5"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 @_q("sim_ann_lsh", SIM.srp_ann_oracle_sql(k=5, dim=64))
 def sim_ann_lsh(spark, sf_dir):
     """Approximate top-5 cosine neighbors per query vector (vec_id < 10)
@@ -11904,6 +12012,98 @@ def dq_k_anonymity(spark, sf_dir):
 
 
 @_q(
+    "dq_l_diversity",
+    """
+    WITH q AS (
+      SELECT c_nationkey AS nat, c_mktsegment AS seg,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS balband,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS sens
+      FROM customer
+    ), cls AS (
+      SELECT CAST(GROUPING(balband) + GROUPING(seg) AS INT) AS level,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(count(DISTINCT sens) AS BIGINT) AS l
+      FROM q
+      GROUP BY GROUPING SETS ((nat, seg, balband), (nat, seg), (nat))
+    )
+    SELECT level,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(k) AS BIGINT) AS n_rows,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(min(l) AS BIGINT) AS min_l,
+           CAST(count(*) FILTER (WHERE l = 1) AS BIGINT)
+             AS homogeneous_classes,
+           CAST(coalesce(sum(k) FILTER (WHERE l = 1), 0) AS BIGINT)
+             AS exposed_rows,
+           CAST((1000000 * CAST(coalesce(sum(k) FILTER (WHERE l = 1), 0)
+                                AS HUGEINT))
+                // sum(k) AS BIGINT) AS exposed_ppm
+    FROM cls GROUP BY level ORDER BY level
+    """,
+)
+def dq_l_diversity(spark, sf_dir):
+    """l-DIVERSITY on the generalization lattice (VERDICT r12 ask #5)
+    — the HOMOGENEITY-attack audit k-anonymity provably cannot see
+    (Machanavajjhala et al., "l-Diversity: Privacy Beyond
+    k-Anonymity", ICDE 2006): a class can be large (k-anonymous) yet
+    reveal its sensitive attribute anyway when every member SHARES the
+    value. Sensitive attribute: the acctbal-thousand band — exactly
+    the column dq_k_anonymity's ladder drops when generalizing, so
+    this query answers "does dropping the band actually PROTECT it?".
+    Per level: class count, min_k, min_l (the l-diversity number —
+    the smallest within-class distinct-band count), homogeneous
+    classes (l = 1, the attack surface), the rows they expose, and the
+    exact floored exposure ppm. Level 0 keeps the band IN the
+    quasi-identifiers, so every class is homogeneous by construction
+    (min_l = 1, exposure = 1e6 ppm — pin-asserted): k-anonymity's
+    ladder START is total disclosure of the band, and the audit shows
+    how far up the lattice one must generalize before homogeneity
+    stops leaking it. Lattice laws (min_l non-decreasing, exposed
+    rows non-increasing level 1 -> 2, row total invariant) are
+    pin-asserted on real output.
+
+    Scale: dq_k_anonymity's certified one-pass posture with ONE MORE
+    AGGREGATE, not another scan — GROUP BY GROUPING SETS expands each
+    row into its 3 lattice levels (Spark Expand), count(DISTINCT sens)
+    rides the same grouping shuffle as a two-phase distinct aggregate,
+    then the bounded 3-row rollup; no join, no window, a single
+    customer scan (plan-locked). The sensitive column is a COPY of the
+    band expression (``sens``) so the distinct aggregate reads the raw
+    value, never the grouping-set-nulled ``balband`` slot — the
+    subtlety that would otherwise make the two engines disagree about
+    what "distinct" means in the expanded rows."""
+    register_views(spark, sf_dir, ["customer"])
+    return spark.sql(
+        """
+        WITH cls AS (
+          SELECT CAST(grouping(balband) + grouping(seg) AS INT) AS level,
+                 CAST(count(*) AS BIGINT) AS k,
+                 CAST(count(DISTINCT sens) AS BIGINT) AS l
+          FROM (
+            SELECT c_nationkey AS nat, c_mktsegment AS seg,
+                   CAST(floor(c_acctbal / 1000) AS BIGINT) AS balband,
+                   CAST(floor(c_acctbal / 1000) AS BIGINT) AS sens
+            FROM customer
+          )
+          GROUP BY GROUPING SETS ((nat, seg, balband), (nat, seg), (nat))
+        )
+        SELECT level,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(sum(k) AS BIGINT) AS n_rows,
+               CAST(min(k) AS BIGINT) AS min_k,
+               CAST(min(l) AS BIGINT) AS min_l,
+               CAST(count(IF(l = 1, 1, NULL)) AS BIGINT)
+                 AS homogeneous_classes,
+               CAST(coalesce(sum(IF(l = 1, k, NULL)), 0) AS BIGINT)
+                 AS exposed_rows,
+               CAST(1000000 * coalesce(sum(IF(l = 1, k, NULL)), 0)
+                    DIV sum(k) AS BIGINT) AS exposed_ppm
+        FROM cls GROUP BY level ORDER BY level
+        """
+    )
+
+
+@_q(
     "sample_proportional_carve",
     """
     WITH c AS (
@@ -18222,11 +18422,29 @@ def _bpe_enc_cte(t: int = BPE_MERGES) -> str:
     )"""
 
 
-def _bpe_doc_cost_ctes(t: int = BPE_MERGES) -> str:
+def _bpe_doc_cost_ctes(t: int = BPE_MERGES, oov_fallback: bool = False) -> str:
     """enc + the (doc, word) frequency table + the per-document trained
     symbol cost — the document-pricing chain shared by the budget /
     pack / curve oracles (the oracle rendering of _bpe_priced_docs'
-    dcost branch). Byte-identical to the inline blocks it replaced."""
+    dcost branch). Byte-identical to the inline blocks it replaced.
+    ``oov_fallback`` prices words the vocabulary has never seen at
+    their character count (LEFT join + coalesce — the
+    tokenize_bpe_oov_audit contract) for oracles whose tokenizer is
+    trained on a restricted slice; the default keeps the emitted SQL
+    byte-identical to the certified corpus-trained chain (where the
+    inner join is exact — every word is in the vocabulary)."""
+    if oov_fallback:
+        dcost = """    ), dcost AS (
+      SELECT dw.doc_id,
+             CAST(sum(dw.f * coalesce(e.n_sym, length(dw.word)))
+                  AS BIGINT) AS cost
+      FROM dw LEFT JOIN enc e ON e.word = dw.word GROUP BY dw.doc_id
+    )"""
+    else:
+        dcost = """    ), dcost AS (
+      SELECT dw.doc_id, CAST(sum(dw.f * e.n_sym) AS BIGINT) AS cost
+      FROM dw JOIN enc e ON e.word = dw.word GROUP BY dw.doc_id
+    )"""
     return (
         _bpe_enc_cte(t)
         + r""", dw AS (
@@ -18237,10 +18455,8 @@ def _bpe_doc_cost_ctes(t: int = BPE_MERGES) -> str:
         FROM documents)
       WHERE regexp_matches(w, '^[a-z]+$')
       GROUP BY 1, 2
-    ), dcost AS (
-      SELECT dw.doc_id, CAST(sum(dw.f * e.n_sym) AS BIGINT) AS cost
-      FROM dw JOIN enc e ON e.word = dw.word GROUP BY dw.doc_id
-    )"""
+"""
+        + dcost
     )
 
 
@@ -18302,11 +18518,11 @@ def tokenize_bpe_merge_trajectory(spark, sf_dir):
             [], "merge_step int, left_sym string, right_sym string,"
             " pair_n long"
         )
-    out = merge_table.orderBy("merge_step").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    out.count()
-    v.unpersist()
+    out = _keep_cached(merge_table.orderBy("merge_step"))
+    try:
+        out.count()
+    finally:
+        v.unpersist()
     return out
 
 
@@ -18394,10 +18610,7 @@ def tokenize_bpe_compression(spark, sf_dir):
         out = r if out is None else out.unionByName(r)
     # materialize the bounded stage grid, then release the vocabulary
     # cache — the returned plan reads only the grid
-    out = out.persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    v.unpersist()
-    return out.orderBy("stage")
+    return _materialize_report(out, [v], "stage")
 
 
 def _bpe_word_tokens(df, *cols):
@@ -18498,6 +18711,34 @@ def pipeline_bpe_encode(spark, sf_dir):
     return _materialize_report(out, caches, "lang")
 
 
+#: Bounded frames intentionally left cached for the life of the session
+#: (materialized reports; the pack_sequences_bpe vocabulary) — tracked
+#: so harnesses that never call ``spark.catalog.clearCache()`` (the
+#: pytest suite, a long driver session) can release them explicitly
+#: instead of accumulating one CacheManager entry per registry
+#: invocation (ADVICE r12). Every frame here is report/vocabulary-sized
+#: by contract, never corpus-sized.
+_SESSION_CACHES: list = []
+
+
+def _keep_cached(df):
+    """Persist a BOUNDED frame for the session and register it with the
+    release hook below. Callers must still materialize it themselves
+    (the registration is bookkeeping, not an action)."""
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _SESSION_CACHES.append(df)
+    return df
+
+
+def release_session_caches() -> None:
+    """Release every bounded frame kept cached by registry queries since
+    the last call — the teardown hook for sweeps/tests/driver harnesses.
+    Idempotent (unpersist on an uncached frame is a no-op), so it
+    composes with ``spark.catalog.clearCache()``."""
+    while _SESSION_CACHES:
+        _SESSION_CACHES.pop().unpersist()
+
+
 def _materialize_report(out, caches, order_col):
     """Materialize a BOUNDED report frame and release its builder's
     persisted caches — shared by every materialize-and-release adopter
@@ -18505,12 +18746,21 @@ def _materialize_report(out, caches, order_col):
     full plan WHILE the caches are warm, and only then are they
     released (Spark uncache does not cascade, so a wrapper that
     unpersists first recomputes the report from a cold vocabulary).
+    The builder caches are released in a ``finally`` so a failed
+    count() cannot strand them (ADVICE r12); the report itself stays
+    cached for the session, tracked in the release registry above.
     Returns the cached report with the final ordering applied — the
     returned plan reads only the materialized rows."""
-    out = out.persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    for c in caches:
-        c.unpersist()
+    out = _keep_cached(out)
+    try:
+        out.count()
+    except Exception:
+        _SESSION_CACHES.remove(out)
+        out.unpersist()
+        raise
+    finally:
+        for c in caches:
+            c.unpersist()
     return out.orderBy(order_col)
 
 
@@ -18994,9 +19244,11 @@ def tokenize_bpe_rate_distortion(spark, sf_dir):
         curve = r if curve is None else curve.unionByName(r)
     # materialize the bounded 4-row budget grid, then release the
     # vocabulary cache — the returned plan reads only the grid
-    curve = curve.persist(StorageLevel.MEMORY_AND_DISK)
-    curve.count()
-    v.unpersist()
+    curve = _keep_cached(curve)
+    try:
+        curve.count()
+    finally:
+        v.unpersist()
     dec = "DECIMAL(38,0)"
     # bounded: the budget grid has exactly len(BPE_RD_BUDGETS) = 4 rows,
     # so the unpartitioned window below is O(grid), never O(corpus)
@@ -19094,7 +19346,9 @@ def pack_sequences_bpe(spark, sf_dir):
     branch (consumed there like embed_pq_codebook_train's kept codes
     frame — the output is one row per DOCUMENT, corpus-sized, so the
     bounded-report materialize-and-release move does not apply; the
-    sweep/session releases it). At action time the corpus is scanned
+    vocabulary cache is registered in the session release registry, so
+    release_session_caches() / catalog.clearCache() reclaims it —
+    ADVICE r12). At action time the corpus is scanned
     once per grain branch ((doc, word) cost; the doc spine), the cost
     join keys on the word with NO broadcast hint (Catalyst sizes it),
     and the packing itself is greedy_pack's ONE keyed exchange with the
@@ -19104,7 +19358,8 @@ def pack_sequences_bpe(spark, sf_dir):
     every (doc -> pack) assignment is value-checked cross-engine."""
     from .operators.packing import greedy_pack
 
-    priced, _v = _bpe_priced_docs(spark, sf_dir)
+    priced, v = _bpe_priced_docs(spark, sf_dir)
+    _SESSION_CACHES.append(v)
     return greedy_pack(
         priced, "doc_id", "cost", budget=BPE_PACK_BUDGET, docs_per_shard=64
     )
@@ -19387,6 +19642,138 @@ def pack_sequences_append(spark, sf_dir):
         "weight",
         (F.col("doc_id") % 10 >= 8).cast("int").alias("is_batch"),
     )
+
+
+def _bpe_append_pack_oracle_sql(t: int = BPE_MERGES) -> str:
+    blocks = _bpe_merge_ctes(t, v0_where=" WHERE doc_id % 10 < 8")
+    return (
+        "WITH RECURSIVE "
+        + ",\n    ".join(blocks)
+        + f""",
+    {_bpe_doc_cost_ctes(t, oov_fallback=True)}, docs AS (
+      SELECT d.doc_id, d.doc_id // 64 AS shard,
+             CAST(coalesce(c.cost, 0) AS BIGINT) AS w,
+             CASE WHEN d.doc_id % 10 >= 8 THEN 1 ELSE 0 END AS ob,
+             row_number() OVER (PARTITION BY d.doc_id // 64
+                                ORDER BY CASE WHEN d.doc_id % 10 >= 8
+                                              THEN 1 ELSE 0 END, d.doc_id)
+               AS rn
+      FROM documents d LEFT JOIN dcost c ON c.doc_id = d.doc_id
+    ), pack AS (
+      SELECT shard, rn, doc_id, w, ob,
+             CAST(0 AS BIGINT) AS pack_id, w AS acc
+      FROM docs WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.rn, d.doc_id, d.w, d.ob,
+             CASE WHEN p.acc + d.w <= {BPE_PACK_BUDGET} THEN p.pack_id
+                  ELSE p.pack_id + 1 END,
+             CASE WHEN p.acc + d.w <= {BPE_PACK_BUDGET} THEN p.acc + d.w
+                  ELSE d.w END
+      FROM pack p JOIN docs d ON d.shard = p.shard AND d.rn = p.rn + 1
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard, pack_id,
+           CAST(w AS BIGINT) AS weight, CAST(ob AS INT) AS is_batch
+    FROM pack"""
+    )
+
+
+@_q("pack_append_bpe", _bpe_append_pack_oracle_sql())
+def pack_append_bpe(spark, sf_dir):
+    """BPE-PRICED incremental pack maintenance (VERDICT r12 ask #4) —
+    the round-12 threads composed: pack_sequences_append's frozen-
+    layout append, re-priced in the symbols of a FROZEN tokenizer.
+    The merge table is trained on the standing corpus only
+    (doc_id % 10 < 8 — exactly tokenize_bpe_oov_audit's contract) and
+    frozen; EVERY document is then priced by the frozen-vocabulary
+    encode with the OOV character fallback
+    (coalesce(n_sym, length(word))), so arriving batch documents carry
+    their character-fallback cost INTO the pack weights — a stale
+    tokenizer literally inflates the packed footprint of fresh data,
+    and this query is where that shows up in the shipped layout. The
+    fold appends at the BPE budget in (is_batch, doc_id) order: the
+    left-fold prefix property keeps every standing assignment
+    identical to the standing-only fold (pin-asserted under BPE
+    pricing), and the batch-weight closure Σ weight(is_batch = 1) =
+    Σ_lang bpe_symbols of tokenize_bpe_oov_audit is pin-asserted (the
+    same frozen-tokenizer total read at (doc) vs (lang) grain).
+
+    Scale: the standing-slice training vocabulary persists BEFORE
+    training (one training pass; registered in the session release
+    registry); pricing is the certified (doc, word)-grain LEFT join
+    against the frozen vocabulary (no broadcast hint — Catalyst
+    sizes it); the packing is greedy_pack's ONE keyed exchange with
+    the recurrence folded inside bounded per-shard arrays — at 100 TB
+    the arriving batch touches only the shards it lands in and the
+    standing layout is never rewritten. The oracle replays training,
+    OOV-fallback pricing, AND the ordered fold as a recursive CTE, so
+    every assignment including the batch/standing boundary is
+    value-checked cross-engine."""
+    from .operators.packing import greedy_pack
+
+    priced, v = _bpe_append_priced_docs(spark, sf_dir)
+    _SESSION_CACHES.append(v)
+    packed = greedy_pack(
+        priced,
+        "doc_id",
+        "cost",
+        budget=BPE_PACK_BUDGET,
+        docs_per_shard=64,
+        order_col=(F.col("doc_id") % 10 >= 8).cast("long"),
+    )
+    return packed.select(
+        "doc_id",
+        "shard",
+        "pack_id",
+        "weight",
+        (F.col("doc_id") % 10 >= 8).cast("int").alias("is_batch"),
+    )
+
+
+def _bpe_append_priced_docs(spark, sf_dir):
+    """pack_append_bpe's pricing dataflow — _bpe_priced_docs with the
+    tokenizer FROZEN on the standing slice (doc_id % 10 < 8) and the
+    OOV character fallback on the encode join (the
+    tokenize_bpe_oov_audit pricing contract, applied at (doc, word)
+    grain): train on standing-only word frequencies, then price every
+    document as the word-keyed LEFT join of its (doc, word)
+    frequencies against the frozen final vocabulary, OOV words costing
+    length(word). Returns (priced, v): the (doc_id, cost) frame and
+    the persisted standing-slice vocabulary the caller owns."""
+    from .operators.packing import bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    v = (
+        _bpe_word_tokens(d.filter(F.col("doc_id") % 10 < 8))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("f"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _mt, stages = bpe_train(v, merges=BPE_MERGES)
+    enc = _bpe_enc_table(stages)
+    dcost = (
+        _bpe_word_tokens(d, "doc_id")
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("long").alias("f"))
+        .join(enc, "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("f")
+                * F.coalesce(F.col("n_sym"), F.length("w").cast("long"))
+            )
+            .cast("long")
+            .alias("cost")
+        )
+    )
+    priced = (
+        d.select("doc_id")
+        .join(dcost, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cost"), F.lit(0).cast("long")).alias("cost"),
+        )
+    )
+    return priced, v
 
 
 @_q(
@@ -20184,17 +20571,21 @@ def embed_pq_residual_gain(spark, sf_dir):
     # the tiny persisted rollup replaces it so the returned plan never
     # recomputes a training, and a long session accumulates only
     # grid-sized cache entries, never corpus-sized ones
-    d_agg = direct_codes.groupBy("s").agg(
+    d_agg = _keep_cached(direct_codes.groupBy("s").agg(
         F.count("*").cast("long").alias("n_vectors"),
         F.sum("d2").cast("long").alias("direct_d2"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    d_agg.count()
-    direct_codes.unpersist()
-    r_agg = res_codes.groupBy("s").agg(
+    ))
+    try:
+        d_agg.count()
+    finally:
+        direct_codes.unpersist()
+    r_agg = _keep_cached(res_codes.groupBy("s").agg(
         F.sum("d2").cast("long").alias("residual_d2")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    r_agg.count()
-    res_codes.unpersist()
+    ))
+    try:
+        r_agg.count()
+    finally:
+        res_codes.unpersist()
     return (
         d_agg.join(r_agg, "s")
         .select(
@@ -20494,9 +20885,12 @@ def embed_pq_bits_tradeoff(spark, sf_dir):
             F.lit(m * 3).cast("int").alias("bits_per_vector"),
             "total_d2",
             "n_codes_used",
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        r.count()
-        codes.unpersist()
+        )
+        r = _keep_cached(r)
+        try:
+            r.count()
+        finally:
+            codes.unpersist()
         out = r if out is None else out.unionByName(r)
     return out.orderBy("n_subspaces")
 
@@ -22261,24 +22655,83 @@ def text_word_length_profile(spark, sf_dir):
 # order). Registration order above is topical; the driver-facing order below
 # is a rotation policy: queries not yet externally certified come first.
 #
-# ROUND-12 WINDOW (50 slots) — VERDICT r11 ask #2: the 3 queue-front
-# entries lead (the never-graded round-11 rate-distortion curve, then
-# the last 2 r04-cohort re-certs that CLOSE that backlog — all 3
-# judge-certified green at sf0.01 AND sf0.1 in VERDICT r11), followed
-# by the first 47 of the 50-entry r05-cohort re-certification backlog
-# in CORRECTNESS_r05 grading order (oldest-certificate-first; the 4
-# rows-only sketches stay excluded from re-certification by design —
-# VERDICT r4 ask #5, enforced by test_grading_window_invariants). The
-# remaining 3 r05-cohort entries close that backlog in the round-13
-# window.
+# ROUND-13 WINDOW (50 slots) — VERDICT r12 ask #1: the 8 queue-front
+# entries lead (the 5 never-driver-graded round-12 additions in queue
+# order — all judge-certified green at sf0.01 AND sf0.1 in VERDICT r12
+# — then the last 3 r05-cohort re-certs that CLOSE that backlog),
+# followed by the first 42 of the 50-entry r06-cohort re-certification
+# backlog in CORRECTNESS_r06 grading order (oldest-certificate-first;
+# the 4 rows-only sketches stay excluded from re-certification by
+# design — VERDICT r4 ask #5, enforced by
+# test_grading_window_invariants). The remaining 8 r06-cohort entries
+# close that backlog in the round-14 window.
 _GRADE_FIRST = [
-    # round-11 addition, never driver-graded
+    # round-12 additions, never driver-graded (queue order)
+    "pack_sequences_bpe",
+    "pack_budget_curve",
+    "pack_sequences_append",
+    "sim_filtered_topk",
+    "dq_k_anonymity",
+    # last 3 r05-cohort re-certifications (backlog closed)
+    "embed_ood_maxcos",
+    "ts_seasonal_backtest",
+    "agg_trimmed_mean",
+    # r06-cohort re-certifications (first 42 of 50, CORRECTNESS_r06
+    # order)
+    "split_leakage_safe",
+    "split_cluster_safe",
+    "ref_pricing_summary",
+    "ref_dedup_keep_latest",
+    "ref_dedup_keep_first",
+    "ref_sentinel_null",
+    "ref_clean_cast_filter",
+    "ref_time_table",
+    "ref_star_join",
+    "ref_float_eq_join",
+    "agg_region_revenue",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_count_distinct",
+    "join_semi_anti",
+    "join_outer",
+    "window_running_sum",
+    "window_lag_lead",
+    "topk_per_group",
+    "set_ops",
+    "string_funcs",
+    "json_extract",
+    "pivot_event_counts",
+    "agg_daily",
+    "join_full_outer",
+    "sort_limit_global",
+    "array_funcs",
+    "map_funcs",
+    "math_funcs",
+    "cond_funcs",
+    "sql_exists_cte",
+    "tfidf_topterms",
+    "window_tumbling",
+    "window_sliding",
+    "session_window_batch",
+    "join_asof",
+    "join_range",
+    "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "sim_cosine_topk",
+    "embed_norm_stats",
+]
+
+
+# Certified in CORRECTNESS_r12 (50/50 green: rows+schema+hash — the
+# first driver row for the round-11 rate-distortion addition, the last
+# 2 r04-only re-certs, and the first 47 r05-cohort re-certs). Demoted
+# behind the round-13 window; kept explicit so the rotation history
+# stays auditable in one place.
+_GRADE_DONE_R12 = [
     "tokenize_bpe_rate_distortion",
-    # last 2 r04-cohort re-certifications (backlog closed)
     "sql_rollup_share_of_parent",
     "dedup_prefix_fingerprint",
-    # r05-cohort re-certifications (first 47 of 50, CORRECTNESS_r05
-    # order)
     "embed_pca_topvec",
     "sql_min_price_supplier",
     "sql_important_stock",
@@ -22327,6 +22780,7 @@ _GRADE_FIRST = [
     "dq_benford_first_digit",
     "sample_proportional_carve",
 ]
+
 
 
 # Certified in CORRECTNESS_r11 (50/50 green: rows+schema+hash — first
@@ -22797,22 +23251,25 @@ _GRADE_DONE_R04 = [
 ]
 
 
-# Behind the window, queued for the round-13 rotation: the last 3
-# entries of the r05-cohort re-certification backlog (window arithmetic
-# — the round-12 window holds 3 queue-front entries + 47 re-certs).
-# New round-12 additions are inserted at the FRONT of this queue
+# Behind the window, queued for the round-14 rotation: the last 8
+# entries of the r06-cohort re-certification backlog (window arithmetic
+# — the round-13 window holds 8 queue-front entries + 42 re-certs).
+# New round-13 additions are inserted at the FRONT of this queue
 # (never-graded before re-certs), never into the frozen window above.
 _GRADE_NEXT: list[str] = [
-    # round-12 additions, never driver-graded (queue order)
-    "pack_sequences_bpe",
-    "pack_budget_curve",
-    "pack_sequences_append",
-    "sim_filtered_topk",
-    "dq_k_anonymity",
-    # r05-cohort certificates left after the round-12 promotion (3)
-    "embed_ood_maxcos",
-    "ts_seasonal_backtest",
-    "agg_trimmed_mean",
+    # round-13 additions, never driver-graded (queue order)
+    "sim_ivf_filtered",
+    "pack_append_bpe",
+    "dq_l_diversity",
+    # r06-cohort certificates left after the round-13 promotion (8)
+    "text_quality",
+    "text_token_counts",
+    "text_fingerprint",
+    "text_langid",
+    "multimodal_bytes",
+    "pipeline_llm_corpus",
+    "dedup_semantic_corpus",
+    "dedup_clusters",
 ]
 
 
@@ -22934,6 +23391,7 @@ def _reorder_registry() -> None:
         dict.fromkeys(
             [
                 *rotation,
+                *_GRADE_DONE_R12,
                 *_GRADE_DONE_R11,
                 *_GRADE_DONE_R10,
                 *_GRADE_DONE_R09,

@@ -24,3 +24,15 @@ def spark(tmp_path_factory):
     )
     yield s
     s.stop()
+
+
+@pytest.fixture(autouse=True)
+def _release_session_caches():
+    """Release the bounded report/vocabulary frames registry queries keep
+    cached (ADVICE r12): without this, every test that invokes a
+    materialize-and-release adopter leaves one CacheManager entry for
+    the life of the suite's shared session."""
+    yield
+    from dend_spark_data_lake_spark.queries import release_session_caches
+
+    release_session_caches()

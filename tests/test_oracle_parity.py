@@ -57,17 +57,17 @@ def test_grading_window_invariants():
 # invariants the instant grading succeeds (the r11 defect — VERDICT r11
 # ask #1; the r10 defect was the converse, a glob that dropped two-digit
 # rounds entirely).
-WINDOW_ROUND = 12
-RECERT_COHORT = 5
+WINDOW_ROUND = 13
+RECERT_COHORT = 6
 
 
-def test_round12_window_rotation_policy():
-    """The round-12 window (VERDICT r11 ask #2) must lead with every
+def test_round13_window_rotation_policy():
+    """The round-13 window (VERDICT r12 ask #1) must lead with every
     oracle-backed entry that has NO driver row in rounds before the
-    window cut (the round-11 rate-distortion addition), then drain the
-    last 2 r04-only re-certs, then re-certify the r05 cohort
+    window cut (the five round-12 additions), then drain the
+    last 3 r05-only re-certs, then re-certify the r06 cohort
     oldest-certificate-first — so every re-cert slot's MOST RECENT
-    pre-cut driver certificate is r05 or older and the certificate
+    pre-cut driver certificate is r06 or older and the certificate
     rounds are non-decreasing across the window. Derived from the
     actual CORRECTNESS_r*.json artifacts, not from our own rotation
     lists — but ONLY artifacts with round < WINDOW_ROUND, so the test
@@ -113,7 +113,7 @@ def test_round12_window_rotation_policy():
     oracle_backed = {n for n, s in REGISTRY.items() if s.oracle is not None}
     never_graded = oracle_backed - set(latest_round)
     # never-graded entries either lead the WINDOW (they existed when the
-    # round-11 window was cut) or sit at the FRONT of the queue (round-11
+    # round-12 window was cut) or sit at the FRONT of the queue (round-13
     # additions made after the window froze — the graded surface stays
     # untouched between rotation and grading)
     in_window = never_graded & set(_GRADE_FIRST)

@@ -11781,6 +11781,179 @@ def test_pack_append_prefix_property_and_replica(spark):
     assert diverged, "corpus too degenerate: repack == append everywhere"
 
 
+def test_pack_append_bpe_prefix_law_and_oov_closure(spark):
+    """pack_append_bpe: (a) exact Python replica — tokenizer FROZEN on
+    the standing slice only, OOV character-fallback pricing at
+    (doc, word) grain, then the (is_batch, doc_id)-ordered greedy fold
+    at BPE_PACK_BUDGET; (b) the left-fold PREFIX LAW under BPE pricing
+    — every standing assignment identical to the standing-only fold;
+    (c) the frozen-tokenizer closure VERDICT r12 asked for: the batch
+    documents' total pack weight equals tokenize_bpe_oov_audit's
+    Σ_lang bpe_symbols (the same frozen-vocabulary total read at (doc)
+    vs (lang) grain); (d) non-vacuity — the bare-repack fold must
+    assign some standing document differently under BPE pricing, or
+    the prefix law would hold trivially. The driver corpus's 31-word
+    vocabulary is fully covered by the standing slice (no OOV mass at
+    any test SF), so the character-fallback pricing path is pinned by
+    test_pack_append_bpe_oov_fallback_synthetic on a constructed
+    corpus instead."""
+    import re
+    from collections import Counter, defaultdict
+
+    from dend_spark_data_lake_spark.queries import (
+        BPE_PACK_BUDGET,
+        REGISTRY,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("documents", ["doc_id", "text"])
+    words_by_doc = {}
+    vocab = Counter()
+    for doc_id, text in rows:
+        ws = [
+            w
+            for w in re.split(r"\s+", text.strip().lower())
+            if re.fullmatch(r"[a-z]+", w)
+        ]
+        words_by_doc[doc_id] = ws
+        if doc_id % 10 < 8:
+            vocab.update(ws)
+    n_sym = _bpe_train_replica(vocab)
+    cost = {
+        d: sum(n_sym.get(w, len(w)) for w in ws)
+        for d, ws in words_by_doc.items()
+    }
+
+    def fold(ids_by_shard):
+        out = {}
+        for shard, ids in ids_by_shard.items():
+            pack, acc = -1, BPE_PACK_BUDGET + 1
+            for doc_id in ids:
+                w = cost[doc_id]
+                if acc + w <= BPE_PACK_BUDGET:
+                    acc += w
+                else:
+                    pack, acc = pack + 1, w
+                out[doc_id] = (shard, pack, w)
+        return out
+
+    append_order = defaultdict(list)
+    standing_order = defaultdict(list)
+    for doc_id in sorted(cost):
+        shard = doc_id // 64
+        append_order[shard].append(doc_id)
+        if doc_id % 10 < 8:
+            standing_order[shard].append(doc_id)
+    for shard in append_order:
+        append_order[shard].sort(key=lambda i: (i % 10 >= 8, i))
+
+    expect = {
+        d: (*a, int(d % 10 >= 8)) for d, a in fold(append_order).items()
+    }
+    got = {
+        r.doc_id: (r.shard, r.pack_id, r.weight, r.is_batch)
+        for r in REGISTRY["pack_append_bpe"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+    standing_only = fold(standing_order)
+    for doc_id, asg in standing_only.items():
+        assert got[doc_id][:3] == asg, (doc_id, got[doc_id], asg)
+
+    audit = REGISTRY["tokenize_bpe_oov_audit"].fn(spark, SF_SMOKE).collect()
+    batch_weight = sum(w for (_s, _p, w, b) in got.values() if b == 1)
+    assert batch_weight == sum(r.bpe_symbols for r in audit)
+
+    repack_order = {
+        shard: sorted(ids) for shard, ids in append_order.items()
+    }
+    repack = fold(repack_order)
+    diverged = [
+        doc_id
+        for doc_id in standing_only
+        if repack[doc_id] != standing_only[doc_id]
+    ]
+    assert diverged, "corpus too degenerate: repack == append everywhere"
+
+
+def test_pack_append_bpe_oov_fallback_synthetic(spark, tmp_path):
+    """The OOV character-fallback pricing path of pack_append_bpe,
+    pinned on a CONSTRUCTED corpus (the driver corpus's vocabulary is
+    fully covered by the standing slice, so nothing there ever takes
+    the fallback): batch documents carrying words the frozen
+    standing-slice vocabulary has never seen must be priced at
+    length(word) per occurrence — the worst-case symbol cost a stale
+    tokenizer bills for fresh data — and the whole layout must match
+    the Python replica of train -> fallback-price -> ordered fold."""
+    import re
+    from collections import Counter, defaultdict
+
+    from dend_spark_data_lake_spark.queries import (
+        BPE_PACK_BUDGET,
+        REGISTRY,
+    )
+
+    docs = [
+        # standing slice (doc_id % 10 < 8): a tiny trainable vocabulary
+        (0, "en", "alpha beta alpha"),
+        (1, "en", "beta gamma"),
+        (2, "en", "alpha alpha beta"),
+        (3, "en", "gamma gamma"),
+        (4, "en", "alpha beta gamma"),
+        (5, "en", "beta beta"),
+        (6, "en", "alpha"),
+        (7, "en", "gamma beta alpha"),
+        # arriving batch: one covered word, two OOV words
+        (8, "en", "alpha zyxwv"),
+        (9, "en", "zyxwv qqqqqqq zyxwv"),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, lang string, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    vocab = Counter()
+    words_by_doc = {}
+    for doc_id, _lang, text in docs:
+        ws = [
+            w
+            for w in re.split(r"\s+", text.strip().lower())
+            if re.fullmatch(r"[a-z]+", w)
+        ]
+        words_by_doc[doc_id] = ws
+        if doc_id % 10 < 8:
+            vocab.update(ws)
+    n_sym = _bpe_train_replica(vocab)
+    assert "zyxwv" not in n_sym and "qqqqqqq" not in n_sym
+    cost = {
+        d: sum(n_sym.get(w, len(w)) for w in ws)
+        for d, ws in words_by_doc.items()
+    }
+    # the fallback genuinely fires: doc 9 is priced purely by characters
+    assert cost[9] == 2 * len("zyxwv") + len("qqqqqqq")
+
+    order = defaultdict(list)
+    for doc_id in sorted(cost):
+        order[doc_id // 64].append(doc_id)
+    for shard in order:
+        order[shard].sort(key=lambda i: (i % 10 >= 8, i))
+    expect = {}
+    for shard, ids in order.items():
+        pack, acc = -1, BPE_PACK_BUDGET + 1
+        for doc_id in ids:
+            w = cost[doc_id]
+            if acc + w <= BPE_PACK_BUDGET:
+                acc += w
+            else:
+                pack, acc = pack + 1, w
+            expect[doc_id] = (shard, pack, w, int(doc_id % 10 >= 8))
+
+    got = {
+        r.doc_id: (r.shard, r.pack_id, r.weight, r.is_batch)
+        for r in REGISTRY["pack_append_bpe"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
+
+
 def test_sim_filtered_topk_replica_and_postfilter_law(spark):
     """sim_filtered_topk: full Python replica (float64 dots, round-6
     cosine, (cosine desc, id) tie-break) of both rankings; the law
@@ -11843,6 +12016,172 @@ def test_sim_filtered_topk_replica_and_postfilter_law(spark):
     for (qid, nid), (_l, c, _rf, rg) in got.items():
         if rg <= 5:
             assert topk[(qid, nid)] == (c, rg)
+
+
+def test_l_diversity_lattice_replica_and_laws(spark):
+    """dq_l_diversity: exact Python replica of all three lattice levels
+    (within-class distinct-band counting, homogeneity accounting,
+    floored exposure ppm), the homogeneity laws the docstring claims —
+    level 0 is total disclosure by construction (min_l = 1, every
+    class homogeneous, exposure = 1e6 ppm), min_l non-decreasing and
+    exposed rows non-increasing up the lattice, row total invariant —
+    plus non-vacuity (level 1 must hold BOTH homogeneous and diverse
+    classes, or the audit distinguishes nothing) and the cross-query
+    closure that (n_classes, n_rows, min_k) per level equal
+    dq_k_anonymity's certified lattice exactly."""
+    import math
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table(
+        "customer", ["c_nationkey", "c_mktsegment", "c_acctbal"]
+    )
+    expect = {}
+    for level in (0, 1, 2):
+        classes = defaultdict(lambda: [0, set()])
+        for nat, seg, bal in rows:
+            band = int(math.floor(bal / 1000))
+            key = {0: (nat, seg, band), 1: (nat, seg), 2: (nat,)}[level]
+            classes[key][0] += 1
+            classes[key][1].add(band)
+        ks = [k for k, _s in classes.values()]
+        homog = [(k, s) for k, s in classes.values() if len(s) == 1]
+        expect[level] = (
+            len(classes),
+            sum(ks),
+            min(ks),
+            min(len(s) for _k, s in classes.values()),
+            len(homog),
+            sum(k for k, _s in homog),
+            (1_000_000 * sum(k for k, _s in homog)) // sum(ks),
+        )
+
+    got = {
+        r.level: (
+            r.n_classes,
+            r.n_rows,
+            r.min_k,
+            r.min_l,
+            r.homogeneous_classes,
+            r.exposed_rows,
+            r.exposed_ppm,
+        )
+        for r in REGISTRY["dq_l_diversity"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+    # level 0 keeps the band in the QI: total disclosure by construction
+    assert got[0][3] == 1
+    assert got[0][4] == got[0][0]
+    assert got[0][6] == 1_000_000
+    # lattice laws up the ladder
+    for lo, hi in ((0, 1), (1, 2)):
+        assert got[lo][1] == got[hi][1]  # row total invariant
+        assert got[lo][3] <= got[hi][3]  # min_l non-decreasing
+    assert got[1][5] >= got[2][5]  # exposed rows non-increasing 1 -> 2
+    # non-vacuity: the interesting level must mix homogeneous + diverse
+    assert 0 < got[1][4] < got[1][0], (
+        "corpus too degenerate: level 1 is all-homogeneous or "
+        "all-diverse"
+    )
+
+    kanon = {
+        r.level: (r.n_classes, r.n_rows, r.min_k)
+        for r in REGISTRY["dq_k_anonymity"].fn(spark, SF_SMOKE).collect()
+    }
+    for level, vals in got.items():
+        assert kanon[level] == vals[:3]
+
+
+def test_sim_ivf_filtered_replica_and_recall_closure(spark):
+    """sim_ivf_filtered: full Python replica of the filtered IVF path —
+    deterministic centroids (vec_id % 100 == 0), rounded-cosine
+    inverted-file assignment with the cid tie-break, 2-probe lists,
+    same-label candidates only, round-6 top-5 — including the
+    in_exact_top5 flag; non-vacuity BOTH ways (this corpus must yield
+    at least one hit and one miss, or the recall readout is
+    meaningless); and the cross-query closure VERDICT r12 asked for:
+    the hit flag must agree row-for-row with membership in
+    sim_filtered_topk's certified exact pre-filtered top-5."""
+    import math
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("embeddings", ["vec_id", "label", "embedding"])
+    vecs = {r[0]: (r[1], [float(x) for x in r[2]]) for r in rows}
+    centroids = {i: v for i, (_l, v) in vecs.items() if i % 100 == 0}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(
+            sum(x * x for x in b)
+        )
+        return round(num / den, 6)
+
+    assign = {
+        nid: min(
+            ((-cos(v, cv), cid) for cid, cv in centroids.items())
+        )[1]
+        for nid, (_l, v) in vecs.items()
+    }
+
+    expect = {}
+    for qid, (qlabel, qv) in vecs.items():
+        if qid >= 10:
+            continue
+        probes = {
+            cid
+            for _c, cid in sorted(
+                ((-cos(qv, cv), cid) for cid, cv in centroids.items())
+            )[:2]
+        }
+        cands = [
+            (cos(qv, cv), nid, label)
+            for nid, (label, cv) in vecs.items()
+            if nid != qid and label == qlabel and assign[nid] in probes
+        ]
+        exact5 = {
+            nid
+            for _c, nid in sorted(
+                (
+                    (-cos(qv, cv), nid)
+                    for nid, (label, cv) in vecs.items()
+                    if nid != qid and label == qlabel
+                )
+            )[:5]
+        }
+        for i, (c, nid, label) in enumerate(
+            sorted(cands, key=lambda t: (-t[0], t[1]))[:5]
+        ):
+            expect[(qid, nid)] = (label, c, i + 1, nid in exact5)
+
+    got = {
+        (r.query_id, r.neighbor_id): (
+            r.label,
+            r.cosine,
+            r.rank,
+            r.in_exact_top5,
+        )
+        for r in REGISTRY["sim_ivf_filtered"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+    hits = [h for (_l, _c, _r, h) in got.values()]
+    assert any(hits), "corpus too degenerate: the probe found nothing"
+    assert not all(hits), (
+        "corpus too degenerate: no probe miss — the recall readout is "
+        "vacuous"
+    )
+
+    sft = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["sim_filtered_topk"].fn(spark, SF_SMOKE).collect()
+    }
+    for (qid, nid), (_l, _c, _r, hit) in got.items():
+        assert hit == ((qid, nid) in sft)
 
 
 def test_k_anonymity_lattice_replica_and_monotonicity(spark):

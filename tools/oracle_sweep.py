@@ -22,7 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tests.oracle_utils import duckdb_connection, compare  # noqa: E402
 from dend_spark_data_lake_spark.session import get_spark  # noqa: E402
-from dend_spark_data_lake_spark.queries import REGISTRY  # noqa: E402
+from dend_spark_data_lake_spark.queries import (  # noqa: E402
+    REGISTRY,
+    release_session_caches,
+)
 
 
 def main() -> int:
@@ -55,7 +58,10 @@ def main() -> int:
             # helpers that persist() for determinism (pid-window machinery,
             # pq_train_quantized) cannot unpersist their own lazy output;
             # without this a 347-query session accumulates every cached
-            # relation until session end (ADVICE r8)
+            # relation until session end (ADVICE r8). The registry drain
+            # keeps the tracked-cache list itself from growing across the
+            # sweep (ADVICE r12) — clearCache alone leaves the Python refs.
+            release_session_caches()
             spark.catalog.clearCache()
     print(
         f"DONE sf={sf} ok={n_ok} rows_only={n_rows_only} "
