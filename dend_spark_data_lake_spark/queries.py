@@ -1570,6 +1570,144 @@ def sim_ivf_filtered(spark, sf_dir):
     )
 
 
+@_q(
+    "sim_ivf_filtered_probe_curve",
+    """
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM e
+    ), c AS (
+      SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 100 = 0
+    ), asg AS (
+      SELECT vec_id AS neighbor_id, label, cid FROM (
+        SELECT n.vec_id, n.label, c.cid,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm),
+                                6) DESC, c.cid) AS rn
+        FROM n CROSS JOIN c)
+      WHERE rn = 1
+    ), pr AS (
+      SELECT n.vec_id AS query_id, n.label AS qlabel, c.cid,
+             row_number() OVER (PARTITION BY n.vec_id
+               ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm),
+                              6) DESC, c.cid) AS rn
+      FROM n CROSS JOIN c WHERE n.vec_id < 10
+    ), np AS (SELECT unnest([1, 2, 4]) AS n_probe),
+    ivf AS (
+      SELECT n_probe, query_id, neighbor_id FROM (
+        SELECT s.n_probe, s.query_id, s.neighbor_id,
+               row_number() OVER (PARTITION BY s.n_probe, s.query_id
+                                  ORDER BY s.cosine DESC, s.neighbor_id)
+                 AS rank
+        FROM (
+          SELECT np.n_probe, pr.query_id, a.neighbor_id,
+                 round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6)
+                   AS cosine
+          FROM np JOIN pr ON pr.rn <= np.n_probe
+          JOIN asg a ON a.cid = pr.cid AND a.label = pr.qlabel
+          JOIN n q ON q.vec_id = pr.query_id
+          JOIN n x ON x.vec_id = a.neighbor_id
+          WHERE a.neighbor_id <> pr.query_id) s)
+      WHERE rank <= 5
+    ), exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm),
+                                6) DESC, x.vec_id) AS rank
+        FROM n q JOIN n x ON x.vec_id <> q.vec_id AND x.label = q.label
+        WHERE q.vec_id < 10)
+      WHERE rank <= 5
+    ), tot AS (
+      SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM exact
+    ), hits AS (
+      SELECT i.n_probe, CAST(count(*) AS BIGINT) AS h
+      FROM ivf i JOIN exact e
+        ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+      GROUP BY i.n_probe
+    )
+    SELECT np.n_probe, tot.n_queries,
+           CAST(coalesce(hits.h, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(coalesce(hits.h, 0) * 1000000
+                         // nullif(tot.n_pairs, 0), 0) AS BIGINT)
+             AS recall_ppm
+    FROM np CROSS JOIN tot
+    LEFT JOIN hits ON hits.n_probe = np.n_probe
+    ORDER BY np.n_probe
+    """,
+)
+def sim_ivf_filtered_probe_curve(spark, sf_dir):
+    """The FILTERED IVF tuning curve — the number a vector DB reads
+    before sizing n_probe under a label filter: filtered recall@5
+    against the exact PRE-filtered baseline at n_probe ∈ {1, 2, 4}.
+    sim_ivf_probe_curve answers the unfiltered question; under a
+    selective filter the probed buckets thin out (the filter empties
+    part of every bucket), so filtered recall at a given n_probe is
+    the curve engines consult when they raise n_probe for filtered
+    traffic. Recall is monotone non-decreasing in n_probe BY
+    CONSTRUCTION (superset candidate sets) — pin-asserted, along with
+    the closure that the n_probe = 2 point equals sim_ivf_filtered's
+    hit count (the same measurement read as a curve point vs as
+    per-row flags).
+
+    Scale: the probe-curve posture with the filter composed in — the
+    three settings REUSE one centroid table and one label-carrying
+    inverted file; per setting the scoring is the (cid, label)
+    equi-join + per-query top-k (never corpus x queries); the eval is
+    a (query, neighbor)-keyed inner join rolled onto the broadcast
+    probe grid via LEFT JOIN, so an empty query slice still yields the
+    3-row grid with zero counts on both engines (the certified
+    probe-curve shape)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    exact = SIM.filtered_cosine_topk(emb, queries_df, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    parts = []
+    for np_ in (1, 2, 4):
+        parts.append(
+            SIM.ivf_filtered_topk(
+                emb, queries_df, k=5, centroid_mod=100, n_probe=np_
+            ).select(
+                F.lit(np_).cast("long").alias("n_probe"),
+                "query_id",
+                "neighbor_id",
+            )
+        )
+    ivf = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    tot = exact.agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        F.count("*").cast("long").alias("n_pairs"),
+    )
+    hits = (
+        ivf.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("n_probe")
+        .agg(F.count("*").cast("long").alias("h"))
+    )
+    probes_dim = spark.range(1).selectExpr(
+        "explode(array(1L, 2L, 4L)) AS n_probe"
+    )
+    return (
+        probes_dim.crossJoin(F.broadcast(tot))
+        .join(hits, "n_probe", "left")
+        .selectExpr(
+            "n_probe",
+            "n_queries",
+            "CAST(coalesce(h, 0) AS BIGINT) AS n_hits",
+            "CAST(coalesce(coalesce(h, 0) * 1000000"
+            " DIV nullif(n_pairs, 0), 0) AS BIGINT) AS recall_ppm",
+        )
+        .orderBy("n_probe")
+    )
+
+
 @_q("sim_ann_lsh", SIM.srp_ann_oracle_sql(k=5, dim=64))
 def sim_ann_lsh(spark, sf_dir):
     """Approximate top-5 cosine neighbors per query vector (vec_id < 10)
@@ -12099,6 +12237,145 @@ def dq_l_diversity(spark, sf_dir):
                CAST(1000000 * coalesce(sum(IF(l = 1, k, NULL)), 0)
                     DIV sum(k) AS BIGINT) AS exposed_ppm
         FROM cls GROUP BY level ORDER BY level
+        """
+    )
+
+
+@_q(
+    "dq_t_closeness",
+    """
+    WITH q AS (
+      SELECT c_nationkey AS nat, c_mktsegment AS seg,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+      FROM customer
+    ), cb AS (
+      SELECT CAST(GROUPING(seg) + GROUPING(nat) AS INT) AS gl,
+             nat, seg, band, CAST(count(*) AS BIGINT) AS n
+      FROM q
+      GROUP BY GROUPING SETS ((nat, seg, band), (nat, band), (band))
+    ), gt AS (
+      SELECT band, CAST(sum(n) OVER (ORDER BY band) AS BIGINT) AS cum_gn,
+             CAST(sum(n) OVER () AS BIGINT) AS total,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM cb WHERE gl = 2
+    ), cls AS (
+      SELECT gl, nat, seg, CAST(sum(n) AS BIGINT) AS k
+      FROM cb WHERE gl < 2 GROUP BY gl, nat, seg
+    ), spine AS (
+      SELECT c.gl, c.nat, c.seg, c.k, g.band, g.cum_gn, g.total, g.m,
+             coalesce(b.n, 0) AS cn
+      FROM cls c CROSS JOIN gt g
+      LEFT JOIN cb b ON b.gl = c.gl AND b.nat = c.nat
+                  AND b.seg IS NOT DISTINCT FROM c.seg AND b.band = g.band
+    ), cum AS (
+      SELECT gl, nat, seg, k, m,
+             abs(CAST(sum(cn) OVER (PARTITION BY gl, nat, seg
+                                    ORDER BY band) AS BIGINT)
+                 * 1000000 // k
+                 - cum_gn * 1000000 // total) AS d
+      FROM spine
+    ), emd AS (
+      SELECT gl, nat, seg, k,
+             CAST(sum(d) // (max(m) - 1) AS BIGINT) AS emd_ppm
+      FROM cum GROUP BY gl, nat, seg, k
+    )
+    SELECT CAST(gl + 1 AS INT) AS level,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(max(emd_ppm) AS BIGINT) AS t_ppm,
+           CAST(count(*) FILTER (WHERE emd_ppm > 200000) AS BIGINT)
+             AS breach_classes,
+           CAST(coalesce(sum(k) FILTER (WHERE emd_ppm > 200000), 0)
+                AS BIGINT) AS breach_rows,
+           CAST((1000000 * CAST(coalesce(sum(k)
+                                         FILTER (WHERE emd_ppm > 200000),
+                                         0) AS HUGEINT))
+                // sum(k) AS BIGINT) AS breach_ppm
+    FROM emd GROUP BY gl ORDER BY level
+    """,
+)
+def dq_t_closeness(spark, sf_dir):
+    """t-CLOSENESS on the generalization lattice — the third rung of
+    the governance ladder (Li, Li & Venkatasubramanian, "t-Closeness:
+    Privacy Beyond k-Anonymity and l-Diversity", ICDE 2007): an
+    l-diverse class still leaks when its sensitive-value DISTRIBUTION
+    is skewed against the population (a class that is 90% top-band
+    tells an attacker plenty even with every band present). Per
+    lattice level (1 = nation+segment, 2 = nation — the levels where
+    the band is SENSITIVE, matching dq_k_anonymity/dq_l_diversity
+    numbering): the max class-vs-global Earth Mover's Distance
+    (t_ppm — the t value the release satisfies), plus the classes/rows
+    breaching the classic t = 0.2 bar and the exact breach ppm. EMD
+    uses the ordered-categorical unit-spacing form: mean |cumulative
+    share difference| over band steps, shares as exact floored ppm of
+    EXACT integer cumulative counts (floor-of-cumsum, never
+    sum-of-floors), normalized by m - 1 steps (the last cumulative
+    difference is identically 0) — every cell integer-exact
+    cross-engine. t monotone down the ladder and the closure
+    n_classes == dq_k_anonymity's lattice are pin-asserted.
+
+    Scale: ONE customer scan feeding ONE Expand (GROUPING SETS at
+    (class, band) grain for both levels PLUS the global band marginal
+    — three grouping sets, one shuffle); the global distribution is a
+    bounded |bands|-row relation broadcast onto the class spine (the
+    CROSS JOIN is classes x bands, the size of the t-closeness answer
+    itself); cumulative shares ride windows PARTITIONED by class
+    (bounded by the band domain per partition — the global cumsum's
+    unpartitioned window spans only the |bands|-row marginal); the
+    rollup is a bounded 2-row aggregate. The class-band rollup is
+    consumed three times (global marginal, class sizes, the spine's
+    zero-fill LEFT join) — identical aggregate subtrees AQE stage
+    reuse dedupes where sizes allow; the scan stays the only
+    corpus-width pass either way."""
+    register_views(spark, sf_dir, ["customer"])
+    return spark.sql(
+        """
+        WITH cb AS (
+          SELECT CAST(grouping(seg) + grouping(nat) AS INT) AS gl,
+                 nat, seg, band, CAST(count(*) AS BIGINT) AS n
+          FROM (
+            SELECT c_nationkey AS nat, c_mktsegment AS seg,
+                   CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+            FROM customer
+          )
+          GROUP BY GROUPING SETS ((nat, seg, band), (nat, band), (band))
+        ), gt AS (
+          SELECT band,
+                 CAST(sum(n) OVER (ORDER BY band) AS BIGINT) AS cum_gn,
+                 CAST(sum(n) OVER () AS BIGINT) AS total,
+                 CAST(count(*) OVER () AS BIGINT) AS m
+          FROM cb WHERE gl = 2
+        ), cls AS (
+          SELECT gl, nat, seg, CAST(sum(n) AS BIGINT) AS k
+          FROM cb WHERE gl < 2 GROUP BY gl, nat, seg
+        ), spine AS (
+          SELECT c.gl, c.nat, c.seg, c.k, g.band, g.cum_gn, g.total, g.m,
+                 coalesce(b.n, 0) AS cn
+          FROM cls c CROSS JOIN gt g
+          LEFT JOIN cb b ON b.gl = c.gl AND b.nat = c.nat
+                      AND b.seg <=> c.seg AND b.band = g.band
+        ), cum AS (
+          SELECT gl, nat, seg, k, m,
+                 abs(CAST(sum(cn) OVER (PARTITION BY gl, nat, seg
+                                        ORDER BY band) AS BIGINT)
+                     * 1000000 DIV k
+                     - cum_gn * 1000000 DIV total) AS d
+          FROM spine
+        ), emd AS (
+          SELECT gl, nat, seg, k,
+                 CAST(sum(d) DIV (max(m) - 1) AS BIGINT) AS emd_ppm
+          FROM cum GROUP BY gl, nat, seg, k
+        )
+        SELECT CAST(gl + 1 AS INT) AS level,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(max(emd_ppm) AS BIGINT) AS t_ppm,
+               CAST(count(IF(emd_ppm > 200000, 1, NULL)) AS BIGINT)
+                 AS breach_classes,
+               CAST(coalesce(sum(IF(emd_ppm > 200000, k, NULL)), 0)
+                    AS BIGINT) AS breach_rows,
+               CAST(1000000 * coalesce(sum(IF(emd_ppm > 200000, k, NULL)),
+                                       0) DIV sum(k) AS BIGINT)
+                 AS breach_ppm
+        FROM emd GROUP BY gl ORDER BY level
         """
     )
 
@@ -23261,6 +23538,8 @@ _GRADE_NEXT: list[str] = [
     "sim_ivf_filtered",
     "pack_append_bpe",
     "dq_l_diversity",
+    "dq_t_closeness",
+    "sim_ivf_filtered_probe_curve",
     # r06-cohort certificates left after the round-13 promotion (8)
     "text_quality",
     "text_token_counts",

@@ -2540,6 +2540,44 @@ def test_l_diversity_single_expand_pass_one_more_aggregate(spark):
     assert "partial_count" in plan, plan
 
 
+def test_t_closeness_one_scan_bounded_spine(spark):
+    """dq_t_closeness (round 13): the EMD audit must stay one
+    corpus-width pass — a single customer scan feeding Expand (the
+    three grouping sets), with the class x band spine built from the
+    BOUNDED global marginal (a broadcast onto the class rollup — a
+    CartesianProduct over it would mean Spark lost the size estimate)
+    and every cumulative window PARTITIONED by class except the
+    |bands|-row global marginal's. No Python anywhere."""
+    import re as _re
+
+    plan = _plan(spark, "dq_t_closeness")
+    assert "Expand" in plan, plan
+    assert plan.count("customer.parquet") <= 3, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    specs = _re.findall(r"windowspecdefinition\(gl#\d+", plan)
+    assert specs, plan
+
+
+def test_sim_ivf_filtered_probe_curve_equijoin_buckets(spark):
+    """sim_ivf_filtered_probe_curve (round 13): candidate scoring must
+    be the (cid, label) equi-join for every probe setting — three
+    keyed joins, never an unkeyed corpus pairing; CartesianProduct
+    forbidden (the BroadcastNestedLoopJoin Cross nodes are the
+    certified bounded broadcasts); no Python."""
+    import re as _re
+
+    plan = _plan(spark, "sim_ivf_filtered_probe_curve")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    cid_label_joins = _re.findall(
+        r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) "
+        r"\[cid#\d+L?, label#",
+        plan,
+    )
+    assert len(cid_label_joins) >= 3, (cid_label_joins, plan)
+
+
 def test_sim_ivf_filtered_prefilter_equijoin(spark):
     """sim_ivf_filtered (round 13): candidates must come from the
     (cid, label) EQUI-JOIN of the probe list against the label-carrying

@@ -12095,6 +12095,176 @@ def test_l_diversity_lattice_replica_and_laws(spark):
         assert kanon[level] == vals[:3]
 
 
+def test_t_closeness_emd_replica_and_laws(spark):
+    """dq_t_closeness: exact Python replica of the per-class ordered
+    Earth Mover's Distance at both lattice levels — floor-of-cumsum
+    ppm shares against the global band distribution, zero-filled band
+    spine, (m - 1)-step normalization, the t = 0.2 breach accounting —
+    plus the laws: every EMD in [0, 1e6]; t non-increasing up the
+    ladder (classes merge TOWARD the population — W1 is convex in the
+    class distribution); non-vacuity (both levels must mix breaching
+    and conforming classes); and the closure that n_classes per level
+    equals dq_k_anonymity's certified lattice at levels 1 and 2."""
+    import math
+    from collections import Counter, defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table(
+        "customer", ["c_nationkey", "c_mktsegment", "c_acctbal"]
+    )
+    banded = [
+        (nat, seg, int(math.floor(bal / 1000))) for nat, seg, bal in rows
+    ]
+    gdist = Counter(band for _n, _s, band in banded)
+    bands = sorted(gdist)
+    m, total = len(bands), sum(gdist.values())
+
+    expect = {}
+    for level in (1, 2):
+        by_class = defaultdict(Counter)
+        for nat, seg, band in banded:
+            key = (nat, seg) if level == 1 else (nat,)
+            by_class[key][band] += 1
+        emds = {}
+        for key, dist in by_class.items():
+            k = sum(dist.values())
+            cum_c = cum_g = d = 0
+            for band in bands:
+                cum_c += dist.get(band, 0)
+                cum_g += gdist[band]
+                d += abs(cum_c * 1_000_000 // k - cum_g * 1_000_000 // total)
+            emds[key] = (d // (m - 1), k)
+        breach = [(e, k) for e, k in emds.values() if e > 200_000]
+        expect[level] = (
+            len(emds),
+            max(e for e, _k in emds.values()),
+            len(breach),
+            sum(k for _e, k in breach),
+            (
+                1_000_000 * sum(k for _e, k in breach)
+            ) // sum(k for _e, k in emds.values()),
+        )
+
+    got = {
+        r.level: (
+            r.n_classes,
+            r.t_ppm,
+            r.breach_classes,
+            r.breach_rows,
+            r.breach_ppm,
+        )
+        for r in REGISTRY["dq_t_closeness"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+    for level, (_n, t, b, _br, _bp) in got.items():
+        assert 0 <= t <= 1_000_000, (level, t)
+        assert 0 < b < got[level][0], (
+            "corpus too degenerate: a level is all-breaching or "
+            "all-conforming"
+        )
+    assert got[2][1] <= got[1][1]  # t non-increasing up the ladder
+
+    kanon = {
+        r.level: r.n_classes
+        for r in REGISTRY["dq_k_anonymity"].fn(spark, SF_SMOKE).collect()
+    }
+    for level in (1, 2):
+        assert got[level][0] == kanon[level]
+
+
+def test_sim_ivf_filtered_probe_curve_monotone_and_closure(spark):
+    """sim_ivf_filtered_probe_curve: Python replica of the filtered
+    recall curve (per-setting filtered IVF top-5 vs the exact
+    pre-filtered top-5); recall monotone non-decreasing in n_probe
+    (superset candidate sets); recall_ppm bounded by 1e6; non-vacuity
+    (the curve must actually CLIMB somewhere — a flat curve would mean
+    the probe setting changes nothing on this corpus); and the closure
+    that the n_probe = 2 point equals sim_ivf_filtered's hit count."""
+    import math
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("embeddings", ["vec_id", "label", "embedding"])
+    vecs = {r[0]: (r[1], [float(x) for x in r[2]]) for r in rows}
+    centroids = {i: v for i, (_l, v) in vecs.items() if i % 100 == 0}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(
+            sum(x * x for x in b)
+        )
+        return round(num / den, 6)
+
+    assign = {
+        nid: min(((-cos(v, cv), cid) for cid, cv in centroids.items()))[1]
+        for nid, (_l, v) in vecs.items()
+    }
+    exact = set()
+    probe_rank = {}
+    for qid, (qlabel, qv) in vecs.items():
+        if qid >= 10:
+            continue
+        probe_rank[qid] = [
+            cid
+            for _c, cid in sorted(
+                ((-cos(qv, cv), cid) for cid, cv in centroids.items())
+            )
+        ]
+        for _c, nid in sorted(
+            (
+                (-cos(qv, cv), nid)
+                for nid, (label, cv) in vecs.items()
+                if nid != qid and label == qlabel
+            )
+        )[:5]:
+            exact.add((qid, nid))
+
+    expect = {}
+    for np_ in (1, 2, 4):
+        hits = 0
+        for qid, (qlabel, qv) in vecs.items():
+            if qid >= 10:
+                continue
+            probes = set(probe_rank[qid][:np_])
+            cands = [
+                (cos(qv, cv), nid)
+                for nid, (label, cv) in vecs.items()
+                if nid != qid and label == qlabel and assign[nid] in probes
+            ]
+            for _c, nid in sorted(cands, key=lambda t: (-t[0], t[1]))[:5]:
+                if (qid, nid) in exact:
+                    hits += 1
+        expect[np_] = (
+            len({q for q, _n in exact}),
+            hits,
+            hits * 1_000_000 // len(exact) if exact else 0,
+        )
+
+    got = {
+        r.n_probe: (r.n_queries, r.n_hits, r.recall_ppm)
+        for r in REGISTRY["sim_ivf_filtered_probe_curve"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    assert got == expect
+
+    rec = [got[np_][2] for np_ in (1, 2, 4)]
+    assert rec == sorted(rec), "recall must be monotone in n_probe"
+    assert all(0 <= r <= 1_000_000 for r in rec)
+    assert rec[0] < rec[-1], (
+        "corpus too degenerate: the filtered probe curve is flat"
+    )
+
+    flags = (
+        REGISTRY["sim_ivf_filtered"].fn(spark, SF_SMOKE).collect()
+    )
+    assert got[2][1] == sum(1 for r in flags if r.in_exact_top5)
+
+
 def test_sim_ivf_filtered_replica_and_recall_closure(spark):
     """sim_ivf_filtered: full Python replica of the filtered IVF path —
     deterministic centroids (vec_id % 100 == 0), rounded-cosine
