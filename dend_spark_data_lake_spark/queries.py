@@ -12381,6 +12381,200 @@ def dq_t_closeness(spark, sf_dir):
 
 
 @_q(
+    "dq_release_ladder",
+    """
+    WITH q AS (
+      SELECT c_nationkey AS nat, c_mktsegment AS seg,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+      FROM customer
+    ), g AS (
+      SELECT CAST(GROUPING(nat) AS INT) AS gnat,
+             CAST(GROUPING(seg) AS INT) AS gseg,
+             CAST(GROUPING(band) AS INT) AS gband,
+             nat, seg, band, CAST(count(*) AS BIGINT) AS n
+      FROM q
+      GROUP BY GROUPING SETS ((nat, seg, band), (nat, seg), (nat, band),
+                              (nat), (band))
+    ), gt AS (
+      SELECT band, CAST(sum(n) OVER (ORDER BY band) AS BIGINT) AS cum_gn,
+             CAST(sum(n) OVER () AS BIGINT) AS total,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM g WHERE gnat = 1
+    ), cls AS (
+      SELECT 0 AS level, nat, seg, band AS bkey, n AS k
+      FROM g WHERE gnat = 0 AND gseg = 0 AND gband = 0
+      UNION ALL
+      SELECT 1, nat, seg, CAST(NULL AS BIGINT), n
+      FROM g WHERE gnat = 0 AND gseg = 0 AND gband = 1
+      UNION ALL
+      SELECT 2, nat, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), n
+      FROM g WHERE gnat = 0 AND gseg = 1 AND gband = 1
+    ), cb AS (
+      SELECT 0 AS level, nat, seg, band AS bkey, band, n
+      FROM g WHERE gnat = 0 AND gseg = 0 AND gband = 0
+      UNION ALL
+      SELECT 1, nat, seg, CAST(NULL AS BIGINT), band, n
+      FROM g WHERE gnat = 0 AND gseg = 0 AND gband = 0
+      UNION ALL
+      SELECT 2, nat, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), band, n
+      FROM g WHERE gnat = 0 AND gseg = 1 AND gband = 0
+    ), spine AS (
+      SELECT c.level, c.nat, c.seg, c.bkey, c.k, t.band, t.cum_gn,
+             t.total, t.m, coalesce(b.n, 0) AS cn
+      FROM cls c CROSS JOIN gt t
+      LEFT JOIN cb b ON b.level = c.level AND b.nat = c.nat
+           AND b.seg IS NOT DISTINCT FROM c.seg
+           AND b.bkey IS NOT DISTINCT FROM c.bkey
+           AND b.band = t.band
+    ), percls AS (
+      SELECT level, nat, seg, bkey, k,
+             CAST(count(*) FILTER (WHERE cn > 0) AS BIGINT) AS l,
+             CAST(sum(abs(CAST(sum_cn AS BIGINT) * 1000000 // k
+                          - cum_gn * 1000000 // total)) // (max(m) - 1)
+                  AS BIGINT) AS emd_ppm
+      FROM (
+        SELECT level, nat, seg, bkey, k, band, cum_gn, total, m, cn,
+               sum(cn) OVER (PARTITION BY level, nat, seg, bkey
+                             ORDER BY band) AS sum_cn
+        FROM spine)
+      GROUP BY level, nat, seg, bkey, k
+    )
+    SELECT CAST(level AS INT) AS level,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(min(l) AS BIGINT) AS min_l,
+           CAST(max(emd_ppm) AS BIGINT) AS t_ppm,
+           min(k) >= 5 AS k_ok,
+           min(l) >= 2 AS l_ok,
+           max(emd_ppm) <= 200000 AS t_ok,
+           (min(k) >= 5 AND min(l) >= 2 AND max(emd_ppm) <= 200000)
+             AS release_ok
+    FROM percls GROUP BY level ORDER BY level
+    """,
+)
+def dq_release_ladder(spark, sf_dir):
+    """The GOVERNANCE RELEASE DECISION in one pass — the round-13
+    lattice family composed: per generalization level, min_k
+    (k-anonymity), min_l (l-diversity) and the max class-vs-global EMD
+    (t-closeness), each judged against its classic bar (k >= 5, l >= 2,
+    t <= 0.2) with a release_ok verdict per level — the row a data
+    steward actually reads: the FIRST level with release_ok true is
+    the generalization to ship. The three measures are exactly the
+    certified audits' numbers (closure-pinned against dq_k_anonymity,
+    dq_l_diversity, and dq_t_closeness), including level 0's t — the
+    point-mass EMD the standalone t audit does not report. min_l
+    needs no DISTINCT aggregate here: it is the count of a class's
+    nonzero spine rows, free once the EMD spine exists.
+
+    Scale: the whole three-audit ladder is ONE corpus-width pass — a
+    single customer scan feeding ONE five-set Expand ((nat, seg,
+    band) serves level-0 classes AND level-1's class-band
+    distribution; (nat, band) serves level 2's; (nat, seg) / (nat)
+    are the class grains; (band) is the global marginal), one
+    grouping shuffle into a BOUNDED class-grid rollup. That rollup is
+    consumed seven times downstream (the per-level class/class-band
+    arms + the global marginal); left lazy, Catalyst prunes grouping
+    sets into each consumer and re-scans the corpus per arm (measured:
+    7 scans + 7 Expands, no exchange reuse — the filters on the
+    grouping flags specialize each subtree past reuse), and cache
+    substitution in this Spark replaces only ONE of N duplicate view
+    references (measured on a 2-arm union), so the rollup is
+    localCheckpointed EAGERLY instead (the connected_components
+    discipline: grid-sized, lineage truncated) — all seven arms read
+    the materialized RDD and the returned plan touches parquet zero
+    times. Downstream is bounded-grid work only: the class x band
+    spine joins the |bands|-row marginal, cumulative shares ride
+    class-partitioned windows, the rollup is 3 rows. Auditing a
+    release against all three privacy models costs the same corpus
+    I/O as auditing against one."""
+    g = _release_ladder_rollup(spark, sf_dir).localCheckpoint(eager=True)
+    g.createOrReplaceTempView("ladder_g")
+    return spark.sql(
+        """
+        WITH gt AS (
+          SELECT band,
+                 CAST(sum(n) OVER (ORDER BY band) AS BIGINT) AS cum_gn,
+                 CAST(sum(n) OVER () AS BIGINT) AS total,
+                 CAST(count(*) OVER () AS BIGINT) AS m
+          FROM ladder_g WHERE gnat = 1
+        ), cls AS (
+          SELECT 0 AS level, nat, seg, band AS bkey, n AS k
+          FROM ladder_g WHERE gnat = 0 AND gseg = 0 AND gband = 0
+          UNION ALL
+          SELECT 1, nat, seg, CAST(NULL AS BIGINT), n
+          FROM ladder_g WHERE gnat = 0 AND gseg = 0 AND gband = 1
+          UNION ALL
+          SELECT 2, nat, CAST(NULL AS STRING), CAST(NULL AS BIGINT), n
+          FROM ladder_g WHERE gnat = 0 AND gseg = 1 AND gband = 1
+        ), cb AS (
+          SELECT 0 AS level, nat, seg, band AS bkey, band, n
+          FROM ladder_g WHERE gnat = 0 AND gseg = 0 AND gband = 0
+          UNION ALL
+          SELECT 1, nat, seg, CAST(NULL AS BIGINT), band, n
+          FROM ladder_g WHERE gnat = 0 AND gseg = 0 AND gband = 0
+          UNION ALL
+          SELECT 2, nat, CAST(NULL AS STRING), CAST(NULL AS BIGINT),
+                 band, n
+          FROM ladder_g WHERE gnat = 0 AND gseg = 1 AND gband = 0
+        ), spine AS (
+          SELECT c.level, c.nat, c.seg, c.bkey, c.k, t.band, t.cum_gn,
+                 t.total, t.m, coalesce(b.n, 0) AS cn
+          FROM cls c CROSS JOIN gt t
+          LEFT JOIN cb b ON b.level = c.level AND b.nat = c.nat
+               AND b.seg <=> c.seg AND b.bkey <=> c.bkey
+               AND b.band = t.band
+        ), percls AS (
+          SELECT level, nat, seg, bkey, k,
+                 CAST(count(IF(cn > 0, 1, NULL)) AS BIGINT) AS l,
+                 CAST(sum(abs(CAST(sum_cn AS BIGINT) * 1000000 DIV k
+                              - cum_gn * 1000000 DIV total))
+                      DIV (max(m) - 1) AS BIGINT) AS emd_ppm
+          FROM (
+            SELECT level, nat, seg, bkey, k, band, cum_gn, total, m, cn,
+                   sum(cn) OVER (PARTITION BY level, nat, seg, bkey
+                                 ORDER BY band) AS sum_cn
+            FROM spine)
+          GROUP BY level, nat, seg, bkey, k
+        )
+        SELECT CAST(level AS INT) AS level,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(min(k) AS BIGINT) AS min_k,
+               CAST(min(l) AS BIGINT) AS min_l,
+               CAST(max(emd_ppm) AS BIGINT) AS t_ppm,
+               min(k) >= 5 AS k_ok,
+               min(l) >= 2 AS l_ok,
+               max(emd_ppm) <= 200000 AS t_ok,
+               (min(k) >= 5 AND min(l) >= 2 AND max(emd_ppm) <= 200000)
+                 AS release_ok
+        FROM percls GROUP BY level ORDER BY level
+        """
+    )
+
+
+def _release_ladder_rollup(spark, sf_dir):
+    """dq_release_ladder's five-set class-grid rollup, lazy — split out
+    so the plan lock can pin the single-scan single-Expand shape the
+    registered query materializes (its returned plan reads only the
+    cache)."""
+    register_views(spark, sf_dir, ["customer"])
+    return spark.sql(
+        """
+        SELECT CAST(grouping(nat) AS INT) AS gnat,
+               CAST(grouping(seg) AS INT) AS gseg,
+               CAST(grouping(band) AS INT) AS gband,
+               nat, seg, band, CAST(count(*) AS BIGINT) AS n
+        FROM (
+          SELECT c_nationkey AS nat, c_mktsegment AS seg,
+                 CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+          FROM customer
+        )
+        GROUP BY GROUPING SETS ((nat, seg, band), (nat, seg),
+                                (nat, band), (nat), (band))
+        """
+    )
+
+
+@_q(
     "sample_proportional_carve",
     """
     WITH c AS (
@@ -23540,6 +23734,7 @@ _GRADE_NEXT: list[str] = [
     "dq_l_diversity",
     "dq_t_closeness",
     "sim_ivf_filtered_probe_curve",
+    "dq_release_ladder",
     # r06-cohort certificates left after the round-13 promotion (8)
     "text_quality",
     "text_token_counts",

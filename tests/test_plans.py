@@ -2540,6 +2540,33 @@ def test_l_diversity_single_expand_pass_one_more_aggregate(spark):
     assert "partial_count" in plan, plan
 
 
+def test_release_ladder_single_pass_checkpoint(spark):
+    """dq_release_ladder (round 13): the five-set rollup must be ONE
+    corpus pass — a single customer scan feeding a single Expand with
+    map-side partial counts — and the returned plan must read ONLY the
+    materialized grid (Scan ExistingRDD), never parquet: Catalyst
+    prunes grouping sets into each of the seven downstream arms, so a
+    lazy rollup re-scans the corpus per arm (measured 7x) — the
+    regression this lock exists for."""
+    from dend_spark_data_lake_spark.queries import _release_ladder_rollup
+
+    gp = (
+        _release_ladder_rollup(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert gp.count("customer.parquet") == 1, gp
+    assert gp.count("Expand") == 1, gp
+    assert "partial_count" in gp, gp
+
+    plan = _plan(spark, "dq_release_ladder")
+    assert plan.count("FileScan parquet") == 0, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
 def test_t_closeness_one_scan_bounded_spine(spark):
     """dq_t_closeness (round 13): the EMD audit must stay one
     corpus-width pass — a single customer scan feeding Expand (the

@@ -12095,6 +12095,75 @@ def test_l_diversity_lattice_replica_and_laws(spark):
         assert kanon[level] == vals[:3]
 
 
+def test_release_ladder_closures_and_decision(spark):
+    """dq_release_ladder: the one-pass ladder must report EXACTLY the
+    three certified audits' numbers — min_k per level ==
+    dq_k_anonymity's, min_l == dq_l_diversity's, t_ppm at levels 1/2
+    == dq_t_closeness's, n_classes everywhere — with every pass/fail
+    flag consistent with its own value and release_ok their
+    conjunction; level 0's t (the point-mass EMD only this query
+    reports) replica-checked and >= level 1's by W1 convexity (finer
+    classes sit farther from the population than their unions)."""
+    import math
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r.level: r
+        for r in REGISTRY["dq_release_ladder"].fn(spark, SF_SMOKE).collect()
+    }
+    assert sorted(got) == [0, 1, 2]
+
+    kanon = {
+        r.level: r
+        for r in REGISTRY["dq_k_anonymity"].fn(spark, SF_SMOKE).collect()
+    }
+    ldiv = {
+        r.level: r
+        for r in REGISTRY["dq_l_diversity"].fn(spark, SF_SMOKE).collect()
+    }
+    tcl = {
+        r.level: r
+        for r in REGISTRY["dq_t_closeness"].fn(spark, SF_SMOKE).collect()
+    }
+    for level, r in got.items():
+        assert r.n_classes == kanon[level].n_classes
+        assert r.min_k == kanon[level].min_k
+        assert r.min_l == ldiv[level].min_l
+        if level in tcl:
+            assert r.t_ppm == tcl[level].t_ppm
+        assert r.k_ok == (r.min_k >= 5)
+        assert r.l_ok == (r.min_l >= 2)
+        assert r.t_ok == (r.t_ppm <= 200_000)
+        assert r.release_ok == (r.k_ok and r.l_ok and r.t_ok)
+
+    # level-0 point-mass EMD replica (the one number without a
+    # standalone-audit closure partner)
+    rows = _smoke_table(
+        "customer", ["c_nationkey", "c_mktsegment", "c_acctbal"]
+    )
+    gdist = Counter(
+        int(math.floor(bal / 1000)) for _n, _s, bal in rows
+    )
+    bands = sorted(gdist)
+    m, total = len(bands), sum(gdist.values())
+    best = 0
+    for cls_band in {
+        (nat, seg, int(math.floor(bal / 1000)))
+        for nat, seg, bal in rows
+    }:
+        cum_g = d = 0
+        for band in bands:
+            cum_g += gdist[band]
+            cum_c_ppm = 1_000_000 if band >= cls_band[2] else 0
+            d += abs(cum_c_ppm - cum_g * 1_000_000 // total)
+        best = max(best, d // (m - 1))
+    assert got[0].t_ppm == best
+    assert got[0].t_ppm >= got[1].t_ppm
+
+
 def test_t_closeness_emd_replica_and_laws(spark):
     """dq_t_closeness: exact Python replica of the per-class ordered
     Earth Mover's Distance at both lattice levels — floor-of-cumsum
