@@ -1708,6 +1708,197 @@ def sim_ivf_filtered_probe_curve(spark, sf_dir):
     )
 
 
+@_q(
+    "text_chunk_windows",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE trim(text) <> ''
+    ), spec AS (
+      SELECT doc_id, t, len(t) AS n,
+             1 + (CASE WHEN len(t) > 64 THEN (len(t) - 64 + 47) // 48
+                       ELSE 0 END) AS n_chunks
+      FROM toks
+    )
+    SELECT doc_id, CAST(u.k AS INT) AS chunk_idx,
+           CAST(u.k * 48 + 1 AS INT) AS start_tok,
+           CAST(least(64, n - u.k * 48) AS INT) AS n_toks,
+           md5(array_to_string(
+                 list_slice(t, u.k * 48 + 1,
+                            u.k * 48 + least(64, n - u.k * 48)), ' '))
+             AS chunk_md5
+    FROM spec, LATERAL (SELECT unnest(range(0, n_chunks)) AS k) u
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def text_chunk_windows(spark, sf_dir):
+    """Strided token-window chunking — the context-window chunker every
+    RAG index and pretraining shard builder runs first: each document
+    becomes overlapping 64-token windows at stride 48 (16-token
+    overlap, so no boundary sentence is ever lost to a hard cut), with
+    1-based token offsets and the md5 of the exact reconstructed chunk
+    text, so the (doc_id, chunk_idx) -> text mapping is value-checked
+    cross-engine without shipping chunk bodies through the comparator.
+    The window count law is closed-form — 1 + ceil(max(n - 64, 0)/48)
+    — and the last window is the only one allowed to run short;
+    empty documents chunk to nothing. udtf_word_chunks keeps the
+    Python-UDTF SURFACE demo of this shape; this is the JVM path a
+    100 TB chunker actually takes.
+
+    Scale: ZERO data shuffles — one documents scan, the split runs
+    once per row, the window spine is a bounded explode (chunks per
+    doc = O(n/stride)) and each chunk is one array_join(slice(...)) —
+    pure codegen, no Python, no window function, no join; chunking
+    parallelism is exactly scan parallelism. The only exchange in the
+    returned plan is the presentation ORDER BY (the registry's
+    determinism convention); a production shard writer drops it and
+    the op is shuffle-free end-to-end."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id",
+            F.split(F.trim(F.col("text")), r"\s+").alias("t"),
+        )
+        .selectExpr(
+            "doc_id",
+            "t",
+            "size(t) AS n",
+            "CAST(1 + IF(size(t) > 64, (size(t) - 64 + 47) DIV 48, 0)"
+            " AS BIGINT) AS n_chunks",
+        )
+        .selectExpr(
+            "doc_id", "t", "n",
+            "explode(sequence(CAST(0 AS BIGINT), n_chunks - 1)) AS k",
+        )
+        .selectExpr(
+            "doc_id",
+            "CAST(k AS INT) AS chunk_idx",
+            "CAST(k * 48 + 1 AS INT) AS start_tok",
+            "CAST(least(64, n - k * 48) AS INT) AS n_toks",
+            "md5(array_join(slice(t, CAST(k * 48 + 1 AS INT),"
+            " CAST(least(64, n - k * 48) AS INT)), ' ')) AS chunk_md5",
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@_q(
+    "embed_matryoshka_recall",
+    """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), dims AS (SELECT unnest([16, 32, 64]) AS dim),
+    s AS (
+      SELECT dims.dim, e.vec_id, list_slice(e.v, 1, dims.dim) AS v,
+             sqrt(list_sum(list_transform(list_slice(e.v, 1, dims.dim),
+                                          y -> y * y))) AS nrm
+      FROM e CROSS JOIN dims
+    ), topk AS (
+      SELECT dim, query_id, neighbor_id FROM (
+        SELECT q.dim, q.vec_id AS query_id, x.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.dim, q.vec_id
+                 ORDER BY round(list_dot_product(q.v, x.v)
+                                / (q.nrm * x.nrm), 6) DESC,
+                          x.vec_id) AS rank
+        FROM s q JOIN s x ON x.dim = q.dim AND x.vec_id <> q.vec_id
+        WHERE q.vec_id < 10)
+      WHERE rank <= 5
+    ), exact AS (
+      SELECT query_id, neighbor_id FROM topk WHERE dim = 64
+    ), tot AS (
+      SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+             CAST(count(*) AS BIGINT) AS n_pairs FROM exact
+    ), hits AS (
+      SELECT t.dim, CAST(count(*) AS BIGINT) AS h
+      FROM topk t JOIN exact e
+        ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id
+      GROUP BY t.dim
+    )
+    SELECT CAST(dims.dim AS INT) AS dim, tot.n_queries,
+           CAST(coalesce(hits.h, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(coalesce(hits.h, 0) * 1000000
+                         // nullif(tot.n_pairs, 0), 0) AS BIGINT)
+             AS recall_ppm
+    FROM dims CROSS JOIN tot
+    LEFT JOIN hits ON hits.dim = dims.dim
+    ORDER BY dim
+    """,
+)
+def embed_matryoshka_recall(spark, sf_dir):
+    """Truncated-dimension retrieval eval — the Matryoshka question
+    (Kusupati et al., "Matryoshka Representation Learning", NeurIPS
+    2022): serve search on only the first d dimensions of each
+    embedding and measure recall@5 against the full-width baseline, at
+    d ∈ {16, 32, 64}. The d = 64 row IS the baseline (recall = 1e6 by
+    construction — pinned), so the curve reads as what each 2x/4x
+    serving-cost cut costs in recall; the dot product's cost scales
+    with d, which is exactly why a vector service truncates. These
+    synthetic embeddings are not MRL-trained, so the low-d recall
+    drop is the honest untrained-prefix number.
+
+    Scale: per dim the certified brute-force posture — the bounded
+    query slice broadcast onto one corpus pass, prefix slice applied
+    BEFORE the dot product so the scoring cost actually shrinks with
+    d; ranking on the rounded cosine with the id tie-break
+    (deterministic cross-engine); the bounded <=50-row baseline is
+    localCheckpointed once (its three consumers would otherwise each
+    re-run the full-width scoring pass); the eval rolls onto the
+    broadcast dim grid via LEFT JOIN (empty-slice-safe, the
+    probe-curve shape).
+    At corpus-sized query volume the same truncation composes with
+    the IVF tier unchanged (slice, then bucket)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    parts = []
+    for dim in (16, 32, 64):
+        sl = emb.select(
+            "vec_id", F.slice(F.col("embedding"), 1, dim).alias("embedding")
+        )
+        tk = SIM.cosine_topk(sl, sl.filter(F.col("vec_id") < 10), k=5)
+        parts.append(
+            tk.select(
+                F.lit(dim).cast("int").alias("dim"),
+                "query_id",
+                "neighbor_id",
+            )
+        )
+    topk = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    # the baseline is consumed three times (the hit join, the totals,
+    # and conceptually the d=64 curve row); left lazy each consumer
+    # re-runs the full-width scoring pass (measured: 10 embeddings
+    # scans) — it is a bounded <=50-row frame, so materialize it once
+    exact = (
+        topk.filter(F.col("dim") == 64)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    tot = exact.agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        F.count("*").cast("long").alias("n_pairs"),
+    )
+    hits = (
+        topk.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("dim")
+        .agg(F.count("*").cast("long").alias("h"))
+    )
+    dims_dim = spark.range(1).selectExpr(
+        "explode(array(16, 32, 64)) AS dim"
+    )
+    return (
+        dims_dim.crossJoin(F.broadcast(tot))
+        .join(hits, "dim", "left")
+        .selectExpr(
+            "CAST(dim AS INT) AS dim",
+            "n_queries",
+            "CAST(coalesce(h, 0) AS BIGINT) AS n_hits",
+            "CAST(coalesce(coalesce(h, 0) * 1000000"
+            " DIV nullif(n_pairs, 0), 0) AS BIGINT) AS recall_ppm",
+        )
+        .orderBy("dim")
+    )
+
+
 @_q("sim_ann_lsh", SIM.srp_ann_oracle_sql(k=5, dim=64))
 def sim_ann_lsh(spark, sf_dir):
     """Approximate top-5 cosine neighbors per query vector (vec_id < 10)
@@ -23735,6 +23926,8 @@ _GRADE_NEXT: list[str] = [
     "dq_t_closeness",
     "sim_ivf_filtered_probe_curve",
     "dq_release_ladder",
+    "text_chunk_windows",
+    "embed_matryoshka_recall",
     # r06-cohort certificates left after the round-13 promotion (8)
     "text_quality",
     "text_token_counts",

@@ -2567,6 +2567,42 @@ def test_release_ladder_single_pass_checkpoint(spark):
     assert "BatchEvalPython" not in plan, plan
 
 
+def test_chunk_windows_single_scan_no_shuffle(spark):
+    """text_chunk_windows (round 13): one documents scan, the window
+    spine as a bounded Generate (explode), no join, no window
+    function, no Python — chunking parallelism IS scan parallelism.
+    The only exchange allowed is the presentation ORDER BY's range
+    exchange (the registry determinism convention); a second exchange
+    means the chunker grew a shuffle."""
+    plan = _plan(spark, "text_chunk_windows")
+    assert plan.count("documents.parquet") == 1, plan
+    assert "Generate" in plan, plan
+    assert "Join" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_matryoshka_recall_broadcast_sliced_scoring(spark):
+    """embed_matryoshka_recall (round 13): each dim's scoring must be
+    the certified broadcast-batch pass (BroadcastNestedLoopJoin over
+    the bounded query slice — CartesianProduct forbidden) with the
+    prefix slice applied scan-side, ranking windows
+    query_id-partitioned, no Python, and at most 6 embeddings scans
+    (corpus + query slice per dim; the baseline reuses the d=64
+    branch)."""
+    import re as _re
+
+    plan = _plan(spark, "embed_matryoshka_recall")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    bad = _re.findall(r"windowspecdefinition\(cosine#", plan)
+    assert not bad, (bad, plan)
+    assert plan.count("embeddings.parquet") <= 6, plan
+
+
 def test_t_closeness_one_scan_bounded_spine(spark):
     """dq_t_closeness (round 13): the EMD audit must stay one
     corpus-width pass — a single customer scan feeding Expand (the

@@ -12164,6 +12164,132 @@ def test_release_ladder_closures_and_decision(spark):
     assert got[0].t_ppm >= got[1].t_ppm
 
 
+def test_chunk_windows_replica_and_coverage(spark):
+    """text_chunk_windows: exact Python replica of the strided
+    chunker (64-token windows, stride 48, md5 of the reconstructed
+    chunk text); the coverage law — every token index of every
+    non-empty document falls inside at least one window; the
+    closed-form count law n_chunks = 1 + ceil(max(n - 64, 0)/48); the
+    only-last-window-short law; and non-vacuity (this corpus must
+    contain multi-chunk documents, or stride/overlap semantics are
+    untested)."""
+    import hashlib
+    import re
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("documents", ["doc_id", "text"])
+    expect = {}
+    per_doc = defaultdict(list)
+    for doc_id, text in rows:
+        if not text.strip():
+            continue
+        t = re.split(r"\s+", text.strip())
+        n = len(t)
+        n_chunks = 1 + max(0, -(-(n - 64) // 48)) if n > 64 else 1
+        for k in range(n_chunks):
+            start = k * 48
+            toks = t[start : start + 64]
+            expect[(doc_id, k)] = (
+                start + 1,
+                len(toks),
+                hashlib.md5(" ".join(toks).encode()).hexdigest(),
+            )
+            per_doc[doc_id].append((start, len(toks), n))
+
+    got = {
+        (r.doc_id, r.chunk_idx): (r.start_tok, r.n_toks, r.chunk_md5)
+        for r in REGISTRY["text_chunk_windows"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+    for doc_id, chunks in per_doc.items():
+        n = chunks[0][2]
+        covered = set()
+        for start, ln, _n in chunks:
+            covered.update(range(start, start + ln))
+        assert covered == set(range(n)), doc_id
+        # every window but the last is full-width
+        for start, ln, _n in chunks[:-1]:
+            assert ln == 64, (doc_id, start, ln)
+
+    assert any(len(c) > 1 for c in per_doc.values()), (
+        "corpus too degenerate: no document spans multiple windows"
+    )
+
+
+def test_matryoshka_recall_replica_and_baseline(spark):
+    """embed_matryoshka_recall: Python replica of the truncated-prefix
+    recall curve at d in {16, 32, 64}; the d = 64 row must read recall
+    = 1e6 exactly (it IS the baseline); and non-vacuity — the d = 16
+    prefix must lose recall on this corpus, or the curve distinguishes
+    nothing."""
+    import math
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("embeddings", ["vec_id", "embedding"])
+    vecs = {r[0]: [float(x) for x in r[1]] for r in rows}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(
+            sum(x * x for x in b)
+        )
+        return round(num / den, 6)
+
+    topk = {}
+    for dim in (16, 32, 64):
+        for qid, qv in vecs.items():
+            if qid >= 10:
+                continue
+            ranked = sorted(
+                (
+                    (-cos(qv[:dim], cv[:dim]), nid)
+                    for nid, cv in vecs.items()
+                    if nid != qid
+                )
+            )[:5]
+            topk[(dim, qid)] = {nid for _c, nid in ranked}
+
+    exact = {
+        (qid, nid)
+        for (dim, qid), nids in topk.items()
+        if dim == 64
+        for nid in nids
+    }
+    n_pairs = len(exact)
+    expect = {}
+    for dim in (16, 32, 64):
+        hits = sum(
+            1
+            for (d, qid), nids in topk.items()
+            if d == dim
+            for nid in nids
+            if (qid, nid) in exact
+        )
+        expect[dim] = (
+            len({q for q, _n in exact}),
+            hits,
+            hits * 1_000_000 // n_pairs,
+        )
+
+    got = {
+        r.dim: (r.n_queries, r.n_hits, r.recall_ppm)
+        for r in REGISTRY["embed_matryoshka_recall"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    assert got == expect
+    assert got[64][2] == 1_000_000
+    assert got[16][2] < 1_000_000, (
+        "corpus too degenerate: the 16-dim prefix loses nothing"
+    )
+
+
 def test_t_closeness_emd_replica_and_laws(spark):
     """dq_t_closeness: exact Python replica of the per-class ordered
     Earth Mover's Distance at both lattice levels — floor-of-cumsum
