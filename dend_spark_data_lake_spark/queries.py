@@ -1753,6 +1753,16 @@ def text_chunk_windows(spark, sf_dir):
     returned plan is the presentation ORDER BY (the registry's
     determinism convention); a production shard writer drops it and
     the op is shuffle-free end-to-end."""
+    return _chunk_windows_frame(spark, sf_dir).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+def _chunk_windows_frame(spark, sf_dir):
+    """text_chunk_windows' dataflow without the presentation sort —
+    shared with curation_chunk_dedup_tax so the chunk grain the tax
+    report prices is EXACTLY the certified chunker's output (one
+    source; the pinned closure cannot drift)."""
     d = _t(spark, sf_dir, "documents")
     return (
         d.filter(F.trim(F.col("text")) != "")
@@ -1779,7 +1789,127 @@ def text_chunk_windows(spark, sf_dir):
             "md5(array_join(slice(t, CAST(k * 48 + 1 AS INT),"
             " CAST(least(64, n - k * 48) AS INT)), ' ')) AS chunk_md5",
         )
-        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@_q(
+    "curation_chunk_dedup_tax",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE trim(text) <> ''
+    ), spec AS (
+      SELECT doc_id, t, len(t) AS n,
+             1 + (CASE WHEN len(t) > 64 THEN (len(t) - 64 + 47) // 48
+                       ELSE 0 END) AS n_chunks
+      FROM toks
+    ), ch AS (
+      SELECT CAST(least(64, n - u.k * 48) AS BIGINT) AS n_toks,
+             md5(array_to_string(
+                   list_slice(t, u.k * 48 + 1,
+                              u.k * 48 + least(64, n - u.k * 48)), ' '))
+               AS h
+      FROM spec, LATERAL (SELECT unnest(range(0, n_chunks)) AS k) u
+    ), chunk_stats AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_chunks,
+             CAST(sum(toks) AS BIGINT) AS chunk_tokens,
+             CAST(sum(toks) - sum(rep_toks) AS BIGINT)
+               AS dup_chunk_tokens
+      FROM (
+        SELECT h, count(*) AS c, sum(n_toks) AS toks,
+               min(n_toks) AS rep_toks
+        FROM ch GROUP BY h)
+    ), doc_stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS doc_tokens,
+             CAST(sum(toks) - sum(rep_toks) AS BIGINT) AS dup_doc_tokens
+      FROM (
+        SELECT h, sum(n) AS toks, min(n) AS rep_toks
+        FROM (SELECT md5(array_to_string(t, ' ')) AS h, n FROM spec)
+        GROUP BY h)
+    )
+    SELECT d.n_docs, d.doc_tokens, c.n_chunks, c.chunk_tokens,
+           CAST(c.chunk_tokens * 1000000 // d.doc_tokens AS BIGINT)
+             AS overlap_tax_ppm,
+           d.dup_doc_tokens, c.dup_chunk_tokens,
+           CAST(d.dup_doc_tokens * 1000000 // d.doc_tokens AS BIGINT)
+             AS doc_dup_ppm,
+           CAST(c.dup_chunk_tokens * 1000000 // c.chunk_tokens AS BIGINT)
+             AS chunk_dup_ppm
+    FROM doc_stats d CROSS JOIN chunk_stats c
+    """,
+)
+def curation_chunk_dedup_tax(spark, sf_dir):
+    """The DEDUP-BEFORE-OR-AFTER-CHUNKING decision, priced: exact-dup
+    token mass at DOCUMENT grain vs at CHUNK grain (the certified
+    text_chunk_windows grain — shared dataflow, closure-pinned), plus
+    the overlap tax the strided chunker itself charges (chunk tokens /
+    doc tokens in ppm: stride < window re-emits boundary tokens).
+    Chunk-grain dedup sees repeated SPANS that whole-document hashing
+    provably cannot (shared boilerplate, quoted passages, templated
+    sections — on this corpus doc-grain finds zero dup mass while
+    chunk grain finds real ppm), which is why production pipelines run
+    both, in this order: doc-exact first (cheap), then chunk-grain on
+    the survivors. Duplicate mass counts every copy beyond one
+    representative per hash; hashing is over the whitespace token
+    stream at both grains, so the two columns are the same question at
+    two granularities, not two normalizations.
+
+    Scale: two grain branches, each one documents scan + one
+    hash-keyed combinable aggregate (map-side partial sums) + a 1-row
+    rollup; the branches meet in a 1-row x 1-row broadcast cross join.
+    No window, no Python, no data-sized join — the report costs two
+    scans regardless of corpus size."""
+    ch = _chunk_windows_frame(spark, sf_dir)
+    chunk_stats = (
+        ch.groupBy("chunk_md5")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum("n_toks").cast("long").alias("toks"),
+            F.min("n_toks").cast("long").alias("rep_toks"),
+        )
+        .agg(
+            F.sum("c").cast("long").alias("n_chunks"),
+            F.sum("toks").cast("long").alias("chunk_tokens"),
+            (F.sum("toks") - F.sum("rep_toks"))
+            .cast("long")
+            .alias("dup_chunk_tokens"),
+        )
+    )
+    d = _t(spark, sf_dir, "documents")
+    doc_stats = (
+        d.filter(F.trim(F.col("text")) != "")
+        .select(F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+        .selectExpr(
+            "md5(array_join(t, ' ')) AS h",
+            "CAST(size(t) AS BIGINT) AS n",
+        )
+        .groupBy("h")
+        .agg(
+            F.sum("n").cast("long").alias("toks"),
+            F.min("n").cast("long").alias("rep_toks"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("toks").cast("long").alias("doc_tokens"),
+            (F.sum("toks") - F.sum("rep_toks"))
+            .cast("long")
+            .alias("dup_doc_tokens"),
+        )
+    )
+    return doc_stats.crossJoin(F.broadcast(chunk_stats)).selectExpr(
+        "n_docs",
+        "doc_tokens",
+        "n_chunks",
+        "chunk_tokens",
+        "CAST(chunk_tokens * 1000000 DIV doc_tokens AS BIGINT)"
+        " AS overlap_tax_ppm",
+        "dup_doc_tokens",
+        "dup_chunk_tokens",
+        "CAST(dup_doc_tokens * 1000000 DIV doc_tokens AS BIGINT)"
+        " AS doc_dup_ppm",
+        "CAST(dup_chunk_tokens * 1000000 DIV chunk_tokens AS BIGINT)"
+        " AS chunk_dup_ppm",
     )
 
 
@@ -23928,6 +24058,7 @@ _GRADE_NEXT: list[str] = [
     "dq_release_ladder",
     "text_chunk_windows",
     "embed_matryoshka_recall",
+    "curation_chunk_dedup_tax",
     # r06-cohort certificates left after the round-13 promotion (8)
     "text_quality",
     "text_token_counts",

@@ -2567,6 +2567,19 @@ def test_release_ladder_single_pass_checkpoint(spark):
     assert "BatchEvalPython" not in plan, plan
 
 
+def test_chunk_dedup_tax_two_scans_combinable(spark):
+    """curation_chunk_dedup_tax (round 13): exactly two documents
+    scans (one per grain branch), hash-keyed combinable aggregates
+    (map-side partials), the branches meeting in a 1-row broadcast
+    cross join — no window, no Python, no data-sized join."""
+    plan = _plan(spark, "curation_chunk_dedup_tax")
+    assert plan.count("documents.parquet") == 2, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_sum" in plan, plan
+
+
 def test_chunk_windows_single_scan_no_shuffle(spark):
     """text_chunk_windows (round 13): one documents scan, the window
     spine as a bounded Generate (explode), no join, no window

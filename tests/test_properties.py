@@ -12164,6 +12164,84 @@ def test_release_ladder_closures_and_decision(spark):
     assert got[0].t_ppm >= got[1].t_ppm
 
 
+def test_chunk_dedup_tax_replica_and_closures(spark):
+    """curation_chunk_dedup_tax: Python replica of the whole 1-row
+    report; closures against the certified chunker — n_chunks and
+    chunk_tokens equal text_chunk_windows rolled up; and the
+    non-vacuity that justifies the query: chunk-grain dedup must find
+    duplicate mass this corpus's doc-grain hashing misses
+    (chunk_dup_ppm > doc_dup_ppm), and the overlap tax must exceed
+    1e6 ppm (the stride genuinely re-emits boundary tokens)."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("documents", ["doc_id", "text"])
+    chunk_hist = Counter()
+    chunk_toks = {}
+    doc_hist = Counter()
+    doc_toks = {}
+    for _doc_id, text in rows:
+        if not text.strip():
+            continue
+        t = re.split(r"\s+", text.strip())
+        n = len(t)
+        dh = hashlib.md5(" ".join(t).encode()).hexdigest()
+        doc_hist[dh] += 1
+        doc_toks[dh] = n
+        n_chunks = 1 + max(0, -(-(n - 64) // 48)) if n > 64 else 1
+        for k in range(n_chunks):
+            toks = t[k * 48 : k * 48 + 64]
+            h = hashlib.md5(" ".join(toks).encode()).hexdigest()
+            chunk_hist[h] += 1
+            chunk_toks[h] = len(toks)
+
+    n_docs = len(doc_hist)
+    doc_tokens = sum(doc_hist[h] * doc_toks[h] for h in doc_hist)
+    dup_doc = sum((doc_hist[h] - 1) * doc_toks[h] for h in doc_hist)
+    n_chunks = sum(chunk_hist.values())
+    chunk_tokens = sum(chunk_hist[h] * chunk_toks[h] for h in chunk_hist)
+    dup_chunk = sum((chunk_hist[h] - 1) * chunk_toks[h] for h in chunk_hist)
+    expect = (
+        n_docs,
+        doc_tokens,
+        n_chunks,
+        chunk_tokens,
+        chunk_tokens * 1_000_000 // doc_tokens,
+        dup_doc,
+        dup_chunk,
+        dup_doc * 1_000_000 // doc_tokens,
+        dup_chunk * 1_000_000 // chunk_tokens,
+    )
+
+    [r] = REGISTRY["curation_chunk_dedup_tax"].fn(spark, SF_SMOKE).collect()
+    got = (
+        r.n_docs,
+        r.doc_tokens,
+        r.n_chunks,
+        r.chunk_tokens,
+        r.overlap_tax_ppm,
+        r.dup_doc_tokens,
+        r.dup_chunk_tokens,
+        r.doc_dup_ppm,
+        r.chunk_dup_ppm,
+    )
+    assert got == expect
+
+    chunks = REGISTRY["text_chunk_windows"].fn(spark, SF_SMOKE).collect()
+    assert r.n_chunks == len(chunks)
+    assert r.chunk_tokens == sum(c.n_toks for c in chunks)
+
+    assert r.chunk_dup_ppm > r.doc_dup_ppm, (
+        "corpus too degenerate: chunk grain sees nothing doc grain "
+        "misses"
+    )
+    assert r.overlap_tax_ppm > 1_000_000
+
+
 def test_chunk_windows_replica_and_coverage(spark):
     """text_chunk_windows: exact Python replica of the strided
     chunker (64-token windows, stride 48, md5 of the reconstructed
