@@ -1266,6 +1266,7 @@ def ivf_topk(
     centroid_mod: int = 100,
     n_probe: int = 2,
     round_digits: int = 6,
+    label_col: str | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k cosine neighbors.
 
@@ -1281,13 +1282,24 @@ def ivf_topk(
        never a full cross product. Recall < 1 by design (tested with a
        recall bound vs the exact baseline, not a hash oracle).
 
-    Returns (query_id, neighbor_id, cosine, rank).
+    ``label_col`` composes the vector-DB PRE-filter into the same body
+    (ONE source for the probe tie-break and ranking contracts — the
+    drift ADVICE r4 factored ivf_centroids/ivf_assignments to prevent):
+    the label rides the inverted file (``carry_cols``), candidate
+    generation becomes the (cid, label) equi-join, and the filter prunes
+    each probed bucket BEFORE any O(dim) dot product. Filtered recall is
+    < 1 twice over — the probe misses buckets AND a selective filter can
+    empty every probed bucket — the reason engines raise n_probe under
+    filters.
+
+    Returns (query_id, neighbor_id[, label], cosine, rank).
     """
     dv = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
     cent = ivf_centroids(corpus, id_col, vec_col, centroid_mod)
     cos_to_cent = lambda v: _dot(v, F.col("cv")) / (  # noqa: E731
         F.sqrt(_dot(v, v)) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
     )
+    lab = [label_col] if label_col else []
 
     assigned = ivf_assignments(
         corpus,
@@ -1295,9 +1307,12 @@ def ivf_topk(
         vec_col=vec_col,
         centroid_mod=centroid_mod,
         round_digits=round_digits,
+        carry_cols=tuple(lab),
     )
 
-    q = queries.select(F.col(id_col).alias("query_id"), dv(vec_col).alias("qv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), *lab, dv(vec_col).alias("qv")
+    )
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("__ccos").desc(), F.col("cid").asc()
     )
@@ -1306,16 +1321,21 @@ def ivf_topk(
         .withColumn("__ccos", F.round(cos_to_cent(F.col("qv")), round_digits))
         .withColumn("__r", F.row_number().over(w_probe))
         .filter(F.col("__r") <= n_probe)
-        .select("query_id", "qv", "cid")
+        .select("query_id", *lab, "qv", "cid")
     )
 
     cos = _dot(F.col("qv"), F.col("nv")) / (
         F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("nv"), F.col("nv")))
     )
     scored = (
-        probes.join(assigned, "cid")
+        probes.join(assigned, ["cid", *lab])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", F.round(cos, round_digits).alias("cosine"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            *lab,
+            F.round(cos, round_digits).alias("cosine"),
+        )
     )
     w_top = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -1323,8 +1343,67 @@ def ivf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w_top))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+        .select("query_id", "neighbor_id", *lab, "cosine", "rank")
     )
+
+
+
+def _label_pair_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    round_digits: int,
+    same_label: bool,
+    cast_labels: bool,
+) -> DataFrame:
+    """The label-predicated brute-force scoring core shared by
+    ``filtered_cosine_topk`` (same-label: the vector-DB pre-filter's
+    exact baseline) and ``hard_negative_topk`` (different-label:
+    contrastive hard-negative mining) — ONE body for the certified
+    deterministic shape (broadcast query block x one corpus scan, the
+    label predicate applied BEFORE the O(dim) dot product, double dots,
+    rounded cosine, (cosine desc, neighbor_id) tie-break), so the two
+    complements cannot drift apart. Returns
+    (query_id, __qlabel, neighbor_id, __nlabel, cosine, rank)."""
+    lab = (lambda c: F.col(c).cast("int")) if cast_labels else F.col
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        lab(label_col).alias("__qlabel"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        lab(label_col).alias("__nlabel"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__cv"),
+    )
+    label_pred = (
+        (F.col("__nlabel") == F.col("__qlabel"))
+        if same_label
+        else (F.col("__nlabel") != F.col("__qlabel"))
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        (F.col("neighbor_id") != F.col("query_id")) & label_pred
+    )
+    cos = _dot(F.col("__qv"), F.col("__cv")) / (
+        F.sqrt(_dot(F.col("__qv"), F.col("__qv")))
+        * F.sqrt(_dot(F.col("__cv"), F.col("__cv")))
+    )
+    scored = pairs.select(
+        "query_id",
+        "__qlabel",
+        "neighbor_id",
+        "__nlabel",
+        F.round(cos, round_digits).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= k)
 
 
 def filtered_cosine_topk(
@@ -1339,46 +1418,28 @@ def filtered_cosine_topk(
     """Exact PRE-filtered top-k: for each query vector, the k nearest
     corpus vectors carrying the query's OWN label (search my collection /
     tenant / language) — ``hard_negative_topk``'s complement (same-label
-    instead of different-label) and the exact ground truth the filtered
-    IVF tier (``ivf_filtered_topk``) measures its recall against.
-
-    Same plan shape as :func:`cosine_topk` — broadcast query block x one
-    corpus scan, JVM-side dot products, ranking on the ROUNDED cosine
-    with an id tie-break — with the label-equality predicate applied
-    BEFORE scoring so non-matching rows never pay the O(dim) dot
-    product. Returns (query_id, neighbor_id, label, cosine, rank).
-    """
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(label_col).alias("__qlabel"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(label_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__cv"),
-    )
-    pairs = c.crossJoin(F.broadcast(q)).filter(
-        (F.col("neighbor_id") != F.col("query_id"))
-        & (F.col(label_col) == F.col("__qlabel"))
-    )
-    cos = _dot(F.col("__qv"), F.col("__cv")) / (
-        F.sqrt(_dot(F.col("__qv"), F.col("__qv")))
-        * F.sqrt(_dot(F.col("__cv"), F.col("__cv")))
-    )
-    scored = pairs.select(
+    instead of different-label, one shared core: _label_pair_topk) and
+    the exact ground truth the filtered IVF tier
+    (``ivf_topk(label_col=...)``) measures its recall against. The label
+    predicate applies BEFORE scoring, so non-matching rows never pay the
+    O(dim) dot product. Returns (query_id, neighbor_id, label, cosine,
+    rank)."""
+    return _label_pair_topk(
+        corpus,
+        queries,
+        k,
+        id_col,
+        vec_col,
+        label_col,
+        round_digits,
+        same_label=True,
+        cast_labels=False,
+    ).select(
         "query_id",
         "neighbor_id",
-        label_col,
-        F.round(cos, round_digits).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", label_col, "cosine", "rank")
+        F.col("__nlabel").alias(label_col),
+        "cosine",
+        "rank",
     )
 
 
@@ -1393,75 +1454,25 @@ def ivf_filtered_topk(
     n_probe: int = 2,
     round_digits: int = 6,
 ) -> DataFrame:
-    """FILTERED vector search at the IVF tier: per-query top-k cosine
-    among inverted-file entries carrying the query's own label — the
-    vector-DB PRE-filter composed with the IVF probe. The label rides
-    the inverted file (``ivf_assignments(carry_cols=(label,))``), so
-    candidate generation is a (cid, label) EQUI-JOIN of the probe list
-    against the index: the filter prunes each probed bucket BEFORE any
-    O(dim) dot product, and the corpus is never cross-joined against
-    the query batch — the composition ``sim_filtered_topk``'s docstring
-    documents (intersect the filter with the probe lists), executable.
-
-    Recall < 1 by design twice over: the probe misses buckets (the IVF
-    approximation) and a selective filter can empty every probed bucket
-    — the reason production engines size n_probe UP under filters.
-    Scoring/ranking is the certified deterministic shape (double dots,
-    rounded cosine, (cosine desc, neighbor_id) tie-break), so the full
-    result carries an ANSI-SQL oracle like the rest of the IVF family.
+    """FILTERED vector search at the IVF tier — ``ivf_topk`` with the
+    label pre-filter composed in (one shared body; see its docstring
+    for the posture). Kept as a named entry point so the filtered tier
+    reads as a first-class member of the family.
 
     Returns (query_id, neighbor_id, label, cosine, rank).
     """
-    dv = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
-    cent = ivf_centroids(corpus, id_col, vec_col, centroid_mod)
-    assigned = ivf_assignments(
+    return ivf_topk(
         corpus,
+        queries,
+        k,
         id_col=id_col,
         vec_col=vec_col,
         centroid_mod=centroid_mod,
+        n_probe=n_probe,
         round_digits=round_digits,
-        carry_cols=(label_col,),
+        label_col=label_col,
     )
-    cos_to_cent = lambda v: _dot(v, F.col("cv")) / (  # noqa: E731
-        F.sqrt(_dot(v, v)) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(label_col),
-        dv(vec_col).alias("qv"),
-    )
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.col("__ccos").desc(), F.col("cid").asc()
-    )
-    probes = (
-        q.crossJoin(F.broadcast(cent))
-        .withColumn("__ccos", F.round(cos_to_cent(F.col("qv")), round_digits))
-        .withColumn("__r", F.row_number().over(w_probe))
-        .filter(F.col("__r") <= n_probe)
-        .select("query_id", label_col, "qv", "cid")
-    )
-    cos = _dot(F.col("qv"), F.col("nv")) / (
-        F.sqrt(_dot(F.col("qv"), F.col("qv")))
-        * F.sqrt(_dot(F.col("nv"), F.col("nv")))
-    )
-    scored = (
-        probes.join(assigned, ["cid", label_col])
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            label_col,
-            F.round(cos, round_digits).alias("cosine"),
-        )
-    )
-    w_top = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w_top).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", label_col, "cosine", "rank")
-    )
+
 
 
 def hard_negative_topk(
@@ -1477,53 +1488,35 @@ def hard_negative_topk(
     vector, the k nearest corpus vectors with a DIFFERENT label — the
     negatives closest to the decision boundary, which dominate the
     contrastive gradient (cf. Robinson et al., "Contrastive Learning with
-    Hard Negative Samples", ICLR 2021).
-
-    Same plan shape as :func:`cosine_topk` (broadcast query block ×
-    one corpus scan, JVM-side ``zip_with`` dot products, ranking on the
-    ROUNDED cosine with an id tie-break so both engines rank identically)
-    plus the label-mismatch predicate, which is applied BEFORE scoring so
-    same-label rows never pay the O(dim) dot product.
+    Hard Negative Samples", ICLR 2021). ``filtered_cosine_topk``'s
+    complement over the shared label-predicated core (_label_pair_topk):
+    broadcast query block x one corpus scan, JVM-side dot products, the
+    label-mismatch predicate applied BEFORE scoring so same-label rows
+    never pay the O(dim) dot product, ranking on the ROUNDED cosine with
+    an id tie-break so both engines rank identically.
 
     Scale posture (100 TB): exact brute force is the per-batch baseline —
     queries broadcast (bounded by contract), corpus scanned once, no
     shuffle. When the query block itself is corpus-sized, swap the scan
     for the IVF route (``ivf_topk``): bucket both sides by nearest
     centroid and score only within probed buckets — the label predicate
-    composes unchanged.
+    composes unchanged (``label_col=``).
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(label_col).cast("int").alias("query_label"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(label_col).cast("int").alias("neighbor_label"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__cv"),
-    )
-    pairs = c.crossJoin(F.broadcast(q)).filter(
-        (F.col("neighbor_id") != F.col("query_id"))
-        & (F.col("neighbor_label") != F.col("query_label"))
-    )
-    cos = _dot(F.col("__qv"), F.col("__cv")) / (
-        F.sqrt(_dot(F.col("__qv"), F.col("__qv")))
-        * F.sqrt(_dot(F.col("__cv"), F.col("__cv")))
-    )
-    scored = pairs.select(
+    return _label_pair_topk(
+        corpus,
+        queries,
+        k,
+        id_col,
+        vec_col,
+        label_col,
+        round_digits,
+        same_label=False,
+        cast_labels=True,
+    ).select(
         "query_id",
-        "query_label",
+        F.col("__qlabel").alias("query_label"),
         "neighbor_id",
-        "neighbor_label",
-        F.round(cos, round_digits).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "query_label", "neighbor_id", "neighbor_label", "cosine", "rank"
-        )
+        F.col("__nlabel").alias("neighbor_label"),
+        "cosine",
+        "rank",
     )

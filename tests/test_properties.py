@@ -12367,6 +12367,14 @@ def test_matryoshka_recall_replica_and_baseline(spark):
         "corpus too degenerate: the 16-dim prefix loses nothing"
     )
 
+    # cross-query closure: sim_truncated_dim_recall is the per-query
+    # DETAIL view of this curve's d=16 point — its n_overlap rolls up
+    # to exactly that row's hit count
+    detail = (
+        REGISTRY["sim_truncated_dim_recall"].fn(spark, SF_SMOKE).collect()
+    )
+    assert got[16][1] == sum(r.n_overlap for r in detail)
+
 
 def test_t_closeness_emd_replica_and_laws(spark):
     """dq_t_closeness: exact Python replica of the per-class ordered
