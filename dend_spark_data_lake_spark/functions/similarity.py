@@ -1299,10 +1299,17 @@ def ivf_topk(
     cos_to_cent = lambda v: _dot(v, F.col("cv")) / (  # noqa: E731
         F.sqrt(_dot(v, v)) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
     )
-    lab = [label_col] if label_col else []
+    # The label rides the join under an INTERNAL alias (the __qlabel/
+    # __nlabel convention _label_pair_topk uses): a caller's label column
+    # named cid/qv/nv/query_id/neighbor_id must not collide with the
+    # internal columns and corrupt the equi-join (ADVICE r13). Re-aliased
+    # back to the caller's name on output.
+    lab = ["__ivf_label"] if label_col else []
 
     assigned = ivf_assignments(
-        corpus,
+        corpus.withColumnRenamed(label_col, "__ivf_label")
+        if label_col
+        else corpus,
         id_col=id_col,
         vec_col=vec_col,
         centroid_mod=centroid_mod,
@@ -1311,7 +1318,9 @@ def ivf_topk(
     )
 
     q = queries.select(
-        F.col(id_col).alias("query_id"), *lab, dv(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        *([F.col(label_col).alias("__ivf_label")] if label_col else []),
+        dv(vec_col).alias("qv"),
     )
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("__ccos").desc(), F.col("cid").asc()
@@ -1340,10 +1349,11 @@ def ivf_topk(
     w_top = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
+    out_lab = [F.col("__ivf_label").alias(label_col)] if label_col else []
     return (
         scored.withColumn("rank", F.row_number().over(w_top))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", *lab, "cosine", "rank")
+        .select("query_id", "neighbor_id", *out_lab, "cosine", "rank")
     )
 
 

@@ -23,6 +23,7 @@ Determinism rules used throughout (so cross-engine hashes match):
 
 from __future__ import annotations
 
+import itertools
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -1777,7 +1778,27 @@ def _chunk_windows_frame(spark, sf_dir):
     """text_chunk_windows' dataflow without the presentation sort —
     shared with curation_chunk_dedup_tax so the chunk grain the tax
     report prices is EXACTLY the certified chunker's output (one
-    source; the pinned closure cannot drift)."""
+    source; the pinned closure cannot drift). Built on
+    ``_chunk_slices_frame`` (the round-14 refactor that exposes the
+    token slices themselves to the chunk-grain NEAR-dup family without
+    a second chunker implementation); the md5 projection collapses into
+    the same shuffle-free codegen plan."""
+    return _chunk_slices_frame(spark, sf_dir).selectExpr(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        "n_toks",
+        "md5(array_join(ctoks, ' ')) AS chunk_md5",
+    )
+
+
+def _chunk_slices_frame(spark, sf_dir):
+    """The certified 64/48 strided chunker down to the token slices:
+    (doc_id, chunk_idx, start_tok, n_toks, ctoks) with ``ctoks`` the
+    chunk's token array — ONE chunker source shared by
+    text_chunk_windows / curation_chunk_dedup_tax (md5 view) and the
+    chunk-grain near-dup family (shingle view). Shuffle-free: scan,
+    bounded explode, slice — pure codegen."""
     d = _t(spark, sf_dir, "documents")
     return (
         d.filter(F.trim(F.col("text")) != "")
@@ -1801,8 +1822,8 @@ def _chunk_windows_frame(spark, sf_dir):
             "CAST(k AS INT) AS chunk_idx",
             "CAST(k * 48 + 1 AS INT) AS start_tok",
             "CAST(least(64, n - k * 48) AS INT) AS n_toks",
-            "md5(array_join(slice(t, CAST(k * 48 + 1 AS INT),"
-            " CAST(least(64, n - k * 48) AS INT)), ' ')) AS chunk_md5",
+            "slice(t, CAST(k * 48 + 1 AS INT),"
+            " CAST(least(64, n - k * 48) AS INT)) AS ctoks",
         )
     )
 
@@ -12594,7 +12615,7 @@ def dq_l_diversity(spark, sf_dir):
       FROM spine
     ), emd AS (
       SELECT gl, nat, seg, k,
-             CAST(sum(d) // (max(m) - 1) AS BIGINT) AS emd_ppm
+             CAST(sum(d) // greatest(max(m) - 1, 1) AS BIGINT) AS emd_ppm
       FROM cum GROUP BY gl, nat, seg, k
     )
     SELECT CAST(gl + 1 AS INT) AS level,
@@ -12680,7 +12701,7 @@ def dq_t_closeness(spark, sf_dir):
           FROM spine
         ), emd AS (
           SELECT gl, nat, seg, k,
-                 CAST(sum(d) DIV (max(m) - 1) AS BIGINT) AS emd_ppm
+                 CAST(sum(d) DIV greatest(max(m) - 1, 1) AS BIGINT) AS emd_ppm
           FROM cum GROUP BY gl, nat, seg, k
         )
         SELECT CAST(gl + 1 AS INT) AS level,
@@ -12748,7 +12769,7 @@ def dq_t_closeness(spark, sf_dir):
       SELECT level, nat, seg, bkey, k,
              CAST(count(*) FILTER (WHERE cn > 0) AS BIGINT) AS l,
              CAST(sum(abs(CAST(sum_cn AS BIGINT) * 1000000 // k
-                          - cum_gn * 1000000 // total)) // (max(m) - 1)
+                          - cum_gn * 1000000 // total)) // greatest(max(m) - 1, 1)
                   AS BIGINT) AS emd_ppm
       FROM (
         SELECT level, nat, seg, bkey, k, band, cum_gn, total, m, cn,
@@ -12806,34 +12827,39 @@ def dq_release_ladder(spark, sf_dir):
     release against all three privacy models costs the same corpus
     I/O as auditing against one."""
     g = _release_ladder_rollup(spark, sf_dir).localCheckpoint(eager=True)
-    g.createOrReplaceTempView("ladder_g")
-    return spark.sql(
-        """
+    # Per-invocation view name, dropped right after the plan is built
+    # (sql() resolves the view eagerly, so the returned DataFrame keeps
+    # working after the drop): a fixed name would squat in the shared
+    # session catalog and collide with any other user of it (ADVICE r13).
+    view = f"ladder_g_{next(_LADDER_VIEW_SEQ)}"
+    g.createOrReplaceTempView(view)
+    plan = spark.sql(
+        f"""
         WITH gt AS (
           SELECT band,
                  CAST(sum(n) OVER (ORDER BY band) AS BIGINT) AS cum_gn,
                  CAST(sum(n) OVER () AS BIGINT) AS total,
                  CAST(count(*) OVER () AS BIGINT) AS m
-          FROM ladder_g WHERE gnat = 1
+          FROM {view} WHERE gnat = 1
         ), cls AS (
           SELECT 0 AS level, nat, seg, band AS bkey, n AS k
-          FROM ladder_g WHERE gnat = 0 AND gseg = 0 AND gband = 0
+          FROM {view} WHERE gnat = 0 AND gseg = 0 AND gband = 0
           UNION ALL
           SELECT 1, nat, seg, CAST(NULL AS BIGINT), n
-          FROM ladder_g WHERE gnat = 0 AND gseg = 0 AND gband = 1
+          FROM {view} WHERE gnat = 0 AND gseg = 0 AND gband = 1
           UNION ALL
           SELECT 2, nat, CAST(NULL AS STRING), CAST(NULL AS BIGINT), n
-          FROM ladder_g WHERE gnat = 0 AND gseg = 1 AND gband = 1
+          FROM {view} WHERE gnat = 0 AND gseg = 1 AND gband = 1
         ), cb AS (
           SELECT 0 AS level, nat, seg, band AS bkey, band, n
-          FROM ladder_g WHERE gnat = 0 AND gseg = 0 AND gband = 0
+          FROM {view} WHERE gnat = 0 AND gseg = 0 AND gband = 0
           UNION ALL
           SELECT 1, nat, seg, CAST(NULL AS BIGINT), band, n
-          FROM ladder_g WHERE gnat = 0 AND gseg = 0 AND gband = 0
+          FROM {view} WHERE gnat = 0 AND gseg = 0 AND gband = 0
           UNION ALL
           SELECT 2, nat, CAST(NULL AS STRING), CAST(NULL AS BIGINT),
                  band, n
-          FROM ladder_g WHERE gnat = 0 AND gseg = 1 AND gband = 0
+          FROM {view} WHERE gnat = 0 AND gseg = 1 AND gband = 0
         ), spine AS (
           SELECT c.level, c.nat, c.seg, c.bkey, c.k, t.band, t.cum_gn,
                  t.total, t.m, coalesce(b.n, 0) AS cn
@@ -12846,7 +12872,7 @@ def dq_release_ladder(spark, sf_dir):
                  CAST(count(IF(cn > 0, 1, NULL)) AS BIGINT) AS l,
                  CAST(sum(abs(CAST(sum_cn AS BIGINT) * 1000000 DIV k
                               - cum_gn * 1000000 DIV total))
-                      DIV (max(m) - 1) AS BIGINT) AS emd_ppm
+                      DIV greatest(max(m) - 1, 1) AS BIGINT) AS emd_ppm
           FROM (
             SELECT level, nat, seg, bkey, k, band, cum_gn, total, m, cn,
                    sum(cn) OVER (PARTITION BY level, nat, seg, bkey
@@ -12867,6 +12893,8 @@ def dq_release_ladder(spark, sf_dir):
         FROM percls GROUP BY level ORDER BY level
         """
     )
+    spark.catalog.dropTempView(view)
+    return plan
 
 
 def _release_ladder_rollup(spark, sf_dir):
@@ -19506,6 +19534,11 @@ def pipeline_bpe_encode(spark, sf_dir):
 #: by contract, never corpus-sized.
 _SESSION_CACHES: list = []
 
+# Per-invocation sequence for dq_release_ladder's temp-view names: a
+# fixed view name would persist in (and collide within) the shared
+# session catalog (ADVICE r13).
+_LADDER_VIEW_SEQ = itertools.count()
+
 
 def _keep_cached(df):
     """Persist a BOUNDED frame for the session and register it with the
@@ -19525,7 +19558,13 @@ def release_session_caches() -> None:
     embed_matryoshka_recall's baseline) are NOT in this registry — their
     RDD blocks have no public release API and are reclaimed by the
     ContextCleaner when the frame is garbage-collected; both are
-    grid-/baseline-sized by contract."""
+    grid-/baseline-sized by contract. Collect-before-release contract
+    (ADVICE r13): pack_sequences_bpe / pack_append_bpe return LAZY
+    frames that read their registered vocabulary cache — collect (or
+    checkpoint) the result BEFORE calling this, as every in-repo
+    harness does (oracle_sweep, conftest teardown, bench), else the
+    frame silently re-trains the BPE vocabulary uncached on the next
+    action (a performance trap, never a wrong answer)."""
     while _SESSION_CACHES:
         _SESSION_CACHES.pop().unpersist()
 
@@ -20184,6 +20223,8 @@ def pack_sequences_bpe(spark, sf_dir):
     from .operators.packing import greedy_pack
 
     priced, v = _bpe_priced_docs(spark, sf_dir)
+    # Collect-before-release: the returned frame is LAZY over this
+    # registered vocabulary cache — see release_session_caches.
     _SESSION_CACHES.append(v)
     return greedy_pack(
         priced, "doc_id", "cost", budget=BPE_PACK_BUDGET, docs_per_shard=64
@@ -20536,6 +20577,8 @@ def pack_append_bpe(spark, sf_dir):
     from .operators.packing import greedy_pack
 
     priced, v = _bpe_append_priced_docs(spark, sf_dir)
+    # Collect-before-release: the returned frame is LAZY over this
+    # registered vocabulary cache — see release_session_caches.
     _SESSION_CACHES.append(v)
     packed = greedy_pack(
         priced,
@@ -23445,29 +23488,86 @@ def text_word_length_profile(spark, sf_dir):
 # order). Registration order above is topical; the driver-facing order below
 # is a rotation policy: queries not yet externally certified come first.
 #
-# ROUND-13 WINDOW (50 slots) — VERDICT r12 ask #1: the 8 queue-front
-# entries lead (the 5 never-driver-graded round-12 additions in queue
-# order — all judge-certified green at sf0.01 AND sf0.1 in VERDICT r12
-# — then the last 3 r05-cohort re-certs that CLOSE that backlog),
-# followed by the first 42 of the 50-entry r06-cohort re-certification
-# backlog in CORRECTNESS_r06 grading order (oldest-certificate-first;
-# the 4 rows-only sketches stay excluded from re-certification by
-# design — VERDICT r4 ask #5, enforced by
-# test_grading_window_invariants). The remaining 8 r06-cohort entries
-# close that backlog in the round-14 window.
+# ROUND-14 WINDOW (50 slots) — VERDICT r13 "what's missing" #1: the full
+# 17-entry queue leads (the 9 never-driver-graded round-13 additions in
+# queue order — all judge-certified green at sf0.01 AND sf0.1 in the
+# r13 VERDICT sweeps — then the last 8 r06-cohort re-certs that CLOSE
+# that backlog), followed by the first 33 of the 50-entry r07-cohort
+# re-certification backlog in CORRECTNESS_r07 grading order
+# (oldest-certificate-first). The remaining 17 r07-cohort entries queue
+# for the round-15 window.
 _GRADE_FIRST = [
-    # round-12 additions, never driver-graded (queue order)
+    # round-13 additions, never driver-graded (queue order)
+    "sim_ivf_filtered",
+    "pack_append_bpe",
+    "dq_l_diversity",
+    "dq_t_closeness",
+    "sim_ivf_filtered_probe_curve",
+    "dq_release_ladder",
+    "text_chunk_windows",
+    "embed_matryoshka_recall",
+    "curation_chunk_dedup_tax",
+    # last 8 r06-cohort re-certifications (backlog closed)
+    "text_quality",
+    "text_token_counts",
+    "text_fingerprint",
+    "text_langid",
+    "multimodal_bytes",
+    "pipeline_llm_corpus",
+    "dedup_semantic_corpus",
+    "dedup_clusters",
+    # r07-cohort re-certifications (first 33 of 50, CORRECTNESS_r07
+    # order)
+    "sketch_cms_heavy_hitters",
+    "dq_split_leak_audit",
+    "sample_weighted_reservoir",
+    "dp_laplace_release",
+    "sim_hard_negatives",
+    "pack_length_buckets",
+    "shard_balance_audit",
+    "dq_bloom_filter_audit",
+    "curation_source_cap",
+    "curation_token_budget",
+    "join_asof_tolerance",
+    "ids_global_stable",
+    "epoch_shuffle_schedule",
+    "stats_bootstrap_ci",
+    "lake_compaction_plan",
+    "dq_zonemap_pruning_audit",
+    "dq_zorder_pruning_gain",
+    "multimodal_payload_entropy",
+    "dedup_cc_incremental",
+    "sim_truncated_dim_recall",
+    "stream_state_size_estimate",
+    "corpus_interleave_schedule",
+    "events_markov_entropy_rate",
+    "curation_quality_dedup_matrix",
+    "embed_centroid_drift",
+    "dedup_corpus",
+    "dedup_embedding_cosine",
+    "join_fuzzy_levenshtein",
+    "sample_det_hash",
+    "split_train_valid_test",
+    "sample_stratified",
+    "udf_pandas_scalar",
+    "udf_grouped_agg",
+]
+
+
+# Certified in CORRECTNESS_r13 (50/50 green: rows+schema+hash — first
+# driver rows for the 5 round-12 additions, the last 3 r05 re-certs,
+# and the first 42 r06-cohort re-certs). Demoted behind the round-14
+# window; kept explicit so the rotation history stays auditable in one
+# place.
+_GRADE_DONE_R13 = [
     "pack_sequences_bpe",
     "pack_budget_curve",
     "pack_sequences_append",
     "sim_filtered_topk",
     "dq_k_anonymity",
-    # last 3 r05-cohort re-certifications (backlog closed)
     "embed_ood_maxcos",
     "ts_seasonal_backtest",
     "agg_trimmed_mean",
-    # r06-cohort re-certifications (first 42 of 50, CORRECTNESS_r06
-    # order)
     "split_leakage_safe",
     "split_cluster_safe",
     "ref_pricing_summary",
@@ -24041,31 +24141,30 @@ _GRADE_DONE_R04 = [
 ]
 
 
-# Behind the window, queued for the round-14 rotation: the last 8
-# entries of the r06-cohort re-certification backlog (window arithmetic
-# — the round-13 window holds 8 queue-front entries + 42 re-certs).
-# New round-13 additions are inserted at the FRONT of this queue
+# Behind the window, queued for the round-15 rotation: the last 17
+# entries of the r07-cohort re-certification backlog (window arithmetic
+# — the round-14 window holds the 17-entry queue + 33 re-certs).
+# New round-14 additions are inserted at the FRONT of this queue
 # (never-graded before re-certs), never into the frozen window above.
 _GRADE_NEXT: list[str] = [
-    # round-13 additions, never driver-graded (queue order)
-    "sim_ivf_filtered",
-    "pack_append_bpe",
-    "dq_l_diversity",
-    "dq_t_closeness",
-    "sim_ivf_filtered_probe_curve",
-    "dq_release_ladder",
-    "text_chunk_windows",
-    "embed_matryoshka_recall",
-    "curation_chunk_dedup_tax",
-    # r06-cohort certificates left after the round-13 promotion (8)
-    "text_quality",
-    "text_token_counts",
-    "text_fingerprint",
-    "text_langid",
-    "multimodal_bytes",
-    "pipeline_llm_corpus",
-    "dedup_semantic_corpus",
-    "dedup_clusters",
+    # r07-cohort certificates left after the round-14 promotion (17)
+    "udf_grouped_map",
+    "udf_map_in_arrow",
+    "udtf_word_chunks",
+    "window_rank_family",
+    "window_range_frame",
+    "window_first_last",
+    "agg_stats",
+    "agg_percentiles_exact",
+    "agg_quantiles",
+    "agg_histogram",
+    "agg_ship_priority",
+    "agg_customer_distribution",
+    "date_funcs",
+    "explode_pos",
+    "unpivot_melt",
+    "text_normalize",
+    "text_length_band",
 ]
 
 
@@ -24187,6 +24286,7 @@ def _reorder_registry() -> None:
         dict.fromkeys(
             [
                 *rotation,
+                *_GRADE_DONE_R13,
                 *_GRADE_DONE_R12,
                 *_GRADE_DONE_R11,
                 *_GRADE_DONE_R10,

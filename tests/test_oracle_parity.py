@@ -57,15 +57,15 @@ def test_grading_window_invariants():
 # invariants the instant grading succeeds (the r11 defect — VERDICT r11
 # ask #1; the r10 defect was the converse, a glob that dropped two-digit
 # rounds entirely).
-WINDOW_ROUND = 13
-RECERT_COHORT = 6
+WINDOW_ROUND = 14
+RECERT_COHORT = 7
 
 
-def test_round13_window_rotation_policy():
-    """The round-13 window (VERDICT r12 ask #1) must lead with every
-    oracle-backed entry that has NO driver row in rounds before the
-    window cut (the five round-12 additions), then drain the
-    last 3 r05-only re-certs, then re-certify the r06 cohort
+def test_round14_window_rotation_policy():
+    """The round-14 window (VERDICT r13 "what's missing" #1) must lead
+    with every oracle-backed entry that has NO driver row in rounds
+    before the window cut (the nine round-13 additions), then drain the
+    last 8 r06-only re-certs, then re-certify the r07 cohort
     oldest-certificate-first — so every re-cert slot's MOST RECENT
     pre-cut driver certificate is r06 or older and the certificate
     rounds are non-decreasing across the window. Derived from the
@@ -113,7 +113,7 @@ def test_round13_window_rotation_policy():
     oracle_backed = {n for n, s in REGISTRY.items() if s.oracle is not None}
     never_graded = oracle_backed - set(latest_round)
     # never-graded entries either lead the WINDOW (they existed when the
-    # round-12 window was cut) or sit at the FRONT of the queue (round-13
+    # round-13 window was cut) or sit at the FRONT of the queue (round-14
     # additions made after the window froze — the graded surface stays
     # untouched between rotation and grading)
     in_window = never_graded & set(_GRADE_FIRST)

@@ -2648,7 +2648,7 @@ def test_sim_ivf_filtered_probe_curve_equijoin_buckets(spark):
     assert "BatchEvalPython" not in plan, plan
     cid_label_joins = _re.findall(
         r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) "
-        r"\[cid#\d+L?, label#",
+        r"\[cid#\d+L?, __ivf_label#",
         plan,
     )
     assert len(cid_label_joins) >= 3, (cid_label_joins, plan)
@@ -2673,7 +2673,7 @@ def test_sim_ivf_filtered_prefilter_equijoin(spark):
     assert "BatchEvalPython" not in plan, plan
     cid_label_joins = _re.findall(
         r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) "
-        r"\[cid#\d+L?, label#",
+        r"\[cid#\d+L?, __ivf_label#",
         plan,
     )
     assert cid_label_joins, plan

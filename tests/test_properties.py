@@ -12456,6 +12456,65 @@ def test_t_closeness_emd_replica_and_laws(spark):
         assert got[level][0] == kanon[level]
 
 
+def test_t_closeness_single_band_degenerate_corpus(spark, tmp_path):
+    """The EMD normalization guard (ADVICE r13), pinned on a CONSTRUCTED
+    single-band corpus: when every account balance lands in ONE band the
+    step count m - 1 degenerates to 0, and an unguarded division yields
+    NULL emd_ppm plus NULL-propagating breach/t_ok flags on BOTH
+    engines. With the greatest(m - 1, 1) guard the distance is exactly 0
+    (a one-band class distribution IS the population distribution), so
+    every class conforms and the ladder's t rung passes while its
+    l rung fails (one band => l = 1 homogeneous classes) — asserted
+    value-for-value against the DuckDB oracle on the same corpus, and
+    as concrete non-NULL expectations on the Spark side."""
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.oracle_utils import compare
+
+    rows = [
+        (nat, seg, float(100 * (1 + i)))
+        for nat in (0, 1)
+        for seg in ("AUTOMOBILE", "BUILDING")
+        for i in range(5)
+    ]
+    spark.createDataFrame(
+        rows, "c_nationkey int, c_mktsegment string, c_acctbal double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW customer AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/customer.parquet/*.parquet')"
+    )
+    for name in ("dq_t_closeness", "dq_release_ladder"):
+        spec = REGISTRY[name]
+        problems = compare(spec.fn(spark, str(tmp_path)), con, spec.oracle)
+        assert not problems, (name, problems)
+
+    tc = {
+        r.level: r
+        for r in REGISTRY["dq_t_closeness"].fn(spark, str(tmp_path)).collect()
+    }
+    assert tc[1].n_classes == 4 and tc[2].n_classes == 2
+    for level in (1, 2):
+        assert tc[level].t_ppm == 0, "guard regressed: EMD must be 0, not NULL"
+        assert tc[level].breach_classes == 0
+        assert tc[level].breach_ppm == 0
+
+    lad = {
+        r.level: r
+        for r in REGISTRY["dq_release_ladder"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(lad) == {0, 1, 2}
+    for level, r in lad.items():
+        assert r.t_ppm == 0 and r.t_ok is True, (level, r)
+        assert r.min_l == 1 and r.l_ok is False, (level, r)
+        assert r.k_ok is True and r.release_ok is False, (level, r)
+
+
 def test_sim_ivf_filtered_probe_curve_monotone_and_closure(spark):
     """sim_ivf_filtered_probe_curve: Python replica of the filtered
     recall curve (per-setting filtered IVF top-5 vs the exact
