@@ -1949,6 +1949,638 @@ def curation_chunk_dedup_tax(spark, sf_dir):
     )
 
 
+
+def _mmr_oracle_sql(n_cand: int = 10, k: int = 5) -> str:
+    """DuckDB replica of sim_mmr_rerank, generated (the k greedy steps
+    are structurally identical; the GENERATOR is the spec, mirroring
+    the _simhash_oracle precedent): exact cosine top-``n_cand``
+    candidates per query, the bounded candidate-pair similarity matrix,
+    then k chained CTE steps — each picks the argmax of
+    rel - max(sim to already-selected) among unselected candidates,
+    ties broken by neighbor_id."""
+    cos = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * "
+        "sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    steps = []
+    sels = []
+    for i in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT query_id, neighbor_id FROM s{j}" for j in range(1, i)
+        )
+        steps.append(
+            f""", sel{i - 1} AS ({prev}
+    ), s{i} AS (
+      SELECT query_id, neighbor_id, rel, max_sim,
+             rel - max_sim AS mmr_score, {i} AS pick
+      FROM (
+        SELECT c.query_id, c.neighbor_id, c.rel, m.max_sim,
+               row_number() OVER (
+                 PARTITION BY c.query_id
+                 ORDER BY c.rel - m.max_sim DESC, c.neighbor_id) AS rn
+        FROM cand c
+        JOIN (SELECT s.query_id, s.a AS neighbor_id,
+                     max(s.sim) AS max_sim
+              FROM sims s
+              JOIN sel{i - 1} t ON t.query_id = s.query_id
+                               AND t.neighbor_id = s.b
+              GROUP BY 1, 2) m
+          ON m.query_id = c.query_id AND m.neighbor_id = c.neighbor_id
+        WHERE NOT EXISTS (SELECT 1 FROM sel{i - 1} u
+                          WHERE u.query_id = c.query_id
+                            AND u.neighbor_id = c.neighbor_id)
+      ) WHERE rn = 1
+    )"""
+        )
+        sels.append(f"SELECT * FROM s{i}")
+    return (
+        """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
+    ), scored AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             """
+        + cos.format(a="qv", b="c.v")
+        + """ AS rel
+      FROM e c CROSS JOIN q WHERE c.vec_id <> query_id
+    ), cand AS (
+      SELECT query_id, neighbor_id, rel FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY rel DESC, neighbor_id) AS rn
+        FROM scored)
+      WHERE rn <= """
+        + str(n_cand)
+        + """
+    ), sims AS (
+      SELECT x.query_id, x.neighbor_id AS a, y.neighbor_id AS b,
+             """
+        + cos.format(a="ea.v", b="eb.v")
+        + """ AS sim
+      FROM cand x
+      JOIN cand y ON x.query_id = y.query_id
+                 AND x.neighbor_id <> y.neighbor_id
+      JOIN e ea ON ea.vec_id = x.neighbor_id
+      JOIN e eb ON eb.vec_id = y.neighbor_id
+    ), s1 AS (
+      SELECT query_id, neighbor_id, rel, CAST(0 AS DOUBLE) AS max_sim,
+             rel AS mmr_score, 1 AS pick
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY rel DESC, neighbor_id) AS rn
+            FROM cand)
+      WHERE rn = 1
+    )"""
+        + "".join(steps)
+        + """
+    SELECT query_id, CAST(pick AS INT) AS pick, neighbor_id,
+           rel AS relevance, max_sim, mmr_score
+    FROM (SELECT * FROM s1 UNION ALL """
+        + " UNION ALL ".join(sels)
+        + ")"
+    )
+
+
+@_q("sim_mmr_rerank", _mmr_oracle_sql())
+def sim_mmr_rerank(spark, sf_dir):
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998) — the diversity-aware final stage of a retrieval/RAG
+    serving path: from each query's exact cosine top-10 candidates,
+    greedily select 5, each step taking the candidate maximizing
+    relevance minus the max similarity to what is ALREADY selected (the
+    lambda = 0.5 MMR objective up to the constant 2 — argmax-invariant,
+    so the unscaled difference is used for integer-free determinism).
+    Pick 1 is pure relevance (empty selected set, max_sim = 0). Plain
+    top-k returns five paraphrases of the same passage; MMR trades
+    redundant relevance for coverage — mmr_score is non-increasing from
+    pick 2 onward (the greedy argument: each step's per-candidate score
+    can only fall as the selected set grows; pick 1 is scored on pure
+    relevance, a different objective, and a NEGATIVE max_sim can
+    legitimately push pick 2 above it) and the selection provably
+    diverges from plain top-5 wherever candidates are mutually similar
+    (both pinned non-vacuously on this corpus).
+
+    Scale: candidate generation reuses the certified exact top-k
+    (broadcast 10-query block x corpus — swap in the IVF tier at
+    100 TB unchanged); everything after touches only |queries| x 10
+    candidate rows and their |queries| x 90 pairwise similarities, both
+    eagerly localCheckpointed (bounded, the measured
+    multi-consumer-recompute gotcha), so the 4 greedy iterations are
+    joins over two materialized grid-sized RDDs — the returned plan
+    reads parquet ZERO times and re-rank cost is independent of corpus
+    size."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cand = (
+        SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=10)
+        .select("query_id", "neighbor_id", F.col("cosine").alias("rel"))
+        .localCheckpoint(eager=True)
+    )
+    ev = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "v"
+        ),
+    )
+    ca = (
+        cand.select("query_id", F.col("neighbor_id").alias("a"))
+        .join(ev, F.col("a") == F.col("nid"))
+        .select("query_id", "a", F.col("v").alias("va"))
+    )
+    cb = (
+        cand.select("query_id", F.col("neighbor_id").alias("b"))
+        .join(ev, F.col("b") == F.col("nid"))
+        .select("query_id", "b", F.col("v").alias("vb"))
+    )
+    pair_cos = SIM._dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(SIM._dot(F.col("va"), F.col("va")))
+        * F.sqrt(SIM._dot(F.col("vb"), F.col("vb")))
+    )
+    sims = (
+        ca.join(cb, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "query_id", "a", "b", F.round(pair_cos, 6).alias("sim")
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("neighbor_id").asc()
+    )
+    selected = (
+        cand.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rel",
+            F.lit(0.0).alias("max_sim"),
+            F.col("rel").alias("mmr_score"),
+            F.lit(1).alias("pick"),
+        )
+    )
+    for step in range(2, 6):
+        sel_keys = selected.select("query_id", "neighbor_id")
+        rem = cand.join(
+            sel_keys, ["query_id", "neighbor_id"], "left_anti"
+        )
+        ms = (
+            sims.join(
+                selected.select(
+                    "query_id", F.col("neighbor_id").alias("b")
+                ),
+                ["query_id", "b"],
+            )
+            .groupBy("query_id", "a")
+            .agg(F.max("sim").alias("max_sim"))
+            .select(
+                "query_id",
+                F.col("a").alias("neighbor_id"),
+                "max_sim",
+            )
+        )
+        wk = Window.partitionBy("query_id").orderBy(
+            F.col("mmr_score").desc(), F.col("neighbor_id").asc()
+        )
+        pick = (
+            rem.join(ms, ["query_id", "neighbor_id"])
+            .withColumn(
+                "mmr_score", F.col("rel") - F.col("max_sim")
+            )
+            .withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "rel",
+                "max_sim",
+                "mmr_score",
+                F.lit(step).alias("pick"),
+            )
+        )
+        # eager-checkpoint the growing (bounded, <= 5 x |queries| rows)
+        # selection each step: lazily, step k's plan embeds step k-1's
+        # THREE times (anti-join + max-sim join + union), giving 3^4
+        # copies of the candidate scan by pick 5 (measured: 161
+        # ExistingRDD references); checkpointed, the plan stays linear
+        # and the returned plan reads one materialized grid.
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+    return selected.select(
+        "query_id",
+        "pick",
+        "neighbor_id",
+        F.col("rel").alias("relevance"),
+        "max_sim",
+        "mmr_score",
+    ).orderBy("query_id", "pick")
+
+
+
+# ---------------------------------------------------------------------------
+# Chunk-grain NEAR-dup — fuzzy substring dedup at the certified chunk grain
+# (round 14; VERDICT r13 "what's missing" #2)
+# ---------------------------------------------------------------------------
+
+#: ckey packing for chunk-grain relations: doc_id * CHUNK_KEY_BASE +
+#: chunk_idx. Valid while chunk_idx < 1e6, i.e. documents under ~48M
+#: whitespace tokens (64/48 chunker) — far beyond any real document; a
+#: corpus violating it needs a wider packing, not a different algorithm.
+CHUNK_KEY_BASE = 1_000_000
+
+
+def _chunk_near_pairs(spark, sf_dir):
+    """Near-duplicate CHUNK pairs over the certified 64/48 chunk grain —
+    the production "fuzzy substring dedup" primitive: chunk every
+    document with the certified strided chunker
+    (``_chunk_slices_frame`` — ONE chunker source, closure with
+    text_chunk_windows cannot drift), then mine near-dup pairs BETWEEN
+    chunks with the certified md5-portable MinHash/LSH machinery
+    (``minhash_banded_pairs`` — word-3-gram shingles over the
+    lowercased chunk text, 8 hashes in 4 bands of 2 rows, banded
+    candidates verified with exact Jaccard >= 0.5). Returns
+    (ka, kb, jaccard) with ka < kb, keys packed doc*CHUNK_KEY_BASE+idx;
+    same-document pairs stay in the relation (repeated spans inside one
+    document are real duplication — the strided 16-token window overlap
+    itself tops out at Jaccard ~0.13, far under threshold).
+
+    Scale: the chunker is shuffle-free; shingling is a bounded explode
+    (<= 62 shingles per 64-token chunk); the signature is ONE grouped
+    aggregation (8 map-side-combinable mins); candidate generation is
+    the (band, bkey) equi-join — never an all-pairs product; the exact
+    verify touches only banded candidates. Identical chunks always
+    collide (identical signatures), so exact duplicates are never
+    missed; fuzzy recall follows the 1-(1-J^2)^4 band curve."""
+    ch = _chunk_slices_frame(spark, sf_dir).selectExpr(
+        f"doc_id * {CHUNK_KEY_BASE} + chunk_idx AS ckey",
+        "array_join(ctoks, ' ') AS ctext",
+    )
+    return SIM.minhash_banded_pairs(
+        ch,
+        id_col="ckey",
+        text_col="ctext",
+        n=3,
+        n_hashes=8,
+        band_rows=2,
+        threshold=0.5,
+    ).selectExpr("doc_a AS ka", "doc_b AS kb", "jaccard")
+
+
+# Shared DuckDB replica of the chunk near-dup relation: the certified
+# chunker (raw tokens; rawh = md5 of the raw chunk text, the exact-dup
+# key), lowercased word-3-gram shingles per chunk, the md5-portable
+# 8-hash/4-band MinHash, banded candidates, exact-Jaccard verify at
+# 0.5. One source for all four chunk-near-dup oracles.
+_CHUNK_PAIR_CTES = r"""
+    ctk AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE trim(text) <> ''
+    ), cspec AS (
+      SELECT doc_id, t, len(t) AS n,
+             1 + (CASE WHEN len(t) > 64 THEN (len(t) - 64 + 47) // 48
+                       ELSE 0 END) AS n_chunks
+      FROM ctk
+    ), chs AS (
+      SELECT doc_id * 1000000 + u.k AS ckey,
+             CAST(least(64, n - u.k * 48) AS BIGINT) AS n_toks,
+             md5(array_to_string(
+                   list_slice(t, u.k * 48 + 1,
+                              u.k * 48 + least(64, n - u.k * 48)), ' '))
+               AS rawh,
+             list_transform(
+               list_slice(t, u.k * 48 + 1,
+                          u.k * 48 + least(64, n - u.k * 48)),
+               x -> lower(x)) AS ct
+      FROM cspec, LATERAL (SELECT unnest(range(0, n_chunks)) AS k) u
+    ), csets AS (
+      SELECT ckey, n_toks, rawh,
+             list_distinct(list_transform(
+               range(1, greatest(len(ct) - 2, 0) + 1),
+               i -> ct[i] || ' ' || ct[i+1] || ' ' || ct[i+2])) AS shingles
+      FROM chs
+    ), csh AS (
+      SELECT ckey, unnest(shingles) AS s FROM csets WHERE len(shingles) > 0
+    ), csig AS (
+      SELECT ckey,
+             min(CAST(concat('0x', substr(md5('0:' || s), 1, 15)) AS BIGINT)) AS m0,
+             min(CAST(concat('0x', substr(md5('1:' || s), 1, 15)) AS BIGINT)) AS m1,
+             min(CAST(concat('0x', substr(md5('2:' || s), 1, 15)) AS BIGINT)) AS m2,
+             min(CAST(concat('0x', substr(md5('3:' || s), 1, 15)) AS BIGINT)) AS m3,
+             min(CAST(concat('0x', substr(md5('4:' || s), 1, 15)) AS BIGINT)) AS m4,
+             min(CAST(concat('0x', substr(md5('5:' || s), 1, 15)) AS BIGINT)) AS m5,
+             min(CAST(concat('0x', substr(md5('6:' || s), 1, 15)) AS BIGINT)) AS m6,
+             min(CAST(concat('0x', substr(md5('7:' || s), 1, 15)) AS BIGINT)) AS m7
+      FROM csh GROUP BY ckey
+    ), cbands AS (
+      SELECT ckey, 0 AS band, concat(m0, '_', m1) AS bkey FROM csig
+      UNION ALL SELECT ckey, 1, concat(m2, '_', m3) FROM csig
+      UNION ALL SELECT ckey, 2, concat(m4, '_', m5) FROM csig
+      UNION ALL SELECT ckey, 3, concat(m6, '_', m7) FROM csig
+    ), ccand AS (
+      SELECT DISTINCT a.ckey AS ka, b.ckey AS kb
+      FROM cbands a
+      JOIN cbands b ON a.band = b.band AND a.bkey = b.bkey
+                   AND a.ckey < b.ckey
+    ), csizes AS (
+      SELECT ckey, len(shingles) AS n FROM csets WHERE len(shingles) > 0
+    ), cinter AS (
+      SELECT c.ka, c.kb, count(*) AS ni
+      FROM ccand c JOIN csh x ON x.ckey = c.ka
+                   JOIN csh y ON y.ckey = c.kb AND y.s = x.s
+      GROUP BY 1, 2
+    ), cpairs AS (
+      SELECT i.ka, i.kb,
+             round(i.ni * 1.0 / (x.n + y.n - i.ni), 6) AS jaccard
+      FROM cinter i JOIN csizes x ON i.ka = x.ckey
+                    JOIN csizes y ON i.kb = y.ckey
+      WHERE i.ni * 1.0 / (x.n + y.n - i.ni) >= 0.5
+    )
+"""
+
+
+@_q(
+    "dedup_chunk_minhash",
+    "WITH "
+    + _CHUNK_PAIR_CTES
+    + """
+    SELECT CAST(ka // 1000000 AS BIGINT) AS doc_a,
+           CAST(ka % 1000000 AS INT) AS chunk_a,
+           CAST(kb // 1000000 AS BIGINT) AS doc_b,
+           CAST(kb % 1000000 AS INT) AS chunk_b,
+           jaccard
+    FROM cpairs
+    WHERE ka // 1000000 <> kb // 1000000
+    """,
+)
+def dedup_chunk_minhash(spark, sf_dir):
+    """CROSS-document near-dup chunk pairs — the fuzzy SUBSTRING dedup
+    a crawl pipeline actually runs (quoted passages, templated
+    sections, syndicated paragraphs): whole-document near-dup mining
+    (dedup_minhash) misses a copied span inside an otherwise-different
+    page; chunk-grain mining finds it. The chunk grain is the certified
+    64/48 strided chunker (text_chunk_windows — shared dataflow); the
+    mining is the certified md5-portable MinHash/LSH (dedup_minhash's
+    machinery), so the banded candidate set — normally the
+    'engine-specific' part of LSH — is reproduced bit-exactly by the
+    DuckDB oracle and every surviving pair is exact-Jaccard-verified.
+    Returns (doc_a, chunk_a, doc_b, chunk_b, jaccard), doc_a < doc_b.
+
+    Scale: see _chunk_near_pairs — shuffle-free chunking, bounded
+    shingle explode, one grouped signature aggregation, (band, bkey)
+    equi-join candidates, verify on candidates only. Subquadratic in
+    chunks the way production fuzzy dedup must be at 100 TB."""
+    return (
+        _chunk_near_pairs(spark, sf_dir)
+        .filter(
+            F.expr(
+                f"ka DIV {CHUNK_KEY_BASE} != kb DIV {CHUNK_KEY_BASE}"
+            )
+        )
+        .selectExpr(
+            f"CAST(ka DIV {CHUNK_KEY_BASE} AS BIGINT) AS doc_a",
+            f"CAST(ka % {CHUNK_KEY_BASE} AS INT) AS chunk_a",
+            f"CAST(kb DIV {CHUNK_KEY_BASE} AS BIGINT) AS doc_b",
+            f"CAST(kb % {CHUNK_KEY_BASE} AS INT) AS chunk_b",
+            "jaccard",
+        )
+        .orderBy("doc_a", "chunk_a", "doc_b", "chunk_b")
+    )
+
+
+@_q(
+    "dedup_chunk_doc_overlap",
+    "WITH "
+    + _CHUNK_PAIR_CTES
+    + """
+    , nch AS (
+      SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks FROM cspec
+    ), x AS (
+      SELECT CAST(ka // 1000000 AS BIGINT) AS doc_a,
+             CAST(kb // 1000000 AS BIGINT) AS doc_b,
+             ka % 1000000 AS ca, kb % 1000000 AS cb
+      FROM cpairs WHERE ka // 1000000 <> kb // 1000000
+    ), agg AS (
+      SELECT doc_a, doc_b,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(count(DISTINCT ca) AS BIGINT) AS cov_a,
+             CAST(count(DISTINCT cb) AS BIGINT) AS cov_b
+      FROM x GROUP BY doc_a, doc_b
+    )
+    SELECT g.doc_a, g.doc_b, g.n_pairs,
+           a.n_chunks AS n_chunks_a, b.n_chunks AS n_chunks_b,
+           CAST(g.cov_a * 1000000 // a.n_chunks AS BIGINT) AS cov_a_ppm,
+           CAST(g.cov_b * 1000000 // b.n_chunks AS BIGINT) AS cov_b_ppm
+    FROM agg g JOIN nch a ON g.doc_a = a.doc_id
+               JOIN nch b ON g.doc_b = b.doc_id
+    """,
+)
+def dedup_chunk_doc_overlap(spark, sf_dir):
+    """Document-pair FUZZY-substring overlap — the report a curation
+    operator reads to decide doc-level action from partial overlap
+    (containment-style: one page quoting most of another should drop
+    ONE page, not both): for every document pair sharing at least one
+    near-dup chunk, the matched-pair count and each side's chunk
+    COVERAGE in exact floored ppm (distinct matched chunks / total
+    chunks at the certified 64/48 grain). cov ~ 1e6 on one side only is
+    the containment signature; high on both sides is a near-identical
+    pair (dedup_minhash's territory — measured at doc grain there,
+    recovered here from spans).
+
+    Scale: the pair relation is _chunk_near_pairs (subquadratic banded
+    LSH); the rollup is one grouped aggregation at (doc_a, doc_b) grain
+    on the (small) pair set; the chunk-count side is a combinable
+    per-doc count joined twice. Report cost is driven by the pair
+    count, not the corpus size."""
+    p = (
+        _chunk_near_pairs(spark, sf_dir)
+        .filter(
+            F.expr(
+                f"ka DIV {CHUNK_KEY_BASE} != kb DIV {CHUNK_KEY_BASE}"
+            )
+        )
+        .selectExpr(
+            f"CAST(ka DIV {CHUNK_KEY_BASE} AS BIGINT) AS doc_a",
+            f"CAST(kb DIV {CHUNK_KEY_BASE} AS BIGINT) AS doc_b",
+            f"ka % {CHUNK_KEY_BASE} AS ca",
+            f"kb % {CHUNK_KEY_BASE} AS cb",
+        )
+    )
+    agg = p.groupBy("doc_a", "doc_b").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.count_distinct("ca").cast("long").alias("cov_a"),
+        F.count_distinct("cb").cast("long").alias("cov_b"),
+    )
+    nch = (
+        _chunk_slices_frame(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_chunks"))
+    )
+    a = nch.selectExpr("doc_id AS doc_a", "n_chunks AS n_chunks_a")
+    b = nch.selectExpr("doc_id AS doc_b", "n_chunks AS n_chunks_b")
+    return (
+        agg.join(a, "doc_a")
+        .join(b, "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "n_pairs",
+            "n_chunks_a",
+            "n_chunks_b",
+            "CAST(cov_a * 1000000 DIV n_chunks_a AS BIGINT) AS cov_a_ppm",
+            "CAST(cov_b * 1000000 DIV n_chunks_b AS BIGINT) AS cov_b_ppm",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@_q(
+    "curation_chunk_near_tax",
+    "WITH "
+    + _CHUNK_PAIR_CTES
+    + """
+    , sing AS (
+      SELECT ckey, n_toks, rawh FROM csets WHERE len(shingles) > 0
+    ), ex AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_chunks,
+             CAST(sum(toks) AS BIGINT) AS chunk_tokens,
+             CAST(sum(toks) - sum(rep) AS BIGINT) AS exact_loser_tokens
+      FROM (
+        SELECT rawh, count(*) AS c, sum(n_toks) AS toks,
+               min(n_toks) AS rep
+        FROM sing GROUP BY rawh)
+    ), losers AS (
+      SELECT DISTINCT kb FROM cpairs
+    ), nr AS (
+      SELECT CAST(coalesce(sum(s.n_toks), 0) AS BIGINT)
+               AS near_loser_tokens
+      FROM losers l JOIN sing s ON s.ckey = l.kb
+    )
+    SELECT e.n_chunks, e.chunk_tokens,
+           e.exact_loser_tokens, n.near_loser_tokens,
+           CAST(e.exact_loser_tokens * 1000000 // e.chunk_tokens
+                AS BIGINT) AS exact_dup_ppm,
+           CAST(n.near_loser_tokens * 1000000 // e.chunk_tokens
+                AS BIGINT) AS near_dup_ppm,
+           CAST((n.near_loser_tokens - e.exact_loser_tokens) * 1000000
+                // e.chunk_tokens AS BIGINT) AS fuzzy_gain_ppm
+    FROM ex e CROSS JOIN nr n
+    """,
+)
+def curation_chunk_near_tax(spark, sf_dir):
+    """EXACT vs FUZZY dedup economics at chunk grain — what
+    curation_chunk_dedup_tax (exact only) cannot price: the extra token
+    mass a NEAR-dup pass reclaims over exact hashing at the same
+    certified 64/48 grain. Exact losers are every copy beyond one
+    representative per identical raw chunk text (md5 groups);
+    near losers are every chunk with a matched partner of smaller
+    packed key under the certified MinHash relation (the greedy
+    keep-first rule a pipeline applies to a non-transitive pair set).
+    Identical chunks always band together, so exact losers are a
+    subset: near_loser_tokens >= exact_loser_tokens ALWAYS (pinned),
+    and fuzzy_gain_ppm is exactly the budget argument for running the
+    fuzzy pass. Both sides are computed over SHINGLEABLE chunks
+    (>= 3 tokens): a 1-2-token tail cannot shingle, so it is excluded
+    from both relations to keep the subset law airtight rather than
+    letting the exact side count mass the fuzzy side cannot see.
+
+    Scale: one chunker pass + one md5-keyed combinable aggregate for
+    the exact side; the near side adds the subquadratic banded pair
+    relation and a distinct-loser semi-join; the report is three
+    bounded 1-row frames broadcast-crossed. No corpus-sized window, no
+    Python."""
+    ch = _chunk_slices_frame(spark, sf_dir).filter(F.col("n_toks") >= 3)
+    base = ch.selectExpr(
+        f"doc_id * {CHUNK_KEY_BASE} + chunk_idx AS ckey",
+        "CAST(n_toks AS BIGINT) AS n_toks",
+        "md5(array_join(ctoks, ' ')) AS rawh",
+    )
+    ex = (
+        base.groupBy("rawh")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum("n_toks").alias("toks"),
+            F.min("n_toks").alias("rep"),
+        )
+        .agg(
+            F.sum("c").cast("long").alias("n_chunks"),
+            F.sum("toks").cast("long").alias("chunk_tokens"),
+            (F.sum("toks") - F.sum("rep"))
+            .cast("long")
+            .alias("exact_loser_tokens"),
+        )
+    )
+    losers = _chunk_near_pairs(spark, sf_dir).select("kb").dropDuplicates()
+    nr = (
+        losers.join(base, losers["kb"] == base["ckey"])
+        .agg(
+            F.coalesce(F.sum("n_toks"), F.lit(0))
+            .cast("long")
+            .alias("near_loser_tokens")
+        )
+    )
+    return ex.crossJoin(F.broadcast(nr)).selectExpr(
+        "n_chunks",
+        "chunk_tokens",
+        "exact_loser_tokens",
+        "near_loser_tokens",
+        "CAST(exact_loser_tokens * 1000000 DIV chunk_tokens AS BIGINT)"
+        " AS exact_dup_ppm",
+        "CAST(near_loser_tokens * 1000000 DIV chunk_tokens AS BIGINT)"
+        " AS near_dup_ppm",
+        "CAST((near_loser_tokens - exact_loser_tokens) * 1000000"
+        " DIV chunk_tokens AS BIGINT) AS fuzzy_gain_ppm",
+    )
+
+
+@_q(
+    "dedup_chunk_clusters",
+    "WITH RECURSIVE "
+    + _CHUNK_PAIR_CTES
+    + """
+    , cedges AS (
+      SELECT ka AS es, kb AS ed FROM cpairs
+      UNION
+      SELECT kb, ka FROM cpairs
+    ), creach AS (
+      SELECT es, ed FROM cedges
+      UNION
+      SELECT r.es, e.ed FROM creach r JOIN cedges e ON r.ed = e.es
+    )
+    SELECT CAST(es // 1000000 AS BIGINT) AS doc_id,
+           CAST(es % 1000000 AS INT) AS chunk_idx,
+           CAST(least(es, min(ed)) // 1000000 AS BIGINT) AS cluster_doc,
+           CAST(least(es, min(ed)) % 1000000 AS INT) AS cluster_chunk
+    FROM creach GROUP BY es
+    """,
+)
+def dedup_chunk_clusters(spark, sf_dir):
+    """Near-dup chunk CLUSTER resolution — the pair->cluster->drop
+    pipeline (dedup_clusters) at the certified chunk grain: connected
+    components over the MinHash chunk-pair graph label every matched
+    chunk with its component's minimum packed key, decomposed back to
+    (cluster_doc, cluster_chunk). {a,b},{b,c} collapse even though
+    (a,c) was never mined — the closure step between span mining and
+    span dropping (keep one representative chunk per cluster, drop the
+    rest from the shard).
+
+    Scale: the engine side is iterative min-label propagation
+    (operators/graph.py — bounded rounds, convergence checked via a
+    driver scalar, the static edge relation hash-partitioned once);
+    100 TB never materializes a transitive closure. The oracle IS the
+    closure (DuckDB recursive CTE) — exact at test scale."""
+    from .operators.graph import connected_components
+
+    pairs = _chunk_near_pairs(spark, sf_dir).select("ka", "kb")
+    cc = connected_components(pairs, "ka", "kb")
+    return cc.selectExpr(
+        f"CAST(vertex DIV {CHUNK_KEY_BASE} AS BIGINT) AS doc_id",
+        f"CAST(vertex % {CHUNK_KEY_BASE} AS INT) AS chunk_idx",
+        f"CAST(component DIV {CHUNK_KEY_BASE} AS BIGINT) AS cluster_doc",
+        f"CAST(component % {CHUNK_KEY_BASE} AS INT) AS cluster_chunk",
+    ).orderBy("doc_id", "chunk_idx")
+
+
 @_q(
     "embed_matryoshka_recall",
     """
@@ -24147,6 +24779,12 @@ _GRADE_DONE_R04 = [
 # New round-14 additions are inserted at the FRONT of this queue
 # (never-graded before re-certs), never into the frozen window above.
 _GRADE_NEXT: list[str] = [
+    # round-14 additions, never driver-graded (queue order)
+    "dedup_chunk_minhash",
+    "dedup_chunk_doc_overlap",
+    "curation_chunk_near_tax",
+    "dedup_chunk_clusters",
+    "sim_mmr_rerank",
     # r07-cohort certificates left after the round-14 promotion (17)
     "udf_grouped_map",
     "udf_map_in_arrow",

@@ -2709,3 +2709,81 @@ def test_pack_append_single_shuffle_fold(spark):
     assert plan.count("Exchange") == 1, plan
     assert "Window" not in plan and "Join" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_chunk_minhash_banded_equijoin(spark):
+    """dedup_chunk_minhash (round 14): candidate generation must be the
+    (band, bkey) EQUI-JOIN — the subquadratic LSH bucket join, never an
+    all-pairs chunk product; no CartesianProduct anywhere; no Python.
+    The chunker side contributes no shuffle of its own (scan + bounded
+    explode), so every exchange in the plan belongs to the
+    signature/candidate/verify aggregations."""
+    import re as _re
+
+    plan = _plan(spark, "dedup_chunk_minhash")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    band_joins = _re.findall(
+        r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) "
+        r"\[band#\d+, bkey#",
+        plan,
+    )
+    assert band_joins, plan
+
+
+def test_chunk_doc_overlap_no_cartesian(spark):
+    """dedup_chunk_doc_overlap (round 14): the doc-pair rollup must
+    stay keyed — banded candidates, grouped coverage aggregation, two
+    keyed joins against the per-doc chunk counts; no CartesianProduct,
+    no Python, no window (nothing here needs one)."""
+    plan = _plan(spark, "dedup_chunk_doc_overlap")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_chunk_near_tax_bounded_cross(spark):
+    """curation_chunk_near_tax (round 14): the only unkeyed join
+    allowed is the final 1-row x 1-row report cross (a
+    BroadcastNestedLoopJoin over two aggregates); candidates stay the
+    banded equi-join; the loser semi-join is keyed on ckey; no
+    CartesianProduct, no Python, no window."""
+    import re as _re
+
+    plan = _plan(spark, "curation_chunk_near_tax")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Window" not in plan, plan
+    band_joins = _re.findall(
+        r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) "
+        r"\[band#\d+, bkey#",
+        plan,
+    )
+    assert band_joins, plan
+
+
+def test_chunk_clusters_materialized_labels(spark):
+    """dedup_chunk_clusters (round 14): the returned plan must read the
+    CONVERGED component labels as a materialized RDD (the iterative
+    min-label propagation runs at build time, bounded rounds) — zero
+    parquet scans, zero joins, no Python in the returned plan; 100 TB
+    never materializes a transitive closure lazily."""
+    plan = _plan(spark, "dedup_chunk_clusters")
+    assert "Scan ExistingRDD" in plan, plan
+    assert ".parquet" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_mmr_rerank_grid_only_plan(spark):
+    """sim_mmr_rerank (round 14): the greedy selection runs at build
+    time over two eagerly-materialized bounded grids (candidates and
+    their pairwise similarities) with each step's selection
+    checkpointed (lazily the plan embeds step k-1 THREE times — 3^4
+    candidate-scan copies by pick 5, measured); the returned plan must
+    read ONE materialized grid and touch parquet ZERO times — re-rank
+    cost independent of corpus size."""
+    plan = _plan(spark, "sim_mmr_rerank")
+    assert "Scan ExistingRDD" in plan, plan
+    assert ".parquet" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan

@@ -13337,3 +13337,313 @@ def test_bpe_grid_preserved_when_training_dries_up(spark, tmp_path):
         (5, 1, 2, 2, 500000, 0),
     ]
     assert not compare(rd.fn(spark, str(tmp_path)), con, rd.oracle)
+
+
+def _chunk_minhash_replica():
+    """Python replica of the chunk-grain near-dup relation: certified
+    64/48 chunker -> lowercased distinct word-3-gram shingles ->
+    md5-portable 8-hash MinHash -> 4x2 banded candidates -> exact
+    Jaccard >= 0.5. Returns (chunks, sets, pairs): ckey -> raw token
+    slice, ckey -> shingle set, (ka, kb) -> exact jaccard float."""
+    import hashlib
+    import re
+    from collections import defaultdict
+
+    docs = _smoke_table("documents", ["doc_id", "text"])
+    chunks = {}
+    for doc_id, text in docs:
+        if text.strip() == "":
+            continue
+        t = re.split(r"\s+", text.strip())
+        n = len(t)
+        n_chunks = 1 + ((n - 64 + 47) // 48 if n > 64 else 0)
+        for k in range(n_chunks):
+            chunks[doc_id * 1_000_000 + k] = t[k * 48 : k * 48 + min(64, n - k * 48)]
+    sets = {}
+    for ckey, ct in chunks.items():
+        lt = [x.lower() for x in ct]
+        sh = {" ".join(lt[i : i + 3]) for i in range(len(lt) - 2)}
+        if sh:
+            sets[ckey] = sh
+
+    def mh(i, s):
+        return int(hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:15], 16)
+
+    sig = {
+        k: [min(mh(i, s) for s in sh) for i in range(8)]
+        for k, sh in sets.items()
+    }
+    buckets = defaultdict(list)
+    for k, m in sig.items():
+        for b in range(4):
+            buckets[(b, f"{m[2 * b]}_{m[2 * b + 1]}")].append(k)
+    cand = set()
+    for ks in buckets.values():
+        ks = sorted(ks)
+        for i in range(len(ks)):
+            for j in range(i + 1, len(ks)):
+                cand.add((ks[i], ks[j]))
+    pairs = {}
+    for a, b in cand:
+        sa, sb = sets[a], sets[b]
+        ni = len(sa & sb)
+        jac = ni / (len(sa) + len(sb) - ni)
+        if jac >= 0.5:
+            pairs[(a, b)] = jac
+    return chunks, sets, pairs
+
+
+def test_chunk_minhash_replica_and_laws(spark):
+    """dedup_chunk_minhash: exact Python replica of the whole relation
+    (chunker, shingles, md5 MinHash, banding, verify), plus the laws:
+    canonical ordering (doc_a, chunk_a) < (doc_b, chunk_b) with
+    doc_a < doc_b strictly (cross-document by contract); jaccard in
+    [0.5, 1]; and non-vacuity BOTH ways — at least one exact pair
+    (jaccard = 1) and at least one genuinely FUZZY pair (jaccard < 1),
+    so the query demonstrably finds what exact hashing cannot."""
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    _chunks, _sets, pairs = _chunk_minhash_replica()
+    expect = {
+        (a // 1_000_000, a % 1_000_000, b // 1_000_000, b % 1_000_000): j
+        for (a, b), j in pairs.items()
+        if a // 1_000_000 != b // 1_000_000
+    }
+    got = {
+        (r.doc_a, r.chunk_a, r.doc_b, r.chunk_b): r.jaccard
+        for r in REGISTRY["dedup_chunk_minhash"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(expect)
+    for k, v in got.items():
+        assert abs(v - expect[k]) < 1e-6, (k, v, expect[k])
+        assert 0.5 <= v <= 1.0
+        assert k[0] < k[2], k
+    assert any(v == 1.0 for v in got.values()), "no exact pair found"
+    assert any(v < 1.0 for v in got.values()), (
+        "no fuzzy pair: the near-dup pass adds nothing over exact here"
+    )
+
+
+def test_chunk_doc_overlap_closure(spark):
+    """dedup_chunk_doc_overlap is EXACTLY the doc-pair rollup of
+    dedup_chunk_minhash (cross-query closure): pair counts, distinct
+    matched-chunk coverage on both sides, ppm as exact floored ints of
+    the certified chunker's per-doc chunk counts; coverage bounded by
+    1e6; every reported doc pair has >= 1 pair."""
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    pair_rows = REGISTRY["dedup_chunk_minhash"].fn(spark, SF_SMOKE).collect()
+    nch = defaultdict(int)
+    for r in (
+        REGISTRY["text_chunk_windows"].fn(spark, SF_SMOKE).collect()
+    ):
+        nch[r.doc_id] += 1
+    agg = defaultdict(lambda: [0, set(), set()])
+    for r in pair_rows:
+        a = agg[(r.doc_a, r.doc_b)]
+        a[0] += 1
+        a[1].add(r.chunk_a)
+        a[2].add(r.chunk_b)
+    expect = {
+        (da, db): (
+            n,
+            nch[da],
+            nch[db],
+            len(ca) * 1_000_000 // nch[da],
+            len(cb) * 1_000_000 // nch[db],
+        )
+        for (da, db), (n, ca, cb) in agg.items()
+    }
+    got = {
+        (r.doc_a, r.doc_b): (
+            r.n_pairs,
+            r.n_chunks_a,
+            r.n_chunks_b,
+            r.cov_a_ppm,
+            r.cov_b_ppm,
+        )
+        for r in (
+            REGISTRY["dedup_chunk_doc_overlap"].fn(spark, SF_SMOKE).collect()
+        )
+    }
+    assert got == expect
+    for (da, db), (n, _na, _nb, ca, cb) in got.items():
+        assert n >= 1 and 0 < ca <= 1_000_000 and 0 < cb <= 1_000_000
+
+
+def test_chunk_near_tax_replica_and_laws(spark):
+    """curation_chunk_near_tax: Python replica over the replica pair
+    relation (exact losers = all-but-one per identical RAW chunk text;
+    near losers = every chunk with a smaller-key matched partner), plus
+    the subset law the report exists to demonstrate:
+    near_loser_tokens >= exact_loser_tokens ALWAYS (identical chunks
+    always band together), strict on this corpus (fuzzy_gain_ppm > 0 —
+    the budget case for the fuzzy pass), and the grain closure that
+    n_chunks / chunk_tokens equal the shingleable (>= 3 token) slice of
+    the certified chunker output."""
+    from collections import defaultdict
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    chunks, sets, pairs = _chunk_minhash_replica()
+    sing = {k: v for k, v in chunks.items() if len(v) >= 3}
+    assert set(sing) == set(sets)
+    groups = defaultdict(list)
+    for k, ct in sing.items():
+        groups[" ".join(ct)].append(len(ct))
+    n_chunks = sum(len(v) for v in groups.values())
+    chunk_tokens = sum(sum(v) for v in groups.values())
+    exact_loser = sum(sum(v) - min(v) for v in groups.values())
+    losers = {b for _a, b in pairs}
+    near_loser = sum(len(sing[k]) for k in losers)
+
+    row = (
+        REGISTRY["curation_chunk_near_tax"].fn(spark, SF_SMOKE).collect()[0]
+    )
+    assert row.n_chunks == n_chunks
+    assert row.chunk_tokens == chunk_tokens
+    assert row.exact_loser_tokens == exact_loser
+    assert row.near_loser_tokens == near_loser
+    assert row.exact_dup_ppm == exact_loser * 1_000_000 // chunk_tokens
+    assert row.near_dup_ppm == near_loser * 1_000_000 // chunk_tokens
+    assert row.near_loser_tokens >= row.exact_loser_tokens
+    assert row.fuzzy_gain_ppm > 0, (
+        "corpus too degenerate: fuzzy pass reclaims nothing over exact"
+    )
+
+
+def test_chunk_clusters_replica_and_laws(spark):
+    """dedup_chunk_clusters: union-find replica of the transitive
+    closure over the replica pair graph — membership is exactly the
+    pair graph's vertex set, every cluster label is the component's
+    minimum packed key AND a member of the component, and both
+    endpoints of every mined pair land in the same cluster."""
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    _chunks, _sets, pairs = _chunk_minhash_replica()
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {k: find(k) for k in parent}
+    mins = {}
+    for k, c in comp.items():
+        mins[c] = min(mins.get(c, k), k)
+    expect = {
+        (k // 1_000_000, k % 1_000_000): (
+            mins[c] // 1_000_000,
+            mins[c] % 1_000_000,
+        )
+        for k, c in comp.items()
+    }
+    got = {
+        (r.doc_id, r.chunk_idx): (r.cluster_doc, r.cluster_chunk)
+        for r in (
+            REGISTRY["dedup_chunk_clusters"].fn(spark, SF_SMOKE).collect()
+        )
+    }
+    assert got == expect
+    labels = set(expect.values())
+    assert labels <= set(expect), "a cluster label is not itself a member"
+    # transitivity non-vacuity: some component must have > 2 members,
+    # i.e. {a,b},{b,c} genuinely collapsed even though (a,c) may never
+    # have been a mined pair — otherwise this query is just the pair
+    # list re-keyed
+    from collections import Counter
+
+    sizes = Counter(expect.values())
+    assert max(sizes.values()) > 2, dict(sizes)
+
+
+def test_mmr_rerank_replica_and_laws(spark):
+    """sim_mmr_rerank: Python replica of the greedy MMR selection
+    (exact cosine top-10 candidates, lambda = 0.5 as the unscaled
+    rel - max_sim difference, neighbor_id tie-break), plus the laws:
+    pick 1 equals sim_cosine_topk's rank-1 neighbor (cross-query
+    closure — same certified relevance order); mmr_score is
+    non-increasing from pick 2 onward (pick 1 is pure relevance, a
+    different objective — a negative max_sim can push pick 2 above
+    it); each query selects exactly 5 distinct candidates from its
+    top-10; and the selection diverges from plain top-5 for at least
+    one query (non-vacuity: MMR must actually trade relevance for
+    diversity on this corpus)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    def r6(x):
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    emb = {
+        vid: [float(x) for x in v]
+        for vid, v in _smoke_table("embeddings", ["vec_id", "embedding"])
+    }
+
+    def cos(a, b):
+        va, vb = emb[a], emb[b]
+        dot = sum(x * y for x, y in zip(va, vb))
+        na = sum(x * x for x in va) ** 0.5
+        nb = sum(x * x for x in vb) ** 0.5
+        return r6(dot / (na * nb))
+
+    queries = sorted(v for v in emb if v < 10)
+    expect = {}
+    for q in queries:
+        rel = {n: cos(q, n) for n in emb if n != q}
+        cand = sorted(rel, key=lambda n: (-rel[n], n))[:10]
+        sel = [min(cand, key=lambda n: (-rel[n], n))]
+        for _step in range(4):
+            rem = [n for n in cand if n not in sel]
+            score = {
+                n: rel[n] - max(cos(n, s) for s in sel) for n in rem
+            }
+            sel.append(min(rem, key=lambda n: (-score[n], n)))
+        expect[q] = sel
+
+    rows = REGISTRY["sim_mmr_rerank"].fn(spark, SF_SMOKE).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.query_id, {})[r.pick] = r
+    assert set(got) == set(expect)
+    top1 = {
+        r.query_id: r.neighbor_id
+        for r in REGISTRY["sim_cosine_topk"].fn(spark, SF_SMOKE).collect()
+        if r.rank == 1
+    }
+    diverged = 0
+    for q, sel in expect.items():
+        picks = got[q]
+        assert sorted(picks) == [1, 2, 3, 4, 5]
+        assert [picks[i].neighbor_id for i in range(1, 6)] == sel, (
+            q,
+            sel,
+            [picks[i].neighbor_id for i in range(1, 6)],
+        )
+        assert picks[1].neighbor_id == top1[q]
+        assert picks[1].max_sim == 0.0
+        for i in range(2, 5):
+            assert picks[i].mmr_score >= picks[i + 1].mmr_score - 1e-12
+        rel = {n: cos(q, n) for n in emb if n != q}
+        plain5 = sorted(rel, key=lambda n: (-rel[n], n))[:5]
+        if set(sel) != set(plain5):
+            diverged += 1
+    assert diverged > 0, "MMR never diverged from plain top-5"
