@@ -2787,3 +2787,29 @@ def test_mmr_rerank_grid_only_plan(spark):
     assert ".parquet" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_mmr_lambda_curve_grid_only_plan(spark):
+    """sim_mmr_lambda_curve (round 14): all four greedy runs consume
+    the SAME two eagerly-materialized bounded grids built once by
+    _mmr_candidates; the returned 4-row plan must read only
+    materialized grids — parquet ZERO times (sweeping more lambdas
+    must not re-cost the corpus), no cartesian, no Python."""
+    plan = _plan(spark, "sim_mmr_lambda_curve")
+    assert "Scan ExistingRDD" in plan, plan
+    assert ".parquet" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_pipeline_chunk_dedup_materialized_labels_plan(spark):
+    """pipeline_chunk_dedup (round 14): the connected-components
+    labels must arrive materialized (Scan ExistingRDD — the closure
+    runs bounded-round at build time, never a lazily-embedded
+    transitive closure), the only joins are the label/base equi-join
+    and the 1-row x 1-row broadcast cross (no CartesianProduct), and
+    the whole report stays JVM-side."""
+    plan = _plan(spark, "pipeline_chunk_dedup")
+    assert "Scan ExistingRDD" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan

@@ -13647,3 +13647,218 @@ def test_mmr_rerank_replica_and_laws(spark):
         if set(sel) != set(plain5):
             diverged += 1
     assert diverged > 0, "MMR never diverged from plain top-5"
+
+
+def test_mmr_lambda_curve_replica_and_laws(spark):
+    """sim_mmr_lambda_curve: full Python replica of the 4-row tradeoff
+    curve (greedy MMR re-run at lambda in {0.25, 0.5, 0.75, 1.0} over
+    the exact cosine top-10 grid, rolled up to integer-e6 relevance and
+    selected-pair similarity masses), plus the laws: lambda = 1.0 is
+    plain top-5 so its relevance mass dominates every row (top-5-by-rel
+    maximizes relevance over any 5-subset — a theorem, not a corpus
+    fact); mean selected-pair similarity is non-decreasing in lambda on
+    this corpus and STRICTLY lower at 0.25 than at 1.0 (the diversity
+    the re-rank actually buys — non-vacuity); and the lambda = 0.5
+    rollup is exactly sim_mmr_rerank's selection re-aggregated
+    (cross-query closure: positive scaling by the exact power of two
+    preserves every IEEE comparison)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    def r6(x):
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    def e6(x):
+        return int(
+            Decimal(repr(x * 1_000_000)).quantize(Decimal("1"), ROUND_HALF_UP)
+        )
+
+    emb = {
+        vid: [float(x) for x in v]
+        for vid, v in _smoke_table("embeddings", ["vec_id", "embedding"])
+    }
+
+    def cos(a, b):
+        va, vb = emb[a], emb[b]
+        dot = sum(x * y for x, y in zip(va, vb))
+        na = sum(x * x for x in va) ** 0.5
+        nb = sum(x * x for x in vb) ** 0.5
+        return r6(dot / (na * nb))
+
+    queries = sorted(v for v in emb if v < 10)
+    expect = {}
+    sels = {}
+    for pct in (25, 50, 75, 100):
+        lam = pct / 100.0
+        n_picks = tot_rel = n_pairs = tot_sim = 0
+        sels[pct] = {}
+        for q in queries:
+            rel = {n: cos(q, n) for n in emb if n != q}
+            cand = sorted(rel, key=lambda n: (-rel[n], n))[:10]
+            sel = [min(cand, key=lambda n: (-rel[n], n))]
+            for _step in range(4):
+                rem = [n for n in cand if n not in sel]
+                score = {
+                    n: lam * rel[n] - (1 - lam) * max(cos(n, s) for s in sel)
+                    for n in rem
+                }
+                sel.append(min(rem, key=lambda n: (-score[n], n)))
+            sels[pct][q] = sel
+            n_picks += 5
+            tot_rel += sum(e6(rel[n]) for n in sel)
+            for a in sel:
+                for b in sel:
+                    if a < b:
+                        n_pairs += 1
+                        tot_sim += e6(cos(a, b))
+        expect[pct] = (
+            n_picks,
+            tot_rel,
+            tot_rel // n_picks,
+            n_pairs,
+            tot_sim,
+            tot_sim // n_pairs,
+        )
+
+    rows = REGISTRY["sim_mmr_lambda_curve"].fn(spark, SF_SMOKE).collect()
+    got = {
+        r.lam_pct: (
+            r.n_picks,
+            r.sum_rel_e6,
+            r.mean_rel_e6,
+            r.n_pairs,
+            r.sum_sim_e6,
+            r.mean_sim_e6,
+        )
+        for r in rows
+    }
+    assert got == expect
+    # lambda = 1.0 relevance dominance (theorem)
+    assert all(got[100][1] >= got[p][1] for p in got)
+    # diversity monotonicity on this corpus, strict at the extremes
+    sim_by_lam = [got[p][5] for p in (25, 50, 75, 100)]
+    assert sim_by_lam == sorted(sim_by_lam)
+    assert got[25][5] < got[100][5], "lambda sweep bought no diversity"
+    # lambda = 0.5 closure against sim_mmr_rerank's selection
+    rerank = REGISTRY["sim_mmr_rerank"].fn(spark, SF_SMOKE).collect()
+    rr_rel = sum(e6(r.relevance) for r in rerank)
+    rr_sel = {}
+    for r in rerank:
+        rr_sel.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert {q: sorted(v) for q, v in rr_sel.items()} == {
+        q: sorted(v) for q, v in sels[50].items()
+    }
+    assert got[50][1] == rr_rel
+
+
+def test_pipeline_chunk_dedup_replica_and_laws(spark):
+    """pipeline_chunk_dedup: union-find replica of the full pass
+    accounting — totals at the FULL chunk grain, cluster membership
+    over the mined pair graph, drops = non-label members priced in
+    tokens — plus the law chain the report exists to demonstrate:
+    kept + dropped partition the corpus exactly; every cluster keeps
+    exactly one representative (clustered = n_clusters + dropped); the
+    drop set is a superset of curation_chunk_near_tax's greedy
+    smaller-partner losers (cross-query law: a smaller direct partner
+    implies a smaller component label, never vice versa); and the ppm
+    is the exact floor."""
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    chunks, _sets, pairs = _chunk_minhash_replica()
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {k: find(k) for k in parent}
+    mins = {}
+    for k, c in comp.items():
+        mins[c] = min(mins.get(c, k), k)
+    dropped = {k for k, c in comp.items() if k != mins[c]}
+    n_chunks = len(chunks)
+    chunk_tokens = sum(len(v) for v in chunks.values())
+    dropped_tokens = sum(len(chunks[k]) for k in dropped)
+
+    row = REGISTRY["pipeline_chunk_dedup"].fn(spark, SF_SMOKE).collect()[0]
+    assert row.n_chunks == n_chunks
+    assert row.chunk_tokens == chunk_tokens
+    assert row.clustered_chunks == len(comp)
+    assert row.n_clusters == len(mins)
+    assert row.dropped_chunks == len(dropped)
+    assert row.dropped_tokens == dropped_tokens
+    assert row.kept_tokens == chunk_tokens - dropped_tokens
+    assert row.dropped_ppm == dropped_tokens * 1_000_000 // chunk_tokens
+    assert row.clustered_chunks == row.n_clusters + row.dropped_chunks
+    # cross-query law chain: component drops >= greedy near losers
+    # (>= exact losers, already pinned in the near-tax test)
+    losers = {b for _a, b in pairs}
+    assert losers <= dropped
+    tax = REGISTRY["curation_chunk_near_tax"].fn(spark, SF_SMOKE).collect()[0]
+    assert row.dropped_tokens >= tax.near_loser_tokens
+
+
+def test_pipeline_chunk_dedup_bridge_strictness(spark, tmp_path):
+    """pipeline_chunk_dedup vs curation_chunk_near_tax on a constructed
+    BRIDGE corpus — the case where the component drop rule is STRICTLY
+    stronger than the greedy smaller-partner rule: docs 1 and 2 share
+    nothing, doc 3 overlaps both (jaccard exactly 0.5 each side, banded
+    together under the certified md5 MinHash — verified offline), so
+    the mined pairs are (1,3) and (2,3) only. Chunk 2 has no smaller
+    direct partner (it is never a near-loser) yet its component label
+    is 1, so the pass drops BOTH 2 and 3: dropped 13 tokens > near
+    8 > exact 0 — the full chain strict on one corpus. Both reports
+    are value-compared against their DuckDB oracles on the same
+    corpus (cross-engine closure on a degenerate input)."""
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.oracle_utils import compare
+
+    df = spark.createDataFrame(
+        [
+            (1, "w12 w25 w26 w09 w15", "en", 19, "s1"),
+            (2, "w09 w15 w11 w18 w06", "en", 19, "s1"),
+            (3, "w12 w25 w26 w09 w15 w11 w18 w06", "en", 31, "s1"),
+        ],
+        "doc_id long, text string, lang string, n_chars int, source string",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    ded = REGISTRY["pipeline_chunk_dedup"]
+    row = ded.fn(spark, str(tmp_path)).collect()[0]
+    assert (
+        row.n_chunks,
+        row.chunk_tokens,
+        row.n_clusters,
+        row.clustered_chunks,
+        row.dropped_chunks,
+        row.dropped_tokens,
+        row.kept_tokens,
+        row.dropped_ppm,
+    ) == (3, 18, 1, 3, 2, 13, 5, 13 * 1_000_000 // 18)
+    tax = REGISTRY["curation_chunk_near_tax"]
+    trow = tax.fn(spark, str(tmp_path)).collect()[0]
+    assert trow.near_loser_tokens == 8
+    assert trow.exact_loser_tokens == 0
+    assert row.dropped_tokens > trow.near_loser_tokens
+    assert trow.near_loser_tokens > trow.exact_loser_tokens
+    assert not compare(ded.fn(spark, str(tmp_path)), con, ded.oracle)
+    assert not compare(tax.fn(spark, str(tmp_path)), con, tax.oracle)
