@@ -2813,3 +2813,22 @@ def test_pipeline_chunk_dedup_materialized_labels_plan(spark):
     assert "Scan ExistingRDD" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_sim_ivf_matryoshka_equijoin_buckets(spark):
+    """sim_ivf_matryoshka (round 14): all three per-dim index builds
+    must generate candidates through the cid equi-join (the inverted
+    file), never an unkeyed corpus pairing — the slice composes with
+    the bucketing, it does not replace it. The
+    BroadcastNestedLoopJoin Cross nodes are the certified bounded
+    broadcasts (capped query slice / centroid table); CartesianProduct
+    stays forbidden; everything JVM-side."""
+    import re as _re
+
+    plan = _plan(spark, "sim_ivf_matryoshka")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    cid_joins = _re.findall(
+        r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \[cid#", plan
+    )
+    assert len(cid_joins) >= 3, (cid_joins, plan)

@@ -13862,3 +13862,103 @@ def test_pipeline_chunk_dedup_bridge_strictness(spark, tmp_path):
     assert trow.near_loser_tokens > trow.exact_loser_tokens
     assert not compare(ded.fn(spark, str(tmp_path)), con, ded.oracle)
     assert not compare(tax.fn(spark, str(tmp_path)), con, tax.oracle)
+
+
+def test_sim_ivf_matryoshka_replica_and_closures(spark):
+    """sim_ivf_matryoshka: the full slice-then-bucket pipeline
+    (per-dim prefix slice, mod-100 centroids, rounded-cosine
+    assignment, 2 probes, per-bucket top-5) and recall vs the
+    FULL-WIDTH exact top-5, recomputed in numpy at each dim; the
+    d = 64 row must equal sim_ivf_probe_curve's n_probe = 2 row
+    EXACTLY (the slice is the identity — cross-query closure to the
+    certified single-cut tier), and at every dim the combined
+    truncation+bucketing recall is bounded by embed_matryoshka_recall's
+    truncation-only recall on this corpus (bucketing can only lose
+    candidates the sliced exact ranking would have kept — a corpus
+    fact here, not a theorem: a pruned bucket could in principle evict
+    a sliced-exact non-hit in favor of a hit)."""
+    import numpy as np
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = _smoke_table("embeddings", ["vec_id", "embedding"])
+    ids = np.array([r[0] for r in rows])
+    X64 = np.array([r[1] for r in rows], dtype=np.float64)
+    idx = {v: i for i, v in enumerate(ids)}
+    cents = sorted(v for v in ids if v % 100 == 0)
+    qids = sorted(v for v in ids if v < 10)
+
+    nrm64 = np.sqrt((X64 * X64).sum(axis=1))
+    exact = {}
+    for q in qids:
+        scored = sorted(
+            (
+                (
+                    round(float(X64[idx[q]] @ X64[idx[x]] /
+                                (nrm64[idx[q]] * nrm64[idx[x]])), 6),
+                    -x,
+                )
+                for x in ids
+                if x != q
+            ),
+            reverse=True,
+        )[:5]
+        exact[q] = {-s[1] for s in scored}
+    n_pairs = sum(len(s) for s in exact.values())
+
+    got = {
+        r.dim: r
+        for r in REGISTRY["sim_ivf_matryoshka"].fn(spark, SF_SMOKE).collect()
+    }
+    assert sorted(got) == [16, 32, 64]
+    for d in (16, 32, 64):
+        X = X64[:, :d]
+        nrm = np.sqrt((X * X).sum(axis=1))
+
+        def cos(i, j):
+            return round(float(X[i] @ X[j] / (nrm[i] * nrm[j])), 6)
+
+        assign = {}
+        for v in ids:
+            best = max(((cos(idx[v], idx[c]), -c) for c in cents))
+            assign[v] = -best[1]
+        buckets = {}
+        for v, c in assign.items():
+            buckets.setdefault(c, []).append(v)
+        hits = 0
+        for q in qids:
+            probes = sorted(
+                ((cos(idx[q], idx[c]), -c) for c in cents), reverse=True
+            )[:2]
+            cand = [
+                x
+                for _, negc in probes
+                for x in buckets.get(-negc, [])
+                if x != q
+            ]
+            topk = sorted(
+                ((cos(idx[q], idx[x]), -x) for x in cand), reverse=True
+            )[:5]
+            hits += len({-t[1] for t in topk} & exact[q])
+        r = got[d]
+        assert (r.n_queries, r.n_hits, r.recall_ppm) == (
+            len(qids),
+            hits,
+            (hits * 1_000_000) // n_pairs,
+        ), (d, tuple(r))
+    # closure: identity slice == the certified probe curve at n_probe=2
+    pc = {
+        r.n_probe: (r.n_hits, r.recall_ppm)
+        for r in REGISTRY["sim_ivf_probe_curve"].fn(spark, SF_SMOKE).collect()
+    }
+    assert (got[64].n_hits, got[64].recall_ppm) == pc[2]
+    # combined cut never beats the truncation-only cut on this corpus
+    mat = {
+        r.dim: r.recall_ppm
+        for r in (
+            REGISTRY["embed_matryoshka_recall"].fn(spark, SF_SMOKE).collect()
+        )
+    }
+    for d in (16, 32, 64):
+        assert got[d].recall_ppm <= mat[d], (d, got[d].recall_ppm, mat[d])
