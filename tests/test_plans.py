@@ -2832,3 +2832,18 @@ def test_sim_ivf_matryoshka_equijoin_buckets(spark):
         r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \[cid#", plan
     )
     assert len(cid_joins) >= 3, (cid_joins, plan)
+
+
+def test_dq_release_emit_checkpoint_and_broadcast_choice(spark):
+    """dq_release_emit (round 14): same materialization discipline as
+    the ladder — the returned plan reads ONLY the checkpointed class
+    grid (Scan ExistingRDD), never parquet (the verdict arms + the
+    emit arm are one more set of consumers of the grid the
+    grouping-set-pruning gotcha would otherwise re-scan per arm), the
+    1-row chosen-level join is a broadcast, and the noise is a
+    scan-side projection — no Python, no cartesian."""
+    plan = _plan(spark, "dq_release_emit")
+    assert plan.count("FileScan parquet") == 0, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

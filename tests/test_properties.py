@@ -13962,3 +13962,80 @@ def test_sim_ivf_matryoshka_replica_and_closures(spark):
     }
     for d in (16, 32, 64):
         assert got[d].recall_ppm <= mat[d], (d, got[d].recall_ppm, mat[d])
+
+
+def test_dq_release_emit_refusal_and_ladder_closure(spark):
+    """dq_release_emit at SF_SMOKE: NO ladder level passes release_ok
+    on this corpus (verified against dq_release_ladder's rows), so the
+    emit must be EMPTY — the honest refusal is a real code path, not a
+    theoretical one. The emptiness closure is two-sided: empty iff the
+    ladder shows no release_ok level."""
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    ladder = REGISTRY["dq_release_ladder"].fn(spark, SF_SMOKE).collect()
+    ok_levels = [r.level for r in ladder if r.release_ok]
+    rows = REGISTRY["dq_release_emit"].fn(spark, SF_SMOKE).collect()
+    assert ok_levels == [], ladder
+    assert rows == []
+
+
+def test_dq_release_emit_ships_first_ok_level(spark, tmp_path):
+    """dq_release_emit on a constructed corpus where level 0 fails
+    k-anonymity (band-grain classes of 3 < 5) but level 1 passes all
+    three bars (k = 6, l = 2, EMD = 0 — both nations share the global
+    band distribution exactly): the emit must ship level 1 — the FIRST
+    release_ok level read from the data — with the band column
+    generalized to '*', one row per (nation, segment) class, and the
+    deterministic Laplace noisy count recomputable from the public
+    md5 plumbing (the dp_laplace_release formula over the released
+    class key). Closures vs dq_release_ladder on the same corpus:
+    chosen level == first release_ok row, class count == n_classes,
+    min k == min_k. Both queries value-compared against their DuckDB
+    oracles on the corpus."""
+    import duckdb
+    import hashlib
+    import math
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.oracle_utils import compare
+
+    rows = []
+    for nat in (1, 2):
+        rows += [(nat, "A", 500.0)] * 3 + [(nat, "A", 1500.0)] * 3
+    df = spark.createDataFrame(
+        [(i, n, s, b) for i, (n, s, b) in enumerate(rows)],
+        "c_custkey long, c_nationkey long, c_mktsegment string,"
+        " c_acctbal double",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "customer.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW customer AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/customer.parquet/*.parquet')"
+    )
+    ladder = REGISTRY["dq_release_ladder"]
+    lrows = {r.level: r for r in ladder.fn(spark, str(tmp_path)).collect()}
+    assert not lrows[0].release_ok and lrows[1].release_ok, lrows
+    emit = REGISTRY["dq_release_emit"]
+    erows = emit.fn(spark, str(tmp_path)).collect()
+    assert [
+        (r.level, r.nat, r.seg, r.band, r.k) for r in erows
+    ] == [(1, 1, "A", "*", 6), (1, 2, "A", "*", 6)]
+    assert len(erows) == lrows[1].n_classes
+    assert min(r.k for r in erows) == lrows[1].min_k
+    # noise replica: md5 inverse-CDF Laplace over the released key
+    for r in erows:
+        h = int(
+            hashlib.md5(
+                f"{r.nat}|{r.seg}|{r.band}:release".encode()
+            ).hexdigest()[:4],
+            16,
+        )
+        u = (h + 0.5) / 65536.0
+        c = u - 0.5
+        noise = -1.0 * math.copysign(1.0, c) * math.log(1 - 2 * abs(c))
+        assert abs(r.noise - round(noise, 6)) < 1e-9, (tuple(r), noise)
+        assert r.k_released == max(0, math.floor(r.k + noise + 0.5))
+    assert not compare(emit.fn(spark, str(tmp_path)), con, emit.oracle)
+    assert not compare(ladder.fn(spark, str(tmp_path)), con, ladder.oracle)
