@@ -2847,3 +2847,14 @@ def test_dq_release_emit_checkpoint_and_broadcast_choice(spark):
     assert "Scan ExistingRDD" in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_chunk_doc_survival_materialized_labels_plan(spark):
+    """dedup_chunk_doc_survival (round 14): the CC labels arrive
+    materialized (Scan ExistingRDD), nothing is forced broadcast on
+    the doc_id join (both sides stay partitionable at 100 TB), and
+    the report stays JVM-side with no cartesian."""
+    plan = _plan(spark, "dedup_chunk_doc_survival")
+    assert "Scan ExistingRDD" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan

@@ -14039,3 +14039,65 @@ def test_dq_release_emit_ships_first_ok_level(spark, tmp_path):
         assert r.k_released == max(0, math.floor(r.k + noise + 0.5))
     assert not compare(emit.fn(spark, str(tmp_path)), con, emit.oracle)
     assert not compare(ladder.fn(spark, str(tmp_path)), con, ladder.oracle)
+
+
+def test_chunk_doc_survival_replica_and_closure(spark):
+    """dedup_chunk_doc_survival: per-doc union-find replica (group the
+    non-label component members by document, price in tokens against
+    the doc's full chunk grain), plus the closure the query exists
+    for: its rows sum EXACTLY to pipeline_chunk_dedup's corpus-level
+    dropped_chunks / dropped_tokens (same relation re-keyed), every
+    row has at least one dropped chunk (inner-join contract, output
+    bounded by touched docs), and kept_ppm is the exact floor in
+    [0, 1e6)."""
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    chunks, _sets, pairs = _chunk_minhash_replica()
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {k: find(k) for k in parent}
+    mins = {}
+    for k, c in comp.items():
+        mins[c] = min(mins.get(c, k), k)
+    expect = {}
+    for k, c in comp.items():
+        if k != mins[c]:
+            d = k // 1_000_000
+            dc, dt = expect.get(d, (0, 0))
+            expect[d] = (dc + 1, dt + len(chunks[k]))
+    dtot = {}
+    for k, ct in chunks.items():
+        d = k // 1_000_000
+        nc, tk = dtot.get(d, (0, 0))
+        dtot[d] = (nc + 1, tk + len(ct))
+
+    rows = (
+        REGISTRY["dedup_chunk_doc_survival"].fn(spark, SF_SMOKE).collect()
+    )
+    got = {r.doc_id: r for r in rows}
+    assert set(got) == set(expect)
+    for d, (dc, dt) in expect.items():
+        r = got[d]
+        nc, tk = dtot[d]
+        assert (r.n_chunks, r.doc_tokens) == (nc, tk), (d, tuple(r))
+        assert (r.dropped_chunks, r.dropped_tokens) == (dc, dt)
+        assert r.kept_tokens == tk - dt
+        assert r.kept_ppm == (tk - dt) * 1_000_000 // tk
+        assert r.dropped_chunks >= 1
+        assert 0 <= r.kept_ppm < 1_000_000
+    rep = REGISTRY["pipeline_chunk_dedup"].fn(spark, SF_SMOKE).collect()[0]
+    assert sum(r.dropped_chunks for r in rows) == rep.dropped_chunks
+    assert sum(r.dropped_tokens for r in rows) == rep.dropped_tokens
