@@ -2858,3 +2858,15 @@ def test_chunk_doc_survival_materialized_labels_plan(spark):
     assert "Scan ExistingRDD" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_chunk_incremental_no_corpus_self_join(spark):
+    """dedup_chunk_incremental (round 14): candidate generation must be
+    the (band, bkey) equi-join of the BATCH band rows against the
+    corpus band rows — never a corpus self-pairing, never a cartesian,
+    never Python. Both parity filters must reach the documents scan
+    (pushed, so each side reads only its slice)."""
+    plan = _plan(spark, "dedup_chunk_incremental")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "bkey" in plan, plan

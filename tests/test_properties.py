@@ -14101,3 +14101,37 @@ def test_chunk_doc_survival_replica_and_closure(spark):
     rep = REGISTRY["pipeline_chunk_dedup"].fn(spark, SF_SMOKE).collect()[0]
     assert sum(r.dropped_chunks for r in rows) == rep.dropped_chunks
     assert sum(r.dropped_tokens for r in rows) == rep.dropped_tokens
+
+
+def test_chunk_incremental_closure_and_batch_only_orientation(spark):
+    """dedup_chunk_incremental: the incremental relation must be
+    EXACTLY dedup_chunk_minhash's certified pair set restricted to
+    mixed-parity document pairs (batch = doc % 10 >= 8), re-oriented
+    new-first — band matching is symmetric, so mining batch x corpus
+    only loses nothing against the full relation on that slice
+    (closure). Orientation law: every row's new_doc is a batch doc and
+    old_doc a corpus doc; non-vacuity: the slice is non-empty at
+    SF_SMOKE (20 mixed pairs) so the closure is not trivially
+    satisfied."""
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    full = REGISTRY["dedup_chunk_minhash"].fn(spark, SF_SMOKE).collect()
+    expect = {}
+    for r in full:
+        pa, pb = r.doc_a % 10 >= 8, r.doc_b % 10 >= 8
+        if pa == pb:
+            continue
+        if pa:
+            expect[(r.doc_a, r.chunk_a, r.doc_b, r.chunk_b)] = r.jaccard
+        else:
+            expect[(r.doc_b, r.chunk_b, r.doc_a, r.chunk_a)] = r.jaccard
+    rows = REGISTRY["dedup_chunk_incremental"].fn(spark, SF_SMOKE).collect()
+    got = {
+        (r.new_doc, r.new_chunk, r.old_doc, r.old_chunk): r.jaccard
+        for r in rows
+    }
+    assert got == expect
+    assert len(got) > 0, "no mixed-parity pairs: closure vacuous"
+    for nd, _nc, od, _oc in got:
+        assert nd % 10 >= 8 and od % 10 < 8
