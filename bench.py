@@ -110,6 +110,12 @@ SECONDARY = [
     # encode join + per-shard fold; benched so pricing-join and fold cost
     # stay visible)
     "pack_sequences_bpe",
+    # round-14 flagship (the full chunk-grain fuzzy-dedup pass: certified
+    # chunker -> MinHash banding -> CC closure -> drop accounting; benched
+    # so chunker/banding/propagation cost regressions stay visible — the
+    # rest of the round-14 family shares these exact stages, so this one
+    # entry prices the thread)
+    "pipeline_chunk_dedup",
 ]
 
 

@@ -2870,3 +2870,16 @@ def test_chunk_incremental_no_corpus_self_join(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "bkey" in plan, plan
+
+
+def test_pipeline_mmr_serving_grid_only_plan(spark):
+    """pipeline_mmr_serving (round 14): the IVF candidate stage runs at
+    build time into the checkpointed candidate grid and the greedy
+    steps are checkpointed exactly like sim_mmr_rerank — the returned
+    plan must read ONE materialized grid, zero parquet (serving cost
+    independent of corpus size), no cartesian, no Python."""
+    plan = _plan(spark, "pipeline_mmr_serving")
+    assert "Scan ExistingRDD" in plan, plan
+    assert ".parquet" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan

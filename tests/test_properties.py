@@ -14135,3 +14135,88 @@ def test_chunk_incremental_closure_and_batch_only_orientation(spark):
     assert len(got) > 0, "no mixed-parity pairs: closure vacuous"
     for nd, _nc, od, _oc in got:
         assert nd % 10 >= 8 and od % 10 < 8
+
+
+def test_pipeline_mmr_serving_replica_and_composition_laws(spark):
+    """pipeline_mmr_serving: Python replica of the composed pipeline —
+    IVF approximate top-10 candidates (mod-100 centroids,
+    rounded-cosine assignment, 2 probes) re-ranked by the greedy MMR
+    machine (lambda = 0.5 as the unscaled rel - max_sim difference,
+    neighbor_id tie-breaks) — plus the composition laws: pick 1 is
+    sim_ann_ivf's rank-1 neighbor (same tier, closure); every pick is
+    inside the replica's IVF top-10 (containment); the served set
+    diverges from the exact-candidate MMR (sim_mmr_rerank) for at
+    least one query (the approximation is visible) AND from the plain
+    IVF top-5 for at least one query (the diversity is visible)."""
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    import numpy as np
+
+    rows = _smoke_table("embeddings", ["vec_id", "embedding"])
+    ids = [r[0] for r in rows]
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    nrm = np.sqrt((X * X).sum(axis=1))
+    idx = {v: i for i, v in enumerate(ids)}
+
+    def cos(a, b):
+        return round(float(X[idx[a]] @ X[idx[b]] / (nrm[idx[a]] * nrm[idx[b]])), 6)
+
+    cents = sorted(v for v in ids if v % 100 == 0)
+    assign = {}
+    for v in ids:
+        best = max(((cos(v, c), -c) for c in cents))
+        assign[v] = -best[1]
+    buckets = {}
+    for v, c in assign.items():
+        buckets.setdefault(c, []).append(v)
+    qids = sorted(v for v in ids if v < 10)
+    expect = {}
+    cand10 = {}
+    for q in qids:
+        probes = sorted(((cos(q, c), -c) for c in cents), reverse=True)[:2]
+        candset = [
+            x for _, negc in probes for x in buckets.get(-negc, []) if x != q
+        ]
+        rel = {x: cos(q, x) for x in candset}
+        cand = sorted(rel, key=lambda n: (-rel[n], n))[:10]
+        cand10[q] = set(cand)
+        sel = [min(cand, key=lambda n: (-rel[n], n))]
+        for _step in range(4):
+            rem = [n for n in cand if n not in sel]
+            score = {n: rel[n] - max(cos(n, s) for s in sel) for n in rem}
+            sel.append(min(rem, key=lambda n: (-score[n], n)))
+        expect[q] = sel
+
+    got = {}
+    for r in REGISTRY["pipeline_mmr_serving"].fn(spark, SF_SMOKE).collect():
+        got.setdefault(r.query_id, {})[r.pick] = r.neighbor_id
+    assert set(got) == set(expect)
+    for q, sel in expect.items():
+        assert [got[q][i] for i in range(1, 6)] == sel, (q, sel, got[q])
+        assert set(sel) <= cand10[q]
+    ivf1 = {
+        r.query_id: r.neighbor_id
+        for r in REGISTRY["sim_ann_ivf"].fn(spark, SF_SMOKE).collect()
+        if r.rank == 1
+    }
+    for q in expect:
+        assert got[q][1] == ivf1[q]
+    exact_mmr = {}
+    for r in REGISTRY["sim_mmr_rerank"].fn(spark, SF_SMOKE).collect():
+        exact_mmr.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert any(
+        set(expect[q]) != exact_mmr[q] for q in expect
+    ), "IVF candidates never changed the served set: approximation vacuous"
+    plain5 = {
+        q: set(
+            sorted(
+                cand10[q],
+                key=lambda n: (-cos(q, n), n),
+            )[:5]
+        )
+        for q in expect
+    }
+    assert any(
+        set(expect[q]) != plain5[q] for q in expect
+    ), "MMR never diverged from plain IVF top-5: diversity vacuous"
