@@ -14220,3 +14220,29 @@ def test_pipeline_mmr_serving_replica_and_composition_laws(spark):
     assert any(
         set(expect[q]) != plain5[q] for q in expect
     ), "MMR never diverged from plain IVF top-5: diversity vacuous"
+
+
+def test_pipeline_chunk_dedup_empty_corpus(spark, tmp_path):
+    """pipeline_chunk_dedup on an EMPTY documents table: the report
+    must be the all-zero row on BOTH engines (chunk_tokens coalesced,
+    dropped_ppm nullif-guarded — the degenerate-corpus discipline
+    ADVICE r13 asked for on the EMD normalizers), not a NULL-infested
+    row or a division error."""
+    import duckdb
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.oracle_utils import compare
+
+    spark.createDataFrame(
+        [],
+        "doc_id long, text string, lang string, n_chars int, source string",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    spec = REGISTRY["pipeline_chunk_dedup"]
+    rows = spec.fn(spark, str(tmp_path)).collect()
+    assert [tuple(r) for r in rows] == [(0, 0, 0, 0, 0, 0, 0, 0)]
+    assert not compare(spec.fn(spark, str(tmp_path)), con, spec.oracle)
