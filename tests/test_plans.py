@@ -2883,3 +2883,27 @@ def test_pipeline_mmr_serving_grid_only_plan(spark):
     assert ".parquet" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_dedup_chunk_keep_anti_join_writer_plan(spark):
+    """dedup_chunk_keep (round 14): the writer relation must be the
+    LEFT ANTI hash join of the full chunk grain against the
+    materialized drop set plus the rep-flag left join — no cartesian,
+    no Python, labels from Scan ExistingRDD."""
+    plan = _plan(spark, "dedup_chunk_keep")
+    assert "Scan ExistingRDD" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_dp_epsilon_curve_single_count_broadcast_grid(spark):
+    """dp_epsilon_curve (round 14): ONE map-side-combinable count per
+    language (a single documents scan), the 4-row epsilon grid
+    broadcast onto the bounded aggregate, noise as a scan-side
+    projection — no window, no data-sized join, no Python."""
+    plan = _plan(spark, "dp_epsilon_curve")
+    assert plan.count("documents.parquet") == 1, plan
+    assert "partial_count" in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan

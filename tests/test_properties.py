@@ -14246,3 +14246,107 @@ def test_pipeline_chunk_dedup_empty_corpus(spark, tmp_path):
     rows = spec.fn(spark, str(tmp_path)).collect()
     assert [tuple(r) for r in rows] == [(0, 0, 0, 0, 0, 0, 0, 0)]
     assert not compare(spec.fn(spark, str(tmp_path)), con, spec.oracle)
+
+
+def test_dp_epsilon_curve_scaling_and_closure(spark):
+    """dp_epsilon_curve: the eps_pct = 100 slice must reproduce
+    dp_laplace_release's certified rows EXACTLY (same key, salt, and
+    b = 1 — cross-query closure); per language the noise must be the
+    base draw scaled by exactly 1/eps (b = 10/2/1/0.5 are exact binary
+    factors: noise(eps_pct) == round(b * bnoise, 6) with ONE shared
+    bnoise recovered from the b = 1 row's pre-rounded replica), and
+    abs_err_e6 must be non-increasing in eps_pct row-by-row (monotone
+    rounding of a positively-scaled magnitude)."""
+    import hashlib
+    import math
+
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = REGISTRY["dp_epsilon_curve"].fn(spark, SF_SMOKE).collect()
+    by_eps = {}
+    for r in rows:
+        by_eps.setdefault(r.eps_pct, {})[r.lang] = r
+    assert sorted(by_eps) == [10, 50, 100, 200]
+    rel = {
+        r.lang: r
+        for r in REGISTRY["dp_laplace_release"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(by_eps[100]) == set(rel)
+    for lang, r in by_eps[100].items():
+        assert (r.n_docs, r.noise, r.n_released) == (
+            rel[lang].n_docs,
+            rel[lang].noise,
+            rel[lang].n_released,
+        )
+    for lang in rel:
+        h = int(
+            hashlib.md5(f"{lang}:laplace".encode()).hexdigest()[:4], 16
+        )
+        u = (h + 0.5) / 65536.0
+        c = u - 0.5
+        bnoise = -1.0 * math.copysign(1.0, c) * math.log(1 - 2 * abs(c))
+        prev = None
+        for eps_pct in (10, 50, 100, 200):
+            r = by_eps[eps_pct][lang]
+            assert abs(r.noise - round((100.0 / eps_pct) * bnoise, 6)) < 1e-12
+            if prev is not None:
+                assert r.abs_err_e6 <= prev, (lang, eps_pct)
+            prev = r.abs_err_e6
+
+
+def test_dedup_chunk_keep_closures(spark):
+    """dedup_chunk_keep: the writer relation must close exactly against
+    the pass report — row count == n_chunks - dropped_chunks, token
+    sum == kept_tokens, cluster-rep flags == n_clusters — and against
+    the replica: the kept key set is the full grain minus the
+    union-find drop set, the flagged keys are exactly the component
+    labels, and the kept set is disjoint from
+    dedup_chunk_doc_survival's per-doc drop accounting (every doc's
+    kept chunks here + dropped chunks there == its full grain)."""
+    from dend_spark_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    chunks, _sets, pairs = _chunk_minhash_replica()
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {k: find(k) for k in parent}
+    mins = {}
+    for k, c in comp.items():
+        mins[c] = min(mins.get(c, k), k)
+    dropped = {k for k, c in comp.items() if k != mins[c]}
+    labels = set(mins.values())
+
+    rows = REGISTRY["dedup_chunk_keep"].fn(spark, SF_SMOKE).collect()
+    got = {r.doc_id * 1_000_000 + r.chunk_idx: r for r in rows}
+    assert set(got) == set(chunks) - dropped
+    for k, r in got.items():
+        assert r.n_toks == len(chunks[k])
+        assert r.is_cluster_rep == (k in labels)
+    rep = REGISTRY["pipeline_chunk_dedup"].fn(spark, SF_SMOKE).collect()[0]
+    assert len(rows) == rep.n_chunks - rep.dropped_chunks
+    assert sum(r.n_toks for r in rows) == rep.kept_tokens
+    assert sum(1 for r in rows if r.is_cluster_rep) == rep.n_clusters
+    surv = {
+        r.doc_id: r
+        for r in (
+            REGISTRY["dedup_chunk_doc_survival"].fn(spark, SF_SMOKE).collect()
+        )
+    }
+    from collections import Counter
+
+    kept_per_doc = Counter(r.doc_id for r in rows)
+    for d, s in surv.items():
+        assert kept_per_doc[d] + s.dropped_chunks == s.n_chunks
