@@ -45,18 +45,21 @@ def cosine_topk(
     double precision and rounded; ranking orders by (rounded cosine desc,
     neighbor id) so results are fully deterministic across engines.
     """
+    # Norms are precomputed per SIDE, not per pair: sqrt(dot(v, v)) is the
+    # same expression on the same row either way (bit-identical doubles),
+    # but per-pair evaluation pays the O(dim) self-dot |queries| x |corpus|
+    # times instead of |queries| + |corpus| — 3 higher-order aggregates per
+    # pair collapse to 1 (guide §2.3: do per-row work once, not per pair).
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
-    )
+    ).withColumn("__qn", F.sqrt(_dot(F.col("__qv"), F.col("__qv"))))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__cv"),
-    )
+    ).withColumn("__cn", F.sqrt(_dot(F.col("__cv"), F.col("__cv"))))
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
-    cos = _dot(F.col("__qv"), F.col("__cv")) / (
-        F.sqrt(_dot(F.col("__qv"), F.col("__qv"))) * F.sqrt(_dot(F.col("__cv"), F.col("__cv")))
-    )
+    cos = _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
     scored = pairs.select(
         "query_id", "neighbor_id", F.round(cos, round_digits).alias("cosine")
     )
@@ -93,6 +96,54 @@ def word_ngrams(col, n: int = 3):
         return F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " "))
 
     return F.array_distinct(F.flatten(F.transform(F.array(toks), grams)))
+
+
+def _jaccard_verify(
+    cand: DataFrame,
+    sa: DataFrame,
+    sb: DataFrame,
+    a_key: str,
+    b_key: str,
+    threshold: float,
+    round_digits: int,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs with the
+    ``array_intersect`` evaluated ONCE per pair.
+
+    The intersection sits inside an ``explode(array(struct(...)))``
+    Generate: the ``>= threshold`` filter references generator output,
+    which Catalyst cannot push below the Generate into the join
+    condition. Without the barrier the pushed predicate makes the join
+    condition AND the post-join projection each evaluate
+    ``array_intersect`` — 3 evaluations per candidate (no whole-stage
+    codegen subexpression elimination reaches a join condition), measured
+    ~2x slower verify at sf0.1. The explode emits exactly one row per
+    input row, so the relation is unchanged.
+
+    Returns (a_key, b_key, jaccard) filtered at ``threshold``.
+    """
+    j = cand.join(sa, a_key).join(sb, b_key)
+    scored = j.select(
+        a_key,
+        b_key,
+        F.explode(
+            F.array(
+                F.struct(
+                    F.size(F.array_intersect("sh_a", "sh_b")).alias("ni"),
+                    F.size("sh_a").alias("na"),
+                    F.size("sh_b").alias("nb"),
+                )
+            )
+        ).alias("v"),
+    ).select(
+        a_key,
+        b_key,
+        F.round(
+            F.col("v.ni") / (F.col("v.na") + F.col("v.nb") - F.col("v.ni")),
+            round_digits,
+        ).alias("jaccard"),
+    )
+    return scored.filter(F.col("jaccard") >= threshold)
 
 
 def ngram_jaccard_pairs(
@@ -157,20 +208,9 @@ def ngram_jaccard_pairs(
     )
     sa = sets.select(F.col("id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sets.select(F.col("id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    verified = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter")
-                / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
-                round_digits,
-            ),
-        )
+    return _jaccard_verify(
+        cand, sa, sb, "doc_a", "doc_b", threshold, round_digits
     )
-    return verified.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
 
 def _shingle_prefix_index(
@@ -193,17 +233,22 @@ def _shingle_prefix_index(
     shuffles, sorts, and intersections work on fixed-width longs (~35%
     faster end-to-end, measured); set relations over hashes equal those
     over strings barring a 64-bit collision inside one corpus (~n²/2⁶⁵).
+
+    The non-empty filter is applied ABOVE the persist boundary: pushed
+    below it, Catalyst evaluates the full shingling expression TWICE per
+    row while materializing the cache (once in the pushed Filter, once in
+    the Project — higher-order functions get no whole-stage codegen, so
+    no subexpression elimination rescues it; measured 1.55x slower at
+    sf0.1). Cached rows with empty shingle arrays are a negligible
+    overhead; the filter itself runs on the cached array column.
     """
-    sets = (
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.transform(
-                word_ngrams(F.col(text_col), n), lambda s: F.xxhash64(s)
-            ).alias("shingles"),
-        )
-        .filter(F.size("shingles") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    cached = docs.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            word_ngrams(F.col(text_col), n), lambda s: F.xxhash64(s)
+        ).alias("shingles"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sets = cached.filter(F.size("shingles") > 0)
     sh = sets.select(
         "id", F.size("shingles").alias("m"), F.explode("shingles").alias("sh")
     )
@@ -285,15 +330,33 @@ def containment_pairs(
     )
     si = sets.select(F.col("id").alias("doc_inner"), F.col("shingles").alias("sh_i"))
     so = sets.select(F.col("id").alias("doc_outer"), F.col("shingles").alias("sh_o"))
+    # explode(array(struct(...))) barrier: the threshold filter references
+    # generator output, so it cannot push into the join condition and
+    # re-evaluate array_intersect there (see _jaccard_verify)
     verified = (
         cand.join(si, "doc_inner")
         .join(so, "doc_outer")
         .select(
             "doc_inner",
             "doc_outer",
-            F.size("sh_i").cast("long").alias("n_inner"),
-            F.size("sh_o").cast("long").alias("n_outer"),
-            F.size(F.array_intersect("sh_i", "sh_o")).cast("long").alias("n_shared"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.size("sh_i").cast("long").alias("n_inner"),
+                        F.size("sh_o").cast("long").alias("n_outer"),
+                        F.size(F.array_intersect("sh_i", "sh_o"))
+                        .cast("long")
+                        .alias("n_shared"),
+                    )
+                )
+            ).alias("v"),
+        )
+        .select(
+            "doc_inner",
+            "doc_outer",
+            F.col("v.n_inner").alias("n_inner"),
+            F.col("v.n_outer").alias("n_outer"),
+            F.col("v.n_shared").alias("n_shared"),
         )
         .withColumn(
             "containment_ppm", F.expr("n_shared * 1000000 DIV n_inner")
@@ -411,14 +474,15 @@ def _portable_shingle_bands(
     signature (id, m0..m{n_hashes-1}), and ``bands`` is (id, band, bkey)
     — one row per document per LSH band."""
     n_bands = n_hashes // band_rows
-    sets = (
-        docs.select(
-            F.col(id_col).alias("id"),
-            word_ngrams(F.col(text_col), n).alias("shingles"),
-        )
-        .filter(F.size("shingles") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )  # reused by the signature pass and both verify sides
+    # filter ABOVE the persist boundary: pushed below it, the full
+    # shingling expression is evaluated twice per row while materializing
+    # the cache (see _shingle_prefix_index)
+    cached = docs.select(
+        F.col(id_col).alias("id"),
+        word_ngrams(F.col(text_col), n).alias("shingles"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # reused by the signature pass and both verify sides
+    sets = cached.filter(F.size("shingles") > 0)
     sh = sets.select("id", F.explode("shingles").alias("s"))
 
     def mh(i: int):
@@ -486,21 +550,8 @@ def incremental_minhash_pairs(
     )
     sa = sets_b.select(F.col("id").alias("new_doc"), F.col("shingles").alias("sh_a"))
     sb = sets_c.select(F.col("id").alias("old_doc"), F.col("shingles").alias("sh_b"))
-    verified = (
-        cand.join(sa, "new_doc")
-        .join(sb, "old_doc")
-        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter")
-                / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
-                round_digits,
-            ),
-        )
-    )
-    return verified.filter(F.col("jaccard") >= threshold).select(
-        "new_doc", "old_doc", "jaccard"
+    return _jaccard_verify(
+        cand, sa, sb, "new_doc", "old_doc", threshold, round_digits
     )
 
 
@@ -551,21 +602,8 @@ def minhash_banded_pairs(
     )
     sa = sets.select(F.col("id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sets.select(F.col("id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    verified = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter")
-                / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
-                round_digits,
-            ),
-        )
-    )
-    return verified.filter(F.col("jaccard") >= threshold).select(
-        "doc_a", "doc_b", "jaccard"
+    return _jaccard_verify(
+        cand, sa, sb, "doc_a", "doc_b", threshold, round_digits
     )
 
 
@@ -927,11 +965,17 @@ def ivf_near_pairs(
     Returns (vec_a, vec_b, cosine) with vec_a < vec_b.
     """
     dv = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
-    e = emb.select(F.col(id_col).alias("id"), dv(vec_col).alias("v"))
-    cent = ivf_centroids(e, "id", "v", centroid_mod)
-    ccos = _dot(F.col("v"), F.col("cv")) / (
-        F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    # Norms precomputed per SIDE (same sqrt(dot(v,v)) expression on the
+    # same row — bit-identical doubles), so the corpus x centroids fanout
+    # and the per-pair verify each evaluate ONE O(dim) aggregate instead
+    # of three (guide §2.3).
+    e = emb.select(F.col(id_col).alias("id"), dv(vec_col).alias("v")).withColumn(
+        "__n", F.sqrt(_dot(F.col("v"), F.col("v")))
     )
+    cent = ivf_centroids(e, "id", "v", centroid_mod).withColumn(
+        "__cn", F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    ccos = _dot(F.col("v"), F.col("cv")) / (F.col("__n") * F.col("__cn"))
     w_assign = Window.partitionBy("id").orderBy(
         F.col("__ccos").desc(), F.col("cid").asc()
     )
@@ -940,25 +984,45 @@ def ivf_near_pairs(
         .withColumn("__ccos", F.round(ccos, round_digits))
         .withColumn("__r", F.row_number().over(w_assign))
         .filter(F.col("__r") <= n_probe)
-        .select("cid", "id", "v")
+        .select("cid", "id", "v", "__n")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )  # consumed by BOTH sides of the candidate self-join — without the
     #    persist the corpus x broadcast(centroids) assignment pass runs twice
-    a = assigned.select(F.col("id").alias("vec_a"), F.col("v").alias("va"), "cid")
-    b = assigned.select(F.col("id").alias("vec_b"), F.col("v").alias("vb"), "cid")
+    # Candidate pairs travel NARROW (ids only) through the bucket self-join
+    # and the dedup exchange; the O(dim) vectors are re-attached afterwards
+    # from the per-id slice of the cached assignment (guide §2.3: shuffle
+    # keys, not payloads — the wide form shuffled both vectors per
+    # candidate through the dropDuplicates exchange).
+    a = assigned.select(F.col("id").alias("vec_a"), "cid")
+    b = assigned.select(F.col("id").alias("vec_b"), "cid")
     cand = (
         a.join(b, "cid")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "va", "vb")
-        .dropDuplicates(["vec_a", "vec_b"])
+        .select("vec_a", "vec_b")
+        .dropDuplicates()
     )
-    cos = _dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    ev = assigned.select("id", "v", "__n").dropDuplicates(["id"])
+    sa = ev.select(
+        F.col("id").alias("vec_a"), F.col("v").alias("va"), F.col("__n").alias("na")
     )
-    return (
-        cand.withColumn("cosine", F.round(cos, round_digits))
-        .filter(F.col("cosine") >= threshold)
-        .select("vec_a", "vec_b", "cosine")
+    sb = ev.select(
+        F.col("id").alias("vec_b"), F.col("v").alias("vb"), F.col("__n").alias("nb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    # explode(array(...)) barrier: the threshold filter references the
+    # generated column, so it cannot push into the attach-join condition
+    # and re-evaluate the O(dim) dot there (see _jaccard_verify)
+    scored = (
+        cand.join(sa, "vec_a")
+        .join(sb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.explode(F.array(F.round(cos, round_digits))).alias("cosine"),
+        )
+    )
+    return scored.filter(F.col("cosine") >= threshold).select(
+        "vec_a", "vec_b", "cosine"
     )
 
 
@@ -1024,7 +1088,9 @@ def srp_ann_topk(
         out = df.select(F.col(id_col).alias("id"), F.col(vec_col), qi.alias("__qi"))
         sig = F.lit(0).cast("long")
         for p in range(n_planes):
-            plane = F.array(*[F.lit(s) for s in signs[p]])
+            # one array Literal per plane (codegen reference object), not a
+            # CreateArray of dim scalar literals baked into the source
+            plane = F.lit(list(signs[p])).cast("array<int>")
             proj = F.aggregate(
                 F.zip_with(F.col("__qi"), plane, lambda x, s: x * s),
                 F.lit(0).cast("long"),
@@ -1052,22 +1118,22 @@ def srp_ann_topk(
             )
         )
 
+    dv = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    # per-side norm precompute: one O(dim) aggregate per candidate instead
+    # of three, bit-identical cosines (see cosine_topk)
     qb = with_sig(queries).select(
         F.col("id").alias("query_id"), F.col(vec_col).alias("__qv"), "band", "val"
-    )
+    ).withColumn("__qn", F.sqrt(_dot(dv("__qv"), dv("__qv"))))
     cb = with_sig(corpus).select(
         F.col("id").alias("neighbor_id"), F.col(vec_col).alias("__cv"), "band", "val"
-    )
+    ).withColumn("__cn", F.sqrt(_dot(dv("__cv"), dv("__cv"))))
     cand = (
         qb.join(cb, ["band", "val"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .select("query_id", "neighbor_id", "__qv", "__qn", "__cv", "__cn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    dv = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
-    cos = _dot(dv("__qv"), dv("__cv")) / (
-        F.sqrt(_dot(dv("__qv"), dv("__qv"))) * F.sqrt(_dot(dv("__cv"), dv("__cv")))
-    )
+    cos = _dot(dv("__qv"), dv("__cv")) / (F.col("__qn") * F.col("__cn"))
     scored = cand.select(
         "query_id", "neighbor_id", F.round(cos, round_digits).alias("cosine")
     )
@@ -1235,16 +1301,21 @@ def ivf_assignments(
     is bounded by k per vector.
     """
     dv = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
-    cent = ivf_centroids(corpus, id_col, vec_col, centroid_mod)
+    # centroid norm once per centroid, vector norm once per corpus row —
+    # the k-way fanout then evaluates ONE O(dim) aggregate per (vector,
+    # centroid) instead of three; sqrt(dot(v, v)) is the same expression
+    # on the same row, so every ranked cosine is bit-identical
+    cent = ivf_centroids(corpus, id_col, vec_col, centroid_mod).withColumn(
+        "__cn", F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
     cos_to_cent = _dot(F.col("nv"), F.col("cv")) / (
-        F.sqrt(_dot(F.col("nv"), F.col("nv")))
-        * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+        F.col("__nn") * F.col("__cn")
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         dv(vec_col).alias("nv"),
         *[F.col(x) for x in carry_cols],
-    )
+    ).withColumn("__nn", F.sqrt(_dot(F.col("nv"), F.col("nv"))))
     w_assign = Window.partitionBy("neighbor_id").orderBy(
         F.col("__ccos").desc(), F.col("cid").asc()
     )
@@ -1253,7 +1324,7 @@ def ivf_assignments(
         .withColumn("__ccos", F.round(cos_to_cent, round_digits))
         .withColumn("__r", F.row_number().over(w_assign))
         .filter(F.col("__r") == 1)
-        .select("cid", "neighbor_id", "nv", *carry_cols)
+        .select("cid", "neighbor_id", "nv", "__nn", *carry_cols)
     )
 
 
@@ -1295,9 +1366,15 @@ def ivf_topk(
     Returns (query_id, neighbor_id[, label], cosine, rank).
     """
     dv = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
-    cent = ivf_centroids(corpus, id_col, vec_col, centroid_mod)
-    cos_to_cent = lambda v: _dot(v, F.col("cv")) / (  # noqa: E731
-        F.sqrt(_dot(v, v)) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    # probe-side norms precomputed per query row (__qn), centroid norms
+    # per centroid (__cn): the probe fanout and the bucket scoring each
+    # evaluate one O(dim) aggregate per pair instead of three —
+    # bit-identical cosines (same sqrt(dot) expression, same rows)
+    cent = ivf_centroids(corpus, id_col, vec_col, centroid_mod).withColumn(
+        "__cn", F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    cos_to_cent = lambda v, vn: _dot(v, F.col("cv")) / (  # noqa: E731
+        vn * F.col("__cn")
     )
     # The label rides the join under an INTERNAL alias (the __qlabel/
     # __nlabel convention _label_pair_topk uses): a caller's label column
@@ -1321,21 +1398,22 @@ def ivf_topk(
         F.col(id_col).alias("query_id"),
         *([F.col(label_col).alias("__ivf_label")] if label_col else []),
         dv(vec_col).alias("qv"),
-    )
+    ).withColumn("__qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("__ccos").desc(), F.col("cid").asc()
     )
     probes = (
         q.crossJoin(F.broadcast(cent))
-        .withColumn("__ccos", F.round(cos_to_cent(F.col("qv")), round_digits))
+        .withColumn(
+            "__ccos",
+            F.round(cos_to_cent(F.col("qv"), F.col("__qn")), round_digits),
+        )
         .withColumn("__r", F.row_number().over(w_probe))
         .filter(F.col("__r") <= n_probe)
-        .select("query_id", *lab, "qv", "cid")
+        .select("query_id", *lab, "qv", "__qn", "cid")
     )
 
-    cos = _dot(F.col("qv"), F.col("nv")) / (
-        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("nv"), F.col("nv")))
-    )
+    cos = _dot(F.col("qv"), F.col("nv")) / (F.col("__qn") * F.col("__nn"))
     scored = (
         probes.join(assigned, ["cid", *lab])
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -1379,16 +1457,18 @@ def _label_pair_topk(
     complements cannot drift apart. Returns
     (query_id, __qlabel, neighbor_id, __nlabel, cosine, rank)."""
     lab = (lambda c: F.col(c).cast("int")) if cast_labels else F.col
+    # per-side norm precompute: one O(dim) aggregate per pair instead of
+    # three, bit-identical cosines (see cosine_topk)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         lab(label_col).alias("__qlabel"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
-    )
+    ).withColumn("__qn", F.sqrt(_dot(F.col("__qv"), F.col("__qv"))))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         lab(label_col).alias("__nlabel"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__cv"),
-    )
+    ).withColumn("__cn", F.sqrt(_dot(F.col("__cv"), F.col("__cv"))))
     label_pred = (
         (F.col("__nlabel") == F.col("__qlabel"))
         if same_label
@@ -1397,10 +1477,7 @@ def _label_pair_topk(
     pairs = c.crossJoin(F.broadcast(q)).filter(
         (F.col("neighbor_id") != F.col("query_id")) & label_pred
     )
-    cos = _dot(F.col("__qv"), F.col("__cv")) / (
-        F.sqrt(_dot(F.col("__qv"), F.col("__qv")))
-        * F.sqrt(_dot(F.col("__cv"), F.col("__cv")))
-    )
+    cos = _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
     scored = pairs.select(
         "query_id",
         "__qlabel",

@@ -34,9 +34,17 @@ def _assign(vectors: DataFrame, centroids: list[list[float]]) -> DataFrame:
     as ONE nested array literal iterated with ``transform``'s index lambda
     rather than k separately-codegen'd struct expressions: identical math,
     ~2.5x less codegen per assignment pass (measured sf0.1) — per-pass
-    compile time was the dominant cost for small k x dim."""
-    cent_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    compile time was the dominant cost for small k x dim.
+
+    The matrix enters as ONE ``F.lit`` of the nested list — a single
+    Literal node codegen references as a constant object — instead of a
+    ``CreateArray`` tree of k x dim scalar literals baked into the
+    generated source: successive iterations then produce IDENTICAL
+    generated code (the centroid values live in the reference array), so
+    the Janino compile of the assignment projection is paid once per
+    session, not once per iteration."""
+    cent_lit = F.lit([[float(x) for x in c] for c in centroids]).cast(
+        "array<array<double>>"
     )
     dists = F.transform(
         cent_lit,
@@ -108,11 +116,11 @@ def _assign_q(vectors: DataFrame, centroids: list[list[int]]) -> DataFrame:
     — no floating point anywhere, so the argmin (ties broken by lower
     cluster index via struct ordering) is bit-reproducible on any engine.
     """
-    cent_lit = F.array(
-        *[F.array(*[F.lit(int(x)).cast("long") for x in c]) for c in centroids]
+    # single Literal (not a CreateArray tree): identical generated code
+    # across iterations -> codegen cache hit per pass (see _assign)
+    cent_lit = F.lit([[int(x) for x in c] for c in centroids]).cast(
+        "array<array<bigint>>"
     )
-    # one nested literal + transform-with-index instead of k struct
-    # expressions — same integer math, far less codegen (see _assign)
     dists = F.transform(
         cent_lit,
         lambda c, i: F.struct(
@@ -138,17 +146,11 @@ def _assign_pq(
     assignment is a pure projection — no join, no shuffle — and every
     distance is a BIGINT sum of BIGINT squares (ties broken by lower code
     index via struct ordering), bit-reproducible on any engine."""
-    cb_lit = F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(int(x)).cast("long") for x in c])
-                    for c in per_s
-                ]
-            )
-            for per_s in codebook
-        ]
-    )
+    # single Literal (not a CreateArray tree): identical generated code
+    # across training iterations -> codegen cache hit (see _assign)
+    cb_lit = F.lit(
+        [[[int(x) for x in c] for c in per_s] for per_s in codebook]
+    ).cast("array<array<array<bigint>>>")
     dists = F.transform(
         F.element_at(cb_lit, F.col("s") + 1),
         lambda c, i: F.struct(
