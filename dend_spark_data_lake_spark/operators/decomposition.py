@@ -70,17 +70,25 @@ def pca_power_topvec_quantized(
     dim = len(first[0])
     v = [scale] * dim
     for _ in range(iters):
-        varr = F.array(*[F.lit(int(c)).cast("long") for c in v])
-        y = vecs.select(
-            "id",
-            F.aggregate(
-                F.zip_with(F.col("xq"), varr, lambda a, b: a * b),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("ydot"),
-        ).select("id", F.expr(f"ydot DIV {scale}").alias("ys"))
+        # single array Literal (codegen reference object), not a
+        # CreateArray of dim scalar literals: successive iterations emit
+        # identical generated code and hit the codegen cache (same change
+        # as clustering._assign)
+        varr = F.lit([int(c) for c in v]).cast("array<bigint>")
+        # ys_i derives from row i alone (ydot DIV scale), so both matvecs
+        # fuse into ONE map-side pass over the cached matrix — the old
+        # form joined vecs back to a y-relation on id, paying two
+        # exchanges per iteration for values already on the row
         z_rows = (
-            vecs.join(y, "id")
+            vecs.withColumn(
+                "ydot",
+                F.aggregate(
+                    F.zip_with(F.col("xq"), varr, lambda a, b: a * b),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ),
+            )
+            .withColumn("ys", F.expr(f"ydot DIV {scale}"))
             .select(F.posexplode("xq").alias("pos", "x"), "ys")
             .groupBy("pos")
             .agg(F.sum(F.col("x") * F.col("ys")).alias("z"))
