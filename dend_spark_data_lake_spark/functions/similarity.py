@@ -1027,11 +1027,15 @@ def ivf_near_pairs(
         .select("vec_a", "vec_b")
         .dropDuplicates()
     )
-    ev = assigned.select("id", "v", "__n").dropDuplicates(["id"])
-    sa = ev.select(
+    # vectors re-attach from the raw scan projection (one row per id — no
+    # dedup pass needed), NOT from the cached assignment: routing through
+    # the cache would render its corpus x broadcast(centroids) subtree
+    # under two more consumers and re-read the n_probe-duplicated relation
+    # for data the scan provides directly
+    sa = e.select(
         F.col("id").alias("vec_a"), F.col("v").alias("va"), F.col("__n").alias("na")
     )
-    sb = ev.select(
+    sb = e.select(
         F.col("id").alias("vec_b"), F.col("v").alias("vb"), F.col("__n").alias("nb")
     )
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
