@@ -208,7 +208,6 @@ def bpe_train(
     v = vocab.select(F.regexp_replace(guarded, "(.)", "<$1>").alias("w"), "f")
     stages = [v]
     merge_table = None
-    won: list[tuple] = []
     for step in range(1, merges + 1):
         pc = (
             v.select(
@@ -244,10 +243,7 @@ def bpe_train(
         rows = m.collect()
         if not rows:
             break
-        won.append(
-            (int(rows[0].merge_step), rows[0].left_sym, rows[0].right_sym,
-             int(rows[0].pair_n))
-        )
+        merge_table = m if merge_table is None else merge_table.unionByName(m)
         l, r = rows[0].left_sym, rows[0].right_sym
         v = v.select(
             F.replace(
@@ -256,14 +252,4 @@ def bpe_train(
             "f",
         )
         stages.append(v)
-    if won:
-        # The winning rows are already bounded driver state (one per
-        # merge, the kmeans-centroid contract) — rebuild the merge table
-        # from them instead of returning a union of the per-step argmax
-        # plans, which would re-run every pair-count aggregation when a
-        # consumer materializes the table.
-        merge_table = vocab.sparkSession.createDataFrame(
-            won,
-            "merge_step int, left_sym string, right_sym string, pair_n long",
-        )
     return merge_table, stages
