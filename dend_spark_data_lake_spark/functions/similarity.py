@@ -112,10 +112,20 @@ def _spread_small_input(df: DataFrame) -> DataFrame:
     does add on small inputs moves the raw rows once, BEFORE the expensive
     projection (measured: the byte cost is trivial next to the 32x
     parallelism on the shingle/signature pass).
+
+    The partition count is probed from the PRE-ADAPTIVE physical plan
+    (``sparkPlan``), which builds the RDD DAG without submitting jobs —
+    ``df.rdd`` would wrap the ADAPTIVE plan, and finalizing that under AQE
+    eagerly RUNS any upstream shuffle stages (and re-analyzes the plan)
+    at DataFrame-build time (ADVICE r14). Callers pass raw scans today,
+    but the helper no longer depends on that.
     """
     sc = df.sparkSession.sparkContext
     p = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
+    n_parts = (
+        df._jdf.queryExecution().sparkPlan().execute().getNumPartitions()
+    )
+    if n_parts < p:
         return df.repartition(p)
     return df
 
@@ -905,17 +915,31 @@ def embedding_near_pairs(
     )
     # A vector in block k joins tile (k, j) for j >= k as side 'a' and tile
     # (i, k) for i <= k as side 'b' — each unordered pair lands in exactly
-    # one tile, so no post-dedup is needed.
-    a_side = e.select(
-        "id", "v", F.lit("a").alias("side"), F.col("blk").alias("gi"),
-        F.explode(F.sequence(F.col("blk"), F.lit(B - 1))).alias("gj"),
-    ).select("id", "v", "side", "gi", "gj")
-    b_side = e.select(
-        "id", "v", F.lit("b").alias("side"),
-        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("gi"),
-        F.col("blk").alias("gj"),
-    ).select("id", "v", "side", "gi", "gj")
-    tiles = a_side.unionByName(b_side)
+    # one tile, so no post-dedup is needed. Both side assignments are
+    # emitted by ONE Generate over the concatenated struct sequences (a
+    # union of two per-side selects would scan the embedding source twice
+    # per render — same rows through the exchange, double the scan bytes).
+    sides = F.concat(
+        F.transform(
+            F.sequence(F.col("blk"), F.lit(B - 1)),
+            lambda j: F.struct(
+                F.lit("a").alias("side"),
+                F.col("blk").alias("gi"),
+                j.alias("gj"),
+            ),
+        ),
+        F.transform(
+            F.sequence(F.lit(0), F.col("blk")),
+            lambda i: F.struct(
+                F.lit("b").alias("side"),
+                i.alias("gi"),
+                F.col("blk").alias("gj"),
+            ),
+        ),
+    )
+    tiles = e.select("id", "v", F.explode(sides).alias("t")).select(
+        "id", "v", "t.side", "t.gi", "t.gj"
+    )
 
     # No parameter annotations: a PARTIALLY hinted (key, pdf) signature
     # makes Spark 4 attempt (and fail) eval-type inference with a
@@ -1010,10 +1034,14 @@ def ivf_near_pairs(
         .withColumn("__ccos", F.round(ccos, round_digits))
         .withColumn("__r", F.row_number().over(w_assign))
         .filter(F.col("__r") <= n_probe)
-        .select("cid", "id", "v", "__n")
+        .select("cid", "id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )  # consumed by BOTH sides of the candidate self-join — without the
-    #    persist the corpus x broadcast(centroids) assignment pass runs twice
+    #    persist the corpus x broadcast(centroids) assignment pass runs twice.
+    #    NARROW (cid, id) only: the self-join sides read nothing else, and
+    #    the verify re-attaches vectors from the raw scan — caching v/__n
+    #    here materialized O(dim) doubles per n_probe-duplicated row that
+    #    no consumer ever read (ADVICE r14)
     # Candidate pairs travel NARROW (ids only) through the bucket self-join
     # and the dedup exchange; the O(dim) vectors are re-attached afterwards
     # from the per-id slice of the cached assignment (guide §2.3: shuffle
@@ -1118,8 +1146,9 @@ def srp_ann_topk(
         out = df.select(F.col(id_col).alias("id"), F.col(vec_col), qi.alias("__qi"))
         sig = F.lit(0).cast("long")
         for p in range(n_planes):
-            # one array Literal per plane (codegen reference object), not a
-            # CreateArray of dim scalar literals baked into the source
+            # F.lit(list) per plane — cosmetic spelling; constant-folds
+            # to the same Literal as an explicit CreateArray would
+            # (see clustering._assign)
             plane = F.lit(list(signs[p])).cast("array<int>")
             proj = F.aggregate(
                 F.zip_with(F.col("__qi"), plane, lambda x, s: x * s),

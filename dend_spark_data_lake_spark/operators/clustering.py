@@ -36,13 +36,13 @@ def _assign(vectors: DataFrame, centroids: list[list[float]]) -> DataFrame:
     ~2.5x less codegen per assignment pass (measured sf0.1) — per-pass
     compile time was the dominant cost for small k x dim.
 
-    The matrix enters as ONE ``F.lit`` of the nested list — a single
-    Literal node codegen references as a constant object — instead of a
-    ``CreateArray`` tree of k x dim scalar literals baked into the
-    generated source: successive iterations then produce IDENTICAL
-    generated code (the centroid values live in the reference array), so
-    the Janino compile of the assignment projection is paid once per
-    session, not once per iteration."""
+    The ``F.lit(nested_list)`` spelling is purely cosmetic: classic
+    PySpark desugars it to the same ``array(array(...))`` tree as the
+    explicit ``CreateArray`` form, and Catalyst constant-folds BOTH to one
+    array Literal — the canonicalized optimized plans are byte-identical
+    (verified, round 15). The round-14 comment claiming a per-iteration
+    Janino-compile saving here was wrong; either spelling compiles the
+    same generated code."""
     cent_lit = F.lit([[float(x) for x in c] for c in centroids]).cast(
         "array<array<double>>"
     )
@@ -116,8 +116,8 @@ def _assign_q(vectors: DataFrame, centroids: list[list[int]]) -> DataFrame:
     — no floating point anywhere, so the argmin (ties broken by lower
     cluster index via struct ordering) is bit-reproducible on any engine.
     """
-    # single Literal (not a CreateArray tree): identical generated code
-    # across iterations -> codegen cache hit per pass (see _assign)
+    # F.lit(nested_list) is cosmetically equivalent to the CreateArray
+    # tree (both constant-fold to one Literal — see _assign)
     cent_lit = F.lit([[int(x) for x in c] for c in centroids]).cast(
         "array<array<bigint>>"
     )
@@ -146,8 +146,8 @@ def _assign_pq(
     assignment is a pure projection — no join, no shuffle — and every
     distance is a BIGINT sum of BIGINT squares (ties broken by lower code
     index via struct ordering), bit-reproducible on any engine."""
-    # single Literal (not a CreateArray tree): identical generated code
-    # across training iterations -> codegen cache hit (see _assign)
+    # F.lit(nested_list) is cosmetically equivalent to the CreateArray
+    # tree (both constant-fold to one Literal — see _assign)
     cb_lit = F.lit(
         [[[int(x) for x in c] for c in per_s] for per_s in codebook]
     ).cast("array<array<array<bigint>>>")

@@ -70,10 +70,9 @@ def pca_power_topvec_quantized(
     dim = len(first[0])
     v = [scale] * dim
     for _ in range(iters):
-        # single array Literal (codegen reference object), not a
-        # CreateArray of dim scalar literals: successive iterations emit
-        # identical generated code and hit the codegen cache (same change
-        # as clustering._assign)
+        # F.lit(list) here is cosmetic — it desugars to the same
+        # CreateArray tree and constant-folds to one Literal either way
+        # (see clustering._assign)
         varr = F.lit([int(c) for c in v]).cast("array<bigint>")
         # ys_i derives from row i alone (ydot DIV scale), so both matvecs
         # fuse into ONE map-side pass over the cached matrix — the old

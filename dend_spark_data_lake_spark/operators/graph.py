@@ -11,12 +11,14 @@ no graph/dedup-cluster surface; this is part of the driver-mandated
 LLM-pipeline extension (SURVEY.md §2.5, fuzzy dedup).
 
 Scale notes:
-- The symmetric edge relation is hash-partitioned on its join key ONCE and
-  checkpointed; each round is then one propagation join (only the label
-  side moves — broadcast when small, colocated shuffle otherwise) plus ONE
-  grouped min over labels ∪ propagated labels. The vertex's own label rides
-  the union branch, which removes the old join→min→left-join-back round
-  shape (3 exchanges → 2, one of which AQE turns into a broadcast).
+- The symmetric edge relation is deduplicated and checkpointed ONCE; each
+  round is then one propagation join (the label side broadcasts when
+  small, both sides shuffle under SMJ otherwise — AQE checkpoints report
+  UnknownPartitioning, so cross-round partition reuse is NOT available;
+  round 15 removed the repartition that assumed it was) plus ONE grouped
+  min over labels ∪ propagated labels. The vertex's own label rides the
+  union branch, which removes the old join→min→left-join-back round shape
+  (3 exchanges → 2, one of which AQE turns into a broadcast).
 - Rounds needed = graph diameter. Near-dup clusters are dense (diameter
   2-4 in practice), so the loop terminates in a handful of rounds; the
   ``max_rounds`` guard bounds pathological chains.
@@ -48,15 +50,23 @@ def connected_components(
     ``edges`` and therefore are not returned (callers keep them implicitly
     — see ``dedup_corpus``).
     """
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    # Hash-partition the STATIC edge relation on its join key exactly once:
-    # every round's propagation join then only moves the (much smaller)
-    # label side; the checkpointed edge partitioning is reused round after
-    # round instead of re-shuffling the edges per iteration.
+    one = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # Dedup BEFORE the symmetric union: the distinct exchange then carries
+    # each edge once instead of twice (guide §2.3 — same result set; an
+    # input that already holds both orientations of a pair keeps both,
+    # which only widens the propagation fan-out on those edges, never the
+    # labels). NO repartition after: under AQE a checkpointed plan reports
+    # UnknownPartitioning (AdaptiveSparkPlanExec does not expose its final
+    # partitioning), so the old repartition("u") was a full extra edge
+    # shuffle that no later round could actually reuse — verified against
+    # the executed round plans (round joins broadcast the label side at
+    # bench scale and re-exchange both sides under SMJ regardless).
     # lazy: materialized by the first convergence-sum job below (together
     # with the initial labels) instead of its own eager job
-    sym = sym.dropDuplicates().repartition(F.col("u")).localCheckpoint(eager=False)
+    sym = one.dropDuplicates()
+    sym = sym.union(
+        sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
 
     # LAZY localCheckpoint: the convergence-sum collect below is the first
     # action, so ONE job both materializes the round's checkpoint blocks
@@ -69,7 +79,12 @@ def connected_components(
         .withColumn("component", F.col("vertex"))
         .localCheckpoint(eager=False)
     )
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    # No init-sum job: round 1 is compared against a sentinel instead —
+    # on any graph with a real (two-endpoint) edge, round 1 strictly
+    # lowers the sum, so the init collect only ever confirmed "not yet
+    # converged" at the price of one extra driver barrier per call. An
+    # empty edge relation yields sum NULL, caught explicitly.
+    prev_sum: object = object()
 
     converged = False
     for _ in range(max_rounds):
@@ -90,7 +105,7 @@ def connected_components(
         # first action on the lazy checkpoint: materializes the round's
         # blocks AND reduces the convergence scalar in one job
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
-        if cur_sum == prev_sum:
+        if cur_sum == prev_sum or cur_sum is None:
             converged = True
             break
         prev_sum = cur_sum
@@ -130,8 +145,8 @@ def pagerank_quantized(
       ``teleport = (100 - damping_pct) * scale // (100 * N)``. Vertices
       with no in-edges land exactly on ``teleport``.
 
-    Scale posture: the edge relation is hash-partitioned on ``src`` once
-    (with out-degree weights precomputed) and checkpointed; each iteration
+    Scale posture: the edge relation (with out-degree weights precomputed)
+    is checkpointed once; each iteration
     moves only the rank relation through one join + one keyed sum — ranks
     stay DISTRIBUTED, never collected to the driver (unlike centroids,
     ranks are data-sized on real graphs). ``localCheckpoint`` truncates
@@ -149,8 +164,11 @@ def pagerank_quantized(
     )
     out_w = e.groupBy("u").agg(F.sum("w").alias("ow"))
     # lazy checkpoints: the vertex count below is the first action and
-    # materializes BOTH block sets in one job (eager form: one job each)
-    e = e.join(out_w, "u").repartition(F.col("u")).localCheckpoint(eager=False)
+    # materializes BOTH block sets in one job (eager form: one job each).
+    # No repartition before the checkpoint: AQE checkpoints report
+    # UnknownPartitioning, so the iteration joins could never reuse it
+    # (see connected_components) — it was one wasted edge shuffle.
+    e = e.join(out_w, "u").localCheckpoint(eager=False)
 
     verts = (
         e.select(F.col("u").alias("vertex"))
@@ -186,9 +204,11 @@ def pagerank_quantized(
                 ).cast("long").alias("rank_q"),
             )
             # lazy: each round still truncates lineage (the logical plan
-            # becomes a scan of the checkpoint RDD immediately), but no
-            # per-round materialization job runs — the caller's single
-            # action cascades through the per-round checkpoints once
+            # becomes a scan of the checkpoint RDD immediately). Under AQE
+            # the per-round toRdd still finalizes the plan — the round's
+            # SHUFFLE stages do run here — but the result stage (and the
+            # block write) is deferred to the caller's single action
+            # instead of a separate eager materialization job per round
             .localCheckpoint(eager=False)
         )
     return ranks

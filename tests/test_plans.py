@@ -171,6 +171,37 @@ def test_sole_supplier_rewrite_scans_fact_fewer_times(spark):
     assert rewrite < naive, (rewrite, naive)
 
 
+def test_spread_small_input_noop_at_scale_and_lazy(spark):
+    """_spread_small_input's scale-safety contract, pinned (VERDICT r14
+    ask #6): (a) an input that already has >= cores partitions gets NO
+    RoundRobin exchange — at 100 TB the input arrives in thousands of
+    scan partitions, so the helper must be a structural no-op there;
+    (b) a single-partition input does get spread; (c) the partition-count
+    probe is LAZY — it must not submit jobs even when the input plan
+    contains exchanges (the old df.rdd probe finalized the adaptive plan,
+    which eagerly runs upstream shuffle stages)."""
+    from dend_spark_data_lake_spark.functions.similarity import (
+        _spread_small_input,
+    )
+
+    p = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 1000, 1, p)
+    plan = _spread_small_input(wide)._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+    narrow = spark.range(0, 1000, 1, 1)
+    plan2 = _spread_small_input(narrow)._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in plan2, plan2
+
+    tracker = spark.sparkContext.statusTracker()
+    shuffled = spark.range(0, 100, 1, 2).repartition(5).selectExpr("id")
+    before = len(tracker.getJobIdsForGroup())
+    _spread_small_input(shuffled)
+    after = len(tracker.getJobIdsForGroup())
+    assert after == before, (before, after)
+
+
 def test_fuzzy_join_has_no_nested_loop(spark):
     """The deletion-neighborhood blocking must keep the edit-distance join
     an equi-join: a BroadcastNestedLoopJoin here is the O(n²) regression
