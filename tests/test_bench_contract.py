@@ -10,12 +10,15 @@ and the final line's required keys incl. the min-of-n primary value
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 import subprocess
 import sys
 
 
+@pytest.mark.nightly  # heavyweight replay: default tier must fit the driver's verify budget (r15)
 def test_bench_cli_two_line_protocol():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(

@@ -146,6 +146,7 @@ def test_round14_window_rotation_policy():
     assert not queued_stale, f"queue holds fresh-certificate entries: {queued_stale}"
 
 
+@pytest.mark.nightly  # heavyweight replay: default tier must fit the driver's verify budget (r15)
 def test_no_nested_types_in_oracle_backed_outputs(spark):
     """The driver's pandas canonicalizer sorts/hashes scalar cells only —
     an ArrayType/MapType/StructType output column crashes it with

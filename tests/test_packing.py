@@ -2,6 +2,8 @@
 Python greedy reference, including the edge cases (zero-weight rows,
 rows heavier than the budget)."""
 
+import pytest
+
 from dend_spark_data_lake_spark.operators.packing import greedy_pack, pack_stats
 
 
@@ -65,6 +67,7 @@ def test_bpe_train_no_pairs_returns_none(spark):
     assert {(r.w, r.f) for r in stages[0].collect()} == {("<a>", 3), ("<b>", 2)}
 
 
+@pytest.mark.nightly  # heavyweight replay: default tier must fit the driver's verify budget (r15)
 def test_bpe_train_matches_replica_on_arbitrary_vocabs(spark):
     """Hypothesis fuzz of the full 3-merge training against the shared
     Python replica on arbitrary tiny-alphabet vocabularies — a 3-letter

@@ -8,6 +8,8 @@ silently at scale if a refactor broke them.
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import given, settings, strategies as st
 
 from dend_spark_data_lake_spark.operators import sampling as SAMP
@@ -10210,6 +10212,7 @@ def test_benjamini_hochberg_matches_bruteforce(spark):
     assert got == expect
 
 
+@pytest.mark.nightly  # heavyweight replay: default tier must fit the driver's verify budget (r15)
 def test_ivf_probe_curve_matches_bruteforce(spark):
     """sim_ivf_probe_curve: the full IVF pipeline (centroids,
     assignments, probes, per-bucket top-5) and recall vs the exact top-5
@@ -11006,6 +11009,7 @@ def test_ann_serving_matches_bruteforce(spark):
     assert got == expect
 
 
+@pytest.mark.nightly  # heavyweight replay: default tier must fit the driver's verify budget (r15)
 def test_pq_residual_gain_matches_bruteforce(spark):
     """embed_pq_residual_gain: coarse assignment, integer residuals, BOTH
     training trajectories (direct at scale=1024, residual at the scale=1
@@ -11054,6 +11058,7 @@ def test_pq_residual_gain_matches_bruteforce(spark):
     assert all(v[3] < 0 for v in expect.values())
 
 
+@pytest.mark.nightly  # heavyweight replay: default tier must fit the driver's verify budget (r15)
 def test_ann_rerank_matches_bruteforce(spark):
     """pipeline_ann_rerank: stage-1 shortlist (IVF n_probe=2 -> ADC
     top-10), stage-2 exact re-rank, both stages' hits against the exact
@@ -13013,6 +13018,7 @@ def test_bpe_tiebreak_multichar_symbols_cross_engine(spark, tmp_path):
     assert not problems, problems
 
 
+@pytest.mark.nightly  # heavyweight replay: default tier must fit the driver's verify budget (r15)
 def test_bpe_serving_queries_on_degenerate_corpora(spark, tmp_path):
     """The three round-10 BPE serving queries on the two corpora their
     shared training chain treats specially: (a) a single-word corpus
@@ -13117,6 +13123,7 @@ def test_bpe_oov_audit_nonzero_oov_path(spark, tmp_path):
     assert not problems, problems
 
 
+@pytest.mark.nightly  # heavyweight replay: default tier must fit the driver's verify budget (r15)
 def test_pq_bits_tradeoff_matches_bruteforce(spark):
     """embed_pq_bits_tradeoff: all three training trajectories (m = 4,
     8, 16) recomputed in plain Python via the shared replica — plus the
@@ -13142,6 +13149,7 @@ def test_pq_bits_tradeoff_matches_bruteforce(spark):
     assert expect[4][1] > expect[8][1] > expect[16][1]
 
 
+@pytest.mark.nightly  # heavyweight replay: default tier must fit the driver's verify budget (r15)
 def test_ann_grid_preserved_on_empty_query_slice(spark, tmp_path):
     """pipeline_ann_serving / pipeline_ann_rerank docstring claim, made
     executable: on a corpus whose vec_ids all exceed the query cap (so
@@ -13649,6 +13657,7 @@ def test_mmr_rerank_replica_and_laws(spark):
     assert diverged > 0, "MMR never diverged from plain top-5"
 
 
+@pytest.mark.nightly  # heavyweight replay: default tier must fit the driver's verify budget (r15)
 def test_mmr_lambda_curve_replica_and_laws(spark):
     """sim_mmr_lambda_curve: full Python replica of the 4-row tradeoff
     curve (greedy MMR re-run at lambda in {0.25, 0.5, 0.75, 1.0} over
@@ -13755,6 +13764,7 @@ def test_mmr_lambda_curve_replica_and_laws(spark):
     assert got[50][1] == rr_rel
 
 
+@pytest.mark.nightly  # heavyweight replay: default tier must fit the driver's verify budget (r15)
 def test_pipeline_chunk_dedup_replica_and_laws(spark):
     """pipeline_chunk_dedup: union-find replica of the full pass
     accounting — totals at the FULL chunk grain, cluster membership
@@ -13811,6 +13821,7 @@ def test_pipeline_chunk_dedup_replica_and_laws(spark):
     assert row.dropped_tokens >= tax.near_loser_tokens
 
 
+@pytest.mark.nightly  # heavyweight replay: default tier must fit the driver's verify budget (r15)
 def test_pipeline_chunk_dedup_bridge_strictness(spark, tmp_path):
     """pipeline_chunk_dedup vs curation_chunk_near_tax on a constructed
     BRIDGE corpus — the case where the component drop rule is STRICTLY
@@ -13864,6 +13875,7 @@ def test_pipeline_chunk_dedup_bridge_strictness(spark, tmp_path):
     assert not compare(tax.fn(spark, str(tmp_path)), con, tax.oracle)
 
 
+@pytest.mark.nightly  # heavyweight replay: default tier must fit the driver's verify budget (r15)
 def test_sim_ivf_matryoshka_replica_and_closures(spark):
     """sim_ivf_matryoshka: the full slice-then-bucket pipeline
     (per-dim prefix slice, mod-100 centroids, rounded-cosine
@@ -14041,6 +14053,7 @@ def test_dq_release_emit_ships_first_ok_level(spark, tmp_path):
     assert not compare(ladder.fn(spark, str(tmp_path)), con, ladder.oracle)
 
 
+@pytest.mark.nightly  # heavyweight replay: default tier must fit the driver's verify budget (r15)
 def test_chunk_doc_survival_replica_and_closure(spark):
     """dedup_chunk_doc_survival: per-doc union-find replica (group the
     non-label component members by document, price in tokens against
@@ -14137,6 +14150,7 @@ def test_chunk_incremental_closure_and_batch_only_orientation(spark):
         assert nd % 10 >= 8 and od % 10 < 8
 
 
+@pytest.mark.nightly  # heavyweight replay: default tier must fit the driver's verify budget (r15)
 def test_pipeline_mmr_serving_replica_and_composition_laws(spark):
     """pipeline_mmr_serving: Python replica of the composed pipeline —
     IVF approximate top-10 candidates (mod-100 centroids,
@@ -14295,6 +14309,7 @@ def test_dp_epsilon_curve_scaling_and_closure(spark):
             prev = r.abs_err_e6
 
 
+@pytest.mark.nightly  # heavyweight replay: default tier must fit the driver's verify budget (r15)
 def test_dedup_chunk_keep_closures(spark):
     """dedup_chunk_keep: the writer relation must close exactly against
     the pass report — row count == n_chunks - dropped_chunks, token

@@ -246,6 +246,7 @@ def broad_shapes(spark):
     return out
 
 
+@pytest.mark.nightly  # heavyweight replay: default tier must fit the driver's verify budget (r15)
 @pytest.mark.parametrize("name", BROAD_QUERIES)
 def test_broad_plan_shape_invariant(broad_shapes, name):
     lo, hi = broad_shapes[name][4], broad_shapes[name][256]

@@ -512,6 +512,7 @@ def test_streaming_sessionize_equals_batch_gaps(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.nightly  # heavyweight replay: default tier must fit the driver's verify budget (r15)
 def test_stream_stream_left_outer_join_emits_null_padded_rows(spark, tmp_path):
     """LEFT OUTER stream-stream join: unmatched left rows must surface
     NULL-padded once the watermark passes their join window — the outer
@@ -570,6 +571,7 @@ def test_stream_stream_left_outer_join_emits_null_padded_rows(spark, tmp_path):
     assert got == {(1, 11), (2, 12), (3, None), (4, None)}
 
 
+@pytest.mark.nightly  # heavyweight replay: default tier must fit the driver's verify budget (r15)
 def test_watermark_drops_late_rows_and_reports_them(spark, tmp_path):
     """Late-data governance must be OBSERVABLE: a row older than the
     watermark is dropped from the aggregation AND surfaces in the
@@ -628,6 +630,7 @@ def test_watermark_drops_late_rows_and_reports_them(spark, tmp_path):
     assert (_ts(9, 0), 2) not in got
 
 
+@pytest.mark.nightly  # heavyweight replay: default tier must fit the driver's verify budget (r15)
 def test_sessionizer_identical_under_rocksdb_state_store(spark, tmp_path):
     """State-store portability: the stateful sessionizer must produce
     byte-identical sessions under the RocksDB provider — the provider a
