@@ -14,6 +14,45 @@ from dend_spark_data_lake_spark.queries import REGISTRY
 ORACLE_NAMES = [n for n, s in REGISTRY.items() if s.oracle is not None]
 ROWS_ONLY_NAMES = [n for n, s in REGISTRY.items() if s.oracle is None]
 
+# Default-tier parity subset (VERDICT r14 ask #2: the full 381-replay
+# pass is ~14 min of the suite — more than the driver's verify budget
+# can carry). The DEFAULT tier keeps exactly the parity checks with the
+# highest regression value; the FULL parity sweep runs in the nightly
+# tier (-m nightly) and via tools/oracle_sweep.py, which every round's
+# end-state certification executes at sf0.01 AND sf0.1 anyway:
+#   1. the driver's CURRENT 50-query grading window (_GRADE_FIRST) — a
+#      hash mismatch there is an instant driver regression;
+#   2. every query whose plan was touched by the round-15 optimization
+#      pass (the paths most likely to break);
+#   3. one representative per name-family prefix, so every operator
+#      family keeps an end-to-end replay in the default tier.
+from dend_spark_data_lake_spark.queries import _GRADE_FIRST  # noqa: E402
+
+_R15_TOUCHED = {
+    "sql_sole_supplier_rewrite", "sql_exists_not_exists",
+    "sim_knn_mutual_stats", "dedup_embedding_cosine",
+    "dedup_semantic_corpus", "pipeline_ann_serving", "pipeline_ann_rerank",
+    "embed_pq_residual_gain", "ann_index_maintenance",
+    "embed_pq_bits_tradeoff", "embed_pq_distortion", "dedup_corpus",
+    "pipeline_llm_corpus", "dedup_cc_incremental", "split_cluster_safe",
+    "pipeline_chunk_dedup", "dedup_clusters", "graph_pagerank_nations",
+    "dedup_ngram_jaccard", "dedup_containment", "kmeans_clusters",
+    "embed_pca_topvec", "pipeline_curation",
+}
+_family_rep: dict[str, str] = {}
+for _n in ORACLE_NAMES:
+    _family_rep.setdefault(_n.split("_")[0], _n)
+_DEFAULT_PARITY = (
+    (set(_GRADE_FIRST) & set(ORACLE_NAMES))
+    | (_R15_TOUCHED & set(ORACLE_NAMES))
+    | set(_family_rep.values())
+)
+
+_PARITY_PARAMS = [
+    n if n in _DEFAULT_PARITY else pytest.param(n, marks=pytest.mark.nightly)
+    for n in ORACLE_NAMES
+]
+
 
 @pytest.fixture(scope="module")
 def con():
@@ -22,7 +61,7 @@ def con():
     c.close()
 
 
-@pytest.mark.parametrize("name", ORACLE_NAMES)
+@pytest.mark.parametrize("name", _PARITY_PARAMS)
 def test_oracle_parity(spark, con, name):
     spec = REGISTRY[name]
     df = spec.fn(spark, SF_SMOKE)

@@ -7,6 +7,8 @@ be reused without re-deriving them)."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import given, settings, strategies as st
 
 from dend_spark_data_lake_spark.operators.percentiles import grid_percentiles
@@ -112,6 +114,7 @@ def test_trimmed_mean_matches_sorted_bruteforce(spark):
     ),
     st.integers(min_value=1, max_value=12),
 )
+@pytest.mark.nightly  # heavyweight replay: default tier must fit the driver's verify budget (r15)
 def test_distributed_ntile_equals_window_ntile(spark, rows, n):
     """distributed_ntile must equal ntile(n) OVER (ORDER BY v, id) for
     ANY input and bucket count — including N < n, heavy ties at bucket

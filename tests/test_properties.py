@@ -12851,6 +12851,7 @@ def test_text_family_unicode_cross_engine(spark, tmp_path):
         assert not problems, (name, problems)
 
 
+@pytest.mark.nightly  # heavyweight replay: default tier must fit the driver's verify budget (r15)
 def test_text_family_null_and_blank_text_cross_engine(spark, tmp_path):
     """NULL text, the empty string, and whitespace-only text never occur
     in the driver fixtures, yet every text-family query has an implicit
@@ -13283,6 +13284,7 @@ def test_ann_index_maintenance_matches_bruteforce(spark):
     assert sum(v[2] for v in expect.values()) == len(rows)
 
 
+@pytest.mark.nightly  # heavyweight replay: default tier must fit the driver's verify budget (r15)
 def test_bpe_grid_preserved_when_training_dries_up(spark, tmp_path):
     """BPE dry-out parity, made executable (found by the round-9 code
     review): on a corpus whose vocabulary exhausts its merges early

@@ -280,6 +280,7 @@ def test_foreach_batch_upsert_builds_snapshot_incrementally(spark, stream_dir):
     assert got == {100: 1.0, 200: 20.0, 300: 3.0}
 
 
+@pytest.mark.nightly  # heavyweight replay: default tier must fit the driver's verify budget (r15)
 def test_sliding_stream_equals_batch(spark, stream_dir):
     from dend_spark_data_lake_spark.streaming.windows import sliding_agg
 
@@ -334,6 +335,7 @@ def test_sessionize_with_timeout_evicts_via_event_time_timer(spark, stream_dir):
     assert got == [(100, _ts(9, 0), _ts(9, 10), 2)]
 
 
+@pytest.mark.nightly  # heavyweight replay: default tier must fit the driver's verify budget (r15)
 def test_stream_stream_interval_join_equals_batch_join(spark, stream_dir):
     """Views joined to clicks within 1h: the stream-stream interval join
     must produce exactly the rows of the equivalent batch join."""
