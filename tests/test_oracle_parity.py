@@ -37,7 +37,8 @@ _R15_TOUCHED = {
     "pipeline_llm_corpus", "dedup_cc_incremental", "split_cluster_safe",
     "pipeline_chunk_dedup", "dedup_clusters", "graph_pagerank_nations",
     "dedup_ngram_jaccard", "dedup_containment", "kmeans_clusters",
-    "embed_pca_topvec", "pipeline_curation",
+    "embed_pca_topvec", "pipeline_curation", "curation_token_budget",
+    "market_basket_pairs",
 }
 _family_rep: dict[str, str] = {}
 for _n in ORACLE_NAMES:
